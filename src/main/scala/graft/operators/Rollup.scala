@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Session/day rollups (reference: transformations/facts/fact_voyage_daily.py,
+ * fact_monthly_summary.py, fact_voyage_summary.py).
+ *
+ * Plain groupBy aggregations: Spark plans partial (map-side) aggregation
+ * before the shuffle, so at 100 TB each executor pre-combines its partition
+ * and only (key, partial) pairs move.
+ */
+object Rollup {
+
+  /** Per (keys..., day): first/last timestamp of the day
+   * (reference: fact_voyage_daily.py:108 voyage_segments). */
+  def dailySegments(df: DataFrame, keys: Seq[String], tsSecCol: String,
+                    dayCol: String): DataFrame =
+    df.groupBy((keys :+ dayCol).map(col): _*)
+      .agg(
+        min(col(tsSecCol)).as("day_first_sec"),
+        max(col(tsSecCol)).as("day_last_sec"))
+
+  /** Per (keys..., day): additive metrics — point count plus sums of the
+   * given value columns (reference: fact_voyage_daily.py:127
+   * voyage_summary_staging). */
+  def dailyMetrics(df: DataFrame, keys: Seq[String], dayCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("day_pointcount") +:
+      valueCols.map(c => sum(col(c)).as(s"day_sum_$c"))
+    df.groupBy((keys :+ dayCol).map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per session (keys...): full-span summary — start/end, duration hours,
+   * point count, total of `distanceCol`, average of `speedCol`
+   * (reference: fact_monthly_summary.py:111-136, fact_voyage_summary.py). */
+  def sessionSummary(df: DataFrame, keys: Seq[String], tsSecCol: String,
+                     speedCol: String, distanceCol: Option[String] = None): DataFrame = {
+    val base = Seq(
+      min(col(tsSecCol)).as("start_sec"),
+      max(col(tsSecCol)).as("end_sec"),
+      count(lit(1)).as("n_points"),
+      sum(col(speedCol)).as("sum_speed"))
+    val aggs = base ++ distanceCol.map(c => sum(col(c)).as("total_distance_km"))
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("duration_hours", (col("end_sec") - col("start_sec")) / 3600.0)
+      .withColumn("avg_speed", col("sum_speed") / col("n_points"))
+  }
+
+  /**
+   * Monthly rebuild: restrict the full daily-segment/metric tables to
+   * sessions active in the given month, then aggregate the full span of
+   * those sessions (reference: fact_monthly_summary.py:65-120 — month
+   * partitions identify active voyages; the join pulls their entire
+   * history). The `active` probe is small, so Spark broadcast-semi-joins it
+   * against the big table — no shuffle of the fact side.
+   */
+  def monthlyRebuild(dailySeg: DataFrame, dailyMet: DataFrame,
+                     keys: Seq[String], monthCol: String, month: String): DataFrame = {
+    val active = dailySeg.filter(col(monthCol) === month)
+      .select(keys.map(col): _*).distinct()
+    val seg = dailySeg.join(active, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min("day_first_sec").as("start_sec"), max("day_last_sec").as("end_sec"))
+    val met = dailyMet.join(active, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("day_pointcount").as("n_points"),
+        sum("day_sum_value").as("sum_value"))
+    seg.join(met, keys)
+      .withColumn("duration_hours", (col("end_sec") - col("start_sec")) / 3600.0)
+  }
+}

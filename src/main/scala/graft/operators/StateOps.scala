@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental-state operators (reference: utils/state_io.py,
+ * transformations/facts/fact_voyage_summary.py:105 _merge_state).
+ */
+object StateOps {
+
+  /**
+   * Last row per key by (orderCols...) — the per-MMSI continuity snapshot
+   * (reference: utils/state_io.py:49 latest_per_mmsi).
+   *
+   * Implemented as max_by over a struct instead of row_number over a window:
+   * a single hash aggregation with map-side partial combine, no per-key sort
+   * — at 100 TB this shuffles one row per key rather than sorting every row.
+   */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val ord = struct(orderCols.map(col): _*)
+    val aggs = payload.map(c => max_by(col(c), ord).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Merge additive per-key deltas into a running state via full-outer join:
+   * sums add, spans extend (min start / max end), counts accumulate
+   * (reference: fact_voyage_summary.py:105 _merge_state).
+   *
+   * `sumCols` must exist in both frames with identical names.
+   */
+  def mergeDeltas(state: DataFrame, deltas: DataFrame, keys: Seq[String],
+                  sumCols: Seq[String], minCols: Seq[String] = Nil,
+                  maxCols: Seq[String] = Nil): DataFrame = {
+    val s = state.alias("s")
+    val d = deltas.alias("d")
+    val joined = s.join(d, keys, "full_outer")
+    val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k))
+    val sums = sumCols.map(c =>
+      (coalesce(col(s"s.$c"), lit(0.0)) + coalesce(col(s"d.$c"), lit(0.0))).as(c))
+    val mins = minCols.map(c => least(col(s"s.$c"), col(s"d.$c")).as(c))
+    val maxs = maxCols.map(c => greatest(col(s"s.$c"), col(s"d.$c")).as(c))
+    joined.select(keyCols ++ mins ++ maxs ++ sums: _*)
+  }
+}
