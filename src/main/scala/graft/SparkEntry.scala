@@ -24,6 +24,9 @@ object SparkEntry {
   /** Movement threshold on `value` (maps the reference's SOG 0.5 kn cutoff
    * onto the synthetic value distribution). */
   private val SpeedThreshold = 50.0
+  /** Incremental-window boundary (2024-01-15 UTC; data spans Jan 2024). */
+  private val CutoffSec = 1705276800L
+  private val CutoffDay = "2024-01-15"
 
   /** Parity-safe 3-decimal rounding: floor(x*1000 + 0.5)/1000 is pure IEEE
    * arithmetic, bit-identical in Spark and DuckDB (Spark's `round` is
@@ -137,6 +140,68 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       sessions(s, dir).select("event_id", "user_id", "session_id")),
 
+    // Incremental continuity: sessionize window-1, snapshot last row per
+    // user as seed, seeded-sessionize window-2 — ids must equal the
+    // full-history sessionization restricted to window-2 (the oracle).
+    "q_sessionize_seeded" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val w1 = Sessionize(e.filter(col("ts_sec") < CutoffSec), "user_id", "ts_sec",
+        GapSec, tieBreak = Seq("event_id"))
+      val seeds = StateOps.latestPerKey(
+          w1.select("user_id", "ts_sec", "event_id", "session_id"),
+          Seq("user_id"), Seq("ts_sec", "event_id"))
+        .withColumnRenamed("session_id", "seed_id")
+        .withColumn("is_seed", lit(true))
+      val w2 = e.filter(col("ts_sec") >= CutoffSec)
+        .select("user_id", "ts_sec", "event_id")
+        .withColumn("seed_id", lit(null).cast("long"))
+        .withColumn("is_seed", lit(false))
+      Sessionize.seeded(w2.unionByName(seeds), "user_id", "ts_sec", GapSec,
+          "seed_id", "is_seed", tieBreak = Seq("event_id"))
+        .select("event_id", "user_id", "session_id")
+    }),
+
+    "q_sessions_per_day" -> ((s, dir) =>
+      sessions(s, dir).groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id"), col("session_id")).as("n_sessions"))),
+
+    "q_traj_distance" -> ((s, dir) =>
+      Trajectory.segmentDistance(ev(s, dir), Seq("user_id"), "ts_sec",
+          "lat", "lon", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), r3(col("segment_km")).as("segment_km"))),
+
+    "q_traj_sample" -> ((s, dir) => {
+      val base = Movement.state(sessions(s, dir), "value", SpeedThreshold)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      Trajectory.sample(base, "user_id", "session_id", "ts_sec", "value",
+          "movement_state", "day", fastSpeedThreshold = 80.0,
+          fastIntervalSec = 600L, slowIntervalSec = 3600L, rowKeyCol = "event_id")
+        .select("event_id", "user_id", "session_id")
+    }),
+
+    "q_state_merge" -> ((s, dir) => {
+      val enr = sessions(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      def roll(df: DataFrame) = df.groupBy("user_id", "session_id")
+        .agg(min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec"),
+          count(lit(1)).cast("double").as("n_points"), sum("value").as("sum_value"))
+      val state = roll(enr.filter(col("day") < CutoffDay))
+      val deltas = roll(enr.filter(col("day") >= CutoffDay))
+      StateOps.mergeDeltas(state, deltas, Seq("user_id", "session_id"),
+          sumCols = Seq("n_points", "sum_value"),
+          minCols = Seq("start_sec"), maxCols = Seq("end_sec"))
+        .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"),
+          col("n_points").cast("long").as("n_points"), r3(col("sum_value")).as("sum_value"))
+    }),
+
+    "q_monthly" -> ((s, dir) => {
+      val enr = sessions(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val seg = Rollup.dailySegments(enr, Seq("user_id", "session_id"), "ts_sec", "day")
+      val met = Rollup.dailyMetrics(enr, Seq("user_id", "session_id"), "day", Seq("value"))
+      Rollup.monthlyRebuild(seg, met, Seq("user_id", "session_id"), "day", CutoffDay)
+        .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"),
+          col("n_points"), r3(col("sum_value")).as("sum_value"), col("duration_hours"))
+    }),
+
     "q_session_summary" -> ((s, dir) =>
       Rollup.sessionSummary(sessions(s, dir), Seq("user_id", "session_id"), "ts_sec", "value")
         .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"),
@@ -198,7 +263,62 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepFirst(Tables.documents(s, dir).select("doc_id", "text"),
           Seq("text"), "doc_id")
-        .select("doc_id", "n_dups"))
+        .select("doc_id", "n_dups")),
+
+    "q_hash_key" -> ((s, dir) =>
+      Dedup.hashKey(Tables.documents(s, dir), Seq("text", "lang"))
+        .select("doc_id", "hash_key")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.7)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numPerms = 128, bands = 32, threshold = 0.7)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)),
+
+    "q_dedup_cosine" -> ((s, dir) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCols = Seq("label"), threshold = 0.35)),
+
+    // --- similarity search ---
+    "q_ann_brute" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // --- text analysis ---
+    "q_tokens" -> ((s, dir) =>
+      Text.tokenCount(Tables.documents(s, dir), "text")
+        .select("doc_id", "ws_tokens", "re_tokens")),
+
+    "q_quality" -> ((s, dir) =>
+      Text.qualityScore(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          r3(col("avg_token_len")).as("avg_token_len"),
+          r3(col("punct_ratio")).as("punct_ratio"),
+          r3(col("stopword_ratio")).as("stopword_ratio"),
+          r3(col("quality_score")).as("quality_score"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      Text.languageId(Tables.documents(s, dir), "text")
+        .groupBy("lang_id").agg(count(lit(1)).as("n"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      Text.fingerprint(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+          array_min(col("fingerprints")).as("fp_min")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -250,6 +370,81 @@ object SparkEntry {
 
     "q_sessionize" ->
       s"$SessCte SELECT event_id, user_id, session_id FROM sess",
+
+    // Seeded continuation must reproduce the full-history ids on window 2.
+    "q_sessionize_seeded" ->
+      s"$SessCte SELECT event_id, user_id, session_id FROM sess WHERE ts_sec >= 1705276800",
+
+    "q_sessions_per_day" ->
+      s"""$SessCte
+         |SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |       COUNT(DISTINCT (user_id, session_id)) AS n_sessions
+         |FROM sess GROUP BY 1""".stripMargin,
+
+    "q_traj_distance" ->
+      s"""$EvCte, l AS (
+         |  SELECT event_id, user_id, lat, lon,
+         |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |)
+         |SELECT event_id, user_id,
+         |       floor((2 * 6371.0 * asin(sqrt(
+         |         pow(sin(radians(lat - plat) / 2), 2) +
+         |         cos(radians(plat)) * cos(radians(lat)) *
+         |         pow(sin(radians(lon - plon) / 2), 2))))*1000 + 0.5)/1000 AS segment_km
+         |FROM l""".stripMargin,
+
+    "q_traj_sample" ->
+      s"""$SessCte, m AS (
+         |  SELECT sess.*, strftime(ts, '%Y-%m-%d') AS day,
+         |         value < 50.0 AS anch,
+         |         floor(ts_sec / (CASE WHEN coalesce(value, 0) >= 80.0
+         |           THEN 600 ELSE 3600 END)) AS bkt
+         |  FROM sess
+         |), r AS (
+         |  SELECT m.*,
+         |    row_number() OVER (PARTITION BY user_id, session_id, bkt
+         |      ORDER BY ts_sec, event_id) AS mv_a,
+         |    row_number() OVER (PARTITION BY user_id, session_id, bkt
+         |      ORDER BY ts_sec DESC, event_id DESC) AS mv_d,
+         |    row_number() OVER (PARTITION BY user_id, day, anch
+         |      ORDER BY ts_sec, event_id) AS an_a,
+         |    row_number() OVER (PARTITION BY user_id, day, anch
+         |      ORDER BY ts_sec DESC, event_id DESC) AS an_d,
+         |    row_number() OVER (PARTITION BY user_id, day
+         |      ORDER BY ts_sec, event_id) AS dy_a,
+         |    row_number() OVER (PARTITION BY user_id, day
+         |      ORDER BY ts_sec DESC, event_id DESC) AS dy_d
+         |  FROM m
+         |)
+         |SELECT event_id, user_id, session_id FROM r
+         |WHERE (NOT anch AND (mv_a = 1 OR mv_d = 1))
+         |   OR (anch AND (an_a = 1 OR an_d = 1))
+         |   OR dy_a = 1 OR dy_d = 1""".stripMargin,
+
+    "q_state_merge" ->
+      s"""$SessCte
+         |SELECT user_id, session_id,
+         |       MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+         |       COUNT(*) AS n_points,
+         |       floor(SUM(value)*1000 + 0.5)/1000 AS sum_value
+         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "q_monthly" ->
+      s"""$SessCte, ds AS (
+         |  SELECT user_id, session_id, strftime(ts, '%Y-%m-%d') AS day,
+         |         MIN(ts_sec) AS f, MAX(ts_sec) AS l, COUNT(*) AS c, SUM(value) AS sv
+         |  FROM sess GROUP BY 1, 2, 3
+         |), act AS (
+         |  SELECT DISTINCT user_id, session_id FROM ds WHERE day = '2024-01-15'
+         |)
+         |SELECT ds.user_id, ds.session_id,
+         |       MIN(f) AS start_sec, MAX(l) AS end_sec,
+         |       CAST(SUM(c) AS BIGINT) AS n_points,
+         |       floor(SUM(sv)*1000 + 0.5)/1000 AS sum_value,
+         |       (MAX(l) - MIN(f)) / 3600.0 AS duration_hours
+         |FROM ds JOIN act USING (user_id, session_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_session_summary" ->
       s"""$SessCte
@@ -316,6 +511,111 @@ object SparkEntry {
         |SELECT DISTINCT trim(r_name) AS name, 'region' AS source FROM region""".stripMargin,
 
     "q_dedup_exact" ->
-      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
+      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+
+    // q_hash_key, q_dedup_simhash, q_ann_lsh, q_fingerprint: engine-specific
+    // hashes / approximate buckets → rows-only checks (intentionally no SQL).
+
+    "q_dedup_jaccard" -> JaccardSql,
+
+    // MinHash+LSH at t=0.7 has recall ≈ 1-1e-4 and exact-verifies every
+    // candidate, so its output equals the exact Jaccard join.
+    "q_dedup_minhash" -> JaccardSql,
+
+    "q_dedup_cosine" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${cosSql("a.v", "b.v")} AS cos
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin,
+
+    "q_ann_brute" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
+         |s AS (
+         |  SELECT query_id, c.vec_id AS cand_id, ${cosSql("q.vq", "c.v")} AS cos
+         |  FROM v c CROSS JOIN q WHERE q.query_id <> c.vec_id
+         |)
+         |SELECT query_id, cand_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) AS rank FROM s
+         |) WHERE rank <= 5""".stripMargin,
+
+    "q_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         length(text)::DOUBLE / len(string_split(text, ' ')) AS avg_token_len,
+        |         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+        |           / length(text) AS punct_ratio,
+        |         len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','a','and','of','to','in','is')))::DOUBLE
+        |           / len(string_split(text, ' ')) AS stopword_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_tokens,
+        |       floor(avg_token_len*1000 + 0.5)/1000 AS avg_token_len,
+        |       floor(punct_ratio*1000 + 0.5)/1000 AS punct_ratio,
+        |       floor(stopword_ratio*1000 + 0.5)/1000 AS stopword_ratio,
+        |       floor((least(1.0::DOUBLE, n_tokens::DOUBLE / 32.0::DOUBLE) * 0.5
+        |         + least(1.0::DOUBLE, stopword_ratio * 4) * 0.3
+        |         + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4)) * 0.2)*1000 + 0.5)/1000
+        |         AS quality_score
+        |FROM q""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist','ein'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les','des','est'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y','los'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','和','有'))) AS s_zh
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+        |         s_en, s_de, s_fr, s_es, s_zh FROM s
+        |)
+        |SELECT CASE WHEN best <= 0 THEN 'und'
+        |            WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |            WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es'
+        |            ELSE 'zh' END AS lang_id,
+        |       COUNT(*) AS n
+        |FROM p GROUP BY 1""".stripMargin
   )
+
+  /** DuckDB left-fold cosine between two DOUBLE[] expressions — same
+   * accumulation order as [[graft.operators.Similarity.dot]], so the
+   * doubles are bit-identical across engines. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform($a, (x,i) -> x * $b[i]), (x,y) -> x + y)
+       | / (sqrt(list_reduce(list_transform($a, (x,i) -> x * $a[i]), (x,y) -> x + y))
+       |  * sqrt(list_reduce(list_transform($b, (x,i) -> x * $b[i]), (x,y) -> x + y))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Exact word-3-gram Jaccard pairs at t≥0.7 (pairwise formulation —
+   * equivalent to the inverted-index plan; the frequency cap is a no-op
+   * at oracle scale). */
+  private val JaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN len(string_split(text,' ')) >= 3
+      |           THEN list_distinct(list_transform(
+      |             range(1, len(string_split(text,' ')) - 1),
+      |             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+      |           ELSE [] END AS s
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         len(list_intersect(a.s, b.s)) AS common,
+      |         len(a.s) AS n_a, len(b.s) AS n_b
+      |  FROM sh a JOIN sh b ON a.id < b.id
+      |)
+      |SELECT id_a, id_b, common::DOUBLE / (n_a + n_b - common) AS jaccard
+      |FROM p WHERE common::DOUBLE / (n_a + n_b - common) >= 0.7""".stripMargin
 }

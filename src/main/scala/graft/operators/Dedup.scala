@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /**
  * Deduplication family: exact (content-hash) plus the near-duplicate
  * operators a training-data pipeline needs (MinHash+LSH, SimHash,
- * n-gram Jaccard, embedding cosine).
+ * n-gram Jaccard, embedding cosine — the last in [[Similarity]]).
  *
  * Reference anchor: utils/common_functions_raw.py:198 drop_duplicates
  * (sha256-of-JSON-struct content key) and
@@ -44,38 +44,146 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Word n-gram shingles of a text column as an array (deduped). */
-  def shingles(text: Column, n: Int): Column = {
-    val tokens = split(text, "\\s+")
-    if (n == 1) array_distinct(tokens)
-    else {
-      // sliding window over token indices via transform on a sequence
-      val idx = sequence(lit(0), greatest(size(tokens) - n, lit(0)) - 1)
-      array_distinct(transform(idx, i =>
-        concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-    }
+  /** Distinct word n-gram shingle set of a text column. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(Text.wordShingles(text, n))
+
+  /** (id, sh, n_sh): per-document distinct shingle set and its size. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+
+  /**
+   * Exact n-gram Jaccard similarity join via inverted index: explode
+   * shingles, pair documents that share at least one (only such pairs can
+   * have Jaccard > 0), count shared shingles per pair, then
+   * |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+   *
+   * Scale posture: candidate volume is Σ_s freq(s)² — `maxShingleFreq`
+   * drops degenerate stop-shingles (a frequency cap is the standard
+   * inverted-index skew guard), keeping the pair space near-linear.
+   * Pairs sharing only capped shingles are lost by construction; at a
+   * near-dup threshold they would not pass anyway.
+   */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   maxShingleFreq: Long = 1000L): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val kept = inv.withColumn("freq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("freq") <= maxShingleFreq)
+    val a = kept.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = kept.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /**
-   * Exact n-gram Jaccard similarity join: pairs (a < b) within the same
-   * `blockCol` whose token-shingle Jaccard ≥ threshold.
-   *
-   * Blocking bounds the candidate space (at 100 TB an un-blocked
-   * self-join is quadratic); within a block the join is a broadcast-able
-   * equi-join on the block key.
+   * MinHash signature: `numPerms` permutations simulated as
+   * xxhash64(shingle # perm); signature element p = min over shingles.
+   * Pure higher-order-function pipeline — no UDF, no extra shuffle.
    */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val withSh = docs.select(col(idCol), col(blockCol),
-      shingles(col(textCol), n).as("sh"))
-    val a = withSh.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq(blockCol))
+  def minhashSignature(sh: Column, numPerms: Int): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      p => array_min(transform(sh, s => xxhash64(concat_ws("#", s, p)))))
+
+  /**
+   * MinHash + LSH banding near-duplicate join
+   * (shingle → minhash → band → bucket-join → exact verify):
+   *  1. signature of `numPerms` minhashes per doc;
+   *  2. split into `bands` bands of numPerms/bands rows, hash each band;
+   *  3. docs colliding in any (band, hash) bucket become candidates —
+   *     an equi-join, not a cross join;
+   *  4. candidates are verified with EXACT Jaccard on the shingle sets,
+   *     so false positives are filtered and the output matches the exact
+   *     join wherever LSH recall holds (P[miss] ≈ (1-t^r)^b, ~1e-4 at
+   *     t=0.7 with 128/32).
+   *
+   * Skew guard: buckets larger than `maxBucketSize` are dropped (their
+   * pairs are degenerate near-constant text at scale).
+   */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.7,
+                 maxBucketSize: Long = 10000L): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+
+    val sig = sets.withColumn("sig", minhashSignature(col("sh"), numPerms))
+    val banded = sig.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => struct(bnd.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), bnd * r + 1, lit(r)), x => x.cast("string")))).as("bh"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val kept = banded.withColumn("bsz", count(lit(1)).over(bw))
+      .filter(col("bsz") <= maxBucketSize)
+    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .select("id_a", "id_b").distinct()
+
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: bit b of the signature is the
+   * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Token hashes are
+   * materialized once per row; the 64 bit-counters fold over that array.
+   */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              outCol: String = "simhash"): DataFrame = {
+    val withHashes = docs.select(col(idCol), col(textCol))
+      .withColumn("_th", transform(Text.tokens(col(textCol)), t => xxhash64(t)))
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(col("_th"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(cnt > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    withHashes.withColumn(outCol, bits.reduce(_ bitwiseOR _)).drop("_th")
+  }
+
+  /**
+   * SimHash near-duplicate pairs with Hamming distance ≤ maxHamming:
+   * 4 × 16-bit bands — any pair within Hamming ≤ 3 of a 64-bit key must
+   * agree exactly on at least one band (pigeonhole), so the candidate
+   * search is 4 equi-joins, verified with bit_count(xor).
+   */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol).cache()
+    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*))
+          .as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.select(col("band"), col("bh"), col("id").as("id_a"), col("simhash").as("sh_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b"), col("simhash").as("sh_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity: exact cosine near-duplicate join, brute-force
+ * top-k ANN, and a random-hyperplane LSH-bucketed variant for scale.
+ *
+ * The dot product is a strict left fold (`aggregate` over `zip_with`), so
+ * FP accumulation order is deterministic — the SQL oracle folds in the
+ * same order and the doubles match bit-for-bit.
+ */
+object Similarity {
+
+  /** Left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /**
+   * Exact cosine near-duplicate pairs (id_a < id_b) with similarity ≥
+   * threshold. `blockCols` bounds the candidate space — at 100 TB an
+   * un-blocked self-join is quadratic; with blocking each block joins
+   * independently (and small blocks broadcast).
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select((idCol +: vecCol +: blockCols).map(col): _*)
+      .withColumn("v", col(vecCol).cast("array<double>"))
+    val a = base.select(col(idCol).as("id_a") +: col("v").as("v_a") +: blockCols.map(col): _*)
+    val b = base.select(col(idCol).as("id_b") +: col("v").as("v_b") +: blockCols.map(col): _*)
+    val joined = if (blockCols.isEmpty) a.crossJoin(b) else a.join(b, blockCols)
+    joined.filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
+   * Brute-force cosine top-k: every query row against every candidate.
+   * The query side is small by construction → `broadcast` keeps the big
+   * side un-shuffled; ranking is per-query (high fan-out keys), so the
+   * window shuffle is balanced. This is the exact baseline ANN.
+   */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("v_c"))
+    val qry = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("v_q"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    cand.crossJoin(broadcast(qry))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (driver-side constants). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from `nPlanes` hyperplane projections. */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit("1")).otherwise(lit("0"))
+    }.reduce(concat(_, _))
+
+  /**
+   * LSH-bucketed ANN: queries only rank against candidates that share
+   * their random-hyperplane sign bucket — at scale this turns the cross
+   * join into an equi-join on the bucket key (shuffle both sides by
+   * bucket, rank inside). Approximate: recall < 1 near bucket walls.
+   */
+  def lshTopK(candidates: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val cand = candidates.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("v_c"))
+      .withColumn("bucket", lshBucket(col("v_c"), planes))
+    val qry = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("v_q"))
+      .withColumn("bucket", lshBucket(col("v_q"), planes))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    cand.join(broadcast(qry), "bucket")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+}

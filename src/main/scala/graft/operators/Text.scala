@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline: token counting,
+ * quality scoring, language identification, document fingerprinting.
+ *
+ * All pure `Column` compositions over higher-order array functions — no
+ * UDFs, so every operator distributes trivially and the scan keeps its
+ * pushdown/pruning. Tokenization is a plain single-space split to stay
+ * bit-identical with the SQL oracle.
+ */
+object Text {
+
+  /** Marker stopwords per language, checked in this fixed preference
+   * order (deterministic argmax tie-break). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexer: runs of alphanumerics, or single non-space symbols.
+   * Explicit character classes (not \w) so Java and RE2 agree. */
+  val TokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace token count + regex (BPE-ish) token count. */
+  def tokenCount(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("re_tokens", size(regexp_extract_all(col(textCol), lit(TokenRegex), lit(0))))
+
+  /**
+   * Heuristic quality signals: char/token counts, average token length,
+   * punctuation ratio, stopword ratio, and a [0,1] composite score
+   * (long-enough + stopword-bearing + low-punctuation text scores high).
+   */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks)
+    val stopHits = size(filter(toks, tk => tk.isin(Markers.head._2: _*)))
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        length(t).cast("double") / nTokens)
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double") / length(t))
+      .withColumn("stopword_ratio", stopHits.cast("double") / nTokens)
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / 32.0) * 0.5 +
+          least(lit(1.0), col("stopword_ratio") * 4) * 0.3 +
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4)) * 0.2)
+  }
+
+  /**
+   * N-gram/stopword language ID: count marker-token hits per language,
+   * pick the max (ties resolved by [[Markers]] order); no hits → "und".
+   */
+  def languageId(df: DataFrame, textCol: String, outCol: String = "lang_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = Markers.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"score_$lang", size(filter(toks, tk => tk.isin(words: _*))))
+    }
+    val langs = Markers.map(_._1)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val pick = langs.foldRight(lit("und"): Column) { (l, els) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    scored.withColumn(outCol, pick).drop(langs.map(l => s"score_$l"): _*)
+  }
+
+  /** Word n-gram shingles (order-preserving, may repeat). Empty array when
+   * the text has fewer than n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every word
+   * k-gram, slide a window of w hashes, keep each window's minimum; the
+   * distinct minima are the document fingerprint. Near-identical documents
+   * share most fingerprints, so grouping by fingerprint finds clones.
+   */
+  def fingerprint(df: DataFrame, textCol: String, k: Int = 5, w: Int = 4,
+                  outCol: String = "fingerprints"): DataFrame = {
+    val hashes = transform(wordShingles(col(textCol), k), s => xxhash64(s))
+    val windows = when(size(hashes) >= w,
+      transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
+      .otherwise(hashes)
+    df.withColumn(outCol, array_distinct(windows))
+  }
+}
