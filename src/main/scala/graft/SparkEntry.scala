@@ -233,6 +233,16 @@ object SparkEntry {
         .agg(r3(sum(col("segment_km"))).as("total_km"),
           count(col("segment_km")).as("n_segments"))),
 
+    "q_geohash" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        Geo.geohash(col("lat"), col("lon"), 6).as("gh"))),
+
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text", "text/plain"))
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          element_at(col("features"), 1).as("first_feature"))),
+
     "q_spatial_grid" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("grid_lat", Geo.gridCell(col("lat"), 5.0))
@@ -490,6 +500,17 @@ object SparkEntry {
          |)
          |SELECT user_id, floor(SUM(km)*1000 + 0.5)/1000 AS total_km, COUNT(km) AS n_segments
          |FROM d GROUP BY user_id""".stripMargin,
+
+    // q_geohash: rows-only (no DuckDB geohash; encoding spec-tested against
+    // published fixture values).
+
+    // Multimodal stub decode: byte/frame counts and the first sampled
+    // "frame" byte are all predictable from the payload in SQL.
+    "q_multimodal" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |       CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames,
+        |       (ord(substr(text, 1, 1))::DOUBLE / 255.0)::FLOAT AS first_feature
+        |FROM documents""".stripMargin,
 
     "q_spatial_grid" ->
       s"""$EvCte

@@ -37,4 +37,16 @@ object Geo {
    */
   def gridCell(coord: Column, precision: Double): Column =
     (floor(coord / precision) * precision).cast("int")
+
+  /**
+   * Geohash of (lat, lon) at the given character precision — a native
+   * codegen expression, not a UDF (reference:
+   * utils/common_functions_curated.py:164 add_geohash, a Python UDF).
+   */
+  def geohash(lat: Column, lon: Column, precision: Int = 6): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expressions.GeohashExpression(
+      GraftBridge.expression(lat.cast("double")),
+      GraftBridge.expression(lon.cast("double")), precision))
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.functions.Geo
+import graft.streaming.{SessionStream, StreamEvent, WindowedCounts}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Geohash native expression + structured-streaming operators. */
+class ExpressionStreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("geohash matches published fixture values") {
+    // (57.64911, 10.40744) → u4pruydqqvj is THE canonical geohash example
+    val out = Seq((57.64911, 10.40744), (42.6, -5.6))
+      .toDF("lat", "lon")
+      .select(Geo.geohash(col("lat"), col("lon"), 11).as("gh11"),
+        Geo.geohash(col("lat"), col("lon"), 5).as("gh5"))
+      .as[(String, String)].collect()
+    assert(out(0)._1 === "u4pruydqqvj")
+    assert(out(1)._2 === "ezs42")
+  }
+
+  test("geohash: out-of-range coords yield null, not an error") {
+    val out = Seq((91.0, 0.0), (0.0, 181.0), (Double.NaN, 0.0))
+      .toDF("lat", "lon")
+      .select(Geo.geohash(col("lat"), col("lon"), 6).as("gh"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("geohash is callable from SQL via GraftFunctions registration") {
+    GraftFunctions.register(spark)
+    val gh = spark.sql("SELECT geohash(57.64911, 10.40744, 6) AS gh").as[String].head()
+    assert(gh === "u4pruy")
+  }
+
+  test("geohash prefix property: nearby points share prefixes") {
+    val out = Seq((48.8566, 2.3522), (48.8570, 2.3530))
+      .toDF("lat", "lon")
+      .select(Geo.geohash(col("lat"), col("lon"), 6).as("gh")).as[String].collect()
+    assert(out(0).take(5) === out(1).take(5))
+  }
+
+  test("streaming sessionization closes sessions on gap and on silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val sessions = SessionStream.sessionize(input.toDS(), gapSeconds = 3600,
+      watermarkDelay = "0 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      // session 0: two points; then a >1h gap → session 1
+      input.addData(
+        StreamEvent(1L, ts(1000), 2.0), StreamEvent(1L, ts(1500), 3.0),
+        StreamEvent(1L, ts(10000), 4.0))
+      query.processAllAvailable()
+      // watermark advance far beyond session 1's horizon → timeout fires
+      input.addData(StreamEvent(99L, ts(100000), 0.0))
+      query.processAllAvailable()
+      input.addData(StreamEvent(99L, ts(200000), 0.0))
+      query.processAllAvailable()
+
+      val out = spark.table("sess_out")
+        .select("userId", "sessionId", "startSec", "endSec", "nPoints", "sumValue")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(out.contains((1L, 0L, 1000L, 1500L, 2L, 5.0)), s"got ${out.mkString(", ")}")
+      assert(out.contains((1L, 1L, 10000L, 10000L, 1L, 4.0)), s"got ${out.mkString(", ")}")
+    } finally query.stop()
+  }
+
+  test("windowed counts aggregate per tumbling window on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val counts = WindowedCounts.countsPerWindow(df, "ts", "event_type",
+      windowLen = "1 hour", watermarkDelay = "0 seconds")
+    val query = counts.writeStream.format("memory")
+      .queryName("win_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      input.addData((ts(100), "a", 1.0), (ts(200), "a", 2.0), (ts(100), "b", 5.0))
+      query.processAllAvailable()
+      input.addData((ts(10000), "a", 9.0)) // advances watermark, closes window 0
+      query.processAllAvailable()
+      input.addData((ts(20000), "a", 9.0))
+      query.processAllAvailable()
+
+      val out = spark.table("win_out")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(out.contains(("a", 2L, 3.0)), s"got $out")
+      assert(out.contains(("b", 1L, 5.0)), s"got $out")
+    } finally query.stop()
+  }
+
+  test("windowed counts also run in batch mode (same code path)") {
+    val df = Seq((new Timestamp(100000L), "a", 1.0), (new Timestamp(200000L), "a", 2.0))
+      .toDF("ts", "event_type", "value")
+    val out = WindowedCounts.countsPerWindow(df, "ts", "event_type")
+    assert(out.agg(sum("n_events")).as[Long].head() === 2L)
+  }
+}
