@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: every SparkEntry query timed on SPARK_GRAFT_SF_DIR,
+  * one JSON line to stdout. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,9 +18,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warm up JIT/codegen/parquet-footer paths untimed: table scans plus a
+    // representative window + hash-agg on synthetic in-memory data (not the
+    // timed queries themselves).
+    Seq("events", "documents", "embeddings", "lineitem", "customer",
+      "nation", "region").foreach(t => Tables.table(spark, sfDir, t).count())
+    val warm = spark.range(100000).select(
+      (col("id") % 97).as("k"), col("id").cast("double").as("v"))
+    warm.groupBy("k").agg(sum("v")).count()
+    warm.select(col("k"), row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")).as("rn")).count()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -54,6 +54,13 @@ object Dedup {
     docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
+  /** Shingle sets + their 64-bit hashes, materialized once per row so the
+   * 128-perm signature re-mixes longs instead of re-hashing strings. */
+  private def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+
   /**
    * Exact n-gram Jaccard similarity join via inverted index: explode
    * shingles, pair documents that share at least one (only such pairs can
@@ -71,12 +78,18 @@ object Dedup {
                    maxShingleFreq: Long = 1000L): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val kept = inv.withColumn("freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("freq") <= maxShingleFreq)
+    // stop-shingle list is tiny (usually empty) → broadcast anti-join;
+    // a count-over-window here would force a sort of the whole index.
+    // The filtered index feeds three consumers (freq agg + both join
+    // sides) → cache so the explode pipeline runs once.
+    val stop = inv.groupBy("s").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxShingleFreq).select("s")
+    val kept = inv.join(broadcast(stop), Seq("s"), "left_anti").cache()
     val a = kept.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = kept.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("s"))
+    // the inverted index is NOT broadcast-sized — force the shuffle hash
+    // join both sides partitioned by shingle (the at-scale plan)
+    a.hint("shuffle_hash").join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common"))
@@ -87,13 +100,15 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: `numPerms` permutations simulated as
-   * xxhash64(shingle # perm); signature element p = min over shingles.
-   * Pure higher-order-function pipeline — no UDF, no extra shuffle.
+   * MinHash signature over PRE-HASHED shingles: permutation p is
+   * xxhash64(shingle_hash, p) — long-to-long mixing, no string re-hash
+   * per permutation (strings are hashed once upstream). Signature
+   * element p = min over shingles. Pure higher-order-function pipeline —
+   * no UDF, no extra shuffle.
    */
-  def minhashSignature(sh: Column, numPerms: Int): Column =
+  def minhashSignature(shingleHashes: Column, numPerms: Int): Column =
     transform(sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(sh, s => xxhash64(concat_ws("#", s, p)))))
+      p => array_min(transform(shingleHashes, h => xxhash64(h, p))))
 
   /**
    * MinHash + LSH banding near-duplicate join
@@ -116,14 +131,14 @@ object Dedup {
                  maxBucketSize: Long = 10000L): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
 
-    val sig = sets.withColumn("sig", minhashSignature(col("sh"), numPerms))
+    val sig = sets.withColumn("sig", minhashSignature(col("shh"), numPerms))
     val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => struct(bnd.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("sig"), bnd * r + 1, lit(r)), x => x.cast("string")))).as("bh"))))
+            aggregate(slice(col("sig"), bnd * r + 1, lit(r)), lit(42L),
+              (acc, x) => xxhash64(acc, x)).as("bh"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 

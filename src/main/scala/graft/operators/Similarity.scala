@@ -29,13 +29,18 @@ object Similarity {
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCols: Seq[String], threshold: Double): DataFrame = {
+    // norms are computed once per vector, not once per pair; the product
+    // sqrt(aa)*sqrt(bb) is the same IEEE ops as inline cosine
     val base = df.select((idCol +: vecCol +: blockCols).map(col): _*)
       .withColumn("v", col(vecCol).cast("array<double>"))
-    val a = base.select(col(idCol).as("id_a") +: col("v").as("v_a") +: blockCols.map(col): _*)
-    val b = base.select(col(idCol).as("id_b") +: col("v").as("v_b") +: blockCols.map(col): _*)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = base.select(col(idCol).as("id_a") +: col("v").as("v_a") +:
+      col("nrm").as("nrm_a") +: blockCols.map(col): _*)
+    val b = base.select(col(idCol).as("id_b") +: col("v").as("v_b") +:
+      col("nrm").as("nrm_b") +: blockCols.map(col): _*)
     val joined = if (blockCols.isEmpty) a.crossJoin(b) else a.join(b, blockCols)
     joined.filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -49,13 +54,15 @@ object Similarity {
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val cand = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).cast("array<double>").as("v_c"))
+        col(vecCol).cast("array<double>").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
     val qry = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("v_q"))
+        col(vecCol).cast("array<double>").as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     cand.crossJoin(broadcast(qry))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("v_q"), col("v_c")))
+      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
@@ -87,14 +94,16 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim, seed)
     val cand = candidates.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
       .withColumn("bucket", lshBucket(col("v_c"), planes))
     val qry = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
       .withColumn("bucket", lshBucket(col("v_q"), planes))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     cand.join(broadcast(qry), "bucket")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("v_q"), col("v_c")))
+      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
