@@ -356,7 +356,7 @@ object SparkEntry {
       "SELECT CASE WHEN lang = '' THEN NULL ELSE lang END AS lang, COUNT(*) AS n FROM documents GROUP BY 1",
 
     "q_clamp" ->
-      "SELECT event_id, LEAST(value, 100.0) AS value_clamped FROM events",
+      "SELECT event_id, CASE WHEN value > 100.0 THEN 100.0 ELSE value END AS value_clamped FROM events",
 
     "q_valid_filter" ->
       """SELECT event_id, value - 90 AS vlat, value * 2 - 180 AS vlon
@@ -374,7 +374,7 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_state_dist" ->
-      """SELECT CASE WHEN value < 50.0 THEN 'anchored' ELSE 'moving' END AS movement_state,
+      """SELECT CASE WHEN coalesce(value, 0) < 50.0 THEN 'anchored' ELSE 'moving' END AS movement_state,
         |       COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -407,7 +407,7 @@ object SparkEntry {
     "q_traj_sample" ->
       s"""$SessCte, m AS (
          |  SELECT sess.*, strftime(ts, '%Y-%m-%d') AS day,
-         |         value < 50.0 AS anch,
+         |         coalesce(value, 0) < 50.0 AS anch,
          |         floor(ts_sec / (CASE WHEN coalesce(value, 0) >= 80.0
          |           THEN 600 ELSE 3600 END)) AS bkt
          |  FROM sess

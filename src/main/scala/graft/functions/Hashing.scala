@@ -1,0 +1,26 @@
+package graft.functions
+
+import graft.expressions.{DotProduct, MinHashBands, SimHash64}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+
+/** Column wrappers over graft's native codegen hashing kernels. */
+object Hashing {
+
+  /** LSH band hashes of the MinHash signature of an array<bigint> of
+   * shingle hashes — see [[graft.expressions.MinHashBands]]. */
+  def minhashBands(shingleHashes: Column, numPerms: Int, bands: Int,
+                   seed: Long = 42L): Column =
+    GraftBridge.column(MinHashBands(
+      GraftBridge.expression(shingleHashes), numPerms, bands, seed))
+
+  /** 64-bit SimHash of an array<bigint> of token hashes. */
+  def simhash64(tokenHashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+
+  /** Strict left-fold dot product of two array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
+}

@@ -66,10 +66,14 @@ object Cleanse {
     df.withColumns(replaced.toMap)
   }
 
-  /** Cap columns at an upper bound, keeping values below it
-   * (reference: utils/common_functions_raw.py:103 clean_sog_cog_heading). */
+  /** Cap columns at an upper bound, keeping values below it. NULL inputs
+   * stay NULL — `least` would swallow them into the cap, inventing data
+   * (reference: utils/common_functions_raw.py:103 clean_sog_cog_heading,
+   * which is when/otherwise for exactly this reason). */
   def clampUpper(df: DataFrame, caps: Map[String, Double]): DataFrame =
-    df.withColumns(caps.map { case (c, cap) => c -> least(col(c), lit(cap)) })
+    df.withColumns(caps.map { case (c, cap) =>
+      c -> when(col(c) > cap, lit(cap)).otherwise(col(c))
+    })
 
   /**
    * Split into (valid, quarantine) by a predicate — e.g. coordinate range

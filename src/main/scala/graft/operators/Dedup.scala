@@ -76,15 +76,18 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxShingleFreq: Long = 1000L): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // invert on the 64-bit shingle HASHES, not the strings: the join keys
+    // shuffled across the cluster are 8 bytes instead of ~8×n chars, and
+    // equality tests in the shuffle-hash join are long compares
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("shh")).as("s"))
     // stop-shingle list is tiny (usually empty) → broadcast anti-join;
     // a count-over-window here would force a sort of the whole index.
     // The filtered index feeds three consumers (freq agg + both join
     // sides) → cache so the explode pipeline runs once.
     val stop = inv.groupBy("s").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxShingleFreq).select("s")
-    val kept = inv.join(broadcast(stop), Seq("s"), "left_anti").cache()
+    val kept = graft.CacheScope.persist(inv.join(broadcast(stop), Seq("s"), "left_anti"))
     val a = kept.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = kept.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
     // the inverted index is NOT broadcast-sized — force the shuffle hash
@@ -130,17 +133,18 @@ object Dedup {
                  threshold: Double = 0.7,
                  maxBucketSize: Long = 10000L): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
-    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
+    // only the hashed sets are carried: signature + banding happen inside
+    // one codegen kernel, and verification intersects the hash arrays
+    val sets = graft.CacheScope.persist(
+      hashedShingleSets(docs, idCol, textCol, n)
+        .select(col("id"), col("shh"), col("n_sh")))
 
-    val sig = sets.withColumn("sig", minhashSignature(col("shh"), numPerms))
-    val banded = sig.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => struct(bnd.as("band"),
-            aggregate(slice(col("sig"), bnd * r + 1, lit(r)), lit(42L),
-              (acc, x) => xxhash64(acc, x)).as("bh"))))
-          .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // empty docs are excluded from banding — they'd all collide in one
+    // degenerate bucket (and an empty-vs-empty pair has no defined Jaccard)
+    val banded = sets.filter(col("n_sh") > 0)
+      .select(col("id"),
+        posexplode(graft.functions.Hashing.minhashBands(col("shh"), numPerms, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
 
     val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     val kept = banded.withColumn("bsz", count(lit(1)).over(bw))
@@ -151,11 +155,11 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -163,19 +167,14 @@ object Dedup {
   /**
    * 64-bit SimHash over whitespace tokens: bit b of the signature is the
    * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Token hashes are
-   * materialized once per row; the 64 bit-counters fold over that array.
+   * materialized once per row; the 64 bit-counters run in one codegen
+   * kernel pass ([[graft.expressions.SimHash64]]).
    */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              outCol: String = "simhash"): DataFrame = {
-    val withHashes = docs.select(col(idCol), col(textCol))
-      .withColumn("_th", transform(Text.tokens(col(textCol)), t => xxhash64(t)))
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(col("_th"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(cnt > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    withHashes.withColumn(outCol, bits.reduce(_ bitwiseOR _)).drop("_th")
-  }
+              outCol: String = "simhash"): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .withColumn(outCol, graft.functions.Hashing.simhash64(
+        transform(Text.tokens(col(textCol)), t => xxhash64(t))))
 
   /**
    * SimHash near-duplicate pairs with Hamming distance ≤ maxHamming:
@@ -185,7 +184,7 @@ object Dedup {
    */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol).cache()
+    val sh = graft.CacheScope.persist(simhash(docs, idCol, textCol))
     val banded = sh.select(col(idCol).as("id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

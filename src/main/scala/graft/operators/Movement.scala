@@ -15,9 +15,13 @@ object Movement {
            outCol: String = "movement_flag"): DataFrame =
     df.withColumn(outCol, when(col(speedCol) > threshold, 1).otherwise(0))
 
-  /** Label: speed < threshold => "anchored", else "moving". */
+  /** Label: speed < threshold => "anchored", else "moving". Null speed is
+   * defined as 0 (anchored) — made explicit with coalesce so the batch
+   * operator, the trajectory sampler's bucket rule, and the SQL oracles
+   * all agree on null semantics. */
   def state(df: DataFrame, speedCol: String, threshold: Double = 0.5,
             outCol: String = "movement_state"): DataFrame =
     df.withColumn(outCol,
-      when(col(speedCol) < threshold, lit("anchored")).otherwise(lit("moving")))
+      when(coalesce(col(speedCol), lit(0.0)) < threshold, lit("anchored"))
+        .otherwise(lit("moving")))
 }

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Left-fold dot product of two array<double> columns. */
+  /** Left-fold dot product of two array<double> columns — a native codegen
+   * kernel ([[graft.expressions.DotProduct]]) with the same IEEE
+   * accumulation order as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`,
+   * so oracle parity is unchanged while the per-element interpreted
+   * lambda hops are gone. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.Hashing.dotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -58,7 +58,11 @@ object SessionStream {
               val sec = p.ts.getTime / 1000
               cur match {
                 case Some(s) if sec - s.lastSec <= gapSeconds =>
-                  cur = Some(s.copy(lastSec = math.max(s.lastSec, sec),
+                  // out-of-order point (within watermark) may predate the
+                  // open session — keep min-start / max-end semantics so the
+                  // emitted span matches the batch twin's min/max timestamps
+                  cur = Some(s.copy(startSec = math.min(s.startSec, sec),
+                    lastSec = math.max(s.lastSec, sec),
                     nPoints = s.nPoints + 1, sumValue = s.sumValue + p.value))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessionId, s.startSec,
