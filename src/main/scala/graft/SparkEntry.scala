@@ -328,7 +328,54 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       Text.fingerprint(Tables.documents(s, dir), "text")
         .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
-          array_min(col("fingerprints")).as("fp_min")))
+          array_min(col("fingerprints")).as("fp_min"))),
+
+    // --- dedup clustering (keep-one-per-cluster) ---
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.7),
+        "id_a", "id_b")),
+
+    // --- PII / repetition / sampling ---
+    "q_pii" -> ((s, dir) =>
+      Text.redactPii(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("redacted"))),
+
+    "q_repetition" -> ((s, dir) =>
+      Text.repetitionRatio(Tables.documents(s, dir), "text")
+        .select(col("doc_id"),
+          r3(col("dup_bigram_frac")).as("dup_bigram_frac"),
+          r3(col("dup_trigram_frac")).as("dup_trigram_frac"))),
+
+    "q_sample" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.3)
+        .select("doc_id")),
+
+    "q_sample_strat" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.1), defaultFraction = 1.0)
+        .select("doc_id", "lang")),
+
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id",
+          valFraction = 0.1, testFraction = 0.1)
+        .select("doc_id", "split")),
+
+    // --- incremental completion heuristic ---
+    "q_session_complete" -> ((s, dir) =>
+      StateOps.markComplete(
+          Rollup.sessionSummary(sessions(s, dir), Seq("user_id", "session_id"),
+            "ts_sec", "value"),
+          "end_sec", GapSec)
+        .select("user_id", "session_id", "end_sec", "is_complete")),
+
+    // --- IVF ANN (data-adaptive cells; approximate → rows-only) ---
+    "q_ann_ivf" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,8 +548,10 @@ object SparkEntry {
          |SELECT user_id, floor(SUM(km)*1000 + 0.5)/1000 AS total_km, COUNT(km) AS n_segments
          |FROM d GROUP BY user_id""".stripMargin,
 
-    // q_geohash: rows-only (no DuckDB geohash; encoding spec-tested against
-    // published fixture values).
+    // bisection geohash via recursive CTE — same IEEE midpoint ops as the
+    // codegen expression, so parity is bit-exact (spec also checks
+    // published fixture values)
+    "q_geohash" -> GeohashSql,
 
     // Multimodal stub decode: byte/frame counts and the first sampled
     // "frame" byte are all predictable from the payload in SQL.
@@ -534,8 +583,9 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
 
-    // q_hash_key, q_dedup_simhash, q_ann_lsh, q_fingerprint: engine-specific
-    // hashes / approximate buckets → rows-only checks (intentionally no SQL).
+    // q_hash_key, q_dedup_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint:
+    // engine-specific hashes / approximate buckets → rows-only checks
+    // (intentionally no SQL).
 
     "q_dedup_jaccard" -> JaccardSql,
 
@@ -607,7 +657,53 @@ object SparkEntry {
         |            WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es'
         |            ELSE 'zh' END AS lang_id,
         |       COUNT(*) AS n
-        |FROM p GROUP BY 1""".stripMargin
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q_dedup_cluster" -> ClusterSql,
+
+    "q_pii" -> PiiSql,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  floor((CASE WHEN len(g2) > 0
+        |    THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+        |    ELSE 0 END)*1000 + 0.5)/1000 AS dup_bigram_frac,
+        |  floor((CASE WHEN len(g3) > 0
+        |    THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+        |    ELSE 0 END)*1000 + 0.5)/1000 AS dup_trigram_frac
+        |FROM g""".stripMargin,
+
+    "q_sample" ->
+      s"SELECT doc_id FROM documents WHERE ${bucketSql("doc_id")} < 3000",
+
+    "q_sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${bucketSql("doc_id")} <
+         |  (CASE WHEN lang = 'de' THEN 1000 WHEN lang = 'en' THEN 5000 ELSE 10000 END)""".stripMargin,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
+         |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_session_complete" ->
+      s"""$SessCte, sm AS (
+         |  SELECT user_id, session_id, MAX(ts_sec) AS end_sec
+         |  FROM sess GROUP BY 1, 2
+         |)
+         |SELECT user_id, session_id, end_sec,
+         |       end_sec + 10800 < MAX(end_sec) OVER () AS is_complete
+         |FROM sm""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same
@@ -619,11 +715,11 @@ object SparkEntry {
        |  * sqrt(list_reduce(list_transform($b, (x,i) -> x * $b[i]), (x,y) -> x + y))))"""
       .stripMargin.replace("\n", " ")
 
-  /** Exact word-3-gram Jaccard pairs at t≥0.7 (pairwise formulation —
-   * equivalent to the inverted-index plan; the frequency cap is a no-op
-   * at oracle scale). */
-  private val JaccardSql =
-    """WITH sh AS (
+  /** Shared CTEs: per-doc distinct word-3-gram sets and all co-occurring
+   * pair intersection counts (pairwise formulation — equivalent to the
+   * inverted-index plan; the frequency cap is a no-op at oracle scale). */
+  private val JaccardCtes =
+    """sh AS (
       |  SELECT doc_id AS id,
       |         CASE WHEN len(string_split(text,' ')) >= 3
       |           THEN list_distinct(list_transform(
@@ -636,7 +732,72 @@ object SparkEntry {
       |         len(list_intersect(a.s, b.s)) AS common,
       |         len(a.s) AS n_a, len(b.s) AS n_b
       |  FROM sh a JOIN sh b ON a.id < b.id
-      |)
-      |SELECT id_a, id_b, common::DOUBLE / (n_a + n_b - common) AS jaccard
-      |FROM p WHERE common::DOUBLE / (n_a + n_b - common) >= 0.7""".stripMargin
+      |)""".stripMargin
+
+  /** Exact word-3-gram Jaccard pairs at t≥0.7. */
+  private val JaccardSql =
+    s"""WITH $JaccardCtes
+       |SELECT id_a, id_b, common::DOUBLE / (n_a + n_b - common) AS jaccard
+       |FROM p WHERE common::DOUBLE / (n_a + n_b - common) >= 0.7""".stripMargin
+
+  /** Connected components over the t≥0.7 Jaccard pairs: transitive
+   * closure by recursive CTE, component id = min reachable id. */
+  private val ClusterSql =
+    s"""WITH RECURSIVE $JaccardCtes, pr AS (
+       |  SELECT id_a, id_b FROM p
+       |  WHERE common::DOUBLE / (n_a + n_b - common) >= 0.7
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pr
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
+
+  /** DuckDB PII scrub generated from the SAME pattern list as the Spark
+   * operator ([[graft.operators.Text.PiiPatterns]]) — one source of truth. */
+  private val PiiSql = {
+    val chain = graft.operators.Text.PiiPatterns.foldLeft("text") {
+      case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    s"SELECT doc_id, $chain AS redacted FROM documents"
+  }
+
+  /** Cross-engine deterministic sampling bucket: first 32 bits of
+   * md5(key) mod 10000 — twin of [[graft.operators.Sampling.hashBucket]]. */
+  private def bucketSql(keyExpr: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+  /** Bisection geohash-6, the exact IEEE ops of
+   * [[graft.expressions.GeohashExpression.encode]] (midpoints are dyadic
+   * averages, identical in both engines → bit-exact parity). */
+  private val GeohashSql = {
+    val b32 = "'0123456789bcdefghjkmnpqrstuvwxyz'"
+    val chars = (0 to 5).map(j =>
+      s"substr($b32, 1 + CAST((bits >> ${25 - 5 * j}) & 31 AS INT), 1)").mkString(",\n  ")
+    s"""${EvCte.replaceFirst("WITH", "WITH RECURSIVE")}, g AS (
+       |  SELECT event_id, lat, lon, 0 AS i,
+       |         (-90)::DOUBLE AS latmin, (90)::DOUBLE AS latmax,
+       |         (-180)::DOUBLE AS lonmin, (180)::DOUBLE AS lonmax,
+       |         0::BIGINT AS bits
+       |  FROM e
+       |  UNION ALL
+       |  SELECT event_id, lat, lon, i + 1,
+       |    CASE WHEN i % 2 = 1 AND lat >= (latmin+latmax)/2 THEN (latmin+latmax)/2 ELSE latmin END,
+       |    CASE WHEN i % 2 = 1 AND lat <  (latmin+latmax)/2 THEN (latmin+latmax)/2 ELSE latmax END,
+       |    CASE WHEN i % 2 = 0 AND lon >= (lonmin+lonmax)/2 THEN (lonmin+lonmax)/2 ELSE lonmin END,
+       |    CASE WHEN i % 2 = 0 AND lon <  (lonmin+lonmax)/2 THEN (lonmin+lonmax)/2 ELSE lonmax END,
+       |    bits * 2 + (CASE WHEN i % 2 = 0
+       |                THEN (CASE WHEN lon >= (lonmin+lonmax)/2 THEN 1 ELSE 0 END)
+       |                ELSE (CASE WHEN lat >= (latmin+latmax)/2 THEN 1 ELSE 0 END) END)
+       |  FROM g WHERE i < 30
+       |)
+       |SELECT event_id, concat(
+       |  $chars) AS gh
+       |FROM g WHERE i = 30""".stripMargin
+  }
 }

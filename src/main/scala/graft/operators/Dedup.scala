@@ -165,6 +165,44 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-duplicate pairs → cluster assignment
+   * `(id, cluster_id)` where cluster_id is the component's minimum id.
+   * Keep-one-per-cluster dedup is then `groupBy(cluster_id).min(id)`.
+   *
+   * Iterative min-label propagation: each round every node takes the min
+   * label in its closed neighborhood; converges in O(component diameter)
+   * rounds. Near-dup components are dense and shallow (diameter ≤ ~3),
+   * so the loop is short; each round is one shuffle join + aggregation,
+   * and `localCheckpoint` caps lineage growth so round N doesn't replay
+   * rounds 1..N-1. Only nodes that appear in some pair are emitted.
+   */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 20): DataFrame = {
+    val edges = graft.CacheScope.persist(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label among neighbors, joined back against own label
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nlbl"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("nlbl") =!= col("lbl")).count()
+      labels = updated.select(col("id"), col("nlbl").as("lbl"))
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: bit b of the signature is the
    * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Token hashes are
    * materialized once per row; the 64 bit-counters run in one codegen

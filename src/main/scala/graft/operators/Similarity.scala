@@ -86,6 +86,70 @@ object Similarity {
     }.reduce(concat(_, _))
 
   /**
+   * IVF (inverted-file) ANN: a coarse quantizer of `nCentroids` cells;
+   * candidates live in their nearest cell, queries probe their `nProbe`
+   * nearest cells and rank only those cells' members.
+   *
+   * Centroids are `nCentroids` deterministically hash-picked vectors
+   * (smallest xxhash64(id) — stable across runs). They are tiny
+   * (nCentroids × dim doubles) so they travel as literals inside the
+   * assignment expression; the big side is scanned once, assignment is
+   * an argmax over nCentroids codegen'd dot products, and the probe join
+   * is an equi-join on cell id — at 100 TB this replaces the LSH variant's
+   * fixed hyperplanes with data-adaptive cells.
+   */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // coarse quantizer: nCentroids hash-picked vectors, collected once
+    // (bounded driver transfer: nCentroids × dim doubles)
+    val picked = candidates
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy("h").limit(nCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
+    def cellOf(vec: Column): Column = {
+      // argmax over per-centroid cosine (norms constant per centroid →
+      // dot/|c| ranks identically to full cosine for a fixed vec)
+      val scores = array(picked.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        dot(vec, array(c.map(lit): _*)) / nrm
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    val cand = candidates.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
+      .withColumn("cell", cellOf(col("v_c")))
+
+    // queries probe their nProbe closest cells
+    val qryBase = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)
+    val qry = qryBase
+      .select(col("query_id"), col("v_q"), col("nrm_q"),
+        posexplode(array(picked.map { c =>
+          val nrm = math.sqrt(c.map(x => x * x).sum)
+          dot(col("v_q"), array(c.map(lit): _*)) / nrm
+        }: _*)))
+      .withColumnsRenamed(Map("pos" -> "cell", "col" -> "cscore"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select("query_id", "v_q", "nrm_q", "cell")
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    cand.join(broadcast(qry), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /**
    * LSH-bucketed ANN: queries only rank against candidates that share
    * their random-hyperplane sign bucket — at scale this turns the cross
    * join into an equi-join on the bucket key (shuffle both sides by

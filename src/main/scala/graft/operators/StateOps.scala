@@ -44,4 +44,22 @@ object StateOps {
     val maxs = maxCols.map(c => greatest(col(s"s.$c"), col(s"d.$c")).as(c))
     joined.select(keyCols ++ mins ++ maxs ++ sums: _*)
   }
+
+  /**
+   * Completion heuristic over session summaries: a session is complete
+   * once the data's high watermark has moved more than `gapSec` past its
+   * last point — no further point can legally join it (reference:
+   * fact_voyage_summary.py completion rule).
+   *
+   * The watermark is the global max of `endCol`, computed as a 1-row
+   * aggregate and broadcast — no window-over-everything (which would
+   * funnel all rows through one partition at scale).
+   */
+  def markComplete(summary: DataFrame, endCol: String, gapSec: Long,
+                   outCol: String = "is_complete"): DataFrame = {
+    val wm = summary.agg(max(col(endCol)).as("_wm"))
+    summary.crossJoin(broadcast(wm))
+      .withColumn(outCol, col(endCol) + gapSec < col("_wm"))
+      .drop("_wm")
+  }
 }

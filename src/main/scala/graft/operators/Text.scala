@@ -74,6 +74,41 @@ object Text {
     scored.withColumn(outCol, pick).drop(langs.map(l => s"score_$l"): _*)
   }
 
+  /** PII patterns shared by the Spark operator and the SQL oracle —
+   * explicit character classes only (no \d/\w) so Java regex and RE2
+   * tokenize identically. Applied in list order. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]" -> "<PHONE>")
+
+  /**
+   * Redact common PII (emails, IPv4 addresses, phone-like digit runs)
+   * from a text column — a standard pre-training scrub pass. Pure
+   * `regexp_replace` chain: codegen'd, no UDF, order deterministic.
+   */
+  def redactPii(df: DataFrame, textCol: String,
+                outCol: String = "redacted"): DataFrame =
+    df.withColumn(outCol, PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    })
+
+  /**
+   * Repetition metrics (Gopher-style quality signals): fraction of
+   * duplicate word bigrams / trigrams — boilerplate and generated spam
+   * repeat n-grams far more than natural text.
+   */
+  def repetitionRatio(df: DataFrame, textCol: String): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val grams = wordShingles(col(textCol), n)
+      when(size(grams) > 0,
+        (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+        .otherwise(lit(0.0))
+    }
+    df.withColumn("dup_bigram_frac", dupFrac(2))
+      .withColumn("dup_trigram_frac", dupFrac(3))
+  }
+
   /** Word n-gram shingles (order-preserving, may repeat). Empty array when
    * the text has fewer than n tokens. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.Hashing
+import graft.operators._
+import graft.sources.{CsvSource, LakeWriter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Round-2 additions: codegen kernels, clustering, PII, sampling,
+  * completion heuristic, IVF ANN, and the sources package. */
+class Round2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different text with no overlap whatsoever here now"),
+    (5L, "x y"))
+    .toDF("doc_id", "text")
+
+  test("dotProduct codegen kernel equals HOF left fold exactly") {
+    val em = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val both = em.select(
+      Hashing.dotProduct(col("v"), col("v")).as("fast"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).count() === 0)
+    // null propagation: mismatched lengths -> null
+    val r = both.sparkSession.range(1).select(
+      Hashing.dotProduct(array(lit(1.0)), array(lit(1.0), lit(2.0))).as("d"))
+    assert(r.head().isNullAt(0))
+  }
+
+  test("minhashBands: identical docs collide in every band, distinct docs in none") {
+    val sh = docs.select(col("doc_id"),
+      Hashing.minhashBands(
+        transform(array_distinct(Text.wordShingles(col("text"), 3)), s => xxhash64(s)),
+        numPerms = 128, bands = 32).as("bands"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L) === m(2L), "identical docs must have identical band hashes")
+    assert(m(1L).intersect(m(4L)).isEmpty, "disjoint docs should share no band")
+  }
+
+  test("simhash64 kernel: deterministic, empty -> 0") {
+    val s = docs.select(col("doc_id"), Hashing.simhash64(
+      transform(Text.tokens(col("text")), t => xxhash64(t))).as("sh"))
+    val m = s.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(4L))
+    val empty = spark.range(1).select(
+      Hashing.simhash64(array().cast("array<long>")).as("sh"))
+    assert(empty.head().getLong(0) === 0L)
+  }
+
+  test("clusterPairs: transitive chain collapses to one cluster, disjoint stays apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("redactPii replaces emails, IPs, phone runs; leaves clean text alone") {
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or +1 (555) 123-4567"),
+      (2L, "server at 192.168.0.1 went down"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = Text.redactPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L).contains("<EMAIL>") && out(1L).contains("<PHONE>"))
+    assert(!out(1L).contains("example"))
+    assert(out(2L) === "server at <IP> went down")
+    assert(out(3L) === "nothing sensitive here")
+  }
+
+  test("repetitionRatio: repeated n-grams score high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "every word in this sentence is used once only")).toDF("doc_id", "text")
+    val m = Text.repetitionRatio(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) > 0.8)
+    assert(m(2L) === 0.0)
+  }
+
+  test("hashSample deterministic and fraction-accurate; splitAssign covers all rows") {
+    val d = Tables.documents(spark, sfDir)
+    val a = Sampling.hashSample(d, "doc_id", 0.3).select("doc_id").collect().toSet
+    val b = Sampling.hashSample(d, "doc_id", 0.3).select("doc_id").collect().toSet
+    assert(a === b, "same fraction must select identical rows")
+    val n = d.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15, s"fraction off: ${a.size / n}")
+    val splits = Sampling.splitAssign(d, "doc_id", 0.1, 0.1)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === n.toLong)
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    // subsets nest: a 0.1 sample is contained in the 0.3 sample
+    val small = Sampling.hashSample(d, "doc_id", 0.1).select("doc_id").collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("markComplete: only sessions ending gap before the watermark are complete") {
+    val df = Seq((1L, 0L, 1000L), (2L, 0L, 90000L), (3L, 0L, 100000L))
+      .toDF("id", "start_sec", "end_sec")
+    val got = StateOps.markComplete(df, "end_sec", 10800L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("ivfTopK with nProbe = nCentroids equals brute force exactly") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(em, q, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 4)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    val brute = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("CsvSource: malformed rows land in quarantine, good rows keep schema") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath,
+      "id,val\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType)))
+    val (good, quarantine) = CsvSource.readWithQuarantine(spark, f.getPath, schema)
+    assert(good.count() === 2)
+    assert(good.columns.toSeq === Seq("id", "val"))
+    val bad = quarantine.select("raw_line").collect().map(_.getString(0))
+    assert(bad.length === 1 && bad.head.contains("notanumber"))
+  }
+
+  test("LakeWriter: dynamic overwrite replaces only touched partitions") {
+    val dir = Files.createTempDirectory("graft-lake").toFile.getPath
+    val day1 = Seq((1L, "2024", "01", "01"), (2L, "2024", "01", "01"))
+      .toDF("id", "year", "month", "day")
+    val day2 = Seq((3L, "2024", "01", "02")).toDF("id", "year", "month", "day")
+    LakeWriter.writePartitioned(day1.union(day2), dir, keyCol = Some("id"))
+    // rewrite ONLY day 2 with new content; day 1 must survive
+    val day2v2 = Seq((30L, "2024", "01", "02"), (31L, "2024", "01", "02"))
+      .toDF("id", "year", "month", "day")
+    LakeWriter.writePartitioned(day2v2, dir, keyCol = Some("id"))
+    val back = LakeWriter.read(spark, dir)
+    val ids = back.select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 30L, 31L))
+    // partition pruning: a day filter must prune to one partition dir
+    val pruned = back.filter(col("day") === "02")
+    assert(pruned.count() === 2)
+  }
+}
