@@ -62,42 +62,64 @@ object Dedup {
       .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
 
   /**
-   * Exact n-gram Jaccard similarity join via inverted index: explode
-   * shingles, pair documents that share at least one (only such pairs can
-   * have Jaccard > 0), count shared shingles per pair, then
-   * |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+   * Exact n-gram Jaccard similarity join with AllPairs/PPJoin-style
+   * prefix filtering (Bayardo et al., WWW'07; Xiao et al., PPJoin):
    *
-   * Scale posture: candidate volume is Σ_s freq(s)² — `maxShingleFreq`
-   * drops degenerate stop-shingles (a frequency cap is the standard
-   * inverted-index skew guard), keeping the pair space near-linear.
-   * Pairs sharing only capped shingles are lost by construction; at a
-   * near-dup threshold they would not pass anyway.
+   *  1. order every document's shingles by ascending global frequency
+   *     (rarest first, hash tie-break — one total order both sides);
+   *  2. index only the PREFIX of `n_sh - ceil(t·n_sh) + 1` rarest
+   *     shingles per doc — two sets with Jaccard ≥ t MUST share at least
+   *     one prefix shingle, so the equi-join on prefix entries is a
+   *     lossless candidate generator;
+   *  3. length filter (`t·n_a ≤ n_b`) prunes impossible pairs for free;
+   *  4. exact verify: `array_intersect` of the full hashed sets.
+   *
+   * Candidate volume falls from Σ_s freq(s)² over ALL shingles to the
+   * same sum over rare-prefix entries only — the difference between a
+   * quadratic blowup and near-linear work at 100 TB. Everything is
+   * hashed 64-bit shingles: 8-byte join keys, long compares.
+   *
+   * `maxShingleFreq` remains as a degenerate-skew guard: shingles more
+   * frequent than the cap never enter the index (pairs sharing ONLY such
+   * boilerplate shingles are dropped by construction — at a near-dup
+   * threshold they would not verify anyway).
    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxShingleFreq: Long = 1000L): DataFrame = {
-    // invert on the 64-bit shingle HASHES, not the strings: the join keys
-    // shuffled across the cluster are 8 bytes instead of ~8×n chars, and
-    // equality tests in the shuffle-hash join are long compares
-    val sets = hashedShingleSets(docs, idCol, textCol, n)
+    val sets = graft.CacheScope.persist(
+      hashedShingleSets(docs, idCol, textCol, n)
+        .select(col("id"), col("shh"), col("n_sh")))
     val inv = sets.select(col("id"), col("n_sh"), explode(col("shh")).as("s"))
-    // stop-shingle list is tiny (usually empty) → broadcast anti-join;
-    // a count-over-window here would force a sort of the whole index.
-    // The filtered index feeds three consumers (freq agg + both join
-    // sides) → cache so the explode pipeline runs once.
-    val stop = inv.groupBy("s").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") > maxShingleFreq).select("s")
-    val kept = graft.CacheScope.persist(inv.join(broadcast(stop), Seq("s"), "left_anti"))
-    val a = kept.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = kept.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    // the inverted index is NOT broadcast-sized — force the shuffle hash
-    // join both sides partitioned by shingle (the at-scale plan)
-    a.hint("shuffle_hash").join(b, Seq("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= maxShingleFreq)
+    // global-frequency order per doc; window key is the high-cardinality
+    // doc id, so the sort stays balanced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("freq").asc, col("s").asc)
+    // FP-conservative prefix: ceil(t·n - ε) can only lengthen the prefix
+    // (more candidates), never shorten it (which would lose pairs)
+    val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1
+    val prefix = graft.CacheScope.persist(
+      inv.join(freq, "s")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= prefixLen)
+        .select(col("s"), col("id"), col("n_sh")))
+
+    val a = prefix.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = prefix.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    val cand = a.hint("shuffle_hash").join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("n_b") * threshold <= col("n_a") &&
+        col("n_a") * threshold <= col("n_b"))
+      .select("id_a", "id_b").distinct()
+
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
