@@ -96,6 +96,31 @@ class ExpressionStreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "id", "payload")
+    // 1-hour horizon: all test events fall inside it, so every repeat of
+    // the key must be suppressed (a 0s delay would expire the key's state
+    // as soon as the watermark passed it, legitimately re-emitting)
+    val deduped = graft.streaming.DedupStream.dedup(df, "ts", Seq("payload"),
+      watermarkDelay = "1 hour")
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      // same payload three times (two batches) → one row survives
+      input.addData((ts(100), 1L, "dup"), (ts(200), 2L, "dup"), (ts(300), 3L, "uniq"))
+      query.processAllAvailable()
+      input.addData((ts(400), 4L, "dup"))
+      query.processAllAvailable()
+
+      val out = spark.table("dedup_out").select("payload")
+        .as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(out === Map("dup" -> 1, "uniq" -> 1), s"got $out")
+    } finally query.stop()
+  }
+
   test("windowed counts also run in batch mode (same code path)") {
     val df = Seq((new Timestamp(100000L), "a", 1.0), (new Timestamp(200000L), "a", 2.0))
       .toDF("ts", "event_type", "value")
