@@ -1,25 +1,29 @@
 package graft
 
-import graft.expressions.GeohashExpression
+import graft.expressions.{DotProduct, GeohashExpression, MinHashBands, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /**
  * Session extensions: registers graft's native expressions so they are
- * callable from SQL (`SELECT geohash(lat, lon, 6) ...`). Install with
+ * callable from SQL (`SELECT geohash(lat, lon, 6)`,
+ * `minhash_bands(hashes, 128, 32)`, `simhash64(hashes)`,
+ * `dot_product(a, b)`). Install with
  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
  * post-hoc via [[GraftFunctions.register]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.geohashDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
+
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
   private def geohashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(lat, lon) =>
@@ -30,15 +34,45 @@ object GraftFunctions {
       "geohash(lat, lon[, precision]) expects 2 or 3 arguments (precision literal)")
   }
 
-  val geohashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("geohash"),
-    new ExpressionInfo(classOf[GeohashExpression].getName, "geohash"),
-    geohashBuilder)
+  private def minhashBandsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, Literal(numPerms: Int, _), Literal(bands: Int, _)) =>
+      MinHashBands(arr, numPerms, bands, 42L)
+    case Seq(arr, Literal(numPerms: Int, _), Literal(bands: Int, _), Literal(seed: Long, _)) =>
+      MinHashBands(arr, numPerms, bands, seed)
+    case _ => throw new IllegalArgumentException(
+      "minhash_bands(hashes, numPerms, bands[, seed]) expects literal config args")
+  }
+
+  private def simhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(arr) => SimHash64(arr)
+    case _ => throw new IllegalArgumentException("simhash64(hashes) expects 1 argument")
+  }
+
+  private def dotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) =>
+      DotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+    case _ => throw new IllegalArgumentException("dot_product(a, b) expects 2 arguments")
+  }
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("geohash"),
+      new ExpressionInfo(classOf[GeohashExpression].getName, "geohash"),
+      geohashBuilder _),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      minhashBandsBuilder _),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      simhashBuilder _),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      dotBuilder _))
 
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    val (ident, info, builder) = geohashDescriptor
-    registry.registerFunction(ident, info, builder)
+    descriptors.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
   }
 }

@@ -179,6 +179,9 @@ object SparkEntry {
         .select("event_id", "user_id", "session_id")
     }),
 
+    // NOTE: both roll() branches consume the same window subplan; Spark's
+    // ReusedExchange already shares the shuffle, so persisting here was
+    // measured SLOWER (serialization cost > recompute) — don't cache.
     "q_state_merge" -> ((s, dir) => {
       val enr = sessions(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       def roll(df: DataFrame) = df.groupBy("user_id", "session_id")

@@ -204,8 +204,10 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // round 0 fused into initialization: lbl = min(id, direct neighbors)
+    // — one aggregation instead of a full join round
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L

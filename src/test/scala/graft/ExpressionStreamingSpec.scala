@@ -36,6 +36,18 @@ class ExpressionStreamingSpec extends SparkSpecBase {
     assert(gh === "u4pruy")
   }
 
+  test("hashing kernels are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT size(minhash_bands(array(1L, 2L, 3L), 128, 32)) AS nb,
+        |       simhash64(array(-1L)) AS sh,
+        |       dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS dp""".stripMargin)
+      .as[(Int, Long, Double)].head()
+    assert(r._1 === 32)
+    assert(r._2 === -1L) // single all-ones hash → every bit counter positive
+    assert(r._3 === 11.0)
+  }
+
   test("geohash prefix property: nearby points share prefixes") {
     val out = Seq((48.8566, 2.3522), (48.8570, 2.3530))
       .toDF("lat", "lon")
