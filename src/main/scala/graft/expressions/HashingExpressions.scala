@@ -112,6 +112,89 @@ object MinHashBands {
 }
 
 /**
+ * Distinct hashed word n-gram shingles of a text column in one pass:
+ * equivalent to `array_distinct(transform(wordShingles(text, n), xxhash64))`
+ * but with zero per-shingle allocation.
+ *
+ * Tokenization is byte-level split on 0x20 (valid: in UTF-8 a space byte
+ * never occurs inside a multi-byte sequence), and each shingle's hash is
+ * computed over the ORIGINAL byte range spanning its n tokens — exactly
+ * the bytes `concat_ws(" ", slice(split(text, " "), i, n))` would build,
+ * because consecutive single-space-split tokens rejoined with single
+ * spaces reconstruct the source bytes verbatim. Hash is XXH64 with
+ * Spark's seed 42, so values equal `xxhash64(shingle_string)`.
+ *
+ * Fewer than n tokens → empty array. Output is sorted distinct (order is
+ * irrelevant to every consumer: min-hashing, set intersection, explode).
+ */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedShingles.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = HashedShingles.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): UnsafeArrayData = {
+    val numBytes = text.numBytes()
+    // token start/end byte offsets (split on single space, keeping empties)
+    var nTokens = 1
+    var i = 0
+    while (i < numBytes) {
+      if (text.getByte(i) == 0x20) nTokens += 1
+      i += 1
+    }
+    if (nTokens < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < numBytes) {
+      if (text.getByte(i) == 0x20) {
+        ends(t) = i
+        t += 1
+        starts(t) = i + 1
+      }
+      i += 1
+    }
+    ends(t) = numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nShingles = nTokens - n + 1
+    val hashes = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val from = starts(s)
+      hashes(s) = XXH64.hashUnsafeBytes(base, off + from, ends(s + n - 1) - from, 42L)
+      s += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place unique over the sorted hashes
+    var out = 0
+    var j = 1
+    while (j < nShingles) {
+      if (hashes(j) != hashes(out)) { out += 1; hashes(out) = hashes(j) }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hashes, out + 1))
+  }
+}
+
+/**
  * 64-bit SimHash from an array of 64-bit token hashes: bit b of the
  * result is set iff more token hashes have bit b set than clear.
  * Single pass over the tokens; empty input yields 0L (matching the

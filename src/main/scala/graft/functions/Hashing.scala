@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{DotProduct, MinHashBands, SimHash64}
+import graft.expressions.{DotProduct, HashedShingles, MinHashBands, SimHash64}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 
@@ -13,6 +13,11 @@ object Hashing {
                    seed: Long = 42L): Column =
     GraftBridge.column(MinHashBands(
       GraftBridge.expression(shingleHashes), numPerms, bands, seed))
+
+  /** Distinct xxhash64 word n-gram shingle hashes of a text column —
+   * one codegen pass, no per-shingle allocation. */
+  def hashedShingles(text: Column, n: Int): Column =
+    GraftBridge.column(HashedShingles(GraftBridge.expression(text), n))
 
   /** 64-bit SimHash of an array<bigint> of token hashes. */
   def simhash64(tokenHashes: Column): Column =

@@ -48,18 +48,15 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     array_distinct(Text.wordShingles(text, n))
 
-  /** (id, sh, n_sh): per-document distinct shingle set and its size. */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-
-  /** Shingle sets + their 64-bit hashes, materialized once per row so the
-   * 128-perm signature re-mixes longs instead of re-hashing strings. */
+  /** (id, shh, n_sh): distinct hashed shingle set per document, computed
+   * by the [[graft.expressions.HashedShingles]] codegen kernel — one pass
+   * over the text bytes, no per-shingle string allocation. Downstream
+   * re-mixes longs (128-perm signatures) instead of re-hashing strings. */
   private def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
                                 n: Int): DataFrame =
-    shingleSets(docs, idCol, textCol, n)
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+    docs.select(col(idCol).as("id"),
+        graft.functions.Hashing.hashedShingles(col(textCol), n).as("shh"))
+      .withColumn("n_sh", size(col("shh")))
 
   /**
    * Exact n-gram Jaccard similarity join with AllPairs/PPJoin-style
@@ -200,9 +197,12 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
                    maxIter: Int = 20): DataFrame = {
+    // persist the pair source first: the symmetric union below reads it
+    // twice, and `pairs` is typically an expensive similarity join
+    val p = graft.CacheScope.persist(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = graft.CacheScope.persist(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      p.union(p.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     // round 0 fused into initialization: lbl = min(id, direct neighbors)
     // — one aggregation instead of a full join round

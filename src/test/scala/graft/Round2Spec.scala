@@ -34,6 +34,21 @@ class Round2Spec extends SparkSpecBase {
     assert(r.head().isNullAt(0))
   }
 
+  test("hashedShingles kernel equals the HOF distinct-xxhash64 formulation") {
+    val d = Tables.documents(spark, sfDir)
+    val both = d.select(
+      sort_array(Hashing.hashedShingles(col("text"), 3)).as("fast"),
+      sort_array(transform(array_distinct(Text.wordShingles(col("text"), 3)),
+        s => xxhash64(s))).as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).count() === 0)
+    // under-n-tokens and multi-space edge cases
+    val edge = Seq("one two", "a  b  c d", "").toDF("text")
+      .select(sort_array(Hashing.hashedShingles(col("text"), 3)).as("fast"),
+        sort_array(transform(array_distinct(Text.wordShingles(col("text"), 3)),
+          s => xxhash64(s))).as("hof"))
+    assert(edge.filter(col("fast") =!= col("hof")).count() === 0)
+  }
+
   test("minhashBands: identical docs collide in every band, distinct docs in none") {
     val sh = docs.select(col("doc_id"),
       Hashing.minhashBands(
