@@ -373,6 +373,18 @@ object SparkEntry {
           "end_sec", GapSec)
         .select("user_id", "session_id", "end_sec", "is_complete")),
 
+    "q_urls" -> ((s, dir) =>
+      Text.urlStats(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_urls", "first_domain")),
+
+    "q_partition_profile" -> ((s, dir) =>
+      Rollup.partitionProfile(
+        ev(s, dir)
+          .withColumn("year", date_format(col("ts"), "yyyy"))
+          .withColumn("month", date_format(col("ts"), "MM"))
+          .withColumn("day", date_format(col("ts"), "dd")),
+        Seq("year", "month", "day"), "ts_sec")),
+
     // --- IVF ANN (data-adaptive cells; approximate → rows-only) ---
     "q_ann_ivf" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -698,6 +710,19 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_urls" ->
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '${graft.operators.Text.UrlRegex}')) AS n_urls,
+         |       regexp_extract(text, '${graft.operators.Text.UrlDomainRegex}', 1) AS first_domain
+         |FROM documents""".stripMargin,
+
+    "q_partition_profile" ->
+      s"""$EvCte
+         |SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+         |       strftime(ts, '%d') AS day,
+         |       COUNT(*) AS n_rows, MIN(ts_sec) AS min_sec, MAX(ts_sec) AS max_sec
+         |FROM e GROUP BY ROLLUP (year, month, day)""".stripMargin,
 
     "q_session_complete" ->
       s"""$SessCte, sm AS (

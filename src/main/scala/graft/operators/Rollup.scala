@@ -72,4 +72,18 @@ object Rollup {
     seg.join(met, keys)
       .withColumn("duration_hours", (col("end_sec") - col("start_sec")) / 3600.0)
   }
+
+  /**
+   * Hierarchical partition profile: row counts and time spans at every
+   * prefix level of the partition hierarchy (day → month → year → total)
+   * in ONE pass via `rollup` — the reference runs a separate Athena
+   * GROUP BY per level (athena_analysis_staging.sql); a rollup computes
+   * all levels from a single shuffle with partial aggregation.
+   */
+  def partitionProfile(df: DataFrame, levels: Seq[String],
+                       tsSecCol: String): DataFrame =
+    df.rollup(levels.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(tsSecCol)).as("min_sec"),
+        max(col(tsSecCol)).as("max_sec"))
 }

@@ -93,6 +93,23 @@ object Text {
       case (c, (pat, repl)) => regexp_replace(c, pat, repl)
     })
 
+  /** URL pattern shared with the SQL oracle — no quotes/backslash classes
+   * so the literal embeds identically in Java regex and RE2. */
+  val UrlRegex = "https?://[^ ]+"
+  /** Host part of the first URL (capture group 1). */
+  val UrlDomainRegex = "https?://([^/ ]+)"
+
+  /**
+   * URL signals for corpus curation: URL count per document and the first
+   * URL's domain (empty string when none — the regexp_extract no-match
+   * convention in both Spark and DuckDB).
+   */
+  def urlStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRegex), lit(0))))
+      .withColumn("first_domain",
+        regexp_extract(col(textCol), UrlDomainRegex, 1))
+
   /**
    * Repetition metrics (Gopher-style quality signals): fraction of
    * duplicate word bigrams / trigrams — boilerplate and generated spam

@@ -116,6 +116,25 @@ class Round2Spec extends SparkSpecBase {
     assert(small.subsetOf(a))
   }
 
+  test("urlStats counts urls and extracts first domain") {
+    val df = Seq(
+      (1L, "see https://example.com/a and http://other.org too"),
+      (2L, "no links")).toDF("doc_id", "text")
+    val out = Text.urlStats(df, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2, "example.com")))
+    assert(out(2L) === ((0, "")))
+  }
+
+  test("partitionProfile emits every rollup level from one pass") {
+    val df = Seq(("2024", "01", "01", 10L), ("2024", "01", "02", 20L), ("2024", "02", "01", 30L))
+      .toDF("year", "month", "day", "ts_sec")
+    val out = Rollup.partitionProfile(df, Seq("year", "month", "day"), "ts_sec")
+    assert(out.count() === 3 + 2 + 1 + 1) // day rows + month + year + grand total
+    val total = out.filter(col("year").isNull).head()
+    assert(total.getLong(3) === 3L && total.getLong(4) === 10L && total.getLong(5) === 30L)
+  }
+
   test("markComplete: only sessions ending gap before the watermark are complete") {
     val df = Seq((1L, 0L, 1000L), (2L, 0L, 90000L), (3L, 0L, 100000L))
       .toDF("id", "start_sec", "end_sec")
