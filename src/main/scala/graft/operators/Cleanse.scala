@@ -47,10 +47,15 @@ object Cleanse {
    * Align to an expected column set: add missing columns as nulls of the
    * given type, drop unexpected ones, cast the rest (reference:
    * pipelines/raw_to_staging.py:91-106).
+   *
+   * Casts are `try_cast`: under Spark 4 ANSI semantics a plain cast
+   * THROWS on the first malformed value — one bad CSV cell must yield a
+   * null (caught downstream by the validity split), not kill a 100 TB
+   * backfill.
    */
   def enforceSchema(df: DataFrame, expected: Seq[(String, DataType)]): DataFrame = {
     val cols = expected.map { case (name, dt) =>
-      if (df.columns.contains(name)) col(name).cast(dt).as(name)
+      if (df.columns.contains(name)) col(name).try_cast(dt).as(name)
       else lit(null).cast(dt).as(name)
     }
     df.select(cols: _*)
@@ -88,10 +93,11 @@ object Cleanse {
   def validCoords(lat: Column, lon: Column): Column =
     lat.between(-90, 90) && lon.between(-180, 180)
 
-  /** Cast listed columns when present, leave others untouched (reference:
+  /** Cast listed columns when present, leave others untouched; malformed
+   * values become null rather than throwing under ANSI (reference:
    * utils/common_functions_curated.py:144 safe_cast_columns). */
   def safeCast(df: DataFrame, types: Map[String, DataType]): DataFrame = {
     val present = types.filter { case (c, _) => df.columns.contains(c) }
-    df.withColumns(present.map { case (c, dt) => c -> col(c).cast(dt) })
+    df.withColumns(present.map { case (c, dt) => c -> col(c).try_cast(dt) })
   }
 }

@@ -1,0 +1,45 @@
+package graft.pipelines
+
+import graft.operators.{Dedup, Sampling, Text}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Document-corpus curation: the end-to-end training-data pipeline the
+ * LLM-extension operators exist for — exact dedup → near-dup cluster
+ * keep-one → quality/language annotation → quality floor → PII scrub →
+ * deterministic split assignment.
+ *
+ * Everything up to clustering is one lazy plan; clustering is the one
+ * genuinely iterative step (connected components).
+ */
+object CurateDocuments {
+
+  case class Config(
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, jaccardThreshold: Double = 0.8,
+      minQuality: Double = 0.3,
+      valFraction: Double = 0.05, testFraction: Double = 0.05)
+
+  /** Curated corpus: one doc per near-dup cluster, quality-floored,
+   * PII-redacted, with split labels. Adds `quality_score`, `lang_id`,
+   * `redacted`, `split`. */
+  def run(docs: DataFrame, cfg: Config): DataFrame = {
+    // 1. exact dedup on content
+    val exact = Dedup.exact(docs, Seq(cfg.textCol))
+    // 2. near-dup clusters → keep the smallest id per cluster
+    val pairs = Dedup.minhashLsh(exact, cfg.idCol, cfg.textCol,
+      n = cfg.shingleSize, threshold = cfg.jaccardThreshold)
+    val losers = Dedup.clusterPairs(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(cfg.idCol))
+    val kept = exact.join(losers, Seq(cfg.idCol), "left_anti")
+    // 3. annotate + floor quality, scrub, split
+    val scored = Text.languageId(
+      Text.qualityScore(kept, cfg.textCol), cfg.textCol)
+      .filter(col("quality_score") >= cfg.minQuality)
+    Sampling.splitAssign(
+      Text.redactPii(scored, cfg.textCol),
+      cfg.idCol, cfg.valFraction, cfg.testFraction)
+  }
+}

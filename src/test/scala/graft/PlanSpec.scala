@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-property regression tests: the 100 TB posture claims in SURVEY §4
+ * as executable assertions. A change that silently turns a broadcast
+ * join into a sort-merge join, loses a pushed filter, or adds a second
+ * window shuffle fails HERE, not in a cluster bill.
+ */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("dim lookups broadcast — fact side never shuffles") {
+    val p = plan("q_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("selective filters are pushed into the parquet scan") {
+    val p = plan("q_timeline")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
+      || p.contains("PushedFilters: [EqualTo(user_id,7)"), p.take(2000))
+  }
+
+  test("column pruning reaches the scan: 4-column projection reads 4 columns") {
+    val p = plan("q_normalize")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length === 4, s"scan reads more than projected: $read")
+  }
+
+  test("sessionization family plans exactly one shuffle") {
+    for (q <- Seq("q_sessionize", "q_traj_sample", "q_session_summary")) {
+      val p = plan(q)
+      val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
+      assert(exchanges === 1, s"$q wants 1 shuffle, got $exchanges")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side (big side unshuffled)") {
+    val p = plan("q_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("rollups use partial (map-side) aggregation") {
+    val p = plan("q_daily_metrics")
+    assert(p.contains("partial_"), "no partial aggregation before the shuffle")
+  }
+
+  test("codegen kernels run inside WholeStageCodegen") {
+    val df = Tables.documents(spark, sfDir).select(
+      graft.functions.Hashing.hashedShingles(col("text"), 3).as("shh"))
+    // the `*(n)` prefix marks a WholeStageCodegen stage in plan toString
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("hashed_shingles")),
+      p.take(1000))
+  }
+}
