@@ -385,6 +385,16 @@ object SparkEntry {
           .withColumn("day", date_format(col("ts"), "dd")),
         Seq("year", "month", "day"), "ts_sec")),
 
+    // --- decontamination / vocabulary ---
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Text.contamination(d, "doc_id", "text",
+        d.filter(col("doc_id") < 5), "text", n = 8, minOverlap = 1)
+    }),
+
+    "q_vocab" -> ((s, dir) =>
+      Text.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)),
+
     // --- IVF ANN (data-adaptive cells; approximate → rows-only) ---
     "q_ann_ivf" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -710,6 +720,32 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(string_split(text,' ')) >= 8
+        |           THEN list_distinct(list_transform(
+        |             range(1, len(string_split(text,' ')) - 6),
+        |             i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))
+        |           ELSE [] END AS s
+        |  FROM documents
+        |), pr AS (
+        |  SELECT DISTINCT unnest(s) AS sg FROM g WHERE id < 5
+        |), hits AS (
+        |  SELECT id, COUNT(*) AS n_hits
+        |  FROM (SELECT id, unnest(s) AS sg FROM g) e JOIN pr USING (sg)
+        |  GROUP BY id
+        |)
+        |SELECT g.id, coalesce(hits.n_hits, 0) AS n_hits,
+        |       coalesce(hits.n_hits, 0) >= 1 AS contaminated
+        |FROM g LEFT JOIN hits ON g.id = hits.id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token HAVING COUNT(*) >= 2)
+        |SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+        |FROM c""".stripMargin,
 
     "q_urls" ->
       s"""SELECT doc_id,

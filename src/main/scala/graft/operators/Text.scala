@@ -126,6 +126,49 @@ object Text {
       .withColumn("dup_trigram_frac", dupFrac(3))
   }
 
+  /**
+   * Benchmark decontamination: flag documents sharing at least
+   * `minOverlap` word n-grams with any probe document (e.g. an eval
+   * set). Standard pre-training hygiene — train/test contamination is
+   * detected by n-gram collision, not exact match.
+   *
+   * The probe side is small by construction → its exploded shingle set
+   * broadcasts; the corpus side is scanned once, hashed by the
+   * [[graft.expressions.HashedShingles]] kernel, and never shuffled.
+   * Returns (id, n_hits, contaminated).
+   */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeTextCol: String,
+                    n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    import graft.functions.Hashing
+    val probeShingles = probes
+      .select(explode(Hashing.hashedShingles(col(probeTextCol), n)).as("s"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol).as("id"),
+        explode(Hashing.hashedShingles(col(textCol), n)).as("s"))
+      .join(broadcast(probeShingles), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
+  /**
+   * Vocabulary build: global token counts, ranked. `minCount` prunes the
+   * long tail before the single-partition ranking: the aggregation is
+   * map-side-combined per token (high cardinality, balanced), and only
+   * the surviving vocabulary — far smaller than the corpus — is sorted.
+   */
+  def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)))
+
   /** Word n-gram shingles (order-preserving, may repeat). Empty array when
    * the text has fewer than n tokens. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -116,6 +116,25 @@ class Round2Spec extends SparkSpecBase {
     assert(small.subsetOf(a))
   }
 
+  test("contamination flags docs sharing n-grams with probes, skips clean docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different words that never overlap with anything probe related"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta eta theta end"))
+      .toDF("doc_id", "text")
+    val probes = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    val out = Text.contamination(corpus, "doc_id", "text", probes, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("vocabulary ranks tokens by count with deterministic tie-break") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b x")).toDF("doc_id", "text")
+    val out = Text.vocabulary(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(_._3) === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
+
   test("urlStats counts urls and extracts first domain") {
     val df = Seq(
       (1L, "see https://example.com/a and http://other.org too"),
