@@ -20,8 +20,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm up JIT/codegen/parquet-footer paths untimed: table scans plus a
-    // representative window + hash-agg on synthetic in-memory data (not the
-    // timed queries themselves).
+    // representative window + hash-agg on synthetic in-memory data. (A
+    // full per-query warmup pass was tried and measured SLOWER overall:
+    // 50+ extra plans thrash the codegen LRU cache, so timed queries
+    // recompile anyway while paying the added GC pressure.)
     Seq("events", "documents", "embeddings", "lineitem", "customer",
       "nation", "region").foreach(t => Tables.table(spark, sfDir, t).count())
     val warm = spark.range(100000).select(
