@@ -187,6 +187,43 @@ class Round2Spec extends SparkSpecBase {
     assert(bad.length === 1 && bad.head.contains("notanumber"))
   }
 
+  test("JsonSource: malformed lines land in quarantine, good rows keep schema") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(dir, "in.jsonl")
+    Files.writeString(f.toPath,
+      """{"id": 1, "val": 10}
+        |{"id": 2, "val": "notanumber"}
+        |not json at all
+        |{"id": 3, "val": 30}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType)))
+    val (good, quarantine) = graft.sources.JsonSource.readWithQuarantine(
+      spark, f.getPath, schema)
+    assert(good.count() === 2)
+    assert(good.columns.toSeq === Seq("id", "val"))
+    assert(quarantine.count() === 2)
+  }
+
+  test("LakeSink: streaming micro-batches land idempotently in the lake") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lake = Files.createTempDirectory("graft-lakesink").toFile.getPath
+    val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getPath
+    val input = MemoryStream[(Long, String, String, String)]
+    val df = input.toDF().toDF("id", "year", "month", "day")
+    val q = graft.streaming.LakeSink.start(df, lake, ckpt, keyCol = Some("id"))
+    try {
+      input.addData((1L, "2024", "01", "01"), (2L, "2024", "01", "02"))
+      q.processAllAvailable()
+      input.addData((3L, "2024", "01", "02")) // overwrites day 02 partition
+      q.processAllAvailable()
+      val ids = graft.sources.LakeWriter.read(spark, lake)
+        .select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("LakeWriter: dynamic overwrite replaces only touched partitions") {
     val dir = Files.createTempDirectory("graft-lake").toFile.getPath
     val day1 = Seq((1L, "2024", "01", "01"), (2L, "2024", "01", "01"))
