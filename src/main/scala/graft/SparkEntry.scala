@@ -198,9 +198,10 @@ object SparkEntry {
 
     "q_monthly" -> ((s, dir) => {
       val enr = sessions(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      val seg = Rollup.dailySegments(enr, Seq("user_id", "session_id"), "ts_sec", "day")
-      val met = Rollup.dailyMetrics(enr, Seq("user_id", "session_id"), "day", Seq("value"))
-      Rollup.monthlyRebuild(seg, met, Seq("user_id", "session_id"), "day", CutoffDay)
+      val daily = Rollup.dailyFact(enr, Seq("user_id", "session_id"), "ts_sec",
+        "day", Seq("value"))
+      Rollup.monthlyFromDaily(daily, Seq("user_id", "session_id"), "day",
+          CutoffDay, "value")
         .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"),
           col("n_points"), r3(col("sum_value")).as("sum_value"), col("duration_hours"))
     }),

@@ -74,6 +74,41 @@ object Rollup {
   }
 
   /**
+   * Fused daily fact: segments (first/last ts) AND metrics (count/sums)
+   * from ONE aggregation — [[dailySegments]] and [[dailyMetrics]] group
+   * by the same keys, so computing them separately (as the reference's
+   * two fact builders do) costs two shuffles plus a join for nothing.
+   */
+  def dailyFact(df: DataFrame, keys: Seq[String], tsSecCol: String,
+                dayCol: String, valueCols: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      min(col(tsSecCol)).as("day_first_sec"),
+      max(col(tsSecCol)).as("day_last_sec"),
+      count(lit(1)).as("day_pointcount")) ++
+      valueCols.map(c => sum(col(c)).as(s"day_sum_$c"))
+    df.groupBy((keys :+ dayCol).map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Monthly rebuild from the fused daily fact: same semantics as
+   * [[monthlyRebuild]] (active-session scoping via a broadcast semi-join,
+   * then full-history aggregation) with half the upstream shuffles.
+   */
+  def monthlyFromDaily(daily: DataFrame, keys: Seq[String], dayCol: String,
+                       month: String, valueCol: String): DataFrame = {
+    val active = daily.filter(col(dayCol) === month)
+      .select(keys.map(col): _*).distinct()
+    daily.join(broadcast(active), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min("day_first_sec").as("start_sec"),
+        max("day_last_sec").as("end_sec"),
+        sum("day_pointcount").as("n_points"),
+        sum(s"day_sum_$valueCol").as("sum_value"))
+      .withColumn("duration_hours", (col("end_sec") - col("start_sec")) / 3600.0)
+  }
+
+  /**
    * Hierarchical partition profile: row counts and time spans at every
    * prefix level of the partition hierarchy (day → month → year → total)
    * in ONE pass via `rollup` — the reference runs a separate Athena
