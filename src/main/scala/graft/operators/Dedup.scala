@@ -165,9 +165,12 @@ object Dedup {
         posexplode(graft.functions.Hashing.minhashBands(col("shh"), numPerms, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
 
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val kept = banded.withColumn("bsz", count(lit(1)).over(bw))
-      .filter(col("bsz") <= maxBucketSize)
+    // skew guard: the few over-cap buckets are found with a map-side-
+    // combined count and removed with a broadcast anti-join — unlike a
+    // count-over-window, the banded stream itself is never shuffled
+    val big = banded.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize).select("band", "bh")
+    val kept = banded.join(broadcast(big), Seq("band", "bh"), "left_anti")
     val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(kept.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
