@@ -18,4 +18,19 @@ object Quality {
       count(lit(1)).as("total_records"),
       (countDistinct(col(entityCol)).as(s"unique_$entityCol") +: nullCounts): _*)
   }
+
+  /**
+   * Piggyback DQ counters onto an existing job via `observe`: row count
+   * and per-column null counts are collected as the frame's consumer
+   * action runs — NO extra pass over the data (the reference recomputes
+   * its summary stats with a second scan; at 100 TB that scan is free
+   * here). Read the metrics from the [[org.apache.spark.sql.Observation]]
+   * after any action on the returned frame.
+   */
+  def observed(df: DataFrame, observation: org.apache.spark.sql.Observation,
+               nullCheckCols: Seq[String]): DataFrame = {
+    val metrics = count(lit(1)).as("n_rows") +:
+      nullCheckCols.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
+    df.observe(observation, metrics.head, metrics.tail: _*)
+  }
 }

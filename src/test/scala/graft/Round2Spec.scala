@@ -173,6 +173,24 @@ class Round2Spec extends SparkSpecBase {
     assert(ivf === brute)
   }
 
+  test("saltedJoin equals plain join row-for-row") {
+    val big = Seq((1L, "x"), (1L, "y"), (2L, "z"), (1L, "w")).toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+    val plain = big.join(small, "k").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", saltFactor = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
+  test("observed DQ counters fill during the consumer's own action") {
+    val obs = org.apache.spark.sql.Observation("dq")
+    val df = Quality.observed(
+      Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v"), obs, Seq("v"))
+    assert(df.count() === 3) // the action that populates the observation
+    val m = obs.get
+    assert(m("n_rows") === 3L && m("null_v") === 1L)
+  }
+
   test("CsvSource: malformed rows land in quarantine, good rows keep schema") {
     val dir = Files.createTempDirectory("graft-csv").toFile
     val f = new java.io.File(dir, "in.csv")
