@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
  * Embedding similarity: exact cosine near-duplicate join, brute-force
  * top-k ANN, and a random-hyperplane LSH-bucketed variant for scale.
  *
- * The dot product is a strict left fold (`aggregate` over `zip_with`), so
- * FP accumulation order is deterministic — the SQL oracle folds in the
- * same order and the doubles match bit-for-bit.
+ * The dot product is a strict left fold (native codegen kernel), so FP
+ * accumulation order is deterministic — the SQL oracle folds in the same
+ * order and the doubles match bit-for-bit.
  */
 object Similarity {
 
@@ -81,7 +81,7 @@ object Similarity {
   /** Sign-bit bucket id from `nPlanes` hyperplane projections. */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.map { p =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toSeq.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit("1")).otherwise(lit("0"))
     }.reduce(concat(_, _))
 
@@ -112,9 +112,9 @@ object Similarity {
     def cellOf(vec: Column): Column = {
       // argmax over per-centroid cosine (norms constant per centroid →
       // dot/|c| ranks identically to full cosine for a fixed vec)
-      val scores = array(picked.map { c =>
+      val scores = array(picked.toSeq.map { c =>
         val nrm = math.sqrt(c.map(x => x * x).sum)
-        dot(vec, array(c.map(lit): _*)) / nrm
+        dot(vec, array(c.toSeq.map(lit): _*)) / nrm
       }: _*)
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }
@@ -131,9 +131,9 @@ object Similarity {
     val probeW = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)
     val qry = qryBase
       .select(col("query_id"), col("v_q"), col("nrm_q"),
-        posexplode(array(picked.map { c =>
+        posexplode(array(picked.toSeq.map { c =>
           val nrm = math.sqrt(c.map(x => x * x).sum)
-          dot(col("v_q"), array(c.map(lit): _*)) / nrm
+          dot(col("v_q"), array(c.toSeq.map(lit): _*)) / nrm
         }: _*)))
       .withColumnsRenamed(Map("pos" -> "cell", "col" -> "cscore"))
       .withColumn("prank", row_number().over(probeW))

@@ -25,7 +25,7 @@ object Skew {
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)))
+      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*)), lit(saltFactor)))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("_salt", col("_salt").cast("long"))

@@ -38,7 +38,7 @@ object CsvSource {
     val parsed = body.withColumn("_p", from_csv(col("value"), withCorrupt, options))
     val good = parsed
       .filter(col(s"_p.$CorruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"_p.$f").as(f)): _*)
+      .select(schema.fieldNames.toSeq.map(f => col(s"_p.$f").as(f)): _*)
     val quarantine = parsed
       .filter(col(s"_p.$CorruptCol").isNotNull)
       .select(col("value").as("raw_line"))

@@ -24,7 +24,7 @@ object JsonSource {
       .withColumn("_p", from_json(col("value"), withCorrupt, options))
     val good = parsed
       .filter(col(s"_p.$CorruptCol").isNull && col("_p").isNotNull)
-      .select(schema.fieldNames.map(f => col(s"_p.$f").as(f)): _*)
+      .select(schema.fieldNames.toSeq.map(f => col(s"_p.$f").as(f)): _*)
     val quarantine = parsed
       .filter(col(s"_p.$CorruptCol").isNotNull || col("_p").isNull)
       .select(col("value").as("raw_line"))
