@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
  * post-hoc via [[GraftFunctions.register]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // size(array_intersect(a, b)) over long sets → IntersectionSize
+    // (count without materializing the intersection array)
+    ext.injectOptimizerRule(_ => graft.expressions.RewriteIntersectionSize)
+  }
 }
 
 object GraftFunctions {

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{DotProduct, HashedShingles, MinHashBands, SimHash64}
+import graft.expressions.{DotProduct, HashedShingles, IntersectionSize, MinHashBands, SimHash64}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 
@@ -22,6 +22,12 @@ object Hashing {
   /** 64-bit SimHash of an array<bigint> of token hashes. */
   def simhash64(tokenHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+
+  /** Distinct-common-element count of two array<bigint> sets without
+   * materializing the intersection. */
+  def intersectionSize(a: Column, b: Column): Column =
+    GraftBridge.column(IntersectionSize(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Strict left-fold dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =

@@ -114,7 +114,8 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common",
+        graft.functions.Hashing.intersectionSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -179,7 +180,8 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a"), col("n_sh").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common",
+        graft.functions.Hashing.intersectionSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -173,6 +173,24 @@ class Round2Spec extends SparkSpecBase {
     assert(ivf === brute)
   }
 
+  test("intersectionSize equals size(array_intersect) and the rule rewrites it") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(5L, 5L, 6L), Seq(5L, 6L))).toDF("a", "b")
+    val both = df.select(
+      Hashing.intersectionSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(both.filter(col("fast") =!= col("builtin")).count() === 0)
+    // the injected optimizer rule rewrites the builtin combination
+    // (parquet-backed frame — a LocalRelation would be constant-folded)
+    val sh = Hashing.hashedShingles(col("text"), 3)
+    val optimized = Tables.documents(spark, sfDir)
+      .select(size(array_intersect(sh, sh)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("intersection_size"), optimized)
+  }
+
   test("saltedJoin equals plain join row-for-row") {
     val big = Seq((1L, "x"), (1L, "y"), (2L, "z"), (1L, "w")).toDF("k", "payload")
     val small = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
