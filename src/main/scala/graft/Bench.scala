@@ -36,7 +36,9 @@ object Bench {
       org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")).as("rn")).count()
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic execution order: rounds compare like-for-like and the
+    // first-query session-warmup penalty always lands on the same query
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = CacheScope.scoped {
         try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
@@ -52,7 +54,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
