@@ -386,6 +386,17 @@ object SparkEntry {
           .withColumn("day", date_format(col("ts"), "dd")),
         Seq("year", "month", "day"), "ts_sec")),
 
+    // --- as-of join (latest prior state per event) ---
+    "q_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // pseudo state reports: every 10th event, unique per (user, ts)
+      val state = e.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_sec")
+        .agg(max_by(col("value"), col("event_id")).as("state_value"))
+      AsOf.join(e.select("event_id", "user_id", "ts_sec"), state,
+        Seq("user_id"), "ts_sec", Seq("state_value"))
+    }),
+
     // --- decontamination / vocabulary ---
     "q_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -721,6 +732,14 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_asof" ->
+      s"""$EvCte, r AS (
+         |  SELECT user_id, ts_sec, arg_max(value, event_id) AS state_value
+         |  FROM e WHERE event_id % 10 = 0 GROUP BY 1, 2
+         |)
+         |SELECT l.event_id, l.user_id, l.ts_sec, r.state_value
+         |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec""".stripMargin,
 
     "q_contamination" ->
       """WITH g AS (

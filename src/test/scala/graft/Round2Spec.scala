@@ -173,6 +173,21 @@ class Round2Spec extends SparkSpecBase {
     assert(ivf === brute)
   }
 
+  test("asofJoin picks latest prior right row per key, null before any") {
+    val left = Seq((1L, 5L, "l1"), (1L, 10L, "l2"), (1L, 20L, "l3"), (2L, 7L, "l4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 99L, "z"))
+      .toDF("k", "ts", "v")
+    val got = AsOf.join(left, right, Seq("k"), "ts", Seq("v"))
+      .select("k", "ts", "tag", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.getString(3)))).toSet
+    assert(got === Set(
+      (1L, 5L, "l1", None),        // before any state
+      (1L, 10L, "l2", Some("a")),  // equal ts -> inclusive
+      (1L, 20L, "l3", Some("b")),  // carried forward past 15
+      (2L, 7L, "l4", None)))       // other key's state invisible
+  }
+
   test("intersectionSize equals size(array_intersect) and the rule rewrites it") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
