@@ -397,6 +397,19 @@ object SparkEntry {
         Seq("user_id"), "ts_sec", Seq("state_value"))
     }),
 
+    // --- range join: events concurrent with user 7's sessions ---
+    "q_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val iv = Rollup.sessionSummary(
+          sessions(s, dir).filter(col("user_id") === 7),
+          Seq("user_id", "session_id"), "ts_sec", "value")
+        .select(col("session_id"), col("start_sec"), col("end_sec"))
+      Intervals.rangeJoin(e.select(col("event_id"), col("ts_sec")), "ts_sec",
+          iv, "start_sec", "end_sec")
+        .groupBy("session_id")
+        .agg(count(lit(1)).as("n_concurrent"))
+    }),
+
     // --- decontamination / vocabulary ---
     "q_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -732,6 +745,15 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_range_join" ->
+      s"""$SessCte, iv AS (
+         |  SELECT session_id, MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+         |  FROM sess WHERE user_id = 7 GROUP BY session_id
+         |)
+         |SELECT iv.session_id, COUNT(*) AS n_concurrent
+         |FROM e JOIN iv ON e.ts_sec >= iv.start_sec AND e.ts_sec <= iv.end_sec
+         |GROUP BY iv.session_id""".stripMargin,
 
     "q_asof" ->
       s"""$EvCte, r AS (

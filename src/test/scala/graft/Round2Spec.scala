@@ -188,6 +188,20 @@ class Round2Spec extends SparkSpecBase {
       (2L, 7L, "l4", None)))       // other key's state invisible
   }
 
+  test("rangeJoin matches brute-force containment incl. bucket boundaries") {
+    val points = (0L to 50L).map(t => (t, t * 100)).toDF("pid", "ts")
+    val ivs = Seq((1L, 0L, 900L), (2L, 3600L, 3700L), (3L, 100L, 5000L), (4L, 4999L, 4999L))
+      .toDF("iv", "s", "e")
+    val got = Intervals.rangeJoin(points, "ts", ivs, "s", "e", bucketSec = 1000L)
+      .select("iv", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (pid, ts) <- (0L to 50L).map(t => (t, t * 100))
+      (iv, s, e) <- Seq((1L, 0L, 900L), (2L, 3600L, 3700L), (3L, 100L, 5000L), (4L, 4999L, 4999L))
+      if ts >= s && ts <= e
+    } yield (iv, pid)).toSet
+    assert(got === brute)
+  }
+
   test("intersectionSize equals size(array_intersect) and the rule rewrites it") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
