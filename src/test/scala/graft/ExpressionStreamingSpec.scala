@@ -133,6 +133,28 @@ class ExpressionStreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("native session_window agg matches the gap rule on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val agg = graft.streaming.SessionWindowAgg.aggregate(
+      df, "ts", "user_id", "value", gap = "1 hour", watermarkDelay = "0 seconds")
+    val query = agg.writeStream.format("memory")
+      .queryName("sw_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      input.addData((ts(1000), 1L, 2.0), (ts(1500), 1L, 3.0), (ts(10000), 1L, 4.0))
+      query.processAllAvailable()
+      input.addData((ts(100000), 9L, 0.0)) // advance watermark, close sessions
+      query.processAllAvailable()
+      val out = spark.table("sw_out")
+        .select("user_id", "start_sec", "n_points", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(out.contains((1L, 1000L, 2L, 5.0)), s"got $out")
+      assert(out.contains((1L, 10000L, 1L, 4.0)), s"got $out")
+    } finally query.stop()
+  }
+
   test("windowed counts also run in batch mode (same code path)") {
     val df = Seq((new Timestamp(100000L), "a", 1.0), (new Timestamp(200000L), "a", 2.0))
       .toDF("ts", "event_type", "value")
