@@ -397,6 +397,13 @@ object SparkEntry {
         Seq("user_id"), "ts_sec", Seq("state_value"))
     }),
 
+    "q_quantiles" -> ((s, dir) =>
+      Quality.quantiles(
+          Tables.documents(s, dir).withColumn("n_chars", length(col("text"))),
+          Seq("lang"), "n_chars", Seq(0.25, 0.5, 0.9))
+        .select(col("lang"), r3(col("p25")).as("p25"),
+          r3(col("p50")).as("p50"), r3(col("p90")).as("p90"))),
+
     // --- range join: events concurrent with user 7's sessions ---
     "q_range_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -745,6 +752,13 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT lang,
+        |       floor(quantile_cont(length(text), 0.25)*1000 + 0.5)/1000 AS p25,
+        |       floor(quantile_cont(length(text), 0.5)*1000 + 0.5)/1000 AS p50,
+        |       floor(quantile_cont(length(text), 0.9)*1000 + 0.5)/1000 AS p90
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_range_join" ->
       s"""$SessCte, iv AS (

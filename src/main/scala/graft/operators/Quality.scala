@@ -20,6 +20,19 @@ object Quality {
   }
 
   /**
+   * Exact grouped quantiles (linear interpolation at rank (n-1)·p — the
+   * same definition as DuckDB's `quantile_cont`, so results are
+   * oracle-comparable). Exact, not approx_percentile: profile
+   * distributions feed filter thresholds, where sketch error bites.
+   */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                ps: Seq[Double]): DataFrame = {
+    val aggs = ps.map(p =>
+      expr(s"percentile($valueCol, $p)").as(s"p${math.round(p * 100)}"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Piggyback DQ counters onto an existing job via `observe`: row count
    * and per-column null counts are collected as the frame's consumer
    * action runs — NO extra pass over the data (the reference recomputes

@@ -229,6 +229,12 @@ class Round2Spec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("quantiles interpolate linearly at rank (n-1)p") {
+    val df = Seq(1.0, 2.0, 4.0, 8.0, 16.0).map(("g", _)).toDF("g", "x")
+    val r = Quality.quantiles(df, Seq("g"), "x", Seq(0.25, 0.5, 0.9)).head()
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 4.0 && r.getDouble(3) === 12.8)
+  }
+
   test("observed DQ counters fill during the consumer's own action") {
     val obs = org.apache.spark.sql.Observation("dq")
     val df = Quality.observed(
