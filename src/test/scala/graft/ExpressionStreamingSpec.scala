@@ -155,6 +155,29 @@ class ExpressionStreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches keys within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val posIn = MemoryStream[(Timestamp, Long, Double)]
+    val statusIn = MemoryStream[(Timestamp, Long, String)]
+    val pos = posIn.toDF().toDF("ts", "vessel", "sog")
+    val status = statusIn.toDF().toDF("ts", "vessel", "nav")
+    val joined = graft.streaming.StreamJoin.withinInterval(
+      pos, status, "vessel", "ts", "ts",
+      lookbackSec = 600, lookaheadSec = 600, watermarkDelay = "0 seconds")
+    val query = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      posIn.addData((ts(1000), 1L, 9.0), (ts(5000), 1L, 3.0), (ts(1000), 2L, 1.0))
+      statusIn.addData((ts(1200), 1L, "underway"), (ts(9000), 1L, "moored"))
+      query.processAllAvailable()
+      val out = spark.table("ssj_out").select("vessel", "sog", "r_nav")
+        .as[(Long, Double, String)].collect().toSet
+      // only vessel 1's position at t=1000 is within ±600s of a status
+      assert(out === Set((1L, 9.0, "underway")), s"got $out")
+    } finally query.stop()
+  }
+
   test("windowed counts also run in batch mode (same code path)") {
     val df = Seq((new Timestamp(100000L), "a", 1.0), (new Timestamp(200000L), "a", 2.0))
       .toDF("ts", "event_type", "value")

@@ -54,6 +54,22 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "no partial aggregation before the shuffle")
   }
 
+  test("as-of join plans one shuffle, not an inequality join") {
+    val p = plan("q_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(count(p, "(?<!Reused)Exchange hash") <= 2, p.take(2000))
+  }
+
+  test("range join is an equi-join on buckets, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("decontamination broadcasts the probe side") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("codegen kernels run inside WholeStageCodegen") {
     val df = Tables.documents(spark, sfDir).select(
       graft.functions.Hashing.hashedShingles(col("text"), 3).as("shh"))
