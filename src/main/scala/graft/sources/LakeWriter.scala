@@ -45,4 +45,60 @@ object LakeWriter {
    * partition pruning applies to filters on them. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /**
+   * Compact a lake in place: rewrite every partition down to
+   * `filesPerPartition` files. Streaming appends and incremental runs
+   * accumulate small files (each micro-batch/task writes its own);
+   * scan cost then becomes per-FILE overhead — footer reads, scheduler
+   * tasks — not bytes. Same dynamic-overwrite path as
+   * [[writePartitioned]], so an interrupted compaction never loses a
+   * partition it didn't finish.
+   */
+  def compact(spark: SparkSession, path: String,
+              partitionCols: Seq[String] = DefaultPartitionCols,
+              keyCol: Option[String] = None,
+              filesPerPartition: Int = 1,
+              partitionFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
+    // Two traps in a self-rewrite:
+    //  1. reading and dynamically overwriting the SAME path in one lazy
+    //     plan is undefined (the write scans files it is replacing) —
+    //     materialize first. At scale, pass `partitionFilter` and compact
+    //     a bounded batch of partitions per call.
+    //  2. partition-column TYPE INFERENCE turns "day=01" into int 1 on
+    //     read; writing back would create day=1 — a DIFFERENT directory —
+    //     and silently DUPLICATE the lake instead of replacing it. Keep
+    //     partition values as raw strings for the round-trip.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val staged =
+      try partitionFilter.foldLeft(read(spark, path))(_ filter _).localCheckpoint(true)
+      finally spark.conf.set(inferKey, prev)
+    writePartitioned(staged, path, partitionCols, keyCol, filesPerPartition)
+    staged.unpersist(false)
+  }
+
+  /**
+   * Partitioned write with rows CLUSTERED inside each file by
+   * `clusterCols` (`sortWithinPartitions` — no extra shuffle beyond the
+   * partitioning repartition): parquet row-group min/max stats on the
+   * cluster columns become tight, so filters on them skip row groups —
+   * poor-man's Z-order. Cluster by the columns queries filter on most
+   * (e.g. entity id, or a geohash for spatial locality: interleaved
+   * lat/lon bits ARE a Z-order curve).
+   */
+  def writeClustered(df: DataFrame, path: String,
+                     clusterCols: Seq[String],
+                     partitionCols: Seq[String] = DefaultPartitionCols,
+                     filesPerPartition: Int = 4): Unit = {
+    df.repartition((partitionCols.map(col) :+
+        pmod(xxhash64(clusterCols.map(col): _*), lit(filesPerPartition))): _*)
+      .sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

@@ -295,6 +295,43 @@ class Round2Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("LakeWriter.compact collapses small files without losing rows") {
+    val dir = Files.createTempDirectory("graft-compact").toFile.getPath
+    val rows = (1L to 100L).map(i => (i, "2024", "01", f"${i % 3 + 1}%02d"))
+      .toDF("id", "year", "month", "day")
+    import scala.jdk.CollectionConverters._
+    // fragment: three appends, several tasks each → many small files
+    (0 until 3).foreach { _ =>
+      rows.repartition(4).write.mode("append")
+        .partitionBy("year", "month", "day").parquet(dir)
+    }
+    def dataFiles = Files.walk(new java.io.File(dir).toPath).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+    val before = dataFiles
+    assert(before > 3, s"fixture not fragmented: $before files")
+    graft.sources.LakeWriter.compact(spark, dir)
+    assert(dataFiles === 3, s"want 1 file per day partition, got $dataFiles")
+    assert(graft.sources.LakeWriter.read(spark, dir).count() === 300L)
+  }
+
+  test("writeClustered sorts rows by cluster column within files") {
+    val dir = Files.createTempDirectory("graft-cluster").toFile.getPath
+    val rows = spark.range(1000).select(
+      (col("id") * 2654435761L % 1000).as("k"), lit("2024").as("year"),
+      lit("01").as("month"), lit("01").as("day"))
+    graft.sources.LakeWriter.writeClustered(rows, dir, Seq("k"),
+      filesPerPartition = 2)
+    // within every file, k must arrive non-decreasing
+    val files = Files.walk(new java.io.File(dir).toPath).iterator()
+    import scala.jdk.CollectionConverters._
+    val parquets = files.asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(parquets.nonEmpty)
+    parquets.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"unsorted file $f")
+    }
+  }
+
   test("LakeWriter: dynamic overwrite replaces only touched partitions") {
     val dir = Files.createTempDirectory("graft-lake").toFile.getPath
     val day1 = Seq((1L, "2024", "01", "01"), (2L, "2024", "01", "01"))
