@@ -397,6 +397,13 @@ object SparkEntry {
         Seq("user_id"), "ts_sec", Seq("state_value"))
     }),
 
+    "q_pack" -> ((s, dir) =>
+      Text.packSequences(
+          Text.tokenCount(Tables.documents(s, dir), "text"),
+          shardCol = "lang", orderCol = "doc_id", tokenCountCol = "ws_tokens",
+          budget = 512L)
+        .select("doc_id", "lang", "pack_id")),
+
     "q_quantiles" -> ((s, dir) =>
       Quality.quantiles(
           Tables.documents(s, dir).withColumn("n_chars", length(col("text"))),
@@ -752,6 +759,14 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, lang,
+        |       CAST(floor(coalesce(SUM(len(string_split(text, ' ')))
+        |         OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         / 512) AS BIGINT) AS pack_id
+        |FROM documents""".stripMargin,
 
     "q_quantiles" ->
       """SELECT lang,

@@ -156,6 +156,29 @@ object Text {
   }
 
   /**
+   * Sequence packing for pretraining: assign documents to contiguous
+   * token-budget bins (`pack_id`) — consecutive docs (in `orderCol`
+   * order, within a shard) share a pack until the running token count
+   * crosses the budget. A doc that straddles the boundary belongs to the
+   * pack its first token falls in (packs may overshoot by < one doc —
+   * the standard greedy-contiguous definition).
+   *
+   * Scale posture: packing is inherently sequential, so it runs PER
+   * SHARD (`shardCol`) — one window per shard, shards packed in
+   * parallel. A global pack order would funnel the corpus through one
+   * partition.
+   */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokenCountCol: String, budget: Long,
+                    outCol: String = "pack_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(outCol,
+      floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget))
+  }
+
+  /**
    * Vocabulary build: global token counts, ranked. `minCount` prunes the
    * long tail before the single-partition ranking: the aggregation is
    * map-side-combined per token (high cardinality, balanced), and only

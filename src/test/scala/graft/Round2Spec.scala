@@ -135,6 +135,18 @@ class Round2Spec extends SparkSpecBase {
     assert(out.sortBy(_._3) === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
   }
 
+  test("packSequences bins consecutive docs by token budget per shard") {
+    val docs = Seq(
+      (1L, "s", 300L), (2L, "s", 300L), (3L, "s", 300L), (4L, "s", 50L),
+      (5L, "t", 600L), (6L, "t", 10L))
+      .toDF("doc_id", "shard", "n_tok")
+    val got = Text.packSequences(docs, "shard", "doc_id", "n_tok", budget = 512L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // shard s cumsums (exclusive): 0,300,600,900 → packs 0,0,1,1
+    // shard t: 0,600 → packs 0,1
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
+
   test("urlStats counts urls and extracts first domain") {
     val df = Seq(
       (1L, "see https://example.com/a and http://other.org too"),
