@@ -232,6 +232,17 @@ class Round2Spec extends SparkSpecBase {
     assert(optimized.contains("intersection_size"), optimized)
   }
 
+  test("enforceSchema/safeCast null out malformed values under ANSI instead of throwing") {
+    val df = Seq(("1", "x"), ("notanumber", "y"), ("", "z")).toDF("v", "tag")
+    val enforced = Cleanse.enforceSchema(df,
+      Seq("v" -> org.apache.spark.sql.types.LongType,
+        "tag" -> org.apache.spark.sql.types.StringType))
+    assert(enforced.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSeq === Seq(Some(1L), None, None))
+    val cast = Cleanse.safeCast(df, Map("v" -> org.apache.spark.sql.types.DoubleType))
+    assert(cast.filter(col("v").isNull).count() === 2)
+  }
+
   test("saltedJoin equals plain join row-for-row") {
     val big = Seq((1L, "x"), (1L, "y"), (2L, "z"), (1L, "w")).toDF("k", "payload")
     val small = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
