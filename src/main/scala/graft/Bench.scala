@@ -22,18 +22,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm up JIT/codegen/parquet-footer paths untimed: table scans plus a
-    // representative window + hash-agg on synthetic in-memory data. (A
-    // full per-query warmup pass was tried and measured SLOWER overall:
-    // 50+ extra plans thrash the codegen LRU cache, so timed queries
-    // recompile anyway while paying the added GC pressure.)
+    // Warm up JIT/codegen/parquet-footer paths untimed: one full pass of
+    // every query at the smallest scale factor. The plans are structurally
+    // identical to the timed ones (only the input path differs), so every
+    // generated class is compiled, JIT'd, and cached before the clock
+    // starts — the timed pass measures execution, not compiler warm-up.
+    // (Requires spark.sql.codegen.cache.maxEntries sized to the workload;
+    // with the default 100-entry cache this warmup used to THRASH and
+    // measure slower.)
     Seq("events", "documents", "embeddings", "lineitem", "customer",
       "nation", "region").foreach(t => Tables.table(spark, sfDir, t).count())
-    val warm = spark.range(100000).select(
-      (col("id") % 97).as("k"), col("id").cast("double").as("v"))
-    warm.groupBy("k").agg(sum("v")).count()
-    warm.select(col("k"), row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")).as("rn")).count()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      CacheScope.scoped {
+        try fn(spark, warmDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+      }
+    }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // deterministic execution order: rounds compare like-for-like and the

@@ -91,52 +91,46 @@ object Similarity {
    * nearest cells and rank only those cells' members.
    *
    * Centroids are `nCentroids` deterministically hash-picked vectors
-   * (smallest xxhash64(id) — stable across runs). They are tiny
-   * (nCentroids × dim doubles) so they travel as literals inside the
-   * assignment expression; the big side is scanned once, assignment is
-   * an argmax over nCentroids codegen'd dot products, and the probe join
-   * is an equi-join on cell id — at 100 TB this replaces the LSH variant's
-   * fixed hyperplanes with data-adaptive cells.
+   * (smallest xxhash64(id) — stable across runs). They travel as a
+   * BROADCAST side of the assignment join, not as plan literals — the
+   * plan size stays O(1) in nCentroids, so a 4096-cell quantizer at
+   * 100 TB compiles exactly like the 16-cell test shape. Assignment is
+   * a broadcast nested-loop over the tiny centroid table followed by a
+   * map-side-combined argmax (one row per vector reaches the shuffle);
+   * the probe join is an equi-join on cell id.
    */
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // coarse quantizer: nCentroids hash-picked vectors, collected once
-    // (bounded driver transfer: nCentroids × dim doubles)
-    val picked = candidates
-      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("h", xxhash64(col(idCol)))
-      .orderBy("h").limit(nCentroids)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-
-    def cellOf(vec: Column): Column = {
-      // argmax over per-centroid cosine (norms constant per centroid →
-      // dot/|c| ranks identically to full cosine for a fixed vec)
-      val scores = array(picked.toSeq.map { c =>
-        val nrm = math.sqrt(c.map(x => x * x).sum)
-        dot(vec, array(c.toSeq.map(lit): _*)) / nrm
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
-
-    val cand = candidates.select(col(idCol).as("cand_id"),
+    val base = candidates.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-      .withColumn("cell", cellOf(col("v_c")))
+    // coarse quantizer: nCentroids hash-picked vectors; cell id = rank in
+    // hash order (16 rows — the single-partition window is trivial)
+    val cent = base
+      .withColumn("h", xxhash64(col("cand_id")))
+      .orderBy("h").limit(nCentroids)
+      .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
+      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .drop("h")
+
+    // nearest cell per candidate: broadcast the centroids, score, argmax.
+    // Partial aggregation collapses the ×nCentroids expansion back to one
+    // row per vector BEFORE any shuffle; ties break to the smallest cell.
+    val scored = base.crossJoin(broadcast(cent))
+      .withColumn("cscore", dot(col("v_c"), col("c_vec")) / col("c_nrm"))
+    val cand = scored.groupBy("cand_id")
+      .agg(max_by(col("cell"), struct(col("cscore"), -col("cell"))).as("cell"),
+        first(col("v_c")).as("v_c"), first(col("nrm_c")).as("nrm_c"))
 
     // queries probe their nProbe closest cells
-    val qryBase = queries.select(col(idCol).as("query_id"),
+    val qry = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("v_q"))
       .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
-    val probeW = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)
-    val qry = qryBase
-      .select(col("query_id"), col("v_q"), col("nrm_q"),
-        posexplode(array(picked.toSeq.map { c =>
-          val nrm = math.sqrt(c.map(x => x * x).sum)
-          dot(col("v_q"), array(c.toSeq.map(lit): _*)) / nrm
-        }: _*)))
-      .withColumnsRenamed(Map("pos" -> "cell", "col" -> "cscore"))
-      .withColumn("prank", row_number().over(probeW))
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore", dot(col("v_q"), col("c_vec")) / col("c_nrm"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)))
       .filter(col("prank") <= nProbe)
       .select("query_id", "v_q", "nrm_q", "cell")
 
