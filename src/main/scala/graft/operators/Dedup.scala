@@ -206,26 +206,38 @@ object Dedup {
     // twice, and `pairs` is typically an expensive similarity join
     val p = graft.CacheScope.persist(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // symmetric edges, pre-partitioned by src and cached: every round's
+    // propagation join reuses this partitioning — the (big) edge table is
+    // shuffled ONCE for the whole loop, not once per round
     val edges = graft.CacheScope.persist(
       p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct().repartition(col("src")))
     // round 0 fused into initialization: lbl = min(id, direct neighbors)
     // — one aggregation instead of a full join round
-    var labels = edges.groupBy("src").agg(min("dst").as("m"))
-      .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
-      .localCheckpoint(true)
+    var labels = graft.CacheScope.persist(
+      edges.groupBy("src").agg(min("dst").as("m"))
+        .select(col("src").as("id"), least(col("src"), col("m")).as("lbl")))
+    // labels only ever DECREASE under min-propagation, so the loop has
+    // converged iff sum(lbl) is unchanged — one aggregate action per round
+    // (which also materializes the round's cache) replaces the
+    // checkpoint-then-count pair of jobs
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // min label among neighbors, joined back against own label
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nlbl"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("nlbl") =!= col("lbl")).count()
-      labels = updated.select(col("id"), col("nlbl").as("lbl"))
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node's new label: min over own label and all neighbors' —
+      // a union + one partial-agg groupBy (no per-round left join)
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val updated = graft.CacheScope.persist(
+        labels.union(prop).groupBy("id").agg(min("lbl").as("lbl")))
+      val newSum = labelSum(updated)
+      labels.unpersist(false)
+      labels = updated
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("cluster_id"))
