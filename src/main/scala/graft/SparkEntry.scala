@@ -439,6 +439,78 @@ object SparkEntry {
       val em = Tables.embeddings(s, dir)
       Similarity.ivfTopK(em, em.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+    }),
+
+    // --- analytics: top-N / transitions / distributions ---
+    "q_topk_days" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Analytics.topKPerGroup(daily, Seq("user_id"), 3,
+        Seq(col("n").desc, col("day").asc))
+    }),
+
+    "q_transitions" -> ((s, dir) =>
+      Analytics.transitions(ev(s, dir), Seq("user_id"), "ts_sec",
+        "event_type", tieBreak = Seq("event_id"))),
+
+    "q_zscore" -> ((s, dir) => {
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      Analytics.zscore(ev(s, dir), Seq("user_id"), "value")
+        .withColumn("n_grp", count(col("value")).over(wc))
+        .filter(col("n_grp") >= 2)
+        .select(col("event_id"), r3(col("z")).as("z"))
+    }),
+
+    "q_histogram" -> ((s, dir) =>
+      Analytics.histogram(ev(s, dir), "value", 25.0)),
+
+    "q_pivot" -> ((s, dir) =>
+      Analytics.pivotCounts(
+        ev(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        "day", "event_type", Seq("click", "error", "purchase", "signup", "view"))),
+
+    "q_interarrival" -> ((s, dir) =>
+      Analytics.interArrival(ev(s, dir), Seq("user_id"), "ts_sec",
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("n_events"), col("min_gap_s"),
+          col("max_gap_s"), r3(col("avg_gap_s")).as("avg_gap_s"))),
+
+    "q_ntile" -> ((s, dir) =>
+      Analytics.ntileBucket(ev(s, dir), Seq("user_id"), 4,
+          Seq(col("value").asc, col("event_id").asc))
+        .select("event_id", "bucket")),
+
+    "q_rolling" -> ((s, dir) =>
+      Analytics.rollingMean(ev(s, dir), Seq("user_id"), "ts_sec", "value", 5,
+          tieBreak = Seq("event_id"))
+        .select(col("event_id"), r3(col("rolling_avg")).as("rolling_avg"))),
+
+    "q_cube" -> ((s, dir) =>
+      Analytics.cubeProfile(
+          ev(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          Seq("day", "event_type"), "value")
+        .select(col("day"), col("event_type"), col("n_rows"),
+          r3(col("sum_value")).as("sum_value"))),
+
+    // --- text: tf-idf top term per document ---
+    "q_tfidf" -> ((s, dir) =>
+      Analytics.topKPerGroup(
+          Text.tfidf(Tables.documents(s, dir), "doc_id", "text"),
+          Seq("id"), 1, Seq(col("tfidf").desc, col("token").asc))
+        .select(col("id"), col("token"), r3(col("tfidf")).as("tfidf"))),
+
+    // --- embeddings: per-label centroids ---
+    "q_centroid" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("label"), col("dim"), r3(col("mean")).as("mean"))),
+
+    // --- corpus blocklist scrub ---
+    "q_blocklist" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.blocklistAnti(d, d.filter(col("doc_id") < 20).select("text"),
+          "text", "text")
+        .select("doc_id")
     })
   )
 
@@ -838,7 +910,119 @@ object SparkEntry {
          |)
          |SELECT user_id, session_id, end_sec,
          |       end_sec + 10800 < MAX(end_sec) OVER () AS is_complete
-         |FROM sm""".stripMargin
+         |FROM sm""".stripMargin,
+
+    "q_topk_days" ->
+      """WITH d AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, day, n, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, day ASC) AS rank FROM d
+        |) WHERE rank <= 3""".stripMargin,
+
+    "q_transitions" ->
+      s"""$EvCte, l AS (
+         |  SELECT user_id, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec, event_id) AS prev_cat
+         |  FROM e
+         |)
+         |SELECT prev_cat, event_type AS next_cat, COUNT(*) AS n
+         |FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_zscore" ->
+      """WITH st AS (
+        |  SELECT user_id, COUNT(value) AS n, SUM(value) AS s,
+        |         SUM(value * value) AS sq
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_id,
+        |       floor(((value - s / n) /
+        |         sqrt((sq - s * s / n) / (n - 1)))*1000 + 0.5)/1000 AS z
+        |FROM events JOIN st USING (user_id) WHERE n >= 2""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT floor(value / 25.0) * 25.0 AS bucket, COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'error') AS error,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_interarrival" ->
+      s"""$EvCte, l AS (
+         |  SELECT user_id,
+         |         ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec, event_id) AS gap_s
+         |  FROM e
+         |)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |       MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s,
+         |       floor(AVG(gap_s)*1000 + 0.5)/1000 AS avg_gap_s
+         |FROM l GROUP BY 1""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT event_id,
+        |       ntile(4) OVER (PARTITION BY user_id
+        |         ORDER BY value ASC NULLS FIRST, event_id ASC) AS bucket
+        |FROM events""".stripMargin,
+
+    "q_rolling" ->
+      s"""$EvCte
+         |SELECT event_id,
+         |       floor(AVG(value) OVER (PARTITION BY user_id
+         |         ORDER BY ts_sec, event_id
+         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)*1000 + 0.5)/1000
+         |         AS rolling_avg
+         |FROM e""".stripMargin,
+
+    "q_cube" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |       COUNT(*) AS n_rows,
+        |       floor(SUM(value)*1000 + 0.5)/1000 AS sum_value
+        |FROM events GROUP BY CUBE (day, event_type)""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        |), tf2 AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY id) AS n_toks FROM tf
+        |), dfreq AS (
+        |  SELECT token, COUNT(DISTINCT id) AS df FROM toks GROUP BY 1
+        |), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT id, token,
+        |         (cnt::DOUBLE / n_toks) * ln(n_docs::DOUBLE / df) AS tfidf
+        |  FROM tf2 JOIN dfreq USING (token) CROSS JOIN nd
+        |)
+        |SELECT id, token, floor(tfidf*1000 + 0.5)/1000 AS tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY tfidf DESC, token ASC) AS rank FROM scored
+        |) WHERE rank <= 1""".stripMargin,
+
+    "q_centroid" ->
+      """WITH u AS (
+        |  SELECT label, t.i AS dim, embedding[t.i]::DOUBLE AS val
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |)
+        |SELECT label, dim, floor(AVG(val)*1000 + 0.5)/1000 AS mean
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q_blocklist" ->
+      """SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id < 20 AND b.text = d.text)""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

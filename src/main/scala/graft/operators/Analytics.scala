@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * General analytic operators over event streams — the query patterns the
+ * reference's Athena validation scripts imply (top-N, distributions,
+ * transitions, windows) plus the normalization/statistics passes a
+ * training-data pipeline runs before export.
+ *
+ * All window families partition by a high-cardinality entity key, so the
+ * single shuffle per operator stays balanced at 100 TB; aggregations are
+ * plain groupBys (map-side partial combine).
+ */
+object Analytics {
+
+  /**
+   * Top-k rows per group by a metric (e.g. each user's k busiest days):
+   * one window `row_number` over (groupKeys) ordered by the metric
+   * descending with explicit tie-break columns — deterministic in any
+   * engine, one shuffle.
+   */
+  def topKPerGroup(df: DataFrame, groupKeys: Seq[String], k: Int,
+                   orderBy: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
+  /**
+   * Markov transition counts: per entity, pair each row's category with
+   * the previous row's (by time) and count global (prev, next)
+   * transitions. The lag window shares the per-entity (key, ts) sort with
+   * the sessionization family; the count is a partial-agg groupBy.
+   */
+  def transitions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  catCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("prev_cat", lag(col(catCol), 1).over(w))
+      .filter(col("prev_cat").isNotNull)
+      .groupBy(col("prev_cat"), col(catCol).as("next_cat"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Per-group z-score normalization (feature standardization before
+   * export). Mean and stddev are derived from per-group sum / sum-of-
+   * squares / count — explicit arithmetic instead of engine-native
+   * variance so any SQL engine reproduces the identical doubles:
+   * std = sqrt((sum_sq - sum²/n) / (n-1)).
+   */
+  def zscore(df: DataFrame, groupKeys: Seq[String], valueCol: String,
+             outCol: String = "z"): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*)
+    val v = col(valueCol)
+    val s = sum(v).over(w)
+    val sq = sum(v * v).over(w)
+    val n = count(v).over(w).cast("double")
+    val mean = s / n
+    val std = sqrt((sq - s * s / n) / (n - 1))
+    df.withColumn(outCol, (v - mean) / std)
+  }
+
+  /**
+   * Fixed-width histogram of a numeric column: bucket lower bound →
+   * count. A single partial-agg groupBy on the bucketed key — the
+   * one-pass distribution profile for numeric DQ.
+   */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((floor(col(valueCol) / width) * width).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /**
+   * Pivoted count matrix: one row per `rowKey`, one count column per
+   * pivot value. The pivot values are EXPLICIT (no discovery pass over
+   * the data, no extra job; columns are stable across runs/engines) —
+   * at scale this is a single groupBy with conditional aggregation.
+   */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+                  pivotValues: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey))
+      .pivot(pivotCol, pivotValues)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotValues)
+
+  /**
+   * Inter-arrival gap statistics per entity: min/max/avg gap seconds and
+   * event count — the cadence profile behind the reference's 3-hour
+   * session gap rule. One (key, ts) window for the lag + one groupBy.
+   */
+  def interArrival(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsSecCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("gap_s", col(tsSecCol) - lag(col(tsSecCol), 1).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        avg(col("gap_s")).as("avg_gap_s"))
+  }
+
+  /**
+   * Equal-frequency bucket assignment per group (`ntile`): e.g. per-user
+   * value quartiles for stratification. Deterministic via explicit
+   * tie-break ordering; SQL-standard ntile semantics in every engine.
+   */
+  def ntileBucket(df: DataFrame, groupKeys: Seq[String], n: Int,
+                  orderBy: Seq[Column], outCol: String = "bucket"): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(outCol, ntile(n).over(w))
+  }
+
+  /**
+   * Rolling mean over the previous `window` rows (inclusive) per entity
+   * in time order — trend smoothing on an ordered timeline. Sequential
+   * accumulation within the frame means the doubles are reproducible
+   * across engines.
+   */
+  def rollingMean(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  valueCol: String, window: Int,
+                  tieBreak: Seq[String] = Nil,
+                  outCol: String = "rolling_avg"): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
+  /**
+   * Full cube over the given dimensions: counts and a value sum at every
+   * combination of dimension subsets, in ONE pass (partial-agg'd grouping
+   * sets) — the companion of [[Rollup.partitionProfile]] for
+   * non-hierarchical dimensions.
+   */
+  def cubeProfile(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+}

@@ -244,6 +244,18 @@ object Dedup {
   }
 
   /**
+   * Blocklist removal: drop rows whose key matches any blocklist entry —
+   * the standard "known-bad document" scrub (opt-outs, eval sets, spam
+   * hashes). A LEFT ANTI join: the blocklist is usually small → Spark
+   * broadcasts it and the corpus side never shuffles; a huge blocklist
+   * degrades gracefully to a shuffled anti join on the same plan.
+   */
+  def blocklistAnti(df: DataFrame, blocklist: DataFrame,
+                    keyCol: String, blockKeyCol: String): DataFrame =
+    df.join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
+
+  /**
    * 64-bit SimHash over whitespace tokens: bit b of the signature is the
    * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Token hashes are
    * materialized once per row; the 64 bit-counters run in one codegen

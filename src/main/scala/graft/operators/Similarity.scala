@@ -144,6 +144,20 @@ object Similarity {
   }
 
   /**
+   * Per-label embedding centroids, emitted as (label, dim, mean) rows:
+   * posexplode each vector once, then one partial-agg groupBy on
+   * (label, dim) — components pre-sum inside each partition, so only
+   * |labels|×dim partials reach the shuffle regardless of corpus size.
+   * Row form (not re-assembled arrays) keeps the result joinable and
+   * engine-portable.
+   */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(avg(col("col")).as("mean"))
+
+  /**
    * LSH-bucketed ANN: queries only rank against candidates that share
    * their random-hyperplane sign bucket — at scale this turns the cross
    * join into an equi-join on the bucket key (shuffle both sides by

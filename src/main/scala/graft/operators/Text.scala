@@ -192,6 +192,31 @@ object Text {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("token").asc)))
 
+  /**
+   * TF-IDF scoring: for every (document, token), tf = in-doc count /
+   * doc token total; idf = ln(N / doc-frequency); score = tf · idf.
+   * Term stats are plain partial-agg groupBys; the corpus size N rides
+   * along as a broadcast single-row frame (no driver action, no scalar
+   * literal baked into the plan); the doc-frequency join keys on the
+   * token — high cardinality, balanced at any scale.
+   */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_toks", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val dfreq = toks.select("id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("cnt").cast("double") / col("n_toks")) *
+          log(col("n_docs").cast("double") / col("df")))
+      .select(col("id"), col("token"), col("tfidf"))
+  }
+
   /** Word n-gram shingles (order-preserving, may repeat). Empty array when
    * the text has fewer than n tokens. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: the Analytics operator family, TF-IDF, label
+  * centroids, and the blocklist scrub. */
+class Round3Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (user, tsSec, type, value)
+    (1L, 100L, "a", 10.0), (1L, 200L, "b", 20.0), (1L, 400L, "a", 30.0),
+    (2L, 100L, "b", 5.0), (2L, 150L, "b", 5.0))
+    .toDF("user_id", "ts_sec", "event_type", "value")
+    .withColumn("event_id", col("ts_sec"))
+
+  test("topKPerGroup keeps exactly k rows per group in order") {
+    val daily = Seq((1L, "d1", 5L), (1L, "d2", 9L), (1L, "d3", 9L), (2L, "d1", 1L))
+      .toDF("user_id", "day", "n")
+    val top = Analytics.topKPerGroup(daily, Seq("user_id"), 2,
+      Seq(col("n").desc, col("day").asc)).collect()
+    assert(top.length === 3)
+    val u1 = top.filter(_.getLong(0) == 1L).sortBy(_.getInt(3))
+    assert(u1.map(_.getString(1)).toSeq === Seq("d2", "d3")) // ties → day asc
+  }
+
+  test("transitions counts ordered consecutive pairs per user") {
+    val t = Analytics.transitions(events, Seq("user_id"), "ts_sec", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(t === Set(("a", "b", 1L), ("b", "a", 1L), ("b", "b", 1L)))
+  }
+
+  test("zscore standardizes within group (explicit-sums stddev)") {
+    val z = Analytics.zscore(events.filter(col("user_id") === 1), Seq("user_id"), "value")
+      .orderBy("ts_sec").select("z").as[Double].collect()
+    // values 10,20,30: mean 20, sample std 10 → z = -1, 0, 1
+    assert(z.zip(Seq(-1.0, 0.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("histogram buckets by fixed width with lower-bound labels") {
+    val h = Analytics.histogram(events, "value", 10.0)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(h === Map(10.0 -> 1L, 20.0 -> 1L, 30.0 -> 1L, 0.0 -> 2L))
+  }
+
+  test("pivotCounts emits one column per declared value, zero-filled") {
+    val p = Analytics.pivotCounts(events, "user_id", "event_type", Seq("a", "b", "c"))
+    assert(p.columns.toSeq === Seq("user_id", "a", "b", "c"))
+    val u2 = p.filter(col("user_id") === 2).head()
+    assert((u2.getLong(1), u2.getLong(2), u2.getLong(3)) === ((0L, 2L, 0L)))
+  }
+
+  test("interArrival reports gap stats; single-event users get null gaps") {
+    val one = Seq((9L, 50L)).toDF("user_id", "ts_sec")
+    val ia = Analytics.interArrival(events.select("user_id", "ts_sec").union(one),
+      Seq("user_id"), "ts_sec")
+    val r1 = ia.filter(col("user_id") === 1).head()
+    assert((r1.getLong(2), r1.getLong(3), r1.getDouble(4)) === ((100L, 200L, 150.0)))
+    assert(ia.filter(col("user_id") === 9).head().isNullAt(2))
+  }
+
+  test("ntileBucket assigns SQL-standard equal-frequency buckets") {
+    val df = (1 to 8).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val b = Analytics.ntileBucket(df, Seq("k"), 4, Seq(col("v").asc))
+      .groupBy("bucket").count().collect()
+    assert(b.forall(_.getLong(1) == 2L))
+  }
+
+  test("rollingMean averages the trailing row frame per user") {
+    val r = Analytics.rollingMean(events, Seq("user_id"), "ts_sec", "value", 2)
+      .filter(col("user_id") === 1).orderBy("ts_sec")
+      .select("rolling_avg").as[Double].collect()
+    assert(r.toSeq === Seq(10.0, 15.0, 25.0))
+  }
+
+  test("cubeProfile emits every dimension subset in one pass") {
+    val c = Analytics.cubeProfile(events, Seq("user_id", "event_type"), "value")
+    // 3 present (user,type) cells + 2 user subtotals + 2 type subtotals + grand
+    assert(c.count() === 8L)
+    val total = c.filter(col("user_id").isNull && col("event_type").isNull).head()
+    assert(total.getLong(2) === 5L && total.getDouble(3) === 70.0)
+  }
+
+  test("tfidf: corpus-wide tokens score zero, rare tokens dominate") {
+    val docs = Seq((1L, "common rare1"), (2L, "common rare2"), (3L, "common rare3"))
+      .toDF("doc_id", "text")
+    val t = Text.tfidf(docs, "doc_id", "text")
+    assert(t.filter(col("token") === "common" && col("tfidf") =!= 0.0).count() === 0)
+    val top = Analytics.topKPerGroup(t, Seq("id"), 1,
+      Seq(col("tfidf").desc, col("token").asc))
+    assert(top.filter(col("id") === 1).head().getString(1) === "rare1")
+  }
+
+  test("labelCentroids: element-wise mean per label, 1-based dims") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(7.0f, 7.0f)))
+      .toDF("label", "embedding")
+    val c = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(c === Map((0, 1) -> 2.0, (0, 2) -> 4.0, (1, 1) -> 7.0, (1, 2) -> 7.0))
+  }
+
+  test("blocklistAnti drops every row whose key matches the blocklist") {
+    val docs = Seq((1L, "bad"), (2L, "good"), (3L, "bad"), (4L, "fine"))
+      .toDF("doc_id", "text")
+    val block = Seq("bad").toDF("t")
+    val kept = Dedup.blocklistAnti(docs, block, "text", "t")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 4L))
+  }
+}
