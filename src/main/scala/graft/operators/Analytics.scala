@@ -77,15 +77,17 @@ object Analytics {
   /**
    * Pivoted count matrix: one row per `rowKey`, one count column per
    * pivot value. The pivot values are EXPLICIT (no discovery pass over
-   * the data, no extra job; columns are stable across runs/engines) —
-   * at scale this is a single groupBy with conditional aggregation.
+   * the data, no extra job; columns are stable across runs/engines),
+   * and the pivot is direct conditional aggregation — ONE partial-agg'd
+   * shuffle, unlike `Dataset.pivot` which plans a pre-aggregation plus a
+   * second pivotfirst shuffle.
    */
   def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
-                  pivotValues: Seq[String]): DataFrame =
-    df.groupBy(col(rowKey))
-      .pivot(pivotCol, pivotValues)
-      .agg(count(lit(1)))
-      .na.fill(0L, pivotValues)
+                  pivotValues: Seq[String]): DataFrame = {
+    val aggs = pivotValues.map(v =>
+      count(when(col(pivotCol) === v, 1)).as(v))
+    df.groupBy(col(rowKey)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
    * Inter-arrival gap statistics per entity: min/max/avg gap seconds and

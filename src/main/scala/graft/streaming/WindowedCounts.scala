@@ -26,4 +26,23 @@ object WindowedCounts {
         col("window.start").as("window_start"),
         col(typeCol), col("n_events"), col("sum_value"))
   }
+
+  /**
+   * Sliding-window variant: each event lands in every window of
+   * `windowLen` that starts on a `slideLen` boundary and covers it
+   * (windowLen / slideLen overlapping windows per event). State per key
+   * is still watermark-bounded; the fan-out factor is the ratio.
+   */
+  def slidingCountsPerWindow(events: DataFrame, tsCol: String, typeCol: String,
+                             windowLen: String = "1 hour",
+                             slideLen: String = "15 minutes",
+                             watermarkDelay: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+              else events
+    src.groupBy(window(col(tsCol), windowLen, slideLen), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col(typeCol), col("n_events"))
+  }
 }

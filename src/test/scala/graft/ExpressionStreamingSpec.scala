@@ -108,6 +108,49 @@ class ExpressionStreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim, keeps unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "code")
+    val dim = Seq((1L, "anchored"), (2L, "moving")).toDF("nav_code", "description")
+    val enriched = graft.streaming.StaticEnrich.lookup(df, dim, "code", "nav_code",
+      Seq("description"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      input.addData((ts(100), 1L), (ts(200), 2L), (ts(300), 99L))
+      query.processAllAvailable()
+      val out = spark.table("enrich_out").select("code", "description")
+        .as[(Long, Option[String])].collect().toSet
+      assert(out === Set((1L, Some("anchored")), (2L, Some("moving")), (99L, None)),
+        s"got $out")
+    } finally query.stop()
+  }
+
+  test("sliding windows fan each event into windowLen/slideLen windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val counts = WindowedCounts.slidingCountsPerWindow(df, "ts", "event_type",
+      windowLen = "100 seconds", slideLen = "50 seconds",
+      watermarkDelay = "0 seconds")
+    val query = counts.writeStream.format("memory")
+      .queryName("slide_out").outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000)
+      input.addData((ts(120), "a", 1.0))
+      query.processAllAvailable()
+      input.addData((ts(10000), "a", 1.0)) // advance watermark, close windows
+      query.processAllAvailable()
+      val out = spark.table("slide_out")
+        .select(col("window_start").cast("long"), col("n_events"))
+        .as[(Long, Long)].collect().toSet
+      // event at t=120 belongs to [50,150) and [100,200)
+      assert(out.contains((50L, 1L)) && out.contains((100L, 1L)), s"got $out")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps one row per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]

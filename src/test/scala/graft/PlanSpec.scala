@@ -70,6 +70,41 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("analytics window families plan exactly one shuffle") {
+    for (q <- Seq("q_transitions", "q_interarrival", "q_ntile", "q_rolling")) {
+      val p = plan(q)
+      val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
+      // lag/window + groupBy share the per-entity partitioning where
+      // possible; never more than two exchanges end-to-end
+      assert(exchanges <= 2, s"$q wants <=2 shuffles, got $exchanges\n${p.take(2000)}")
+    }
+  }
+
+  test("pivot and histogram are single partial-agg'd shuffles") {
+    for (q <- Seq("q_pivot", "q_histogram")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side combine")
+      assert(count(p, "(?<!Reused)Exchange (hash|range)") === 1, p.take(2000))
+    }
+  }
+
+  test("blocklist scrub broadcasts the blocklist (corpus never shuffles)") {
+    val p = plan("q_blocklist")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "blocklist anti join degraded to sort-merge")
+  }
+
+  test("label centroids partial-aggregate before the shuffle") {
+    val p = plan("q_centroid")
+    assert(p.contains("partial_"), "centroid components not pre-summed per partition")
+  }
+
+  test("tfidf: corpus-size side is broadcast, token join keyed high-cardinality") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "n_docs scalar frame should broadcast")
+  }
+
   test("codegen kernels run inside WholeStageCodegen") {
     val df = Tables.documents(spark, sfDir).select(
       graft.functions.Hashing.hashedShingles(col("text"), 3).as("shh"))
