@@ -511,7 +511,23 @@ object SparkEntry {
       Dedup.blocklistAnti(d, d.filter(col("doc_id") < 20).select("text"),
           "text", "text")
         .select("doc_id")
-    })
+    }),
+
+    // --- time-series regularization (daily grid + forward fill) ---
+    "q_resample" -> ((s, dir) =>
+      Trajectory.resampleForwardFill(ev(s, dir), Seq("user_id"), "ts_sec",
+          "value", stepSec = 86400L, rowKeyCol = "event_id")
+        .select(col("user_id"), col("slot"), col("value_ff"))),
+
+    // --- outlier winsorization per entity ---
+    "q_winsorize" -> ((s, dir) =>
+      Quality.winsorize(ev(s, dir), Seq("user_id"), "value", 0.05, 0.95)
+        .select(col("event_id"), r3(col("winsorized")).as("w"))),
+
+    // --- token-distribution entropy ---
+    "q_entropy" -> ((s, dir) =>
+      Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), r3(col("entropy")).as("entropy")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1022,7 +1038,58 @@ object SparkEntry {
       """SELECT doc_id FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents b
-        |  WHERE b.doc_id < 20 AND b.text = d.text)""".stripMargin
+        |  WHERE b.doc_id < 20 AND b.text = d.text)""".stripMargin,
+
+    "q_resample" ->
+      s"""$EvCte, s AS (
+         |  SELECT user_id, event_id, value, ts_sec,
+         |         CAST(floor(ts_sec / 86400) * 86400 AS BIGINT) AS slot
+         |  FROM e
+         |), obs AS (
+         |  SELECT user_id, slot, v FROM (
+         |    SELECT user_id, slot, value AS v,
+         |           row_number() OVER (PARTITION BY user_id, slot
+         |             ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |    FROM s) WHERE rn = 1
+         |), b AS (
+         |  SELECT user_id, MIN(slot) AS mn, MAX(slot) AS mx FROM s GROUP BY 1
+         |), grid AS (
+         |  SELECT user_id, unnest(generate_series(mn, mx, 86400)) AS slot FROM b
+         |), j AS (
+         |  SELECT g.user_id, g.slot, o.v
+         |  FROM grid g LEFT JOIN obs o USING (user_id, slot)
+         |)
+         |SELECT user_id, slot,
+         |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |         ORDER BY slot
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+         |FROM j""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT user_id, quantile_cont(value, 0.05) AS p5,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_id,
+        |       floor((CASE WHEN value < p5 THEN p5
+        |                   WHEN value > p95 THEN p95
+        |                   ELSE value END)*1000 + 0.5)/1000 AS w
+        |FROM events JOIN q USING (user_id)""".stripMargin,
+
+    "q_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT id, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY id) AS n FROM c
+        |)
+        |SELECT id,
+        |       floor((-SUM((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)))*1000 + 0.5)/1000
+        |         AS entropy
+        |FROM c2 GROUP BY id""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

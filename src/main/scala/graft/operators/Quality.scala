@@ -33,6 +33,26 @@ object Quality {
   }
 
   /**
+   * Per-group winsorization: clip a value to its group's [pLow, pHigh]
+   * quantile band — the standard outlier guard before z-scoring or
+   * export. Reuses the exact [[quantiles]] aggregation; the clip is a
+   * join back on the group key (both sides shuffle once on a
+   * high-cardinality key; small group-count quantile frames broadcast).
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLow: Double, pHigh: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    val lo = s"p${math.round(pLow * 100)}"
+    val hi = s"p${math.round(pHigh * 100)}"
+    val q = quantiles(df, groupCols, valueCol, Seq(pLow, pHigh))
+    df.join(q, groupCols)
+      .withColumn(outCol,
+        when(col(valueCol) < col(lo), col(lo))
+          .when(col(valueCol) > col(hi), col(hi))
+          .otherwise(col(valueCol)))
+  }
+
+  /**
    * Piggyback DQ counters onto an existing job via `observe`: row count
    * and per-column null counts are collected as the frame's consumer
    * action runs — NO extra pass over the data (the reference recomputes

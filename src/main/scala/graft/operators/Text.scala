@@ -217,6 +217,24 @@ object Text {
       .select(col("id"), col("token"), col("tfidf"))
   }
 
+  /**
+   * Shannon entropy of each document's token distribution (nats):
+   * H = −Σ (c/n)·ln(c/n). Low entropy flags repetitive/boilerplate text
+   * (complements [[repetitionRatio]]); high entropy flags noise. Two
+   * partial-agg groupBys keyed by (doc, token) then doc — balanced at
+   * any corpus size.
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    counts.withColumn("p", col("cnt").cast("double") / col("n"))
+      .groupBy("id")
+      .agg((-sum(col("p") * log(col("p")))).as("entropy"))
+  }
+
   /** Word n-gram shingles (order-preserving, may repeat). Empty array when
    * the text has fewer than n tokens. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -32,6 +32,39 @@ object Trajectory {
   }
 
   /**
+   * Regularize an irregular per-entity time series onto a fixed grid:
+   * one row per `stepSec`-aligned slot between each entity's first and
+   * last observation, carrying the LAST observed value at or before the
+   * slot (forward fill) — the resampling pass a model-feature export
+   * runs over raw position/speed streams.
+   *
+   * Plan shape: slot assignment is a projection; per-slot last values
+   * and per-entity bounds are partial-agg groupBys; the grid explodes
+   * from one row per entity (span/step slots — bounded fan-out); the
+   * forward fill is one `last(ignoreNulls)` window on the entity key.
+   * No driver logic, no unbounded state.
+   */
+  def resampleForwardFill(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                          valueCol: String, stepSec: Long, rowKeyCol: String,
+                          outCol: String = "value_ff"): DataFrame = {
+    val keys = keyCols.map(col)
+    val slotted = df.withColumn("slot",
+      (floor(col(tsSecCol) / stepSec) * stepSec).cast("long"))
+    // deterministic per-slot representative: value of the latest
+    // (ts, rowKey) observation in the slot
+    val obs = slotted.groupBy((keys :+ col("slot")): _*)
+      .agg(max_by(col(valueCol), struct(col(tsSecCol), col(rowKeyCol))).as("v"))
+    val grid = slotted.groupBy(keys: _*)
+      .agg(min(col("slot")).as("mn"), max(col("slot")).as("mx"))
+      .select((keys :+ explode(sequence(col("mn"), col("mx"), lit(stepSec))).as("slot")): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("slot").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, keyCols :+ "slot", "left")
+      .withColumn(outCol, last(col("v"), ignoreNulls = true).over(w))
+      .drop("v")
+  }
+
+  /**
    * Downsample a trajectory while keeping path fidelity
    * (reference: fact_voyage_trajectory.py:175 sample_trajectory):
    *  - moving rows: keep first + last point of each speed-dependent time

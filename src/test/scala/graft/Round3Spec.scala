@@ -100,6 +100,35 @@ class Round3Spec extends SparkSpecBase {
     assert(c === Map((0, 1) -> 2.0, (0, 2) -> 4.0, (1, 1) -> 7.0, (1, 2) -> 7.0))
   }
 
+  test("resampleForwardFill: full grid per entity, gaps carry last value") {
+    val df = Seq((1L, 0L, 10.0, 1L), (1L, 5L, 11.0, 2L), (1L, 25L, 12.0, 3L))
+      .toDF("user_id", "ts_sec", "value", "event_id")
+    val r = Trajectory.resampleForwardFill(df, Seq("user_id"), "ts_sec",
+        "value", stepSec = 10L, rowKeyCol = "event_id")
+      .orderBy("slot")
+      .collect().map(x => (x.getLong(1), x.getDouble(2)))
+    // slots 0,10,20: slot 0 takes the LATER obs (ts=5), 10 forward-fills
+    assert(r.toSeq === Seq((0L, 11.0), (10L, 11.0), (20L, 12.0)))
+  }
+
+  test("winsorize clips to the group quantile band, keeps inliers") {
+    val df = ((1 to 9).map(i => (1L, i.toDouble)) :+ ((1L, 1000.0)))
+      .toDF("user_id", "value")
+    val w = Quality.winsorize(df, Seq("user_id"), "value", 0.0, 0.9)
+    // p90 of 1..9,1000 at quantile_cont(0.9): rank 8.1 → 9 + 0.1*(1000-9)
+    val clipped = w.filter(col("value") === 1000.0).head.getAs[Double]("winsorized")
+    assert(math.abs(clipped - 108.1) < 1e-9)
+    assert(w.filter(col("value") === 5.0).head.getAs[Double]("winsorized") === 5.0)
+  }
+
+  test("tokenEntropy: uniform tokens → ln(k); constant tokens → 0") {
+    val df = Seq((1L, "a b c d"), (2L, "x x x x")).toDF("doc_id", "text")
+    val e = Text.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(e(1L) - math.log(4)) < 1e-12)
+    assert(math.abs(e(2L)) < 1e-12)
+  }
+
   test("blocklistAnti drops every row whose key matches the blocklist") {
     val docs = Seq((1L, "bad"), (2L, "good"), (3L, "bad"), (4L, "fine"))
       .toDF("doc_id", "text")
