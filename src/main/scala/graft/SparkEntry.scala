@@ -1101,9 +1101,12 @@ object SparkEntry {
        |  * sqrt(list_reduce(list_transform($b, (x,i) -> x * $b[i]), (x,y) -> x + y))))"""
       .stripMargin.replace("\n", " ")
 
-  /** Shared CTEs: per-doc distinct word-3-gram sets and all co-occurring
-   * pair intersection counts (pairwise formulation — equivalent to the
-   * inverted-index plan; the frequency cap is a no-op at oracle scale). */
+  /** Shared CTEs: per-doc distinct word-3-gram sets and co-occurring pair
+   * intersection counts via an inverted index (equivalent to the all-pairs
+   * formulation — a pair at jaccard ≥ t > 0 must share a shingle, so
+   * zero-overlap pairs are droppable — but near-linear instead of O(n²)
+   * list intersections, which keeps the oracle itself tractable at 10×
+   * gate scale). */
   private val JaccardCtes =
     """sh AS (
       |  SELECT doc_id AS id,
@@ -1113,11 +1116,17 @@ object SparkEntry {
       |             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
       |           ELSE [] END AS s
       |  FROM documents
+      |), sz AS (
+      |  SELECT id, len(s) AS n FROM sh
+      |), inv AS (
+      |  SELECT id, unnest(s) AS g FROM sh
+      |), co AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+      |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      |  GROUP BY 1, 2
       |), p AS (
-      |  SELECT a.id AS id_a, b.id AS id_b,
-      |         len(list_intersect(a.s, b.s)) AS common,
-      |         len(a.s) AS n_a, len(b.s) AS n_b
-      |  FROM sh a JOIN sh b ON a.id < b.id
+      |  SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b
+      |  FROM co JOIN sz na ON na.id = co.id_a JOIN sz nb ON nb.id = co.id_b
       |)""".stripMargin
 
   /** Exact word-3-gram Jaccard pairs at t≥0.7. */
