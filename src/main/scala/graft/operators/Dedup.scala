@@ -208,10 +208,12 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     // symmetric edges, pre-partitioned by src and cached: every round's
     // propagation join reuses this partitioning — the (big) edge table is
-    // shuffled ONCE for the whole loop, not once per round
+    // shuffled ONCE for the whole loop, not once per round. No distinct:
+    // min-propagation is idempotent under duplicate edges, so deduping
+    // billions of edges would buy nothing for a full extra shuffle.
     val edges = graft.CacheScope.persist(
       p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("src")))
+        .repartition(col("src")))
     // round 0 fused into initialization: lbl = min(id, direct neighbors)
     // — one aggregation instead of a full join round
     var labels = graft.CacheScope.persist(
