@@ -527,7 +527,27 @@ object SparkEntry {
     // --- token-distribution entropy ---
     "q_entropy" -> ((s, dir) =>
       Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("id"), r3(col("entropy")).as("entropy")))
+        .select(col("id"), r3(col("entropy")).as("entropy"))),
+
+    // --- fuzzy (edit-distance) near-dup on the text head ---
+    "q_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        Tables.documents(s, dir).withColumn("head", substring(col("text"), 1, 30)),
+        "doc_id", "head", maxDist = 5)),
+
+    // --- packed-sequence materialization ---
+    "q_pack_concat" -> ((s, dir) =>
+      Text.concatPacked(
+        Text.packSequences(
+          Text.tokenCount(Tables.documents(s, dir), "text"),
+          shardCol = "lang", orderCol = "doc_id", tokenCountCol = "ws_tokens",
+          budget = 512L),
+        "lang", "pack_id", "doc_id", "text")),
+
+    // --- unigram LM fluency score ---
+    "q_unigram_lp" -> ((s, dir) =>
+      Text.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), r3(col("logprob")).as("logprob")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1089,7 +1109,42 @@ object SparkEntry {
         |SELECT id,
         |       floor((-SUM((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)))*1000 + 0.5)/1000
         |         AS entropy
-        |FROM c2 GROUP BY id""".stripMargin
+        |FROM c2 GROUP BY id""".stripMargin,
+
+    "q_editdist" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id, substr(text, 1, 30) AS key,
+        |         length(substr(text, 1, 30)) AS l
+        |  FROM documents
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.key, b.key) AS dist
+        |FROM k a JOIN k b ON a.id < b.id AND abs(a.l - b.l) <= 5
+        |WHERE levenshtein(a.key, b.key) <= 5""".stripMargin,
+
+    "q_pack_concat" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(floor(coalesce(SUM(len(string_split(text, ' ')))
+        |           OVER (PARTITION BY lang ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           / 512) AS BIGINT) AS pack_id
+        |  FROM documents
+        |)
+        |SELECT lang, pack_id, COUNT(*) AS n_docs,
+        |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q_unigram_lp" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+        |), tot AS (SELECT SUM(cnt) AS total FROM c)
+        |SELECT id,
+        |       floor(AVG(ln(cnt::DOUBLE / total))*1000 + 0.5)/1000 AS logprob
+        |FROM t JOIN c USING (token) CROSS JOIN tot
+        |GROUP BY id""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

@@ -246,6 +246,36 @@ object Dedup {
   }
 
   /**
+   * Edit-distance near-duplicate pairs on a short key (title, URL,
+   * normalized name): pairs with `levenshtein(key_a, key_b) <= maxDist`.
+   *
+   * Blocking: |len_a − len_b| ≤ maxDist is necessary for a match, so
+   * keys are bucketed by `floor(len / (maxDist+1))` and side A probes
+   * its own and both adjacent buckets (any qualifying pair lands in
+   * exactly one of those three) — an equi-join on the bucket, never a
+   * cross join. The verify is Spark's codegen `levenshtein` (classic DP,
+   * integer-exact across engines).
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
+                        maxDist: Int): DataFrame = {
+    val band = maxDist + 1
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .withColumn("l", length(col("k")))
+      .withColumn("b", floor(col("l") / band).cast("long"))
+    val a = keyed.select(col("id").as("id_a"), col("k").as("k_a"),
+        col("l").as("l_a"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val b = keyed.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("l").as("l_b"), col("b"))
+    a.join(b, "b")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("l_a") - col("l_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /**
    * Blocklist removal: drop rows whose key matches any blocklist entry —
    * the standard "known-bad document" scrub (opt-outs, eval sets, spam
    * hashes). A LEFT ANTI join: the blocklist is usually small → Spark

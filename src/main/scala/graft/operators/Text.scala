@@ -179,6 +179,44 @@ object Text {
   }
 
   /**
+   * Materialize packed sequences: concatenate each pack's documents (in
+   * `orderCol` order) into one training row. Deterministic assembly —
+   * collect_list is unordered under parallel merge, so the list is
+   * sorted on the order key before joining. Pack sizes are bounded by
+   * the token budget upstream, so per-row memory is bounded too.
+   */
+  def concatPacked(packed: DataFrame, shardCol: String, packCol: String,
+                   orderCol: String, textCol: String,
+                   sep: String = " "): DataFrame =
+    packed.groupBy(col(shardCol), col(packCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          sep).as("packed_text"))
+
+  /**
+   * Unigram language-model score: mean over tokens of
+   * ln(corpus_count(token) / corpus_total) — the CCNet-style fluency
+   * proxy (rare-token-heavy junk scores low). Corpus stats are one
+   * partial-agg groupBy; the per-doc join keys on the token (high
+   * cardinality); the corpus total rides along as a broadcast
+   * single-row frame.
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.select(sum("cnt").as("total"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(avg(log(col("cnt").cast("double") / col("total"))).as("logprob"))
+  }
+
+  /**
    * Vocabulary build: global token counts, ranked. `minCount` prunes the
    * long tail before the single-partition ranking: the aggregation is
    * map-side-combined per token (high cardinality, balanced), and only

@@ -129,6 +129,35 @@ class Round3Spec extends SparkSpecBase {
     assert(math.abs(e(2L)) < 1e-12)
   }
 
+  test("editDistancePairs: banding finds pairs across length-band walls") {
+    val df = Seq(
+      (1L, "abcdef"),    // len 6, band 1 (maxDist=5 → band size 6)
+      (2L, "abcde"),     // len 5, band 0 — dist 1 from doc 1, crosses bands
+      (3L, "abcdxf"),    // dist 1 from doc 1, same band
+      (4L, "zzzzzzzzzzzzzzzz")) // far from everything
+      .toDF("doc_id", "k")
+    val pairs = Dedup.editDistancePairs(df, "doc_id", "k", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+  }
+
+  test("concatPacked assembles pack text in order-key order") {
+    val df = Seq((1L, "en", 0L, "first"), (3L, "en", 0L, "third"), (2L, "en", 0L, "second"))
+      .toDF("doc_id", "lang", "pack_id", "text")
+    val out = Text.concatPacked(df, "lang", "pack_id", "doc_id", "text").head()
+    assert(out.getAs[String]("packed_text") === "first second third")
+    assert(out.getAs[Long]("n_docs") === 3L)
+  }
+
+  test("unigramLogProb: mean corpus log-probability per document") {
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val lp = Text.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val expected = (math.log(2.0 / 4) + math.log(1.0 / 4)) / 2
+    assert(math.abs(lp(1L) - expected) < 1e-12)
+    assert(math.abs(lp(2L) - expected) < 1e-12)
+  }
+
   test("blocklistAnti drops every row whose key matches the blocklist") {
     val docs = Seq((1L, "bad"), (2L, "good"), (3L, "bad"), (4L, "fine"))
       .toDF("doc_id", "text")
