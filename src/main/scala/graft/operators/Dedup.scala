@@ -223,8 +223,11 @@ object Dedup {
     // converged iff sum(lbl) is unchanged — one aggregate action per round
     // (which also materializes the round's cache) replaces the
     // checkpoint-then-count pair of jobs
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // empty pair set → sum is NULL → treat as zero (converged instantly)
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -81,4 +81,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
     out.unpersist()
   }
+
+  test("CurateDocuments: blocklist scrubs first; entropy floor kills boilerplate") {
+    val docs = Seq(
+      (1L, "opted out text that must never appear in the corpus at all costs"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "the quick brown fox jumps over the lazy dog and then runs far away home"))
+      .toDF("doc_id", "text")
+    val block = docs.filter(col("doc_id") === 1L).select(col("text").as("t"))
+    val out = CurateDocuments.run(docs,
+      CurateDocuments.Config(idCol = "doc_id", textCol = "text",
+        minQuality = 0.0, minEntropy = 0.5),
+      blocklist = Some(block))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L), "blocklisted doc survived")
+    assert(!ids.contains(2L), "zero-entropy boilerplate survived")
+    assert(ids.contains(3L))
+  }
 }

@@ -158,6 +158,11 @@ class Round3Spec extends SparkSpecBase {
     assert(math.abs(lp(2L) - expected) < 1e-12)
   }
 
+  test("clusterPairs on an empty pair set returns an empty frame (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterPairs(empty, "id_a", "id_b").count() === 0)
+  }
+
   test("blocklistAnti drops every row whose key matches the blocklist") {
     val docs = Seq((1L, "bad"), (2L, "good"), (3L, "bad"), (4L, "fine"))
       .toDF("doc_id", "text")
