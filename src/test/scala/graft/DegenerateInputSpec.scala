@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input battery: every fan-out/iterative operator must
+  * return an empty (or well-defined) result on empty or pathological
+  * input instead of crashing — a 100 TB backfill WILL contain an empty
+  * partition, an empty day, or an all-empty-text shard somewhere. */
+class DegenerateInputSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEvents = Seq.empty[(Long, Long, Double)].toDF("user_id", "ts_sec", "value")
+
+  test("similarity joins on an empty corpus return empty") {
+    assert(Dedup.ngramJaccard(noDocs, "doc_id", "text", 3, 0.7).count() === 0)
+    assert(Dedup.minhashLsh(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashNearDup(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.editDistancePairs(noDocs, "doc_id", "text", 3).count() === 0)
+  }
+
+  test("similarity joins on all-empty texts return empty (no degenerate bucket)") {
+    val blank = Seq((1L, ""), (2L, ""), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(blank, "doc_id", "text", 3, 0.7).count() === 0)
+    assert(Dedup.minhashLsh(blank, "doc_id", "text").count() === 0)
+  }
+
+  test("sessionization and rollups on empty events return empty") {
+    val s = Sessionize(noEvents, "user_id", "ts_sec", 10800L)
+    assert(s.count() === 0)
+    assert(Rollup.sessionSummary(s, Seq("user_id", "session_id"), "ts_sec", "value")
+      .count() === 0)
+  }
+
+  test("resampleForwardFill on empty input returns empty") {
+    val e = noEvents.withColumn("event_id", col("ts_sec"))
+    assert(Trajectory.resampleForwardFill(e, Seq("user_id"), "ts_sec",
+      "value", 60L, "event_id").count() === 0)
+  }
+
+  test("ANN over empty candidate set returns empty, not a crash") {
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(noVecs, q, "vec_id", "embedding", 5).count() === 0)
+    assert(Similarity.ivfTopK(noVecs, q, "vec_id", "embedding", 5).count() === 0)
+  }
+
+  test("single-row entity: lag-family operators emit null-gap rows, not errors") {
+    val one = Seq((1L, 100L, 2.0)).toDF("user_id", "ts_sec", "value")
+      .withColumn("event_id", lit(1L))
+    val ia = Analytics.interArrival(one, Seq("user_id"), "ts_sec").head()
+    assert(ia.getLong(1) === 1L && ia.isNullAt(2))
+    assert(Analytics.transitions(
+      one.withColumn("event_type", lit("a")),
+      Seq("user_id"), "ts_sec", "event_type").count() === 0)
+  }
+
+  test("tfidf and entropy on empty corpus return empty") {
+    assert(Text.tfidf(noDocs, "doc_id", "text").count() === 0)
+    assert(Text.tokenEntropy(noDocs, "doc_id", "text").count() === 0)
+    assert(Text.unigramLogProb(noDocs, "doc_id", "text").count() === 0)
+  }
+}
