@@ -533,7 +533,7 @@ object SparkEntry {
     "q_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(
         Tables.documents(s, dir).withColumn("head", substring(col("text"), 1, 30)),
-        "doc_id", "head", maxDist = 5)),
+        "doc_id", "head", maxDist = 3)),
 
     // --- packed-sequence materialization ---
     "q_pack_concat" -> ((s, dir) =>
@@ -1118,8 +1118,8 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.key, b.key) AS dist
-        |FROM k a JOIN k b ON a.id < b.id AND abs(a.l - b.l) <= 5
-        |WHERE levenshtein(a.key, b.key) <= 5""".stripMargin,
+        |FROM k a JOIN k b ON a.id < b.id AND abs(a.l - b.l) <= 3
+        |WHERE levenshtein(a.key, b.key) <= 3""".stripMargin,
 
     "q_pack_concat" ->
       """WITH p AS (

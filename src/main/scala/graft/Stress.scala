@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale probe: run the heavy operator families on synthetic frames one
+ * to two orders of magnitude past the bench scale (generated
+ * distributed via `spark.range` — nothing is collected or written).
+ * Prints one line per probe: seconds + output rows. This is the "would
+ * the plan survive 100×?" check: anything quadratic, skew-collapsed, or
+ * driver-bound shows up as a wall instead of a slope.
+ *
+ * Usage: SPARK_GRAFT_STRESS_SCALE=1 sbt "runMain graft.Stress"
+ * (scale multiplies the base sizes below).
+ */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STRESS_SCALE", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def probe(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = CacheScope.scoped(body)
+      println(f"[stress] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $rows%12d rows")
+    }
+
+    // --- events: 5M rows, 100k entities (50 points each) ---
+    val nEvents = 5000000L * scale
+    val nUsers = 100000L * scale
+    val events = spark.range(nEvents).select(
+      (col("id") % nUsers).as("user_id"),
+      (col("id") / nUsers * 600 + pmod(xxhash64(col("id")), lit(300))).as("ts_sec"),
+      pmod(xxhash64(col("id"), lit(1)), lit(10000)).cast("double").divide(100).as("value"),
+      col("id").as("event_id"))
+
+    probe(s"sessionize ${nEvents / 1000000}M x ${nUsers / 1000}k users") {
+      Sessionize(events, "user_id", "ts_sec", 1200L, tieBreak = Seq("event_id")).count()
+    }
+    probe("sessionSummary") {
+      Rollup.sessionSummary(
+        Sessionize(events, "user_id", "ts_sec", 1200L, tieBreak = Seq("event_id")),
+        Seq("user_id", "session_id"), "ts_sec", "value").count()
+    }
+    probe("asof join (10% state side)") {
+      val state = events.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_sec")
+        .agg(max_by(col("value"), col("event_id")).as("state_value"))
+      AsOf.join(events.select("event_id", "user_id", "ts_sec"), state,
+        Seq("user_id"), "ts_sec", Seq("state_value")).count()
+    }
+    probe("resample+ffill (1h grid)") {
+      Trajectory.resampleForwardFill(events, Seq("user_id"), "ts_sec",
+        "value", 3600L, "event_id").count()
+    }
+
+    // --- documents: 200k synthetic docs over a 2k-word vocab, planted dups ---
+    val nDocs = 200000L * scale
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      // every 100th doc is a near-copy of its predecessor (same seed)
+      array_join(transform(sequence(lit(0), lit(39)),
+        i => concat(lit("w"), pmod(xxhash64((col("id") / 100).cast("long") * 100, i), lit(2000)))),
+        " ").as("text"))
+
+    probe(s"minhashLsh ${nDocs / 1000}k docs") {
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.7).count()
+    }
+    probe("ngramJaccard (prefix filter)") {
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7).count()
+    }
+    probe("cluster pairs") {
+      Dedup.clusterPairs(
+        Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.7),
+        "id_a", "id_b").count()
+    }
+    probe("tfidf") { Text.tfidf(docs, "doc_id", "text").count() }
+
+    // --- embeddings: 500k x 64 dims ---
+    val nVecs = 500000L * scale
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(col("id"), i), lit(1000)).cast("double").divide(500) - 1).as("embedding"))
+
+    probe(s"ANN brute ${nVecs / 1000}k x 10 queries") {
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).count()
+    }
+    probe("ANN IVF (64 cells, probe 8)") {
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCentroids = 64, nProbe = 8).count()
+    }
+
+    spark.stop()
+  }
+}

@@ -252,30 +252,98 @@ object Dedup {
    * Edit-distance near-duplicate pairs on a short key (title, URL,
    * normalized name): pairs with `levenshtein(key_a, key_b) <= maxDist`.
    *
-   * Blocking: |len_a − len_b| ≤ maxDist is necessary for a match, so
-   * keys are bucketed by `floor(len / (maxDist+1))` and side A probes
-   * its own and both adjacent buckets (any qualifying pair lands in
-   * exactly one of those three) — an equi-join on the bucket, never a
-   * cross join. The verify is Spark's codegen `levenshtein` (classic DP,
-   * integer-exact across engines).
+   * Candidate generation is segment matching (PassJoin — Li, Deng &
+   * Feng, VLDB'11): every indexed string is split into `maxDist+1`
+   * contiguous segments; ≤ maxDist edits cannot touch them all, so for
+   * any qualifying pair at least one segment of one string appears
+   * EXACTLY in the other, shifted by at most maxDist. Each string
+   * therefore (a) indexes its own segments keyed by (length, segment
+   * index, value) and (b) probes with the substrings a matching segment
+   * of a string of each candidate length could occupy. Matching is an
+   * EQUI-join on exact multi-char substrings — selective even when all
+   * keys share one length (where length-band blocking degenerates to a
+   * cross join) or share a tiny q-gram alphabet (where q-gram count
+   * filters explode). Survivors are verified with Spark's codegen
+   * `levenshtein` (classic DP, integer-exact across engines).
+   *
+   * Keys shorter than `maxDist+1` chars can't carry non-empty segments;
+   * they go through a length-band equi-join (short strings, cheap
+   * verify), with the pool widened by maxDist so cross-pool pairs are
+   * still generated.
    */
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
                         maxDist: Int): DataFrame = {
-    val band = maxDist + 1
-    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("k"))
-      .withColumn("l", length(col("k")))
-      .withColumn("b", floor(col("l") / band).cast("long"))
-    val a = keyed.select(col("id").as("id_a"), col("k").as("k_a"),
-        col("l").as("l_a"),
-        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    val b = keyed.select(col("id").as("id_b"), col("k").as("k_b"),
+    val k = maxDist + 1 // number of segments
+    val keyed = graft.CacheScope.persist(
+      df.select(col(idCol).as("id"), col(keyCol).as("k"))
+        .withColumn("l", length(col("k"))))
+    val minLong = 2 * k // each segment >= 2 chars → selective join keys
+
+    // candidates carry both keys, so the verify is a projection — no
+    // fetch-back joins after candidate generation
+    def verified(cand: DataFrame): DataFrame =
+      cand.distinct()
+        .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+        .filter(col("dist") <= maxDist)
+        .select("id_a", "id_b", "dist")
+
+    // Segment scheme for a string of length L: k segments, the last
+    // L % k of them one char longer. start(i) = i*(L/k) + max(0, i-(k-L%k)).
+    def segStart(lCol: Column, i: Column): Column =
+      i * floor(lCol / k).cast("int") +
+        greatest(lit(0), i - (lit(k) - pmod(lCol, lit(k)).cast("int")))
+    def segLen(lCol: Column, i: Column): Column =
+      floor(lCol / k).cast("int") +
+        when(i >= lit(k) - pmod(lCol, lit(k)).cast("int"), 1).otherwise(0)
+
+    val long = keyed.filter(col("l") >= minLong)
+    // index side: own segments, keyed by (own length, segment idx, value)
+    val idx = long.select(col("id").as("id_b"), col("l").as("l_b"),
+        col("k").as("k_b"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("sub", col("k_b").substr(
+        segStart(col("l_b"), col("i")) + 1, segLen(col("l_b"), col("i"))))
+      .select("id_b", "k_b", "l_b", "i", "sub")
+    // probe side: for every candidate indexed length lb within ±maxDist
+    // and every segment slot, the substrings that segment could occupy
+    // (shifted by at most maxDist, clipped to the probe's bounds; an
+    // empty clip window yields a null sequence → explode emits nothing)
+    val probe = long.select(col("id").as("id_a"), col("l").as("l_a"), col("k"),
+        explode(sequence(col("l") - maxDist, col("l") + maxDist)).as("l_b"))
+      .filter(col("l_b") >= minLong)
+      .select(col("id_a"), col("l_a"), col("k"), col("l_b"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("slen", segLen(col("l_b"), col("i")))
+      .withColumn("p_lo", greatest(lit(0), segStart(col("l_b"), col("i")) - maxDist))
+      .withColumn("p_hi", least(col("l_a") - col("slen"),
+        segStart(col("l_b"), col("i")) + maxDist))
+      .select(col("id_a"), col("l_a"), col("l_b"), col("i"), col("slen"), col("k"),
+        explode(when(col("p_hi") >= col("p_lo"),
+          sequence(col("p_lo"), col("p_hi")))).as("p"))
+      .withColumn("sub", col("k").substr(col("p") + 1, col("slen")))
+      .select(col("id_a"), col("k").as("k_a"), col("l_a"), col("l_b"),
+        col("i"), col("sub"))
+    val candLong = probe.join(idx, Seq("l_b", "i", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "k_a", "k_b")
+
+    // SHORT pool (strings too short to segment, plus the boundary
+    // overlap): banding works here because short lengths vary
+    val short = keyed.filter(col("l") < minLong + maxDist)
+    val banded = short.withColumn("b", floor(col("l") / k).cast("long"))
+    val sa = banded.select(col("id").as("id_a"), col("k").as("k_a"),
+      col("l").as("l_a"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val sb = banded.select(col("id").as("id_b"), col("k").as("k_b"),
       col("l").as("l_b"), col("b"))
-    a.join(b, "b")
+    val candShort = sa.join(sb, "b")
       .filter(col("id_a") < col("id_b") &&
-        abs(col("l_a") - col("l_b")) <= maxDist)
-      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+        abs(col("l_a") - col("l_b")) <= maxDist &&
+        // keep only pairs not already covered by the long pool
+        (col("l_a") < lit(minLong) || col("l_b") < lit(minLong)))
+      .select("id_a", "id_b", "k_a", "k_b")
+
+    verified(candLong.union(candShort))
   }
 
   /**
