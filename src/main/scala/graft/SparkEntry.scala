@@ -547,7 +547,18 @@ object SparkEntry {
     // --- unigram LM fluency score ---
     "q_unigram_lp" -> ((s, dir) =>
       Text.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("id"), r3(col("logprob")).as("logprob")))
+        .select(col("id"), r3(col("logprob")).as("logprob"))),
+
+    // --- cohort retention matrix (cohort = first active day) ---
+    "q_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(
+        ev(s, dir).withColumn("day_n", floor(col("ts_sec") / 86400).cast("long")),
+        "user_id", "day_n")),
+
+    // --- ordered conversion funnel within a day ---
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(ev(s, dir), "user_id", "ts_sec", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 86400L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1144,7 +1155,39 @@ object SparkEntry {
         |SELECT id,
         |       floor(AVG(ln(cnt::DOUBLE / total))*1000 + 0.5)/1000 AS logprob
         |FROM t JOIN c USING (token) CROSS JOIN tot
-        |GROUP BY id""".stripMargin
+        |GROUP BY id""".stripMargin,
+
+    "q_retention" ->
+      s"""$EvCte, d AS (
+         |  SELECT user_id, CAST(floor(ts_sec / 86400) AS BIGINT) AS day_n FROM e
+         |), c AS (
+         |  SELECT user_id, MIN(day_n) AS cohort FROM d GROUP BY 1
+         |)
+         |SELECT cohort, day_n - cohort AS offset,
+         |       COUNT(DISTINCT user_id) AS n_active
+         |FROM d JOIN c USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      s"""$EvCte, s1 AS (
+         |  SELECT user_id AS k, MIN(ts_sec) AS t, MIN(ts_sec) AS t0
+         |  FROM e WHERE event_type = 'view' GROUP BY 1
+         |), s2 AS (
+         |  SELECT e.user_id AS k, MIN(e.ts_sec) AS t, MIN(s1.t0) AS t0
+         |  FROM e JOIN s1 ON e.user_id = s1.k
+         |  WHERE e.event_type = 'click' AND e.ts_sec > s1.t
+         |    AND e.ts_sec <= s1.t0 + 86400
+         |  GROUP BY 1
+         |), s3 AS (
+         |  SELECT e.user_id AS k, MIN(e.ts_sec) AS t, MIN(s2.t0) AS t0
+         |  FROM e JOIN s2 ON e.user_id = s2.k
+         |  WHERE e.event_type = 'purchase' AND e.ts_sec > s2.t
+         |    AND e.ts_sec <= s2.t0 + 86400
+         |  GROUP BY 1
+         |)
+         |SELECT 1 AS stage, COUNT(*) AS n_entities FROM s1
+         |UNION ALL SELECT 2, COUNT(*) FROM s2
+         |UNION ALL SELECT 3, COUNT(*) FROM s3""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

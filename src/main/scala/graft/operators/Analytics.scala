@@ -135,6 +135,50 @@ object Analytics {
   }
 
   /**
+   * Cohort retention: assign every entity to the cohort of its first
+   * active period, then count distinct entities per (cohort, period
+   * offset) — the standard retention matrix. Two partial-agg groupBys
+   * plus one entity-keyed join; at scale the per-entity cohort frame is
+   * the same cardinality as the entity set (shuffle by the high-card
+   * entity key, never by cohort).
+   */
+  def cohortRetention(df: DataFrame, keyCol: String, periodCol: String): DataFrame = {
+    val cohorts = df.groupBy(col(keyCol)).agg(min(col(periodCol)).as("cohort"))
+    df.select(col(keyCol), col(periodCol))
+      .join(cohorts, keyCol)
+      .groupBy(col("cohort"), (col(periodCol) - col("cohort")).as("offset"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+
+  /**
+   * Ordered funnel: how many entities reach each stage IN ORDER —
+   * stage k counts when the entity has an event of stage k strictly
+   * after its stage-(k−1) arrival, within `windowSec` of its stage-0
+   * arrival. Exact sequential semantics ("the first B after the first
+   * A"), built as one per-stage aggregation + entity-keyed join per
+   * stage — the loop is over the FIXED stage list (bounded, driver-side
+   * plan construction only), never over data. Returns (stage 1-based,
+   * n_entities reached).
+   */
+  def funnel(df: DataFrame, keyCol: String, tsSecCol: String, catCol: String,
+             stages: Seq[String], windowSec: Long): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(tsSecCol).as("ts"), col(catCol).as("cat"))
+    val first = base.filter(col("cat") === stages.head)
+      .groupBy("k").agg(min("ts").as("t"))
+      .withColumn("t0", col("t"))
+    val reaches = stages.tail.scanLeft(first) { (prev, stage) =>
+      base.filter(col("cat") === stage)
+        .join(prev.select(col("k"), col("t").as("t_prev"), col("t0")), "k")
+        .filter(col("ts") > col("t_prev") && col("ts") <= col("t0") + windowSec)
+        .groupBy("k").agg(min("ts").as("t"), min("t0").as("t0"))
+    }
+    reaches.zipWithIndex.map { case (r, i) =>
+      r.agg(count(lit(1)).as("n_entities"))
+        .select(lit(i + 1).as("stage"), col("n_entities"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Full cube over the given dimensions: counts and a value sum at every
    * combination of dimension subsets, in ONE pass (partial-agg'd grouping
    * sets) — the companion of [[Rollup.partitionProfile]] for

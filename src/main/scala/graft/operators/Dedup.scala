@@ -280,11 +280,13 @@ object Dedup {
     val minLong = 2 * k // each segment >= 2 chars → selective join keys
 
     // candidates carry both keys, so the verify is a projection — no
-    // fetch-back joins after candidate generation
+    // fetch-back joins after candidate generation. The thresholded
+    // levenshtein overload runs the banded DP with early abandon
+    // (returns -1 past the cap): O(maxDist·len) per pair, not O(len²).
     def verified(cand: DataFrame): DataFrame =
       cand.distinct()
-        .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
-        .filter(col("dist") <= maxDist)
+        .withColumn("dist", levenshtein(col("k_a"), col("k_b"), maxDist))
+        .filter(col("dist") >= 0)
         .select("id_a", "id_b", "dist")
 
     // Segment scheme for a string of length L: k segments, the last

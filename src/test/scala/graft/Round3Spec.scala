@@ -158,6 +158,30 @@ class Round3Spec extends SparkSpecBase {
     assert(math.abs(lp(2L) - expected) < 1e-12)
   }
 
+  test("cohortRetention: entities counted at their first-period cohort") {
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L), (2L, 13L))
+      .toDF("user_id", "day_n")
+    val r = Analytics.cohortRetention(df, "user_id", "day_n")
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r === Map((10L, 0L) -> 1L, (10L, 1L) -> 1L, (10L, 3L) -> 1L,
+      (11L, 0L) -> 1L, (11L, 2L) -> 1L))
+  }
+
+  test("funnel: strict in-order matching within the window") {
+    val df = Seq(
+      // u1 converts fully in order
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "buy"),
+      // u2 clicks BEFORE viewing → stalls at stage 1
+      (2L, 100L, "click"), (2L, 200L, "view"),
+      // u3 converts but outside the window
+      (3L, 100L, "view"), (3L, 99999L, "click"))
+      .toDF("user_id", "ts_sec", "event_type")
+    val f = Analytics.funnel(df, "user_id", "ts_sec", "event_type",
+        Seq("view", "click", "buy"), windowSec = 1000L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(f === Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
   test("clusterPairs on an empty pair set returns an empty frame (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.clusterPairs(empty, "id_a", "id_b").count() === 0)
