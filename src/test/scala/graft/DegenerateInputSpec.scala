@@ -61,4 +61,15 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Text.tokenEntropy(noDocs, "doc_id", "text").count() === 0)
     assert(Text.unigramLogProb(noDocs, "doc_id", "text").count() === 0)
   }
+
+  test("null text rows flow through text operators without errors") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real text here"))
+      .toDF("doc_id", "text")
+    // null text → no tokens → absent from token-keyed outputs, null metrics
+    assert(Text.tfidf(docs, "doc_id", "text").filter(col("id") === 1).count() === 0)
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.7).count() === 0)
+    assert(Text.qualityScore(docs, "text").filter(col("doc_id") === 1)
+      .head.isNullAt(2)) // n_chars null, not a crash
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text", 2).count() === 0)
+  }
 }
