@@ -558,7 +558,21 @@ object SparkEntry {
     // --- ordered conversion funnel within a day ---
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(ev(s, dir), "user_id", "ts_sec", "event_type",
-        Seq("view", "click", "purchase"), windowSec = 86400L))
+        Seq("view", "click", "purchase"), windowSec = 86400L)),
+
+    // --- per-session bounding box (voyage spatial extent) ---
+    "q_bbox" -> ((s, dir) =>
+      sessions(s, dir).groupBy("user_id", "session_id")
+        .agg(min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"))
+        .select(col("user_id"), col("session_id"),
+          r3(col("lat_min")).as("lat_min"), r3(col("lat_max")).as("lat_max"),
+          r3(col("lon_min")).as("lon_min"), r3(col("lon_max")).as("lon_max"))),
+
+    // --- hour-of-day activity/speed profile ---
+    "q_hourly" -> ((s, dir) =>
+      ev(s, dir).groupBy(hour(col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), r3(avg(col("value"))).as("avg_value")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1187,7 +1201,21 @@ object SparkEntry {
          |)
          |SELECT 1 AS stage, COUNT(*) AS n_entities FROM s1
          |UNION ALL SELECT 2, COUNT(*) FROM s2
-         |UNION ALL SELECT 3, COUNT(*) FROM s3""".stripMargin
+         |UNION ALL SELECT 3, COUNT(*) FROM s3""".stripMargin,
+
+    "q_bbox" ->
+      s"""$SessCte
+         |SELECT user_id, session_id,
+         |       floor(MIN(lat)*1000 + 0.5)/1000 AS lat_min,
+         |       floor(MAX(lat)*1000 + 0.5)/1000 AS lat_max,
+         |       floor(MIN(lon)*1000 + 0.5)/1000 AS lon_min,
+         |       floor(MAX(lon)*1000 + 0.5)/1000 AS lon_max
+         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "q_hourly" ->
+      """SELECT CAST(strftime(ts, '%H') AS INT) AS hour, COUNT(*) AS n,
+        |       floor(AVG(value)*1000 + 0.5)/1000 AS avg_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same
