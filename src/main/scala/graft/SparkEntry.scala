@@ -572,7 +572,14 @@ object SparkEntry {
     // --- hour-of-day activity/speed profile ---
     "q_hourly" -> ((s, dir) =>
       ev(s, dir).groupBy(hour(col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n"), r3(avg(col("value"))).as("avg_value")))
+        .agg(count(lit(1)).as("n"), r3(avg(col("value"))).as("avg_value"))),
+
+    // --- per-entity lag-1 autocorrelation of the value series ---
+    "q_autocorr" -> ((s, dir) =>
+      Analytics.autocorr(ev(s, dir), Seq("user_id"), "ts_sec", "value",
+          lagK = 1, tieBreak = Seq("event_id"))
+        .select(col("user_id"), r3(col("autocorr")).as("autocorr"),
+          col("n_pairs")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1215,7 +1222,18 @@ object SparkEntry {
     "q_hourly" ->
       """SELECT CAST(strftime(ts, '%H') AS INT) AS hour, COUNT(*) AS n,
         |       floor(AVG(value)*1000 + 0.5)/1000 AS avg_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_autocorr" ->
+      s"""$EvCte, l AS (
+         |  SELECT user_id, value,
+         |         lag(value) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec, event_id) AS lagv
+         |  FROM e
+         |)
+         |SELECT user_id, floor(corr(value, lagv)*1000 + 0.5)/1000 AS autocorr,
+         |       COUNT(lagv) AS n_pairs
+         |FROM l GROUP BY 1""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

@@ -135,6 +135,24 @@ object Analytics {
   }
 
   /**
+   * Lag-k autocorrelation of a value series per entity: Pearson
+   * correlation between the series and its k-step lag in time order —
+   * the standard periodicity/persistence signal on sensor streams. One
+   * (key, ts) window for the lag (shared with the sessionization
+   * family's sort) + one partial-agg'd `corr` groupBy.
+   */
+  def autocorr(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               valueCol: String, lagK: Int = 1,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("_lagv", lag(col(valueCol), lagK).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(corr(col(valueCol), col("_lagv")).as("autocorr"),
+        count(col("_lagv")).as("n_pairs"))
+  }
+
+  /**
    * Cohort retention: assign every entity to the cohort of its first
    * active period, then count distinct entities per (cohort, period
    * offset) — the standard retention matrix. Two partial-agg groupBys

@@ -158,6 +158,16 @@ class Round3Spec extends SparkSpecBase {
     assert(math.abs(lp(2L) - expected) < 1e-12)
   }
 
+  test("autocorr: alternating series → -1, trending series → +1") {
+    val alt = (0 until 10).map(i => (1L, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val trend = (0 until 10).map(i => (2L, i.toLong, i.toDouble))
+    val df = (alt ++ trend).toDF("user_id", "ts_sec", "value")
+    val ac = Analytics.autocorr(df, Seq("user_id"), "ts_sec", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(ac(1L) - (-1.0)) < 1e-9)
+    assert(math.abs(ac(2L) - 1.0) < 1e-9)
+  }
+
   test("cohortRetention: entities counted at their first-period cohort") {
     val df = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L), (2L, 13L))
       .toDF("user_id", "day_n")
