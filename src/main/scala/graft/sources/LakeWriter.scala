@@ -47,6 +47,23 @@ object LakeWriter {
     spark.read.parquet(path)
 
   /**
+   * Per-partition file profile: file count, row count, and min/max rows
+   * per file for every partition directory — the small-file detector
+   * that decides WHICH partitions [[compact]] should rewrite. One scan
+   * (`input_file_name` groupBy, partial-agg'd); no filesystem listing
+   * loops on the driver.
+   */
+  def fileProfile(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("partition_dir",
+        regexp_extract(col("file"), "^(.*)/[^/]+$", 1))
+      .groupBy("partition_dir")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        min("n_rows").as("min_file_rows"), max("n_rows").as("max_file_rows"))
+
+  /**
    * Compact a lake in place: rewrite every partition down to
    * `filesPerPartition` files. Streaming appends and incremental runs
    * accumulate small files (each micro-batch/task writes its own);

@@ -158,6 +158,24 @@ class Round3Spec extends SparkSpecBase {
     assert(math.abs(lp(2L) - expected) < 1e-12)
   }
 
+  test("fileProfile detects small files; compact resolves them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile").toFile.getPath
+    val rows = (1 to 100).map(i => (i.toLong, "2024", "01", f"${i % 2 + 1}%02d"))
+      .toDF("id", "year", "month", "day")
+    // two appends — the micro-batch pattern that accumulates small files
+    for (_ <- 1 to 2)
+      rows.write.mode("append")
+        .partitionBy("year", "month", "day").parquet(dir)
+    val before = graft.sources.LakeWriter.fileProfile(spark, dir)
+    assert(before.count() === 2) // two day partitions
+    assert(before.agg(max("n_files")).head.getLong(0) >= 2)
+    assert(before.agg(sum("n_rows")).head.getLong(0) === 200L)
+    graft.sources.LakeWriter.compact(spark, dir)
+    val after = graft.sources.LakeWriter.fileProfile(spark, dir)
+    assert(after.agg(max("n_files")).head.getLong(0) === 1L)
+    assert(after.agg(sum("n_rows")).head.getLong(0) === 200L)
+  }
+
   test("autocorr: alternating series → -1, trending series → +1") {
     val alt = (0 until 10).map(i => (1L, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
     val trend = (0 until 10).map(i => (2L, i.toLong, i.toDouble))
