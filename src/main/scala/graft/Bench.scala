@@ -33,9 +33,17 @@ object Bench {
     Seq("events", "documents", "embeddings", "lineitem", "customer",
       "nation", "region").foreach(t => Tables.table(spark, sfDir, t).count())
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // a missing warmup dir would silently downgrade every query to a cold
+    // (mis-)measurement while still reporting it as warm — fail fast
+    if (!new java.io.File(warmDir).isDirectory)
+      sys.error(s"[bench] warmup dataset dir does not exist: $warmDir " +
+        "(set SPARK_GRAFT_WARM_DIR); refusing to time cold plans as warm")
+    // NonFatal only: an OOM or interrupt during warmup must abort the
+    // bench, not be swallowed and mis-measured
+    import scala.util.control.NonFatal
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       CacheScope.scoped {
-        try fn(spark, warmDir).count() catch { case e: Throwable =>
+        try fn(spark, warmDir).count() catch { case NonFatal(e) =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
         }
       }
@@ -47,7 +55,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = CacheScope.scoped {
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        try { fn(spark, sfDir).count(); true } catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed += name
           false
@@ -62,7 +70,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // also land the JSON in a file: stdout capture has been observed to
+    // truncate the tail under load, silently dropping per-query timings
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -291,8 +291,10 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numPerms = 128, bands = 32, threshold = 0.7)),
 
+    // measured gate: banded simhash join vs brute-force bit_count(xor)
+    // all-pairs over the same signatures — diff counts must be zero
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.simhashParity(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
 
     "q_dedup_cosine" -> ((s, dir) =>
@@ -306,10 +308,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // measured gate: LSH retrieval scored against the exact brute-force
+    // top-k — per-query recall is computed in-engine and hash-checked
+    // against an oracle that replicates the hyperplane buckets
     "q_ann_lsh" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      Similarity.lshTopK(em, em.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
+      val q = em.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(em, q, "vec_id", "embedding", k = 5, dim = 64)
+      val brute = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(lsh, brute, q.select(col("vec_id").as("query_id")), 5)
+        .select(col("query_id"), col("n_retrieved"), col("n_true"),
+          r3(col("recall")).as("recall_at_5"))
     }),
 
     // --- text analysis ---
@@ -329,10 +338,10 @@ object SparkEntry {
       Text.languageId(Tables.documents(s, dir), "text")
         .groupBy("lang_id").agg(count(lit(1)).as("n"))),
 
+    // measured gate: winnowing soundness + count bounds + content-
+    // determinism, all oracle-derivable without replicating the hash
     "q_fingerprint" -> ((s, dir) =>
-      Text.fingerprint(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
-          array_min(col("fingerprints")).as("fp_min"))),
+      Text.fingerprintGate(Tables.documents(s, dir), "doc_id", "text")),
 
     // --- dedup clustering (keep-one-per-cluster) ---
     "q_dedup_cluster" -> ((s, dir) =>
@@ -434,11 +443,16 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       Text.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)),
 
-    // --- IVF ANN (data-adaptive cells; approximate → rows-only) ---
+    // --- IVF ANN: measured recall gate at nProbe < nCells; the oracle
+    // replicates the full quantizer (md5 centroid pick is cross-engine) ---
     "q_ann_ivf" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(em, em.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
+      val q = em.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(em, q, "vec_id", "embedding", k = 5)
+      val brute = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ivf, brute, q.select(col("vec_id").as("query_id")), 5)
+        .select(col("query_id"), col("n_retrieved"), col("n_true"),
+          r3(col("recall")).as("recall_at_5"))
     }),
 
     // --- analytics: top-N / transitions / distributions ---
@@ -787,9 +801,82 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
 
-    // q_hash_key, q_dedup_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint:
-    // engine-specific hashes / approximate buckets → rows-only checks
-    // (intentionally no SQL).
+    // q_hash_key: engine-specific hash output → rows-only check
+    // (intentionally no SQL). The other formerly-rows-only queries now
+    // carry measured gates: q_dedup_simhash / q_fingerprint emit
+    // oracle-derivable invariants computed in-engine, q_ann_lsh /
+    // q_ann_ivf emit recall rows whose oracle replicates the full
+    // approximate pipeline (cross-engine md5 pick / literal planes).
+
+    "q_dedup_simhash" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |       CAST(0 AS BIGINT) AS n_missed,
+        |       CAST(0 AS BIGINT) AS n_extra""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, TRUE AS sound, TRUE AS in_bounds,
+        |       CAST(1 AS INTEGER) AS n_fp_sets FROM documents""".stripMargin,
+
+    "q_ann_lsh" -> {
+      val bucketCols = lshBucketSqls("v").zipWithIndex
+        .map { case (e, t) => s"$e AS b$t" }.mkString(",\n")
+      val tableJoins = lshBucketSqls("v").indices.map { t =>
+        s"""SELECT qb.query_id, c.vec_id AS cand_id
+           |FROM bk c JOIN qb ON c.b$t = qb.b$t AND qb.query_id <> c.vec_id"""
+          .stripMargin.replace("\n", " ")
+      }.mkString("\n    UNION\n    ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, $bucketCols FROM v),
+         |qb AS (SELECT vec_id AS query_id, ${lshBucketSqls("v").indices.map(t => s"b$t").mkString(", ")} FROM bk WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
+         |pairs AS (
+         |    $tableJoins
+         |),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT p.query_id, p.cand_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY ${cosSql("q.vq", "cv.v")} DESC, p.cand_id ASC) AS rnk
+         |    FROM pairs p JOIN q ON q.query_id = p.query_id
+         |                 JOIN v cv ON cv.vec_id = p.cand_id
+         |  ) WHERE rnk <= 5),
+         |$BruteTop5Cte,
+         |$RecallTailSql""".stripMargin
+    },
+
+    "q_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (
+         |  SELECT v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 16),
+         |assign AS (
+         |  SELECT cand_id, v, nrm, cell FROM (
+         |    SELECT b.vec_id AS cand_id, b.v AS v,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrm, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c
+         |  ) WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, vq, nrmq, cell FROM (
+         |    SELECT b.vec_id AS query_id, b.v AS vq,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrmq, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c WHERE b.vec_id < 10
+         |  ) WHERE rn <= 4),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT p.query_id, a.cand_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY ${dotSql("p.vq", "a.v")} / (p.nrmq * a.nrm) DESC,
+         |                      a.cand_id ASC) AS rnk
+         |    FROM assign a JOIN probe p ON a.cell = p.cell AND p.query_id <> a.cand_id
+         |  ) WHERE rnk <= 5),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
+         |$BruteTop5Cte,
+         |$RecallTailSql""".stripMargin,
 
     "q_dedup_jaccard" -> JaccardSql,
 
@@ -1007,8 +1094,10 @@ object SparkEntry {
         |  FROM events GROUP BY 1
         |)
         |SELECT event_id,
-        |       floor(((value - s / n) /
-        |         sqrt((sq - s * s / n) / (n - 1)))*1000 + 0.5)/1000 AS z
+        |       CASE WHEN sqrt((sq - s * s / n) / (n - 1)) = 0 THEN NULL
+        |            ELSE floor(((value - s / n) /
+        |              sqrt((sq - s * s / n) / (n - 1)))*1000 + 0.5)/1000
+        |       END AS z
         |FROM events JOIN st USING (user_id) WHERE n >= 2""".stripMargin,
 
     "q_histogram" ->
@@ -1244,6 +1333,47 @@ object SparkEntry {
        | / (sqrt(list_reduce(list_transform($a, (x,i) -> x * $a[i]), (x,y) -> x + y))
        |  * sqrt(list_reduce(list_transform($b, (x,i) -> x * $b[i]), (x,y) -> x + y))))"""
       .stripMargin.replace("\n", " ")
+
+  /** Strict left-fold dot product (same IEEE accumulation order as the
+   * graft DotProduct kernel). `b` may be a literal DuckDB list. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x,i) -> x * $b[i]), (x,y) -> x + y)"
+
+  /** The same deterministic hyperplane tables lshTopK(seed=42, nPlanes=4,
+   * nTables=8) uses, rendered as DuckDB list literals — the oracle
+   * reproduces the exact per-table bucket strings (Double.toString
+   * round-trips bit-exactly in both engines). Returns one bucket
+   * expression per table. */
+  private def lshBucketSqls(v: String): Seq[String] =
+    operators.Similarity.lshTables(nPlanes = 4, nTables = 8, dim = 64, seed = 42L)
+      .map(_.map { p =>
+        val lst = p.map(_.toString).mkString("([", ",", "])")
+        s"(CASE WHEN ${dotSql(v, lst)} >= 0 THEN '1' ELSE '0' END)"
+      }.mkString("concat(", ", ", ")"))
+
+  /** Exact brute-force top-5 CTE body (expects CTEs `v` and `q`). */
+  private val BruteTop5Cte =
+    s"""brute AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.query_id, c.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q.vq", "c.v")} DESC, c.vec_id ASC) AS rnk
+       |    FROM v c CROSS JOIN q WHERE q.query_id <> c.vec_id
+       |  ) WHERE rnk <= 5)""".stripMargin
+
+  /** Recall@5 tail shared by the ANN oracles (expects CTEs `q`, `approx`,
+   * `brute`). */
+  private val RecallTailSql =
+    """st AS (
+      |  SELECT l.query_id, COUNT(*) AS n_retrieved,
+      |         CAST(SUM(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      |  FROM approx l LEFT JOIN brute b
+      |    ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+      |  GROUP BY l.query_id)
+      |SELECT q.query_id, coalesce(st.n_retrieved, 0) AS n_retrieved,
+      |       coalesce(st.n_true, 0) AS n_true,
+      |       floor((coalesce(st.n_true, 0) / 5.0)*1000 + 0.5)/1000 AS recall_at_5
+      |FROM q LEFT JOIN st ON q.query_id = st.query_id""".stripMargin
 
   /** Shared CTEs: per-doc distinct word-3-gram sets and co-occurring pair
    * intersection counts via an inverted index (equivalent to the all-pairs

@@ -51,6 +51,12 @@ object Analytics {
    * squares / count — explicit arithmetic instead of engine-native
    * variance so any SQL engine reproduces the identical doubles:
    * std = sqrt((sum_sq - sum²/n) / (n-1)).
+   *
+   * A group of identical values has std = 0; the z is explicitly null
+   * there (Spark's 0/0 is null but IEEE engines give NaN/inf — an
+   * oracle divergence and a NaN source if left implicit). The explicit-
+   * sums formula cancels catastrophically when |mean| >> spread; callers
+   * standardizing large-offset data should center first.
    */
   def zscore(df: DataFrame, groupKeys: Seq[String], valueCol: String,
              outCol: String = "z"): DataFrame = {
@@ -61,7 +67,7 @@ object Analytics {
     val n = count(v).over(w).cast("double")
     val mean = s / n
     val std = sqrt((sq - s * s / n) / (n - 1))
-    df.withColumn(outCol, (v - mean) / std)
+    df.withColumn(outCol, when(std === 0, lit(null)).otherwise((v - mean) / std))
   }
 
   /**

@@ -219,16 +219,35 @@ object Dedup {
     var labels = graft.CacheScope.persist(
       edges.groupBy("src").agg(min("dst").as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("lbl")))
-    // labels only ever DECREASE under min-propagation, so the loop has
-    // converged iff sum(lbl) is unchanged — one aggregate action per round
-    // (which also materializes the round's cache) replaces the
-    // checkpoint-then-count pair of jobs
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // empty pair set → sum is NULL → treat as zero (converged instantly)
-      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+    // labels only ever DECREASE under min-propagation, so for integral id
+    // types the loop has converged iff sum(lbl) is unchanged — one
+    // aggregate action per round (which also materializes the round's
+    // cache). The sum test is ONLY sound when the cast to decimal(38,0)
+    // is exact: string/UUID ids cast to null (sum would read "converged"
+    // after one round, silently wrong) and fractional doubles truncate.
+    // For those types — and whenever a decimal overflow nulls the sum on
+    // a non-empty frame — fall back to an exact changed-label check.
+    val sumSafe = {
+      import org.apache.spark.sql.types._
+      labels.schema("lbl").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0 => true
+        case _ => false
+      }
     }
-    var prevSum = labelSum(labels)
+    // None = sum unusable this round (overflow on a non-empty frame)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head
+      val s = r.getDecimal(0)
+      if (r.getLong(1) == 0L) Some(java.math.BigDecimal.ZERO)
+      else Option(s)
+    }
+    // exact fallback: any node whose label changed this round?
+    def anyLabelChanged(prev: DataFrame, next: DataFrame): Boolean =
+      !next.join(prev.withColumnRenamed("lbl", "prev_lbl"), "id")
+        .filter(col("lbl") =!= col("prev_lbl")).isEmpty
+    var prevSum = if (sumSafe) labelSum(labels) else None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -238,11 +257,19 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
       val updated = graft.CacheScope.persist(
         labels.union(prop).groupBy("id").agg(min("lbl").as("lbl")))
-      val newSum = labelSum(updated)
+      converged = if (sumSafe) {
+        val newSum = labelSum(updated) // also materializes the cache
+        val c = (newSum, prevSum) match {
+          case (Some(a), Some(b)) => a.compareTo(b) == 0
+          case _ => !anyLabelChanged(labels, updated)
+        }
+        prevSum = newSum
+        c
+      } else {
+        !anyLabelChanged(labels, updated) // materializes via the join action
+      }
       labels.unpersist(false)
       labels = updated
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("cluster_id"))
@@ -395,5 +422,35 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Measured parity gate for [[simhashNearDup]]: the banded candidate
+   * generation is provably lossless for maxHamming < #bands (pigeonhole)
+   * and every candidate is verified with bit_count(xor) — this operator
+   * MEASURES that claim instead of assuming it. It computes the pair set
+   * both ways — banded equi-join vs brute-force all-pairs over the same
+   * signatures — and emits ONE row of diff counts that an external
+   * oracle can assert to be zero without knowing the engine's hash
+   * function. The all-pairs side is quadratic BY DESIGN (it is the
+   * ground truth; run at gate scale, never at production scale).
+   */
+  def simhashParity(docs: DataFrame, idCol: String, textCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    val sh = graft.CacheScope.persist(simhash(docs, idCol, textCol))
+    val banded = graft.CacheScope.persist(
+      simhashNearDup(docs, idCol, textCol, maxHamming)
+        .select("id_a", "id_b"))
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    val brute = graft.CacheScope.persist(
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+        .select("id_a", "id_b"))
+    val missed = brute.join(banded, Seq("id_a", "id_b"), "left_anti")
+    val extra = banded.join(brute, Seq("id_a", "id_b"), "left_anti")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
   }
 }

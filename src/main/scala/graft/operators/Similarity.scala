@@ -32,7 +32,14 @@ object Similarity {
    * independently (and small blocks broadcast).
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       blockCols: Seq[String], threshold: Double): DataFrame = {
+                       blockCols: Seq[String], threshold: Double,
+                       allowUnblocked: Boolean = false): DataFrame = {
+    // an empty blockCols means an exact all-pairs cross join — quadratic
+    // in |df| and never what you want at scale. Make it an explicit
+    // opt-in instead of a silent degradation.
+    require(blockCols.nonEmpty || allowUnblocked,
+      "embeddingNearDup with empty blockCols is an unblocked all-pairs " +
+        "cross join (quadratic); pass allowUnblocked = true to opt in")
     // norms are computed once per vector, not once per pair; the product
     // sqrt(aa)*sqrt(bb) is the same IEEE ops as inline cosine
     val base = df.select((idCol +: vecCol +: blockCols).map(col): _*)
@@ -86,12 +93,38 @@ object Similarity {
     }.reduce(concat(_, _))
 
   /**
+   * Recall@k of an approximate top-k retrieval against an exact ground
+   * truth: per query, how many of the true top-k the approximate path
+   * returned. This is the measured gate for the ANN variants — recall is
+   * COMPUTED inside the engine (one hashable row per query), never
+   * assumed from theory. `queries` supplies the query-id universe so
+   * queries whose approximate retrieval came back empty still emit a
+   * (zero-recall) row instead of vanishing.
+   */
+  def recallAtK(retrieved: DataFrame, truth: DataFrame,
+                queries: DataFrame, k: Int): DataFrame = {
+    val hits = retrieved.select("query_id", "cand_id")
+      .join(truth.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_true"))
+    queries.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (coalesce(col("n_true"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
+  /**
    * IVF (inverted-file) ANN: a coarse quantizer of `nCentroids` cells;
    * candidates live in their nearest cell, queries probe their `nProbe`
    * nearest cells and rank only those cells' members.
    *
    * Centroids are `nCentroids` deterministically hash-picked vectors
-   * (smallest xxhash64(id) — stable across runs). They travel as a
+   * (smallest md5(id) — stable across runs AND across engines, so an
+   * external SQL oracle can reproduce the exact same quantizer; md5,
+   * unlike xxhash64, is bit-identical everywhere). They travel as a
    * BROADCAST side of the assignment join, not as plan literals — the
    * plan size stays O(1) in nCentroids, so a 4096-cell quantizer at
    * 100 TB compiles exactly like the 16-cell test shape. Assignment is
@@ -106,13 +139,15 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
     // coarse quantizer: nCentroids hash-picked vectors; cell id = rank in
-    // hash order (16 rows — the single-partition window is trivial)
-    val cent = base
-      .withColumn("h", xxhash64(col("cand_id")))
+    // hash order (16 rows — the single-partition window is trivial).
+    // Persisted: it feeds TWO broadcast joins below, and without the
+    // persist each broadcast recomputes the full candidate scan + top-k.
+    val cent = graft.CacheScope.persist(base
+      .withColumn("h", md5(col("cand_id").cast("string")))
       .orderBy("h").limit(nCentroids)
       .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
       .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
-      .drop("h")
+      .drop("h"))
 
     // nearest cell per candidate: broadcast the centroids, score, argmax.
     // Partial aggregation collapses the ×nCentroids expansion back to one
@@ -157,28 +192,59 @@ object Similarity {
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(avg(col("col")).as("mean"))
 
+  /** The plane set of LSH table `t` when `nTables` tables of `nPlanes`
+   * planes are drawn from one seeded stream — shared with the oracle
+   * generator so an external engine reproduces the exact buckets. */
+  def lshTables(nPlanes: Int, nTables: Int, dim: Int,
+                seed: Long): Seq[Seq[Array[Double]]] =
+    hyperplanes(nPlanes * nTables, dim, seed).grouped(nPlanes).toSeq
+
   /**
-   * LSH-bucketed ANN: queries only rank against candidates that share
-   * their random-hyperplane sign bucket — at scale this turns the cross
-   * join into an equi-join on the bucket key (shuffle both sides by
-   * bucket, rank inside). Approximate: recall < 1 near bucket walls.
+   * Multi-table LSH ANN: `nTables` independent random-hyperplane hash
+   * tables of `nPlanes` sign bits each; a candidate is ranked for a
+   * query iff they share a bucket in AT LEAST ONE table (classic
+   * amplification — per-table collision prob p becomes 1-(1-p)^L).
+   * Each table's probe is an equi-join on (table, bucket); the unioned
+   * candidate pairs are deduped before the exact cosine ranking, so a
+   * pair colliding in several tables is scored once.
+   *
+   * Scale shape: the candidate side carries ×nTables rows into the
+   * bucket join (the standard LSH space/recall trade) and the join key
+   * (table, bucket) keeps every table's buckets co-partitioned in ONE
+   * shuffle. On a corpus with real near-dup structure (cos ≥ 0.9),
+   * wider buckets (nPlanes 8–16) keep candidate sets tiny at high
+   * recall; uniformly random vectors are the adversarial case — recall
+   * there is bought mostly by candidate volume. q_ann_lsh MEASURES the
+   * achieved recall@k against the brute-force truth rather than
+   * assuming it.
+   *
+   * `dim` is the embedding dimensionality, supplied by the caller: an
+   * eager `.head()` probe here would run a hidden job during plan
+   * construction and fail outright on empty input.
    */
   def lshTopK(candidates: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(nPlanes, dim, seed)
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              nPlanes: Int = 4, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val tables = lshTables(nPlanes, nTables, dim, seed)
     val cand = candidates.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-      .withColumn("bucket", lshBucket(col("v_c"), planes))
-    val qry = queries.select(col(idCol).as("query_id"),
+    val qry = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("v_q"))
-      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
-      .withColumn("bucket", lshBucket(col("v_q"), planes))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    cand.join(broadcast(qry), "bucket")
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q")))))
+    def buckets(vcol: String): Column = explode(array(
+      tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("t"), lshBucket(col(vcol), planes).as("b"))
+      }: _*))
+    val candB = cand.withColumn("tb", buckets("v_c"))
+      .select(col("cand_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qryB = qry.withColumn("tb", buckets("v_q"))
+      .select(col("query_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val pairs = candB.join(broadcast(qryB), Seq("t", "b"))
       .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    pairs.join(cand, "cand_id").join(broadcast(qry), "query_id")
       .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -298,4 +298,39 @@ object Text {
       .otherwise(hashes)
     df.withColumn(outCol, array_distinct(windows))
   }
+
+  /**
+   * Measured property gate for [[fingerprint]] — the winnowing output is
+   * engine-hash-specific, so instead of comparing raw fingerprints an
+   * external oracle asserts three properties this query COMPUTES:
+   *  - `sound`: every fingerprint is the hash of some k-gram of the doc
+   *    (no fabricated minima);
+   *  - `in_bounds`: the fingerprint count lies in [min(1, #windows),
+   *    #windows] — winnowing keeps one minimum per window, distinct;
+   *  - `n_fp_sets`: all docs with identical text produce the identical
+   *    fingerprint set (deterministic function of content — the
+   *    reproducibility contract a dedup pipeline relies on).
+   * All three are oracle-derivable constants (true / true / 1) for every
+   * document, so the gate is hashable without replicating the hash.
+   */
+  def fingerprintGate(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, w: Int = 4): DataFrame = {
+    val hashes = transform(wordShingles(col(textCol), k), s => xxhash64(s))
+    val wText = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
+    fingerprint(df, textCol, k, w)
+      .withColumn("kgram_hashes", hashes)
+      .withColumn("n_fp", size(col("fingerprints")))
+      .withColumn("n_windows",
+        when(size(col("kgram_hashes")) >= w,
+          size(col("kgram_hashes")) - w + 1)
+          .otherwise(size(col("kgram_hashes"))))
+      .withColumn("sound",
+        size(array_except(col("fingerprints"), col("kgram_hashes"))) === 0)
+      .withColumn("in_bounds",
+        col("n_fp") <= col("n_windows") &&
+          col("n_fp") >= least(col("n_windows"), lit(1)))
+      .withColumn("n_fp_sets",
+        size(collect_set(col("fingerprints")).over(wText)))
+      .select(col(idCol), col("sound"), col("in_bounds"), col("n_fp_sets"))
+  }
 }

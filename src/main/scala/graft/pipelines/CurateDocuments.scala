@@ -43,11 +43,16 @@ object CurateDocuments {
     // 3. annotate + floor quality (composite score AND token entropy —
     //    near-constant boilerplate dies here even when long enough to
     //    pass the length terms), scrub, split
+    // entropy is LEFT-joined with a 0.0 default: a doc that tokenizes to
+    // zero tokens has no entropy row, and an inner join would silently
+    // drop it regardless of the configured floor — whether it survives
+    // must be governed by minEntropy, not by the join shape
     val entropy = Text.tokenEntropy(kept, cfg.idCol, cfg.textCol)
       .withColumnRenamed("id", cfg.idCol)
     val scored = Text.languageId(
       Text.qualityScore(kept, cfg.textCol), cfg.textCol)
-      .join(entropy, cfg.idCol)
+      .join(entropy, Seq(cfg.idCol), "left")
+      .withColumn("entropy", coalesce(col("entropy"), lit(0.0)))
       .filter(col("quality_score") >= cfg.minQuality &&
         col("entropy") >= cfg.minEntropy)
     Sampling.splitAssign(

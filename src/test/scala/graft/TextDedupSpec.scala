@@ -104,7 +104,7 @@ class TextDedupSpec extends SparkSpecBase {
   test("lshTopK results are a subset-ranking consistent with brute force") {
     val em = Tables.embeddings(spark, sfDir)
     val q = em.filter(col("vec_id") < 5)
-    val lsh = Similarity.lshTopK(em, q, "vec_id", "embedding", k = 3)
+    val lsh = Similarity.lshTopK(em, q, "vec_id", "embedding", k = 3, dim = 64)
       .select("query_id", "cand_id").as[(Long, Long)].collect()
     assert(lsh.nonEmpty)
     // every query finds only same-bucket candidates; sanity: no self matches
