@@ -16,13 +16,19 @@ object Cleanse {
    * drop unparseable rows, derive year/month/day partition columns
    * (reference: utils/common_functions_raw.py:20 parse_base_datetime).
    */
-  def parseTimestamps(df: DataFrame, inputCol: String = "ts"): DataFrame = {
+  def parseTimestamps(df: DataFrame, inputCol: String = "ts",
+                      dominantFormat: String = "yyyy-MM-dd'T'HH:mm:ss"): DataFrame = {
     val stripped = regexp_extract(
       regexp_replace(col(inputCol), "Z$", ""),
       "^(.+?)([+-]\\d{2}:\\d{2})?$", 1)
     // try_to_timestamp: null on mismatch (ANSI-safe), mirroring the
-    // reference's permissive multi-format coalesce
+    // reference's permissive multi-format coalesce. The dominant format
+    // is tried FIRST on the raw string — coalesce short-circuits in
+    // codegen, so well-formed rows (the overwhelming majority of a real
+    // feed) never pay the two regex normalizations; only rows the fast
+    // path nulls out fall through to the zone-stripping chain.
     val parsed = coalesce(
+      try_to_timestamp(col(inputCol), lit(dominantFormat)),
       try_to_timestamp(stripped, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
       try_to_timestamp(stripped, lit("yyyy-MM-dd'T'HH:mm:ss")),
       try_to_timestamp(col(inputCol), lit("yyyy-MM-dd HH:mm:ss")))

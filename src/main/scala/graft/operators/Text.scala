@@ -62,16 +62,23 @@ object Text {
    * pick the max (ties resolved by [[Markers]] order); no hits → "und".
    */
   def languageId(df: DataFrame, textCol: String, outCol: String = "lang_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = Markers.foldLeft(df) { case (acc, (lang, words)) =>
-      acc.withColumn(s"score_$lang", size(filter(toks, tk => tk.isin(words: _*))))
+    // tokenize ONCE into a materialized column: inlining the split into
+    // each language's filter made every language re-split the text
+    // (5× the work; CollapseProject keeps a multiply-referenced non-cheap
+    // expression in its own Project, so this genuinely computes once)
+    val tokCol = "__lang_toks"
+    val toks = col(tokCol)
+    val scored = Markers.foldLeft(df.withColumn(tokCol, tokens(col(textCol)))) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"score_$lang", size(filter(toks, tk => tk.isin(words: _*))))
     }
     val langs = Markers.map(_._1)
     val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
     val pick = langs.foldRight(lit("und"): Column) { (l, els) =>
       when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(els)
     }
-    scored.withColumn(outCol, pick).drop(langs.map(l => s"score_$l"): _*)
+    scored.withColumn(outCol, pick)
+      .drop(tokCol +: langs.map(l => s"score_$l"): _*)
   }
 
   /** PII patterns shared by the Spark operator and the SQL oracle —
