@@ -241,11 +241,20 @@ object SparkEntry {
       ev(s, dir).select(col("event_id"),
         Geo.geohash(col("lat"), col("lon"), 6).as("gh"))),
 
+    // real PNG encode→decode roundtrip through javax.imageio: decoded
+    // header dims, gray-channel sum, and a per-pixel content check, all
+    // predictable from doc_id by the SQL oracle
     "q_multimodal" -> ((s, dir) =>
-      Multimodal.decodeFeatures(
-          Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text", "text/plain"))
-        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
-          element_at(col("features"), 1).as("first_feature"))),
+      Multimodal.imageFeatures(
+          Multimodal.packImages(Tables.documents(s, dir), "doc_id"),
+          verifyPixel = Some(Multimodal.referencePixel))
+        .select("doc_id", "width", "height", "n_pixels", "pixel_sum", "px_ok")),
+
+    // stride-2 frame sampling over a length-prefixed multi-frame payload;
+    // unsampled frames are byte-skipped, sampled ones really decoded
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.packFrames(Tables.documents(s, dir), "doc_id"), stride = 2)),
 
     "q_spatial_grid" -> ((s, dir) =>
       ev(s, dir)
@@ -771,13 +780,30 @@ object SparkEntry {
     // published fixture values)
     "q_geohash" -> GeohashSql,
 
-    // Multimodal stub decode: byte/frame counts and the first sampled
-    // "frame" byte are all predictable from the payload in SQL.
+    // Synthetic-image contract: dims and every pixel are pure functions
+    // of doc_id (row y is constant gray (doc_id+y)%256), so the oracle
+    // predicts the decoded header dims, pixel sum, and the roundtrip
+    // verification bit without touching a codec.
     "q_multimodal" ->
-      """SELECT doc_id, strlen(text) AS n_bytes,
-        |       CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames,
-        |       (ord(substr(text, 1, 1))::DOUBLE / 255.0)::FLOAT AS first_feature
-        |FROM documents""".stripMargin,
+      """WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+        |                     CAST(8 + doc_id % 8 AS INT) AS h FROM documents),
+        |ys AS (SELECT y FROM range(0, 24) t(y)),
+        |rs AS (SELECT d.doc_id, SUM((d.doc_id + y.y) % 256) AS rowsum
+        |       FROM dims d JOIN ys y ON y.y < d.h GROUP BY d.doc_id)
+        |SELECT d.doc_id, d.w AS width, d.h AS height, d.w * d.h AS n_pixels,
+        |       CAST(d.w * r.rowsum AS BIGINT) AS pixel_sum, TRUE AS px_ok
+        |FROM dims d JOIN rs r USING (doc_id)""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n_frames
+        |           FROM documents),
+        |fs AS (SELECT i FROM range(0, 4) t(i)),
+        |s AS (SELECT f.doc_id, CAST(COUNT(*) AS INT) AS n_sampled,
+        |             CAST(SUM((f.doc_id * 7 + fs.i * 11) % 256) AS BIGINT) AS sampled_sum
+        |      FROM f JOIN fs ON fs.i < f.n_frames AND fs.i % 2 = 0
+        |      GROUP BY f.doc_id)
+        |SELECT f.doc_id, f.n_frames, s.n_sampled, s.sampled_sum
+        |FROM f JOIN s USING (doc_id)""".stripMargin,
 
     "q_spatial_grid" ->
       s"""$EvCte
@@ -913,8 +939,9 @@ object SparkEntry {
         |  SELECT doc_id, length(text) AS n_chars,
         |         len(string_split(text, ' ')) AS n_tokens,
         |         length(text)::DOUBLE / len(string_split(text, ' ')) AS avg_token_len,
-        |         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
-        |           / length(text) AS punct_ratio,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+        |                   / length(text) END AS punct_ratio,
         |         len(list_filter(string_split(text, ' '),
         |           t -> t IN ('the','a','and','of','to','in','is')))::DOUBLE
         |           / len(string_split(text, ' ')) AS stopword_ratio

@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * Multimodal-column plumbing: media as opaque `binary` columns with a
- * typed metadata struct, decoded/feature-extracted in distributed batch
- * form via `mapPartitions`.
+ * Multimodal columns: media as opaque `binary` columns with a typed
+ * metadata struct, decoded/feature-extracted in distributed batch form
+ * via `mapPartitions` (per-partition codec setup amortizes across rows —
+ * the same batch shape a `mapInPandas`/Arrow implementation uses, minus
+ * the Python hop).
  *
- * The actual codecs (image decode, audio resample, video frame-sample)
- * are STUBBED with a deterministic fake — this container ships no media
- * libraries — but everything Spark-side is real and tested: schema,
- * binary packing, partition-level batching, frame-sampling arithmetic,
- * and the row shape a Pandas-UDF/Arrow implementation would use.
+ * The image path is a REAL codec: PNG encode/decode through
+ * `javax.imageio` (JDK-standard, no external dependency), with
+ * header-dims extraction, pixel aggregation, nearest-neighbor resize
+ * features, and stride-based frame sampling over a length-prefixed
+ * multi-frame payload. [[decodeFeatures]] remains the codec-agnostic
+ * byte-stream path for formats with no JVM decoder.
  */
 object Multimodal {
 
@@ -78,6 +81,212 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         val (frames, checksum, features) = decodeStub(bytes)
         Row(id, bytes.length, frames, checksum, features)
+      }
+    }(encoder)
+  }
+
+  // ---------------------------------------------------------------------
+  // Real image codec (javax.imageio, JDK-standard)
+  // ---------------------------------------------------------------------
+
+  /** Grayscale value of pixel (x, y) of the synthetic image for `docId` —
+   * shared by the renderer, the decode verifier, and (in SQL form) the
+   * external oracle: every row y is the constant (docId + y) mod 256. */
+  def referencePixel(docId: Long, x: Int, y: Int): Int =
+    ((docId + y) % 256).toInt
+
+  /** Dimensions of the synthetic image for `docId` (SQL-derivable). */
+  def referenceDims(docId: Long): (Int, Int) =
+    (16 + (docId % 16).toInt, 8 + (docId % 8).toInt)
+
+  /** Deterministic synthetic PNG whose dims and pixels are pure
+   * functions of the id — real bytes through the real PNG encoder, so
+   * decoding them exercises the actual codec, while an external oracle
+   * can still predict every decoded value from the id alone. */
+  def renderPng(docId: Long): Array[Byte] = {
+    val (w, h) = referenceDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val g = referencePixel(docId, 0, y)
+      val rgb = (g << 16) | (g << 8) | g
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic PNG per row, packed as the opaque binary media column
+   * (what an ingest of real image files lands as). Rendering runs
+   * distributed in `mapPartitions` — the driver never sees a pixel. */
+  def packImages(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, renderPng(id))))
+      .toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        lit("image/png").as("kind"),
+        octet_length(col("media")).as("n_bytes"),
+        lit("png").as("codec")))
+  }
+
+  /** Output schema of [[imageFeatures]]. */
+  val ImageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", IntegerType),
+    StructField("pixel_sum", LongType),
+    StructField("px_ok", BooleanType),
+    StructField("features", ArrayType(FloatType))))
+
+  /**
+   * REAL image decode + feature extraction: `ImageIO.read` parses the
+   * PNG, dims come from the decoded header, `pixel_sum` aggregates the
+   * gray channel (order-independent, so deterministic), `features` is a
+   * nearest-neighbor `resizeW`×`resizeH` luma thumbnail — the standard
+   * embed-ready downsample. Pass `verifyPixel` to additionally check
+   * every decoded pixel against an expected-value function (`px_ok`):
+   * the encode→decode roundtrip through the actual codec is then
+   * content-verified, not assumed. Null/undecodable media yields a
+   * null-dims row rather than killing the job (one corrupt file must
+   * not fail a 100 TB pass).
+   */
+  def imageFeatures(packed: DataFrame, resizeW: Int = 4, resizeH: Int = 4,
+                    verifyPixel: Option[(Long, Int, Int) => Int] = None): DataFrame = {
+    val spark = packed.sparkSession
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(ImageSchema)
+    packed.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(id, null, null, null, null, false, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var ok = true
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = img.getRGB(x, y) & 0xFF
+              sum += g
+              verifyPixel.foreach(f => ok &&= f(id, x, y) == g)
+              x += 1
+            }
+            y += 1
+          }
+          val features = Array.tabulate(resizeH * resizeW) { i =>
+            val (ry, rx) = (i / resizeW, i % resizeW)
+            (img.getRGB(rx * w / resizeW, ry * h / resizeH) & 0xFF) / 255.0f
+          }
+          Row(id, w, h, w * h, sum, ok, features)
+        }
+      }
+    }(encoder)
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-frame payloads (video shape): length-prefixed PNG frames
+  // ---------------------------------------------------------------------
+
+  /** Frame count of the synthetic clip for `docId` (SQL-derivable). */
+  def referenceFrameCount(docId: Long): Int = 1 + (docId % 4).toInt
+
+  /** Constant gray value of frame `f` of the clip for `docId`. */
+  def referenceFrameValue(docId: Long, f: Int): Int =
+    ((docId * 7 + f * 11) % 256).toInt
+
+  /** Render one 4×4 constant-gray frame. */
+  def renderFramePng(docId: Long, f: Int): Array[Byte] = {
+    val g = referenceFrameValue(docId, f)
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < 4) { var x = 0; while (x < 4) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Length-prefixed concatenation: [int32 len][png bytes] per frame —
+   * the framing a container-less clip payload needs so a reader can
+   * SKIP unsampled frames without decoding them. */
+  def packFrames(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = referenceFrameCount(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        (0 until n).foreach { f =>
+          val b = renderFramePng(id, f)
+          dos.writeInt(b.length)
+          dos.write(b)
+        }
+        (id, n, bos.toByteArray)
+      })
+      .toDF("doc_id", "n_frames", "media")
+      .withColumn("meta", struct(
+        lit("video/x-png-frames").as("kind"),
+        octet_length(col("media")).as("n_bytes"),
+        col("n_frames")))
+  }
+
+  /** Output schema of [[sampleFrames]]. */
+  val FrameSampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("sampled_sum", LongType)))
+
+  /**
+   * Stride frame-sampling with REAL decode of only the sampled frames:
+   * the framing lets unsampled frames be skipped byte-wise (at scale
+   * that skip is the entire point — decode cost scales with the sample,
+   * not the clip). Each sampled frame is decoded with `ImageIO.read`
+   * and summarized by its (0,0) gray value.
+   */
+  def sampleFrames(packed: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = packed.sparkSession
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(FrameSampleSchema)
+    packed.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        var f = 0
+        var sampled = 0
+        var sum = 0L
+        while (in.available() >= 4) {
+          val len = in.readInt()
+          if (f % stride == 0) {
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            sum += (img.getRGB(0, 0) & 0xFF)
+            sampled += 1
+          } else {
+            in.skipBytes(len) // unsampled frame: never decoded
+          }
+          f += 1
+        }
+        Row(id, f, sampled, sum)
       }
     }(encoder)
   }

@@ -48,8 +48,12 @@ object Text {
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
         length(t).cast("double") / nTokens)
+      // explicit zero-guard: under ANSI semantics a bare x/0 THROWS, so
+      // one empty-string doc would kill a whole pass; an empty doc has
+      // no punctuation, so 0.0 is the honest value
       .withColumn("punct_ratio",
-        length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double") / length(t))
+        when(length(t) === 0, lit(0.0)).otherwise(
+          length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double") / length(t)))
       .withColumn("stopword_ratio", stopHits.cast("double") / nTokens)
       .withColumn("quality_score",
         least(lit(1.0), col("n_tokens") / 32.0) * 0.5 +
