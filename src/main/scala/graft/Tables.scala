@@ -38,4 +38,39 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Every base table in an sf directory. */
+  val Names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /**
+   * Register the whole surface in the session catalog as EXTERNAL parquet
+   * tables (twin of the reference's athena_ddl_scripts/
+   * athena_external_tables.sql:1-135 — there every lake layer becomes an
+   * Athena-queryable external table; here every table becomes reachable
+   * from plain `spark.sql("SELECT … FROM graft.x")`). Idempotent, and
+   * re-registration re-points at a new directory. `events_ts` is a view
+   * exposing the nanos-normalized timestamp so SQL consumers never see
+   * the raw long.
+   */
+  def register(spark: SparkSession, dir: String,
+               database: String = "graft"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    Names.foreach { n =>
+      // DROP + CREATE (not IF NOT EXISTS): registration must WIN so a
+      // re-register against a different sf dir can't silently keep
+      // serving the old location
+      spark.sql(s"DROP TABLE IF EXISTS $database.$n")
+      spark.sql(
+        s"CREATE TABLE $database.$n USING PARQUET LOCATION '$dir/$n.parquet'")
+    }
+    // the external table serves the RAW schema; the view applies the
+    // normalization exactly once for every SQL consumer
+    val rawIsLong = table(spark, dir, "events").schema("ts").dataType == LongType
+    val viewTs = if (rawIsLong) "timestamp_micros(ts div 1000)" else "ts"
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $database.events_ts AS
+         |SELECT event_id, $viewTs AS ts, user_id, event_type, value, props
+         |FROM $database.events""".stripMargin)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Catalog registration: the whole table surface must be reachable from
+  * plain spark.sql through registered names (the reference registers
+  * every lake layer as Athena external tables). */
+class CatalogSpec extends SparkSpecBase {
+
+  test("register exposes every base table to spark.sql") {
+    Tables.register(spark, sfDir)
+    Tables.Names.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM graft.$n").count() > 0, s"table $n empty")
+    }
+  }
+
+  test("SQL over registered tables matches the DataFrame API result") {
+    Tables.register(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT r_name, COUNT(*) AS n FROM graft.customer c
+        |JOIN graft.nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN graft.region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaApi = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaApi)
+  }
+
+  test("events_ts view serves a real timestamp and agrees with Tables.events") {
+    Tables.register(spark, sfDir)
+    val view = spark.sql("SELECT ts FROM graft.events_ts")
+    assert(view.schema("ts").dataType === TimestampType)
+    val sqlMax = spark.sql("SELECT CAST(max(ts) AS LONG) FROM graft.events_ts").head().getLong(0)
+    val apiMax = Tables.events(spark, sfDir)
+      .agg(max(col("ts").cast("long"))).head().getLong(0)
+    assert(sqlMax === apiMax)
+  }
+
+  test("re-registration is idempotent and re-points at the new location") {
+    Tables.register(spark, sfDir)
+    val n1 = spark.sql("SELECT COUNT(*) FROM graft.lineitem").head().getLong(0)
+    Tables.register(spark, sfDir) // same dir again: no failure, same counts
+    assert(spark.sql("SELECT COUNT(*) FROM graft.lineitem").head().getLong(0) === n1)
+    // different dir: the registration must win
+    Tables.register(spark, "/root/testdata/sf0.01")
+    val n2 = spark.sql("SELECT COUNT(*) FROM graft.lineitem").head().getLong(0)
+    assert(n2 > n1, s"expected sf0.01 row count > sf0.001 ($n2 vs $n1)")
+    Tables.register(spark, sfDir) // restore for other suites
+  }
+}

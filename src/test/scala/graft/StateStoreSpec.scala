@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.StateStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The MERGE-equivalent's contract: dated round-trip idempotence,
+  * commit-marker crash safety, touched-buckets-only IO, compaction and
+  * vacuum correctness. */
+class StateStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-state").toString
+
+  private def deltas(rows: (String, Double, Long, Long)*) =
+    rows.toDF("entity", "dist", "start_sec", "end_sec")
+
+  private def stateMap(root: String, before: Option[String] = None) =
+    StateStore.read(spark, root, before).map(
+      _.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap)
+      .getOrElse(Map.empty)
+
+  private def mergeDay(root: String, day: String,
+                       d: org.apache.spark.sql.DataFrame): Unit =
+    StateStore.merge(spark, root, day, d, keys = Seq("entity"),
+      sumCols = Seq("dist"), minCols = Seq("start_sec"), maxCols = Seq("end_sec"),
+      nBuckets = 8)
+
+  test("merge accumulates across days: sums add, spans extend") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L)))
+    mergeDay(root, "2024-01-02", deltas(("a", 2.5, 250L, 300L)))
+    val got = stateMap(root)
+    assert(got("a") === ((100L, 300L, 12.5)))
+    assert(got("b") === ((50L, 60L, 5.0)))
+  }
+
+  test("re-running the same delta window is a no-op (dated round-trip idempotence)") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L)))
+    val day2 = deltas(("a", 2.5, 250L, 300L))
+    mergeDay(root, "2024-01-02", day2)
+    val first = stateMap(root)
+    // crash-and-retry / blind re-run of day 2: state must NOT double-add
+    mergeDay(root, "2024-01-02", day2)
+    assert(stateMap(root) === first)
+    assert(stateMap(root)("a")._3 === 12.5)
+  }
+
+  test("a crashed (uncommitted) write is invisible and never corrupts prior state") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L)))
+    val before = stateMap(root)
+    // simulate a writer that died after landing data but before the
+    // marker: a version dir with parquet and no _COMMITTED
+    val crashed = deltas(("a", 99.0, 1L, 2L))
+      .withColumn("bucket", lit(0))
+    crashed.write.partitionBy("bucket").parquet(s"$root/v=2024-01-02")
+    assert(stateMap(root) === before)
+    assert(StateStore.committedVersions(spark, root) === Seq("2024-01-01"))
+    // the retry rebuilds the version from scratch — stale crashed files gone
+    mergeDay(root, "2024-01-02", deltas(("a", 2.5, 250L, 300L)))
+    assert(stateMap(root)("a") === ((100L, 300L, 12.5)))
+  }
+
+  test("merge writes ONLY the buckets its delta keys hash to") {
+    val root = tmpRoot()
+    // day 1: many entities spread over buckets
+    mergeDay(root, "2024-01-01",
+      deltas((1 to 50).map(i => (s"e$i", 1.0, 0L, 10L)): _*))
+    // day 2: a single entity
+    mergeDay(root, "2024-01-02", deltas(("e1", 1.0, 20L, 30L)))
+    val day2 = new java.io.File(s"$root/v=2024-01-02")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(day2.length === 1 && day2.head.startsWith("bucket="),
+      s"day-2 merge should write exactly one bucket, wrote: $day2")
+    // and the state still covers all 50 entities
+    assert(stateMap(root).size === 50)
+    assert(stateMap(root)("e1")._3 === 2.0)
+  }
+
+  test("read(before=) gives the as-of state (time travel across versions)") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L)))
+    mergeDay(root, "2024-01-02", deltas(("a", 2.5, 250L, 300L)))
+    assert(stateMap(root, before = Some("2024-01-02"))("a")._3 === 10.0)
+    assert(stateMap(root)("a")._3 === 12.5)
+  }
+
+  test("compactSnapshot + vacuum collapse history without changing state") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L)))
+    mergeDay(root, "2024-01-02", deltas(("a", 2.5, 250L, 300L)))
+    val before = stateMap(root)
+    StateStore.compactSnapshot(spark, root, "2024-01-03", keys = Seq("entity"),
+      nBuckets = 8)
+    StateStore.vacuum(spark, root, asOf = "2024-01-03")
+    assert(stateMap(root) === before)
+    assert(StateStore.committedVersions(spark, root) === Seq("2024-01-03"))
+  }
+
+  test("empty store reads as None; first merge bootstraps it") {
+    val root = tmpRoot()
+    assert(StateStore.read(spark, root).isEmpty)
+    mergeDay(root, "2024-01-01", deltas(("a", 1.0, 0L, 1L)))
+    assert(stateMap(root)("a") === ((0L, 1L, 1.0)))
+  }
+}
