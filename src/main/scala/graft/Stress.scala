@@ -101,6 +101,36 @@ object Stress {
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nCentroids = 64, nProbe = 8).count()
     }
+    probe("ANN multi-table LSH (8x4)") {
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64).count()
+    }
+    probe(s"simhash banded ${nDocs / 1000}k docs") {
+      Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3).count()
+    }
+
+    // --- state store: 2M-key bootstrap, then a 50-key incremental merge
+    // (the touched-only contract: the small merge reads/writes ~50/512
+    // of the state, so its cost must be a small fraction of bootstrap) ---
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory("graft-stress-state").toString
+    val nKeys = 2000000L * scale
+    def stateDeltas(n: Long) = spark.range(n).select(
+      concat(lit("e"), col("id")).as("entity"),
+      lit(1.0).as("dist"),
+      (col("id") % 1000).as("start_sec"),
+      (col("id") % 1000 + 10).as("end_sec"))
+    probe(s"state-store bootstrap ${nKeys / 1000000}M keys") {
+      sources.StateStore.merge(spark, stateRoot, "2024-01-01", stateDeltas(nKeys),
+        Seq("entity"), Seq("dist"), Seq("start_sec"), Seq("end_sec"), nBuckets = 512)
+      sources.StateStore.read(spark, stateRoot).map(_.count()).getOrElse(0L)
+    }
+    probe("state-store 50-key merge") {
+      sources.StateStore.merge(spark, stateRoot, "2024-01-02", stateDeltas(50),
+        Seq("entity"), Seq("dist"), Seq("start_sec"), Seq("end_sec"), nBuckets = 512)
+      new java.io.File(s"$stateRoot/v=2024-01-02")
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    }
 
     spark.stop()
   }

@@ -103,13 +103,15 @@ object Similarity {
    */
   def recallAtK(retrieved: DataFrame, truth: DataFrame,
                 queries: DataFrame, k: Int): DataFrame = {
+    // every frame here is query-cardinality (≤ |queries|·k rows) — tiny
+    // by contract, so both joins broadcast instead of shuffling
     val hits = retrieved.select("query_id", "cand_id")
-      .join(truth.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+      .join(broadcast(truth.select(col("query_id"), col("cand_id"), lit(1).as("hit"))),
         Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_retrieved"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_true"))
-    queries.select("query_id").join(hits, Seq("query_id"), "left")
+    queries.select("query_id").join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
         coalesce(col("n_true"), lit(0L)).as("n_true"),

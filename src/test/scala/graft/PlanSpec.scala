@@ -113,4 +113,47 @@ class PlanSpec extends SparkSpecBase {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("hashed_shingles")),
       p.take(1000))
   }
+
+  test("multi-table LSH: bucket probe and rank joins broadcast the query side") {
+    val p = plan("q_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the big candidate side must never be sort-merge-shuffled against
+    // the tiny query side
+    assert(!p.contains("SortMergeJoin"), "LSH probe degraded to sort-merge")
+  }
+
+  test("IVF: centroid subplan is persisted, not recomputed per broadcast") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("InMemoryTableScan"),
+      "ivf centroids should come from the persisted frame\n" + p.take(2000))
+  }
+
+  test("lshTopK plan construction runs zero Spark jobs (no eager driver action)") {
+    val em = Tables.embeddings(spark, sfDir)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // building the plan (not running it) must not launch a job — the old
+    // implementation probed the vector dim with .head() here
+    Similarity.lshTopK(em, em.limit(5), "vec_id", "embedding", k = 3, dim = 64)
+      .queryExecution.executedPlan
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, s"plan construction launched ${after - before} job(s)")
+  }
+
+  test("StateStore bucket filter prunes partition directories at the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-state").toString
+    val deltas = {
+      import spark.implicits._
+      (1 to 40).map(i => (s"e$i", 1.0)).toDF("entity", "dist")
+    }
+    graft.sources.StateStore.merge(spark, root, "2024-01-01", deltas,
+      Seq("entity"), Seq("dist"), nBuckets = 8)
+    // a one-key delta: the merge's pruned read must hit ONE bucket dir
+    graft.sources.StateStore.merge(spark, root, "2024-01-02",
+      deltas.limit(1), Seq("entity"), Seq("dist"), nBuckets = 8)
+    val day2 = new java.io.File(s"$root/v=2024-01-02")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(day2.length === 1, s"expected 1 touched bucket, got ${day2.length}")
+  }
+
+  private val Similarity = graft.operators.Similarity
 }
