@@ -384,6 +384,24 @@ object SparkEntry {
           valFraction = 0.1, testFraction = 0.1)
         .select("doc_id", "split")),
 
+    // --- data mixing: per-stratum plan + reproducible mixed sample ---
+    "q_mixture" -> ((s, dir) =>
+      Sampling.mixturePlan(Tables.documents(s, dir), "lang", MixWeights)
+        .select(col("lang"), col("n_docs"), r3(col("fraction")).as("fraction"))),
+
+    "q_mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureSample(Tables.documents(s, dir), "doc_id", "lang", MixWeights)
+        .select("doc_id", "lang")),
+
+    // --- C4-style span-level exact dedup (keep first occurrence) ---
+    "q_span_dedup" -> ((s, dir) =>
+      Text.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanWords = 10)),
+
+    // --- sketch accuracy gate: HLL++ distinct counts within tolerance ---
+    "q_approx_distinct" -> ((s, dir) =>
+      Quality.approxDistinctGate(ev(s, dir),
+        Seq("user_id", "event_type", "value"))),
+
     // --- incremental completion heuristic ---
     "q_session_complete" -> ((s, dir) =>
       StateOps.markComplete(
@@ -1014,6 +1032,45 @@ object SparkEntry {
          |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
 
+    "q_mixture" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs, $MixWeightSql AS weight
+         |           FROM documents WHERE lang IN ($MixLangsSql) GROUP BY lang),
+         |t AS (SELECT MIN(n_docs / weight) AS t_max FROM c)
+         |SELECT lang, n_docs,
+         |       floor(least(1.0::DOUBLE, weight * t_max / n_docs)*1000 + 0.5)/1000 AS fraction
+         |FROM c, t""".stripMargin,
+
+    "q_mixture_sample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs, $MixWeightSql AS weight
+         |           FROM documents WHERE lang IN ($MixLangsSql) GROUP BY lang),
+         |t AS (SELECT MIN(n_docs / weight) AS t_max FROM c),
+         |f AS (SELECT lang, least(1.0::DOUBLE, weight * t_max / n_docs) AS fraction FROM c, t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+         |WHERE ${bucketSql("doc_id")} < floor(fraction * 10000)""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT t.doc_id, r.pos,
+        |             array_to_string(toks[(r.pos*10+1):(r.pos*10+10)], ' ') AS span
+        |      FROM t JOIN range(0, 1000) r(pos) ON r.pos <= (len(toks)-1)//10),
+        |k AS (SELECT doc_id, pos, span,
+        |             row_number() OVER (PARTITION BY span
+        |               ORDER BY doc_id, pos) AS rn
+        |      FROM c),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+        |             string_agg(span, ' ' ORDER BY pos) AS text_dedup
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.n_spans_kept, 0) AS n_spans_kept,
+        |       coalesce(g.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    "q_approx_distinct" ->
+      s"""$EvCte
+         |SELECT 'user_id' AS col_name, COUNT(DISTINCT user_id) AS n_exact,
+         |       TRUE AS approx_ok FROM e
+         |UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type), TRUE FROM e
+         |UNION ALL SELECT 'value', COUNT(DISTINCT value), TRUE FROM e""".stripMargin,
+
     "q_pack" ->
       """SELECT doc_id, lang,
         |       CAST(floor(coalesce(SUM(len(string_split(text, ' ')))
@@ -1467,6 +1524,13 @@ object SparkEntry {
    * md5(key) mod 10000 — twin of [[graft.operators.Sampling.hashBucket]]. */
   private def bucketSql(keyExpr: String): String =
     s"CAST(concat('0x', substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+  /** Data-mixing target: 50% en / 30% de / 20% fr (es/zh excluded). */
+  private val MixWeights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+  /** ::DOUBLE so DuckDB does IEEE division like Spark, not DECIMAL math. */
+  private val MixWeightSql =
+    "(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.2 END)::DOUBLE"
+  private val MixLangsSql = "'en','de','fr'"
 
   /** Bisection geohash-6, the exact IEEE ops of
    * [[graft.expressions.GeohashExpression.encode]] (midpoints are dyadic

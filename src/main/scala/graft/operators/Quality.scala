@@ -20,6 +20,31 @@ object Quality {
   }
 
   /**
+   * Measured accuracy gate for sketch-based profiling: at 100 TB the DQ
+   * pass uses `approx_count_distinct` (HyperLogLog++ — constant memory,
+   * one pass, mergeable), and this operator PROVES the sketch is within
+   * `tolerance` of the exact answer on gate data instead of trusting the
+   * rsd parameter. Emits one row per column: the exact distinct count
+   * (oracle-checkable) and the in-tolerance bit (oracle asserts TRUE).
+   * Everything is computed in ONE aggregation pass — 2·|cols| measures,
+   * not |cols| scans.
+   */
+  def approxDistinctGate(df: DataFrame, cols: Seq[String],
+                         rsd: Double = 0.01,
+                         tolerance: Double = 0.05): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"x_$c"),
+      approx_count_distinct(col(c), rsd).as(s"a_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"x_$c").as("n_exact"),
+        (abs(col(s"a_$c") - col(s"x_$c")) <=
+          col(s"x_$c").cast("double") * tolerance).as("approx_ok"))): _*)).as("s"))
+      .select("s.*")
+  }
+
+  /**
    * Exact grouped quantiles (linear interpolation at rank (n-1)·p — the
    * same definition as DuckDB's `quantile_cont`, so results are
    * oracle-comparable). Exact, not approx_percentile: profile

@@ -56,4 +56,49 @@ object Sampling {
     df.withColumn("split",
       when(b < valCut, "val").when(b < testCut, "test").otherwise("train"))
   }
+
+  /**
+   * Data-mixing plan: the per-stratum keep fractions that turn the
+   * corpus into the target mixture at the LARGEST achievable size —
+   * T = min_d(n_d / w_d) rows total, stratum d keeping w_d·T of its n_d
+   * (the stratum that binds keeps everything). This is how a pre-training
+   * run hits "50% web / 30% code / 20% books" from skewed raw pools.
+   * Strata missing from `weights` are excluded. Emits one row per
+   * stratum: (stratum, n_docs, fraction).
+   */
+  def mixturePlan(df: DataFrame, stratumCol: String,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (els, (s, w)) => when(col(stratumCol) === s, lit(w)).otherwise(els)
+    }
+    val counts = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", wCol)
+    val tMax = counts.agg(min(col("n_docs") / col("weight")).as("t_max"))
+    // clamp: the binding stratum computes w·(n/w)/n which FP-rounds to
+    // 1 ± 1ulp; a fraction must never exceed 1
+    counts.crossJoin(broadcast(tMax))
+      .select(col(stratumCol), col("n_docs"),
+        least(lit(1.0), col("weight") * col("t_max") / col("n_docs")).as("fraction"))
+  }
+
+  /**
+   * Apply a [[mixturePlan]]: deterministic md5-bucket sampling with each
+   * stratum's computed fraction (broadcast join — the plan is |strata|
+   * rows). Reproducible cross-engine like every sampler here.
+   */
+  def mixtureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                    weights: Map[String, Double],
+                    buckets: Int = DefaultBuckets): DataFrame = {
+    val plan = mixturePlan(df, stratumCol, weights)
+      .select(col(stratumCol), col("fraction"))
+    // floor, not cast: engines disagree on double→int rounding, floor is
+    // floor everywhere
+    df.join(broadcast(plan), Seq(stratumCol))
+      .filter(hashBucket(col(keyCol), buckets) <
+        floor(col("fraction") * buckets))
+      .drop("fraction")
+  }
 }

@@ -311,6 +311,48 @@ object Text {
   }
 
   /**
+   * Span-level exact dedup (the C4/RefinedWeb move: drop REPEATED SPANS
+   * from otherwise-distinct documents, not whole-doc duplicates): each
+   * doc is cut into consecutive `spanWords`-word spans, every span
+   * duplicated anywhere in the corpus keeps only its FIRST occurrence
+   * (ordered by doc id then position), and the surviving spans are
+   * reassembled in order. Boilerplate headers/footers/navigation chrome
+   * die here while the unique prose survives.
+   *
+   * Scale shape: one explode (×docLen/spanWords), one partial-agg'd
+   * groupBy on the span to find each span's first occurrence, one
+   * broadcast-or-shuffle semi join back, one groupBy to reassemble —
+   * no windows over the whole corpus, no driver involvement.
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanWords: Int = 10): DataFrame = {
+    val toks = tokens(col(textCol))
+    // integer span count: Column./ is IEEE division, so floor back to int
+    val lastSpan = floor((size(toks) - 1) / lit(spanWords)).cast("int")
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lastSpan),
+          i => concat_ws(" ", slice(toks, i * spanWords + 1, lit(spanWords))))))
+      .withColumnRenamed("col", "span")
+    // first (id, pos) per distinct span: partial-agg'd min over a struct,
+    // not a window (one row per span reaches the shuffle)
+    val keepers = spans.groupBy("span")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("span"), col("first.id").as("id"), col("first.pos").as("pos"))
+    val kept = spans.join(keepers, Seq("span", "id", "pos"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span"))).as("text_dedup"))
+    // docs whose every span was removed still emit a row — the drop is
+    // visible, not silent
+    df.select(col(idCol).as("id")).join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /**
    * Measured property gate for [[fingerprint]] — the winnowing output is
    * engine-hash-specific, so instead of comparing raw fingerprints an
    * external oracle asserts three properties this query COMPUTES:

@@ -148,6 +148,66 @@ class Round4Spec extends SparkSpecBase {
     }
   }
 
+  // --- span dedup / mixture / sketch gate ----------------------------------
+
+  test("spanDedup removes repeated spans globally, keeps first occurrence in order") {
+    val w = (1 to 10).map(i => s"w$i").mkString(" ") // one 10-word span "w1..w10"
+    val docs = Seq(
+      (1L, s"$w unique tail one"),     // spans: [w1..w10], [unique tail one]
+      (2L, s"$w unique tail one"),     // exact dup of doc 1 → fully removed
+      (3L, s"fresh words here $w"))    // span [fresh...w7], [w8 w9 w10] — different chunking
+      .toDF("doc_id", "text")
+    val out = Text.spanDedup(docs, "doc_id", "text", spanWords = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((2L, s"$w unique tail one")))
+    assert(out(2L) === ((0L, ""))) // every span already seen in doc 1
+    // doc 3's spans are chunked differently so they are NOT dups of doc 1
+    assert(out(3L)._1 === 2L)
+  }
+
+  test("spanDedup keeps a doc-internal repeated span only once") {
+    val s10 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq((5L, s"$s10 $s10")).toDF("doc_id", "text") // span repeats at pos 0 and 1
+    val out = Text.spanDedup(docs, "doc_id", "text", spanWords = 10).head()
+    assert(out.getLong(1) === 1L && out.getString(2) === s10)
+  }
+
+  test("mixturePlan: binding stratum keeps everything, ratios hit the target weights") {
+    val docs = (1 to 400).map(i => (i.toLong, if (i <= 200) "en" else if (i <= 300) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val plan = Sampling.mixturePlan(docs, "lang", Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // t_max = min(200/.5, 100/.3, 100/.2) = 333.3 (de binds)
+    assert(plan("de")._2 === 1.0)
+    assert(math.abs(plan("en")._2 - (0.5 * (100 / 0.3) / 200)) < 1e-12)
+    assert(math.abs(plan("fr")._2 - (0.2 * (100 / 0.3) / 100)) < 1e-12)
+    // excluded stratum never appears
+    val plan2 = Sampling.mixturePlan(docs, "lang", Map("en" -> 1.0))
+    assert(plan2.collect().map(_.getString(0)).toSeq === Seq("en"))
+  }
+
+  test("mixtureSample realizes approximately the target mixture deterministically") {
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, if (i % 4 != 0) "en" else "de")).toDF("doc_id", "lang") // 1500 en / 500 de
+    val out = Sampling.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // t_max = min(1500/.5, 500/.5) = 1000 → ~500 of each
+    assert(counts("de") > 400 && math.abs(counts("en") - counts("de")) < 120,
+      s"mixture off target: $counts")
+    // deterministic: same rows on a re-run
+    assert(out.collect().toSet === Sampling.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5)).collect().toSet)
+  }
+
+  test("approxDistinctGate: sketch within tolerance, exact counts right") {
+    val df = (1 to 5000).map(i => (i.toLong % 321, s"t${i % 7}")).toDF("k", "t")
+    val out = Quality.approxDistinctGate(df, Seq("k", "t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(out.contains(("k", 321L, true)) && out.contains(("t", 7L, true)), out.toString)
+  }
+
   // --- zscore zero-std guard ----------------------------------------------
 
   test("zscore emits null (not NaN/inf) for constant-valued groups") {
