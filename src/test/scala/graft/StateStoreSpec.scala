@@ -107,4 +107,34 @@ class StateStoreSpec extends SparkSpecBase {
     mergeDay(root, "2024-01-01", deltas(("a", 1.0, 0L, 1L)))
     assert(stateMap(root)("a") === ((0L, 1L, 1.0)))
   }
+
+  test("StateSink maintains running state from a stream; batch replay is a no-op") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val ckpt = tmpRoot()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, Double, Long, Long)]
+    val query = graft.streaming.StateSink.start(
+      input.toDF().toDF("entity", "dist", "start_sec", "end_sec"),
+      root, ckpt, keys = Seq("entity"), sumCols = Seq("dist"),
+      minCols = Seq("start_sec"), maxCols = Seq("end_sec"), nBuckets = 8)
+    try {
+      input.addData(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L),
+        ("a", 1.0, 150L, 160L)) // two per-key rows pre-aggregate in-batch
+      query.processAllAvailable()
+      input.addData(("a", 2.5, 250L, 300L))
+      query.processAllAvailable()
+      val got = stateMap(root)
+      assert(got("a") === ((100L, 300L, 13.5)))
+      assert(got("b") === ((50L, 60L, 5.0)))
+      // checkpoint recovery re-delivers a batch with the SAME id: the
+      // merge rebuilds that version identically instead of double-adding
+      graft.streaming.StateSink.mergeBatch(
+        deltas(("a", 2.5, 250L, 300L)), batchId = 1L, root,
+        keys = Seq("entity"), sumCols = Seq("dist"),
+        minCols = Seq("start_sec"), maxCols = Seq("end_sec"), nBuckets = 8)
+      assert(stateMap(root) === got, "batch replay changed the state")
+    } finally query.stop()
+  }
 }
