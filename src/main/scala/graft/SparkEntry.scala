@@ -292,6 +292,16 @@ object SparkEntry {
       Dedup.hashKey(Tables.documents(s, dir), Seq("text", "lang"))
         .select("doc_id", "hash_key")),
 
+    // quality-aware dedup: among identical texts keep the copy from the
+    // highest-priority source (numeric suffix), doc_id ascending on ties
+    "q_dedup_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(
+          Tables.documents(s, dir)
+            .withColumn("src_pri", regexp_extract(col("source"), "[0-9]+", 0).cast("int"))
+            .select("doc_id", "text", "src_pri"),
+          Seq("text"), rankCol = "src_pri", tieBreak = "doc_id")
+        .select("doc_id", "src_pri", "n_dups")),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.7)),
@@ -844,6 +854,17 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+
+    "q_dedup_best" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                  CAST(regexp_extract(source, '[0-9]+') AS INT) AS src_pri
+        |           FROM documents),
+        |r AS (SELECT doc_id, text, src_pri,
+        |             row_number() OVER (PARTITION BY text
+        |               ORDER BY src_pri DESC, doc_id ASC) AS rn,
+        |             COUNT(*) OVER (PARTITION BY text) AS n_dups
+        |      FROM d)
+        |SELECT doc_id, src_pri, n_dups FROM r WHERE rn = 1""".stripMargin,
 
     // q_hash_key: engine-specific hash output → rows-only check
     // (intentionally no SQL). The other formerly-rows-only queries now

@@ -44,6 +44,25 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * Quality-aware exact dedup: among duplicates, keep the row MAXIMIZING
+   * `rankCol` (quality score, recency, source priority) with `tieBreak`
+   * ascending as the deterministic tiebreaker — the curation move when
+   * the same text arrives from several sources and you want the best
+   * copy, not the first. Same single-shuffle max_by shape as
+   * [[exactKeepFirst]]; one row per key reaches the shuffle.
+   */
+  def exactKeepBest(df: DataFrame, keyCols: Seq[String], rankCol: String,
+                    tieBreak: String): DataFrame = {
+    val payload = df.columns.filterNot(c => keyCols.contains(c)).toSeq
+    // max by (rank, -tieBreak): highest rank wins, ties go to the
+    // SMALLEST tieBreak so the keeper is unique and deterministic
+    val ord = struct(col(rankCol), -col(tieBreak))
+    val aggs = payload.map(c => max_by(col(c), ord).as(c)) :+
+      count(lit(1)).as("n_dups")
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Distinct word n-gram shingle set of a text column. */
   def shingles(text: Column, n: Int): Column =
     array_distinct(Text.wordShingles(text, n))

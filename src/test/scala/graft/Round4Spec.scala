@@ -172,6 +172,18 @@ class Round4Spec extends SparkSpecBase {
     assert(out.getLong(1) === 1L && out.getString(2) === s10)
   }
 
+  test("exactKeepBest keeps the highest-rank duplicate, smallest tiebreak on rank ties") {
+    val docs = Seq(
+      (1L, "same text", 2), (2L, "same text", 9), (3L, "same text", 9),
+      (4L, "other", 1))
+      .toDF("doc_id", "text", "pri")
+    val out = Dedup.exactKeepBest(docs, Seq("text"), "pri", "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // rank 9 beats 2; tie between docs 2 and 3 → smallest doc_id (2)
+    assert(out("same text") === ((2L, 3L)))
+    assert(out("other") === ((4L, 1L)))
+  }
+
   test("mixturePlan: binding stratum keeps everything, ratios hit the target weights") {
     val docs = (1 to 400).map(i => (i.toLong, if (i <= 200) "en" else if (i <= 300) "de" else "fr"))
       .toDF("doc_id", "lang")
