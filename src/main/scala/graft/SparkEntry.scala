@@ -288,9 +288,16 @@ object SparkEntry {
           Seq("text"), "doc_id")
         .select("doc_id", "n_dups")),
 
+    // measured gate: the engine-specific hash can't be value-checked
+    // externally, but its CONTRACT can — one distinct key per distinct
+    // input (collision-free AND deterministic on this corpus; a
+    // nondeterministic hash inflates the key count, a collision shrinks it)
     "q_hash_key" -> ((s, dir) =>
       Dedup.hashKey(Tables.documents(s, dir), Seq("text", "lang"))
-        .select("doc_id", "hash_key")),
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("text"), col("lang")).as("n_inputs"),
+          (countDistinct(col("hash_key")) ===
+            countDistinct(col("text"), col("lang"))).as("injective_ok"))),
 
     // quality-aware dedup: among identical texts keep the copy from the
     // highest-priority source (numeric suffix), doc_id ascending on ties
@@ -866,12 +873,17 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, src_pri, n_dups FROM r WHERE rn = 1""".stripMargin,
 
-    // q_hash_key: engine-specific hash output → rows-only check
-    // (intentionally no SQL). The other formerly-rows-only queries now
-    // carry measured gates: q_dedup_simhash / q_fingerprint emit
+    // Every formerly-rows-only query now carries a measured gate:
+    // q_hash_key asserts the hash contract (injectivity/determinism via
+    // distinct counts), q_dedup_simhash / q_fingerprint emit
     // oracle-derivable invariants computed in-engine, q_ann_lsh /
     // q_ann_ivf emit recall rows whose oracle replicates the full
     // approximate pipeline (cross-engine md5 pick / literal planes).
+
+    "q_hash_key" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(COUNT(DISTINCT (text, lang)) AS BIGINT) AS n_inputs,
+        |       TRUE AS injective_ok FROM documents""".stripMargin,
 
     "q_dedup_simhash" ->
       """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,

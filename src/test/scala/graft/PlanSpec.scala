@@ -155,5 +155,18 @@ class PlanSpec extends SparkSpecBase {
     assert(day2.length === 1, s"expected 1 touched bucket, got ${day2.length}")
   }
 
+  test("span dedup finds first occurrences with a partial agg, not a corpus window") {
+    val p = plan("q_span_dedup")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "first-occurrence search lost map-side combine\n" + p.take(2000))
+    assert(!p.contains("Window"), "span dedup degraded to a window over the corpus")
+  }
+
+  test("mixture sample broadcasts the per-stratum plan (corpus never shuffles)") {
+    val p = plan("q_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "mixture plan join degraded to sort-merge")
+  }
+
   private val Similarity = graft.operators.Similarity
 }
