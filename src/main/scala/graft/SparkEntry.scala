@@ -414,6 +414,16 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Text.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanWords = 10)),
 
+    // --- sliding-window chunking: 16-token windows, stride 8 ---
+    "q_chunk" -> ((s, dir) =>
+      Text.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 16, stride = 8)),
+
+    // --- per-source flood guard: at most 30 docs per language ---
+    "q_cap_stratum" -> ((s, dir) =>
+      Sampling.capPerStratum(Tables.documents(s, dir), "doc_id", "lang", 30)
+        .select("doc_id", "lang")),
+
     // --- sketch accuracy gate: HLL++ distinct counts within tolerance ---
     "q_approx_distinct" -> ((s, dir) =>
       Quality.approxDistinctGate(ev(s, dir),
@@ -1096,6 +1106,20 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(g.n_spans_kept, 0) AS n_spans_kept,
         |       coalesce(g.text_dedup, '') AS text_dedup
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+        |       array_to_string(toks[(r.i*8+1):(r.i*8+16)], ' ') AS chunk_text
+        |FROM t JOIN range(0, 1000) r(i) ON r.i*8 < len(toks)""".stripMargin,
+
+    "q_cap_stratum" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents
+        |) WHERE rn <= 30""".stripMargin,
 
     "q_approx_distinct" ->
       s"""$EvCte

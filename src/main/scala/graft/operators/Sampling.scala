@@ -58,6 +58,23 @@ object Sampling {
   }
 
   /**
+   * Deterministic per-stratum cap: keep at most `maxPerStratum` rows of
+   * each stratum, chosen by md5-hash order of the key — the "no more
+   * than N docs per domain" guard against a single hot source flooding
+   * the corpus. Hash order makes the selection a pure function of the
+   * keys: stable across runs, partitionings, and engines (unlike LIMIT
+   * inside a group, which is arrival-order nondeterminism).
+   */
+  def capPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                    maxPerStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(md5(col(keyCol).cast("string")))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerStratum)
+      .drop("__rn")
+  }
+
+  /**
    * Data-mixing plan: the per-stratum keep fractions that turn the
    * corpus into the target mixture at the LARGEST achievable size —
    * T = min_d(n_d / w_d) rows total, stratum d keeping w_d·T of its n_d

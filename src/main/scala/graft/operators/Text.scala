@@ -353,6 +353,26 @@ object Text {
   }
 
   /**
+   * Sliding-window document chunking: cut each doc into `chunkTokens`-
+   * token windows advancing by `stride` tokens (stride < chunkTokens →
+   * overlapping context, the standard long-document → training-sample
+   * split). Emits one row per (doc, chunk) with the window's text.
+   * Pure per-row transform + explode — embarrassingly parallel, no
+   * shuffle at all.
+   */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens and stride must be >= 1 ($chunkTokens, $stride)")
+    val toks = tokens(col(textCol))
+    val lastChunk = floor((size(toks) - 1) / lit(stride)).cast("int")
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lastChunk),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))))
+      .select(col(idCol), col("pos").as("chunk_id"), col("col").as("chunk_text"))
+  }
+
+  /**
    * Measured property gate for [[fingerprint]] — the winnowing output is
    * engine-hash-specific, so instead of comparing raw fingerprints an
    * external oracle asserts three properties this query COMPUTES:

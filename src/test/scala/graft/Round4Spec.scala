@@ -172,6 +172,29 @@ class Round4Spec extends SparkSpecBase {
     assert(out.getLong(1) === 1L && out.getString(2) === s10)
   }
 
+  test("chunkDocs: stride windows overlap correctly, short tail kept") {
+    val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Text.chunkDocs(docs, "doc_id", "text", chunkTokens = 8, stride = 4)
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    // starts at 0,4,8,12,16 — 5 chunks; chunk 1 overlaps chunk 0 by 4 tokens
+    assert(chunks.size === 5)
+    assert(chunks(0) === (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(chunks(1) === (5 to 12).map(i => s"w$i").mkString(" "))
+    assert(chunks(4) === (17 to 20).map(i => s"w$i").mkString(" ")) // short tail
+  }
+
+  test("capPerStratum keeps at most N per stratum, deterministically") {
+    val docs = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.capPerStratum(docs, "doc_id", "lang", 10)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 10L, "b" -> 10L))
+    // pure function of the keys: same selection on rerun
+    assert(out.collect().toSet ===
+      Sampling.capPerStratum(docs, "doc_id", "lang", 10).collect().toSet)
+  }
+
   test("exactKeepBest keeps the highest-rank duplicate, smallest tiebreak on rank ties") {
     val docs = Seq(
       (1L, "same text", 2), (2L, "same text", 9), (3L, "same text", 9),
