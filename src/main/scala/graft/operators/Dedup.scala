@@ -46,19 +46,21 @@ object Dedup {
 
   /**
    * Quality-aware exact dedup: among duplicates, keep the row MAXIMIZING
-   * `rankCol` (quality score, recency, source priority) with `tieBreak`
-   * ascending as the deterministic tiebreaker — the curation move when
-   * the same text arrives from several sources and you want the best
-   * copy, not the first. Same single-shuffle max_by shape as
+   * `rankCol` (a NUMERIC quality score / recency / source priority) with
+   * `tieBreak` ascending as the deterministic tiebreaker — the curation
+   * move when the same text arrives from several sources and you want
+   * the best copy, not the first. Same single-shuffle min_by shape as
    * [[exactKeepFirst]]; one row per key reaches the shuffle.
+   *
+   * The negation lives on the numeric rank (min of (-rank, tieBreak)),
+   * so `tieBreak` may be ANY orderable type — negating the tiebreak
+   * instead would break on string/UUID ids.
    */
   def exactKeepBest(df: DataFrame, keyCols: Seq[String], rankCol: String,
                     tieBreak: String): DataFrame = {
     val payload = df.columns.filterNot(c => keyCols.contains(c)).toSeq
-    // max by (rank, -tieBreak): highest rank wins, ties go to the
-    // SMALLEST tieBreak so the keeper is unique and deterministic
-    val ord = struct(col(rankCol), -col(tieBreak))
-    val aggs = payload.map(c => max_by(col(c), ord).as(c)) :+
+    val ord = struct(-col(rankCol), col(tieBreak))
+    val aggs = payload.map(c => min_by(col(c), ord).as(c)) :+
       count(lit(1)).as("n_dups")
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -422,11 +424,20 @@ object Dedup {
    * SimHash near-duplicate pairs with Hamming distance ≤ maxHamming:
    * 4 × 16-bit bands — any pair within Hamming ≤ 3 of a 64-bit key must
    * agree exactly on at least one band (pigeonhole), so the candidate
-   * search is 4 equi-joins, verified with bit_count(xor).
+   * search is 4 equi-joins, verified with bit_count(xor). LOSSLESS only
+   * for maxHamming ≤ 3; beyond that a qualifying pair can differ in
+   * every band and be missed (recall < 1 — still useful as a recall-
+   * bounded heuristic, but [[simhashParity]] will not certify it).
    */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val sh = graft.CacheScope.persist(simhash(docs, idCol, textCol))
+                     maxHamming: Int = 3): DataFrame =
+    simhashPairs(graft.CacheScope.persist(simhash(docs, idCol, textCol)),
+      idCol, maxHamming)
+
+  /** Banded pair search over PRECOMPUTED signatures (`idCol`, `simhash`)
+   * — factored out so the parity gate reuses one signature pass instead
+   * of hashing the corpus twice. */
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val banded = sh.select(col(idCol).as("id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -456,10 +467,13 @@ object Dedup {
    */
   def simhashParity(docs: DataFrame, idCol: String, textCol: String,
                     maxHamming: Int = 3): DataFrame = {
+    // the zero-missed-pairs certificate only holds inside the pigeonhole
+    // bound (4 bands → ≤ 3 differing bits cannot touch every band)
+    require(maxHamming <= 3,
+      s"simhashParity certifies losslessness only for maxHamming <= 3, got $maxHamming")
     val sh = graft.CacheScope.persist(simhash(docs, idCol, textCol))
     val banded = graft.CacheScope.persist(
-      simhashNearDup(docs, idCol, textCol, maxHamming)
-        .select("id_a", "id_b"))
+      simhashPairs(sh, idCol, maxHamming).select("id_a", "id_b"))
     val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
     val brute = graft.CacheScope.persist(

@@ -257,7 +257,9 @@ object Multimodal {
    * the framing lets unsampled frames be skipped byte-wise (at scale
    * that skip is the entire point — decode cost scales with the sample,
    * not the clip). Each sampled frame is decoded with `ImageIO.read`
-   * and summarized by its (0,0) gray value.
+   * and summarized by its (0,0) gray value. Null media, corrupt framing
+   * (negative/oversized length prefix), or an undecodable sampled frame
+   * yields a null-counts row — one bad clip must not fail a 100 TB pass.
    */
   def sampleFrames(packed: DataFrame, stride: Int): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -267,26 +269,35 @@ object Multimodal {
     packed.select("doc_id", "media").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val in = new java.io.DataInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        var f = 0
-        var sampled = 0
-        var sum = 0L
-        while (in.available() >= 4) {
-          val len = in.readInt()
-          if (f % stride == 0) {
-            val b = new Array[Byte](len)
-            in.readFully(b)
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-            sum += (img.getRGB(0, 0) & 0xFF)
-            sampled += 1
-          } else {
-            in.skipBytes(len) // unsampled frame: never decoded
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Row(id, null, null, null)
+        else try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          var f = 0
+          var sampled = 0
+          var sum = 0L
+          while (in.available() >= 4) {
+            val len = in.readInt()
+            if (len < 0 || len > in.available())
+              throw new java.io.IOException(s"corrupt frame length $len")
+            if (f % stride == 0) {
+              val b = new Array[Byte](len)
+              in.readFully(b)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+              if (img == null)
+                throw new java.io.IOException(s"undecodable frame $f")
+              sum += (img.getRGB(0, 0) & 0xFF)
+              sampled += 1
+            } else {
+              in.skipBytes(len) // unsampled frame: never decoded
+            }
+            f += 1
           }
-          f += 1
+          Row(id, f, sampled, sum)
+        } catch {
+          case scala.util.control.NonFatal(_) => Row(id, null, null, null)
         }
-        Row(id, f, sampled, sum)
       }
     }(encoder)
   }

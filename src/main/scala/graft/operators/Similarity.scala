@@ -228,9 +228,14 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, dim: Int,
               nPlanes: Int = 4, nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val tables = lshTables(nPlanes, nTables, dim, seed)
-    val cand = candidates.select(col(idCol).as("cand_id"),
-        col(vecCol).cast("array<double>").as("v_c"))
-      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
+    // persisted: feeds BOTH the bucket-explode probe and the final
+    // ranking join — without the persist the full candidate scan (and
+    // every norm) is computed twice (same double-use pattern as ivfTopK's
+    // centroid frame)
+    val cand = graft.CacheScope.persist(
+      candidates.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("v_c"))
+        .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c")))))
     val qry = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("v_q"))
       .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q")))))

@@ -32,10 +32,36 @@ import org.apache.spark.sql.functions._
 object StateStore {
 
   val CommitMarker = "_COMMITTED"
+  val MetaFile = "_GRAFT_STATE_META"
   val DefaultBuckets = 64
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The store's bucket count is a LAYOUT property: mixing bucket counts
+   * across versions silently mis-prunes merges (a key's prior row lives
+   * in a directory the new modulus never looks at) and duplicates keys
+   * on read. It is therefore pinned in a root metadata file on first
+   * write; later writers must not contradict it. */
+  private def pinnedBuckets(spark: SparkSession, root: String,
+                            requested: Int): Int = {
+    val f = fs(spark, root)
+    val metaPath = new Path(root, MetaFile)
+    if (f.exists(metaPath)) {
+      val in = f.open(metaPath)
+      val stored =
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      require(stored == requested,
+        s"state store at $root was built with nBuckets=$stored; " +
+          s"got nBuckets=$requested — a mixed layout corrupts merges")
+      stored
+    } else {
+      val out = f.create(metaPath)
+      try out.write(s"$requested\n".getBytes("UTF-8")) finally out.close()
+      requested
+    }
+  }
 
   /** Committed versions, ascending. Driver-side listing is O(#versions)
    * — metadata, not data. */
@@ -102,20 +128,32 @@ object StateStore {
    * snapshot `version`: sums add, spans extend — [[StateOps.mergeDeltas]]
    * semantics — landed idempotently. Only buckets containing delta keys
    * are read from the previous state and written to the new version.
+   *
+   * A version that already COMMITTED is left untouched and the merge
+   * returns: the dated round-trip means re-running the same window
+   * produces identical content, so the rebuild would be a no-op — and
+   * deleting a committed snapshot to rebuild it would open a crash
+   * window in which the only copy of that state is gone. Recomputing a
+   * committed window with CHANGED deltas is an explicit maintenance
+   * action: pass `overwriteCommitted = true` (and don't run vacuum or
+   * readers that need that version concurrently).
    */
   def merge(spark: SparkSession, root: String, version: String,
             deltas: DataFrame, keys: Seq[String], sumCols: Seq[String],
             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-            nBuckets: Int = DefaultBuckets): Unit = {
+            nBuckets: Int = DefaultBuckets,
+            overwriteCommitted: Boolean = false): Unit = {
     require(!version.contains("/") && version.nonEmpty, s"bad version: $version")
     val f = fs(spark, root)
     val target = new Path(root, s"v=$version")
-    // a pre-existing target is either a crashed attempt (uncommitted,
-    // invisible) or a prior run of this same window being recomputed —
-    // both are rebuilt from scratch so stale buckets can't linger
+    val committed = f.exists(new Path(target, CommitMarker))
+    if (committed && !overwriteCommitted) return // idempotent re-run: done
+    val buckets = pinnedBuckets(spark, root, nBuckets)
+    // a pre-existing UNCOMMITTED target is a crashed attempt (invisible
+    // to readers) — rebuild from scratch so stale buckets can't linger
     if (f.exists(target)) f.delete(target, true)
 
-    val d = deltas.withColumn("bucket", bucketOf(keys, nBuckets))
+    val d = deltas.withColumn("bucket", bucketOf(keys, buckets))
     // touched bucket ids: bounded by nBuckets, safe to collect
     val touched = d.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
     val prevTouched = readWithBucket(spark, root, before = Some(version))
@@ -128,7 +166,7 @@ object StateStore {
         // column set/order exactly like the joined path
         StateOps.mergeDeltas(deltas.limit(0), deltas, keys, sumCols, minCols, maxCols)
     }
-    merged.withColumn("bucket", bucketOf(keys, nBuckets))
+    merged.withColumn("bucket", bucketOf(keys, buckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(target.toString)
     // marker LAST: commit is the atomic visibility point
@@ -147,24 +185,37 @@ object StateStore {
                       nBuckets: Int = DefaultBuckets): Unit = {
     val f = fs(spark, root)
     val target = new Path(root, s"v=$version")
+    // same committed-dir protection as merge: compaction targets a FRESH
+    // version name; never destroy the only copy of a committed snapshot
+    require(!f.exists(new Path(target, CommitMarker)),
+      s"compactSnapshot target v=$version is already committed; pick a new version")
+    val buckets = pinnedBuckets(spark, root, nBuckets)
     if (f.exists(target)) f.delete(target, true)
     val state = read(spark, root, before = Some(version)).getOrElse(
       sys.error(s"compactSnapshot: empty store at $root"))
     // self-read-then-overwrite trap: the target is a NEW dir, so the
     // lazy plan never scans files it is replacing — no checkpoint needed
-    state.withColumn("bucket", bucketOf(keys, nBuckets))
+    state.withColumn("bucket", bucketOf(keys, buckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(target.toString)
     f.create(new Path(target, CommitMarker)).close()
   }
 
   /** Delete uncommitted leftovers and committed versions fully shadowed
-   * by `asOf` (every bucket they wrote has a newer copy ≤ `asOf`). */
+   * by `asOf` (every bucket they wrote has a newer copy ≤ `asOf`).
+   *
+   * Concurrency contract: vacuum is a MAINTENANCE operation — do not run
+   * it while a writer is backfilling a window ≤ `asOf` (an in-flight
+   * uncommitted dir there is indistinguishable from crashed garbage).
+   * Normal forward-moving writers are safe: their in-flight version is
+   * newer than the newest committed one, which vacuum never touches. */
   def vacuum(spark: SparkSession, root: String, asOf: String): Unit = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
-    val committed = committedVersions(spark, root).toSet
+    val committedSeq = committedVersions(spark, root)
+    val committed = committedSeq.toSet
+    val newestCommitted = committedSeq.lastOption.getOrElse("")
     val newestFor = scala.collection.mutable.Map[String, String]()
     committed.toSeq.sorted.filter(_ <= asOf).foreach { v =>
       f.listStatus(new Path(root, s"v=$v")).filter(_.isDirectory)
@@ -174,9 +225,10 @@ object StateStore {
     f.listStatus(rootPath).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("v=")).foreach { p =>
         val v = p.getName.stripPrefix("v=")
-        // only reap UP TO asOf: an uncommitted dir newer than asOf may be
-        // a merge in flight right now
-        val uncommitted = !committed.contains(v) && v <= asOf
+        // reap uncommitted garbage only when it is BOTH within asOf and
+        // older than the newest committed version: a forward-moving
+        // writer's in-flight dir (always the newest) is never touched
+        val uncommitted = !committed.contains(v) && v <= asOf && v < newestCommitted
         val shadowed = v <= asOf && committed.contains(v) &&
           f.listStatus(p).filter(_.isDirectory)
             .map(_.getPath.getName).filter(_.startsWith("bucket="))

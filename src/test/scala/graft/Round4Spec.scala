@@ -120,15 +120,21 @@ class Round4Spec extends SparkSpecBase {
     }
   }
 
-  test("simhashParity reports zero missed/extra pairs (banding is lossless)") {
+  test("simhashParity reports zero missed/extra pairs inside the pigeonhole bound") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cat"),
       (3L, "the quick brown fox jumps over the lazy dog"),
       (4L, "completely different content about spark engines"))
       .toDF("doc_id", "text")
-    val r = Dedup.simhashParity(docs, "doc_id", "text", maxHamming = 10).head()
+    // maxHamming = 3 is the largest value 4x16-bit banding certifies:
+    // <= 3 differing bits cannot touch all four bands
+    val r = Dedup.simhashParity(docs, "doc_id", "text", maxHamming = 3).head()
     assert(r.getLong(0) === 4L && r.getLong(1) === 0L && r.getLong(2) === 0L)
+    // beyond the bound the certificate is refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      Dedup.simhashParity(docs, "doc_id", "text", maxHamming = 10)
+    }
   }
 
   test("fingerprintGate: sound, in bounds, and deterministic per text group") {
@@ -205,6 +211,25 @@ class Round4Spec extends SparkSpecBase {
     // rank 9 beats 2; tie between docs 2 and 3 → smallest doc_id (2)
     assert(out("same text") === ((2L, 3L)))
     assert(out("other") === ((4L, 1L)))
+  }
+
+  test("exactKeepBest tiebreaks on STRING ids too (negation lives on the rank)") {
+    val docs = Seq(
+      ("u-b", "same", 5), ("u-a", "same", 5), ("u-z", "same", 2))
+      .toDF("doc_id", "text", "pri")
+    val out = Dedup.exactKeepBest(docs, Seq("text"), "pri", "doc_id").head()
+    assert(out.getString(1) === "u-a" && out.getLong(3) === 3L)
+  }
+
+  test("sampleFrames yields a null-counts row (not a crash) on null/corrupt media") {
+    val rows = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](0, 0, 0, 9, 1, 2)), // length prefix beyond payload
+      (3L, Array[Byte](0, 0, 0, 2, 7, 7))) // 2 bytes that are not a PNG
+      .toDF("doc_id", "media")
+    val out = Multimodal.sampleFrames(rows, stride = 1)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> true))
   }
 
   test("mixturePlan: binding stratum keeps everything, ratios hit the target weights") {

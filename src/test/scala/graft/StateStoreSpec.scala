@@ -101,6 +101,31 @@ class StateStoreSpec extends SparkSpecBase {
     assert(StateStore.committedVersions(spark, root) === Seq("2024-01-03"))
   }
 
+  test("a mixed nBuckets layout is rejected, not silently corrupted") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L))) // nBuckets = 8
+    intercept[IllegalArgumentException] {
+      StateStore.merge(spark, root, "2024-01-02", deltas(("a", 1.0, 0L, 1L)),
+        keys = Seq("entity"), sumCols = Seq("dist"),
+        minCols = Seq("start_sec"), maxCols = Seq("end_sec"), nBuckets = 64)
+    }
+    // the rejected attempt left no committed garbage
+    assert(StateStore.committedVersions(spark, root) === Seq("2024-01-01"))
+  }
+
+  test("merging onto a committed version is a free no-op (never deletes the snapshot)") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L)))
+    // blind re-run with DIFFERENT deltas and the same version: the
+    // committed snapshot wins — recomputation requires the explicit flag
+    mergeDay(root, "2024-01-01", deltas(("a", 999.0, 0L, 1L)))
+    assert(stateMap(root)("a") === ((100L, 200L, 10.0)))
+    StateStore.merge(spark, root, "2024-01-01", deltas(("a", 999.0, 0L, 1L)),
+      keys = Seq("entity"), sumCols = Seq("dist"), minCols = Seq("start_sec"),
+      maxCols = Seq("end_sec"), nBuckets = 8, overwriteCommitted = true)
+    assert(stateMap(root)("a") === ((0L, 1L, 999.0)))
+  }
+
   test("empty store reads as None; first merge bootstraps it") {
     val root = tmpRoot()
     assert(StateStore.read(spark, root).isEmpty)
