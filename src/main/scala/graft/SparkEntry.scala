@@ -1093,9 +1093,11 @@ object SparkEntry {
 
     "q_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT t.doc_id, r.pos,
-        |             array_to_string(toks[(r.pos*10+1):(r.pos*10+10)], ' ') AS span
-        |      FROM t JOIN range(0, 1000) r(pos) ON r.pos <= (len(toks)-1)//10),
+        |c0 AS (SELECT doc_id, toks,
+        |              unnest(range(0, (len(toks)-1)//10 + 1)) AS pos FROM t),
+        |c AS (SELECT doc_id, pos,
+        |             array_to_string(toks[(pos*10+1):(pos*10+10)], ' ') AS span
+        |      FROM c0),
         |k AS (SELECT doc_id, pos, span,
         |             row_number() OVER (PARTITION BY span
         |               ORDER BY doc_id, pos) AS rn
@@ -1108,10 +1110,12 @@ object SparkEntry {
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
 
     "q_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
-        |       array_to_string(toks[(r.i*8+1):(r.i*8+16)], ' ') AS chunk_text
-        |FROM t JOIN range(0, 1000) r(i) ON r.i*8 < len(toks)""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(range(0, (len(toks)+7)//8)) AS i FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |       array_to_string(toks[(i*8+1):(i*8+16)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "q_cap_stratum" ->
       """SELECT doc_id, lang FROM (

@@ -55,11 +55,17 @@ object Dedup {
    * The negation lives on the numeric rank (min of (-rank, tieBreak)),
    * so `tieBreak` may be ANY orderable type — negating the tiebreak
    * instead would break on string/UUID ids.
+   *
+   * A NULL rank LOSES to any real score (SQL `ORDER BY rank DESC NULLS
+   * LAST` semantics): the leading null-flag field sorts non-null ranks
+   * (0) ahead of null ranks (1). Without it, Spark's struct ordering
+   * would sort the null `-rank` field SMALLEST and a scoreless
+   * duplicate would beat every scored copy.
    */
   def exactKeepBest(df: DataFrame, keyCols: Seq[String], rankCol: String,
                     tieBreak: String): DataFrame = {
     val payload = df.columns.filterNot(c => keyCols.contains(c)).toSeq
-    val ord = struct(-col(rankCol), col(tieBreak))
+    val ord = struct(col(rankCol).isNull.cast("int"), -col(rankCol), col(tieBreak))
     val aggs = payload.map(c => min_by(col(c), ord).as(c)) :+
       count(lit(1)).as("n_dups")
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -463,14 +469,23 @@ object Dedup {
    * signatures — and emits ONE row of diff counts that an external
    * oracle can assert to be zero without knowing the engine's hash
    * function. The all-pairs side is quadratic BY DESIGN (it is the
-   * ground truth; run at gate scale, never at production scale).
+   * ground truth; run at gate scale, never at production scale) —
+   * `maxDocs` makes that posture a hard contract: the corpus is COUNTED
+   * (one cheap scan) before the quadratic plan is built, and a corpus
+   * past the ceiling is refused instead of silently planning n² pairs
+   * (10M docs would be 10¹⁴ comparisons).
    */
   def simhashParity(docs: DataFrame, idCol: String, textCol: String,
-                    maxHamming: Int = 3): DataFrame = {
+                    maxHamming: Int = 3, maxDocs: Long = 1000000L): DataFrame = {
     // the zero-missed-pairs certificate only holds inside the pigeonhole
     // bound (4 bands → ≤ 3 differing bits cannot touch every band)
     require(maxHamming <= 3,
       s"simhashParity certifies losslessness only for maxHamming <= 3, got $maxHamming")
+    val nDocs = docs.count()
+    require(nDocs <= maxDocs,
+      s"simhashParity's ground-truth side is all-pairs (quadratic): " +
+        s"$nDocs docs exceed the maxDocs=$maxDocs certificate ceiling — " +
+        "certify a deterministic subsample instead of the full corpus")
     val sh = graft.CacheScope.persist(simhash(docs, idCol, textCol))
     val banded = graft.CacheScope.persist(
       simhashPairs(sh, idCol, maxHamming).select("id_a", "id_b"))

@@ -94,12 +94,20 @@ object StateStore {
 
   /** Current state with the `bucket` partition column retained —
    * filtering on it prunes whole directories (that pruning is what makes
-   * a touched-buckets-only merge read touched bytes only). */
+   * a touched-buckets-only merge read touched bytes only).
+   *
+   * The partition-type-inference toggle is SESSION-GLOBAL, so the
+   * toggle-read-restore window is serialized on this object: concurrent
+   * StateStore reads (e.g. a streaming StateSink batch racing an ad-hoc
+   * read) can't observe each other's mid-toggle state. Non-StateStore
+   * queries compiled concurrently in the same session can still see
+   * inference briefly disabled — the store is documented as the only
+   * partition-inferred reader that should share its session. */
   private def readWithBucket(spark: SparkSession, root: String,
                              before: Option[String]): Option[DataFrame] = {
     val dirs = latestBucketDirs(spark, root, before)
     if (dirs.isEmpty) None
-    else {
+    else StateStore.synchronized {
       // inference off: bucket must come back as a plain string dir name
       // we control, never a re-typed value that could round-trip to a
       // DIFFERENT directory (see LakeWriter.compact trap #2)
@@ -153,24 +161,48 @@ object StateStore {
     // to readers) — rebuild from scratch so stale buckets can't linger
     if (f.exists(target)) f.delete(target, true)
 
+    // ONE materialization of the delta plan feeds both the touched-bucket
+    // probe and the merged write: an unpersisted frame would be evaluated
+    // twice, and a non-deterministic delta pipeline (sample/rand, or a
+    // source recomputed between passes) could land rows in buckets absent
+    // from `touched` — buckets whose prior state was never read, so the
+    // new version's dir would SHADOW the old one and silently drop keys.
     val d = deltas.withColumn("bucket", bucketOf(keys, buckets))
-    // touched bucket ids: bounded by nBuckets, safe to collect
-    val touched = d.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val prevTouched = readWithBucket(spark, root, before = Some(version))
-      .map(_.filter(col("bucket").isin(touched: _*)).drop("bucket"))
-    val merged = prevTouched match {
-      case Some(s) =>
-        StateOps.mergeDeltas(s, deltas, keys, sumCols, minCols, maxCols)
-      case None =>
-        // empty prior: the merge of nothing with deltas normalizes the
-        // column set/order exactly like the joined path
-        StateOps.mergeDeltas(deltas.limit(0), deltas, keys, sumCols, minCols, maxCols)
-    }
-    merged.withColumn("bucket", bucketOf(keys, buckets))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(target.toString)
-    // marker LAST: commit is the atomic visibility point
-    f.create(new Path(target, CommitMarker)).close()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched bucket ids: bounded by nBuckets, safe to collect
+      val touched = d.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      val pinnedDeltas = d.drop("bucket")
+      val prevTouched = readWithBucket(spark, root, before = Some(version))
+        .map { p =>
+          // schema-drift contract: a delta frame whose column set/types
+          // differ from the stored state would otherwise be written as a
+          // mixed-schema snapshot that later reads resolve inconsistently
+          val stored = p.drop("bucket").schema
+            .map(fld => fld.name -> fld.dataType).sortBy(_._1)
+          val incoming = deltas.schema
+            .map(fld => fld.name -> fld.dataType).sortBy(_._1)
+          require(stored == incoming,
+            s"schema drift: store at $root holds ${stored.mkString(", ")} " +
+              s"but the delta frame carries ${incoming.mkString(", ")} — " +
+              "migrate the store explicitly instead of merging drifted deltas")
+          p.filter(col("bucket").isin(touched: _*)).drop("bucket")
+        }
+      val merged = prevTouched match {
+        case Some(s) =>
+          StateOps.mergeDeltas(s, pinnedDeltas, keys, sumCols, minCols, maxCols)
+        case None =>
+          // empty prior: the merge of nothing with deltas normalizes the
+          // column set/order exactly like the joined path
+          StateOps.mergeDeltas(pinnedDeltas.limit(0), pinnedDeltas,
+            keys, sumCols, minCols, maxCols)
+      }
+      merged.withColumn("bucket", bucketOf(keys, buckets))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(target.toString)
+      // marker LAST: commit is the atomic visibility point
+      f.create(new Path(target, CommitMarker)).close()
+    } finally d.unpersist(false)
   }
 
   /**

@@ -29,13 +29,16 @@ object StateSink {
   def start(events: DataFrame, root: String, checkpointDir: String,
             keys: Seq[String], sumCols: Seq[String],
             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-            nBuckets: Int = StateStore.DefaultBuckets): StreamingQuery =
+            nBuckets: Int = StateStore.DefaultBuckets): StreamingQuery = {
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+      "StateSink needs at least one of sumCols/minCols/maxCols")
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId, root, keys, sumCols, minCols, maxCols, nBuckets)
       }
       .start()
+  }
 
   /** One micro-batch's merge — factored out so recovery behavior is
    * directly testable (same batchId → same version → no-op replay). */
@@ -43,6 +46,10 @@ object StateSink {
                  keys: Seq[String], sumCols: Seq[String],
                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
                  nBuckets: Int = StateStore.DefaultBuckets): Unit = {
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+      "StateSink needs at least one of sumCols/minCols/maxCols — " +
+        "an all-empty agg list would fail inside foreachBatch with an " +
+        "opaque NoSuchElementException")
     if (batch.isEmpty) return // empty trigger: nothing to version
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       minCols.map(c => min(col(c)).as(c)) ++

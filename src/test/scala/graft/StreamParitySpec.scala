@@ -3,7 +3,8 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.Sessionize
-import graft.streaming.{DedupStream, SessionStream, SessionWindowAgg, StreamEvent}
+import graft.streaming.{DedupStream, SessionStream, SessionWindowAgg,
+  StaticEnrich, StreamEvent, StreamJoin, WindowedCounts}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -136,6 +137,177 @@ class StreamParitySpec extends SparkSpecBase {
       assert(streamed === expected,
         s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
       assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("WindowedCounts tumbling stream equals batch window() agg, with late drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(41)
+    // 300 events at 50s granularity +5s offset: event times and the
+    // watermark (max-600) never land ON a 600s window boundary, so the
+    // drop rule below has no boundary ambiguity
+    val all = rng.shuffle((1 to 300).map { i =>
+      (ts(rng.nextInt(100) * 50L + 5), s"type-${rng.nextInt(4)}", i.toDouble)
+    })
+    val batches = all.grouped(100).toSeq
+    val winSec = 600L
+    val delaySec = 600L
+
+    // a late row is dropped once its WINDOW is closed: window end <= the
+    // watermark at batch start (aggregation state for it was evicted)
+    var wmSec = Long.MinValue
+    var maxSeen = Long.MinValue
+    val kept = Seq.newBuilder[(Timestamp, String, Double)]
+    batches.foreach { b =>
+      kept ++= b.filter { e =>
+        val windowEnd = (e._1.getTime / 1000 / winSec + 1) * winSec
+        windowEnd > wmSec
+      }
+      maxSeen = math.max(maxSeen, b.map(_._1.getTime / 1000).max)
+      wmSec = maxSeen - delaySec
+    }
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val counts = WindowedCounts.countsPerWindow(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type",
+      windowLen = s"$winSec seconds", watermarkDelay = s"$delaySec seconds")
+    val query = counts.writeStream.format("memory")
+      .queryName("parity_wc").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      // flush: watermark far past every window end
+      input.addData((ts(10000000), "sentinel", 0.0)); query.processAllAvailable()
+      input.addData((ts(20000000), "sentinel", 0.0)); query.processAllAvailable()
+
+      val streamed = spark.table("parity_wc")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window_start").cast("long"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      // batch twin: the SAME function over the kept events, batch mode
+      val expected = WindowedCounts.countsPerWindow(
+          kept.result().toDF("ts", "event_type", "value"), "ts", "event_type",
+          windowLen = s"$winSec seconds")
+        .select(col("window_start").cast("long"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed === expected,
+        s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("WindowedCounts sliding stream equals batch sliding window() agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(43)
+    val all = rng.shuffle((1 to 240).map { i =>
+      (ts(rng.nextInt(100) * 50L + 5), s"type-${rng.nextInt(3)}", i.toDouble)
+    })
+    val input = MemoryStream[(Timestamp, String, Double)]
+    // 2h delay > the 83-min timeline: nothing is late, so the batch run
+    // of the SAME function on the full input is the exact expectation
+    // (a late row would need per-window drops — only its still-open
+    // windows accept it — which this gate deliberately keeps out of scope)
+    val counts = WindowedCounts.slidingCountsPerWindow(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type",
+      windowLen = "600 seconds", slideLen = "200 seconds",
+      watermarkDelay = "2 hours")
+    val query = counts.writeStream.format("memory")
+      .queryName("parity_swc").outputMode("append").start()
+    try {
+      all.grouped(80).foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData((ts(10000000), "sentinel", 0.0)); query.processAllAvailable()
+      input.addData((ts(20000000), "sentinel", 0.0)); query.processAllAvailable()
+
+      val streamed = spark.table("parity_swc")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window_start").cast("long"), col("event_type"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      val expected = WindowedCounts.slidingCountsPerWindow(
+          all.toDF("ts", "event_type", "value"), "ts", "event_type",
+          windowLen = "600 seconds", slideLen = "200 seconds")
+        .select(col("window_start").cast("long"), col("event_type"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === expected,
+        s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+      // sliding fan-out really happened: more window rows than tumbling would make
+      assert(streamed.size > streamed.map(_._2).size)
+    } finally query.stop()
+  }
+
+  test("StreamJoin.withinInterval equals the batch interval join on full input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    val lefts = rng.shuffle((1 to 120).map { i =>
+      (rng.nextInt(6).toLong, ts(rng.nextInt(100) * 50L + 5), i.toLong)
+    })
+    val rights = rng.shuffle((1 to 80).map { i =>
+      (rng.nextInt(6).toLong, ts(rng.nextInt(100) * 50L + 5), s"status-$i")
+    })
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, String)]
+    // watermarks cover the whole timeline: no state eviction can drop a
+    // qualifying pair, so the batch join of the full inputs is exact truth
+    val joined = StreamJoin.withinInterval(
+      lIn.toDF().toDF("key", "ts", "event_id"),
+      rIn.toDF().toDF("key", "ts", "status"),
+      keyCol = "key", tsLeft = "ts", tsRight = "ts",
+      lookbackSec = 300, lookaheadSec = 300, watermarkDelay = "2 hours")
+    val query = joined.writeStream.format("memory")
+      .queryName("parity_sj").outputMode("append").start()
+    try {
+      val lb = lefts.grouped(40).toSeq
+      val rb = rights.grouped(27).toSeq
+      lb.zipAll(rb, Nil, Nil).foreach { case (l, r) =>
+        if (l.nonEmpty) lIn.addData(l)
+        if (r.nonEmpty) rIn.addData(r)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("parity_sj")
+        .select(col("key"), col("event_id"), col("r_status"))
+        .as[(Long, Long, String)].collect().toSet
+      // batch twin: the SAME function on static frames (the watermark and
+      // interval condition compile to a plain range join in batch mode)
+      val expected = StreamJoin.withinInterval(
+          lefts.toDF("key", "ts", "event_id"),
+          rights.toDF("key", "ts", "status"),
+          keyCol = "key", tsLeft = "ts", tsRight = "ts",
+          lookbackSec = 300, lookaheadSec = 300)
+        .select(col("key"), col("event_id"), col("r_status"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamed === expected,
+        s"stream-only: ${(streamed -- expected).take(5)}; batch-only: ${(expected -- streamed).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("StaticEnrich.lookup stream output equals the batch broadcast join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(53)
+    val events = rng.shuffle((1 to 90).map { i =>
+      (i.toLong, rng.nextInt(8).toLong) // dim keys 0-7; dim only has 0-5
+    })
+    val dim = (0L to 5L).map(k => (k, s"name-$k", k * 10.0))
+      .toDF("dim_key", "name", "weight")
+    val input = MemoryStream[(Long, Long)]
+    val enriched = StaticEnrich.lookup(
+      input.toDF().toDF("event_id", "key"), dim,
+      streamKey = "key", dimKey = "dim_key", payloadCols = Seq("name", "weight"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("parity_se").outputMode("append").start()
+    try {
+      events.grouped(30).foreach { b => input.addData(b); query.processAllAvailable() }
+      val streamed = spark.table("parity_se")
+        .select("event_id", "key", "name")
+        .as[(Long, Long, Option[String])].collect().toSet
+      val expected = StaticEnrich.lookup(
+          events.toDF("event_id", "key"), dim,
+          streamKey = "key", dimKey = "dim_key", payloadCols = Seq("name", "weight"))
+        .select("event_id", "key", "name")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(streamed === expected)
+      // left-join semantics survived streaming: unmatched keys kept with null
+      assert(streamed.exists(_._3.isEmpty) && streamed.exists(_._3.nonEmpty))
     } finally query.stop()
   }
 }
