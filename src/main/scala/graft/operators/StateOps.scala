@@ -38,8 +38,13 @@ object StateOps {
     val d = deltas.alias("d")
     val joined = s.join(d, keys, "full_outer")
     val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k))
-    val sums = sumCols.map(c =>
-      (coalesce(col(s"s.$c"), lit(0.0)) + coalesce(col(s"d.$c"), lit(0.0))).as(c))
+    // the zero literal takes the column's OWN type: a double 0.0 would
+    // silently widen long counters to double in the merged snapshot —
+    // a schema drift the StateStore would then reject on the next day
+    val sums = sumCols.map { c =>
+      val zero = lit(0).cast(deltas.schema(c).dataType)
+      (coalesce(col(s"s.$c"), zero) + coalesce(col(s"d.$c"), zero)).as(c)
+    }
     val mins = minCols.map(c => least(col(s"s.$c"), col(s"d.$c")).as(c))
     val maxs = maxCols.map(c => greatest(col(s"s.$c"), col(s"d.$c")).as(c))
     joined.select(keyCols ++ mins ++ maxs ++ sums: _*)

@@ -98,4 +98,81 @@ class PipelineSpec extends SparkSpecBase {
     assert(!ids.contains(2L), "zero-entropy boilerplate survived")
     assert(ids.contains(3L))
   }
+
+  test("multi-day incremental raw→staging→curated→state with a day-2 crash equals a from-scratch run") {
+    // the reference's whole incremental narrative (docs/05 + docs/10) as
+    // one test: three daily windows flow through the full pipeline into
+    // the keyed state store; day 2 first CRASHES mid-merge (uncommitted
+    // garbage version left behind) and is re-run, then re-run AGAIN after
+    // committing; the final state must equal the same pipeline run once
+    // over the concatenated raw feed.
+    import graft.sources.StateStore
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-state").toString
+
+    def rawDay(d: Int) = Seq(
+      (f"2024-01-0$d 09:00:00", "7", "10.0", "20.0", s"${d}0.0"),
+      (f"2024-01-0$d 09:10:00", "7", "10.1", "20.1", "35.0"),
+      (f"2024-01-0$d 09:10:00", "7", "10.1", "20.1", "35.0"), // exact dup
+      (f"2024-01-0$d 13:30:00", "7", "10.2", "20.2", "20.0"), // gap > 3h: 2nd session
+      (f"2024-01-0$d 09:05:00", "8", "-5.0", "100.0", "120.0"),
+      (f"2024-01-0$d 09:35:00", "8", "-5.1", "100.1", "10.0"),
+      (f"2024-01-0$d 10:00:00", "9", "95.0", "20.0", "30.0")) // bad lat: quarantined
+      .toDF("base_datetime", "mmsi", "LAT", "LON", "sog")
+
+    val rawCfg = RawToStaging.Config(
+      columnMapping = Map("base_datetime" -> "ts", "mmsi" -> "user_id",
+        "LAT" -> "lat", "LON" -> "lon", "sog" -> "speed"),
+      schema = Seq("user_id" -> LongType, "ts" -> StringType,
+        "lat" -> DoubleType, "lon" -> DoubleType, "speed" -> DoubleType),
+      tsCol = "ts",
+      validCondition = df => graft.operators.Cleanse.validCoords(col("lat"), col("lon")),
+      clampCaps = Map("speed" -> 100.0),
+      dedupCols = Seq("user_id", "ts", "lat", "lon"),
+      speedCol = "speed", speedThreshold = 50.0)
+    val curCfg = StagingToCurated.Config(
+      idCol = "user_id", tsSecCol = "ts_sec", dayCol = "day",
+      latCol = "lat", lonCol = "lon", speedCol = "speed",
+      gapSeconds = 10800L, speedThreshold = 50.0,
+      fastSpeedThreshold = 80.0, fastIntervalSec = 600L, slowIntervalSec = 3600L,
+      rowKeyCol = "row_key")
+
+    // per-ENTITY delta over the curated session summaries: aggregates are
+    // session-numbering-independent, so daily runs and the from-scratch
+    // run must land identical state
+    def stateDelta(raw: org.apache.spark.sql.DataFrame) = {
+      val staged = RawToStaging.run(raw, rawCfg)._1
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("row_key",
+          sha2(concat_ws("|", col("user_id"), col("ts"), col("lat"), col("lon")), 256))
+      StagingToCurated.run(staged, curCfg).summary
+        .groupBy(col("user_id").as("entity"))
+        .agg(sum("n_points").as("n_points"), sum("sum_speed").as("sum_speed"),
+          min("start_sec").as("first_sec"), max("end_sec").as("last_sec"))
+    }
+    def merge(day: String, delta: org.apache.spark.sql.DataFrame): Unit =
+      StateStore.merge(spark, root, day, delta, keys = Seq("entity"),
+        sumCols = Seq("n_points", "sum_speed"),
+        minCols = Seq("first_sec"), maxCols = Seq("last_sec"), nBuckets = 8)
+
+    merge("2024-01-01", stateDelta(rawDay(1)))
+    // day-2 crash: a writer died mid-merge, leaving an UNCOMMITTED version
+    // with partial garbage — the re-run must rebuild it from scratch
+    Seq((7L, 999999L, 999999.0, 0L, 0L))
+      .toDF("entity", "n_points", "sum_speed", "first_sec", "last_sec")
+      .withColumn("bucket", lit(0))
+      .write.partitionBy("bucket").parquet(s"$root/v=2024-01-02")
+    merge("2024-01-02", stateDelta(rawDay(2)))
+    merge("2024-01-02", stateDelta(rawDay(2))) // blind re-run: no double-add
+    merge("2024-01-03", stateDelta(rawDay(3)))
+
+    val got = StateStore.read(spark, root).get
+      .select("entity", "n_points", "sum_speed", "first_sec", "last_sec")
+      .as[(Long, Long, Double, Long, Long)].collect().toSet
+    val truth = stateDelta(rawDay(1).unionByName(rawDay(2)).unionByName(rawDay(3)))
+      .select("entity", "n_points", "sum_speed", "first_sec", "last_sec")
+      .as[(Long, Long, Double, Long, Long)].collect().toSet
+    assert(got === truth, s"incremental-only: ${got -- truth}; scratch-only: ${truth -- got}")
+    assert(got.map(_._1) === Set(7L, 8L)) // user 9 quarantined, never reaches state
+    assert(StateStore.committedVersions(spark, root).size === 3)
+  }
 }

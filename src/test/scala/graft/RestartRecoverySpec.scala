@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.operators.Sessionize
+import graft.sources.StateStore
+import graft.streaming.{SessionStream, StateSink, StreamEvent}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Checkpoint-restart recovery: a streaming query is STOPPED mid-stream
+ * and restarted from the same checkpoint with more data, and the final
+ * result must equal a from-scratch batch run — the streaming twin of the
+ * batch incremental re-run safety (reference: voyage_state_io.py:10-35
+ * dated state round-trip). A replayed-batchId unit test proves the merge
+ * is idempotent; THESE tests prove the whole checkpointed query is: the
+ * offset log, the operator state store, and the sink all survive a real
+ * stop/restart.
+ */
+class RestartRecoverySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  private val deltaSchema = StructType(Seq(
+    StructField("entity", StringType), StructField("dist", DoubleType),
+    StructField("start_sec", LongType), StructField("end_sec", LongType)))
+
+  test("StateSink survives stop + restart from checkpoint, incl. an uncommitted last batch") {
+    val inputDir = tmp("graft-restart-in")
+    val root = tmp("graft-restart-state")
+    val ckpt = tmp("graft-restart-ckpt")
+    def addFile(rows: (String, Double, Long, Long)*): Unit =
+      rows.toDF("entity", "dist", "start_sec", "end_sec")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    def sink() = StateSink.start(
+      spark.readStream.schema(deltaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir),
+      root, ckpt, keys = Seq("entity"), sumCols = Seq("dist"),
+      minCols = Seq("start_sec"), maxCols = Seq("end_sec"), nBuckets = 8)
+
+    addFile(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L))
+    addFile(("a", 1.5, 250L, 300L), ("c", 2.0, 10L, 20L))
+    val q1 = sink()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // crash window: the engine committed the merge but died BEFORE
+    // writing the offset commit — delete the newest commit marker so the
+    // restart genuinely RE-DELIVERS that batch (same batchId, same files)
+    val commits = Paths.get(ckpt, "commits").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, "expected one commit per input file")
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete() // stale Hadoop checksum would block the rewrite
+
+    addFile(("b", 4.0, 70L, 90L), ("a", 0.5, 400L, 410L))
+    val q2 = sink()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = StateStore.read(spark, root).get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // from-scratch batch truth over the full input dir
+    val truth = spark.read.parquet(inputDir)
+      .groupBy("entity")
+      .agg(min("start_sec").as("s"), max("end_sec").as("e"), sum("dist").as("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === truth, s"restarted state drifted from batch truth")
+    assert(got("a") === ((100L, 410L, 12.0)))
+    // the replayed batch produced no extra version: one per delivered batch
+    assert(StateStore.committedVersions(spark, root).size === 3)
+  }
+
+  test("SessionStream state survives stop + restart: sessions spanning the restart stay whole") {
+    val inputDir = tmp("graft-sess-in")
+    val outDir = tmp("graft-sess-out")
+    val ckpt = tmp("graft-sess-ckpt")
+    val gapSec = 900L
+    def addFile(rows: (Long, Long, Double)*): Unit =
+      rows.map { case (u, sec, v) => StreamEvent(u, ts(sec), v) }
+        .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+    def run() = SessionStream.sessionize(
+        spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[StreamEvent]].schema)
+          .option("maxFilesPerTrigger", "1").parquet(inputDir).as[StreamEvent],
+        gapSec, watermarkDelay = "2 hours")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // pre-restart: user 1 has an OPEN session at stop time; user 2's
+    // first session closes before the stop
+    addFile((1L, 1000L, 1.0), (1L, 1500L, 2.0), (2L, 1000L, 5.0))
+    addFile((2L, 2500L, 6.0), (1L, 2000L, 3.0)) // 2: gap 1500 > 900 → new session
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // post-restart: user 1 continues the SAME session (gap 500 ≤ 900)
+    // across the restart boundary; then sentinels close everything
+    addFile((1L, 2500L, 4.0), (2L, 3000L, 7.0))
+    addFile((999L, 10000000L, 0.0))
+    addFile((999L, 20000000L, 0.0))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("userId") =!= 999L)
+      .select("userId", "startSec", "endSec", "nPoints", "sumValue")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // nothing is late under the 2h delay: batch Sessionize over the full
+    // replay is the exact expectation (compare session CONTENT)
+    val all = spark.read.parquet(inputDir).filter(col("userId") =!= 999L)
+      .select(col("userId").as("user_id"),
+        (col("ts").cast("long")).as("ts_sec"), col("value"))
+    val expected = Sessionize(all, "user_id", "ts_sec", gapSec)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_sec").as("s"), max("ts_sec").as("e"),
+        count(lit(1)).as("n"), sum("value").as("v"))
+      .select("user_id", "s", "e", "n", "v")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed === expected,
+      s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+    // the restart-spanning session is one row, not two fragments
+    assert(streamed.contains((1L, 1000L, 2500L, 4L, 10.0)))
+  }
+}
