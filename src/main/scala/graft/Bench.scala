@@ -50,21 +50,36 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // median of 3 timed passes per query: single-pass timings on a shared
+    // machine wobbled by ±0.5 s round-over-round on sub-second queries
+    // with unchanged plans; the median is robust to one noisy pass
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
     // deterministic execution order: rounds compare like-for-like and the
     // first-query session-warmup penalty always lands on the same query
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = CacheScope.scoped {
-        try { fn(spark, sfDir).count(); true } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name
-          false
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var firstFailure = 0.0
+      (1 to reps).foreach { _ =>
+        if (firstFailure == 0.0) {
+          val t0 = System.nanoTime()
+          val ok = CacheScope.scoped {
+            try { fn(spark, sfDir).count(); true } catch { case NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              failed += name
+              false
+            }
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // failures are marked with negative elapsed so they can never be
+          // mistaken for a fast success downstream
+          if (ok) times += dt else firstFailure = -dt
         }
       }
-      // failures are marked with negative elapsed so they can never be
-      // mistaken for a fast success downstream
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      name -> (if (firstFailure != 0.0) firstFailure else median(times.toSeq))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

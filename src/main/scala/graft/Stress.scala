@@ -29,10 +29,12 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def probe(name: String)(body: => Long): Unit = {
+    def probe(name: String)(body: => Long): Double = {
       val t0 = System.nanoTime()
       val rows = CacheScope.scoped(body)
-      println(f"[stress] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $rows%12d rows")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name%-28s $dt%8.2f s  $rows%12d rows")
+      dt
     }
 
     // --- events: 5M rows, 100k entities (50 points each) ---
@@ -44,14 +46,42 @@ object Stress {
       pmod(xxhash64(col("id"), lit(1)), lit(10000)).cast("double").divide(100).as("value"),
       col("id").as("event_id"))
 
-    probe(s"sessionize ${nEvents / 1000000}M x ${nUsers / 1000}k users") {
+    val tSessUniform = probe(s"sessionize ${nEvents / 1000000}M x ${nUsers / 1000}k users") {
       Sessionize(events, "user_id", "ts_sec", 1200L, tieBreak = Seq("event_id")).count()
     }
-    probe("sessionSummary") {
+    val tSummUniform = probe("sessionSummary") {
       Rollup.sessionSummary(
         Sessionize(events, "user_id", "ts_sec", 1200L, tieBreak = Seq("event_id")),
         Seq("user_id", "session_id"), "ts_sec", "value").count()
     }
+
+    // --- skewed keys: 1% of entities carry 50% of the rows (the hot-MMSI
+    // shape a real AIS feed has). The per-entity window family sorts each
+    // key's rows within its partition, so a 100× hotter key means a 100×
+    // longer sorted run but NOT a 100× slower stage — the ratio against
+    // the uniform probe above is the proof. ---
+    val nHot = nUsers / 100
+    val skewed = spark.range(nEvents).select(
+      when(col("id") < nEvents / 2, col("id") % nHot)
+        .otherwise(lit(nHot) + col("id") % (nUsers - nHot)).as("user_id"),
+      (col("id") / nUsers * 600 + pmod(xxhash64(col("id")), lit(300))).as("ts_sec"),
+      pmod(xxhash64(col("id"), lit(1)), lit(10000)).cast("double").divide(100).as("value"),
+      col("id").as("event_id"))
+    val tSessSkew = probe(s"sessionize SKEWED (1% keys = 50% rows)") {
+      Sessionize(skewed, "user_id", "ts_sec", 1200L, tieBreak = Seq("event_id")).count()
+    }
+    val tSummSkew = probe("sessionSummary SKEWED") {
+      Rollup.sessionSummary(
+        Sessionize(skewed, "user_id", "ts_sec", 1200L, tieBreak = Seq("event_id")),
+        Seq("user_id", "session_id"), "ts_sec", "value").count()
+    }
+    probe("saltedJoin SKEWED big x 100k dim") {
+      val dim = spark.range(nUsers).select(col("id").as("user_id"),
+        concat(lit("n"), col("id")).as("name"))
+      Skew.saltedJoin(skewed, dim, "user_id", saltFactor = 8).count()
+    }
+    println(f"[stress] skew/uniform ratio: sessionize ${tSessSkew / tSessUniform}%.2fx, " +
+      f"sessionSummary ${tSummSkew / tSummUniform}%.2fx (target: within ~3x)")
     probe("asof join (10% state side)") {
       val state = events.filter(col("event_id") % 10 === 0)
         .groupBy("user_id", "ts_sec")
