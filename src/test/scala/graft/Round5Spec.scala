@@ -85,6 +85,26 @@ class Round5Spec extends SparkSpecBase {
     assert(got === Map("a" -> 12.5))
   }
 
+  test("StateStore.merge evaluates the delta plan ONCE (probe and write share a materialization)") {
+    // the hazard: an expensive or non-deterministic delta pipeline
+    // evaluated once for the touched-bucket probe and AGAIN for the
+    // write could land rows in buckets the probe never saw — prior state
+    // there would be silently shadowed. One cached materialization must
+    // feed both. The counting udf is marked non-deterministic so
+    // Catalyst cannot inline a second copy of it.
+    val root = Files.createTempDirectory("graft-state").toString
+    val evals = spark.sparkContext.longAccumulator("delta-evals")
+    val counting = udf { (x: Long) => evals.add(1L); x }.asNondeterministic()
+    val deltas = spark.range(100).select(
+      concat(lit("e"), counting(col("id"))).as("entity"),
+      lit(1.0).as("dist"))
+    StateStore.merge(spark, root, "2024-01-01", deltas,
+      keys = Seq("entity"), sumCols = Seq("dist"), nBuckets = 8)
+    assert(evals.value === 100L,
+      s"delta plan evaluated ${evals.value / 100.0}x — probe and write diverged")
+    assert(StateStore.read(spark, root).get.count() === 100L)
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
