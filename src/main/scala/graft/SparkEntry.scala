@@ -429,6 +429,26 @@ object SparkEntry {
       Quality.approxDistinctGate(ev(s, dir),
         Seq("user_id", "event_type", "value"))),
 
+    // --- sketch accuracy gate: rank-sketch quantiles inside the exact
+    // p±tol bracket; exact quantiles cross-checked by the oracle ---
+    "q_approx_quantiles" -> ((s, dir) =>
+      Quality.approxQuantileGate(
+          Tables.documents(s, dir).withColumn("n_chars", length(col("text"))),
+          Seq("lang"), "n_chars", Seq(0.25, 0.5, 0.9))
+        .select(col("lang"), r3(col("p25")).as("p25"), col("ok_p25"),
+          r3(col("p50")).as("p50"), col("ok_p50"),
+          r3(col("p90")).as("p90"), col("ok_p90"))),
+
+    // --- per-segment linear-fit drift screen (hour-of-day kept small-
+    // magnitude on purpose; see Analytics.linearFit) ---
+    "q_linear_fit" -> ((s, dir) =>
+      Analytics.linearFit(
+          ev(s, dir).withColumn("hod", hour(col("ts")).cast("double")),
+          Seq("event_type"), "value", "hod")
+        .select(col("event_type"), r3(col("pearson_r")).as("pearson_r"),
+          r3(col("covar")).as("covar"), r3(col("slope")).as("slope"),
+          r3(col("intercept")).as("intercept"), col("n"))),
+
     // --- incremental completion heuristic ---
     "q_session_complete" -> ((s, dir) =>
       StateOps.markComplete(
@@ -1131,6 +1151,28 @@ object SparkEntry {
          |       TRUE AS approx_ok FROM e
          |UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type), TRUE FROM e
          |UNION ALL SELECT 'value', COUNT(DISTINCT value), TRUE FROM e""".stripMargin,
+
+    "q_approx_quantiles" ->
+      """SELECT lang,
+        |       floor(quantile_cont(length(text), 0.25)*1000 + 0.5)/1000 AS p25,
+        |       TRUE AS ok_p25,
+        |       floor(quantile_cont(length(text), 0.5)*1000 + 0.5)/1000 AS p50,
+        |       TRUE AS ok_p50,
+        |       floor(quantile_cont(length(text), 0.9)*1000 + 0.5)/1000 AS p90,
+        |       TRUE AS ok_p90
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_linear_fit" ->
+      s"""$EvCte, h AS (
+         |  SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS hod FROM e
+         |)
+         |SELECT event_type,
+         |       floor(corr(value, hod)*1000 + 0.5)/1000 AS pearson_r,
+         |       floor(covar_samp(value, hod)*1000 + 0.5)/1000 AS covar,
+         |       floor(regr_slope(value, hod)*1000 + 0.5)/1000 AS slope,
+         |       floor(regr_intercept(value, hod)*1000 + 0.5)/1000 AS intercept,
+         |       COUNT(*) AS n
+         |FROM h GROUP BY event_type""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, lang,

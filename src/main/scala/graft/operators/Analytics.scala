@@ -211,4 +211,39 @@ object Analytics {
   def cubeProfile(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
     df.cube(dims.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+
+  /**
+   * Per-group linear-fit profile of `yCol` against `xCol`: Pearson r,
+   * sample covariance, OLS slope/intercept, n — the drift/trend screen a
+   * feature-QA pass runs per segment before export (is the signal flat
+   * across hours? does quality decay with length?).
+   *
+   * One hash aggregation: all five statistics derive from single-pass
+   * mergeable moments (Welford-style numerically-stable updates inside
+   * Spark's CentralMomentAgg family), so the whole profile costs one
+   * shuffle of one row per group at any scale. Callers should keep
+   * `xCol` small in magnitude (center/derive it first — e.g.
+   * hour-of-day, not epoch seconds): stable accumulation or not,
+   * r ≈ cov/(σxσy) loses digits when |mean| >> spread.
+   *
+   * r/slope/intercept are built from the moments explicitly rather than
+   * via `corr`/`regr_slope`: under Spark 4 ANSI semantics those builtins
+   * THROW divide-by-zero on a zero-variance group, where this profile
+   * must report null (constant segments are normal in real data).
+   */
+  def linearFit(df: DataFrame, groupKeys: Seq[String], yCol: String,
+                xCol: String): DataFrame =
+    df.groupBy(groupKeys.map(col): _*).agg(
+        covar_samp(col(yCol), col(xCol)).as("covar"),
+        stddev_samp(col(yCol)).as("_sy"), stddev_samp(col(xCol)).as("_sx"),
+        var_samp(col(xCol)).as("_vx"),
+        avg(col(yCol)).as("_my"), avg(col(xCol)).as("_mx"),
+        count(lit(1)).as("n"))
+      .withColumn("pearson_r", when(col("_sy") > 0 && col("_sx") > 0,
+        col("covar") / (col("_sy") * col("_sx"))))
+      .withColumn("slope", when(col("_vx") > 0, col("covar") / col("_vx")))
+      .withColumn("intercept",
+        when(col("_vx") > 0, col("_my") - col("slope") * col("_mx")))
+      .select((groupKeys.map(col) ++
+        Seq("pearson_r", "covar", "slope", "intercept", "n").map(col)): _*)
 }

@@ -79,6 +79,36 @@ object Quality {
   }
 
   /**
+   * Measured accuracy gate for sketch-based quantiles, the grouped twin
+   * of [[approxDistinctGate]]: per group, `approx_percentile` (a
+   * KLL/GK-style rank sketch whose rank error is ≤ 1/accuracy) is
+   * asserted to land inside the EXACT [p−tol, p+tol] quantile bracket,
+   * computed in the same aggregation. The emitted row carries the exact
+   * quantiles (cross-engine comparable) plus one boolean per p — an
+   * engine-computed invariant an external oracle asserts TRUE without
+   * replicating the sketch. At 100 TB the sketch is the only affordable
+   * option (bounded memory, one pass, mergeable partials); this gate is
+   * what licenses swapping it in for the exact percentile.
+   */
+  def approxQuantileGate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         ps: Seq[Double], accuracy: Int = 1000,
+                         tol: Double = 0.02): DataFrame = {
+    require(tol >= 1.0 / accuracy,
+      s"tolerance $tol is tighter than the sketch's rank-error bound ${1.0 / accuracy}")
+    val aggs = ps.flatMap { p =>
+      val tag = s"p${math.round(p * 100)}"
+      val lo = math.max(0.0, p - tol)
+      val hi = math.min(1.0, p + tol)
+      Seq(
+        expr(s"percentile($valueCol, $p)").as(tag),
+        (expr(s"approx_percentile($valueCol, $p, $accuracy)")
+          .between(expr(s"percentile($valueCol, $lo)"),
+            expr(s"percentile($valueCol, $hi)"))).as(s"ok_$tag"))
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Piggyback DQ counters onto an existing job via `observe`: row count
    * and per-column null counts are collected as the frame's consumer
    * action runs — NO extra pass over the data (the reference recomputes

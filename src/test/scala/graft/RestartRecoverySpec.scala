@@ -127,4 +127,44 @@ class RestartRecoverySpec extends SparkSpecBase {
     // the restart-spanning session is one row, not two fragments
     assert(streamed.contains((1L, 1000L, 2500L, 4L, 10.0)))
   }
+
+  test("WindowedCounts aggregation state survives stop + restart: windows spanning it stay whole") {
+    val inputDir = tmp("graft-wc-in")
+    val outDir = tmp("graft-wc-out")
+    val ckpt = tmp("graft-wc-ckpt")
+    def addFile(rows: (Long, String, Double)*): Unit =
+      rows.map { case (sec, t, v) => (ts(sec), t, v) }
+        .toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    def run() = graft.streaming.WindowedCounts.countsPerWindow(
+        spark.readStream.schema(StructType(Seq(
+            StructField("ts", TimestampType), StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", "1").parquet(inputDir),
+        "ts", "event_type", windowLen = "600 seconds", watermarkDelay = "2 hours")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // window [600,1200) receives rows BEFORE and AFTER the restart: the
+    // partial count must survive in the aggregation state store
+    addFile((700L, "a", 1.0), (800L, "a", 2.0), (900L, "b", 5.0))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    addFile((1000L, "a", 4.0), (1300L, "b", 8.0))
+    addFile((10000000L, "sentinel", 0.0))
+    addFile((20000000L, "sentinel", 0.0))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("window_start").cast("long"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed === Set(
+      (600L, "a", 3L, 7.0), // 2 pre-restart rows + 1 post-restart row, one window row
+      (600L, "b", 1L, 5.0),
+      (1200L, "b", 1L, 8.0)))
+  }
 }

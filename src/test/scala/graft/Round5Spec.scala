@@ -105,6 +105,37 @@ class Round5Spec extends SparkSpecBase {
     assert(StateStore.read(spark, root).get.count() === 100L)
   }
 
+  // --- new round-5 operators -------------------------------------------------
+
+  test("linearFit recovers an exact linear relation per group") {
+    val pts = Seq( // group g1: y = 2x + 1 exactly; g2: y constant
+      ("g1", 0.0, 1.0), ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+      ("g2", 0.0, 4.0), ("g2", 1.0, 4.0), ("g2", 2.0, 4.0)
+    ).toDF("g", "x", "y")
+    val out = Analytics.linearFit(pts, Seq("g"), "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(math.abs(g1.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(g1.getAs[Double]("intercept") - 1.0) < 1e-12)
+    assert(math.abs(g1.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    assert(g1.getAs[Long]("n") === 4L)
+    // zero-variance y: correlation undefined → null, not NaN
+    val g2 = out("g2")
+    assert(g2.isNullAt(g2.fieldIndex("pearson_r")))
+    assert(math.abs(g2.getAs[Double]("slope")) < 1e-12)
+  }
+
+  test("approxQuantileGate: sketch lands in the exact bracket; impossible tolerance refused") {
+    val docs = (1 to 2000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Quality.approxQuantileGate(docs, Seq("g"), "v", Seq(0.5, 0.9)).head()
+    assert(r.getAs[Boolean]("ok_p50") && r.getAs[Boolean]("ok_p90"))
+    assert(math.abs(r.getAs[Double]("p50") - 1000.5) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Quality.approxQuantileGate(docs, Seq("g"), "v", Seq(0.5),
+        accuracy = 100, tol = 0.001) // tighter than the sketch can promise
+    }
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
