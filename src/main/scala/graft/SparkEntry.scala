@@ -517,6 +517,17 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       Text.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)),
 
+    // --- adjacent-token PMI (collocation mining) ---
+    "q_cooccur" -> ((s, dir) =>
+      Text.cooccurrence(Tables.documents(s, dir), "text", minCount = 5L)
+        .select(col("w1"), col("w2"), col("n_xy"), r3(col("pmi")).as("pmi"))),
+
+    // --- join-key skew profile (pre-plan hot-key detection) ---
+    "q_skew_profile" -> ((s, dir) =>
+      Skew.keyProfile(ev(s, dir), "user_id", k = 10)
+        .select(col("n_rows"), col("n_keys"), col("top1_rows"),
+          col("topk_rows"), r3(col("skew_ratio")).as("skew_ratio"))),
+
     // --- IVF ANN: measured recall gate at nProbe < nCells; the oracle
     // replicates the full quantizer (md5 centroid pick is cross-engine) ---
     "q_ann_ivf" -> ((s, dir) => {
@@ -1231,6 +1242,33 @@ object SparkEntry {
         |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token HAVING COUNT(*) >= 2)
         |SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
         |FROM c""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b0 AS (SELECT toks, unnest(range(0, len(toks)-1)) AS i FROM t),
+        |bg AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2 FROM b0),
+        |c AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bg
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |u AS (SELECT unnest(toks) AS token FROM t),
+        |uc AS (SELECT token, COUNT(*) AS n FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM uc)
+        |SELECT c.w1, c.w2, c.n_xy,
+        |       floor(ln((c.n_xy::DOUBLE * tot.n_total) /
+        |                (ux.n::DOUBLE * uy.n))*1000 + 0.5)/1000 AS pmi
+        |FROM c
+        |JOIN uc ux ON ux.token = c.w1
+        |JOIN uc uy ON uy.token = c.w2, tot""".stripMargin,
+
+    "q_skew_profile" ->
+      s"""$EvCte, c AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1),
+         |t AS (SELECT n FROM c ORDER BY n DESC, user_id ASC LIMIT 10)
+         |SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS n_rows,
+         |       (SELECT COUNT(*) FROM c) AS n_keys,
+         |       (SELECT MAX(n) FROM t) AS top1_rows,
+         |       (SELECT CAST(SUM(n) AS BIGINT) FROM t) AS topk_rows,
+         |       floor((SELECT MAX(n) FROM t) * (SELECT COUNT(*) FROM c)
+         |         / (SELECT CAST(SUM(n) AS DOUBLE) FROM c) * 1000 + 0.5)/1000
+         |         AS skew_ratio""".stripMargin,
 
     "q_urls" ->
       s"""SELECT doc_id,

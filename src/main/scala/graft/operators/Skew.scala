@@ -31,4 +31,27 @@ object Skew {
       .withColumn("_salt", col("_salt").cast("long"))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /**
+   * Join-key skew profile — the DETECTION half of the salting story,
+   * run before choosing a join strategy (AQE reads shuffle stats at
+   * runtime; this profiles the data ahead of the plan, e.g. to size
+   * `saltFactor` or decide a broadcast). One partial-agg groupBy on the
+   * key plus two single-row aggregates: total rows, distinct keys, the
+   * heaviest key's rows, the top-k keys' combined rows, and the hot
+   * ratio top1/(rows/keys) — >> 1 means the heaviest shuffle partition
+   * is that many times the average.
+   */
+  def keyProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    // global top-k of the per-key counts: TakeOrdered over |keys| rows,
+    // deterministic via the key tiebreak
+    val top = counts.orderBy(col("n").desc, col(keyCol).asc).limit(k)
+      .agg(max("n").as("top1_rows"), sum("n").as("topk_rows"))
+    counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+      .crossJoin(broadcast(top))
+      .withColumn("skew_ratio",
+        col("top1_rows") * col("n_keys") / col("n_rows").cast("double"))
+      .select("n_rows", "n_keys", "top1_rows", "topk_rows", "skew_ratio")
+  }
 }

@@ -242,6 +242,44 @@ object Text {
           .orderBy(col("n").desc, col("token").asc)))
 
   /**
+   * Adjacent-token co-occurrence with PMI — the phrase-mining /
+   * collocation pass (tokenizer evaluation, stop-phrase lists, n-gram LM
+   * features) run over a corpus before export.
+   *
+   * Counts every adjacent bigram (c_xy) and unigram (c_x) in one
+   * explode+groupBy each (partial-agg'd, keyed on high-cardinality
+   * tokens), joins bigrams to their unigram counts token-keyed, and
+   * scores pmi = ln(c_xy·N / (c_x·c_y)). `minCount` prunes the bigram
+   * tail BEFORE the joins, so the join input is the distinct-phrase set,
+   * not the corpus. The corpus total rides along as a broadcast
+   * single-row frame — no driver action.
+   */
+  def cooccurrence(docs: DataFrame, textCol: String,
+                   minCount: Long = 2L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = docs.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val uni = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum("n").as("n_total"))
+    big
+      .join(uni.select(col("token").as("w1"), col("n").as("n_x")), "w1")
+      .join(uni.select(col("token").as("w2"), col("n").as("n_y")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi",
+        log((col("n_xy").cast("double") * col("n_total")) /
+          (col("n_x").cast("double") * col("n_y"))))
+      .select("w1", "w2", "n_xy", "pmi")
+  }
+
+  /**
    * TF-IDF scoring: for every (document, token), tf = in-doc count /
    * doc token total; idf = ln(N / doc-frequency); score = tf · idf.
    * Term stats are plain partial-agg groupBys; the corpus size N rides

@@ -136,6 +136,27 @@ class Round5Spec extends SparkSpecBase {
     }
   }
 
+  test("cooccurrence counts adjacent bigrams and scores PMI exactly") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; unigrams a:3 b:3 c:1, N=7
+    val out = Text.cooccurrence(docs, "text", minCount = 2L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getAs[Long]("n_xy") === 3L)
+    assert(math.abs(r.getAs[Double]("pmi") - math.log(3.0 * 7 / (3 * 3))) < 1e-12)
+  }
+
+  test("keyProfile reports hot-key stats for salting decisions") {
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val r = Skew.keyProfile(rows, "k", k = 2).head()
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("top1_rows") === 6L)
+    assert(r.getAs[Long]("topk_rows") === 9L)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 1.8) < 1e-12)
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
