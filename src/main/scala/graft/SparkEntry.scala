@@ -317,6 +317,17 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numPerms = 128, bands = 32, threshold = 0.7)),
 
+    // --- incremental dedup: a 10% delta probed against the archive's
+    // banded index; archive text re-hashed only for candidates ---
+    "q_dedup_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val archive = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.dedupAgainstIndex(fresh,
+        Dedup.minhashIndex(archive, "doc_id", "text"), archive,
+        "doc_id", "text", threshold = 0.7)
+    }),
+
     // measured gate: banded simhash join vs brute-force bit_count(xor)
     // all-pairs over the same signatures — diff counts must be zero
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1001,6 +1012,19 @@ object SparkEntry {
     // MinHash+LSH at t=0.7 has recall ≈ 1-1e-4 and exact-verifies every
     // candidate, so its output equals the exact Jaccard join.
     "q_dedup_minhash" -> JaccardSql,
+
+    // incremental dedup ≡ the exact Jaccard join restricted to pairs with
+    // a new (doc_id % 10 = 0) left side; new-new pairs emitted once
+    "q_dedup_delta" ->
+      s"""WITH $JaccardCtes, d AS (
+         |  SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+         |         CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS dup_id,
+         |         common::DOUBLE / (n_a + n_b - common) AS jaccard
+         |  FROM p WHERE id_a % 10 = 0 OR id_b % 10 = 0
+         |)
+         |SELECT new_id, dup_id, jaccard,
+         |       CASE WHEN dup_id % 10 = 0 THEN 'new' ELSE 'old' END AS dup_src
+         |FROM d WHERE jaccard >= 0.7""".stripMargin,
 
     "q_dedup_cosine" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -216,6 +216,82 @@ object Dedup {
   }
 
   /**
+   * Persistable banded-minhash index of a corpus: one row per
+   * `(id, band, bh)`, built in one pass with the codegen signature
+   * kernel. Write it partitioned/bucketed by `band, bh` and every future
+   * delta probes it with an equi-join — the archive is INDEXED once, not
+   * re-paired on every ingest.
+   */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    hashedShingleSets(docs, idCol, textCol, n)
+      .filter(col("n_sh") > 0)
+      .select(col("id"),
+        posexplode(graft.functions.Hashing.minhashBands(col("shh"), numPerms, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+      .select("id", "band", "bh")
+  }
+
+  /**
+   * INCREMENTAL near-dup dedup: a delta of new documents against an
+   * existing [[minhashIndex]] — the daily-crawl-vs-archive shape, where
+   * re-pairing the whole corpus per ingest would be quadratic in days.
+   *
+   * Cost model at 100 TB: the delta is signed once (one pass over NEW
+   * text only); candidates come from TWO equi-joins — delta bands vs the
+   * stored index (band/bh-keyed, so a bucketed index table prunes to
+   * matching buckets) and delta vs itself (new-new dups); exact Jaccard
+   * verification re-hashes OLD text only for candidate ids (the archive
+   * scan is semi-join-pruned to the touched documents). Nothing touches
+   * non-colliding archive rows.
+   *
+   * Returns `(new_id, dup_id, jaccard, dup_src)` — `dup_src` 'old' for
+   * archive hits, 'new' for intra-delta pairs (emitted once,
+   * new_id < dup_id). Same recall as [[minhashLsh]] (≈ 1−1e-4 at t=0.7
+   * with 128/32); every candidate exact-verified.
+   */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+                        threshold: Double = 0.7): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val newSets = graft.CacheScope.persist(
+      hashedShingleSets(newDocs, idCol, textCol, n))
+    val newBanded = graft.CacheScope.persist(
+      newSets.filter(col("n_sh") > 0)
+        .select(col("id"),
+          posexplode(graft.functions.Hashing.minhashBands(col("shh"), numPerms, bands)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh")))
+    val candOld = newBanded
+      .join(index.select(col("id").as("dup_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("id").as("new_id"), col("dup_id")).distinct()
+    val candNew = newBanded.select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(newBanded.select(col("band"), col("bh"), col("id").as("dup_id")),
+        Seq("band", "bh"))
+      .filter(col("new_id") < col("dup_id"))
+      .select("new_id", "dup_id").distinct()
+    // archive text re-hashed ONLY for candidate ids: at scale this is a
+    // semi-join-pruned scan of the corpus, not a full pass
+    val touched = corpus.join(
+      candOld.select(col("dup_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val oldSets = hashedShingleSets(touched, idCol, textCol, n)
+    def verify(cand: DataFrame, other: DataFrame, src: String) = cand
+      .join(newSets.select(col("id").as("new_id"), col("shh").as("sh_a"),
+        col("n_sh").as("n_a")), "new_id")
+      .join(other.select(col("id").as("dup_id"), col("shh").as("sh_b"),
+        col("n_sh").as("n_b")), "dup_id")
+      .withColumn("common",
+        graft.functions.Hashing.intersectionSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_id"), col("jaccard"), lit(src).as("dup_src"))
+    verify(candOld, oldSets, "old").unionByName(verify(candNew, newSets, "new"))
+  }
+
+  /**
    * Connected components over near-duplicate pairs → cluster assignment
    * `(id, cluster_id)` where cluster_id is the component's minimum id.
    * Keep-one-per-cluster dedup is then `groupBy(cluster_id).min(id)`.

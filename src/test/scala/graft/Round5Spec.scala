@@ -157,6 +157,28 @@ class Round5Spec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("skew_ratio") - 1.8) < 1e-12)
   }
 
+  test("dedupAgainstIndex finds archive dups and intra-delta dups, skips clean docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val archive = Seq(
+      (1L, base),
+      (3L, "completely different archived text about maritime traffic and weather routing")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base + " again"), // near-copy of archived doc 1
+      (20L, "brand new unique content that matches nothing in the archive at all folks"),
+      (30L, "two fresh documents that duplicate each other inside the same delta batch"),
+      (40L, "two fresh documents that duplicate each other inside the same delta batch now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstIndex(fresh,
+        Dedup.minhashIndex(archive, "doc_id", "text"), archive,
+        "doc_id", "text", threshold = 0.5)
+      .select("new_id", "dup_id", "dup_src")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out.contains((10L, 1L, "old")), s"archive dup missed: $out")
+    assert(out.contains((30L, 40L, "new")), s"intra-delta dup missed: $out")
+    assert(!out.exists(p => p._1 == 20L || p._2 == 20L), "clean doc flagged")
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
