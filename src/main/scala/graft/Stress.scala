@@ -103,7 +103,7 @@ object Stress {
         i => concat(lit("w"), pmod(xxhash64((col("id") / 100).cast("long") * 100, i), lit(2000)))),
         " ").as("text"))
 
-    probe(s"minhashLsh ${nDocs / 1000}k docs") {
+    val tFullPair = probe(s"minhashLsh ${nDocs / 1000}k docs") {
       Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.7).count()
     }
     probe("ngramJaccard (prefix filter)") {
@@ -114,6 +114,22 @@ object Stress {
         Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.7),
         "id_a", "id_b").count()
     }
+    // incremental posture: once the archive is indexed, a 1% delta must
+    // cost a small fraction of the full re-pair above (signing the delta
+    // + two equi-joins + candidate-only verify)
+    val archive = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val idx = graft.CacheScope.persist(
+      Dedup.minhashIndex(archive, "doc_id", "text"))
+    probe(s"minhash index build ${nDocs * 99 / 100 / 1000}k") { idx.count() }
+    val tDelta = probe("delta dedup 1% vs index") {
+      // adversarial density: EVERY delta doc has 99 archive near-copies,
+      // so the probe verifies ~99 true pairs per delta doc
+      Dedup.dedupAgainstIndex(delta, idx, archive, "doc_id", "text",
+        threshold = 0.7).count()
+    }
+    println(f"[stress] delta-probe/full-re-pair ratio ${tDelta / tFullPair}%.2fx " +
+      "(a daily ingest pays probe + matched-candidate verify, never the archive re-pair)")
     probe("tfidf") { Text.tfidf(docs, "doc_id", "text").count() }
 
     // --- embeddings: 500k x 64 dims ---

@@ -168,5 +168,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "mixture plan join degraded to sort-merge")
   }
 
+  test("skew profile: one partial-agg groupBy, top-k via TakeOrdered, no window") {
+    val p = plan("q_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k keys should be TakeOrdered, not a global sort\n" + p.take(2000))
+    assert(!p.contains("Window"), "key profile degraded to a window over all keys")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "per-key counts lost map-side combine")
+  }
+
+  test("delta dedup probes the index with equi-joins; archive verify is semi-join-pruned") {
+    val p = plan("q_dedup_delta")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "delta dedup planned a cross join\n" + p.take(2000))
+    assert(p.contains("LeftSemi"),
+      "archive re-hash should be pruned to candidate ids via a semi join\n" + p.take(2000))
+  }
+
+  test("PMI joins key on tokens (high cardinality); corpus total broadcasts") {
+    val p = plan("q_cooccur")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row corpus total should broadcast\n" + p.take(2000))
+  }
+
   private val Similarity = graft.operators.Similarity
 }
