@@ -539,6 +539,24 @@ object SparkEntry {
         .select(col("n_rows"), col("n_keys"), col("top1_rows"),
           col("topk_rows"), r3(col("skew_ratio")).as("skew_ratio"))),
 
+    // --- PSI distribution drift between the pre- and post-cutoff windows ---
+    "q_psi_drift" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      Quality.psiDrift(e.filter(col("day") < CutoffDay),
+          e.filter(col("day") >= CutoffDay), "value", nBins = 10)
+        .select(col("n_base"), col("n_cur"), r3(col("psi")).as("psi"))
+    }),
+
+    // --- keyed reconciliation diff between two snapshots ---
+    "q_table_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val snapshot = docs.filter(col("doc_id") % 20 =!= 0) // 5% deleted
+        .withColumn("text",
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text"))) // 10% changed
+      Quality.tableDiff(docs, snapshot, Seq("doc_id"), Seq("text", "lang"))
+    }),
+
     // --- IVF ANN: measured recall gate at nProbe < nCells; the oracle
     // replicates the full quantizer (md5 centroid pick is cross-engine) ---
     "q_ann_ivf" -> ((s, dir) => {
@@ -1282,6 +1300,48 @@ object SparkEntry {
         |FROM c
         |JOIN uc ux ON ux.token = c.w1
         |JOIN uc uy ON uy.token = c.w2, tot""".stripMargin,
+
+    "q_psi_drift" ->
+      s"""$EvCte, w AS (
+         |  SELECT value, strftime(ts, '%Y-%m-%d') AS day FROM e
+         |), base AS (SELECT value FROM w WHERE day < '$CutoffDay'),
+         |cur AS (SELECT value FROM w WHERE day >= '$CutoffDay'),
+         |ed AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+         |              CAST(MAX(value) AS DOUBLE) AS hi FROM base),
+         |bb AS (SELECT CASE WHEN hi = lo THEN 0
+         |         ELSE CAST(least(greatest(floor((value - lo) * 10 / (hi - lo)), 0), 9) AS INT)
+         |       END AS bin FROM base, ed),
+         |cb AS (SELECT CASE WHEN hi = lo THEN 0
+         |         ELSE CAST(least(greatest(floor((value - lo) * 10 / (hi - lo)), 0), 9) AS INT)
+         |       END AS bin FROM cur, ed),
+         |bins AS (SELECT unnest(range(0, 10)) AS bin),
+         |nb AS (SELECT bin, COUNT(*) AS n FROM bb GROUP BY 1),
+         |nc AS (SELECT bin, COUNT(*) AS n FROM cb GROUP BY 1),
+         |pb0 AS (SELECT bins.bin, coalesce(nb.n, 0) AS n_base, coalesce(nc.n, 0) AS n_cur
+         |        FROM bins LEFT JOIN nb USING (bin) LEFT JOIN nc USING (bin)),
+         |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+         |               CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM pb0)
+         |SELECT tot.t_base AS n_base, tot.t_cur AS n_cur,
+         |       floor(SUM(((n_cur + 0.5)/(tot.t_cur + 5.0) - (n_base + 0.5)/(tot.t_base + 5.0))
+         |         * ln(((n_cur + 0.5)/(tot.t_cur + 5.0)) / ((n_base + 0.5)/(tot.t_base + 5.0))))
+         |         *1000 + 0.5)/1000 AS psi
+         |FROM pb0, tot GROUP BY tot.t_base, tot.t_cur""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH snap AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' EDITED' ELSE text END AS text,
+        |         lang
+        |  FROM documents WHERE doc_id % 20 <> 0
+        |)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+        |  SELECT CASE WHEN s.doc_id IS NULL THEN 'only_left'
+        |              WHEN d.doc_id IS NULL THEN 'only_right'
+        |              WHEN d.text IS NOT DISTINCT FROM s.text
+        |                   AND d.lang IS NOT DISTINCT FROM s.lang THEN 'same'
+        |              ELSE 'changed' END AS status
+        |  FROM documents d FULL OUTER JOIN snap s ON d.doc_id = s.doc_id
+        |) GROUP BY status""".stripMargin,
 
     "q_skew_profile" ->
       s"""$EvCte, c AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1),

@@ -109,6 +109,72 @@ object Quality {
   }
 
   /**
+   * Population-stability-index drift between a BASELINE window and a
+   * CURRENT window of the same metric — the distribution-drift alarm a
+   * continuously-ingesting pipeline runs day over day (PSI ≳ 0.2 is the
+   * conventional "investigate" line).
+   *
+   * Bin edges are fixed-width over the BASELINE's [min, max] (computed
+   * as a one-row aggregate and broadcast, so current-day outliers clamp
+   * into the edge bins instead of silently re-binning history). Counts
+   * are Laplace-smoothed (+0.5 per bin) so an empty bin cannot produce
+   * ±∞; psi = Σ (p_cur − p_base)·ln(p_cur/p_base). Two partial-agg'd
+   * groupBys and a ≤nBins-row join — nothing scales with row count but
+   * the scans.
+   */
+  def psiDrift(baseline: DataFrame, current: DataFrame, valueCol: String,
+               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "psiDrift needs at least 2 bins")
+    val edges = baseline.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    def binned(df: DataFrame) = df
+      .crossJoin(broadcast(edges))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0)) // degenerate: single bin
+          .otherwise(least(greatest(
+            floor((col(valueCol) - col("lo")) * nBins / (col("hi") - col("lo"))),
+            lit(0)), lit(nBins - 1))).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val b = binned(baseline).withColumnRenamed("n", "n_base")
+    val c = binned(current).withColumnRenamed("n", "n_cur")
+    // dense bin frame so bins empty on BOTH sides still smooth identically
+    val bins = edges.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
+    val perBin = bins.join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = perBin.agg(sum("n_base").as("t_base"), sum("n_cur").as("t_cur"))
+    val pb = (col("n_base") + 0.5) / (col("t_base") + 0.5 * nBins)
+    val pc = (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * nBins)
+    perBin.crossJoin(broadcast(totals))
+      .agg(max("t_base").as("n_base"), max("t_cur").as("n_cur"),
+        sum((pc - pb) * log(pc / pb)).as("psi"))
+  }
+
+  /**
+   * Keyed reconciliation diff between two table snapshots: row counts by
+   * status — `only_left` / `only_right` / `changed` / `same` — via ONE
+   * full-outer join on the key with null-safe payload comparison (the
+   * migration/backfill validation the reference runs as paired Athena
+   * count scripts, generalized to row granularity).
+   */
+  def tableDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "tableDiff needs at least one compare column")
+    val l = left.select((keys ++ compareCols).map(col): _*).alias("l")
+    val r = right.select((keys ++ compareCols).map(col): _*).alias("r")
+    val joined = l.join(r, keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _),
+      "full_outer")
+    val lKey = col(s"l.${keys.head}")
+    val rKey = col(s"r.${keys.head}")
+    val same = compareCols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    joined.select(
+        when(rKey.isNull && lKey.isNotNull, "only_left")
+          .when(lKey.isNull && rKey.isNotNull, "only_right")
+          .when(same, "same").otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /**
    * Piggyback DQ counters onto an existing job via `observe`: row count
    * and per-column null counts are collected as the frame's consumer
    * action runs — NO extra pass over the data (the reference recomputes

@@ -179,6 +179,34 @@ class Round5Spec extends SparkSpecBase {
     assert(!out.exists(p => p._1 == 20L || p._2 == 20L), "clean doc flagged")
   }
 
+  test("psiDrift: identical windows score ~0, a shifted window scores high") {
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Quality.psiDrift(base, base, "v").head()
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-9)
+    assert(same.getAs[Long]("n_base") === 1000L && same.getAs[Long]("n_cur") === 1000L)
+    // hard shift: current mass concentrates where the baseline is thin
+    val shifted = (1 to 1000).map(i => 90.0 + (i % 10)).toDF("v")
+    val drift = Quality.psiDrift(base, shifted, "v").head().getAs[Double]("psi")
+    assert(drift > 0.2, s"expected alarm-level PSI, got $drift") // conventional alarm line
+  }
+
+  test("psiDrift handles a constant baseline (degenerate single bin)") {
+    val const = Seq.fill(50)(7.0).toDF("v")
+    val psi = Quality.psiDrift(const, const, "v").head().getAs[Double]("psi")
+    assert(math.abs(psi) < 1e-9)
+  }
+
+  test("tableDiff classifies only_left / only_right / changed / same in one pass") {
+    val left = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"), (4L, null, "x"))
+      .toDF("id", "payload", "tag")
+    val right = Seq((2L, "b", "x"), (3L, "CHANGED", "x"), (4L, null, "x"), (5L, "e", "x"))
+      .toDF("id", "payload", "tag")
+    val got = Quality.tableDiff(left, right, Seq("id"), Seq("payload", "tag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("only_left" -> 1L, "only_right" -> 1L,
+      "changed" -> 1L, "same" -> 2L)) // null <=> null counts as same
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
