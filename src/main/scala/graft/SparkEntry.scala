@@ -338,6 +338,14 @@ object SparkEntry {
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCols = Seq("label"), threshold = 0.35)),
 
+    // --- int8 quantization fidelity: max cosine deviation per query,
+    // oracle replays the full quantizer bit-for-bit ---
+    "q_int8" -> ((s, dir) =>
+      Similarity.int8FidelityGate(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, eps = 0.05)
+        .select(col("query_id"), col("n_cands"),
+          r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
+
     // --- similarity search ---
     "q_ann_brute" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -532,6 +540,12 @@ object SparkEntry {
     "q_cooccur" -> ((s, dir) =>
       Text.cooccurrence(Tables.documents(s, dir), "text", minCount = 5L)
         .select(col("w1"), col("w2"), col("n_xy"), r3(col("pmi")).as("pmi"))),
+
+    // --- per-doc OOV rate vs the corpus top-100 vocabulary ---
+    "q_oov" -> ((s, dir) =>
+      Text.oovRate(Tables.documents(s, dir), "doc_id", "text", topN = 100)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          r3(col("oov_rate")).as("oov_rate"))),
 
     // --- join-key skew profile (pre-plan hot-key detection) ---
     "q_skew_profile" -> ((s, dir) =>
@@ -1051,6 +1065,25 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin,
 
+    "q_int8" -> {
+      val cf = cosSql("q.vq", "c.v")
+      val cq = cosSql("q.dqq", "c.dq")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT CAST(MIN(list_min(v)) AS DOUBLE) AS lo,
+         |             CAST(MAX(list_max(v)) AS DOUBLE) AS hi FROM v),
+         |d AS (SELECT vec_id, v,
+         |        list_transform(v, x -> lo +
+         |          (least(greatest(floor((x - lo) * 255.0 / (hi - lo)), 0.0), 255.0) + 0.5)
+         |          * (hi - lo) / 255.0) AS dq
+         |      FROM v, b),
+         |q AS (SELECT vec_id AS query_id, v AS vq, dq AS dqq FROM d WHERE vec_id < 10)
+         |SELECT q.query_id, COUNT(*) AS n_cands,
+         |       floor(MAX(abs($cf - $cq))*1000 + 0.5)/1000 AS max_abs_err,
+         |       (MAX(abs($cf - $cq)) <= 0.05) AS ok
+         |FROM d c CROSS JOIN q WHERE c.vec_id <> q.query_id
+         |GROUP BY q.query_id""".stripMargin
+    },
+
     "q_ann_brute" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
@@ -1284,6 +1317,18 @@ object SparkEntry {
         |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token HAVING COUNT(*) >= 2)
         |SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
         |FROM c""".stripMargin,
+
+    "q_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+        |v AS (SELECT token FROM (
+        |  SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) AS rank FROM c
+        |) WHERE rank <= 100)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       floor(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |         / COUNT(*) * 1000 + 0.5)/1000 AS oov_rate
+        |FROM t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id""".stripMargin,
 
     "q_cooccur" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),

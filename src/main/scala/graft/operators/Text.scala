@@ -242,6 +242,29 @@ object Text {
           .orderBy(col("n").desc, col("token").asc)))
 
   /**
+   * Per-document out-of-vocabulary rate against the corpus' own top-N
+   * vocabulary — the tokenizer-QA screen (a doc whose tokens mostly miss
+   * the vocabulary is boilerplate, another language, or binary junk;
+   * batch-level OOV drift flags a stale vocab).
+   *
+   * The top-N vocab is tiny by construction, so membership is a
+   * BROADCAST left join against the exploded token stream — the corpus
+   * shuffles once (the per-doc count agg), never on the vocab side.
+   */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              topN: Int = 100): DataFrame = {
+    val vocab = vocabulary(docs, textCol, minCount = 1L)
+      .filter(col("rank") <= topN).select(col("token"), lit(1).as("in_vocab"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /**
    * Adjacent-token co-occurrence with PMI — the phrase-mining /
    * collocation pass (tokenizer evaluation, stop-phrase lists, n-gram LM
    * features) run over a corpus before export.

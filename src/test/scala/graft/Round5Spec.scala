@@ -207,6 +207,35 @@ class Round5Spec extends SparkSpecBase {
       "changed" -> 1L, "same" -> 2L)) // null <=> null counts as same
   }
 
+  test("oovRate: docs made of top-vocab tokens score 0, junk scores 1") {
+    val docs = Seq(
+      (1L, "a a b b a b a b"),  // all top-2 vocab
+      (2L, "zq1 zq2 zq3 zq4"), // all junk (each appears once)
+      (3L, "a b zq5 zq6")      // half and half
+    ).toDF("doc_id", "text")
+    val out = Text.oovRate(docs, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 0.0 && out(2L) === 1.0 && out(3L) === 0.5)
+  }
+
+  test("int8 quantization: dequantized cosine stays within eps of float cosine") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 31 + d * 7) % 100) / 50.0f - 1.0f)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.int8FidelityGate(vecs, "vec_id", "embedding",
+      queryPred = col("vec_id") < 3, eps = 0.05).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cands") === 49L)
+      assert(r.getAs[Boolean]("ok"),
+        s"int8 cosine deviated ${r.getAs[Double]("max_abs_err")} for query ${r.getLong(0)}")
+    }
+    // quantized codes really are 8-bit
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select(explode(col("qvec"))).as[Int].collect()
+    assert(q.forall(c => c >= 0 && c <= 255))
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
