@@ -206,6 +206,53 @@ object StateStore {
   }
 
   /**
+   * Targeted key deletion — the right-to-be-forgotten path: write a new
+   * version in which the buckets containing `delKeys` are rewritten
+   * WITHOUT those keys. Same touched-buckets-only IO as [[merge]]: a
+   * deletion of 10 entities rewrites the few bucket dirs they hash to,
+   * not the store.
+   *
+   * Visibility vs physicality: readers at or after `version` no longer
+   * see the keys, but OLDER versions still hold the bytes (that is what
+   * makes the write crash-safe). To physically destroy them, follow with
+   * [[compactSnapshot]] + [[vacuum]] — after that no surviving file
+   * contains the deleted rows.
+   */
+  def deleteKeys(spark: SparkSession, root: String, version: String,
+                 delKeys: DataFrame, keyCols: Seq[String],
+                 nBuckets: Int = DefaultBuckets): Unit = {
+    require(!version.contains("/") && version.nonEmpty, s"bad version: $version")
+    val f = fs(spark, root)
+    val target = new Path(root, s"v=$version")
+    require(!f.exists(new Path(target, CommitMarker)),
+      s"deleteKeys target v=$version is already committed; pick a new version")
+    val buckets = pinnedBuckets(spark, root, nBuckets)
+    if (f.exists(target)) f.delete(target, true)
+    // one materialization for probe + anti-join (same hazard as merge)
+    val d = delKeys.select(keyCols.map(col): _*).distinct()
+      .withColumn("bucket", bucketOf(keyCols, buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = d.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
+      readWithBucket(spark, root, before = Some(version)).foreach { prev =>
+        val kept = prev.filter(col("bucket").isin(touched: _*)).drop("bucket")
+          .join(d.drop("bucket"), keyCols, "left_anti")
+        kept.withColumn("bucket", bucketOf(keyCols, buckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(target.toString)
+        // an all-keys-deleted bucket writes no dir; land an empty marker
+        // dir so the version still SHADOWS the old bucket on read
+        touched.foreach { b =>
+          val bd = new Path(target, s"bucket=$b")
+          if (!f.exists(bd)) f.mkdirs(bd)
+        }
+        f.create(new Path(target, CommitMarker)).close()
+      }
+    } finally d.unpersist(false)
+  }
+
+  /**
    * Full-snapshot compaction: materialize the entire current state into
    * one version so reads resolve every bucket to a single directory and
    * older versions become vacuumable. Run on the cadence reads degrade

@@ -133,6 +133,43 @@ class StateStoreSpec extends SparkSpecBase {
     assert(stateMap(root)("a") === ((0L, 1L, 1.0)))
   }
 
+  test("deleteKeys scrubs an entity from current reads; compact+vacuum destroys the bytes") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L)))
+    mergeDay(root, "2024-01-02", deltas(("a", 2.5, 250L, 300L)))
+    StateStore.deleteKeys(spark, root, "2024-01-03",
+      Seq("a").toDF("entity"), Seq("entity"), nBuckets = 8)
+    // current read: the key is gone, others untouched
+    assert(stateMap(root) === Map("b" -> ((50L, 60L, 5.0))))
+    // layered history: an as-of read BEFORE the deletion still sees it
+    // (the delete is a normal crash-safe version, not an in-place mutation)
+    assert(stateMap(root, before = Some("2024-01-03")).contains("a"))
+    // physical destruction: compact the post-delete state, vacuum history,
+    // then NO surviving parquet file anywhere under the root holds the key
+    StateStore.compactSnapshot(spark, root, "2024-01-04", Seq("entity"), nBuckets = 8)
+    StateStore.vacuum(spark, root, "2024-01-04")
+    assert(stateMap(root) === Map("b" -> ((50L, 60L, 5.0))))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.nonEmpty)
+    val survivors = spark.read.parquet(files: _*)
+      .filter(col("entity") === "a").count()
+    assert(survivors === 0L, "deleted entity still present in surviving files")
+  }
+
+  test("deleteKeys on an entity sharing no bucket leaves other buckets' dirs alone") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01", deltas(("a", 1.0, 0L, 1L), ("b", 2.0, 0L, 1L),
+      ("c", 3.0, 0L, 1L), ("d", 4.0, 0L, 1L)))
+    StateStore.deleteKeys(spark, root, "2024-01-02",
+      Seq("a").toDF("entity"), Seq("entity"), nBuckets = 8)
+    val day2 = new java.io.File(s"$root/v=2024-01-02")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    // only the deleted key's bucket was rewritten (touched-only IO)
+    assert(day2.length === 1, s"expected 1 touched bucket, got ${day2.length}")
+    assert(stateMap(root).keySet === Set("b", "c", "d"))
+  }
+
   test("StateSink maintains running state from a stream; batch replay is a no-op") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
