@@ -279,8 +279,12 @@ object Text {
    */
   def cooccurrence(docs: DataFrame, textCol: String,
                    minCount: Long = 2L): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bigrams = docs.select(explode(
+    // tokenize ONCE: bigram and unigram counting both read the cached
+    // token arrays instead of re-scanning and re-splitting the corpus
+    val toked = graft.CacheScope.persist(
+      docs.select(tokens(col(textCol)).as("t")))
+    val toks = col("t")
+    val bigrams = toked.select(explode(
         when(size(toks) >= 2,
           transform(sequence(lit(0), size(toks) - 2),
             i => struct(element_at(toks, i + 1).as("w1"),
@@ -289,7 +293,7 @@ object Text {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= minCount)
-    val uni = docs.select(explode(toks).as("token"))
+    val uni = toked.select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
     val total = uni.agg(sum("n").as("n_total"))
     big
