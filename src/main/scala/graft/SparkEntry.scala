@@ -313,6 +313,12 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.7)),
 
+    // --- one-sided containment (quote/excerpt detection) ---
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), r3(col("containment")).as("containment"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numPerms = 128, bands = 32, threshold = 0.7)),
@@ -1040,6 +1046,24 @@ object SparkEntry {
          |$RecallTailSql""".stripMargin,
 
     "q_dedup_jaccard" -> JaccardSql,
+
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(string_split(text,' ')) >= 3
+        |           THEN list_distinct(list_transform(
+        |             range(1, len(string_split(text,' ')) - 1),
+        |             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+        |           ELSE [] END AS s
+        |  FROM documents
+        |), sz AS (SELECT id, len(s) AS n FROM sh),
+        |inv AS (SELECT id, unnest(s) AS g FROM sh),
+        |co AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        |       FROM inv a JOIN inv b ON a.g = b.g AND a.id <> b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       floor(common::DOUBLE / na.n * 1000 + 0.5)/1000 AS containment
+        |FROM co JOIN sz na ON na.id = co.id_a
+        |WHERE common::DOUBLE / na.n >= 0.8""".stripMargin,
 
     // MinHash+LSH at t=0.7 has recall ≈ 1-1e-4 and exact-verifies every
     // candidate, so its output equals the exact Jaccard join.

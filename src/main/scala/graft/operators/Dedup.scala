@@ -150,6 +150,55 @@ object Dedup {
   }
 
   /**
+   * One-sided CONTAINMENT join: pairs where at least `threshold` of
+   * doc A's shingles appear in doc B (`|A∩B| / |A| ≥ t`) — the
+   * quote/excerpt detector. A short document pasted inside a long one
+   * has low Jaccard (the union is dominated by B) but high containment;
+   * this is the dedup rule for "B embeds A", complementary to
+   * [[ngramJaccard]]'s symmetric near-dup rule.
+   *
+   * Candidate generation is the ASYMMETRIC prefix filter: if
+   * |A∩B| ≥ t·|A|, then A's `⌊(1−t)·n_a⌋+1` rarest shingles cannot ALL
+   * miss B — so probing only A's prefix against B's FULL inverted index
+   * is lossless. The index is linear in corpus shingles (what makes this
+   * viable at 100 TB, vs the prefix×prefix join which would miss
+   * containment pairs). `maxShingleFreq` is the same boilerplate-skew
+   * guard as in [[ngramJaccard]].
+   */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      maxShingleFreq: Long = 1000L): DataFrame = {
+    val sets = graft.CacheScope.persist(
+      hashedShingleSets(docs, idCol, textCol, n)
+        .select(col("id"), col("shh"), col("n_sh")))
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("shh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= maxShingleFreq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("freq").asc, col("s").asc)
+    val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1
+    val prefix = inv.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select(col("s"), col("id").as("id_a"))
+    // container side: FULL freq-capped inverted index, not a prefix
+    val containerIdx = inv.join(freq.select("s"), "s")
+      .select(col("s"), col("id").as("id_b"))
+    val cand = prefix.hint("shuffle_hash").join(containerIdx, Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("common",
+        graft.functions.Hashing.intersectionSize(col("sh_a"), col("sh_b")))
+      .withColumn("containment", col("common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /**
    * MinHash signature over PRE-HASHED shingles: permutation p is
    * xxhash64(shingle_hash, p) — long-to-long mixing, no string re-hash
    * per permutation (strings are hashed once upstream). Signature

@@ -236,6 +236,23 @@ class Round5Spec extends SparkSpecBase {
     assert(q.forall(c => c >= 0 && c <= 255))
   }
 
+  test("containmentJoin catches a quote inside a long doc that Jaccard misses") {
+    val quote = "the five boxing wizards jump quickly over the lazy brown dog tonight"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                    // the short original
+      (2L, s"$filler $quote $filler"), // embeds the quote in 80 filler words
+      (3L, "an unrelated document about maritime navigation and port logistics")
+    ).toDF("doc_id", "text")
+    val contained = Dedup.containmentJoin(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(contained.contains((1L, 2L)), s"embedded quote missed: $contained")
+    assert(!contained.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric rule really does miss it (union dominated by doc 2)
+    val jacc = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    assert(jacc.isEmpty, "jaccard unexpectedly caught the asymmetric pair")
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
