@@ -27,6 +27,11 @@ object SparkEntry {
   /** Incremental-window boundary (2024-01-15 UTC; data spans Jan 2024). */
   private val CutoffSec = 1705276800L
   private val CutoffDay = "2024-01-15"
+  /** k·1.4826 MAD outlier cut, computed ONCE and interpolated into the
+   * oracle SQL so both engines compare against the bit-identical double
+   * (Scala's Double.toString round-trips; a hand-written 4.4478 literal
+   * could differ by an ulp from 3.0*1.4826). */
+  private val MadCut = 3.0 * 1.4826
 
   /** Parity-safe 3-decimal rounding: floor(x*1000 + 0.5)/1000 is pure IEEE
    * arithmetic, bit-identical in Spark and DuckDB (Spark's `round` is
@@ -671,6 +676,29 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) =>
       Quality.winsorize(ev(s, dir), Seq("user_id"), "value", 0.05, 0.95)
         .select(col("event_id"), r3(col("winsorized")).as("w"))),
+
+    // --- robust MAD outlier flag per event type ---
+    "q_mad_outlier" -> ((s, dir) =>
+      Quality.madOutliers(ev(s, dir), Seq("event_type"), "value", k = 3.0)
+        .select(col("event_id"), col("event_type"),
+          r3(col("med")).as("med"), r3(col("mad")).as("mad"),
+          col("is_outlier"))),
+
+    // --- per-column feed-trust profile ---
+    "q_col_profile" -> ((s, dir) =>
+      Quality.columnProfile(Tables.events(s, dir),
+          numericCols = Seq("user_id", "value"), stringCols = Seq("event_type"))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          r3(col("min_v")).as("min_v"), r3(col("max_v")).as("max_v"),
+          r3(col("avg_v")).as("avg_v"))),
+
+    // --- deterministic weighted draw: 20 docs per lang, P ∝ doc length ---
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+          Tables.documents(s, dir)
+            .withColumn("w", length(col("text")).cast("double")),
+          "doc_id", "w", k = 20, strataCols = Seq("lang"))
+        .select("doc_id", "lang")),
 
     // --- token-distribution entropy ---
     "q_entropy" -> ((s, dir) =>
@@ -1595,6 +1623,56 @@ object SparkEntry {
         |                   WHEN value > p95 THEN p95
         |                   ELSE value END)*1000 + 0.5)/1000 AS w
         |FROM events JOIN q USING (user_id)""".stripMargin,
+
+    "q_mad_outlier" ->
+      s"""$EvCte,
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |      FROM e GROUP BY event_type),
+         |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+         |             abs(e.value - m.med) AS abs_dev
+         |      FROM e JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+         |       FROM d GROUP BY event_type)
+         |SELECT d.event_id, d.event_type,
+         |       floor(d.med*1000 + 0.5)/1000 AS med,
+         |       floor(md.mad*1000 + 0.5)/1000 AS mad,
+         |       d.abs_dev > $MadCut * md.mad AS is_outlier
+         |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    "q_col_profile" ->
+      """SELECT 'user_id' AS col_name, COUNT(*) AS n_rows,
+        |       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_null,
+        |       COUNT(DISTINCT user_id) AS n_distinct,
+        |       floor(MIN(CAST(user_id AS DOUBLE))*1000 + 0.5)/1000 AS min_v,
+        |       floor(MAX(CAST(user_id AS DOUBLE))*1000 + 0.5)/1000 AS max_v,
+        |       floor(AVG(CAST(user_id AS DOUBLE))*1000 + 0.5)/1000 AS avg_v
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', COUNT(*),
+        |       COUNT(CASE WHEN value IS NULL THEN 1 END),
+        |       COUNT(DISTINCT value),
+        |       floor(MIN(CAST(value AS DOUBLE))*1000 + 0.5)/1000,
+        |       floor(MAX(CAST(value AS DOUBLE))*1000 + 0.5)/1000,
+        |       floor(AVG(CAST(value AS DOUBLE))*1000 + 0.5)/1000
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*),
+        |       COUNT(CASE WHEN event_type IS NULL THEN 1 END),
+        |       COUNT(DISTINCT event_type),
+        |       floor(MIN(CAST(length(event_type) AS DOUBLE))*1000 + 0.5)/1000,
+        |       floor(MAX(CAST(length(event_type) AS DOUBLE))*1000 + 0.5)/1000,
+        |       floor(AVG(CAST(length(event_type) AS DOUBLE))*1000 + 0.5)/1000
+        |FROM events""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY (ln((${bucketSql("doc_id")} + 0.5) / 10000)
+         |                     / CAST(length(text) AS DOUBLE)) DESC, doc_id) AS rn
+         |  FROM documents WHERE length(text) > 0
+         |)
+         |SELECT doc_id, lang FROM w WHERE rn <= 20""".stripMargin,
 
     "q_entropy" ->
       """WITH t AS (

@@ -175,6 +175,65 @@ object Quality {
   }
 
   /**
+   * Per-group robust outlier flag via median absolute deviation — the
+   * MAD test survives the very outliers it hunts (mean/stddev z-scores
+   * get dragged by them; reference's clamping at
+   * common_functions_raw.py:103 is the fixed-band cousin). A value is
+   * flagged when |x − median| > k·1.4826·MAD (1.4826 scales MAD to σ
+   * under normality; k=3 is the usual line). MAD = 0 (over half the
+   * group identical) degenerates to "anything ≠ median is an outlier",
+   * the standard convention.
+   *
+   * Two exact grouped percentiles and two key-joins — both shuffles key
+   * on the (high-cardinality) group columns; nothing is driver-side.
+   * Same interpolation as DuckDB `quantile_cont`, so oracle-comparable.
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val gc = groupCols.map(col)
+    val med = df.groupBy(gc: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withDev = df.join(med, groupCols)
+      .withColumn("abs_dev", abs(col(valueCol) - col("med")))
+    val mad = withDev.groupBy(gc: _*)
+      .agg(expr("percentile(abs_dev, 0.5)").as("mad"))
+    withDev.join(mad, groupCols)
+      .withColumn("is_outlier", col("abs_dev") > lit(k * 1.4826) * col("mad"))
+  }
+
+  /**
+   * Per-column profile — the "what is in this table" pass a pipeline
+   * runs before trusting a new feed: rows, nulls, distincts, and a
+   * min/max/avg summary (of the value for numeric columns, of the
+   * string length for text columns — length is engine-portable where
+   * float formatting is not).
+   *
+   * One UNION branch per column (same Expand-avoidance rationale as
+   * [[approxDistinctGate]]): each branch is a pruned single-column scan
+   * with a clean two-phase distinct. |cols| passes, each reading one
+   * column's pages — at 100 TB this is the cheapest exact shape.
+   */
+  def columnProfile(df: DataFrame, numericCols: Seq[String],
+                    stringCols: Seq[String]): DataFrame = {
+    def branch(c: String, measure: org.apache.spark.sql.Column) =
+      df.select(measure.as("m"), col(c).as("raw"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("raw").isNull, 1)).as("n_null"),
+          countDistinct(col("raw")).as("n_distinct"),
+          min(col("m")).as("min_v"),
+          max(col("m")).as("max_v"),
+          avg(col("m")).as("avg_v"))
+        .select(lit(c).as("col_name") +: Seq("n_rows", "n_null",
+          "n_distinct", "min_v", "max_v", "avg_v").map(col): _*)
+    val branches =
+      numericCols.map(c => branch(c, col(c).cast("double"))) ++
+        stringCols.map(c => branch(c, length(col(c)).cast("double")))
+    require(branches.nonEmpty, "columnProfile needs at least one column")
+    branches.reduce(_ unionAll _)
+  }
+
+  /**
    * Piggyback DQ counters onto an existing job via `observe`: row count
    * and per-column null counts are collected as the frame's consumer
    * action runs — NO extra pass over the data (the reference recomputes

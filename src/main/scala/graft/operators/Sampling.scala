@@ -75,6 +75,39 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+   * deterministic): each row gets the key ln(u)/w — a monotone transform
+   * of the classic u^(1/w) — with u derived from md5 of the row key
+   * (never a seed-and-partitioning-dependent rand()), and the k largest
+   * keys win. P(row selected) ∝ weight, yet a rerun — or a DuckDB
+   * consumer — picks the exact same rows. This is how a token-budget
+   * corpus draw favors long documents without giving up reproducibility.
+   *
+   * Global draw (strataCols empty) plans as TakeOrderedAndProject —
+   * per-partition top-k then a k-row driver merge, no full sort, no
+   * single-partition window. Per-stratum draw uses a row_number window
+   * keyed on the strata.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, strataCols: Seq[String] = Nil,
+                     buckets: Int = DefaultBuckets): DataFrame = {
+    // +0.5 keeps u in (0,1): ln(0) is -inf and would make weights moot
+    val u = (hashBucket(col(keyCol), buckets) + 0.5) / buckets
+    val esKey = log(u) / col(weightCol).cast("double")
+    val keyed = df.filter(col(weightCol) > 0).withColumn("__es", esKey)
+    val picked =
+      if (strataCols.isEmpty) keyed.orderBy(desc("__es"), col(keyCol)).limit(k)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCols.map(col): _*)
+          .orderBy(desc("__es"), col(keyCol))
+        keyed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn")
+      }
+    picked.drop("__es")
+  }
+
+  /**
    * Data-mixing plan: the per-stratum keep fractions that turn the
    * corpus into the target mixture at the LARGEST achievable size —
    * T = min_d(n_d / w_d) rows total, stratum d keeping w_d·T of its n_d

@@ -253,6 +253,84 @@ class Round5Spec extends SparkSpecBase {
     assert(jacc.isEmpty, "jaccard unexpectedly caught the asymmetric pair")
   }
 
+  // --- robust MAD outliers ---------------------------------------------------
+
+  test("madOutliers flags the planted spike and spares the bulk") {
+    // group g: nine values near 10, one at 1000. med=10, MAD small.
+    val rows = (Seq.tabulate(9)(i => ("g", 100L + i, 9.0 + i * 0.25)) :+
+      ("g", 200L, 1000.0)).toDF("grp", "id", "v")
+    val out = Dedup.exact(rows, rows.columns.toSeq) // no-op guard: columns intact
+    assert(out.columns.toSeq === rows.columns.toSeq)
+    val flagged = Quality.madOutliers(rows, Seq("grp"), "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(flagged(200L), "planted 1000.0 spike not flagged")
+    assert((100L to 108L).forall(i => !flagged(i)), "bulk value falsely flagged")
+  }
+
+  test("madOutliers MAD=0 degenerates to 'anything off the median is out'") {
+    val rows = (Seq.fill(5)(("g", 7.0)) :+ (("g", 7.1)))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("grp", "id", "v")
+    val flagged = Quality.madOutliers(rows, Seq("grp"), "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(flagged(5L), "7.1 should be an outlier when MAD = 0")
+    assert((0L to 4L).forall(i => !flagged(i)))
+  }
+
+  // --- per-column profile ------------------------------------------------------
+
+  test("columnProfile counts rows/nulls/distincts and summarizes per kind") {
+    val rows = Seq(
+      (Some(1.0), Some("aa")),
+      (Some(3.0), None),
+      (None, Some("dddd")),
+      (Some(3.0), Some("aa"))
+    ).toDF("x", "s")
+    val prof = Quality.columnProfile(rows, numericCols = Seq("x"), stringCols = Seq("s"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val x = prof("x")
+    assert(x.getAs[Long]("n_rows") === 4L && x.getAs[Long]("n_null") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 2L)
+    assert(x.getAs[Double]("min_v") === 1.0 && x.getAs[Double]("max_v") === 3.0)
+    val s = prof("s")
+    assert(s.getAs[Long]("n_null") === 1L && s.getAs[Long]("n_distinct") === 2L)
+    // string branch profiles LENGTH: min 2 ("aa"), max 4 ("dddd")
+    assert(s.getAs[Double]("min_v") === 2.0 && s.getAs[Double]("max_v") === 4.0)
+  }
+
+  // --- deterministic weighted sampling ---------------------------------------
+
+  test("weightedSample is a pure function of the keys (repartition-invariant)") {
+    val docs = (1L to 300L).map(i => (i, s"s$i", (i % 17 + 1).toDouble))
+      .toDF("id", "strat", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "id", "w", k = 25)
+        .select("id").as[Long].collect().toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a === b, "selection changed under repartition")
+    assert(a.size === 25)
+  }
+
+  test("weightedSample favors heavy rows and drops non-positive weights") {
+    // 500 light rows (w=1) vs 20 heavy rows (w=1000): expect most picks heavy
+    val light = (1L to 500L).map((_, 1.0))
+    val heavy = (1001L to 1020L).map((_, 1000.0))
+    val zero = Seq((2000L, 0.0), (2001L, -3.0)) // must never be selected
+    val df = (light ++ heavy ++ zero).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(!picked.exists(_ >= 2000L), "non-positive weight selected")
+    val nHeavy = picked.count(_ > 1000L)
+    assert(nHeavy >= 15, s"only $nHeavy/20 picks were heavy (P ∝ w broken?)")
+    // per-stratum draw caps each stratum at k
+    val strat = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", 1.0 + i))
+      .toDF("id", "strat", "w")
+    val per = Sampling.weightedSample(strat, "id", "w", k = 7, strataCols = Seq("strat"))
+      .groupBy("strat").count().as[(String, Long)].collect().toMap
+    assert(per === Map("a" -> 7L, "b" -> 7L))
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
