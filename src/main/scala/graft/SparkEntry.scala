@@ -725,6 +725,22 @@ object SparkEntry {
       Text.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
         .select(col("id"), r3(col("logprob")).as("logprob"))),
 
+    // --- bigram LM fluency (transition-aware CCNet-style score) ---
+    "q_bigram_lp" -> ((s, dir) =>
+      Text.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), col("n_bigrams"), r3(col("logprob")).as("logprob"))),
+
+    // --- corpus novelty: first-occurrence ownership of 3-grams ---
+    "q_novelty" -> ((s, dir) =>
+      Text.noveltyRate(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .select(col("id"), col("n_grams"), col("n_owned"),
+          r3(col("novelty")).as("novelty"))),
+
+    // --- inverted index with hapax + stop-token cuts ---
+    "q_inverted_index" -> ((s, dir) =>
+      Text.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+        minDf = 2L, maxDfFrac = 0.9)),
+
     // --- cohort retention matrix (cohort = first active day) ---
     "q_retention" -> ((s, dir) =>
       Analytics.cohortRetention(
@@ -1722,6 +1738,51 @@ object SparkEntry {
         |       floor(AVG(ln(cnt::DOUBLE / total))*1000 + 0.5)/1000 AS logprob
         |FROM t JOIN c USING (token) CROSS JOIN tot
         |GROUP BY id""".stripMargin,
+
+    "q_bigram_lp" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT id, unnest(range(1, len(toks))) AS i, toks
+        |      FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM b GROUP BY 1, 2),
+        |uc AS (SELECT unnest(toks) AS w1 FROM t),
+        |u AS (SELECT w1, COUNT(*) AS n_x FROM uc GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM u),
+        |sc AS (SELECT id, COUNT(*) AS n_bigrams,
+        |              AVG(ln((n_xy + 0.5) / (n_x + 0.5 * v))) AS logprob
+        |       FROM b JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |       GROUP BY id)
+        |SELECT t.id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |       floor(sc.logprob*1000 + 0.5)/1000 AS logprob
+        |FROM t LEFT JOIN sc USING (id)""".stripMargin,
+
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' '))
+        |         ELSE [] END) AS gs FROM t),
+        |g AS (SELECT id, unnest(gs) AS g FROM g0),
+        |o AS (SELECT g, MIN(id) AS owner_id FROM g GROUP BY g),
+        |sc AS (SELECT g.id, COUNT(*) AS n_grams,
+        |              CAST(SUM(CASE WHEN o.owner_id = g.id THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS n_owned
+        |       FROM g JOIN o USING (g) GROUP BY g.id)
+        |SELECT t.id, coalesce(sc.n_grams, 0) AS n_grams,
+        |       coalesce(sc.n_owned, 0) AS n_owned,
+        |       floor((sc.n_owned::DOUBLE / sc.n_grams)*1000 + 0.5)/1000 AS novelty
+        |FROM t LEFT JOIN sc USING (id)""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |p AS (SELECT DISTINCT doc_id, token FROM x),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |i AS (SELECT token, COUNT(*) AS df,
+        |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |      FROM p GROUP BY token)
+        |SELECT token, df, postings FROM i CROSS JOIN n
+        |WHERE df >= 2 AND df <= n_docs * 0.9""".stripMargin,
 
     "q_retention" ->
       s"""$EvCte, d AS (

@@ -307,6 +307,95 @@ object Text {
   }
 
   /**
+   * Bigram language-model fluency score with add-k smoothing: mean over
+   * a doc's adjacent pairs of ln((c(w1 w2) + k) / (c(w1) + k·V)), V the
+   * corpus vocabulary size — the transition-aware upgrade of
+   * [[unigramLogProb]] (word salad reusing common TOKENS still scores
+   * low because its TRANSITIONS are rare; this is the n-gram half of a
+   * CCNet-style fluency filter). Corpus stats are two partial-agg'd
+   * token-keyed groupBys; V rides along as a broadcast single-row frame.
+   * Docs with fewer than 2 tokens surface with n_bigrams = 0 and a null
+   * score — no transitions to judge is not the same as fluent.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    addK: Double = 0.5): DataFrame = {
+    val toked = graft.CacheScope.persist(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
+    val toks = col("t")
+    val pairs = toked.select(col("id"), explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val uni = toked.select(explode(toks).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("n_x"))
+    val vocabSize = uni.agg(count(lit(1)).as("v"))
+    val scored = pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(log((col("n_xy") + addK) /
+          (col("n_x") + lit(addK) * col("v")))).as("logprob"))
+    toked.select("id").join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logprob"))
+  }
+
+  /**
+   * Corpus novelty rate: the fraction of a document's DISTINCT word
+   * n-grams that the document OWNS — whose globally-first occurrence
+   * (minimum doc id over the corpus) is this document. Boilerplate and
+   * near-copies score ~0, genuinely new prose ~1; ranking a crawl
+   * snapshot by novelty is the cheap screen run before the full minhash
+   * pass. One explode + one partial-agg'd groupBy per n-gram to elect
+   * owners + one token-keyed join back — no windows over the corpus.
+   */
+  def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val grams = graft.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("g")))
+    val owner = grams.groupBy("g").agg(min(col("id")).as("owner_id"))
+    val scored = grams.join(owner, "g")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("owner_id") === col("id"), 1L).otherwise(0L)).as("n_owned"))
+      .withColumn("novelty", col("n_owned").cast("double") / col("n_grams"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"), col("novelty"))
+  }
+
+  /**
+   * Inverted-index build: token → document-frequency + the sorted
+   * posting list (comma-joined string — engine- and driver-portable
+   * where array columns stringify differently). `minDf` prunes hapax
+   * noise; `maxDfFrac` cuts stop tokens that would post to most of the
+   * corpus (those lists are the index's skew risk — at 100 TB a stop
+   * token's postings dwarf every other key, and any consumer join on it
+   * collapses). The (doc, token) distinct and the df groupBy are both
+   * partial-agg'd on the token; the corpus size rides along broadcast.
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 2L, maxDfFrac: Double = 0.5): DataFrame = {
+    val postings = docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    postings.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", sort_array(collect_set(col("id")))).as("postings"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf &&
+        col("df") <= col("n_docs").cast("double") * maxDfFrac)
+      .select("token", "df", "postings")
+  }
+
+  /**
    * TF-IDF scoring: for every (document, token), tf = in-doc count /
    * doc token total; idf = ln(N / doc-frequency); score = tf · idf.
    * Term stats are plain partial-agg groupBys; the corpus size N rides

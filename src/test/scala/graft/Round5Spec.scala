@@ -331,6 +331,60 @@ class Round5Spec extends SparkSpecBase {
     assert(per === Map("a" -> 7L, "b" -> 7L))
   }
 
+  // --- bigram LM fluency -------------------------------------------------------
+
+  test("bigramLogProb ranks a repeated fluent phrase above scrambled tokens") {
+    // corpus: 4 copies of the same sentence + 1 scramble of the same words.
+    // unigram stats are IDENTICAL for all docs; only transitions differ.
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy jumps fox brown the"
+    val docs = ((1L to 4L).map((_, fluent)) :+ (5L, scrambled)).toDF("doc_id", "text")
+    val scores = Text.bigramLogProb(docs, "doc_id", "text")
+      .select("id", "logprob").as[(Long, Double)].collect().toMap
+    assert((1L to 4L).forall(i => scores(i) > scores(5L)),
+      s"scrambled doc did not score lowest: $scores")
+  }
+
+  test("bigramLogProb: a sub-2-token doc reports 0 bigrams and a null score") {
+    val docs = Seq((1L, "solo"), (2L, "two words here")).toDF("doc_id", "text")
+    val r = Text.bigramLogProb(docs, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_bigrams") === 0L)
+    assert(r(1L).isNullAt(r(1L).fieldIndex("logprob")))
+    assert(r(2L).getAs[Long]("n_bigrams") === 2L)
+  }
+
+  // --- corpus novelty ----------------------------------------------------------
+
+  test("noveltyRate: the original owns its grams, a verbatim copy owns none") {
+    val original = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, original),                                // first occurrence: owns all
+      (2L, original),                                // verbatim copy: owns nothing
+      (3L, "iota kappa lambda mu nu xi omicron pi")  // fresh prose: owns all
+    ).toDF("doc_id", "text")
+    val nov = Text.noveltyRate(docs, "doc_id", "text", n = 3)
+      .select("id", "novelty").as[(Long, Double)].collect().toMap
+    assert(nov(1L) === 1.0 && nov(3L) === 1.0)
+    assert(nov(2L) === 0.0, s"verbatim copy scored ${nov(2L)}")
+  }
+
+  // --- inverted index ----------------------------------------------------------
+
+  test("invertedIndex posts sorted doc ids and applies both df cuts") {
+    val docs = Seq(
+      (3L, "common rare shared"),
+      (1L, "common shared"),
+      (2L, "common hapax")
+    ).toDF("doc_id", "text")
+    // common: df 3/3 = 1.0 > 0.9 → stop-token cut; hapax/rare: df 1 < 2 → cut
+    val idx = Text.invertedIndex(docs, "doc_id", "text", minDf = 2L, maxDfFrac = 0.9)
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(idx.keySet === Set("shared"))
+    assert(idx("shared") === ((2L, "1,3"))) // sorted numerically, not by arrival
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
