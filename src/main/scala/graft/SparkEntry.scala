@@ -32,6 +32,11 @@ object SparkEntry {
    * (Scala's Double.toString round-trips; a hand-written 4.4478 literal
    * could differ by an ulp from 3.0*1.4826). */
   private val MadCut = 3.0 * 1.4826
+  /** JL gate line for the 64→16 projection: distortion σ ≈ 1/√16 = 0.25,
+   * and the gate takes a MAX over ~n_cands deviations, so the observed
+   * max on random vectors sits around 3–4σ. The gate measures it;
+   * this is the alarm line, not the expectation. */
+  private val RandProjEps = 1.0
 
   /** Parity-safe 3-decimal rounding: floor(x*1000 + 0.5)/1000 is pure IEEE
    * arithmetic, bit-identical in Spark and DuckDB (Spark's `round` is
@@ -354,6 +359,14 @@ object SparkEntry {
     "q_int8" -> ((s, dir) =>
       Similarity.int8FidelityGate(Tables.embeddings(s, dir), "vec_id", "embedding",
           queryPred = col("vec_id") < 10, eps = 0.05)
+        .select(col("query_id"), col("n_cands"),
+          r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
+
+    // --- JL random-projection fidelity: 64d → 16d, measured max cosine
+    // deviation per query; oracle replays the literal sign matrix ---
+    "q_rand_proj" -> ((s, dir) =>
+      Similarity.jlFidelityGate(Tables.embeddings(s, dir), "vec_id", "embedding",
+          outDim = 16, dim = 64, queryPred = col("vec_id") < 10, eps = RandProjEps)
         .select(col("query_id"), col("n_cands"),
           r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
 
@@ -1152,6 +1165,19 @@ object SparkEntry {
          |GROUP BY q.query_id""".stripMargin
     },
 
+    "q_rand_proj" -> {
+      val cf = cosSql("q.vq", "c.v")
+      val cp = cosSql("q.pq", "c.pv")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v, ${projSql("v")} AS pv FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS vq, pv AS pq FROM p WHERE vec_id < 10)
+         |SELECT q.query_id, COUNT(*) AS n_cands,
+         |       floor(MAX(abs($cf - $cp))*1000 + 0.5)/1000 AS max_abs_err,
+         |       (MAX(abs($cf - $cp)) <= $RandProjEps) AS ok
+         |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
+         |GROUP BY q.query_id""".stripMargin
+    },
+
     "q_ann_brute" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
@@ -1867,6 +1893,15 @@ object SparkEntry {
         val lst = p.map(_.toString).mkString("([", ",", "])")
         s"(CASE WHEN ${dotSql(v, lst)} >= 0 THEN '1' ELSE '0' END)"
       }.mkString("concat(", ", ", ")"))
+
+  /** The q_rand_proj projection, rendered as a DuckDB list of left-fold
+   * dot products against the SAME literal ±1/√16 sign rows
+   * randomProject(outDim=16, dim=64, seed=7) uses — the oracle replays
+   * the projection bit-for-bit. */
+  private def projSql(v: String): String =
+    operators.Similarity.signMatrix(outDim = 16, dim = 64, seed = 7L)
+      .map(r => dotSql(v, r.map(_.toString).mkString("([", ",", "])")))
+      .mkString("[", ",\n", "]")
 
   /** Exact brute-force top-5 CTE body (expects CTEs `v` and `q`). */
   private val BruteTop5Cte =

@@ -100,6 +100,57 @@ object Similarity {
       .withColumn("ok", col("max_abs_err") <= eps)
   }
 
+  /** Deterministic ±1/√outDim sign matrix (Achlioptas '01) for random
+   * projection, drawn from one seeded stream. The SAME Scala call
+   * renders the oracle's literal lists, so an external engine replays
+   * the projection bit-for-bit (Double.toString round-trips). */
+  def signMatrix(outDim: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val s = 1.0 / math.sqrt(outDim.toDouble)
+    Seq.fill(outDim)(Array.fill(dim)(if (rng.nextBoolean()) s else -s))
+  }
+
+  /**
+   * Random-projection dimensionality reduction (Johnson–Lindenstrauss
+   * with Achlioptas ±1 signs): y_j = dot(x, R_j), R_j a ±1/√outDim sign
+   * row. outDim doubles instead of dim — the shuffle/memory cut that
+   * makes a first-pass ANN over 100 TB of embeddings affordable, with
+   * [[jlFidelityGate]] measuring what the cut costs. Each output
+   * coordinate is ONE codegen DotProduct against a literal sign row
+   * (outDim·dim plan literals — fine at 16×64; a 1024×4096 projection
+   * should switch to a broadcast matrix join, the IVF-centroid pattern).
+   */
+  def randomProject(em: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, dim: Int, seed: Long = 7L): DataFrame = {
+    val mat = signMatrix(outDim, dim, seed)
+    em.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("pvec", array(mat.map(r =>
+        dot(col("v"), array(r.toSeq.map(lit): _*))): _*))
+  }
+
+  /**
+   * Measured fidelity gate for [[randomProject]], the JL twin of
+   * [[int8FidelityGate]]: per query, the MAX absolute deviation between
+   * full-dimension cosine and projected cosine over every candidate.
+   * JL theory says distortion ~1/√outDim; this gate MEASURES it on the
+   * actual corpus instead of trusting the bound — the number that
+   * decides whether the projected index needs a full-precision re-rank.
+   */
+  def jlFidelityGate(em: DataFrame, idCol: String, vecCol: String,
+                     outDim: Int, dim: Int, queryPred: Column,
+                     seed: Long = 7L, eps: Double = 0.35): DataFrame = {
+    val pz = graft.CacheScope.persist(
+      randomProject(em, idCol, vecCol, outDim, dim, seed))
+    val qry = pz.filter(queryPred).select(col(idCol).as("query_id"),
+      col("v").as("vq"), col("pvec").as("pq"))
+    val err = abs(cosine(col("vq"), col("v")) - cosine(col("pq"), col("pvec")))
+    pz.crossJoin(broadcast(qry))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_cands"), max(err).as("max_abs_err"))
+      .withColumn("ok", col("max_abs_err") <= eps)
+  }
+
   /**
    * Brute-force cosine top-k: every query row against every candidate.
    * The query side is small by construction → `broadcast` keeps the big

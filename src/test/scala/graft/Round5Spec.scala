@@ -385,6 +385,34 @@ class Round5Spec extends SparkSpecBase {
     assert(idx("shared") === ((2L, "1,3"))) // sorted numerically, not by arrival
   }
 
+  // --- JL random projection ----------------------------------------------------
+
+  test("randomProject is deterministic and exact duplicates stay exact") {
+    val rng = new scala.util.Random(3)
+    val base = Array.fill(16)(rng.nextGaussian())
+    val vecs = Seq(
+      (0L, base.toSeq),                      // query
+      (1L, base.toSeq),                      // exact duplicate of the query
+      (2L, Array.fill(16)(rng.nextGaussian()).toSeq),
+      (3L, Array.fill(16)(rng.nextGaussian()).toSeq)
+    ).toDF("vec_id", "embedding")
+    val p1 = Similarity.randomProject(vecs, "vec_id", "embedding",
+      outDim = 4, dim = 16).select("vec_id", "pvec")
+      .as[(Long, Seq[Double])].collect().toMap
+    val p2 = Similarity.randomProject(vecs.repartition(5), "vec_id", "embedding",
+      outDim = 4, dim = 16).select("vec_id", "pvec")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p1 === p2, "projection changed under repartition")
+    assert(p1(0L).size === 4)
+    assert(p1(0L) === p1(1L), "identical inputs projected differently")
+    // identical vectors keep cosine EXACTLY 1 → gate error 0 for that pair
+    val gate = Similarity.jlFidelityGate(vecs, "vec_id", "embedding",
+        outDim = 4, dim = 16, queryPred = col("vec_id") === 0, eps = 2.0)
+      .head()
+    assert(gate.getAs[Long]("n_cands") === 3L)
+    assert(gate.getAs[Boolean]("ok"))
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
