@@ -620,6 +620,23 @@ object SparkEntry {
       Analytics.transitions(ev(s, dir), Seq("user_id"), "ts_sec",
         "event_type", tieBreak = Seq("event_id"))),
 
+    // --- PageRank of the transition graph (10 damped power iterations) ---
+    "q_pagerank" -> ((s, dir) =>
+      Analytics.pagerank(
+          Analytics.transitions(ev(s, dir), Seq("user_id"), "ts_sec",
+            "event_type", tieBreak = Seq("event_id")),
+          "prev_cat", "next_cat", weightCol = Some("n"),
+          damping = 0.85, iters = 10)
+        .select(col("node"),
+          (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))),
+
+    // --- chi-square independence: event mix vs day-of-week ---
+    "q_chi2" -> ((s, dir) =>
+      Analytics.chiSquare(
+          ev(s, dir).withColumn("dow", floor(col("ts_sec") / 86400) % 7),
+          "event_type", "dow")
+        .select(r3(col("chi2")).as("chi2"), col("dof"), col("n_total"))),
+
     "q_zscore" -> ((s, dir) => {
       val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
       Analytics.zscore(ev(s, dir), Seq("user_id"), "value")
@@ -1535,6 +1552,29 @@ object SparkEntry {
          |SELECT prev_cat, event_type AS next_cat, COUNT(*) AS n
          |FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
+    "q_pagerank" -> pagerankSql(iters = 10, damping = 0.85),
+
+    "q_chi2" ->
+      s"""$EvCte, d2 AS (
+         |  SELECT event_type AS a, floor(ts_sec / 86400) % 7 AS b FROM e
+         |), obs AS (SELECT a, b, COUNT(*) AS n_ab FROM d2 GROUP BY 1, 2),
+         |ma AS (SELECT a, SUM(n_ab) AS n_a FROM obs GROUP BY 1),
+         |mb AS (SELECT b, SUM(n_ab) AS n_b FROM obs GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS n FROM obs),
+         |cells AS (
+         |  SELECT ma.a, mb.b,
+         |         coalesce(CAST(obs.n_ab AS DOUBLE), 0) AS o,
+         |         CAST(ma.n_a AS DOUBLE) * mb.n_b / t.n AS ex,
+         |         t.n
+         |  FROM ma CROSS JOIN mb
+         |  LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b
+         |  CROSS JOIN t
+         |)
+         |SELECT floor(SUM((o - ex) * (o - ex) / ex)*1000 + 0.5)/1000 AS chi2,
+         |       (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+         |       CAST(MAX(n) AS BIGINT) AS n_total
+         |FROM cells""".stripMargin,
+
     "q_zscore" ->
       """WITH st AS (
         |  SELECT user_id, COUNT(value) AS n, SUM(value) AS s,
@@ -1893,6 +1933,54 @@ object SparkEntry {
         val lst = p.map(_.toString).mkString("([", ",", "])")
         s"(CASE WHEN ${dotSql(v, lst)} >= 0 THEN '1' ELSE '0' END)"
       }.mkString("concat(", ", ", ")"))
+
+  /** q_pagerank oracle: the transition-graph PageRank unrolled as a
+   * chained CTE — r0 is uniform, each r_{i+1} applies the same damped
+   * update Analytics.pagerank runs (src-normalized weights, dangling
+   * mass uniform). Constants are interpolated from the SAME Scala
+   * doubles the operator uses, so both engines iterate identical IEEE
+   * arithmetic. Integer edge weights make the per-src normalizing sums
+   * EXACT in double, and the per-dst mass sums are ≤|nodes| terms, so
+   * 10 iterations stay bit-stable far below the 1e-6 round. */
+  private def pagerankSql(iters: Int, damping: Double): String = {
+    val d = damping.toString
+    val omd = (1.0 - damping).toString
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      // MATERIALIZED: every round reads the previous one 2–3 times, and
+      // without it DuckDB re-INLINES the chain — the same 3^iters blowup
+      // the Spark side cuts with localCheckpoint
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         $omd/nn.n + $d*(coalesce(c.m, 0) + dg.dm/nn.n) AS pr
+         |  FROM nodes
+         |  LEFT JOIN (SELECT ed.dst, SUM($p.pr * ed.wn) AS m
+         |             FROM $p JOIN ed ON $p.node = ed.src GROUP BY ed.dst) c
+         |    ON c.dst = nodes.node
+         |  CROSS JOIN (SELECT coalesce(SUM(pr), 0) AS dm FROM $p
+         |              WHERE node NOT IN (SELECT src FROM ed)) dg
+         |  CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""$EvCte, l AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts_sec, event_id) AS prev_cat
+       |  FROM e
+       |), tr AS (
+       |  SELECT prev_cat AS src, event_type AS dst, COUNT(*) AS nw
+       |  FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2
+       |), ed AS MATERIALIZED (
+       |  SELECT src, dst, CAST(nw AS DOUBLE) /
+       |         SUM(CAST(nw AS DOUBLE)) OVER (PARTITION BY src) AS wn
+       |  FROM tr
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, floor(r$iters.pr*1000000 + 0.5)/1000000 AS pr
+       |FROM r$iters""".stripMargin
+  }
 
   /** The q_rand_proj projection, rendered as a DuckDB list of left-fold
    * dot products against the SAME literal ±1/√16 sign rows

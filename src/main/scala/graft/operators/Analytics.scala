@@ -46,6 +46,97 @@ object Analytics {
   }
 
   /**
+   * PageRank over a weighted edge list by distributed power iteration —
+   * the stationary-importance ranking of the [[transitions]] graph (and
+   * of any link/citation/co-click graph a corpus pipeline builds):
+   *
+   *   pr'(v) = (1−d)/N + d·( Σ_{u→v} pr(u)·w̄(u,v) + dangling/N )
+   *
+   * with per-source-normalized weights w̄ and dangling mass (nodes with
+   * no out-edges) redistributed uniformly, so Σpr stays exactly 1 and
+   * the result is oracle-replicable.
+   *
+   * Scale shape (the [[graft.operators.Dedup.clusterPairs]] loop
+   * pattern): the normalized edge table is persisted and repartitioned
+   * by src ONCE for the whole loop; each of the fixed `iters` rounds is
+   * one src-keyed join + one partial-agg'd groupBy on dst + a one-row
+   * broadcast dangling aggregate. Fixed iteration count, not an FP
+   * convergence test — deterministic everywhere, and at O(log N) rounds
+   * power iteration is within ~d^iters of the fixpoint anyway.
+   */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: Option[String] = None,
+               damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      "pagerank needs iters >= 1 and damping in (0,1)")
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+    val eNorm = graft.CacheScope.persist(
+      e0.withColumn("wn", col("w") / sum("w").over(Window.partitionBy("src")))
+        .select("src", "dst", "wn")
+        .repartition(col("src")))
+    val nodes = graft.CacheScope.persist(
+      e0.select(col("src").as("node")).union(e0.select(col("dst"))).distinct())
+    val nN = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val dangling = graft.CacheScope.persist(
+      nodes.join(eNorm.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 1 to iters) {
+      // localCheckpoint, not persist: each round references the previous
+      // one THREE times (contribution join, dangling aggregate, output),
+      // so the LOGICAL plan grows 3^iters without a hard lineage cut —
+      // caching dedups execution but Catalyst still carries (and
+      // stringifies) the full tree, which alone blows the driver heap at
+      // iters=10. The eager checkpoint truncates each round to an RDD
+      // leaf: plans stay O(1) per round, blocks live at
+      // MEMORY_AND_DISK and are reclaimed by the ContextCleaner.
+      val r = ranks.localCheckpoint(true)
+      val inMass = r.join(eNorm, r("node") === eNorm("src"))
+        .groupBy("dst").agg(sum(col("pr") * col("wn")).as("in_mass"))
+      val dangMass = r.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("d_mass"))
+      ranks = nodes
+        .join(inMass, nodes("node") === inMass("dst"), "left")
+        .crossJoin(broadcast(dangMass)).crossJoin(broadcast(nN))
+        .select(nodes("node"),
+          (lit(1.0 - damping) / col("n_nodes") + lit(damping) *
+            (coalesce(col("in_mass"), lit(0.0)) + col("d_mass") / col("n_nodes")))
+            .as("pr"))
+    }
+    ranks
+  }
+
+  /**
+   * Chi-square independence screen between two categorical columns —
+   * "does event mix drift by weekday?" asked as one number. Builds the
+   * full contingency table INCLUDING zero-observed cells (the margins
+   * cross-join is |A|×|B| rows — tiny — and zero cells still contribute
+   * their expected mass; dropping them understates χ²), then
+   * χ² = Σ (obs−exp)²/exp with exp = n_a·n_b/N. One partial-agg'd
+   * groupBy over the data; everything downstream is margin-sized and
+   * broadcast. Emits (chi2, dof, n_total) — compare to the χ²
+   * critical value offline.
+   */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val margA = obs.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val margB = obs.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val total = obs.agg(sum("n_ab").cast("double").as("n"))
+    val cells = margA.crossJoin(broadcast(margB))
+      .join(obs, Seq("a", "b"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("exp", col("n_a").cast("double") * col("n_b") / col("n"))
+      .withColumn("o", coalesce(col("n_ab").cast("double"), lit(0.0)))
+    cells.agg(
+      sum((col("o") - col("exp")) * (col("o") - col("exp")) / col("exp")).as("chi2"),
+      ((countDistinct("a") - 1) * (countDistinct("b") - 1)).as("dof"),
+      max(col("n")).cast("long").as("n_total"))
+  }
+
+  /**
    * Per-group z-score normalization (feature standardization before
    * export). Mean and stddev are derived from per-group sum / sum-of-
    * squares / count — explicit arithmetic instead of engine-native

@@ -413,6 +413,53 @@ class Round5Spec extends SparkSpecBase {
     assert(gate.getAs[Boolean]("ok"))
   }
 
+  // --- PageRank ------------------------------------------------------------------
+
+  test("pagerank: symmetric 2-cycle is the uniform fixpoint; mass is conserved") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val pr = Analytics.pagerank(edges, "src", "dst", iters = 5)
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    assert(math.abs(pr("a") - 0.5) < 1e-12 && math.abs(pr("b") - 0.5) < 1e-12)
+  }
+
+  test("pagerank: dangling mass is redistributed, sum stays 1, sink outranks source") {
+    // a -> b, b dangling. After 1 iter: pr(a)=0.2875, pr(b)=0.7125 by hand.
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val pr = Analytics.pagerank(edges, "src", "dst", iters = 1)
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    assert(math.abs(pr("a") - 0.2875) < 1e-12, s"pr(a) = ${pr("a")}")
+    assert(math.abs(pr("b") - 0.7125) < 1e-12, s"pr(b) = ${pr("b")}")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, "mass not conserved")
+  }
+
+  test("pagerank: edge weights shift mass toward the heavy target") {
+    // c splits 9:1 between a and b; a and b both return to c
+    val edges = Seq(("c", "a", 9.0), ("c", "b", 1.0), ("a", "c", 1.0),
+      ("b", "c", 1.0)).toDF("src", "dst", "w")
+    val pr = Analytics.pagerank(edges, "src", "dst", Some("w"), iters = 20)
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    assert(pr("a") > pr("b"), s"weighted split ignored: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
+  // --- chi-square independence ----------------------------------------------------
+
+  test("chiSquare: perfect dependence computes the hand value incl. zero cells") {
+    // (x,u)=10, (y,v)=10, zero cells (x,v),(y,u): exp=5 each, chi2 = 4*5 = 20
+    val rows = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
+      .toDF("a", "b")
+    val r = Analytics.chiSquare(rows, "a", "b").head()
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0) < 1e-12)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("n_total") === 20L)
+  }
+
+  test("chiSquare: a perfectly balanced table scores exactly 0") {
+    val rows = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    assert(Analytics.chiSquare(rows, "a", "b").head().getAs[Double]("chi2") === 0.0)
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
