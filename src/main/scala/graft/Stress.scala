@@ -178,6 +178,45 @@ object Stress {
         .listFiles().count(f => f.isDirectory && f.getName.startsWith("bucket="))
     }
 
+    // --- round-5 additions ---
+    // PageRank: 5M weighted edges over 1M nodes, 10 damped rounds — each
+    // round is one src-keyed join + one dst groupBy; the probe proves the
+    // localCheckpoint keeps per-round cost flat instead of compounding
+    val nNodes = 1000000L * scale
+    probe(s"pagerank ${nEvents / 1000000}M edges x ${nNodes / 1000000}M nodes") {
+      val edges = spark.range(nEvents).select(
+        (col("id") % nNodes).as("src"),
+        pmod(xxhash64(col("id")), lit(nNodes)).as("dst"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("double").as("w"))
+      Analytics.pagerank(edges, "src", "dst", Some("w"), iters = 10).count()
+    }
+    probe(s"weightedSample global top-1k of ${nEvents / 1000000}M") {
+      Sampling.weightedSample(events.withColumn("w", col("value") + 1.0),
+        "event_id", "w", k = 1000).count()
+    }
+    probe("chiSquare 5M x (users%100, hour)") {
+      Analytics.chiSquare(
+        events.withColumn("ua", col("user_id") % 100)
+          .withColumn("hb", floor(col("ts_sec") / 3600) % 24),
+        "ua", "hb").count()
+    }
+    probe(s"madOutliers per-entity over ${nEvents / 1000000}M") {
+      Quality.madOutliers(events, Seq("user_id"), "value").count()
+    }
+    probe(s"invertedIndex ${nDocs / 1000}k docs") {
+      Text.invertedIndex(docs, "doc_id", "text", minDf = 2L, maxDfFrac = 0.99).count()
+    }
+    probe(s"noveltyRate ${nDocs / 1000}k docs") {
+      Text.noveltyRate(docs, "doc_id", "text").count()
+    }
+    probe(s"bigramLogProb ${nDocs / 1000}k docs") {
+      Text.bigramLogProb(docs, "doc_id", "text").count()
+    }
+    probe(s"randomProject+gate ${nVecs / 1000}k x 64->16") {
+      Similarity.jlFidelityGate(vecs, "vec_id", "embedding",
+        outDim = 16, dim = 64, queryPred = col("vec_id") < 10, eps = 1.0).count()
+    }
+
     spark.stop()
   }
 }

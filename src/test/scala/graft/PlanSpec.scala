@@ -191,5 +191,44 @@ class PlanSpec extends SparkSpecBase {
       "the one-row corpus total should broadcast\n" + p.take(2000))
   }
 
+  test("global weighted sample plans TakeOrdered, not a full sort or window") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "w")
+    val p = operators.Sampling.weightedSample(df, "id", "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "global weighted top-k should be per-partition top-k + k-row merge\n" + p.take(2000))
+    assert(!p.contains("Window"), "global draw degraded to a single-partition window")
+  }
+
+  test("column profile branches prune each scan to its one column") {
+    val p = plan("q_col_profile")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(_.split(",").length === 1),
+      s"a profile branch reads more than its own column: $reads")
+  }
+
+  test("inverted index: postings agg is partial; no window over the corpus") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("partial_"), "df counts lost map-side combine")
+    assert(!p.contains("Window"), "posting lists degraded to a corpus window")
+  }
+
+  test("JL fidelity gate broadcasts the query side; projection stays in codegen") {
+    val p = plan("q_rand_proj")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side should broadcast\n" + p.take(2000))
+    // the `*(n)` prefix marks a WholeStageCodegen stage in plan toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dot_product")),
+      "sign-row dot products fell out of codegen\n" + p.take(2000))
+  }
+
+  test("chi-square: one partial-agg pass over the data; margins broadcast") {
+    val p = plan("q_chi2")
+    assert(p.contains("partial_"), "contingency counts lost map-side combine")
+    assert(!p.contains("SortMergeJoin"),
+      "margin joins degraded to sort-merge (they are margin-sized)\n" + p.take(2000))
+  }
+
   private val Similarity = graft.operators.Similarity
 }
