@@ -771,6 +771,17 @@ object SparkEntry {
       Text.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
         minDf = 2L, maxDfFrac = 0.9)),
 
+    // --- bloom-prefiltered selective join (dim holds 5% of fact keys;
+    // the result is exactly the plain join — the oracle IS the plain join) ---
+    "q_bloom_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dim = e.filter(col("user_id") % 20 === 0)
+        .select(col("user_id")).distinct()
+        .withColumn("attr", col("user_id") * 2)
+      Skew.bloomJoin(e.select("event_id", "user_id"), dim, "user_id",
+        expectedItems = 1000L, numBits = 65536L)
+    }),
+
     // --- cohort retention matrix (cohort = first active day) ---
     "q_retention" -> ((s, dir) =>
       Analytics.cohortRetention(
@@ -1849,6 +1860,14 @@ object SparkEntry {
         |      FROM p GROUP BY token)
         |SELECT token, df, postings FROM i CROSS JOIN n
         |WHERE df >= 2 AND df <= n_docs * 0.9""".stripMargin,
+
+    "q_bloom_join" ->
+      s"""$EvCte, dim AS (
+         |  SELECT DISTINCT user_id, user_id * 2 AS attr
+         |  FROM e WHERE user_id % 20 = 0
+         |)
+         |SELECT e.event_id, e.user_id, dim.attr
+         |FROM e JOIN dim USING (user_id)""".stripMargin,
 
     "q_retention" ->
       s"""$EvCte, d AS (

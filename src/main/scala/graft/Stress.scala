@@ -212,6 +212,13 @@ object Stress {
     probe(s"bigramLogProb ${nDocs / 1000}k docs") {
       Text.bigramLogProb(docs, "doc_id", "text").count()
     }
+    probe(s"bloomJoin 5M fact vs 1k-key dim") {
+      // selective-join shape: the dim holds 1% of the fact's keys, so the
+      // bloom prunes ~99% of the fact BEFORE its shuffle
+      val dim = spark.range(nUsers / 100).select((col("id") * 100).as("user_id"),
+        concat(lit("d"), col("id")).as("attr"))
+      Skew.bloomJoin(events, dim, "user_id").count()
+    }
     probe(s"randomProject+gate ${nVecs / 1000}k x 64->16") {
       Similarity.jlFidelityGate(vecs, "vec_id", "embedding",
         outDim = 16, dim = 64, queryPred = col("vec_id") < 10, eps = 1.0).count()

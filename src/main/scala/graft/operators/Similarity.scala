@@ -129,6 +129,41 @@ object Similarity {
   }
 
   /**
+   * Broadcast-matrix twin of [[randomProject]] for projections past
+   * plan-literal comfort (a 1024×4096 matrix is 4M literals — Catalyst
+   * chokes long before the executors would): the sign rows travel as a
+   * broadcast `(j, row)` frame, each vector meets all outDim rows in a
+   * broadcast nested-loop (outDim-way fan-out, partial-agg'd back), and
+   * the projected vector is reassembled in j-order. The DotProduct fold
+   * order is identical to the literal version, so the two agree
+   * BIT-FOR-BIT (asserted in Round5Spec) and the same oracle covers
+   * both.
+   */
+  def randomProjectBig(em: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, dim: Int, seed: Long = 7L): DataFrame = {
+    val spark = em.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = signMatrix(outDim, dim, seed).zipWithIndex.map { case (r, j) =>
+      org.apache.spark.sql.Row(j, r.toSeq)
+    }
+    val mat = spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    em.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(mat))
+      .select(col(idCol), col("v"), col("j"), dot(col("v"), col("r")).as("y"))
+      .groupBy(idCol)
+      .agg(first(col("v")).as("v"),
+        transform(array_sort(collect_list(struct(col("j"), col("y")))),
+          s => s.getField("y")).as("pvec"))
+  }
+
+  /**
    * Measured fidelity gate for [[randomProject]], the JL twin of
    * [[int8FidelityGate]]: per query, the MAX absolute deviation between
    * full-dimension cosine and projected cosine over every candidate.

@@ -33,6 +33,41 @@ object Skew {
   }
 
   /**
+   * Bloom-prefiltered join: build a Bloom filter over the SMALL side's
+   * join key (`bloom_filter_agg` — one single-row aggregate, broadcast),
+   * prune the BIG side with `might_contain` BEFORE its shuffle, then run
+   * the equi-join. When the join is selective (a dim holding 1% of the
+   * fact's keys — the blocklist/allowlist shape), the shuffle moves ~1%
+   * of the fact side instead of all of it; at 100 TB that pruning IS the
+   * job. False positives only cost pruning efficiency, never
+   * correctness: the result is EXACTLY `big.join(small, key)`, which is
+   * what q_bloom_join's oracle asserts (a plain SQL join). This is the
+   * static, cross-stage version of Spark's runtime row-group filter —
+   * available even when the small side is itself a computed frame.
+   */
+  def bloomJoin(big: DataFrame, small: DataFrame, key: String,
+                expectedItems: Long = 1000000L,
+                numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // BloomFilterAggregate/MightContain back Spark's own runtime join
+    // filters but are not SQL-registered — bridged like the graft
+    // kernels. might_contain requires its filter side to be a constant
+    // or scalar subquery (never a joined column), so the one-row
+    // aggregate rides along as a ScalarSubquery — executed once,
+    // broadcast to every task, exactly like Spark's injected filters.
+    val bfAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(xxhash64(col(key))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfPlan = small.agg(bfAgg.as("_bf")).queryExecution.analyzed
+    big.filter(GraftBridge.column(BloomFilterMightContain(
+        ScalarSubquery(bfPlan),
+        GraftBridge.expression(xxhash64(col(key))))))
+      .join(small, Seq(key))
+  }
+
+  /**
    * Join-key skew profile — the DETECTION half of the salting story,
    * run before choosing a join strategy (AQE reads shuffle stats at
    * runtime; this profiles the data ahead of the plan, e.g. to size

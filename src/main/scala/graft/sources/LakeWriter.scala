@@ -97,6 +97,32 @@ object LakeWriter {
   }
 
   /**
+   * Bucketed catalog table: hash-bucket `df` on `keyCol` into `nBuckets`
+   * files, sorted by the key inside each bucket, registered in the
+   * catalog (bucketing metadata only lives there — a plain
+   * `.parquet(path)` write cannot carry it). Two tables bucketed the
+   * same way equi-join with ZERO exchanges — the co-location is the
+   * point: at 100 TB, pre-bucketing the fact tables on their join key
+   * turns every daily fact-fact join from two full shuffles into a
+   * local zip (PlanSpec asserts the no-Exchange plan). Sorting within
+   * buckets additionally removes the join's sort step.
+   */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    nBuckets: Int = 64): Unit =
+    // repartition by the key into exactly nBuckets first: repartition's
+    // HashPartitioning and bucketBy's bucket routing use the same hash,
+    // so each task holds exactly one bucket's rows → ONE file per bucket.
+    // That single-file property is what lets the scan expose the sortBy
+    // order (multi-file buckets force the join to re-sort locally).
+    df.repartition(nBuckets, col(keyCol))
+      .write
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /**
    * Partitioned write with rows CLUSTERED inside each file by
    * `clusterCols` (`sortWithinPartitions` — no extra shuffle beyond the
    * partitioning repartition): parquet row-group min/max stats on the

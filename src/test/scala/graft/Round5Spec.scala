@@ -460,6 +460,70 @@ class Round5Spec extends SparkSpecBase {
     assert(Analytics.chiSquare(rows, "a", "b").head().getAs[Double]("chi2") === 0.0)
   }
 
+  // --- bloom-prefiltered join ----------------------------------------------------
+
+  test("bloomJoin result is exactly the plain join; misses are pruned pre-join") {
+    val big = (1L to 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val small = Seq((20L, "a"), (40L, "b"), (999L, "c")).toDF("k", "attr")
+    val got = operators.Skew.bloomJoin(big, small, "k", 100L, 4096L)
+      .orderBy("k").collect().map(_.toSeq)
+    val want = big.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+    // the pruning really happens before the join: the plan filters on
+    // might_contain BELOW the join operator
+    val p = operators.Skew.bloomJoin(big, small, "k", 100L, 4096L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "bloom pre-filter missing from plan")
+  }
+
+  // --- broadcast-matrix random projection ----------------------------------------
+
+  test("randomProjectBig agrees bit-for-bit with the literal-matrix version") {
+    val rng = new scala.util.Random(11)
+    val vecs = (1L to 50L).map(i => (i, Seq.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val lit = Similarity.randomProject(vecs, "vec_id", "embedding",
+        outDim = 4, dim = 16).select("vec_id", "pvec")
+      .as[(Long, Seq[Double])].collect().toMap
+    val big = Similarity.randomProjectBig(vecs, "vec_id", "embedding",
+        outDim = 4, dim = 16).select("vec_id", "pvec")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(big === lit, "broadcast-matrix projection diverged from plan literals")
+  }
+
+  // --- bucketed co-located join ---------------------------------------------------
+
+  test("two same-bucketed tables equi-join with ZERO exchanges") {
+    val a = (1L to 2000L).map(i => (i, i * 3)).toDF("k", "va")
+    val b = (1L to 2000L).map(i => (i, s"s$i")).toDF("k", "vb")
+    sources.LakeWriter.writeBucketed(a, "bkt_a", "k", nBuckets = 8)
+    sources.LakeWriter.writeBucketed(b, "bkt_b", "k", nBuckets = 8)
+    // pin sort-merge: tiny test tables would auto-broadcast, and a
+    // BroadcastExchange would mask the co-location this test proves
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // reading the sortBy order off a bucketed scan is gated behind this
+    // legacy flag since 3.0 (it is only sound with one file per bucket,
+    // which writeBucketed guarantees via the pre-write repartition)
+    val prevOrd = spark.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("k"))
+      assert(joined.count() === 2000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed join still shuffles — co-location lost\n" + p.take(2000))
+      assert(!p.contains("Sort ["),
+        "bucket sortBy lost — join re-sorts\n" + p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
