@@ -793,6 +793,24 @@ object SparkEntry {
       Analytics.funnel(ev(s, dir), "user_id", "ts_sec", "event_type",
         Seq("view", "click", "purchase"), windowSec = 86400L)),
 
+    // --- stay-point (dwell) detection: anchored runs >= 1h per entity ---
+    "q_stay_points" -> ((s, dir) =>
+      Trajectory.stayPoints(ev(s, dir), Seq("user_id"), "ts_sec", "value",
+          "lat", "lon", speedThreshold = SpeedThreshold,
+          minDurationSec = 3600L, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("stay_id"), col("start_sec"),
+          col("end_sec"), col("n_points"),
+          r3(col("lat_mean")).as("lat_mean"),
+          r3(col("lon_mean")).as("lon_mean"))),
+
+    // --- origin-destination traffic matrix over 20-degree cells ---
+    "q_od_matrix" -> ((s, dir) =>
+      Trajectory.odMatrix(
+        sessions(s, dir).withColumn("cell",
+          concat_ws(":", Geo.gridCell(col("lat"), 20.0),
+            Geo.gridCell(col("lon"), 20.0))),
+        Seq("user_id", "session_id"), "ts_sec", "cell", tieBreak = "event_id")),
+
     // --- per-session bounding box (voyage spatial extent) ---
     "q_bbox" -> ((s, dir) =>
       sessions(s, dir).groupBy("user_id", "session_id")
@@ -1900,6 +1918,44 @@ object SparkEntry {
          |SELECT 1 AS stage, COUNT(*) AS n_entities FROM s1
          |UNION ALL SELECT 2, COUNT(*) FROM s2
          |UNION ALL SELECT 3, COUNT(*) FROM s3""".stripMargin,
+
+    "q_stay_points" ->
+      s"""$EvCte, a AS (
+         |  SELECT user_id, ts_sec, event_id, lat, lon,
+         |         (value < $SpeedThreshold) AS anch
+         |  FROM e
+         |), c AS (
+         |  SELECT *, CASE WHEN lag(anch) OVER w IS NULL
+         |                   OR lag(anch) OVER w <> anch
+         |                 THEN 1 ELSE 0 END AS chg
+         |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |), r AS (
+         |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+         |              ORDER BY ts_sec, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stay_id
+         |  FROM c
+         |)
+         |SELECT user_id, CAST(stay_id AS BIGINT) AS stay_id,
+         |       MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+         |       COUNT(*) AS n_points,
+         |       floor(AVG(lat)*1000 + 0.5)/1000 AS lat_mean,
+         |       floor(AVG(lon)*1000 + 0.5)/1000 AS lon_mean
+         |FROM r WHERE anch GROUP BY user_id, stay_id
+         |HAVING MAX(ts_sec) - MIN(ts_sec) >= 3600""".stripMargin,
+
+    "q_od_matrix" ->
+      s"""$SessCte, sc AS (
+         |  SELECT user_id, session_id, ts_sec, event_id,
+         |         concat(CAST(floor(lat / 20.0) * 20.0 AS INT), ':',
+         |                CAST(floor(lon / 20.0) * 20.0 AS INT)) AS cell
+         |  FROM sess
+         |), od AS (
+         |  SELECT user_id, session_id,
+         |         first(cell ORDER BY ts_sec, event_id) AS origin,
+         |         last(cell ORDER BY ts_sec, event_id) AS dest
+         |  FROM sc GROUP BY user_id, session_id
+         |)
+         |SELECT origin, dest, COUNT(*) AS n_sessions FROM od GROUP BY 1, 2""".stripMargin,
 
     "q_bbox" ->
       s"""$SessCte

@@ -32,6 +32,59 @@ object Trajectory {
   }
 
   /**
+   * Stay-point (dwell) detection: maximal runs of consecutive
+   * slow/anchored points per entity (speed below `speedThreshold`),
+   * emitting the run's time span, point count, and mean position —
+   * "where did this vessel sit, and for how long" (the run-length
+   * upgrade of the reference's per-ROW movement state,
+   * common_functions_curated.py:237). Runs shorter than
+   * `minDurationSec` are noise (a single slow fix mid-transit) and are
+   * dropped.
+   *
+   * Run ids come from a prefix-sum over state CHANGES on the same
+   * (key, ts) window the session family shares — one shuffle; the
+   * per-run rollup is a partial-agg groupBy.
+   */
+  def stayPoints(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                 speedCol: String, latCol: String, lonCol: String,
+                 speedThreshold: Double, minDurationSec: Long,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsSecCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val anchored = col(speedCol) < speedThreshold
+    // two chained withColumns (lag, then running sum) — same window
+    // spec, so Catalyst plans ONE Window operator / one shuffle
+    df.withColumn("__anch", anchored)
+      .withColumn("__chg", when(
+        lag(col("__anch"), 1).over(w).isNull ||
+          lag(col("__anch"), 1).over(w) =!= col("__anch"), 1L).otherwise(0L))
+      .withColumn("stay_id", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__anch"))
+      .groupBy((keyCols.map(col) :+ col("stay_id")): _*)
+      .agg(min(col(tsSecCol)).as("start_sec"), max(col(tsSecCol)).as("end_sec"),
+        count(lit(1)).as("n_points"),
+        avg(col(latCol)).as("lat_mean"), avg(col(lonCol)).as("lon_mean"))
+      .filter(col("end_sec") - col("start_sec") >= minDurationSec)
+  }
+
+  /**
+   * Origin–destination matrix: each session's first and last cell,
+   * counted over all sessions — the traffic-flow rollup ("how many
+   * voyages went from cell A to cell B") behind route analytics. First/
+   * last are `min_by`/`max_by` on (ts, tieBreak) — a partial-agg'd
+   * groupBy, NOT a window — then one count groupBy on the (origin,
+   * dest) pair. Two shuffles total, both keyed high-cardinality.
+   */
+  def odMatrix(sessions: DataFrame, keyCols: Seq[String], tsSecCol: String,
+               cellCol: String, tieBreak: String): DataFrame =
+    sessions.groupBy(keyCols.map(col): _*)
+      .agg(
+        min_by(col(cellCol), struct(col(tsSecCol), col(tieBreak))).as("origin"),
+        max_by(col(cellCol), struct(col(tsSecCol), col(tieBreak))).as("dest"))
+      .groupBy("origin", "dest").agg(count(lit(1)).as("n_sessions"))
+
+  /**
    * Regularize an irregular per-entity time series onto a fixed grid:
    * one row per `stepSec`-aligned slot between each entity's first and
    * last observation, carrying the LAST observed value at or before the

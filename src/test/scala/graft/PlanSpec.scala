@@ -36,7 +36,11 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("sessionization family plans exactly one shuffle") {
-    for (q <- Seq("q_sessionize", "q_traj_sample", "q_session_summary")) {
+    // q_stay_points belongs here: its per-run groupBy keys on
+    // (user_id, stay_id) — a superset of the window key — so the window's
+    // hash partitioning satisfies the aggregation and no second shuffle
+    for (q <- Seq("q_sessionize", "q_traj_sample", "q_session_summary",
+        "q_stay_points")) {
       val p = plan(q)
       val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
       assert(exchanges === 1, s"$q wants 1 shuffle, got $exchanges")

@@ -524,6 +524,45 @@ class Round5Spec extends SparkSpecBase {
     }
   }
 
+  // --- stay points / OD matrix -----------------------------------------------------
+
+  test("stayPoints finds the anchored run, drops the mid-transit blip") {
+    // user 1: anchored 0-2000s (3 pts), moving, anchored ONCE at 5000s
+    // (span 0 → dropped), moving again
+    val rows = Seq(
+      (1L, 0L, 10L, 1.0, 0.0, 0.0),
+      (1L, 1000L, 11L, 2.0, 1.0, 1.0),
+      (1L, 2000L, 12L, 3.0, 2.0, 2.0),
+      (1L, 3000L, 13L, 99.0, 3.0, 3.0), // moving
+      (1L, 5000L, 14L, 1.0, 4.0, 4.0),  // lone slow fix: span 0, dropped
+      (1L, 6000L, 15L, 99.0, 5.0, 5.0)  // moving
+    ).toDF("user_id", "ts_sec", "event_id", "speed", "lat", "lon")
+    val stays = Trajectory.stayPoints(rows, Seq("user_id"), "ts_sec", "speed",
+      "lat", "lon", speedThreshold = 50.0, minDurationSec = 1500L,
+      tieBreak = Seq("event_id")).collect()
+    assert(stays.length === 1, s"expected exactly one stay: ${stays.toSeq}")
+    val s0 = stays.head
+    assert(s0.getAs[Long]("start_sec") === 0L && s0.getAs[Long]("end_sec") === 2000L)
+    assert(s0.getAs[Long]("n_points") === 3L)
+    assert(s0.getAs[Double]("lat_mean") === 1.0 && s0.getAs[Double]("lon_mean") === 1.0)
+  }
+
+  test("odMatrix counts session first->last cells with deterministic tie-break") {
+    val rows = Seq(
+      // session (1,0): A -> B; ts tie at origin broken by event_id
+      (1L, 0L, 0L, 2L, "B"), (1L, 0L, 0L, 1L, "A"), (1L, 0L, 9L, 3L, "B"),
+      // session (2,0): A -> B
+      (2L, 0L, 0L, 1L, "A"), (2L, 0L, 5L, 2L, "B"),
+      // session (2,1): C -> C (single point)
+      (2L, 1L, 7L, 3L, "C")
+    ).toDF("user_id", "session_id", "ts_sec", "event_id", "cell")
+    val od = Trajectory.odMatrix(rows, Seq("user_id", "session_id"),
+        "ts_sec", "cell", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(od === Map(("A", "B") -> 2L, ("C", "C") -> 1L))
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
