@@ -811,6 +811,15 @@ object SparkEntry {
             Geo.gridCell(col("lon"), 20.0))),
         Seq("user_id", "session_id"), "ts_sec", "cell", tieBreak = "event_id")),
 
+    // --- encounter detection: entity pairs within 50 km and 30 min,
+    // rolled up per pair (lossless lat-band + time-bucket blocking) ---
+    "q_encounters" -> ((s, dir) =>
+      Trajectory.encounters(ev(s, dir), "user_id", "ts_sec", "lat", "lon",
+          maxKm = 50.0, maxGapSec = 1800L)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_meetings"),
+          r3(min(col("dist_km"))).as("min_km"))),
+
     // --- per-session bounding box (voyage spatial extent) ---
     "q_bbox" -> ((s, dir) =>
       sessions(s, dir).groupBy("user_id", "session_id")
@@ -1918,6 +1927,22 @@ object SparkEntry {
          |SELECT 1 AS stage, COUNT(*) AS n_entities FROM s1
          |UNION ALL SELECT 2, COUNT(*) FROM s2
          |UNION ALL SELECT 3, COUNT(*) FROM s3""".stripMargin,
+
+    "q_encounters" ->
+      s"""$EvCte, p AS (
+         |  SELECT a.user_id AS id_a, b.user_id AS id_b,
+         |         2 * 6371.0 * asin(sqrt(
+         |           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         |           cos(radians(a.lat)) * cos(radians(b.lat)) *
+         |           pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+         |  FROM e a JOIN e b
+         |    ON a.user_id < b.user_id
+         |   AND abs(a.ts_sec - b.ts_sec) <= 1800
+         |   AND abs(a.lat - b.lat) * 111.0 <= 50.0
+         |)
+         |SELECT id_a, id_b, COUNT(*) AS n_meetings,
+         |       floor(MIN(km)*1000 + 0.5)/1000 AS min_km
+         |FROM p WHERE km <= 50.0 GROUP BY 1, 2""".stripMargin,
 
     "q_stay_points" ->
       s"""$EvCte, a AS (

@@ -212,6 +212,14 @@ object Stress {
     probe(s"bigramLogProb ${nDocs / 1000}k docs") {
       Text.bigramLogProb(docs, "doc_id", "text").count()
     }
+    probe(s"encounters ${nEvents / 1000000}M pts (50km/30min)") {
+      // lat/lon derived like the bench tables: scattered over the globe,
+      // so the (band, bucket) equi-join stays balanced
+      val pts = events.select(col("user_id"), col("ts_sec"), col("event_id"),
+        (col("value") % 180 - 90).as("lat"), ((col("value") * 7) % 360 - 180).as("lon"))
+      Trajectory.encounters(pts, "user_id", "ts_sec", "lat", "lon",
+        maxKm = 50.0, maxGapSec = 1800L).count()
+    }
     probe(s"bloomJoin 5M fact vs 1k-key dim") {
       // selective-join shape: the dim holds 1% of the fact's keys, so the
       // bloom prunes ~99% of the fact BEFORE its shuffle

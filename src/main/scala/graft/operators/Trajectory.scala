@@ -69,6 +69,55 @@ object Trajectory {
   }
 
   /**
+   * Encounter (proximity) detection: point pairs of DISTINCT entities
+   * observed within `maxKm` AND `maxGapSec` of each other — the
+   * rendezvous/near-miss join behind dark-fleet and collision analytics.
+   *
+   * Candidates come from a bucketed self-EQUI-join on (time bucket,
+   * latitude band): great-circle distance is never less than its
+   * meridional component (≥ 111.19 km per degree of Δlat), so a
+   * qualifying pair differs by at most one `maxKm`-sized lat band — and
+   * by at most one `maxGapSec` time bucket. Expanding the LEFT side to
+   * its 3×3 (band, bucket) neighborhood therefore makes the equi-join
+   * provably lossless AT ANY LATITUDE (longitude cells are not: meridians
+   * converge toward the poles, where points many lon-degrees apart are
+   * still close in km). Each qualifying pair meets at exactly ONE key —
+   * the right row's own (band, bucket) — so there is no post-join dedup.
+   * Exact haversine + time-gap predicates verify every candidate.
+   *
+   * Scale shape: the left side carries ×9 rows into one equi-join
+   * keyed on (band, bucket) — never an all-pairs cross join. Skewed
+   * bands (a busy strait) can be salted by widening the key with a
+   * deterministic split of hot bands, same recipe as Skew.saltedJoin.
+   */
+  def encounters(df: DataFrame, idCol: String, tsSecCol: String,
+                 latCol: String, lonCol: String,
+                 maxKm: Double, maxGapSec: Long): DataFrame = {
+    require(maxKm > 0 && maxGapSec > 0, "encounters needs positive bounds")
+    // 111.0 < the true 111.19 km/° meridional scale: a slightly WIDER
+    // band than maxKm strictly needs, so losslessness has margin
+    val bandDeg = maxKm / 111.0
+    val base = df.select(col(idCol).as("id"), col(tsSecCol).as("ts"),
+      col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
+      .withColumn("band", floor(col("lat") / bandDeg).cast("long"))
+      .withColumn("tb", floor(col("ts") / maxGapSec).cast("long"))
+    val right = base.select(col("id").as("id_b"), col("ts").as("ts_b"),
+      col("lat").as("lat_b"), col("lon").as("lon_b"), col("band"), col("tb"))
+    val left = base
+      .withColumn("band", explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .withColumn("tb", explode(array(col("tb") - 1, col("tb"), col("tb") + 1)))
+      .select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("lat").as("lat_a"), col("lon").as("lon_a"), col("band"), col("tb"))
+    left.join(right, Seq("band", "tb"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("ts_a") - col("ts_b")) <= maxGapSec)
+      .withColumn("dist_km", Geo.haversineKm(col("lat_a"), col("lon_a"),
+        col("lat_b"), col("lon_b")))
+      .filter(col("dist_km") <= maxKm)
+      .select("id_a", "id_b", "ts_a", "ts_b", "dist_km")
+  }
+
+  /**
    * Origin–destination matrix: each session's first and last cell,
    * counted over all sessions — the traffic-flow rollup ("how many
    * voyages went from cell A to cell B") behind route analytics. First/

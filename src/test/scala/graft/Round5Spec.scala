@@ -563,6 +563,42 @@ class Round5Spec extends SparkSpecBase {
     assert(od === Map(("A", "B") -> 2L, ("C", "C") -> 1L))
   }
 
+  // --- encounter detection ----------------------------------------------------------
+
+  test("encounters: catches a band-straddling pair, rejects far/late pairs") {
+    // maxKm=100 → band ≈ 0.9°. Pair (1,2) sits 0.05° apart but STRADDLES
+    // a band boundary (0.88 vs 0.93 with bandDeg≈0.9009) — only the ±1
+    // expansion finds it. Pair (1,3) is close in space but 2h late;
+    // pair (1,4) is simultaneous but ~555 km away.
+    val rows = Seq(
+      (1L, 1000L, 0.88, 10.0),
+      (2L, 1200L, 0.93, 10.0),   // ~5.6 km, 200 s apart → encounter
+      (3L, 9000L, 0.88, 10.0),   // same spot, 8000 s later → too late
+      (4L, 1000L, 5.88, 10.0)    // ~555 km away → too far
+    ).toDF("user_id", "ts_sec", "lat", "lon")
+    val got = Trajectory.encounters(rows, "user_id", "ts_sec", "lat", "lon",
+        maxKm = 100.0, maxGapSec = 1800L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), s"got $got")
+    // band check: the two really do land in different bands
+    val bandDeg = 100.0 / 111.0
+    assert(math.floor(0.88 / bandDeg) !== math.floor(0.93 / bandDeg),
+      "test fixture no longer straddles a band boundary")
+  }
+
+  test("encounters emits each qualifying point pair exactly once") {
+    // two entities each with 2 points, all 4 cross-pairs qualify → 4 rows,
+    // no duplicates from the 3x3 expansion
+    val rows = Seq(
+      (1L, 100L, 1.0, 1.0), (1L, 200L, 1.01, 1.0),
+      (2L, 150L, 1.005, 1.0), (2L, 250L, 1.02, 1.0)
+    ).toDF("user_id", "ts_sec", "lat", "lon")
+    val got = Trajectory.encounters(rows, "user_id", "ts_sec", "lat", "lon",
+      maxKm = 50.0, maxGapSec = 1800L).collect()
+    assert(got.length === 4, s"expected 4 point pairs, got ${got.length}")
+    assert(got.forall(_.getAs[Long]("id_a") === 1L))
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
