@@ -630,6 +630,13 @@ object SparkEntry {
         .select(col("node"),
           (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))),
 
+    // --- feature-redundancy screen: all-pairs correlation, one pass ---
+    "q_corr_matrix" -> ((s, dir) =>
+      Analytics.corrMatrix(
+          ev(s, dir).withColumn("hod", hour(col("ts")).cast("double")),
+          Seq("value", "lat", "lon", "hod"))
+        .select(col("col_x"), col("col_y"), r3(col("r")).as("r"))),
+
     // --- chi-square independence: event mix vs day-of-week ---
     "q_chi2" -> ((s, dir) =>
       Analytics.chiSquare(
@@ -1591,6 +1598,22 @@ object SparkEntry {
          |FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q_pagerank" -> pagerankSql(iters = 10, damping = 0.85),
+
+    "q_corr_matrix" -> {
+      val cols = Seq("value", "lat", "lon", "hod")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val branches = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |       floor(corr($a, $b)*1000 + 0.5)/1000 AS r FROM h"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$EvCte, h AS (
+         |  SELECT value, lat, lon, CAST(hour(ts) AS DOUBLE) AS hod FROM e
+         |)
+         |$branches""".stripMargin
+    },
 
     "q_chi2" ->
       s"""$EvCte, d2 AS (

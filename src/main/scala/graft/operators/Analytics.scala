@@ -137,6 +137,30 @@ object Analytics {
   }
 
   /**
+   * All-pairs Pearson correlation matrix over numeric columns, emitted
+   * as (col_x, col_y, r) rows for x < y — the feature-redundancy screen
+   * run before a training export (|r| ≈ 1 means one of the two columns
+   * is dead weight). ALL |cols|·(|cols|−1)/2 `corr` measures run in ONE
+   * aggregation — a single scan with map-side partial moments, one
+   * single-row result unpivoted to rows. Never one scan per pair.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"__${a}__$b")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          col(s"__${a}__$b").as("r"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /**
    * Per-group z-score normalization (feature standardization before
    * export). Mean and stddev are derived from per-group sum / sum-of-
    * squares / count — explicit arithmetic instead of engine-native

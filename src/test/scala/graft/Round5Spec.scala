@@ -599,6 +599,25 @@ class Round5Spec extends SparkSpecBase {
     assert(got.forall(_.getAs[Long]("id_a") === 1L))
   }
 
+  // --- correlation matrix ------------------------------------------------------------
+
+  test("corrMatrix: exact ±1 on linear pairs, one scan for all pairs") {
+    val rows = (1 to 100).map { i =>
+      (i.toDouble, i * 2.0, -3.0 * i + 7.0, if (i % 2 == 0) 1.0 else 5.0)
+    }.toDF("a", "b", "c", "d")
+    val m = Analytics.corrMatrix(rows, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("r"))
+      .toMap
+    assert(m.size === 6)
+    assert(math.abs(m(("a", "b")) - 1.0) < 1e-12)  // b = 2a
+    assert(math.abs(m(("a", "c")) + 1.0) < 1e-12)  // c = -3a + 7
+    assert(math.abs(m(("a", "d"))) < 0.2)          // alternating: ~uncorrelated
+    // one aggregation pass: the plan has no Union of per-pair scans
+    val p = Analytics.corrMatrix(rows, Seq("a", "b", "c", "d"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Union"), "corrMatrix degraded to one scan per pair")
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
