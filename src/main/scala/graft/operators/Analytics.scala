@@ -149,10 +149,19 @@ object Analytics {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      corr(col(a).cast("double"), col(b).cast("double")).as(s"__${a}__$b")
-    }
+    // NOT the corr() aggregate: under ANSI mode its final division
+    // throws DIVIDE_BY_ZERO on a constant column. covar/(σa·σb) with an
+    // explicit zero-σ guard returns null there instead (matching DuckDB
+    // corr's NULL), and the when() short-circuits the division.
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(covar_samp(col(a).cast("double"), col(b).cast("double")).as(s"__c__${a}__$b")) } ++
+      cols.map(c => stddev_samp(col(c).cast("double")).as(s"__s__$c"))
     df.agg(aggs.head, aggs.tail: _*)
+      .select(pairs.map { case (a, b) =>
+        val (sa, sb) = (col(s"__s__$a"), col(s"__s__$b"))
+        when(sa.isNull || sb.isNull || sa === 0.0 || sb === 0.0, lit(null))
+          .otherwise(col(s"__c__${a}__$b") / (sa * sb)).as(s"__${a}__$b")
+      }: _*)
       .select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("col_x"), lit(b).as("col_y"),
           col(s"__${a}__$b").as("r"))

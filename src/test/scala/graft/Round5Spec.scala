@@ -618,6 +618,44 @@ class Round5Spec extends SparkSpecBase {
     assert(!p.contains("Union"), "corrMatrix degraded to one scan per pair")
   }
 
+  // --- degenerate inputs for the round-5 operators --------------------------------
+
+  test("round-5 operators survive empty and degenerate inputs") {
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Analytics.pagerank(emptyEdges, "src", "dst", iters = 2).isEmpty)
+
+    val emptyPts = Seq.empty[(Long, Long, Double, Double)]
+      .toDF("user_id", "ts_sec", "lat", "lon")
+    assert(Trajectory.encounters(emptyPts, "user_id", "ts_sec", "lat", "lon",
+      10.0, 600L).isEmpty)
+
+    // all-moving entity: zero stay points, not an error
+    val moving = Seq((1L, 0L, 1L, 99.0, 0.0, 0.0), (1L, 10L, 2L, 98.0, 1.0, 1.0))
+      .toDF("user_id", "ts_sec", "event_id", "speed", "lat", "lon")
+    assert(Trajectory.stayPoints(moving, Seq("user_id"), "ts_sec", "speed",
+      "lat", "lon", 50.0, 0L, Seq("event_id")).isEmpty)
+
+    // constant column: corr is null (0/0), surfaced as null not NaN/error
+    val const = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val r = Analytics.corrMatrix(const, Seq("a", "b")).head()
+    assert(r.isNullAt(r.fieldIndex("r")) ||
+      r.getAs[Double]("r").isNaN, "constant-column corr should be null/NaN")
+
+    // MAD on a single-row group: med = the value, mad = 0, not an outlier
+    val single = Seq(("g", 7.0)).toDF("grp", "v")
+    val m = Quality.madOutliers(single, Seq("grp"), "v").head()
+    assert(!m.getAs[Boolean]("is_outlier"))
+
+    // weighted sample with k larger than the frame returns everything
+    val tiny = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(tiny, "id", "w", k = 100).count() === 2L)
+
+    // bloom join with an EMPTY small side returns an empty result
+    val big = (1L to 50L).map(i => (i, s"p$i")).toDF("k", "p")
+    val emptyDim = Seq.empty[(Long, String)].toDF("k", "attr")
+    assert(operators.Skew.bloomJoin(big, emptyDim, "k", 10L, 1024L).isEmpty)
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
