@@ -276,10 +276,22 @@ object Analytics {
                tieBreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    // the same ANSI trap as corrMatrix: corr() throws DIVIDE_BY_ZERO on a
+    // constant series; covar/(σ·σ_lag) with a zero-σ guard yields null.
+    // The σ aggregates are restricted to COMPLETE pairs via when() (the
+    // pair-skipping corr() does internally), and groups with zero pairs
+    // still emit their (null, 0) row — same surface as before.
     df.withColumn("_lagv", lag(col(valueCol), lagK).over(w))
       .groupBy(keyCols.map(col): _*)
-      .agg(corr(col(valueCol), col("_lagv")).as("autocorr"),
-        count(col("_lagv")).as("n_pairs"))
+      .agg(covar_samp(col(valueCol), col("_lagv")).as("_cv"),
+        stddev_samp(when(col("_lagv").isNotNull, col(valueCol))).as("_sa"),
+        stddev_samp(when(col(valueCol).isNotNull, col("_lagv"))).as("_sb"),
+        count(when(col(valueCol).isNotNull, col("_lagv"))).as("n_pairs"))
+      .withColumn("autocorr",
+        when(col("_sa").isNull || col("_sb").isNull ||
+          col("_sa") === 0.0 || col("_sb") === 0.0, lit(null))
+          .otherwise(col("_cv") / (col("_sa") * col("_sb"))))
+      .drop("_cv", "_sa", "_sb")
   }
 
   /**

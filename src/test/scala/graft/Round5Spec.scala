@@ -654,6 +654,16 @@ class Round5Spec extends SparkSpecBase {
     val big = (1L to 50L).map(i => (i, s"p$i")).toDF("k", "p")
     val emptyDim = Seq.empty[(Long, String)].toDF("k", "attr")
     assert(operators.Skew.bloomJoin(big, emptyDim, "k", 10L, 1024L).isEmpty)
+
+    // constant series: autocorr null, not DIVIDE_BY_ZERO (the corr() trap);
+    // a single-event entity still emits its (null, 0 pairs) row
+    val flat = (Seq.tabulate(5)(i => (1L, i.toLong, 7.0)) :+ ((2L, 0L, 3.0)))
+      .toDF("user_id", "ts_sec", "value")
+    val ac = Analytics.autocorr(flat, Seq("user_id"), "ts_sec", "value")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(ac(1L).isNullAt(ac(1L).fieldIndex("autocorr")))
+    assert(ac(1L).getAs[Long]("n_pairs") === 4L)
+    assert(ac(2L).getAs[Long]("n_pairs") === 0L)
   }
 
   test("lake read with mergeSchema sees a column added by a later partition") {
