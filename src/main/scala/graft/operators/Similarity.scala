@@ -22,8 +22,18 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.Hashing.dotProduct(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error) when
+   * either vector has zero norm — a null cosine fails every `>= t`
+   * filter and sorts last under `desc` ranking, so zero vectors drop
+   * out of similarity results instead of killing the job. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
+  }
+
+  /** Guarded quotient for pre-computed norms (same null-on-zero rule). */
+  private def cosOver(dotAb: Column, nrmProduct: Column): Column =
+    when(nrmProduct === 0.0, lit(null)).otherwise(dotAb / nrmProduct)
 
   /**
    * Exact cosine near-duplicate pairs (id_a < id_b) with similarity ≥
@@ -51,7 +61,7 @@ object Similarity {
       col("nrm").as("nrm_b") +: blockCols.map(col): _*)
     val joined = if (blockCols.isEmpty) a.crossJoin(b) else a.join(b, blockCols)
     joined.filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos", cosOver(dot(col("v_a"), col("v_b")), col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -203,7 +213,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     cand.crossJoin(broadcast(qry))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("cos", cosOver(dot(col("v_q"), col("v_c")), col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
@@ -285,7 +295,7 @@ object Similarity {
     // Partial aggregation collapses the ×nCentroids expansion back to one
     // row per vector BEFORE any shuffle; ties break to the smallest cell.
     val scored = base.crossJoin(broadcast(cent))
-      .withColumn("cscore", dot(col("v_c"), col("c_vec")) / col("c_nrm"))
+      .withColumn("cscore", cosOver(dot(col("v_c"), col("c_vec")), col("c_nrm")))
     val cand = scored.groupBy("cand_id")
       .agg(max_by(col("cell"), struct(col("cscore"), -col("cell"))).as("cell"),
         first(col("v_c")).as("v_c"), first(col("nrm_c")).as("nrm_c"))
@@ -295,7 +305,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v_q"))
       .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
       .crossJoin(broadcast(cent))
-      .withColumn("cscore", dot(col("v_q"), col("c_vec")) / col("c_nrm"))
+      .withColumn("cscore", cosOver(dot(col("v_q"), col("c_vec")), col("c_nrm")))
       .withColumn("prank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)))
       .filter(col("prank") <= nProbe)
@@ -304,7 +314,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     cand.join(broadcast(qry), "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("cos", cosOver(dot(col("v_q"), col("v_c")), col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
@@ -382,7 +392,7 @@ object Similarity {
       .select("query_id", "cand_id").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     pairs.join(cand, "cand_id").join(broadcast(qry), "query_id")
-      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("cos", cosOver(dot(col("v_q"), col("v_c")), col("nrm_q") * col("nrm_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))

@@ -655,6 +655,20 @@ class Round5Spec extends SparkSpecBase {
     val emptyDim = Seq.empty[(Long, String)].toDF("k", "attr")
     assert(operators.Skew.bloomJoin(big, emptyDim, "k", 10L, 1024L).isEmpty)
 
+    // a zero-norm embedding yields null cosine (dropped by ranking/
+    // threshold), never an ANSI DIVIDE_BY_ZERO that kills the job
+    val zvecs = Seq(
+      (0L, Seq(1.0, 0.0), "x"), (1L, Seq(0.9, 0.1), "x"),
+      (2L, Seq(0.0, 0.0), "x") // zero vector
+    ).toDF("vec_id", "embedding", "label")
+    val nd = Similarity.embeddingNearDup(zvecs, "vec_id", "embedding",
+      Seq("label"), threshold = 0.5).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(nd === Set((0L, 1L)), s"zero vector leaked into pairs: $nd")
+    val topk = Similarity.bruteForceTopK(zvecs, zvecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2).select("cand_id").as[Long].collect().toSet
+    assert(topk.contains(1L), "real neighbor missing")
+
     // constant series: autocorr null, not DIVIDE_BY_ZERO (the corr() trap);
     // a single-event entity still emits its (null, 0 pairs) row
     val flat = (Seq.tabulate(5)(i => (1L, i.toLong, 7.0)) :+ ((2L, 0L, 3.0)))
