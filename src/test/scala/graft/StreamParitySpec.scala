@@ -3,8 +3,8 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.Sessionize
-import graft.streaming.{DedupStream, SessionStream, SessionWindowAgg,
-  StaticEnrich, StreamEvent, StreamJoin, WindowedCounts}
+import graft.streaming.{DedupStream, EncounterStream, SessionStream,
+  SessionWindowAgg, StaticEnrich, StreamEvent, StreamJoin, WindowedCounts}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,49 @@ class StreamParitySpec extends SparkSpecBase {
       assert(streamed === expected)
       // left-join semantics survived streaming: unmatched keys kept with null
       assert(streamed.exists(_._3.isEmpty) && streamed.exists(_._3.nonEmpty))
+    } finally query.stop()
+  }
+
+  test("EncounterStream equals batch Trajectory.encounters on full input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(53)
+    // 10 entities drifting in a ~2°x2° box over ~50 min: dense enough for
+    // real encounters at 50 km / 10 min, shuffled for out-of-order arrival.
+    // Timeline starts one day AFTER epoch 0: Spark's initial event-time
+    // watermark is 0, and join-state rows AT the watermark count as late —
+    // an epoch-0 fix is dropped, which no real feed ever carries
+    val all = rng.shuffle((1 to 150).map { i =>
+      (rng.nextInt(10).toLong + 1, ts(86400L + rng.nextInt(50) * 60L),
+        rng.nextDouble() * 2.0, rng.nextDouble() * 2.0)
+    })
+    val in = MemoryStream[(Long, Timestamp, Double, Double)]
+    // watermark covers the whole timeline: no eviction can drop a pair,
+    // so the batch operator on the full input is exact truth
+    val stream = EncounterStream.encounters(
+      in.toDF().toDF("user_id", "t", "lat", "lon"),
+      "user_id", "t", "lat", "lon",
+      maxKm = 50.0, maxGapSec = 600L, watermarkDelay = "2 hours")
+    val query = stream.writeStream.format("memory")
+      .queryName("parity_enc").outputMode("append").start()
+    try {
+      all.grouped(50).foreach { b => in.addData(b); query.processAllAvailable() }
+      def key(idA: Long, idB: Long, tsA: Long, tsB: Long, km: Double) =
+        (idA, idB, tsA, tsB, math.floor(km * 1000 + 0.5) / 1000)
+      val streamed = spark.table("parity_enc")
+        .select(col("id_a"), col("id_b"), unix_timestamp(col("ts_a")),
+          unix_timestamp(col("ts_b")), col("dist_km"))
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map((key _).tupled).toSet
+      val expected = operators.Trajectory.encounters(
+          all.toDF("user_id", "t", "lat", "lon")
+            .withColumn("ts_sec", unix_timestamp(col("t"))),
+          "user_id", "ts_sec", "lat", "lon", maxKm = 50.0, maxGapSec = 600L)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map((key _).tupled).toSet
+      assert(streamed === expected,
+        s"stream-only: ${(streamed -- expected).take(5)}; " +
+          s"batch-only: ${(expected -- streamed).take(5)}")
+      assert(streamed.nonEmpty, "fixture produced no encounters")
     } finally query.stop()
   }
 }
