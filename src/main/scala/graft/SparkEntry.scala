@@ -630,6 +630,14 @@ object SparkEntry {
         .select(col("node"),
           (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))),
 
+    // --- KS drift test: doc-length distribution, en vs de ---
+    "q_ks_test" -> ((s, dir) =>
+      Quality.ksTest(
+        Tables.documents(s, dir).withColumn("n_chars",
+          length(col("text")).cast("double")),
+        "n_chars", "lang", "en", "de")
+        .select(r3(col("ks_d")).as("ks_d"), col("n_a"), col("n_b"))),
+
     // --- feature-redundancy screen: all-pairs correlation, one pass ---
     "q_corr_matrix" -> ((s, dir) =>
       Analytics.corrMatrix(
@@ -1598,6 +1606,25 @@ object SparkEntry {
          |FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q_pagerank" -> pagerankSql(iters = 10, damping = 0.85),
+
+    "q_ks_test" ->
+      """WITH f AS (
+        |  SELECT CAST(length(text) AS DOUBLE) AS v,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
+        |  FROM documents WHERE lang IN ('en', 'de')
+        |), c AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM f GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |         SUM(ca) OVER (ORDER BY v) AS cuma,
+        |         SUM(cb) OVER (ORDER BY v) AS cumb
+        |  FROM c
+        |), t AS (SELECT CAST(SUM(ia) AS DOUBLE) AS na,
+        |                CAST(SUM(ib) AS DOUBLE) AS nb FROM f)
+        |SELECT floor(MAX(abs(cuma/na - cumb/nb))*1000 + 0.5)/1000 AS ks_d,
+        |       CAST(MAX(na) AS BIGINT) AS n_a,
+        |       CAST(MAX(nb) AS BIGINT) AS n_b
+        |FROM cum CROSS JOIN t""".stripMargin,
 
     "q_corr_matrix" -> {
       val cols = Seq("value", "lat", "lon", "hod")

@@ -151,6 +151,43 @@ object Quality {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov statistic between two groups of a
+   * numeric metric: D = sup_v |F_a(v) − F_b(v)| — the EXACT,
+   * binning-free companion to [[psiDrift]] (PSI depends on bin choice;
+   * KS does not, and feeds the standard √((n_a+n_b)/(n_a·n_b))
+   * significance thresholds). Emits one row: (ks_d, n_a, n_b); null D
+   * when either group is empty.
+   *
+   * Shape: per-value counts are one partial-agg'd groupBy; the
+   * cumulative sums then run over the DISTINCT value set — fine for
+   * the metrics this screens (scores, lengths, counts have bounded
+   * cardinality); pre-round a continuous metric to the resolution you
+   * care about before calling, or the ordering window sees
+   * |distinct values| rows.
+   */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.agg(sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"))
+    counts
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(when(col("na") > 0 && col("nb") > 0,
+          abs(col("cuma") / col("na") - col("cumb") / col("nb")))).as("ks_d"),
+        max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"))
+  }
+
+  /**
    * Keyed reconciliation diff between two table snapshots: row counts by
    * status — `only_left` / `only_right` / `changed` / `same` — via ONE
    * full-outer join on the key with null-safe payload comparison (the

@@ -680,6 +680,22 @@ class Round5Spec extends SparkSpecBase {
     assert(ac(2L).getAs[Long]("n_pairs") === 0L)
   }
 
+  // --- Kolmogorov–Smirnov two-sample test ------------------------------------------
+
+  test("ksTest: identical samples score 0, disjoint samples score 1, empty is null") {
+    val same = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i.toDouble))).toDF("g", "v")
+    assert(Quality.ksTest(same, "v", "g", "a", "b").head()
+      .getAs[Double]("ks_d") === 0.0)
+    val disjoint = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i + 1000.0))).toDF("g", "v")
+    assert(Quality.ksTest(disjoint, "v", "g", "a", "b").head()
+      .getAs[Double]("ks_d") === 1.0)
+    val r = Quality.ksTest(same.filter($"g" === "a"), "v", "g", "a", "b").head()
+    assert(r.isNullAt(r.fieldIndex("ks_d")), "empty group should yield null D")
+    assert(r.getAs[Long]("n_b") === 0L)
+  }
+
   test("lake read with mergeSchema sees a column added by a later partition") {
     // schema-evolution posture on plain parquet tables: old partitions
     // lack the column, a mergeSchema read surfaces it as null
