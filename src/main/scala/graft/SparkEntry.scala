@@ -630,6 +630,14 @@ object SparkEntry {
         .select(col("node"),
           (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))),
 
+    // --- per-language percentile rank of doc length ---
+    "q_pct_rank" -> ((s, dir) =>
+      Analytics.percentileRank(
+          Tables.documents(s, dir).withColumn("n_chars", length(col("text"))),
+          Seq("lang"), "n_chars")
+        .select(col("doc_id"), col("lang"),
+          r3(col("pct_rank")).as("pct_rank"))),
+
     // --- KS drift test: doc-length distribution, en vs de ---
     "q_ks_test" -> ((s, dir) =>
       Quality.ksTest(
@@ -1606,6 +1614,12 @@ object SparkEntry {
          |FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q_pagerank" -> pagerankSql(iters = 10, damping = 0.85),
+
+    "q_pct_rank" ->
+      """SELECT doc_id, lang,
+        |       floor(cume_dist() OVER (PARTITION BY lang
+        |         ORDER BY length(text))*1000 + 0.5)/1000 AS pct_rank
+        |FROM documents""".stripMargin,
 
     "q_ks_test" ->
       """WITH f AS (

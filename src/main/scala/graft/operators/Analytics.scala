@@ -195,6 +195,19 @@ object Analytics {
   }
 
   /**
+   * Per-group percentile rank (cume_dist): each row's value mapped to
+   * its within-group cumulative fraction — the continuous cousin of
+   * [[ntileBucket]] and the standard rank-normalization before
+   * cross-group comparisons (a 900-char doc means different things in
+   * `en` and `zh`; its length PERCENTILE does not). One window shuffle
+   * on the (high-cardinality) group key.
+   */
+  def percentileRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     outCol: String = "pct_rank"): DataFrame =
+    df.withColumn(outCol, cume_dist().over(
+      Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))))
+
+  /**
    * Fixed-width histogram of a numeric column: bucket lower bound →
    * count. A single partial-agg groupBy on the bucketed key — the
    * one-pass distribution profile for numeric DQ.

@@ -680,6 +680,18 @@ class Round5Spec extends SparkSpecBase {
     assert(ac(2L).getAs[Long]("n_pairs") === 0L)
   }
 
+  // --- percentile rank ---------------------------------------------------------------
+
+  test("percentileRank: ties share a rank, each group tops out at 1.0") {
+    val rows = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 5.0),
+      ("h", 9.0)).toDF("grp", "v")
+    val pr = Analytics.percentileRank(rows, Seq("grp"), "v")
+      .select("grp", "v", "pct_rank").as[(String, Double, Double)].collect()
+    val g = pr.filter(_._1 == "g").map(r => r._2 -> r._3).toMap
+    assert(g(1.0) === 0.25 && g(2.0) === 0.75 && g(5.0) === 1.0)
+    assert(pr.find(_._1 == "h").get._3 === 1.0, "singleton group must rank 1.0")
+  }
+
   // --- Kolmogorov–Smirnov two-sample test ------------------------------------------
 
   test("ksTest: identical samples score 0, disjoint samples score 1, empty is null") {
