@@ -213,10 +213,17 @@ object Stress {
       Text.bigramLogProb(docs, "doc_id", "text").count()
     }
     probe(s"encounters ${nEvents / 1000000}M pts (50km/30min)") {
-      // lat/lon derived like the bench tables: scattered over the globe,
-      // so the (band, bucket) equi-join stays balanced
-      val pts = events.select(col("user_id"), col("ts_sec"), col("event_id"),
-        (col("value") % 180 - 90).as("lat"), ((col("value") * 7) % 360 - 180).as("lon"))
+      // realistic density: fixes spread over a full month and the full
+      // globe (the bench-events fixture packs 5M points into 8 hours and
+      // 100° of latitude — genuinely ~10⁹ qualifying pairs, which is a
+      // statement about that data, not the plan). ~3 points per
+      // (band, bucket) keeps candidates linear; the output is the real
+      // pair count at nautical densities.
+      val pts = spark.range(nEvents).select(
+        col("id").as("user_id"),
+        pmod(xxhash64(col("id"), lit(5)), lit(2592000L)).as("ts_sec"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(18000)).cast("double") / 100 - 90).as("lat"),
+        (pmod(xxhash64(col("id"), lit(4)), lit(36000)).cast("double") / 100 - 180).as("lon"))
       Trajectory.encounters(pts, "user_id", "ts_sec", "lat", "lon",
         maxKm = 50.0, maxGapSec = 1800L).count()
     }

@@ -304,7 +304,8 @@ object Analytics {
         when(col("_sa").isNull || col("_sb").isNull ||
           col("_sa") === 0.0 || col("_sb") === 0.0, lit(null))
           .otherwise(col("_cv") / (col("_sa") * col("_sb"))))
-      .drop("_cv", "_sa", "_sb")
+      // keep the pre-refactor column order: (keys..., autocorr, n_pairs)
+      .select((keyCols.map(col) :+ col("autocorr") :+ col("n_pairs")): _*)
   }
 
   /**
