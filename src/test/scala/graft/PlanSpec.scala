@@ -234,5 +234,12 @@ class PlanSpec extends SparkSpecBase {
       "margin joins degraded to sort-merge (they are margin-sized)\n" + p.take(2000))
   }
 
+  test("encounters plans a (band, bucket) equi-join, never a cross join") {
+    val p = plan("q_encounters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "proximity join degraded to all-pairs\n" + p.take(2000))
+    assert(p.contains("partial_"), "per-pair rollup lost map-side combine")
+  }
+
   private val Similarity = graft.operators.Similarity
 }
