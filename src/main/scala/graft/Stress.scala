@@ -227,6 +227,56 @@ object Stress {
       Trajectory.encounters(pts, "user_id", "ts_sec", "lat", "lon",
         maxKm = 50.0, maxGapSec = 1800L).count()
     }
+    probe("encounters busy strait (83% in one 50km band)") {
+      // the r5-verdict skew shape: 2.5M of 3M fixes inside ONE 50 km lat
+      // band (a Malacca-length 4° strait) over a month. Band-only
+      // blocking collapses this into 1.4k keys of ~2.8k rows each
+      // (~3×10¹⁰ candidates); longitude sub-bucketing splits each into
+      // ~9 lon cells, and the remaining work is dominated by GENUINE
+      // close pairs (the strait really is that dense).
+      val strait = spark.range(2500000L * scale).select(
+        col("id").as("user_id"),
+        pmod(xxhash64(col("id"), lit(11)), lit(2592000L)).as("ts_sec"),
+        (pmod(xxhash64(col("id"), lit(12)), lit(45)).cast("double") / 100).as("lat"),
+        (pmod(xxhash64(col("id"), lit(13)), lit(400)).cast("double") / 100 + 100).as("lon"))
+      val global = spark.range(500000L * scale).select(
+        (col("id") + 3000000L).as("user_id"),
+        pmod(xxhash64(col("id"), lit(14)), lit(2592000L)).as("ts_sec"),
+        (pmod(xxhash64(col("id"), lit(15)), lit(18000)).cast("double") / 100 - 90).as("lat"),
+        (pmod(xxhash64(col("id"), lit(16)), lit(36000)).cast("double") / 100 - 180).as("lon"))
+      Trajectory.encounters(strait.union(global), "user_id", "ts_sec", "lat", "lon",
+        maxKm = 50.0, maxGapSec = 1800L).count()
+    }
+    // anchorage burst: 25k fixes inside ONE (band, bucket, lon-cell) —
+    // 1000 anchored vessels reporting every ~70 s for 30 min. Unsalted,
+    // that key is a single ~6×10⁸-candidate straggler task; the adaptive
+    // salt splits it by ceil(sqrt(L·R/budget))² tasks. Same output both
+    // ways (asserted) — the delta is pure task balance.
+    val anchorage = spark.range(25000L).select(
+      col("id").as("user_id"),
+      (lit(600L) + pmod(xxhash64(col("id"), lit(21)), lit(1500))).as("ts_sec"),
+      (pmod(xxhash64(col("id"), lit(22)), lit(30)).cast("double") / 100 + 1.0).as("lat"),
+      (pmod(xxhash64(col("id"), lit(23)), lit(30)).cast("double") / 100 + 103.8).as("lon"))
+    val anchored = spark.range(1000000L * scale).select(
+      (col("id") + 100000L).as("user_id"),
+      pmod(xxhash64(col("id"), lit(24)), lit(2592000L)).as("ts_sec"),
+      (pmod(xxhash64(col("id"), lit(25)), lit(18000)).cast("double") / 100 - 90).as("lat"),
+      (pmod(xxhash64(col("id"), lit(26)), lit(36000)).cast("double") / 100 - 180).as("lon"))
+      .union(anchorage)
+    var nSalted = 0L; var nUnsalted = 0L
+    val tSalt = probe("encounters anchorage SALTED") {
+      nSalted = Trajectory.encounters(anchored, "user_id", "ts_sec", "lat", "lon",
+        maxKm = 50.0, maxGapSec = 1800L).count()
+      nSalted
+    }
+    val tNoSalt = probe("encounters anchorage UNSALTED") {
+      nUnsalted = Trajectory.encounters(anchored, "user_id", "ts_sec", "lat", "lon",
+        maxKm = 50.0, maxGapSec = 1800L, hotPairBudget = Long.MaxValue).count()
+      nUnsalted
+    }
+    println(f"[stress] anchorage salted/unsalted = ${tSalt / tNoSalt}%.2fx" +
+      s" (counts equal: ${nSalted == nUnsalted})")
+    assert(nSalted == nUnsalted, "salting changed the encounter count")
     probe(s"bloomJoin 5M fact vs 1k-key dim") {
       // selective-join shape: the dim holds 1% of the fact's keys, so the
       // bloom prunes ~99% of the fact BEFORE its shuffle

@@ -74,41 +74,134 @@ object Trajectory {
    * rendezvous/near-miss join behind dark-fleet and collision analytics.
    *
    * Candidates come from a bucketed self-EQUI-join on (time bucket,
-   * latitude band): great-circle distance is never less than its
-   * meridional component (≥ 111.19 km per degree of Δlat), so a
-   * qualifying pair differs by at most one `maxKm`-sized lat band — and
-   * by at most one `maxGapSec` time bucket. Expanding the LEFT side to
-   * its 3×3 (band, bucket) neighborhood therefore makes the equi-join
-   * provably lossless AT ANY LATITUDE (longitude cells are not: meridians
-   * converge toward the poles, where points many lon-degrees apart are
-   * still close in km). Each qualifying pair meets at exactly ONE key —
-   * the right row's own (band, bucket) — so there is no post-join dedup.
-   * Exact haversine + time-gap predicates verify every candidate.
+   * latitude band, longitude cell):
    *
-   * Scale shape: the left side carries ×9 rows into one equi-join
-   * keyed on (band, bucket) — never an all-pairs cross join. Skewed
-   * bands (a busy strait) can be salted by widening the key with a
-   * deterministic split of hot bands, same recipe as Skew.saltedJoin.
+   *  - LATITUDE: great-circle distance is never less than its meridional
+   *    component (≥ 111.19 km per degree of Δlat), so a qualifying pair
+   *    differs by at most one `maxKm`-sized lat band. The LEFT side
+   *    expands to band ± 1 — lossless at any latitude.
+   *  - TIME: likewise at most one `maxGapSec` bucket apart; LEFT expands
+   *    to bucket ± 1.
+   *  - LONGITUDE: from the haversine formula, a pair within `maxKm`
+   *    satisfies sin(|Δλ|/2) ≤ sin(maxKm/2R)/√(cosφ₁·cosφ₂), so with
+   *    cmin = the minimum |cos φ| over the band's ±1-band latitude range,
+   *    |Δλ| ≤ 2·asin(min(1, sin(maxKm/2R)/cmin)) — a PER-BAND bucket
+   *    width. The circle is cut into nb equal cells of at least that
+   *    width (nb from the RIGHT row's band, which is the join key's
+   *    band, so both sides agree); the RIGHT side expands to its cell
+   *    ± 1 mod nb, which also closes the ±180° wrap. Near the poles
+   *    cmin → 0 drives the width past 360° → nb = 1, i.e. longitude
+   *    blocking degrades gracefully to band-only there. This is what
+   *    keeps a busy STRAIT sub-quadratic: a 50 km lat band spans the
+   *    whole globe east-west, but its occupants spread over ~800 lon
+   *    cells at the equator.
+   *
+   * Each qualifying pair meets at exactly ONE key — the right row's own
+   * (band, bucket) and the left row's own lon cell (the right side's
+   * mod-nb neighborhood is made distinct, so no key repeats) — so there
+   * is no post-join dedup. Exact haversine + time-gap predicates verify
+   * every candidate.
+   *
+   * Residual hot cells (an anchorage: thousands of fixes inside ONE
+   * cell-bucket) are split by ADAPTIVE TWO-SIDED SALTING: a per-key
+   * (leftRows × rightRows) profile — two column-pruned partial-agg
+   * counts — finds keys whose candidate-pair product exceeds
+   * `hotPairBudget`; each such key is split ns = ⌈√(L·R/budget)⌉ ways
+   * (capped at `maxSalt`). Every row carries its own deterministic salt
+   * and replicates across the OTHER side's ns values, so a pair still
+   * meets exactly once — at (saltₐ, salt_b) — and per-task candidate
+   * work is ≤ ~budget instead of L·R in one straggler task. Cold keys
+   * (the broadcast lookup misses) keep ns = 1 and are byte-identical to
+   * the unsalted plan.
+   *
+   * Scale shape: one equi-join (left ×9 by band/bucket neighborhood,
+   * right ×3 by lon neighborhood — linear replication), never an
+   * all-pairs cross join; the profile is bounded by the key space and
+   * broadcast. Set `hotPairBudget = Long.MaxValue` to skip profiling
+   * (e.g. inside a plan-shape test).
    */
   def encounters(df: DataFrame, idCol: String, tsSecCol: String,
                  latCol: String, lonCol: String,
-                 maxKm: Double, maxGapSec: Long): DataFrame = {
+                 maxKm: Double, maxGapSec: Long,
+                 hotPairBudget: Long = 64000000L, maxSalt: Int = 64): DataFrame = {
     require(maxKm > 0 && maxGapSec > 0, "encounters needs positive bounds")
+    require(hotPairBudget > 0 && maxSalt >= 1, "encounters needs a positive salt budget")
     // 111.0 < the true 111.19 km/° meridional scale: a slightly WIDER
     // band than maxKm strictly needs, so losslessness has margin
     val bandDeg = maxKm / 111.0
+
+    // per-band lon cell count: from the band's extreme |lat| over its
+    // ±1-band reach (the left side may sit one band away)
+    def lonCells(band: Column): Column = {
+      val maxAbsLat = greatest(abs((band - 1) * bandDeg), abs((band + 2) * bandDeg))
+      // ANSI-safe: the division only runs where cmin > 0 (CaseWhen is
+      // lazy per row); a band touching a pole gets the full 180° width
+      val cmin = cos(radians(least(maxAbsLat, lit(90.0))))
+      val ratio = when(cmin > 0,
+        least(lit(1.0), lit(math.sin(maxKm / (2 * Geo.EarthRadiusKm))) / cmin))
+        .otherwise(lit(1.0))
+      val widthDeg = degrees(lit(2.0) * asin(ratio))
+      // 1.001: fp slack so a pair at EXACTLY the bound still lands in
+      // adjacent cells; floor only ever makes cells wider (safer)
+      greatest(lit(1L), floor(lit(360.0) / (widthDeg * 1.001)).cast("long"))
+    }
+    // cell index of `lon` under `band`'s bucketing, wrap-normalized
+    def lonCell(band: Column, lon: Column): Column = {
+      val nb = lonCells(band)
+      val lonNorm = lon - lit(360.0) * floor((lon + 180) / 360)
+      pmod(floor((lonNorm + 180) * nb.cast("double") / 360.0).cast("long"), nb)
+    }
+
     val base = df.select(col(idCol).as("id"), col(tsSecCol).as("ts"),
       col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
       .withColumn("band", floor(col("lat") / bandDeg).cast("long"))
       .withColumn("tb", floor(col("ts") / maxGapSec).cast("long"))
-    val right = base.select(col("id").as("id_b"), col("ts").as("ts_b"),
-      col("lat").as("lat_b"), col("lon").as("lon_b"), col("band"), col("tb"))
+    // RIGHT: own (band, tb); lon cell ± 1 mod nb (distinct — nb ≤ 2
+    // collapses the neighborhood, which is what keeps pairs unique)
+    val right = base
+      .withColumn("lb", explode(array_distinct(array(
+        pmod(lonCell(col("band"), col("lon")) - 1 + lonCells(col("band")), lonCells(col("band"))),
+        lonCell(col("band"), col("lon")),
+        pmod(lonCell(col("band"), col("lon")) + 1, lonCells(col("band")))))))
+      .select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("lat").as("lat_b"), col("lon").as("lon_b"),
+        col("band"), col("tb"), col("lb"))
+    // LEFT: band/bucket ± 1; its OWN lon cell under the TARGET band's
+    // bucketing (computed after the band explode so nb matches the key)
     val left = base
       .withColumn("band", explode(array(col("band") - 1, col("band"), col("band") + 1)))
       .withColumn("tb", explode(array(col("tb") - 1, col("tb"), col("tb") + 1)))
+      .withColumn("lb", lonCell(col("band"), col("lon")))
       .select(col("id").as("id_a"), col("ts").as("ts_a"),
-        col("lat").as("lat_a"), col("lon").as("lon_a"), col("band"), col("tb"))
-    left.join(right, Seq("band", "tb"))
+        col("lat").as("lat_a"), col("lon").as("lon_a"),
+        col("band"), col("tb"), col("lb"))
+
+    val key = Seq("band", "tb", "lb")
+    val (leftS, rightS, saltKey) =
+      if (hotPairBudget == Long.MaxValue || maxSalt == 1) (left, right, key)
+      else {
+        // hot-key profile: true per-key multiplicities of BOTH sides
+        // (only the key columns are read — Catalyst prunes the rest)
+        val lk = left.groupBy(key.map(col): _*).agg(count(lit(1)).as("_ln"))
+        val rk = right.groupBy(key.map(col): _*).agg(count(lit(1)).as("_rn"))
+        val hot = lk.join(rk, key)
+          .filter(col("_ln") * col("_rn") > hotPairBudget)
+          .select(key.map(col) :+
+            least(lit(maxSalt.toLong), ceil(sqrt(col("_ln") * col("_rn") /
+              lit(hotPairBudget.toDouble)))).cast("int").as("_ns"): _*)
+        val ls = left.join(broadcast(hot), key, "left")
+          .withColumn("_ns", coalesce(col("_ns"), lit(1)))
+          .withColumn("_sa", pmod(xxhash64(col("id_a"), col("ts_a")), col("_ns")).cast("int"))
+          .withColumn("_sb", explode(sequence(lit(0), col("_ns") - 1)))
+          .drop("_ns")
+        val rs = right.join(broadcast(hot), key, "left")
+          .withColumn("_ns", coalesce(col("_ns"), lit(1)))
+          .withColumn("_sb", pmod(xxhash64(col("id_b"), col("ts_b")), col("_ns")).cast("int"))
+          .withColumn("_sa", explode(sequence(lit(0), col("_ns") - 1)))
+          .drop("_ns")
+        (ls, rs, key ++ Seq("_sa", "_sb"))
+      }
+    leftS.join(rightS, saltKey)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("ts_a") - col("ts_b")) <= maxGapSec)
       .withColumn("dist_km", Geo.haversineKm(col("lat_a"), col("lon_a"),
