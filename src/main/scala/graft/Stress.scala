@@ -29,7 +29,11 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_STRESS_ONLY=<substring> runs just the matching probes
+    // (fast iteration on one operator family); skipped probes report 0
+    val only = sys.env.getOrElse("SPARK_GRAFT_STRESS_ONLY", "")
     def probe(name: String)(body: => Long): Double = {
+      if (!name.toLowerCase.contains(only.toLowerCase)) return 0.0
       val t0 = System.nanoTime()
       val rows = CacheScope.scoped(body)
       val dt = (System.nanoTime() - t0) / 1e9

@@ -103,16 +103,15 @@ object Trajectory {
    * every candidate.
    *
    * Residual hot cells (an anchorage: thousands of fixes inside ONE
-   * cell-bucket) are split by ADAPTIVE TWO-SIDED SALTING: a per-key
-   * (leftRows × rightRows) profile — two column-pruned partial-agg
-   * counts — finds keys whose candidate-pair product exceeds
-   * `hotPairBudget`; each such key is split ns = ⌈√(L·R/budget)⌉ ways
-   * (capped at `maxSalt`). Every row carries its own deterministic salt
-   * and replicates across the OTHER side's ns values, so a pair still
-   * meets exactly once — at (saltₐ, salt_b) — and per-task candidate
-   * work is ≤ ~budget instead of L·R in one straggler task. Cold keys
-   * (the broadcast lookup misses) keep ns = 1 and are byte-identical to
-   * the unsalted plan.
+   * cell-bucket) are split by ADAPTIVE TWO-SIDED SALTING: one
+   * column-pruned partial-agg count over base cells estimates each
+   * key's candidate-pair product as (3n)²; keys past `hotPairBudget`
+   * are split ns = ⌈√((3n)²/budget)⌉ ways (capped at `maxSalt`). Every
+   * row carries its own deterministic salt and replicates across the
+   * OTHER side's ns values, so a pair still meets exactly once — at
+   * (saltₐ, salt_b) — and per-task candidate work is ~budget instead
+   * of L·R in one straggler task. Cold keys (the broadcast lookup
+   * misses) keep ns = 1 and are byte-identical to the unsalted plan.
    *
    * Scale shape: one equi-join (left ×9 by band/bucket neighborhood,
    * right ×3 by lon neighborhood — linear replication), never an
@@ -152,43 +151,60 @@ object Trajectory {
       pmod(floor((lonNorm + 180) * nb.cast("double") / 360.0).cast("long"), nb)
     }
 
+    // nb and the own lon cell are computed ONCE per base row (the
+    // transcendentals in lonCells would otherwise re-run per exploded
+    // row — 12× the rows for the same answers)
     val base = df.select(col(idCol).as("id"), col(tsSecCol).as("ts"),
       col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
       .withColumn("band", floor(col("lat") / bandDeg).cast("long"))
       .withColumn("tb", floor(col("ts") / maxGapSec).cast("long"))
+      .withColumn("nb", lonCells(col("band")))
+      .withColumn("lb", lonCell(col("band"), col("lon")))
     // RIGHT: own (band, tb); lon cell ± 1 mod nb (distinct — nb ≤ 2
     // collapses the neighborhood, which is what keeps pairs unique)
     val right = base
       .withColumn("lb", explode(array_distinct(array(
-        pmod(lonCell(col("band"), col("lon")) - 1 + lonCells(col("band")), lonCells(col("band"))),
-        lonCell(col("band"), col("lon")),
-        pmod(lonCell(col("band"), col("lon")) + 1, lonCells(col("band")))))))
+        pmod(col("lb") - 1 + col("nb"), col("nb")),
+        col("lb"),
+        pmod(col("lb") + 1, col("nb"))))))
       .select(col("id").as("id_b"), col("ts").as("ts_b"),
         col("lat").as("lat_b"), col("lon").as("lon_b"),
         col("band"), col("tb"), col("lb"))
     // LEFT: band/bucket ± 1; its OWN lon cell under the TARGET band's
-    // bucketing (computed after the band explode so nb matches the key)
+    // bucketing (each neighbor band's cell is precomputed BEFORE the
+    // explode — nb must match the key's band, which is the right row's)
     val left = base
-      .withColumn("band", explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .withColumn("bl", explode(array(
+        struct((col("band") - 1).as("band"),
+          lonCell(col("band") - 1, col("lon")).as("lb")),
+        struct(col("band").as("band"), col("lb").as("lb")),
+        struct((col("band") + 1).as("band"),
+          lonCell(col("band") + 1, col("lon")).as("lb")))))
       .withColumn("tb", explode(array(col("tb") - 1, col("tb"), col("tb") + 1)))
-      .withColumn("lb", lonCell(col("band"), col("lon")))
       .select(col("id").as("id_a"), col("ts").as("ts_a"),
         col("lat").as("lat_a"), col("lon").as("lon_a"),
-        col("band"), col("tb"), col("lb"))
+        col("bl.band").as("band"), col("tb"), col("bl.lb").as("lb"))
 
     val key = Seq("band", "tb", "lb")
     val (leftS, rightS, saltKey) =
       if (hotPairBudget == Long.MaxValue || maxSalt == 1) (left, right, key)
       else {
-        // hot-key profile: true per-key multiplicities of BOTH sides
-        // (only the key columns are read — Catalyst prunes the rest)
-        val lk = left.groupBy(key.map(col): _*).agg(count(lit(1)).as("_ln"))
-        val rk = right.groupBy(key.map(col): _*).agg(count(lit(1)).as("_rn"))
-        val hot = lk.join(rk, key)
-          .filter(col("_ln") * col("_rn") > hotPairBudget)
+        // hot-key profile on BASE cells only (1× rows, key columns only —
+        // Catalyst prunes the rest; profiling the exploded sides would
+        // cost a 12×-row shuffle that uniform data pays for nothing).
+        // A key is quadratic-dangerous only if BOTH sides are big, and
+        // the left side at key K is K's own lon column of the 3×3
+        // band/bucket neighborhood — cells that are themselves profiled.
+        // L·R is estimated as (3n)² (own cell + the two dominant
+        // neighbors on each side); the budget is a task-shape target,
+        // not an exact contract, and the estimate is within ~3× of
+        // truth for every own-cell-hot shape (anchorage, strait).
+        val hot = base
+          .groupBy(key.map(col): _*).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") * col("_n") * 9 > hotPairBudget)
           .select(key.map(col) :+
-            least(lit(maxSalt.toLong), ceil(sqrt(col("_ln") * col("_rn") /
-              lit(hotPairBudget.toDouble)))).cast("int").as("_ns"): _*)
+            least(lit(maxSalt.toLong), ceil(col("_n") * 3 /
+              sqrt(lit(hotPairBudget.toDouble)))).cast("int").as("_ns"): _*)
         val ls = left.join(broadcast(hot), key, "left")
           .withColumn("_ns", coalesce(col("_ns"), lit(1)))
           .withColumn("_sa", pmod(xxhash64(col("id_a"), col("ts_a")), col("_ns")).cast("int"))
