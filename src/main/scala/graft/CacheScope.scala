@@ -33,6 +33,25 @@ object CacheScope {
     df
   }
 
+  /**
+   * Eager lineage cut for iterative loops (plans otherwise grow
+   * k^rounds — see pagerank's journal comment). With `dir` set the cut
+   * is a RELIABLE `checkpoint` into it: blocks survive executor loss,
+   * which on a real cluster is what keeps a lost executor at round 9
+   * from killing a 10-round job. With None it falls back to
+   * `localCheckpoint` — blocks die with their executor, acceptable in
+   * local mode and for cheap-to-rerun loops. `setCheckpointDir` appends
+   * a per-context UUID subdir, so only set it when the requested root
+   * isn't already the active one.
+   */
+  def lineageCut(df: DataFrame, dir: Option[String] = None): DataFrame = dir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+      df.checkpoint(true)
+    case None => df.localCheckpoint(true)
+  }
+
   /** Run `body` (typically: build a query plan and run its action), then
    * unpersist every frame persisted inside it. */
   def scoped[T](body: => T): T = {

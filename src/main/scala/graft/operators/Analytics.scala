@@ -66,13 +66,21 @@ object Analytics {
    */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: Option[String] = None,
-               damping: Double = 0.85, iters: Int = 10): DataFrame = {
+               damping: Double = 0.85, iters: Int = 10,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       "pagerank needs iters >= 1 and damping in (0,1)")
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+    // non-positive/null weights would make a source's normalizing sum 0
+    // or negative — null/Inf wn then poisons EVERY rank via the join.
+    // Such edges carry no mass by definition (weightedSample's w > 0
+    // contract) and are dropped BEFORE normalization; their endpoints
+    // stay in the node set (a source left with no positive out-edge is
+    // simply dangling and gets teleport mass like any sink).
     val eNorm = graft.CacheScope.persist(
-      e0.withColumn("wn", col("w") / sum("w").over(Window.partitionBy("src")))
+      e0.filter(col("w") > 0)
+        .withColumn("wn", col("w") / sum("w").over(Window.partitionBy("src")))
         .select("src", "dst", "wn")
         .repartition(col("src")))
     val nodes = graft.CacheScope.persist(
@@ -84,15 +92,17 @@ object Analytics {
     var ranks = nodes.crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
     for (_ <- 1 to iters) {
-      // localCheckpoint, not persist: each round references the previous
+      // lineage cut, not persist: each round references the previous
       // one THREE times (contribution join, dangling aggregate, output),
       // so the LOGICAL plan grows 3^iters without a hard lineage cut —
       // caching dedups execution but Catalyst still carries (and
       // stringifies) the full tree, which alone blows the driver heap at
       // iters=10. The eager checkpoint truncates each round to an RDD
-      // leaf: plans stay O(1) per round, blocks live at
-      // MEMORY_AND_DISK and are reclaimed by the ContextCleaner.
-      val r = ranks.localCheckpoint(true)
+      // leaf: plans stay O(1) per round. `checkpointDir` picks reliable
+      // checkpointing (survives executor loss on a cluster); the local
+      // default's blocks live at MEMORY_AND_DISK and are reclaimed by
+      // the ContextCleaner.
+      val r = graft.CacheScope.lineageCut(ranks, checkpointDir)
       val inMass = r.join(eNorm, r("node") === eNorm("src"))
         .groupBy("dst").agg(sum(col("pr") * col("wn")).as("in_mass"))
       val dangMass = r.join(dangling, Seq("node"), "left_semi")
@@ -153,13 +163,22 @@ object Analytics {
     // throws DIVIDE_BY_ZERO on a constant column. covar/(σa·σb) with an
     // explicit zero-σ guard returns null there instead (matching DuckDB
     // corr's NULL), and the when() short-circuits the division.
+    // Pearson is defined over PAIRWISE-COMPLETE rows: each pair's σs are
+    // restricted to rows where the OTHER column is non-null too (exactly
+    // like covar_samp), else r drifts from corr — and can leave [-1,1] —
+    // whenever nulls are asymmetric. σ of a 1-row pair set is NaN
+    // (stddev_samp), guarded to null like the zero case.
     val aggs = pairs.flatMap { case (a, b) =>
-      Seq(covar_samp(col(a).cast("double"), col(b).cast("double")).as(s"__c__${a}__$b")) } ++
-      cols.map(c => stddev_samp(col(c).cast("double")).as(s"__s__$c"))
+      val (ca, cb) = (col(a).cast("double"), col(b).cast("double"))
+      Seq(covar_samp(ca, cb).as(s"__c__${a}__$b"),
+        stddev_samp(when(cb.isNotNull, ca)).as(s"__sx__${a}__$b"),
+        stddev_samp(when(ca.isNotNull, cb)).as(s"__sy__${a}__$b"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
       .select(pairs.map { case (a, b) =>
-        val (sa, sb) = (col(s"__s__$a"), col(s"__s__$b"))
-        when(sa.isNull || sb.isNull || sa === 0.0 || sb === 0.0, lit(null))
+        val (sa, sb) = (col(s"__sx__${a}__$b"), col(s"__sy__${a}__$b"))
+        when(sa.isNull || sb.isNull || isnan(sa) || isnan(sb) ||
+            sa === 0.0 || sb === 0.0, lit(null))
           .otherwise(col(s"__c__${a}__$b") / (sa * sb)).as(s"__${a}__$b")
       }: _*)
       .select(explode(array(pairs.map { case (a, b) =>

@@ -353,7 +353,8 @@ object Dedup {
    * rounds 1..N-1. Only nodes that appear in some pair are emitted.
    */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 20): DataFrame = {
+                   maxIter: Int = 20,
+                   checkpointDir: Option[String] = None): DataFrame = {
     // persist the pair source first: the symmetric union below reads it
     // twice, and `pairs` is typically an expensive similarity join
     val p = graft.CacheScope.persist(
@@ -407,8 +408,13 @@ object Dedup {
       // a union + one partial-agg groupBy (no per-round left join)
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      val updated = graft.CacheScope.persist(
-        labels.union(prop).groupBy("id").agg(min("lbl").as("lbl")))
+      // with a checkpointDir the round is cut to RELIABLE storage
+      // (executor loss mid-loop replays from files, not from the whole
+      // label lineage); default keeps the in-memory persist
+      val nextRound = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
+      val updated =
+        if (checkpointDir.isDefined) graft.CacheScope.lineageCut(nextRound, checkpointDir)
+        else graft.CacheScope.persist(nextRound)
       converged = if (sumSafe) {
         val newSum = labelSum(updated) // also materializes the cache
         val c = (newSum, prevSum) match {

@@ -161,14 +161,35 @@ object Quality {
    * Shape: per-value counts are one partial-agg'd groupBy; the
    * cumulative sums then run over the DISTINCT value set — fine for
    * the metrics this screens (scores, lengths, counts have bounded
-   * cardinality); pre-round a continuous metric to the resolution you
-   * care about before calling, or the ordering window sees
-   * |distinct values| rows.
+   * cardinality). That contract is ENFORCED, not just documented: an
+   * approximate distinct count refuses (like simhashParity's maxDocs
+   * gate) when the value set would overflow `maxDistinct` into one
+   * giant single-key window. For a continuous metric, pass
+   * `quantizeStep` — values snap to that grid first (the statistic
+   * becomes KS of the gridded metric: D shifts by at most the CDF mass
+   * inside one step, which is the resolution you chose to care about).
    */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
-             groupA: String, groupB: String): DataFrame = {
-    val counts = df.filter(col(groupCol).isin(groupA, groupB))
-      .groupBy(col(valueCol).as("v"))
+             groupA: String, groupB: String,
+             maxDistinct: Long = 2000000L,
+             quantizeStep: Option[Double] = None): DataFrame = {
+    require(maxDistinct > 0, "ksTest needs a positive maxDistinct")
+    quantizeStep.foreach(s => require(s > 0, "ksTest quantizeStep must be > 0"))
+    val v = quantizeStep
+      .map(s => floor(col(valueCol).cast("double") / s + 0.5) * s)
+      .getOrElse(col(valueCol))
+    val inScope = df.filter(col(groupCol).isin(groupA, groupB))
+    // cardinality gate: one cheap approx-distinct action (±~2%); the
+    // margin below absorbs the estimator error at the boundary
+    val approxN = inScope.agg(
+      approx_count_distinct(v, 0.02).as("n")).head.getLong(0)
+    require(approxN <= maxDistinct + maxDistinct / 10,
+      s"ksTest: ~$approxN distinct values of '$valueCol' exceeds " +
+        s"maxDistinct=$maxDistinct — the cumulative window would see them " +
+        "all in one task. Pass quantizeStep to grid the metric, or raise " +
+        "the ceiling deliberately.")
+    val counts = inScope
+      .groupBy(v.as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")

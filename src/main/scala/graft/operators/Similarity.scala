@@ -130,10 +130,21 @@ object Similarity {
    * (outDim·dim plan literals — fine at 16×64; a 1024×4096 projection
    * should switch to a broadcast matrix join, the IVF-centroid pattern).
    */
+  /** Fail fast when a row's embedding length ≠ the declared `dim` — a
+   * mismatch would silently truncate the dot products and void the
+   * fidelity gate. Null embeddings pass through (projected to nulls,
+   * like every other vector op here). */
+  private def checkedDim(vec: Column, dim: Int, op: String): Column =
+    when(vec.isNull || size(vec) === dim, vec)
+      .otherwise(raise_error(concat(lit(s"$op: embedding length "),
+        size(vec).cast("string"), lit(s" != declared dim $dim")))
+        .cast("array<double>"))
+
   def randomProject(em: DataFrame, idCol: String, vecCol: String,
                     outDim: Int, dim: Int, seed: Long = 7L): DataFrame = {
     val mat = signMatrix(outDim, dim, seed)
-    em.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    em.select(col(idCol),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "randomProject").as("v"))
       .withColumn("pvec", array(mat.map(r =>
         dot(col("v"), array(r.toSeq.map(lit): _*))): _*))
   }
@@ -164,7 +175,8 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false),
           nullable = false))))
-    em.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    em.select(col(idCol),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "randomProjectBig").as("v"))
       .crossJoin(broadcast(mat))
       .select(col(idCol), col("v"), col("j"), dot(col("v"), col("r")).as("y"))
       .groupBy(idCol)

@@ -95,4 +95,113 @@ class Round6Spec extends SparkSpecBase {
       "salted proximity join degraded to all-pairs\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin"), "hot-key lookup is not broadcast\n" + p.take(2000))
   }
+
+  // --- KS cardinality contract ------------------------------------------------------
+
+  test("ksTest refuses an over-cardinality metric, passes after quantization") {
+    val wide = spark.range(100000).select(
+      (col("id").cast("double") / 7.0).as("m"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("g"))
+    val e = intercept[IllegalArgumentException] {
+      Quality.ksTest(wide, "m", "g", "a", "b", maxDistinct = 1000L)
+    }
+    assert(e.getMessage.contains("quantizeStep"), e.getMessage)
+    val gridded = Quality.ksTest(wide, "m", "g", "a", "b",
+      maxDistinct = 1000L, quantizeStep = Some(32.0)).head
+    assert(gridded.getAs[Double]("ks_d") >= 0.0 && gridded.getAs[Double]("ks_d") <= 1.0)
+    assert(gridded.getAs[Long]("n_a") === 50000L)
+  }
+
+  test("ksTest: quantized D equals the exact D computed on pre-gridded values") {
+    val vals = spark.range(2000).select(
+      (col("id").cast("double") / 3.0).as("m"),
+      when(col("id") % 3 === 0, "a").otherwise("b").as("g"))
+    val viaStep = Quality.ksTest(vals, "m", "g", "a", "b",
+      quantizeStep = Some(5.0)).head.getAs[Double]("ks_d")
+    val pre = vals.withColumn("m", floor(col("m") / 5.0 + 0.5) * 5.0)
+    val direct = Quality.ksTest(pre, "m", "g", "a", "b").head.getAs[Double]("ks_d")
+    assert(viaStep === direct)
+  }
+
+  // --- reliable checkpoint for iterative loops --------------------------------------
+
+  test("pagerank and clusterPairs: reliable checkpointDir gives identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 1.0), (4L, 1L, 0.5))
+      .toDF("s", "d", "w")
+    def ranks(ck: Option[String]) =
+      Analytics.pagerank(edges, "s", "d", Some("w"), iters = 5, checkpointDir = ck)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(Some(dir)) === ranks(None))
+
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L)).toDF("a", "b")
+    def clusters(ck: Option[String]) =
+      Dedup.clusterPairs(pairs, "a", "b", checkpointDir = ck)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(Some(dir)) === clusters(None))
+    assert(clusters(None) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // the reliable variant really wrote checkpoint files
+    assert(new java.io.File(dir).listFiles.nonEmpty, "no checkpoint files written")
+  }
+
+  // --- corrMatrix pairwise-complete semantics ---------------------------------------
+
+  test("corrMatrix restricts each pair's stddevs to pairwise-complete rows") {
+    // column c's nulls are asymmetric: rows where c is null have extreme
+    // a values, so sigma(a | c non-null) != sigma(a); the old all-rows
+    // sigma pushed |r| off the pairwise-complete value (DuckDB corr)
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 2.0, 10.0), (2.0, 4.0, 8.0), (3.0, 6.0, 6.0),
+      (100.0, 1.0, null), (-100.0, 2.0, null)
+    ).toDF("a", "b", "c")
+    val r = Analytics.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> Option(x.get(2))).toMap
+    // over complete (a,c) rows {1,2,3}x{10,8,6}: perfect anticorrelation
+    val ac = r(("a", "c")).get.asInstanceOf[Double]
+    assert(math.abs(ac - (-1.0)) < 1e-12, s"a~c got $ac, want -1 (pairwise-complete)")
+    assert(r.values.flatten.forall { x =>
+      val d = x.asInstanceOf[Double]; d >= -1.0 - 1e-12 && d <= 1.0 + 1e-12
+    }, s"r outside [-1,1]: $r")
+  }
+
+  test("corrMatrix: single-complete-pair yields null, not NaN") {
+    val df = Seq[(java.lang.Double, java.lang.Double)]((1.0, 2.0), (3.0, null))
+      .toDF("a", "b")
+    val r = Analytics.corrMatrix(df, Seq("a", "b")).head
+    assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
+  }
+
+  // --- pagerank weight guard --------------------------------------------------------
+
+  test("pagerank: zero/negative-weight edges carry no mass but keep their nodes") {
+    val clean = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("s", "d", "w")
+    val dirty = Seq((1L, 2L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 0.0), (3L, 2L, -5.0)).toDF("s", "d", "w")
+    val got = Analytics.pagerank(dirty, "s", "d", Some("w"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "node with only bad out-edges vanished")
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite && v > 0),
+      s"bad weights poisoned the rank vector: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass not conserved: $got")
+  }
+
+  // --- JL projection dim validation -------------------------------------------------
+
+  test("randomProject family fails fast on an embedding/dim mismatch") {
+    val em = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(1.0, 2.0)))
+      .toDF("id", "vec")
+    val e = intercept[Exception] {
+      Similarity.randomProject(em, "id", "vec", outDim = 2, dim = 3).collect()
+    }
+    assert(e.getMessage.contains("embedding length"), e.getMessage)
+    val eBig = intercept[Exception] {
+      Similarity.randomProjectBig(em, "id", "vec", outDim = 2, dim = 3).collect()
+    }
+    assert(eBig.getMessage.contains("embedding length"), eBig.getMessage)
+    // well-formed input still projects (and nulls pass through)
+    val ok = Similarity.randomProject(
+      em.filter(col("id") === 1L), "id", "vec", outDim = 2, dim = 3).collect()
+    assert(ok.length === 1)
+  }
 }

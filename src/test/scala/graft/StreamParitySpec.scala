@@ -3,8 +3,9 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.Sessionize
-import graft.streaming.{DedupStream, EncounterStream, SessionStream,
-  SessionWindowAgg, StaticEnrich, StreamEvent, StreamJoin, WindowedCounts}
+import graft.streaming.{DedupStream, EncounterStream, OdFix, SessionStream,
+  SessionWindowAgg, StaticEnrich, StayFix, StreamEvent, StreamJoin,
+  TrajectoryStream, WindowedCounts}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -308,6 +309,108 @@ class StreamParitySpec extends SparkSpecBase {
       assert(streamed === expected)
       // left-join semantics survived streaming: unmatched keys kept with null
       assert(streamed.exists(_._3.isEmpty) && streamed.exists(_._3.nonEmpty))
+    } finally query.stop()
+  }
+
+  test("TrajectoryStream.stayPoints equals batch stayPoints on randomized out-of-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(61)
+    // 6 entities alternating dwells (speed < 1) and transits, 40 fixes
+    // each at 60s cadence, shuffled hard: late fast fixes MUST cut runs
+    val real = for {
+      u <- 1L to 6L
+      i <- 0 until 40
+    } yield {
+      val anchored = (i / 8) % 2 == 0 // 8-point dwell, 8-point transit, ...
+      StayFix(u, ts(86400L + i * 60L),
+        if (anchored) rng.nextDouble() * 0.9 else 2.0 + rng.nextDouble() * 10,
+        10.0 + rng.nextDouble() * 0.01, 20.0 + rng.nextDouble() * 0.01)
+    }
+    // per-entity closing moving fix, then one pusher far enough out that
+    // the watermark (delay covers the real timeline) passes the closers
+    val closers = (1L to 6L).map(u => StayFix(u, ts(86400L + 41 * 60L), 50.0, 0.0, 0.0))
+    val pusher = StayFix(1L, ts(86400L + 41 * 60L + 7200L + 1000L), 50.0, 0.0, 0.0)
+    val all = rng.shuffle(real ++ closers)
+
+    val input = MemoryStream[StayFix]
+    val stream = TrajectoryStream.stayPoints(input.toDS(),
+      speedThreshold = 1.0, minDurationSec = 300L, watermarkDelay = "2 hours")
+    val query = stream.writeStream.format("memory")
+      .queryName("parity_stay").outputMode("append").start()
+    try {
+      all.grouped(60).foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData(pusher); query.processAllAvailable()
+
+      def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
+      val streamed = spark.table("parity_stay")
+        .select("userId", "startSec", "endSec", "nPoints", "latMean", "lonMean")
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+        .map(t => (t._1, t._2, t._3, t._4, r3(t._5), r3(t._6))).toSet
+      val expected = operators.Trajectory.stayPoints(
+          (real ++ closers :+ pusher).map(f =>
+            (f.userId, f.ts.getTime / 1000, f.speed, f.lat, f.lon))
+            .toDF("user_id", "ts_sec", "speed", "lat", "lon"),
+          Seq("user_id"), "ts_sec", "speed", "lat", "lon",
+          speedThreshold = 1.0, minDurationSec = 300L)
+        .select("user_id", "start_sec", "end_sec", "n_points", "lat_mean", "lon_mean")
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+        .map(t => (t._1, t._2, t._3, t._4, r3(t._5), r3(t._6))).toSet
+      assert(streamed === expected,
+        s"stream-only: ${(streamed -- expected).take(5)}; " +
+          s"batch-only: ${(expected -- streamed).take(5)}")
+      // every entity really dwelt at least twice — a fixture guard
+      assert(streamed.size >= 12, s"fixture too thin: ${streamed.size} dwells")
+    } finally query.stop()
+  }
+
+  test("TrajectoryStream.odVoyages matrix equals batch Sessionize+odMatrix with late drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(67)
+    val cells = Array("A", "B", "C", "D")
+    val all = rng.shuffle(for {
+      u <- 1L to 5L
+      i <- 1 to 30
+    } yield OdFix(u, ts(rng.nextInt(100) * 50L),
+      cells(rng.nextInt(cells.length)), u * 1000L + i))
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    val gapSec = 900L
+    val delaySec = 600L
+
+    // simulate the watermark late-drop rule for the batch twin
+    var wmSec = Long.MinValue
+    var maxSeen = Long.MinValue
+    val kept = Seq.newBuilder[OdFix]
+    batches.foreach { b =>
+      kept ++= b.filter(_.ts.getTime / 1000 >= wmSec)
+      maxSeen = math.max(maxSeen, b.map(_.ts.getTime / 1000).max)
+      wmSec = maxSeen - delaySec
+    }
+
+    val input = MemoryStream[OdFix]
+    val stream = TrajectoryStream.odVoyages(input.toDS(), gapSec,
+      watermarkDelay = s"$delaySec seconds")
+    val query = stream.writeStream.format("memory")
+      .queryName("parity_od").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      // sentinel entity: watermark passes every voyage's gap horizon
+      input.addData(OdFix(999L, ts(1000000), "Z", 1L)); query.processAllAvailable()
+      input.addData(OdFix(999L, ts(2000000), "Z", 2L)); query.processAllAvailable()
+
+      val streamed = spark.table("parity_od")
+        .filter(col("userId") =!= 999L)
+        .groupBy("origin", "dest").count()
+        .as[(String, String, Long)].collect().toSet
+      val expected = operators.Trajectory.odMatrix(
+          operators.Sessionize(
+            kept.result().map(f => (f.userId, f.ts.getTime / 1000, f.cell, f.eventId))
+              .toDF("user_id", "ts_sec", "cell", "event_id"),
+            "user_id", "ts_sec", gapSec, tieBreak = Seq("event_id")),
+          Seq("user_id", "session_id"), "ts_sec", "cell", tieBreak = "event_id")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed === expected,
+        s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+      assert(streamed.nonEmpty)
     } finally query.stop()
   }
 
