@@ -105,11 +105,12 @@ object TrajectoryStream {
           if (pending.isEmpty && run.isEmpty) state.remove()
           else {
             state.update(StayState(pending, run, nextId))
-            // wake once the watermark passes the newest pending fix so
-            // the buffer drains even if this entity goes silent
+            // wake once the watermark passes the OLDEST pending fix —
+            // finalize as soon as anything is ready, then re-arm; keying
+            // on the newest would let one far-future fix (or this
+            // entity's own watermark pusher) stall the whole buffer
             if (pending.nonEmpty)
-              state.setTimeoutTimestamp(
-                (math.max(pending.map(_.tsSec).max, wmSec) + 1) * 1000)
+              state.setTimeoutTimestamp((pending.map(_.tsSec).min + 1) * 1000)
           }
           out.result().iterator
       }

@@ -128,6 +128,55 @@ class RestartRecoverySpec extends SparkSpecBase {
     assert(streamed.contains((1L, 1000L, 2500L, 4L, 10.0)))
   }
 
+  test("TrajectoryStream.stayPoints: a dwell spanning stop + restart is emitted whole") {
+    import graft.streaming.{StayFix, TrajectoryStream}
+    val inputDir = tmp("graft-stay-in")
+    val outDir = tmp("graft-stay-out")
+    val ckpt = tmp("graft-stay-ckpt")
+    def addFile(rows: (Long, Long, Double, Double, Double)*): Unit =
+      rows.map { case (u, sec, s, la, lo) => StayFix(u, ts(sec), s, la, lo) }
+        .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+    def run() = TrajectoryStream.stayPoints(
+        spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[StayFix]].schema)
+          .option("maxFilesPerTrigger", "1").parquet(inputDir).as[StayFix],
+        speedThreshold = 1.0, minDurationSec = 300L, watermarkDelay = "30 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // pre-restart: entity 1 anchored 1000-1600 — dwell OPEN at stop time
+    addFile((1L, 1000L, 0.2, 10.0, 20.0), (1L, 1300L, 0.4, 10.2, 20.2),
+      (1L, 1600L, 0.1, 10.4, 20.4))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(!new java.io.File(outDir).exists() ||
+      spark.read.parquet(outDir).isEmpty, "dwell emitted before it closed")
+
+    // post-restart: the dwell CONTINUES (1900-2200 anchored), then a
+    // moving fix closes it; pushers advance the watermark past the close
+    addFile((1L, 1900L, 0.3, 10.6, 20.6), (1L, 2200L, 0.5, 10.8, 20.8))
+    addFile((1L, 2500L, 9.9, 11.0, 21.0))
+    addFile((1L, 2500L + 1800L + 600L, 9.9, 0.0, 0.0))
+    addFile((1L, 2500L + 2 * (1800L + 600L), 9.9, 0.0, 0.0))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("userId", "startSec", "endSec", "nPoints")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // ONE whole dwell spanning the restart, matching the batch twin
+    assert(streamed === Set((1L, 1000L, 2200L, 5L)),
+      s"restart fragmented or dropped the dwell: $streamed")
+    val batch = graft.operators.Trajectory.stayPoints(
+        spark.read.parquet(inputDir)
+          .select(col("userId").as("user_id"), col("ts").cast("long").as("ts_sec"),
+            col("speed"), col("lat"), col("lon")),
+        Seq("user_id"), "ts_sec", "speed", "lat", "lon",
+        speedThreshold = 1.0, minDurationSec = 300L)
+      .select("user_id", "start_sec", "end_sec", "n_points")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
+
   test("WindowedCounts aggregation state survives stop + restart: windows spanning it stay whole") {
     val inputDir = tmp("graft-wc-in")
     val outDir = tmp("graft-wc-out")
