@@ -49,6 +49,29 @@ object Bench {
       }
     }
 
+    // per-query shuffle-write + spill bytes from task metrics: PlanSpec
+    // locks plan SHAPE, these catch VOLUME regressions (a join that
+    // silently started shuffling 10x, a window that began spilling) as
+    // round-over-round diffable numbers
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def drained[T](body: => T): (T, Long, Long) = {
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val (s0, p0) = (shuffleAcc.get, spillAcc.get)
+      val r = body
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      (r, shuffleAcc.get - s0, spillAcc.get - p0)
+    }
+
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // median of 3 timed passes per query: single-pass timings on a shared
     // machine wobbled by ±0.5 s round-over-round on sub-second queries
@@ -63,30 +86,41 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var firstFailure = 0.0
+      var (shuffleB, spillB) = (0L, 0L)
       (1 to reps).foreach { _ =>
         if (firstFailure == 0.0) {
           val t0 = System.nanoTime()
-          val ok = CacheScope.scoped {
-            try { fn(spark, sfDir).count(); true } catch { case NonFatal(e) =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              failed += name
-              false
+          val (ok, sh, sp) = drained {
+            CacheScope.scoped {
+              try { fn(spark, sfDir).count(); true } catch { case NonFatal(e) =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                failed += name
+                false
+              }
             }
           }
           val dt = (System.nanoTime() - t0) / 1e9
           // failures are marked with negative elapsed so they can never be
           // mistaken for a fast success downstream
-          if (ok) times += dt else firstFailure = -dt
+          if (ok) { times += dt; shuffleB = sh; spillB = sp }
+          else firstFailure = -dt
         }
       }
-      name -> (if (firstFailure != 0.0) firstFailure else median(times.toSeq))
+      (name, if (firstFailure != 0.0) firstFailure else median(times.toSeq),
+        shuffleB, spillB)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val shuffles = results.map { case (k, _, s, _) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val spills = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: stdout capture has been observed to
     // truncate the tail under load, silently dropping per-query timings

@@ -42,9 +42,29 @@ object LakeWriter {
   }
 
   /** Read the lake back; partition columns come from directory names and
-   * partition pruning applies to filters on them. */
+   * partition pruning applies to filters on them. Schema comes from ONE
+   * footer — cheap, but blind to columns other partitions added; use
+   * [[readEvolved]] when the table's schema has grown over time. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /**
+   * Read with ADDITIVE schema evolution (`mergeSchema`): the scan
+   * schema is the union of every partition's footer, so partitions
+   * written before a column existed read it as null next to newer
+   * partitions' real values — the posture the staging→curated rebuild
+   * needs when it re-reads months of old partitions after the feed
+   * gained a column (reference: pipelines/staging_to_curated.py re-reads
+   * old+new partitions in one frame).
+   *
+   * Supported evolution contract: ADDING nullable columns. Renames are
+   * two independent columns (old rows null in the new, new rows null in
+   * the old); incompatible type changes fail the footer merge loudly.
+   * Footer merging is a distributed per-file job — pay it when schemas
+   * may differ, not on every read.
+   */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /**
    * Per-partition file profile: file count, row count, and min/max rows

@@ -92,34 +92,33 @@ object StateStore {
     latest.values.toSeq
   }
 
-  /** Current state with the `bucket` partition column retained —
-   * filtering on it prunes whole directories (that pruning is what makes
-   * a touched-buckets-only merge read touched bytes only).
+  /** Current state with the `bucket` column retained — filtering on it
+   * prunes whole directories (that pruning is what makes a
+   * touched-buckets-only merge read touched bytes only).
    *
-   * The partition-type-inference toggle is SESSION-GLOBAL, so the
-   * toggle-read-restore window is serialized on this object: concurrent
-   * StateStore reads (e.g. a streaming StateSink batch racing an ad-hoc
-   * read) can't observe each other's mid-toggle state. Non-StateStore
-   * queries compiled concurrently in the same session can still see
-   * inference briefly disabled — the store is documented as the only
-   * partition-inferred reader that should share its session. */
+   * Each bucket's LEAF directory is read directly and its number
+   * attached as a literal parsed from the dir name we wrote — partition
+   * DISCOVERY never runs, so the session-global type-inference toggle
+   * (and its brief exposure to concurrent non-StateStore queries) is
+   * gone entirely. A `bucket === k` filter constant-folds to false in
+   * every other branch of the union, so the optimizer prunes untouched
+   * buckets down to empty relations — same IO as the partition-pruned
+   * read, without the session mutation. Scan-node count is O(nBuckets),
+   * bounded by the store's layout contract. */
   private def readWithBucket(spark: SparkSession, root: String,
                              before: Option[String]): Option[DataFrame] = {
-    val dirs = latestBucketDirs(spark, root, before)
+    val f = fs(spark, root)
+    // a rewrite can leave a bucket with ZERO rows (every key deleted) —
+    // its dir has no data files and can't self-describe a schema; an
+    // empty bucket contributes no rows either way, so skip it
+    val dirs = latestBucketDirs(spark, root, before).filter(p =>
+      f.listStatus(p).exists(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
     if (dirs.isEmpty) None
-    else StateStore.synchronized {
-      // inference off: bucket must come back as a plain string dir name
-      // we control, never a re-typed value that could round-trip to a
-      // DIFFERENT directory (see LakeWriter.compact trap #2)
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prev = spark.conf.get(inferKey)
-      spark.conf.set(inferKey, "false")
-      try Some(spark.read.option("basePath", root)
-        .parquet(dirs.map(_.toString): _*)
-        .withColumn("bucket", col("bucket").cast("int"))
-        .drop("v"))
-      finally spark.conf.set(inferKey, prev)
-    }
+    else Some(dirs.map { p =>
+      val b = p.getName.stripPrefix("bucket=").toInt
+      spark.read.parquet(p.toString).withColumn("bucket", lit(b))
+    }.reduce(_ unionByName _))
   }
 
   /** Current committed state (strictly before `before` if given);

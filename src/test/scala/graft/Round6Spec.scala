@@ -96,6 +96,58 @@ class Round6Spec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "hot-key lookup is not broadcast\n" + p.take(2000))
   }
 
+  // --- SURVEY §2 inventory <-> SparkEntry.queries bijectivity -----------------------
+
+  test("every SURVEY §2 query key exists in SparkEntry.queries, and vice versa") {
+    val survey = scala.io.Source.fromFile("SURVEY.md")("UTF-8").mkString
+    val section = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val keyRe = """q_\w+""".r
+    val declared = section.linesIterator
+      .filter(_.matches("""\|\s*\d+\s*\|.*"""))
+      .flatMap { line =>
+        val cols = line.split("""\|""").map(_.trim)
+        // | # | Operator | impl | query key | oracle | → index 4
+        if (cols.length > 4) keyRe.findAllIn(cols(4)).toSeq else Nil
+      }.toSet
+    val actual = SparkEntry.queries.keySet
+    assert(declared.nonEmpty && declared.size > 100, s"SURVEY parse broke: ${declared.size} keys")
+    val ghost = declared -- actual   // declared but not implemented
+    val unlisted = actual -- declared // implemented but not in the inventory
+    assert(ghost.isEmpty, s"SURVEY declares keys missing from SparkEntry.queries: $ghost")
+    assert(unlisted.isEmpty, s"SparkEntry.queries keys missing from SURVEY §2: $unlisted")
+    // every oracle-gated key also has its oracle SQL
+    assert(actual === SparkEntry.oracleSql.keySet,
+      s"queries/oracleSql drift: ${(actual -- SparkEntry.oracleSql.keySet) ++
+        (SparkEntry.oracleSql.keySet -- actual)}")
+  }
+
+  // --- additive schema evolution on lake tables -------------------------------------
+
+  test("LakeWriter.readEvolved: a column added mid-life reads null-filled for old partitions") {
+    import graft.sources.LakeWriter
+    val path = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // month 1: the feed has (id, v)
+    LakeWriter.writePartitioned(
+      Seq((1L, 10.0, "2024", "01", "05"), (2L, 20.0, "2024", "01", "06"))
+        .toDF("id", "v", "year", "month", "day"), path)
+    // month 2: the feed gained `draft` (additive, nullable)
+    LakeWriter.writePartitioned(
+      Seq((3L, 30.0, 7.5, "2024", "02", "05"))
+        .toDF("id", "v", "draft", "year", "month", "day"), path)
+
+    val evolved = LakeWriter.readEvolved(spark, path)
+    assert(evolved.columns.contains("draft"), s"merged schema lost the new column")
+    val rows = evolved.select("id", "v", "draft")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.get(2))))).toMap
+    assert(rows === Map(1L -> ((10.0, None)), 2L -> ((20.0, None)),
+      3L -> ((30.0, Some(7.5)))), s"evolution read wrong: $rows")
+    // old and new partitions coexist in ONE frame with pruning intact
+    assert(evolved.filter(col("month") === "02").count() === 1)
+    // a rebuild-style aggregate over the evolved frame sees every row
+    assert(evolved.agg(sum("v")).head.getDouble(0) === 60.0)
+  }
+
   // --- KS cardinality contract ------------------------------------------------------
 
   test("ksTest refuses an over-cardinality metric, passes after quantization") {
