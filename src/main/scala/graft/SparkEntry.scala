@@ -472,6 +472,11 @@ object SparkEntry {
       Quality.approxDistinctGate(ev(s, dir),
         Seq("user_id", "event_type", "value"))),
 
+    // --- sketch accuracy gate: count-min-sketch heavy hitters hold the
+    // exact <= estimate <= exact + eps*N guarantee on the top-20 keys ---
+    "q_cms_topk" -> ((s, dir) =>
+      Quality.cmsHeavyHitters(ev(s, dir), "user_id", k = 20)),
+
     // --- sketch accuracy gate: rank-sketch quantiles inside the exact
     // p±tol bracket; exact quantiles cross-checked by the oracle ---
     "q_approx_quantiles" -> ((s, dir) =>
@@ -1409,6 +1414,13 @@ object SparkEntry {
          |       TRUE AS approx_ok FROM e
          |UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type), TRUE FROM e
          |UNION ALL SELECT 'value', COUNT(DISTINCT value), TRUE FROM e""".stripMargin,
+
+    "q_cms_topk" ->
+      s"""$EvCte
+         |SELECT CAST(user_id AS BIGINT) AS key, COUNT(*) AS n_exact,
+         |       TRUE AS cms_ok
+         |FROM e WHERE user_id IS NOT NULL
+         |GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""".stripMargin,
 
     "q_approx_quantiles" ->
       """SELECT lang,

@@ -98,10 +98,13 @@ object Analytics {
       // caching dedups execution but Catalyst still carries (and
       // stringifies) the full tree, which alone blows the driver heap at
       // iters=10. The eager checkpoint truncates each round to an RDD
-      // leaf: plans stay O(1) per round. `checkpointDir` picks reliable
-      // checkpointing (survives executor loss on a cluster); the local
-      // default's blocks live at MEMORY_AND_DISK and are reclaimed by
-      // the ContextCleaner.
+      // leaf: plans stay O(1) per round. (Cutting every SECOND round
+      // with a lazy persist in between was tried: no measurable win at
+      // the 5M-edge stress scale — job dispatch isn't the bottleneck
+      // there — so the simpler uniform cut stays.)
+      // `checkpointDir` picks reliable checkpointing (survives executor
+      // loss on a cluster); the local default's blocks live at
+      // MEMORY_AND_DISK and are reclaimed by the ContextCleaner.
       val r = graft.CacheScope.lineageCut(ranks, checkpointDir)
       val inMass = r.join(eNorm, r("node") === eNorm("src"))
         .groupBy("dst").agg(sum(col("pr") * col("wn")).as("in_mass"))

@@ -46,6 +46,42 @@ object Quality {
     }.reduce(_ unionAll _)
 
   /**
+   * Count–min-sketch heavy-hitter gate, the frequency twin of
+   * [[approxDistinctGate]]: top-`k` keys by exact count next to the
+   * one-pass CMS estimate, asserting the sketch's guarantee
+   * exact ≤ estimate ≤ exact + ε·N on real data. The sketch (one
+   * mergeable `count_min_sketch` aggregate, ~e/ε × ln(1/δ) counters) is
+   * what a 100 TB feed keeps PER PARTITION/HOUR when a full groupBy per
+   * window is too expensive — merge sketches, probe candidates; this
+   * gate measures what that buys on gate data instead of trusting ε.
+   * The probe ([[graft.expressions.CmsEstimate]]) runs over the k
+   * candidate rows only, against the broadcast one-row sketch. Output
+   * (key, n_exact, cms_ok) — exact side + verdict are oracle-checkable.
+   * Keys are cast to long: estimate and update must hash identically.
+   */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int,
+                      eps: Double = 0.001, confidence: Double = 0.99,
+                      seed: Int = 7): DataFrame = {
+    require(k >= 1 && eps > 0 && confidence > 0 && confidence < 1,
+      "cmsHeavyHitters needs k >= 1, eps > 0, confidence in (0,1)")
+    import org.apache.spark.sql.GraftBridge
+    val keyL = col(keyCol).cast("long")
+    val sketch = df.select(keyL.as("_k")).agg(
+      expr(s"count_min_sketch(_k, ${eps}d, ${confidence}d, $seed)").as("_sk"),
+      count(col("_k")).as("n_total"))
+    val top = df.select(keyL.as("key")).filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key").asc).limit(k)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("n_cms", GraftBridge.column(graft.expressions.CmsEstimate(
+        GraftBridge.expression(col("_sk")), GraftBridge.expression(col("key")))))
+      .select(col("key"), col("n_exact"),
+        (col("n_cms") >= col("n_exact") &&
+          col("n_cms") <= col("n_exact") + ceil(lit(eps) * col("n_total")).cast("long"))
+          .as("cms_ok"))
+  }
+
+  /**
    * Exact grouped quantiles (linear interpolation at rank (n-1)·p — the
    * same definition as DuckDB's `quantile_cont`, so results are
    * oracle-comparable). Exact, not approx_percentile: profile

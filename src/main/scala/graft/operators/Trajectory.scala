@@ -128,28 +128,9 @@ object Trajectory {
     // 111.0 < the true 111.19 km/° meridional scale: a slightly WIDER
     // band than maxKm strictly needs, so losslessness has margin
     val bandDeg = maxKm / 111.0
-
-    // per-band lon cell count: from the band's extreme |lat| over its
-    // ±1-band reach (the left side may sit one band away)
-    def lonCells(band: Column): Column = {
-      val maxAbsLat = greatest(abs((band - 1) * bandDeg), abs((band + 2) * bandDeg))
-      // ANSI-safe: the division only runs where cmin > 0 (CaseWhen is
-      // lazy per row); a band touching a pole gets the full 180° width
-      val cmin = cos(radians(least(maxAbsLat, lit(90.0))))
-      val ratio = when(cmin > 0,
-        least(lit(1.0), lit(math.sin(maxKm / (2 * Geo.EarthRadiusKm))) / cmin))
-        .otherwise(lit(1.0))
-      val widthDeg = degrees(lit(2.0) * asin(ratio))
-      // 1.001: fp slack so a pair at EXACTLY the bound still lands in
-      // adjacent cells; floor only ever makes cells wider (safer)
-      greatest(lit(1L), floor(lit(360.0) / (widthDeg * 1.001)).cast("long"))
-    }
-    // cell index of `lon` under `band`'s bucketing, wrap-normalized
-    def lonCell(band: Column, lon: Column): Column = {
-      val nb = lonCells(band)
-      val lonNorm = lon - lit(360.0) * floor((lon + 180) / 360)
-      pmod(floor((lonNorm + 180) * nb.cast("double") / 360.0).cast("long"), nb)
-    }
+    def lonCells(band: Column): Column = Trajectory.lonCells(maxKm, bandDeg, band)
+    def lonCell(band: Column, lon: Column): Column =
+      Trajectory.lonCell(maxKm, bandDeg, band, lon)
 
     // nb and the own lon cell are computed ONCE per base row (the
     // transcendentals in lonCells would otherwise re-run per exploded
@@ -224,6 +205,35 @@ object Trajectory {
         col("lat_b"), col("lon_b")))
       .filter(col("dist_km") <= maxKm)
       .select("id_a", "id_b", "ts_a", "ts_b", "dist_km")
+  }
+
+  /**
+   * Per-band longitude cell count for `maxKm`-proximity blocking: from
+   * the haversine bound sin(|Δλ|/2) ≤ sin(maxKm/2R)/√(cosφ₁·cosφ₂),
+   * with cmin = min |cos| over the band's ±1-band latitude reach (the
+   * other point may sit one band away). Shared by the batch and
+   * streaming encounter operators so their candidate keys agree.
+   */
+  private[graft] def lonCells(maxKm: Double, bandDeg: Double, band: Column): Column = {
+    val maxAbsLat = greatest(abs((band - 1) * bandDeg), abs((band + 2) * bandDeg))
+    // ANSI-safe: the division only runs where cmin > 0 (CaseWhen is
+    // lazy per row); a band touching a pole gets the full 180° width
+    val cmin = cos(radians(least(maxAbsLat, lit(90.0))))
+    val ratio = when(cmin > 0,
+      least(lit(1.0), lit(math.sin(maxKm / (2 * Geo.EarthRadiusKm))) / cmin))
+      .otherwise(lit(1.0))
+    val widthDeg = degrees(lit(2.0) * asin(ratio))
+    // 1.001: fp slack so a pair at EXACTLY the bound still lands in
+    // adjacent cells; floor only ever makes cells wider (safer)
+    greatest(lit(1L), floor(lit(360.0) / (widthDeg * 1.001)).cast("long"))
+  }
+
+  /** Cell index of `lon` under `band`'s bucketing, wrap-normalized. */
+  private[graft] def lonCell(maxKm: Double, bandDeg: Double,
+                             band: Column, lon: Column): Column = {
+    val nb = lonCells(maxKm, bandDeg, band)
+    val lonNorm = lon - lit(360.0) * floor((lon + 180) / 360)
+    pmod(floor((lonNorm + 180) * nb.cast("double") / 360.0).cast("long"), nb)
   }
 
   /**

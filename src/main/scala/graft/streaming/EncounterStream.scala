@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
  * live half of rendezvous / near-miss monitoring).
  *
  * Candidates use the same provably-lossless keys as the batch operator —
- * (time bucket, latitude band), with the left side expanded to its 3×3
- * neighborhood (great-circle distance ≥ its meridional component, so a
- * qualifying pair can differ by at most one band and one bucket). That
- * keeps the stream-stream join an EQUI-join, the form whose state Spark
- * can bound: both sides carry watermarks and the join condition carries
- * the |Δts| ≤ maxGapSec range, so a buffered row is evicted once the
- * other side's watermark passes its horizon — state is O(rate × gap),
- * never O(stream). Exact haversine + the range predicate verify every
- * bucket collision, exactly like batch.
+ * (time bucket, latitude band, per-band longitude cell), with the left
+ * side expanded to its 3×3 band/bucket neighborhood and the right side
+ * to its lon cell ± 1 mod nb (great-circle distance ≥ its meridional
+ * component bounds Δband/Δbucket to one; the haversine Δλ bound shared
+ * with [[graft.operators.Trajectory]] makes the lon cells lossless,
+ * antimeridian wrap included, degrading to band-only near the poles).
+ * That keeps the stream-stream join an EQUI-join, the form whose state
+ * Spark can bound: both sides carry watermarks and the join condition
+ * carries the |Δts| ≤ maxGapSec range, so a buffered row is evicted
+ * once the other side's watermark passes its horizon — state is
+ * O(rate × gap), never O(stream), and in a dense strait the lon key
+ * keeps each probe from matching the whole band's buffer. Exact
+ * haversine + the range predicate verify every bucket collision,
+ * exactly like batch.
  */
 object EncounterStream {
 
@@ -34,6 +39,7 @@ object EncounterStream {
                  watermarkDelay: String = "10 minutes"): DataFrame = {
     require(maxKm > 0 && maxGapSec > 0, "encounters needs positive bounds")
     val bandDeg = maxKm / 111.0
+    val T = graft.operators.Trajectory
     def base(sfx: String) = points
       .withWatermark(tsCol, watermarkDelay)
       .select(col(idCol).as(s"id_$sfx"), col(tsCol).as(s"ts_$sfx"),
@@ -43,14 +49,33 @@ object EncounterStream {
         floor(col(s"lat_$sfx") / bandDeg).cast("long"))
       .withColumn(s"tb_$sfx",
         floor(unix_timestamp(col(s"ts_$sfx")) / maxGapSec).cast("long"))
+      .withColumn(s"nb_$sfx", T.lonCells(maxKm, bandDeg, col(s"band_$sfx")))
+      .withColumn(s"lb_$sfx",
+        T.lonCell(maxKm, bandDeg, col(s"band_$sfx"), col(s"lon_$sfx")))
+    // LEFT: band/bucket ± 1, own lon cell under the TARGET band's
+    // bucketing (neighbor bands' cells precomputed before the explode);
+    // RIGHT: own band/bucket, lon cell ± 1 mod nb (distinct) — the
+    // exact batch key recipe, so each pair meets at exactly one key
     val left = base("a")
-      .withColumn("band_a",
-        explode(array(col("band_a") - 1, col("band_a"), col("band_a") + 1)))
+      .withColumn("bl", explode(array(
+        struct((col("band_a") - 1).as("band"),
+          T.lonCell(maxKm, bandDeg, col("band_a") - 1, col("lon_a")).as("lb")),
+        struct(col("band_a").as("band"), col("lb_a").as("lb")),
+        struct((col("band_a") + 1).as("band"),
+          T.lonCell(maxKm, bandDeg, col("band_a") + 1, col("lon_a")).as("lb")))))
+      .withColumn("band_a", col("bl.band")).withColumn("lb_a", col("bl.lb"))
+      .drop("bl", "nb_a")
       .withColumn("tb_a",
         explode(array(col("tb_a") - 1, col("tb_a"), col("tb_a") + 1)))
     val right = base("b")
+      .withColumn("lb_b", explode(array_distinct(array(
+        pmod(col("lb_b") - 1 + col("nb_b"), col("nb_b")),
+        col("lb_b"),
+        pmod(col("lb_b") + 1, col("nb_b"))))))
+      .drop("nb_b")
     left.join(right,
         col("band_a") === col("band_b") && col("tb_a") === col("tb_b") &&
+          col("lb_a") === col("lb_b") &&
           col("id_a") < col("id_b") &&
           col("ts_a") >= col("ts_b") - expr(s"INTERVAL $maxGapSec SECONDS") &&
           col("ts_a") <= col("ts_b") + expr(s"INTERVAL $maxGapSec SECONDS"))

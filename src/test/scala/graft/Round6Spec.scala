@@ -224,6 +224,21 @@ class Round6Spec extends SparkSpecBase {
     assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
   }
 
+  // --- CMS heavy-hitter gate --------------------------------------------------------
+
+  test("cmsHeavyHitters: top-k exact counts with the sketch guarantee holding") {
+    // zipf-ish skew: key k appears ~1000/k times
+    val rows = spark.range(1, 30).select(col("id").as("key"))
+      .withColumn("n", (lit(1000) / col("key")).cast("int"))
+      .select(col("key"), explode(sequence(lit(1), col("n"))).as("i"))
+    val got = Quality.cmsHeavyHitters(rows, "key", k = 5, eps = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L), s"wrong top keys: ${got.toSeq}")
+    assert(got.find(_._1 == 1L).get._2 === 1000L)
+    assert(got.find(_._1 == 3L).get._2 === 333L)
+    assert(got.forall(_._3), s"CMS guarantee violated: ${got.filterNot(_._3).toSeq}")
+  }
+
   // --- pagerank weight guard --------------------------------------------------------
 
   test("pagerank: zero/negative-weight edges carry no mass but keep their nodes") {
