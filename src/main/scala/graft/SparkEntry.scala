@@ -528,6 +528,26 @@ object SparkEntry {
         Seq("user_id"), "ts_sec", Seq("state_value"))
     }),
 
+    // --- as-of, forward direction (earliest following state) ---
+    "q_asof_fwd" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val state = e.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_sec")
+        .agg(max_by(col("value"), col("event_id")).as("state_value"))
+      AsOf.join(e.select("event_id", "user_id", "ts_sec"), state,
+        Seq("user_id"), "ts_sec", Seq("state_value"), direction = "forward")
+    }),
+
+    // --- as-of, nearest direction (ties prefer the prior row) ---
+    "q_asof_near" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val state = e.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_sec")
+        .agg(max_by(col("value"), col("event_id")).as("state_value"))
+      AsOf.join(e.select("event_id", "user_id", "ts_sec"), state,
+        Seq("user_id"), "ts_sec", Seq("state_value"), direction = "nearest")
+    }),
+
     "q_pack" -> ((s, dir) =>
       Text.packSequences(
           Text.tokenCount(Tables.documents(s, dir), "text"),
@@ -635,6 +655,14 @@ object SparkEntry {
         .select(col("node"),
           (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))),
 
+    // --- triangle count on a deterministic synthetic graph over the
+    // event entities (same modular-arithmetic edge recipe both sides) ---
+    "q_triangles" -> ((s, dir) =>
+      Analytics.triangles(
+        ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+          pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
+        "a", "b")),
+
     // --- per-language percentile rank of doc length ---
     "q_pct_rank" -> ((s, dir) =>
       Analytics.percentileRank(
@@ -696,6 +724,12 @@ object SparkEntry {
       Analytics.rollingMean(ev(s, dir), Seq("user_id"), "ts_sec", "value", 5,
           tieBreak = Seq("event_id"))
         .select(col("event_id"), r3(col("rolling_avg")).as("rolling_avg"))),
+
+    // --- recency-weighted smoother: EWMA over the last 10 rows ---
+    "q_ewma" -> ((s, dir) =>
+      Analytics.ewma(ev(s, dir), Seq("user_id"), "ts_sec", "value",
+          alpha = 0.3, window = 10, tieBreak = Seq("event_id"))
+        .select(col("event_id"), r3(col("ewma")).as("ewma"))),
 
     "q_cube" -> ((s, dir) =>
       Analytics.cubeProfile(
@@ -1476,6 +1510,33 @@ object SparkEntry {
          |SELECT l.event_id, l.user_id, l.ts_sec, r.state_value
          |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec""".stripMargin,
 
+    "q_asof_fwd" ->
+      s"""$EvCte, r AS (
+         |  SELECT user_id, ts_sec, arg_max(value, event_id) AS state_value
+         |  FROM e WHERE event_id % 10 = 0 GROUP BY 1, 2
+         |)
+         |SELECT l.event_id, l.user_id, l.ts_sec, r.state_value
+         |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec""".stripMargin,
+
+    "q_asof_near" ->
+      s"""$EvCte, r AS (
+         |  SELECT user_id, ts_sec, arg_max(value, event_id) AS state_value
+         |  FROM e WHERE event_id % 10 = 0 GROUP BY 1, 2
+         |), b AS (
+         |  SELECT l.event_id, l.user_id, l.ts_sec,
+         |         r.state_value AS bv, r.ts_sec AS bt
+         |  FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+         |), f AS (
+         |  SELECT l.event_id, r.state_value AS fv, r.ts_sec AS ft
+         |  FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec
+         |)
+         |SELECT b.event_id, b.user_id, b.ts_sec,
+         |       CASE WHEN ft IS NULL THEN bv
+         |            WHEN bt IS NULL THEN fv
+         |            WHEN b.ts_sec - bt <= ft - b.ts_sec THEN bv
+         |            ELSE fv END AS state_value
+         |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
+
     "q_contamination" ->
       """WITH g AS (
         |  SELECT doc_id AS id,
@@ -1627,6 +1688,18 @@ object SparkEntry {
 
     "q_pagerank" -> pagerankSql(iters = 10, damping = 0.85),
 
+    "q_triangles" ->
+      s"""$EvCte, ed AS (
+         |  SELECT DISTINCT least(user_id % 97, (user_id * 31 + 7) % 97) AS u,
+         |         greatest(user_id % 97, (user_id * 31 + 7) % 97) AS v
+         |  FROM e
+         |  WHERE user_id % 97 <> (user_id * 31 + 7) % 97
+         |)
+         |SELECT COUNT(*) AS n_triangles
+         |FROM ed e1
+         |JOIN ed e2 ON e2.u = e1.v
+         |JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
     "q_pct_rank" ->
       """SELECT doc_id, lang,
         |       floor(cume_dist() OVER (PARTITION BY lang
@@ -1741,6 +1814,26 @@ object SparkEntry {
          |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)*1000 + 0.5)/1000
          |         AS rolling_avg
          |FROM e""".stripMargin,
+
+    // same strict left fold as the Spark side: list() preserves frame
+    // order, list_prepend(0.0) IS the fold's init, and the recursion is
+    // pure iterated multiply-add — bit-identical, no pow()
+    "q_ewma" -> {
+      val a = 0.3; val d = 1 - a
+      s"""$EvCte, win AS (
+         |  SELECT event_id,
+         |         list(value) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec, event_id
+         |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+         |  FROM e
+         |)
+         |SELECT event_id,
+         |       floor(
+         |         list_reduce(list_prepend(0.0, vs), (acc, x) -> acc*$d + $a*x) /
+         |         list_reduce(list_prepend(0.0, vs), (acc, x) -> acc*$d + $a)
+         |         *1000 + 0.5)/1000 AS ewma
+         |FROM win""".stripMargin
+    },
 
     "q_cube" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -122,6 +122,45 @@ object Analytics {
   }
 
   /**
+   * Triangle count of an undirected graph — the clustering/cohesion
+   * scalar behind community screens (vessel rendezvous cliques, near-dup
+   * link graphs). Degree-ordered wedge counting (the MapReduce-classic
+   * Suri–Vassilvitskii shape): every edge is oriented from the lower
+   * (degree, id) endpoint to the higher, each node pairs its
+   * out-neighbors into wedges, and a semi-join against the oriented
+   * edges closes them. Orientation bounds out-degree by O(√m), so wedge
+   * candidates are O(m^1.5) TOTAL and the hottest node in a power-law
+   * graph stops mattering — a hub of degree 10⁶ has out-degree ~√m, not
+   * 10⁶. Each triangle is counted exactly once (at its lowest-rank
+   * vertex). Three shuffles: degree groupBy, wedge self-join on the
+   * center, closing semi-join.
+   */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // the wedge join reads the oriented edges twice; persist (scoped)
+    val oriented = graft.CacheScope.persist(withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg")))
+    val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddeg").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("src"), col("y").as("dst"))
+    wedges.join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /**
    * Chi-square independence screen between two categorical columns —
    * "does event mix drift by weekday?" asked as one number. Builds the
    * full contingency table INCLUDING zero-observed cells (the margins
@@ -297,6 +336,47 @@ object Analytics {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(-(window - 1), Window.currentRow)
     df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
+  /**
+   * Exponentially weighted moving average over the last `window` rows
+   * per entity — the recency-biased smoother behind drift/anomaly
+   * screens (a rolling mean lags level shifts; EWMA tracks them at the
+   * same cost). ewma_t = Σ_{j=0..K-1} α·(1−α)^j·x_{t−j} / Σ weights,
+   * i.e. the bounded-window form of the classic recursion, so one late
+   * level shift decays in ~1/α rows instead of polluting a whole mean.
+   *
+   * Plan shape: ONE (key, ts) window (shared with the session family's
+   * sort) collecting the last K values, folded with `aggregate` — a
+   * codegen'd per-row loop over ≤ K elements with a STRICT left fold,
+   * the same order an external engine's list_reduce replays, so the
+   * doubles are bit-reproducible cross-engine (the DotProduct
+   * convention). No self-join, no per-row UDF; K is a constant.
+   */
+  def ewma(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, alpha: Double, window: Int,
+           tieBreak: Seq[String] = Nil,
+           outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "ewma needs alpha in (0,1]")
+    require(window >= 1, "ewma needs window >= 1")
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    // collect_list over a rows window preserves frame order: element 0
+    // is the OLDEST row in the frame, so the classic recursion
+    // acc·(1−α)+α·x weights the current row highest. Numerator and
+    // normalizer are the SAME strict left fold in pure iterated
+    // multiply-add — no pow(), whose last-ulp rounding may differ
+    // between engines — so an external list_reduce replays the doubles
+    // bit-for-bit (the DotProduct convention).
+    val vs = collect_list(col(valueCol).cast("double")).over(w)
+    val decay = lit(1.0 - alpha)
+    df.withColumn("_vs", vs)
+      .withColumn(outCol,
+        when(size(col("_vs")) > 0,
+          aggregate(col("_vs"), lit(0.0), (acc, x) => acc * decay + lit(alpha) * x) /
+          aggregate(col("_vs"), lit(0.0), (acc, _) => acc * decay + lit(alpha))))
+      .drop("_vs")
   }
 
   /**

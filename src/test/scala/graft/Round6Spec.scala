@@ -224,6 +224,43 @@ class Round6Spec extends SparkSpecBase {
     assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
   }
 
+  // --- triangle counting ------------------------------------------------------------
+
+  test("triangles: K4 plus a pendant edge has exactly 4, duplicates/self-loops ignored") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4 → 4 triangles
+      (4L, 5L),          // pendant: no new triangle
+      (2L, 1L), (3L, 3L) // reversed duplicate + self-loop → ignored
+    ).toDF("a", "b")
+    assert(Analytics.triangles(edges, "a", "b").head.getLong(0) === 4L)
+    assert(Analytics.triangles(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b").head.getLong(0) === 0L)
+  }
+
+  test("asof direction semantics: backward, forward, nearest with tie-to-prior") {
+    val left = Seq((1L, 100L), (2L, 200L), (3L, 305L)).toDF("id", "ts")
+    val right = Seq((50L, "a"), (150L, "b"), (310L, "c"))
+      .toDF("ts", "st").withColumn("k", lit(1)).select(col("k"), col("ts"), col("st"))
+    val l = left.withColumn("k", lit(1)).select("id", "k", "ts")
+    def run(d: String) = AsOf.join(l, right, Seq("k"), "ts", Seq("st"), direction = d)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("st")).getOrElse("-")).toMap
+    assert(run("backward") === Map(1L -> "a", 2L -> "b", 3L -> "b"))
+    assert(run("forward") === Map(1L -> "b", 2L -> "c", 3L -> "c"))
+    // id 1 at 100: |100-50| == |150-100| → TIE → prior "a"; id 2 at 200:
+    // |200-150|=50 vs |310-200|=110 → backward; id 3 at 305:
+    // |305-150|=155 vs |310-305|=5 → forward
+    assert(run("nearest") === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("asof nearest: exact tie keeps the prior row") {
+    val l = Seq((1L, 100L)).toDF("id", "ts").withColumn("k", lit(1))
+    val r = Seq((90L, "prior"), (110L, "later")).toDF("ts", "st").withColumn("k", lit(1))
+    val got = AsOf.join(l.select("id", "k", "ts"), r, Seq("k"), "ts", Seq("st"),
+      direction = "nearest").head.getAs[String]("st")
+    assert(got === "prior")
+  }
+
   // --- CMS heavy-hitter gate --------------------------------------------------------
 
   test("cmsHeavyHitters: top-k exact counts with the sketch guarantee holding") {
