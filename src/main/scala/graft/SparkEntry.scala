@@ -37,6 +37,9 @@ object SparkEntry {
    * max on random vectors sits around 3–4σ. The gate measures it;
    * this is the alarm line, not the expectation. */
   private val RandProjEps = 1.0
+  // synthetic (untrained) embeddings truncate badly — the gate still
+  // verifies the MEASUREMENT cross-engine; both sides share this eps
+  private val MrlEps = 1.0
 
   /** Parity-safe 3-decimal rounding: floor(x*1000 + 0.5)/1000 is pure IEEE
    * arithmetic, bit-identical in Spark and DuckDB (Spark's `round` is
@@ -369,6 +372,18 @@ object SparkEntry {
           outDim = 16, dim = 64, queryPred = col("vec_id") < 10, eps = RandProjEps)
         .select(col("query_id"), col("n_cands"),
           r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
+
+    // --- Matryoshka prefix-truncation fidelity gate (64 → 16 dims) ---
+    "q_mrl_gate" -> ((s, dir) =>
+      Similarity.mrlFidelityGate(Tables.embeddings(s, dir), "vec_id", "embedding",
+          headDim = 16, queryPred = col("vec_id") < 10, eps = MrlEps)
+        .select(col("query_id"), col("n_cands"),
+          r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
+
+    // --- Gopher hard-filter rule battery over documents ---
+    "q_gopher" -> ((s, dir) =>
+      Text.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+        minWords = 30)),
 
     // --- similarity search ---
     "q_ann_brute" -> ((s, dir) => {
@@ -1294,6 +1309,57 @@ object SparkEntry {
          |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
          |GROUP BY q.query_id""".stripMargin
     },
+
+    "q_mrl_gate" -> {
+      val cf = cosSql("q.vq", "c.v")
+      val cp = cosSql("q.hq", "c.hv")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v, v[1:16] AS hv FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS vq, hv AS hq FROM p WHERE vec_id < 10)
+         |SELECT q.query_id, COUNT(*) AS n_cands,
+         |       floor(MAX(abs($cf - $cp))*1000 + 0.5)/1000 AS max_abs_err,
+         |       (MAX(abs($cf - $cp)) <= $MrlEps) AS ok
+         |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
+         |GROUP BY q.query_id""".stripMargin
+    },
+
+    "q_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         string_split(text, ' ') AS toks,
+        |         string_split(text, chr(10)) AS lns
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         len(toks) AS n_words,
+        |         list_reduce(list_transform(toks, w -> len(w)), (a,b) -> a+b)::DOUBLE AS char_sum,
+        |         (length(text) - length(replace(text,'#','')))::DOUBLE AS hashes,
+        |         ((length(text) - length(replace(text,'...',''))) / 3 +
+        |          (length(text) - length(replace(text,'…',''))))::DOUBLE AS dots,
+        |         len(lns)::DOUBLE AS n_lines,
+        |         len(list_filter(lns, l -> starts_with(l,'-') OR starts_with(l,'*')
+        |           OR starts_with(l,'•')))::DOUBLE AS bullets,
+        |         len(list_filter(lns, l -> ends_with(l,'...') OR ends_with(l,'…')))::DOUBLE AS ellipses,
+        |         len(list_filter(toks, w -> regexp_matches(w,'[A-Za-z]')))::DOUBLE AS alpha_w,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |           s -> list_contains(toks, s))) AS stop_hits
+        |  FROM d
+        |)
+        |SELECT doc_id, n_words, g_words, g_word_len, g_symbol, g_bullet,
+        |       g_ellipsis, g_alpha, g_stop,
+        |       (g_words AND g_word_len AND g_symbol AND g_bullet AND g_ellipsis
+        |         AND g_alpha AND g_stop) AS gopher_pass
+        |FROM (
+        |  SELECT doc_id, n_words::BIGINT AS n_words,
+        |         (n_words >= 30 AND n_words <= 100000) AS g_words,
+        |         (char_sum / n_words >= 3.0 AND char_sum / n_words <= 10.0) AS g_word_len,
+        |         ((hashes + dots) / n_words <= 0.1) AS g_symbol,
+        |         (bullets / n_lines <= 0.9) AS g_bullet,
+        |         (ellipses / n_lines <= 0.3) AS g_ellipsis,
+        |         (alpha_w / n_words >= 0.8) AS g_alpha,
+        |         (stop_hits >= 2) AS g_stop
+        |  FROM m
+        |)""".stripMargin,
 
     "q_ann_brute" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -209,6 +209,34 @@ object Similarity {
   }
 
   /**
+   * Matryoshka (prefix-truncation) fidelity gate, the third member of
+   * the int8/JL gate family: keep only the first `headDim` coordinates
+   * of every embedding and MEASURE the cosine deviation per query over
+   * all candidates. MRL-trained models (Kusupati et al. '22) pack
+   * meaning into the prefix so the truncated index is nearly free;
+   * untrained embeddings are not — this gate is the number that tells
+   * you which world you're in before you shrink a 100 TB index 4×.
+   * Truncation is a `slice` projection (no matrix, no shuffle); the
+   * rest is the jlFidelityGate plan.
+   */
+  def mrlFidelityGate(em: DataFrame, idCol: String, vecCol: String,
+                      headDim: Int, queryPred: Column,
+                      eps: Double = 0.35): DataFrame = {
+    require(headDim >= 1, "mrlFidelityGate needs headDim >= 1")
+    val pz = graft.CacheScope.persist(
+      em.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("hv", slice(col("v"), 1, headDim)))
+    val qry = pz.filter(queryPred).select(col(idCol).as("query_id"),
+      col("v").as("vq"), col("hv").as("hq"))
+    val err = abs(cosine(col("vq"), col("v")) - cosine(col("hq"), col("hv")))
+    pz.crossJoin(broadcast(qry))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_cands"), max(err).as("max_abs_err"))
+      .withColumn("ok", col("max_abs_err") <= eps)
+  }
+
+  /**
    * Brute-force cosine top-k: every query row against every candidate.
    * The query side is small by construction → `broadcast` keeps the big
    * side un-shuffled; ranking is per-query (high fan-out keys), so the

@@ -126,6 +126,71 @@ object Text {
    * duplicate word bigrams / trigrams — boilerplate and generated spam
    * repeat n-grams far more than natural text.
    */
+  /**
+   * Gopher-style document quality rules (Rae et al. '21 §A1.1, the
+   * standard pre-training filter battery), one boolean per rule plus
+   * the conjunction — run AFTER [[qualityScore]]'s soft score to make
+   * the hard keep/drop call:
+   *
+   *  - word count within [minWords, maxWords]
+   *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+   *  - '#'/ellipsis symbols per word ≤ maxSymbolRatio
+   *  - lines starting with a bullet ≤ maxBulletFrac of lines
+   *  - lines ending in an ellipsis ≤ maxEllipsisFrac of lines
+   *  - words containing an alphabetic char ≥ minAlphaFrac of words
+   *  - at least `minStopHits` distinct common English stop words
+   *
+   * Everything is whitespace-token / line arithmetic over one
+   * projection — no shuffle, no UDF; counts are exact integers and each
+   * ratio is a single division, so any engine reproduces the booleans
+   * bit-for-bit.
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nW = size(toks).cast("double")
+    val charSum = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val hashes = (length(t) - length(replace(t, lit("#"), lit("")))).cast("double")
+    val dots = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
+      (length(t) - length(replace(t, lit("…"), lit(""))))).cast("double")
+    val lines = split(t, "\n")
+    val nL = size(lines).cast("double")
+    val bullets = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double")
+    val ellipses = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("double")
+    val alphaW = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+    // distinct stop words PRESENT: iterate the fixed stop list and test
+    // membership (symmetric with an external list_filter/contains loop;
+    // array_intersect's dedup semantics vary by engine)
+    val stopHits = size(filter(array(GopherStops.map(lit): _*),
+      s => array_contains(toks, s)))
+    df.select(col(idCol), t.as(textCol))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("g_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("g_word_len",
+        charSum / nW >= minMeanWordLen && charSum / nW <= maxMeanWordLen)
+      .withColumn("g_symbol", (hashes + dots) / nW <= maxSymbolRatio)
+      .withColumn("g_bullet", bullets / nL <= maxBulletFrac)
+      .withColumn("g_ellipsis", ellipses / nL <= maxEllipsisFrac)
+      .withColumn("g_alpha", alphaW / nW >= minAlphaFrac)
+      .withColumn("g_stop", stopHits >= minStopHits)
+      .withColumn("gopher_pass",
+        col("g_words") && col("g_word_len") && col("g_symbol") &&
+          col("g_bullet") && col("g_ellipsis") && col("g_alpha") && col("g_stop"))
+      .drop(textCol)
+  }
+
+  /** Gopher's stop-word membership set (distinct hits gate). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def repetitionRatio(df: DataFrame, textCol: String): DataFrame = {
     def dupFrac(n: Int): Column = {
       val grams = wordShingles(col(textCol), n)

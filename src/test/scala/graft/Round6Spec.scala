@@ -224,6 +224,36 @@ class Round6Spec extends SparkSpecBase {
     assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
   }
 
+  // --- Gopher rule battery ----------------------------------------------------------
+
+  test("gopherRules: each rule flips on its targeted pathology") {
+    val good = (("the be to of and that have with " * 8).trim + " " +
+      ("ship port cargo wave " * 6).trim)
+    val docs = Seq(
+      (1L, good),                                       // all rules pass
+      (2L, "the be to of and"),                         // too short
+      (3L, good + " " + ("#### ##### " * 30).trim),     // symbol spam
+      (4L, (1 to 60).map(i => s"$i").mkString(" ") +
+        " the be"),                                     // numeric: alpha frac low
+      (5L, good.split(" ").map(w => "- " + w).mkString("\n")), // every line a bullet
+      (6L, good.split(" ").map(_ + "...").mkString("\n")),     // every line ellipsis
+      (7L, ("Supercalifragilistic Honorificabilitudinitatibus " * 30).trim
+        + " the be")                                    // mean word length > 10
+    ).toDF("doc_id", "text")
+    val r = Text.gopherRules(docs, "doc_id", "text", minWords = 20)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("gopher_pass"), s"good doc failed: ${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("g_words"))
+    assert(!r(3L).getAs[Boolean]("g_symbol") && r(1L).getAs[Boolean]("g_symbol"))
+    assert(!r(4L).getAs[Boolean]("g_alpha") && r(1L).getAs[Boolean]("g_alpha"))
+    assert(!r(5L).getAs[Boolean]("g_bullet") && r(1L).getAs[Boolean]("g_bullet"))
+    assert(!r(6L).getAs[Boolean]("g_ellipsis") && r(1L).getAs[Boolean]("g_ellipsis"))
+    assert(!r(7L).getAs[Boolean]("g_word_len") && r(1L).getAs[Boolean]("g_word_len"))
+    // stop-word hits count whitespace-split tokens, so the multi-line
+    // docs (whose tokens keep embedded newlines) are out of scope here
+    assert(r(1L).getAs[Boolean]("g_stop") && r(2L).getAs[Boolean]("g_stop"))
+  }
+
   // --- triangle counting ------------------------------------------------------------
 
   test("triangles: K4 plus a pendant edge has exactly 4, duplicates/self-loops ignored") {
