@@ -373,6 +373,11 @@ object SparkEntry {
         .select(col("query_id"), col("n_cands"),
           r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
 
+    // --- SemDeDup: cluster embeddings, drop within-cell near-dups ---
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, threshold = 0.35)),
+
     // --- Matryoshka prefix-truncation fidelity gate (64 → 16 dims) ---
     "q_mrl_gate" -> ((s, dir) =>
       Similarity.mrlFidelityGate(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1309,6 +1314,27 @@ object SparkEntry {
          |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
          |GROUP BY q.query_id""".stripMargin
     },
+
+    "q_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (
+         |  SELECT v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 16),
+         |assign AS (
+         |  SELECT cand_id, v, nrm, cell FROM (
+         |    SELECT b.vec_id AS cand_id, b.v AS v,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrm, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c
+         |  ) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.cand_id AS id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.cand_id < a.cand_id
+         |  WHERE ${dotSql("a.v", "b.v")} / NULLIF(a.nrm * b.nrm, 0) >= 0.35)
+         |SELECT a.cand_id AS id, a.cell, (d.id IS NOT NULL) AS dropped
+         |FROM assign a LEFT JOIN dropped d ON d.id = a.cand_id""".stripMargin,
 
     "q_mrl_gate" -> {
       val cf = cosSql("q.vq", "c.v")

@@ -209,6 +209,59 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. '23): semantic deduplication by CLUSTERING
+   * the embedding space and comparing only within clusters — the scale
+   * answer to "cosine near-dup without a blocking column". Cells come
+   * from the same hash-picked coarse quantizer as [[ivfTopK]] (argmax
+   * cosine, ties to the smallest cell); within each cell every doc that
+   * matches a SMALLER-id doc at ≥ `threshold` is flagged dropped, so
+   * exactly one representative (the smallest id) survives each
+   * near-dup chain. Output: (id, cell, dropped).
+   *
+   * Within-cell pairing is quadratic PER CELL — that is the technique's
+   * contract (cells ≈ n/nCells; size nCells to the corpus). Like
+   * ksTest's cardinality gate, the contract is ENFORCED: the biggest
+   * cell is counted up front and refused past `maxCellSize` instead of
+   * silently planning an n² task.
+   */
+  def semanticDedup(em: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, threshold: Double = 0.35,
+                    maxCellSize: Long = 1000000L): DataFrame = {
+    require(nCells >= 1 && maxCellSize >= 1, "semanticDedup needs nCells/maxCellSize >= 1")
+    val base = em.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cent = graft.CacheScope.persist(base
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h").limit(nCells)
+      .select(col("v").as("c_vec"), col("nrm").as("c_nrm"), col("h"))
+      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .drop("h"))
+    val assigned = graft.CacheScope.persist(
+      base.crossJoin(broadcast(cent))
+        .withColumn("cscore", cosOver(dot(col("v"), col("c_vec")), col("c_nrm")))
+        .groupBy("id")
+        .agg(max_by(col("cell"), struct(col("cscore"), -col("cell"))).as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm")))
+    val biggest = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head.getLong(0)
+    require(biggest <= maxCellSize,
+      s"semanticDedup: biggest cell holds $biggest docs > maxCellSize=$maxCellSize " +
+        "— raise nCells (or the ceiling deliberately); within-cell compare is quadratic")
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .withColumn("cos", cosOver(dot(col("va"), col("vb")), col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("id")).distinct()
+    assigned.select("id", "cell")
+      .join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  /**
    * Matryoshka (prefix-truncation) fidelity gate, the third member of
    * the int8/JL gate family: keep only the first `headDim` coordinates
    * of every embedding and MEASURE the cosine deviation per query over

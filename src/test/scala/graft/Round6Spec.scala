@@ -224,6 +224,28 @@ class Round6Spec extends SparkSpecBase {
     assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
   }
 
+  // --- SemDeDup ---------------------------------------------------------------------
+
+  test("semanticDedup: planted duplicate dropped, smallest id survives, cell cap enforced") {
+    // 40 base vectors + ids 100/101 duplicating id 0's vector exactly
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(8)(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val rows = ((0L until 40L).map(i => (i, vec(i))) ++
+      Seq((100L, vec(0)), (101L, vec(0)))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        nCells = 4, threshold = 0.999)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(!r(0L), "smallest id of the duplicate chain must survive")
+    assert(r(100L) && r(101L), s"exact duplicates not dropped: $r")
+    // identical vectors land in the same cell by construction
+    assert(r.count(_._2) >= 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(rows, "vec_id", "embedding",
+        nCells = 1, threshold = 0.9, maxCellSize = 10L)
+    }
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+  }
+
   // --- Gopher rule battery ----------------------------------------------------------
 
   test("gopherRules: each rule flips on its targeted pathology") {
