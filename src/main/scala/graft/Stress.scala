@@ -292,6 +292,40 @@ object Stress {
       Similarity.jlFidelityGate(vecs, "vec_id", "embedding",
         outDim = 16, dim = 64, queryPred = col("vec_id") < 10, eps = 1.0).count()
     }
+    probe(s"triangles ${nEvents / 1000000}M edges + hot hub") {
+      // 5M random edges over 100k nodes (avg degree ~100) plus a 50k-edge
+      // hub on node 0 — the degree ordering must keep the hub's wedge
+      // fan-out at O(sqrt(m)), not 50k^2
+      val hub = spark.range(50000L).select(lit(0L).as("a"),
+        pmod(xxhash64(col("id"), lit(31)), lit(nUsers)).as("b"))
+      val rnd = spark.range(nEvents).select(
+        pmod(xxhash64(col("id"), lit(32)), lit(nUsers)).as("a"),
+        pmod(xxhash64(col("id"), lit(33)), lit(nUsers)).as("b"))
+      Analytics.triangles(rnd.union(hub), "a", "b").head.getLong(0)
+    }
+    probe("semanticDedup 200k x 64d, 512 cells") {
+      Similarity.semanticDedup(vecs.filter(col("vec_id") < 200000),
+        "vec_id", "embedding", nCells = 512, threshold = 0.9,
+        maxCellSize = 5000L).filter(col("dropped")).count()
+    }
+    probe(s"ewma ${nEvents / 1000000}M rows, window 20") {
+      Analytics.ewma(events, Seq("user_id"), "ts_sec", "value",
+        alpha = 0.3, window = 20, tieBreak = Seq("event_id")).count()
+    }
+    probe(s"cms heavy hitters over skewed ${nEvents / 1000000}M") {
+      Quality.cmsHeavyHitters(skewed, "user_id", k = 100).count()
+    }
+    probe(s"gopherRules ${nDocs / 1000}k docs") {
+      Text.gopherRules(docs, "doc_id", "text").count()
+    }
+    probe(s"asof NEAREST (10% state side)") {
+      val state = events.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_sec")
+        .agg(max_by(col("value"), col("event_id")).as("state_value"))
+      AsOf.join(events.select("event_id", "user_id", "ts_sec"), state,
+        Seq("user_id"), "ts_sec", Seq("state_value"),
+        direction = "nearest").count()
+    }
 
     spark.stop()
   }

@@ -153,10 +153,13 @@ object Analytics {
       when(uFirst, col("dv")).otherwise(col("du")).as("ddeg")))
     val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddeg").as("dx"))
     val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
-    val wedges = e1.join(e2, Seq("src"))
+    val wedges = e1.join(e2.hint("shuffle_hash"), Seq("src"))
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
       .select(col("x").as("src"), col("y").as("dst"))
-    wedges.join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    // shuffle_hash: the build side is the EDGE list (m rows); sort-merge
+    // would instead sort the wedge side, which is O(m^1.5) rows
+    wedges.join(oriented.select("src", "dst").hint("shuffle_hash"),
+        Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
 
