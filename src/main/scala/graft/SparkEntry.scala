@@ -373,6 +373,12 @@ object SparkEntry {
         .select(col("query_id"), col("n_cands"),
           r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
 
+    // --- k-means quantizer fit: 2 Lloyd rounds from the md5-pick init ---
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCentroids(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("cell"), col("dim"), r3(col("mean")).as("mean"))),
+
     // --- SemDeDup: cluster embeddings, drop within-cell near-dups ---
     "q_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1313,6 +1319,37 @@ object SparkEntry {
          |       (MAX(abs($cf - $cp)) <= $RandProjEps) AS ok
          |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
          |GROUP BY q.query_id""".stripMargin
+    },
+
+    "q_kmeans" -> {
+      // argmin ||v-c||^2 as (c.c − 2·v.c), both dots the strict-left-fold
+      // dotSql convention — the exact doubles the Spark kernel computes
+      def assign(cents: String) =
+        s"""SELECT id, v, cell FROM (
+           |    SELECT b.id, b.v, c.cell,
+           |           row_number() OVER (PARTITION BY b.id
+           |             ORDER BY (${dotSql("c.c", "c.c")}
+           |               - 2.0 * ${dotSql("b.v", "c.c")}) ASC, c.cell ASC) AS rn
+           |    FROM v b CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      def refit(asg: String) =
+        s"""SELECT cell, list_transform(
+           |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c FROM (
+           |    SELECT cell, t.i AS dim, AVG(u.v[t.i]) AS m
+           |    FROM $asg u, unnest(generate_series(1, len(u.v))) AS t(i)
+           |    GROUP BY 1, 2) GROUP BY cell""".stripMargin
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)) ASC) - 1 AS cell,
+         |         v AS c
+         |  FROM v ORDER BY md5(CAST(id AS VARCHAR)) ASC LIMIT 8),
+         |a1 AS MATERIALIZED (${assign("c0")}),
+         |c1 AS MATERIALIZED (${refit("a1")}),
+         |a2 AS MATERIALIZED (${assign("c1")}),
+         |c2 AS MATERIALIZED (${refit("a2")})
+         |SELECT cell, t.i AS dim,
+         |       floor(c[t.i]*1000 + 0.5)/1000 AS mean
+         |FROM c2, unnest(generate_series(1, len(c))) AS t(i)""".stripMargin
     },
 
     "q_semdedup" ->

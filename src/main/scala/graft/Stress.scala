@@ -303,6 +303,10 @@ object Stress {
         pmod(xxhash64(col("id"), lit(33)), lit(nUsers)).as("b"))
       Analytics.triangles(rnd.union(hub), "a", "b").head.getLong(0)
     }
+    probe("kmeans 200k x 64d, k=64, 3 iters") {
+      Similarity.kmeansCentroids(vecs.filter(col("vec_id") < 200000),
+        "vec_id", "embedding", k = 64, iters = 3).count()
+    }
     probe("semanticDedup 200k x 64d, 512 cells") {
       Similarity.semanticDedup(vecs.filter(col("vec_id") < 200000),
         "vec_id", "embedding", nCells = 512, threshold = 0.9,

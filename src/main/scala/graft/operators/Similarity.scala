@@ -209,6 +209,54 @@ object Similarity {
   }
 
   /**
+   * K-means centroid training (Lloyd iterations) over an embedding
+   * column — the quantizer-fitting step ahead of [[ivfTopK]] /
+   * [[semanticDedup]] (their hash-picked cells are init; real corpora
+   * deserve fitted cells). Deterministic throughout: init is the
+   * md5-ordered pick, assignment is argmin L2 with ties to the smallest
+   * cell, and the per-round mean is a partial-agg'd (cell, dim) average
+   * — the scale-correct shape (components pre-sum per partition; no
+   * per-round collect). Each round is one broadcast-assign join + one
+   * groupBy; lineage is cut per round ([[graft.CacheScope.lineageCut]],
+   * reliable under `checkpointDir`) exactly like pagerank. A cell that
+   * loses every member drops out (classic Lloyd). Emits the fitted
+   * centroids in engine-portable row form (cell, dim [1-based], mean).
+   */
+  def kmeansCentroids(em: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && iters >= 0, "kmeansCentroids needs k >= 1, iters >= 0")
+    val base = graft.CacheScope.persist(
+      em.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
+    var cent = base
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h").limit(k)
+      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .select(col("cell"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      // argmin ‖v−c‖² ≡ argmin (c·c − 2·v·c): the ‖v‖² term is constant
+      // per row, and this form runs on the CODEGEN DotProduct kernel —
+      // a zip_with/aggregate lambda is interpreted (HigherOrderFunction
+      // has no doGenCode) and measured ~5× slower on the same data
+      val withC2 = cent.withColumn("c2", dot(col("c"), col("c")))
+      val assigned = base.crossJoin(broadcast(withC2))
+        .withColumn("d", col("c2") - lit(2.0) * dot(col("v"), col("c")))
+        .groupBy("id")
+        .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
+          first(col("v")).as("v"))
+      val next = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c"))
+      cent = graft.CacheScope.lineageCut(next, checkpointDir)
+    }
+    cent.select(col("cell"), posexplode(col("c")).as(Seq("dim", "mean")))
+      .select(col("cell"), (col("dim") + 1).as("dim"), col("mean"))
+  }
+
+  /**
    * SemDeDup (Abbas et al. '23): semantic deduplication by CLUSTERING
    * the embedding space and comparing only within clusters — the scale
    * answer to "cosine near-dup without a blocking column". Cells come

@@ -177,6 +177,42 @@ class RestartRecoverySpec extends SparkSpecBase {
     assert(streamed === batch, s"stream $streamed != batch $batch")
   }
 
+  test("TrajectoryStream.odVoyages: a voyage spanning stop + restart emits one row") {
+    import graft.streaming.{OdFix, TrajectoryStream}
+    val inputDir = tmp("graft-od-in")
+    val outDir = tmp("graft-od-out")
+    val ckpt = tmp("graft-od-ckpt")
+    val gapSec = 900L
+    def addFile(rows: (Long, Long, String, Long)*): Unit =
+      rows.map { case (u, sec, c, e) => OdFix(u, ts(sec), c, e) }
+        .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+    def run() = TrajectoryStream.odVoyages(
+        spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[OdFix]].schema)
+          .option("maxFilesPerTrigger", "1").parquet(inputDir).as[OdFix],
+        gapSec, watermarkDelay = "2 hours")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // pre-restart: voyage open, origin cell A
+    addFile((1L, 1000L, "A", 1L), (1L, 1400L, "B", 2L))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // post-restart: same voyage continues into cell C (gap 500 <= 900),
+    // then sentinels close it via the event-time timeout
+    addFile((1L, 1900L, "C", 3L))
+    addFile((999L, 10000000L, "Z", 4L))
+    addFile((999L, 20000000L, "Z", 5L))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir).filter(col("userId") =!= 999L)
+      .select("userId", "origin", "dest", "startSec", "endSec", "nPoints")
+      .as[(Long, String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, "A", "C", 1000L, 1900L, 3L)),
+      s"restart fragmented the voyage: $got")
+  }
+
   test("WindowedCounts aggregation state survives stop + restart: windows spanning it stay whole") {
     val inputDir = tmp("graft-wc-in")
     val outDir = tmp("graft-wc-out")

@@ -224,6 +224,27 @@ class Round6Spec extends SparkSpecBase {
     assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
   }
 
+  // --- k-means centroid training ----------------------------------------------------
+
+  test("kmeansCentroids: two separated blobs converge to their true centers") {
+    // blob A around (0,0), blob B around (100,100); k=2 must find them
+    def jig(i: Int) = (i % 7 - 3) * 0.1
+    val rows = ((0 until 30).map(i => (i.toLong, Array(jig(i), jig(i + 1)))) ++
+      (0 until 30).map(i => (100L + i, Array(100.0 + jig(i), 100.0 + jig(i + 2)))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(rows, "vec_id", "embedding",
+        k = 2, iters = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents.size === 4, s"expected 2 cells x 2 dims: $cents")
+    val byCell = cents.groupBy(_._1._1).view.mapValues(_.values.toSeq.sorted).toMap
+    val means = byCell.values.toSeq.map(_.sum / 2)
+    assert(means.exists(m => math.abs(m) < 1.0), s"no centroid near blob A: $cents")
+    assert(means.exists(m => math.abs(m - 100.0) < 1.0), s"no centroid near blob B: $cents")
+    // iters = 0 returns the raw init picks (row form, k cells)
+    assert(Similarity.kmeansCentroids(rows, "vec_id", "embedding", k = 2, iters = 0)
+      .select("cell").distinct().count() === 2)
+  }
+
   // --- SemDeDup ---------------------------------------------------------------------
 
   test("semanticDedup: planted duplicate dropped, smallest id survives, cell cap enforced") {
