@@ -543,6 +543,25 @@ object SparkEntry {
           .withColumn("day", date_format(col("ts"), "dd")),
         Seq("year", "month", "day"), "ts_sec")),
 
+    // --- interval flattening: overlapping per-entity activity spans
+    // merged into maximal disjoint coverage windows ---
+    "q_interval_merge" -> ((s, dir) =>
+      Intervals.mergeIntervals(
+        ev(s, dir).select(col("user_id"), col("ts_sec"),
+          (col("ts_sec") + (col("value") * 60).cast("long")).as("end_sec"),
+          col("event_id")),
+        Seq("user_id"), "ts_sec", "end_sec", adjacencySec = 0L,
+        tieBreak = Seq("event_id"))),
+
+    // --- coverage gaps: dark windows > 10 min between merged spans ---
+    "q_coverage_gaps" -> ((s, dir) =>
+      Intervals.coverageGaps(
+        ev(s, dir).select(col("user_id"), col("ts_sec"),
+          (col("ts_sec") + (col("value") * 60).cast("long")).as("end_sec"),
+          col("event_id")),
+        Seq("user_id"), "ts_sec", "end_sec", minGapSec = 600L,
+        tieBreak = Seq("event_id"))),
+
     // --- as-of join (latest prior state per event) ---
     "q_asof" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -1639,6 +1658,23 @@ object SparkEntry {
          |SELECT l.event_id, l.user_id, l.ts_sec, r.state_value
          |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec""".stripMargin,
 
+    "q_interval_merge" -> IntervalMergeSql(
+      """SELECT user_id, span_id, MIN(s) AS start, MAX(en) AS "end",
+        |       COUNT(*) AS n_members
+        |FROM sp GROUP BY 1, 2""".stripMargin),
+
+    "q_coverage_gaps" -> IntervalMergeSql(
+      """SELECT user_id, gap_start, gap_end, gap_sec FROM (
+        |  SELECT user_id,
+        |         lag("end", 1) OVER (PARTITION BY user_id ORDER BY start ASC)
+        |           AS gap_start,
+        |         start AS gap_end,
+        |         start - lag("end", 1) OVER (PARTITION BY user_id ORDER BY start ASC)
+        |           AS gap_sec
+        |  FROM (SELECT user_id, span_id, MIN(s) AS start, MAX(en) AS "end"
+        |        FROM sp GROUP BY 1, 2)
+        |) WHERE gap_start IS NOT NULL AND gap_sec > 600""".stripMargin),
+
     "q_asof_fwd" ->
       s"""$EvCte, r AS (
          |  SELECT user_id, ts_sec, arg_max(value, event_id) AS state_value
@@ -2309,6 +2345,32 @@ object SparkEntry {
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same
    * accumulation order as [[graft.operators.Similarity.dot]], so the
    * doubles are bit-identical across engines. */
+  /** Shared interval-flattening CTE chain: events → per-row spans →
+   * running-max span ids. `tail` consumes `sp(user_id, s, en, span_id)`
+   * — the Spark twin is Intervals.mergeIntervals' window recipe. */
+  private def IntervalMergeSql(tail: String): String =
+    s"""$EvCte, iv AS (
+       |  SELECT user_id, ts_sec AS s,
+       |         ts_sec + CAST(floor(value * 60) AS BIGINT) AS en, event_id
+       |  FROM e),
+       |mk AS (
+       |  SELECT user_id, s, en, event_id,
+       |         CASE WHEN lagmax IS NULL OR s > lagmax THEN 1 ELSE 0 END AS nw
+       |  FROM (
+       |    SELECT user_id, s, en, event_id,
+       |           max(en) OVER (PARTITION BY user_id
+       |             ORDER BY s ASC, en ASC, event_id ASC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lagmax
+       |    FROM iv)),
+       |sp AS (
+       |  SELECT user_id, s, en,
+       |         CAST(SUM(nw) OVER (PARTITION BY user_id
+       |           ORDER BY s ASC, en ASC, event_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS span_id
+       |  FROM mk)
+       |$tail""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_transform($a, (x,i) -> x * $b[i]), (x,y) -> x + y)
        | / (sqrt(list_reduce(list_transform($a, (x,i) -> x * $a[i]), (x,y) -> x + y))

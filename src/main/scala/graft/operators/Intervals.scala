@@ -32,4 +32,59 @@ object Intervals {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_b")
   }
+
+  /**
+   * Flatten overlapping/adjacent intervals per key into maximal disjoint
+   * spans — the coverage normalizer (overlapping voyage/report spans →
+   * "when was this vessel observed at all"). Two intervals belong to
+   * one span when the next starts within `adjacencySec` of the running
+   * maximum end (0 = strictly overlapping-or-touching). Same plan as
+   * sessionization: ONE (key, start)-ordered window computing a prefix
+   * running max of `end`, a new span wherever start exceeds it, then a
+   * partial-agg rollup. Emits (keys..., span_id, start, end, n_spans
+   * member count).
+   */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+                     startCol: String, endCol: String,
+                     adjacencySec: Long = 0L,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    require(adjacencySec >= 0, "mergeIntervals needs adjacencySec >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col(startCol).asc +: col(endCol).asc +: tieBreak.map(col(_).asc)): _*)
+    // running max of end over all PRIOR rows; null for each key's first
+    val prevMax = max(col(endCol)).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    df.withColumn("_new", when(
+        prevMax.isNull || col(startCol) > prevMax + adjacencySec, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy((keyCols.map(col) :+ col("span_id")): _*)
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /**
+   * Coverage gaps per key: the COMPLEMENT of [[mergeIntervals]] within
+   * each key's own observed extent — "when was this vessel dark"
+   * (reporting outages, sensor gaps). A gap is the space between one
+   * merged span's end and the next span's start, minus `minGapSec`
+   * noise. One lag window over the merged spans (already tiny compared
+   * to the input).
+   */
+  def coverageGaps(df: DataFrame, keyCols: Seq[String],
+                   startCol: String, endCol: String,
+                   minGapSec: Long = 0L,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val spans = mergeIntervals(df, keyCols, startCol, endCol, 0L, tieBreak)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("start").asc)
+    spans
+      .withColumn("gap_start", lag(col("end"), 1).over(w))
+      .filter(col("gap_start").isNotNull)
+      .select((keyCols.map(col) :+ col("gap_start") :+
+        col("start").as("gap_end") :+
+        (col("start") - col("gap_start")).as("gap_sec")): _*)
+      .filter(col("gap_sec") > minGapSec)
+  }
 }

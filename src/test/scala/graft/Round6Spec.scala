@@ -224,6 +224,31 @@ class Round6Spec extends SparkSpecBase {
     assert(r.isNullAt(2), s"expected null r for a 1-pair frame, got ${r.get(2)}")
   }
 
+  // --- interval merge / coverage gaps -----------------------------------------------
+
+  test("mergeIntervals: overlap, touch, adjacency slack, and per-key isolation") {
+    val iv = Seq(
+      (1L, 100L, 200L, 1L), (1L, 150L, 250L, 2L), // overlap → one span
+      (1L, 250L, 300L, 3L),                       // touching (start == prev end) → same span
+      (1L, 400L, 500L, 4L),                       // gap 100 → new span
+      (2L, 100L, 110L, 5L)                        // other key
+    ).toDF("k", "s", "e", "id")
+    val got = Intervals.mergeIntervals(iv, Seq("k"), "s", "e", tieBreak = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((1L, 100L, 300L, 3L), (1L, 400L, 500L, 1L), (2L, 100L, 110L, 1L)),
+      s"got $got")
+    // adjacency slack 100 bridges the 100-gap... (> means strictly past the slack)
+    val bridged = Intervals.mergeIntervals(iv, Seq("k"), "s", "e",
+      adjacencySec = 100L, tieBreak = Seq("id"))
+    assert(bridged.filter(col("k") === 1L).count() === 1L)
+    val gaps = Intervals.coverageGaps(iv, Seq("k"), "s", "e", tieBreak = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gaps.toSeq === Seq((1L, 300L, 400L, 100L)), s"got ${gaps.toSeq}")
+    // a contained interval never splits a span
+    val contained = Seq((1L, 100L, 500L, 1L), (1L, 200L, 210L, 2L)).toDF("k", "s", "e", "id")
+    assert(Intervals.mergeIntervals(contained, Seq("k"), "s", "e").count() === 1L)
+  }
+
   // --- k-means centroid training ----------------------------------------------------
 
   test("kmeansCentroids: two separated blobs converge to their true centers") {
