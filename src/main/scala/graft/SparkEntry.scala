@@ -543,6 +543,11 @@ object SparkEntry {
           .withColumn("day", date_format(col("ts"), "dd")),
         Seq("year", "month", "day"), "ts_sec")),
 
+    // --- SCD2 history build: per-entity event_type version intervals ---
+    "q_scd2" -> ((s, dir) =>
+      Dims.scd2(ev(s, dir), Seq("user_id"), "ts_sec", Seq("event_type"),
+        tieBreak = Seq("event_id"))),
+
     // --- interval flattening: overlapping per-entity activity spans
     // merged into maximal disjoint coverage windows ---
     "q_interval_merge" -> ((s, dir) =>
@@ -1657,6 +1662,32 @@ object SparkEntry {
          |)
          |SELECT l.event_id, l.user_id, l.ts_sec, r.state_value
          |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec""".stripMargin,
+
+    "q_scd2" ->
+      s"""$EvCte, ch AS (
+         |  SELECT user_id, ts_sec, event_type, event_id,
+         |         CASE WHEN row_number() OVER w = 1
+         |              OR lag(event_type) OVER w IS DISTINCT FROM event_type
+         |           THEN 1 ELSE 0 END AS chg
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+         |), vs AS (
+         |  SELECT user_id, event_type, ts_sec,
+         |         CAST(SUM(chg) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec ASC, event_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+         |  FROM ch
+         |), rolled AS (
+         |  SELECT user_id, ver, MIN(ts_sec) AS eff_start,
+         |         arg_min(event_type, ts_sec) AS event_type
+         |  FROM vs GROUP BY 1, 2
+         |)
+         |SELECT user_id, event_type, eff_start,
+         |       lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY eff_start ASC)
+         |         AS eff_end,
+         |       (lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY eff_start ASC)
+         |         IS NULL) AS is_current
+         |FROM rolled""".stripMargin,
 
     "q_interval_merge" -> IntervalMergeSql(
       """SELECT user_id, span_id, MIN(s) AS start, MAX(en) AS "end",

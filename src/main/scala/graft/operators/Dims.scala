@@ -25,6 +25,47 @@ object Dims {
   }
 
   /**
+   * SCD Type-2 dimension build from a keyed change log: one validity
+   * interval per OBSERVED ATTRIBUTE VERSION — [eff_start, eff_end),
+   * open (null eff_end) for each key's current version, `is_current`
+   * flagged — the standard lakehouse history table the reference's dim
+   * loader rebuilds from snapshots. Consecutive change rows with
+   * UNCHANGED attributes collapse into one interval (a heartbeat
+   * re-stating the same attributes is not a new version).
+   *
+   * Plan: one (key, ts)-ordered window — lag to detect attribute
+   * changes, a prefix-sum version id (the sessionize recipe), then a
+   * partial-agg rollup taking each version's first ts and the NEXT
+   * version's start via lead over the rolled-up (tiny) frame.
+   */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one attribute column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).asc +: tieBreak.map(col(_).asc)): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    // null-safe change detection: the first row's lag is a NULL struct
+    // and a live attrs struct is never null, so !(attrs <=> lag) opens
+    // the first version too; <=> handles null ATTRIBUTES inside
+    val changed = when(!(attrs <=> lag(attrs, 1).over(w)), 1L).otherwise(0L)
+    val versioned = changes
+      .withColumn("_chg", changed)
+      .withColumn("_ver", sum(col("_chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy((keyCols.map(col) :+ col("_ver")): _*)
+      .agg(min(col(tsCol)).as("eff_start"),
+        attrCols.map(c => first(col(c)).as(c)): _*)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("eff_start").asc)
+    versioned
+      .withColumn("eff_end", lead(col("eff_start"), 1).over(wv))
+      .withColumn("is_current", col("eff_end").isNull)
+      .select((keyCols.map(col) ++ attrCols.map(col) :+
+        col("eff_start") :+ col("eff_end") :+ col("is_current")): _*)
+  }
+
+  /**
    * Map a code column to a descriptive value via a small lookup table
    * (reference: common_functions_raw.py:163 join_lookup). The lookup side
    * is explicitly broadcast: at 100 TB the fact side never shuffles.

@@ -28,6 +28,27 @@ object WindowedCounts {
   }
 
   /**
+   * Distinct entities per window via the HLL++ sketch — the LIVE half
+   * of the reference's "distinct vessels per day" validation query.
+   * Exact streaming distinct would need per-window set state
+   * (O(entities) per open window); approx_count_distinct keeps one
+   * mergeable sketch per window key, so state is O(windows × sketch),
+   * rate-independent. The sketch is deterministic on a given row set —
+   * the batch twin over the same (non-late) input produces the SAME
+   * estimate, which is what the parity gate asserts.
+   */
+  def distinctPerWindow(events: DataFrame, tsCol: String, entityCol: String,
+                        windowLen: String = "1 hour",
+                        watermarkDelay: String = "10 minutes",
+                        rsd: Double = 0.02): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+              else events
+    src.groupBy(window(col(tsCol), windowLen))
+      .agg(approx_count_distinct(col(entityCol), rsd).as("n_entities"))
+      .select(col("window.start").as("window_start"), col("n_entities"))
+  }
+
+  /**
    * Sliding-window variant: each event lands in every window of
    * `windowLen` that starts on a `slideLen` boundary and covers it
    * (windowLen / slideLen overlapping windows per event). State per key

@@ -312,6 +312,54 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("WindowedCounts.distinctPerWindow stream equals its batch HLL twin, with late drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(43)
+    val all = rng.shuffle((1 to 400).map { i =>
+      (ts(rng.nextInt(100) * 50L + 5), rng.nextInt(60).toLong, 0.0)
+    })
+    val batches = all.grouped(130).toSeq
+    val winSec = 600L
+    val delaySec = 600L
+    var wmSec = Long.MinValue
+    var maxSeen = Long.MinValue
+    val kept = Seq.newBuilder[(Timestamp, Long, Double)]
+    batches.foreach { b =>
+      kept ++= b.filter { e =>
+        (e._1.getTime / 1000 / winSec + 1) * winSec > wmSec
+      }
+      maxSeen = math.max(maxSeen, b.map(_._1.getTime / 1000).max)
+      wmSec = maxSeen - delaySec
+    }
+
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val counts = WindowedCounts.distinctPerWindow(
+      input.toDF().toDF("ts", "user_id", "value"), "ts", "user_id",
+      windowLen = s"$winSec seconds", watermarkDelay = s"$delaySec seconds")
+    val query = counts.writeStream.format("memory")
+      .queryName("parity_dw").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData((ts(10000000), 999L, 0.0)); query.processAllAvailable()
+      input.addData((ts(20000000), 999L, 0.0)); query.processAllAvailable()
+
+      val streamed = spark.table("parity_dw")
+        .filter(col("window_start").cast("long") < 1000000L)
+        .select(col("window_start").cast("long"), col("n_entities"))
+        .as[(Long, Long)].collect().toSet
+      // the HLL sketch is deterministic on a row set: batch mode over the
+      // kept rows must land on the IDENTICAL estimates
+      val expected = WindowedCounts.distinctPerWindow(
+          kept.result().toDF("ts", "user_id", "value"), "ts", "user_id",
+          windowLen = s"$winSec seconds")
+        .select(col("window_start").cast("long"), col("n_entities"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === expected,
+        s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+      assert(streamed.nonEmpty && streamed.exists(_._2 > 10))
+    } finally query.stop()
+  }
+
   test("TrajectoryStream.stayPoints equals batch stayPoints on randomized out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(61)
