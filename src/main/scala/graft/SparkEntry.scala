@@ -567,6 +567,19 @@ object SparkEntry {
         Seq("user_id"), "ts_sec", "end_sec", minGapSec = 600L,
         tieBreak = Seq("event_id"))),
 
+    // --- interval-overlap join: concurrent activity pairs per entity ---
+    "q_interval_overlap" -> ((s, dir) => {
+      val iv = ev(s, dir).select(col("user_id"), col("ts_sec"),
+        (col("ts_sec") + (col("value") * 60).cast("long")).as("end_sec"),
+        col("event_id"))
+      val l = iv.filter(col("event_id") % 2 === 0).select(col("user_id"),
+        col("ts_sec").as("s_a"), col("end_sec").as("e_a"))
+      val r = iv.filter(col("event_id") % 2 === 1).select(col("user_id"),
+        col("ts_sec").as("s_b"), col("end_sec").as("e_b"))
+      Intervals.overlapJoin(l, "s_a", "e_a", r, "s_b", "e_b", Seq("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // --- as-of join (latest prior state per event) ---
     "q_asof" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -774,6 +787,13 @@ object SparkEntry {
       Analytics.rollingMean(ev(s, dir), Seq("user_id"), "ts_sec", "value", 5,
           tieBreak = Seq("event_id"))
         .select(col("event_id"), r3(col("rolling_avg")).as("rolling_avg"))),
+
+    // --- EWMA-prediction anomaly flag vs the prior 10 rows ---
+    "q_anomaly" -> ((s, dir) =>
+      Analytics.anomalyFlags(ev(s, dir), Seq("user_id"), "ts_sec", "value",
+          alpha = 0.3, window = 10, k = 2.0, tieBreak = Seq("event_id"))
+        .select(col("event_id"), r3(col("residual")).as("residual"),
+          col("anomaly"))),
 
     // --- recency-weighted smoother: EWMA over the last 10 rows ---
     "q_ewma" -> ((s, dir) =>
@@ -1655,6 +1675,18 @@ object SparkEntry {
          |FROM e JOIN iv ON e.ts_sec >= iv.start_sec AND e.ts_sec <= iv.end_sec
          |GROUP BY iv.session_id""".stripMargin,
 
+    "q_interval_overlap" ->
+      s"""$EvCte, iv AS (
+         |  SELECT user_id, ts_sec AS s,
+         |         ts_sec + CAST(floor(value * 60) AS BIGINT) AS en, event_id
+         |  FROM e),
+         |l AS (SELECT user_id, s AS sa, en AS ea FROM iv WHERE event_id % 2 = 0),
+         |r AS (SELECT user_id, s AS sb, en AS eb FROM iv WHERE event_id % 2 = 1)
+         |SELECT l.user_id, COUNT(*) AS n_pairs
+         |FROM l JOIN r ON l.user_id = r.user_id
+         |  AND l.sa <= r.eb AND r.sb <= l.ea
+         |GROUP BY 1""".stripMargin,
+
     "q_asof" ->
       s"""$EvCte, r AS (
          |  SELECT user_id, ts_sec, arg_max(value, event_id) AS state_value
@@ -1683,9 +1715,9 @@ object SparkEntry {
          |  FROM vs GROUP BY 1, 2
          |)
          |SELECT user_id, event_type, eff_start,
-         |       lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY eff_start ASC)
+         |       lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY ver ASC)
          |         AS eff_end,
-         |       (lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY eff_start ASC)
+         |       (lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY ver ASC)
          |         IS NULL) AS is_current
          |FROM rolled""".stripMargin,
 
@@ -2010,6 +2042,33 @@ object SparkEntry {
          |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)*1000 + 0.5)/1000
          |         AS rolling_avg
          |FROM e""".stripMargin,
+
+    "q_anomaly" -> {
+      val a = 0.3; val d = 1 - a; val k = 2.0
+      s"""$EvCte, win AS (
+         |  SELECT event_id, value,
+         |         list(value) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec, event_id
+         |           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS vs
+         |  FROM e
+         |), m AS (
+         |  SELECT event_id, value, len(vs) AS n,
+         |         CASE WHEN len(vs) > 0 THEN
+         |           list_reduce(list_prepend(0.0, vs), (acc, x) -> acc*$d + $a*x) /
+         |           list_reduce(list_prepend(0.0, vs), (acc, x) -> acc*$d + $a)
+         |         END AS ew,
+         |         list_reduce(list_prepend(0.0, vs), (acc, x) -> acc + x) AS s,
+         |         list_reduce(list_prepend(0.0, vs), (acc, x) -> acc + x*x) AS sq
+         |  FROM win
+         |)
+         |SELECT event_id,
+         |       floor((value - ew)*1000 + 0.5)/1000 AS residual,
+         |       CASE WHEN n >= 3 AND sq - s*s/n > 0
+         |              AND sqrt((sq - s*s/n) / (n - 1)) > 0
+         |         THEN abs(value - ew) > $k * sqrt((sq - s*s/n) / (n - 1))
+         |         ELSE NULL END AS anomaly
+         |FROM m""".stripMargin
+    },
 
     // same strict left fold as the Spark side: list() preserves frame
     // order, list_prepend(0.0) IS the fold's init, and the recursion is

@@ -383,6 +383,46 @@ object Analytics {
   }
 
   /**
+   * Per-entity streaming-style anomaly flag: compare each value to the
+   * EWMA PREDICTION from the prior `window` rows, normalized by the
+   * prior rows' sample std — |value − ewma_prior| > k·std flags the
+   * point (level shifts, stuck sensors, fat-finger values). The
+   * prediction window EXCLUDES the current row, so an outlier can't
+   * vote itself normal. One (key, ts) window collecting the prior
+   * frame; the EWMA / sum / sum-of-squares are strict left folds over
+   * that list — the cross-engine-exact recipe [[ewma]] uses — and the
+   * flag is null while history is thinner than `minHistory` rows or
+   * the prior window is constant (std 0: no scale to judge against).
+   */
+  def anomalyFlags(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valueCol: String, alpha: Double = 0.3, window: Int = 10,
+                   k: Double = 3.0, minHistory: Int = 3,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && window >= 1 && k > 0 && minHistory >= 2,
+      "anomalyFlags needs alpha in (0,1], window/k positive, minHistory >= 2")
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-window, -1)
+    val decay = lit(1.0 - alpha)
+    df.withColumn("_vs", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("_n", size(col("_vs")))
+      // ANSI-safe: a key's FIRST row has an empty prior window and a 0.0
+      // weight normalizer — no prediction exists there (null residual)
+      .withColumn("_ew", when(col("_n") > 0,
+        aggregate(col("_vs"), lit(0.0), (acc, x) => acc * decay + lit(alpha) * x) /
+        aggregate(col("_vs"), lit(0.0), (acc, _) => acc * decay + lit(alpha))))
+      .withColumn("_sum", aggregate(col("_vs"), lit(0.0), (acc, x) => acc + x))
+      .withColumn("_sq", aggregate(col("_vs"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("_std", when(col("_n") >= 2, sqrt(
+        (col("_sq") - col("_sum") * col("_sum") / col("_n")) / (col("_n") - 1))))
+      .withColumn("residual", col(valueCol) - col("_ew"))
+      .withColumn("anomaly",
+        when(col("_n") >= minHistory && col("_std") > 0,
+          abs(col("residual")) > lit(k) * col("_std")))
+      .drop("_vs", "_n", "_ew", "_sum", "_sq", "_std")
+  }
+
+  /**
    * Lag-k autocorrelation of a value series per entity: Pearson
    * correlation between the series and its k-step lag in time order —
    * the standard periodicity/persistence signal on sensor streams. One

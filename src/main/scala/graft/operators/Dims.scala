@@ -56,8 +56,12 @@ object Dims {
       .groupBy((keyCols.map(col) :+ col("_ver")): _*)
       .agg(min(col(tsCol)).as("eff_start"),
         attrCols.map(c => first(col(c)).as(c)): _*)
+    // order the succession by the VERSION id, not eff_start: two
+    // adjacent versions can share a start second (a change at the same
+    // timestamp, tie-broken upstream), and an eff_start-only order
+    // would pair eff_ends nondeterministically
     val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col("eff_start").asc)
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_ver").asc)
     versioned
       .withColumn("eff_end", lead(col("eff_start"), 1).over(wv))
       .withColumn("is_current", col("eff_end").isNull)

@@ -34,6 +34,35 @@ object Intervals {
   }
 
   /**
+   * Interval-OVERLAP join: pairs (a, b) with `a.start <= b.end AND
+   * b.start <= a.end` (optionally per key) — the interval×interval
+   * companion to [[rangeJoin]]'s point×interval. Same binning rewrite,
+   * plus the meet-once rule that [[graft.operators.Trajectory]]'s
+   * encounter join uses: both sides explode to their covered buckets,
+   * and the residual filter keeps a candidate only in the bucket
+   * holding max(a.start, b.start) — a bucket both sides cover exactly
+   * when they overlap — so every overlapping pair survives in EXACTLY
+   * one bucket and there is no post-join dedup. Work is linear in
+   * Σ span/bucketSec per side.
+   */
+  def overlapJoin(left: DataFrame, leftStart: String, leftEnd: String,
+                  right: DataFrame, rightStart: String, rightEnd: String,
+                  keyCols: Seq[String] = Nil,
+                  bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec > 0, "overlapJoin needs bucketSec > 0")
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("_b",
+      explode(sequence(
+        floor(col(s) / bucketSec).cast("long"),
+        floor(col(e) / bucketSec).cast("long"))))
+    binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), (keyCols :+ "_b").toSeq)
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("_b") ===
+        floor(greatest(col(leftStart), col(rightStart)) / bucketSec).cast("long"))
+      .drop("_b")
+  }
+
+  /**
    * Flatten overlapping/adjacent intervals per key into maximal disjoint
    * spans — the coverage normalizer (overlapping voyage/report spans →
    * "when was this vessel observed at all"). Two intervals belong to

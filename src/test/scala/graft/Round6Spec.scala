@@ -249,6 +249,74 @@ class Round6Spec extends SparkSpecBase {
     assert(Intervals.mergeIntervals(contained, Seq("k"), "s", "e").count() === 1L)
   }
 
+  test("scd2: heartbeats collapse, same-second version change stays ordered") {
+    val log = Seq(
+      (1L, 100L, "A", 1L), (1L, 200L, "A", 2L), // heartbeat → same version
+      (1L, 300L, "B", 3L),
+      (1L, 300L, "C", 4L),                      // change at the SAME second (tiebreak id)
+      (1L, 400L, "C", 5L),
+      (2L, 100L, "X", 6L)
+    ).toDF("k", "ts", "attr", "id")
+    val got = Dims.scd2(log, Seq("k"), "ts", Seq("attr"), tieBreak = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4))).toSet
+    assert(got === Set(
+      (1L, "A", 100L, Some(300L), false),
+      (1L, "B", 300L, Some(300L), false), // zero-length version, correctly ordered
+      (1L, "C", 300L, None, true),
+      (2L, "X", 100L, None, true)), s"got $got")
+  }
+
+  test("anomalyFlags: planted spike flagged, constant history null, cold start null") {
+    val rows = ((1 to 20).map(i => (1L, i.toLong, 10.0 + (i % 3) * 0.5, i.toLong)) ++
+      Seq((1L, 21L, 500.0, 21L)) ++                       // spike
+      (1 to 10).map(i => (2L, i.toLong, 7.0, 100L + i))   // constant series
+      ).toDF("k", "ts", "v", "id")
+    val r = Analytics.anomalyFlags(rows, Seq("k"), "ts", "v",
+        alpha = 0.3, window = 10, k = 3.0, tieBreak = Seq("id"))
+      .collect().map(x => (x.getAs[Long]("k"), x.getAs[Long]("ts")) ->
+        Option(x.getAs[Any]("anomaly"))).toMap
+    assert(r((1L, 21L)) === Some(true), s"spike not flagged: ${r((1L, 21L))}")
+    assert(r((1L, 10L)) === Some(false))
+    assert(r((1L, 1L)) === None, "cold start must be null, not false")
+    assert(r((2L, 10L)) === None, "constant history has no scale; flag must be null")
+  }
+
+  test("overlapJoin: every overlapping pair exactly once, incl. multi-bucket spans") {
+    // a long interval covering many buckets against several short ones —
+    // the meet-once rule must not duplicate the pair per shared bucket
+    val l = Seq((1L, 0L, 100000L, "L1"), (1L, 5000L, 6000L, "L2"),
+      (2L, 0L, 10L, "L3")).toDF("k", "s_a", "e_a", "id_a")
+    val r = Seq((1L, 50000L, 50100L, "R1"),   // inside L1 only
+      (1L, 5500L, 7000L, "R2"),               // overlaps L1 AND L2
+      (1L, 100000L, 100500L, "R3"),           // touches L1's end exactly
+      (1L, 100001L, 100500L, "R4"),           // just past L1 → no pair
+      (2L, 11L, 20L, "R5")                    // adjacent but disjoint → no pair
+    ).toDF("k", "s_b", "e_b", "id_b")
+    val got = Intervals.overlapJoin(l, "s_a", "e_a", r, "s_b", "e_b",
+        Seq("k"), bucketSec = 1000L)
+      .select("id_a", "id_b").as[(String, String)].collect()
+    assert(got.length === got.toSet.size, s"pair duplicated: ${got.toSeq}")
+    assert(got.toSet === Set(("L1", "R1"), ("L1", "R2"), ("L2", "R2"), ("L1", "R3")),
+      s"got ${got.toSet}")
+    // parity with the naive inequality join on a random fixture
+    val rng = new scala.util.Random(71)
+    val ra = (1 to 150).map(i =>
+      (rng.nextInt(3).toLong, rng.nextInt(5000).toLong, rng.nextInt(3000).toLong, i))
+      .map { case (k, s, len, i) => (k, s, s + len, s"a$i") }.toDF("k", "s_a", "e_a", "id_a")
+    val rb = (1 to 150).map(i =>
+      (rng.nextInt(3).toLong, rng.nextInt(5000).toLong, rng.nextInt(3000).toLong, i))
+      .map { case (k, s, len, i) => (k, s, s + len, s"b$i") }.toDF("k", "s_b", "e_b", "id_b")
+    val fast = Intervals.overlapJoin(ra, "s_a", "e_a", rb, "s_b", "e_b",
+        Seq("k"), bucketSec = 700L)
+      .select("id_a", "id_b").as[(String, String)].collect()
+    val naive = ra.join(rb, Seq("k"))
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(fast.length === fast.toSet.size && fast.toSet === naive,
+      s"missing=${(naive -- fast.toSet).take(5)} extra=${(fast.toSet -- naive).take(5)}")
+  }
+
   // --- k-means centroid training ----------------------------------------------------
 
   test("kmeansCentroids: two separated blobs converge to their true centers") {
