@@ -92,33 +92,35 @@ object StateStore {
     latest.values.toSeq
   }
 
-  /** Current state with the `bucket` column retained — filtering on it
-   * prunes whole directories (that pruning is what makes a
-   * touched-buckets-only merge read touched bytes only).
+  /** Current state with the `bucket` column retained.
    *
-   * Each bucket's LEAF directory is read directly and its number
-   * attached as a literal parsed from the dir name we wrote — partition
-   * DISCOVERY never runs, so the session-global type-inference toggle
-   * (and its brief exposure to concurrent non-StateStore queries) is
-   * gone entirely. A `bucket === k` filter constant-folds to false in
-   * every other branch of the union, so the optimizer prunes untouched
-   * buckets down to empty relations — same IO as the partition-pruned
-   * read, without the session mutation. Scan-node count is O(nBuckets),
-   * bounded by the store's layout contract. */
+   * ONE multi-path read over the resolved leaf directories — partition
+   * DISCOVERY never sees the `bucket=` segments (they are part of the
+   * given paths themselves), so the session-global type-inference
+   * toggle (and its brief exposure to concurrent non-StateStore
+   * queries) is gone entirely; the bucket number is re-derived from
+   * `input_file_name`, a path WE wrote. Touched-only consumers pass
+   * `onlyBuckets` and the pruning happens in the DIRECTORY LIST before
+   * the scan is even planned — strictly stronger than partition
+   * pruning. (A per-directory `spark.read` union was tried first: each
+   * call pays its own driver-side listing + footer job, which turned a
+   * 256-bucket merge's read into ~40 s of serial driver work.) */
   private def readWithBucket(spark: SparkSession, root: String,
-                             before: Option[String]): Option[DataFrame] = {
+                             before: Option[String],
+                             onlyBuckets: Option[Seq[Int]] = None): Option[DataFrame] = {
     val f = fs(spark, root)
+    val wanted = onlyBuckets.map(_.map(b => s"bucket=$b").toSet)
     // a rewrite can leave a bucket with ZERO rows (every key deleted) —
     // its dir has no data files and can't self-describe a schema; an
     // empty bucket contributes no rows either way, so skip it
-    val dirs = latestBucketDirs(spark, root, before).filter(p =>
-      f.listStatus(p).exists(s => s.isFile &&
+    val dirs = latestBucketDirs(spark, root, before)
+      .filter(p => wanted.forall(_.contains(p.getName)))
+      .filter(p => f.listStatus(p).exists(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
     if (dirs.isEmpty) None
-    else Some(dirs.map { p =>
-      val b = p.getName.stripPrefix("bucket=").toInt
-      spark.read.parquet(p.toString).withColumn("bucket", lit(b))
-    }.reduce(_ unionByName _))
+    else Some(spark.read.parquet(dirs.map(_.toString): _*)
+      .withColumn("bucket",
+        regexp_extract(input_file_name(), "bucket=(\\d+)", 1).cast("int")))
   }
 
   /** Current committed state (strictly before `before` if given);
@@ -172,7 +174,10 @@ object StateStore {
       // touched bucket ids: bounded by nBuckets, safe to collect
       val touched = d.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
       val pinnedDeltas = d.drop("bucket")
-      val prevTouched = readWithBucket(spark, root, before = Some(version))
+      // touched-only read: the bucket dirs are pruned from the path list
+      // itself, so untouched bytes are never even listed into the scan
+      val prevTouched = readWithBucket(spark, root, before = Some(version),
+          onlyBuckets = Some(touched))
         .map { p =>
           // schema-drift contract: a delta frame whose column set/types
           // differ from the stored state would otherwise be written as a
@@ -185,7 +190,7 @@ object StateStore {
             s"schema drift: store at $root holds ${stored.mkString(", ")} " +
               s"but the delta frame carries ${incoming.mkString(", ")} — " +
               "migrate the store explicitly instead of merging drifted deltas")
-          p.filter(col("bucket").isin(touched: _*)).drop("bucket")
+          p.drop("bucket")
         }
       val merged = prevTouched match {
         case Some(s) =>
@@ -234,8 +239,9 @@ object StateStore {
     try {
       val touched = d.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
       if (touched.isEmpty) return
-      readWithBucket(spark, root, before = Some(version)).foreach { prev =>
-        val kept = prev.filter(col("bucket").isin(touched: _*)).drop("bucket")
+      readWithBucket(spark, root, before = Some(version),
+          onlyBuckets = Some(touched)).foreach { prev =>
+        val kept = prev.drop("bucket")
           .join(d.drop("bucket"), keyCols, "left_anti")
         kept.withColumn("bucket", bucketOf(keyCols, buckets))
           .repartition(col("bucket"))
