@@ -543,6 +543,13 @@ object SparkEntry {
           .withColumn("day", date_format(col("ts"), "dd")),
         Seq("year", "month", "day"), "ts_sec")),
 
+    // --- per-segment course bearing + turn rate (maneuver features) ---
+    "q_course" -> ((s, dir) =>
+      Trajectory.courseFeatures(ev(s, dir), Seq("user_id"), "ts_sec",
+          "lat", "lon", tieBreak = Seq("event_id"))
+        .select(col("event_id"), r3(col("bearing_deg")).as("bearing_deg"),
+          r3(col("turn_deg_per_min")).as("turn_deg_per_min"))),
+
     // --- SCD2 history build: per-entity event_type version intervals ---
     "q_scd2" -> ((s, dir) =>
       Dims.scd2(ev(s, dir), Seq("user_id"), "ts_sec", Seq("event_type"),
@@ -1694,6 +1701,34 @@ object SparkEntry {
          |)
          |SELECT l.event_id, l.user_id, l.ts_sec, r.state_value
          |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec""".stripMargin,
+
+    "q_course" ->
+      s"""$EvCte, b AS (
+         |  SELECT event_id, user_id, ts_sec, lat, lon,
+         |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         |         lag(ts_sec) OVER w AS pts
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+         |), c AS (
+         |  SELECT event_id, user_id, ts_sec, pts,
+         |         fmod(fmod(degrees(atan2(
+         |           sin(radians(lon - plon)) * cos(radians(lat)),
+         |           cos(radians(plat)) * sin(radians(lat)) -
+         |           sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon - plon))
+         |         )), 360) + 360, 360) AS bearing
+         |  FROM b
+         |), d AS (
+         |  SELECT event_id, bearing, pts, ts_sec,
+         |         lag(bearing) OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec ASC, event_id ASC) AS pb
+         |  FROM c
+         |)
+         |SELECT event_id,
+         |       floor(bearing*1000 + 0.5)/1000 AS bearing_deg,
+         |       CASE WHEN (ts_sec - pts) / 60.0 > 0 THEN
+         |         floor((fmod(fmod(bearing - pb + 180, 360) + 360, 360) - 180)
+         |           / ((ts_sec - pts) / 60.0) * 1000 + 0.5)/1000
+         |       END AS turn_deg_per_min
+         |FROM d""".stripMargin,
 
     "q_scd2" ->
       s"""$EvCte, ch AS (

@@ -31,6 +31,22 @@ object Geo {
   }
 
   /**
+   * Initial great-circle bearing from point 1 to point 2 in degrees
+   * [0, 360): atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)
+   * — the course-made-good companion to [[haversineKm]] (the reference
+   * stores COG from the feed; bearing derives it from positions when
+   * the feed's value is missing or untrusted). Null-safe like
+   * haversine.
+   */
+  def bearingDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLon = radians(lon2 - lon1)
+    val y = sin(dLon) * cos(radians(lat2))
+    val x = cos(radians(lat1)) * sin(radians(lat2)) -
+      sin(radians(lat1)) * cos(radians(lat2)) * cos(dLon)
+    pmod(degrees(atan2(y, x)), lit(360.0))
+  }
+
+  /**
    * Quantize a coordinate to a grid bucket boundary:
    * floor(x / precision) * precision (reference:
    * utils/common_functions_curated.py:62 assign_spatial_grid).

@@ -32,6 +32,32 @@ object Trajectory {
   }
 
   /**
+   * Per-segment course bearing and turn rate over each entity's ordered
+   * timeline: bearing from the previous fix ([[Geo.bearingDeg]]) and
+   * the signed heading CHANGE per minute vs the previous segment,
+   * wrapped to [−180, 180) — the maneuver feature behind loitering /
+   * zig-zag detection (a transshipment idles and weaves; a transit
+   * holds course). Shares the ONE (key, ts) window with
+   * [[segmentDistance]] — same shuffle family, two lag chains.
+   */
+  def courseFeatures(df: DataFrame, partitionCols: Seq[String], tsSecCol: String,
+                     latCol: String, lonCol: String,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsSecCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val bearing = Geo.bearingDeg(
+      lag(col(latCol), 1).over(w), lag(col(lonCol), 1).over(w),
+      col(latCol), col(lonCol))
+    val withB = df.withColumn("bearing_deg", bearing)
+    val dtMin = (col(tsSecCol) - lag(col(tsSecCol), 1).over(w)).cast("double") / 60.0
+    // wrap the heading delta into (-180, 180]: pmod(d+180, 360) - 180
+    val dHead = pmod(col("bearing_deg") - lag(col("bearing_deg"), 1).over(w) + 180.0,
+      lit(360.0)) - 180.0
+    withB.withColumn("turn_deg_per_min",
+      when(dtMin > 0, dHead / dtMin))
+  }
+
+  /**
    * Stay-point (dwell) detection: maximal runs of consecutive
    * slow/anchored points per entity (speed below `speedThreshold`),
    * emitting the run's time span, point count, and mean position —

@@ -249,6 +249,29 @@ class Round6Spec extends SparkSpecBase {
     assert(Intervals.mergeIntervals(contained, Seq("k"), "s", "e").count() === 1L)
   }
 
+  test("courseFeatures: cardinal bearings and a wrapped turn rate") {
+    val track = Seq(
+      (1L, 0L, 0.0, 0.0), (1L, 60L, 1.0, 0.0),   // due north → 0°
+      (1L, 120L, 1.0, 1.0),                      // due east → 90° (turn +90/min)
+      (1L, 180L, 0.0, 1.0)                       // due south → 180°
+    ).toDF("k", "ts", "lat", "lon")
+    val r = Trajectory.courseFeatures(track, Seq("k"), "ts", "lat", "lon")
+      .collect().map(x => x.getAs[Long]("ts") ->
+        ((Option(x.getAs[Any]("bearing_deg")), Option(x.getAs[Any]("turn_deg_per_min"))))).toMap
+    assert(r(0L)._1 === None, "first fix has no bearing")
+    assert(math.abs(r(60L)._1.get.asInstanceOf[Double] - 0.0) < 0.5)
+    assert(math.abs(r(120L)._1.get.asInstanceOf[Double] - 90.0) < 0.5)
+    assert(math.abs(r(180L)._1.get.asInstanceOf[Double] - 180.0) < 0.5)
+    assert(math.abs(r(120L)._2.get.asInstanceOf[Double] - 90.0) < 1.0,
+      s"turn at 120: ${r(120L)._2}")
+    // a 350° → 10° wrap is a +20 turn, not -340
+    val wrap = Seq((2L, 0L, 0.0, 0.0), (2L, 60L, 1.0, -0.176), (2L, 120L, 2.0, 0.0))
+      .toDF("k", "ts", "lat", "lon")
+    val t = Trajectory.courseFeatures(wrap, Seq("k"), "ts", "lat", "lon")
+      .filter(col("ts") === 120L).head.getAs[Double]("turn_deg_per_min")
+    assert(t > 0 && t < 45, s"wrapped turn should be small positive, got $t")
+  }
+
   test("scd2: heartbeats collapse, same-second version change stays ordered") {
     val log = Seq(
       (1L, 100L, "A", 1L), (1L, 200L, "A", 2L), // heartbeat → same version
