@@ -234,6 +234,43 @@ class PlanSpec extends SparkSpecBase {
       "margin joins degraded to sort-merge (they are margin-sized)\n" + p.take(2000))
   }
 
+  test("triangles: hash joins on the hinted sides, no cartesian anywhere") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle join degraded to all-pairs\n" + p.take(2000))
+    assert(p.contains("ShuffledHashJoin"),
+      "shuffle_hash hints lost — SMJ would sort the O(m^1.5) wedge side\n" + p.take(2000))
+  }
+
+  test("interval overlap join stays an equi-join with a partial-agg rollup") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "overlap join degraded to all-pairs\n" + p.take(2000))
+    assert(p.contains("partial_"), "per-user rollup lost map-side combine")
+  }
+
+  test("EWMA and anomaly flags plan exactly one shuffle (window family)") {
+    for (q <- Seq("q_ewma", "q_anomaly")) {
+      val p = plan(q)
+      val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
+      assert(exchanges === 1, s"$q wants 1 shuffle, got $exchanges")
+    }
+  }
+
+  test("interval merge keys its rollup on the window partitioning (no extra shuffle)") {
+    val p = plan("q_interval_merge")
+    val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
+    assert(exchanges === 1, s"interval merge wants 1 shuffle, got $exchanges")
+  }
+
+  test("SemDeDup: centroids broadcast; the within-cell join is an equi-join") {
+    val p = plan("q_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid assignment lost its broadcast\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "within-cell compare degraded to a cartesian\n" + p.take(2000))
+  }
+
   test("encounters plans a (band, bucket) equi-join, never a cross join") {
     val p = plan("q_encounters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
