@@ -361,6 +361,30 @@ class Round6Spec extends SparkSpecBase {
       .select("cell").distinct().count() === 2)
   }
 
+  test("ivfTopKFitted: trained cells reach full recall on clustered data, >= hash-init") {
+    // 8 tight separated blobs of 40 vectors; queries from 4 blobs.
+    // Hash-picked init often lands several picks in one blob (some blobs
+    // unrepresented); fitted k-means centers align with the blobs.
+    def vec(blob: Int, i: Int): Array[Double] =
+      Array.tabulate(8)(j => blob * 50.0 + (((i * 13 + j * 7) % 11) - 5) * 0.05 +
+        (if (j == blob % 8) 10.0 else 0.0))
+    val rows = (for { b <- 0 until 8; i <- 0 until 40 }
+      yield ((b * 100 + i).toLong, vec(b, i))).toDF("vec_id", "embedding")
+    val queries = rows.filter(col("vec_id") % 100 === 0 && col("vec_id") < 400)
+    val truth = Similarity.bruteForceTopK(rows, queries, "vec_id", "embedding", k = 5)
+    val cents = Similarity.kmeansCentroids(rows, "vec_id", "embedding", k = 8, iters = 4)
+    val fitted = Similarity.ivfTopKFitted(rows, queries, "vec_id", "embedding",
+      k = 5, centroidRows = cents, nProbe = 1)
+    val hashed = Similarity.ivfTopK(rows, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 1)
+    val qids = queries.select(col("vec_id").as("query_id"))
+    def recall(r: DataFrame) = Similarity.recallAtK(r, truth, qids, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    val (rf, rh) = (recall(fitted), recall(hashed))
+    assert(rf === 1.0, s"fitted cells should be exact on separated blobs, got $rf")
+    assert(rf >= rh, s"fitted recall $rf < hash-init recall $rh")
+  }
+
   // --- SemDeDup ---------------------------------------------------------------------
 
   test("semanticDedup: planted duplicate dropped, smallest id survives, cell cap enforced") {
