@@ -13,6 +13,13 @@ case class StayFix(userId: Long, ts: Timestamp, speed: Double,
 case class StayOut(userId: Long, stayId: Long, startSec: Long, endSec: Long,
                    nPoints: Long, latMean: Double, lonMean: Double)
 
+/** A dwell row that may still be OPEN: `closed = false` rows are
+ * monotone progress snapshots of a live dwell (same stayId, growing
+ * endSec); the `closed = true` row is the final, batch-equal dwell. */
+case class StayProgress(userId: Long, stayId: Long, startSec: Long, endSec: Long,
+                        nPoints: Long, latMean: Double, lonMean: Double,
+                        closed: Boolean)
+
 /** Open anchored run (sums, not means — merged incrementally). */
 case class StayRun(startSec: Long, endSec: Long, nPoints: Long,
                    sumLat: Double, sumLon: Double)
@@ -22,9 +29,12 @@ case class StayRun(startSec: Long, endSec: Long, nPoints: Long,
 case class PendingFix(tsSec: Long, speed: Double, lat: Double, lon: Double)
 
 /** Per-entity stay state: fixes newer than the watermark (still
- * reorderable) + the open run over the finalized prefix. */
+ * reorderable) + the open run over the finalized prefix. `runId` is
+ * assigned when a run OPENS so progress and final rows share it;
+ * `progressEnd` is the last progress snapshot's endSec (Long.MinValue
+ * = none yet), checkpointed so a restart never re-emits a snapshot. */
 case class StayState(pending: List[PendingFix], run: Option[StayRun],
-                     nextId: Long)
+                     runId: Long, nextId: Long, progressEnd: Long)
 
 /** One position fix for the origin–destination rollup. */
 case class OdFix(userId: Long, ts: Timestamp, cell: String, eventId: Long)
@@ -68,43 +78,82 @@ object TrajectoryStream {
                  watermarkDelay: String = "10 minutes"): Dataset[StayOut] = {
     val spark = points.sparkSession
     import spark.implicits._
+    stayPointsLive(points, speedThreshold, minDurationSec,
+      progressEverySec = None, watermarkDelay)
+      .filter(_.closed)
+      .map(p => StayOut(p.userId, p.stayId, p.startSec, p.endSec,
+        p.nPoints, p.latMean, p.lonMean))
+  }
+
+  /**
+   * [[stayPoints]] with LIVE PROGRESS: while a dwell is still open,
+   * emit a snapshot row (`closed = false`, same stayId as the eventual
+   * final row) whenever the finalized span has grown by at least
+   * `progressEverySec` since the last snapshot and has already passed
+   * the duration floor — "this vessel has been anchored 6 h AND
+   * COUNTING", which a closed-only stream can't say. Snapshots are
+   * derived from the immutable below-watermark prefix only and the
+   * last-emitted mark is checkpointed, so restarts never re-emit and
+   * out-of-order arrival never retracts. The `closed = true` rows are
+   * exactly the [[stayPoints]] output (batch-parity-gated).
+   */
+  def stayPointsLive(points: Dataset[StayFix], speedThreshold: Double,
+                     minDurationSec: Long,
+                     progressEverySec: Option[Long],
+                     watermarkDelay: String = "10 minutes"): Dataset[StayProgress] = {
+    progressEverySec.foreach(p =>
+      require(p > 0, "stayPointsLive needs progressEverySec > 0"))
+    val spark = points.sparkSession
+    import spark.implicits._
 
     points
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[StayState, StayOut](
+      .flatMapGroupsWithState[StayState, StayProgress](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, fixes, state: GroupState[StayState]) =>
           val wmSec = state.getCurrentWatermarkMs() / 1000
-          val st = state.getOption.getOrElse(StayState(Nil, None, 0L))
+          val st = state.getOption.getOrElse(
+            StayState(Nil, None, 0L, 0L, Long.MinValue))
           val incoming = fixes.map(f =>
             PendingFix(f.ts.getTime / 1000, f.speed, f.lat, f.lon)).toList
           // strictly-below-watermark fixes are immutable: nothing older
           // can arrive anymore (late rows are dropped at the source)
           val (ready, pending) = (st.pending ++ incoming).partition(_.tsSec < wmSec)
           var run = st.run
+          var runId = st.runId
           var nextId = st.nextId
-          val out = Seq.newBuilder[StayOut]
+          var progressEnd = st.progressEnd
+          val out = Seq.newBuilder[StayProgress]
           for (p <- ready.sortBy(_.tsSec)) {
             if (p.speed < speedThreshold) {
-              run = Some(run match {
-                case Some(r) => StayRun(math.min(r.startSec, p.tsSec),
+              run = run match {
+                case Some(r) => Some(StayRun(math.min(r.startSec, p.tsSec),
                   math.max(r.endSec, p.tsSec),
-                  r.nPoints + 1, r.sumLat + p.lat, r.sumLon + p.lon)
-                case None => StayRun(p.tsSec, p.tsSec, 1L, p.lat, p.lon)
-              })
-            } else run.foreach { r =>
-              if (r.endSec - r.startSec >= minDurationSec) {
-                out += StayOut(userId, nextId, r.startSec, r.endSec, r.nPoints,
-                  r.sumLat / r.nPoints, r.sumLon / r.nPoints)
-                nextId += 1
+                  r.nPoints + 1, r.sumLat + p.lat, r.sumLon + p.lon))
+                case None =>
+                  runId = nextId; nextId += 1; progressEnd = Long.MinValue
+                  Some(StayRun(p.tsSec, p.tsSec, 1L, p.lat, p.lon))
               }
+            } else run.foreach { r =>
+              if (r.endSec - r.startSec >= minDurationSec)
+                out += StayProgress(userId, runId, r.startSec, r.endSec, r.nPoints,
+                  r.sumLat / r.nPoints, r.sumLon / r.nPoints, closed = true)
               run = None
+            }
+          }
+          // progress snapshot of the still-open run (finalized data only)
+          for (every <- progressEverySec; r <- run) {
+            if (r.endSec - r.startSec >= minDurationSec &&
+                (progressEnd == Long.MinValue || r.endSec >= progressEnd + every)) {
+              out += StayProgress(userId, runId, r.startSec, r.endSec, r.nPoints,
+                r.sumLat / r.nPoints, r.sumLon / r.nPoints, closed = false)
+              progressEnd = r.endSec
             }
           }
           if (pending.isEmpty && run.isEmpty) state.remove()
           else {
-            state.update(StayState(pending, run, nextId))
+            state.update(StayState(pending, run, runId, nextId, progressEnd))
             // wake once the watermark passes the OLDEST pending fix —
             // finalize as soon as anything is ready, then re-arm; keying
             // on the newest would let one far-future fix (or this

@@ -411,6 +411,52 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stayPointsLive: progress snapshots grow monotonically, no re-emits, final row batch-equal") {
+    implicit val sqlCtx = spark.sqlContext
+    // one long dwell (anchored 0..3000s at 60s cadence), then a moving
+    // fix closes it; watermark pushers advance finalization in stages
+    val dwell = (0 to 50).map(i => StayFix(1L, ts(86400L + i * 60L), 0.2, 10.0, 20.0))
+    val closer = StayFix(1L, ts(86400L + 3120L), 30.0, 10.5, 20.5)
+    def pusher(sec: Long) = StayFix(99L, ts(sec), 30.0, 0.0, 0.0)
+
+    val input = MemoryStream[StayFix]
+    val stream = TrajectoryStream.stayPointsLive(input.toDS(),
+      speedThreshold = 1.0, minDurationSec = 300L,
+      progressEverySec = Some(600L), watermarkDelay = "10 minutes")
+    val query = stream.writeStream.format("memory")
+      .queryName("parity_live").outputMode("append").start()
+    try {
+      // stage 1: half the dwell + a pusher that finalizes most of it
+      input.addData(dwell.take(26)); query.processAllAvailable()
+      input.addData(pusher(86400L + 2000L)); query.processAllAvailable()
+      val mid = spark.table("parity_live").filter(col("userId") === 1L).collect()
+      assert(mid.nonEmpty && mid.forall(!_.getAs[Boolean]("closed")),
+        s"expected open progress rows mid-dwell, got ${mid.toSeq}")
+      // stage 2: rest of the dwell + closer + far pushers
+      input.addData(dwell.drop(26) :+ closer); query.processAllAvailable()
+      input.addData(pusher(86400L + 3120L + 700L)); query.processAllAvailable()
+      input.addData(pusher(86400L + 100000L)); query.processAllAvailable()
+
+      val rows = spark.table("parity_live").filter(col("userId") === 1L)
+        .select("stayId", "startSec", "endSec", "nPoints", "closed")
+        .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._3)
+      val (open, closedRows) = rows.partition(!_._5)
+      assert(open.nonEmpty, "no progress snapshots emitted")
+      assert(closedRows.length === 1, s"expected one final row: ${rows.toSeq}")
+      // one dwell → one stayId everywhere; starts identical; ends grow
+      assert(rows.map(_._1).distinct.length === 1)
+      assert(rows.map(_._2).distinct === Array(86400L))
+      assert(open.map(_._3).distinct.length === open.length, "snapshot re-emitted")
+      val ends = open.map(_._3)
+      assert(ends.sorted.sameElements(ends) && ends.last <= closedRows.head._3)
+      assert((ends.head +: ends.tail.zip(ends).map { case (b, a) => b - a })
+        .tail.forall(_ >= 600L), s"snapshots closer than progressEverySec: ${ends.toSeq}")
+      // the final row equals the batch dwell over the full input
+      assert(closedRows.head === ((rows.head._1, 86400L, 86400L + 3000L, 51L, true)),
+        s"final row: ${closedRows.head}")
+    } finally query.stop()
+  }
+
   test("TrajectoryStream.odVoyages matrix equals batch Sessionize+odMatrix with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(67)
