@@ -46,6 +46,43 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Similarity.ivfTopK(noVecs, q, "vec_id", "embedding", 5).count() === 0)
   }
 
+  test("round-6 operators on empty input return empty, not a crash") {
+    val e = noEvents.withColumn("event_id", col("ts_sec"))
+    assert(Analytics.ewma(e, Seq("user_id"), "ts_sec", "value", 0.3, 10).count() === 0)
+    assert(Analytics.anomalyFlags(e, Seq("user_id"), "ts_sec", "value").count() === 0)
+    assert(Analytics.triangles(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").head.getLong(0) === 0L)
+    val noIv = Seq.empty[(Long, Long, Long)].toDF("k", "s", "en")
+    assert(Intervals.mergeIntervals(noIv, Seq("k"), "s", "en").count() === 0)
+    assert(Intervals.coverageGaps(noIv, Seq("k"), "s", "en").count() === 0)
+    assert(Intervals.overlapJoin(noIv, "s", "en",
+      noIv.toDF("k", "s2", "en2"), "s2", "en2", Seq("k")).count() === 0)
+    assert(Dims.scd2(e, Seq("user_id"), "ts_sec", Seq("value")).count() === 0)
+    assert(Text.gopherRules(noDocs, "doc_id", "text").count() === 0)
+    assert(Quality.cmsHeavyHitters(e, "user_id", 5).count() === 0)
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(noVecs, "vec_id", "embedding").count() === 0)
+    assert(Similarity.kmeansCentroids(noVecs, "vec_id", "embedding",
+      k = 4, iters = 2).count() === 0)
+    assert(Trajectory.courseFeatures(e, Seq("user_id"), "ts_sec", "value", "value")
+      .count() === 0)
+  }
+
+  test("round-6 operators on single-row input stay well-defined") {
+    val one = Seq((1L, 100L, 2.0, 1L)).toDF("user_id", "ts_sec", "value", "event_id")
+    val ew = Analytics.ewma(one, Seq("user_id"), "ts_sec", "value", 0.3, 10).head
+    assert(ew.getAs[Double]("ewma") === 2.0, "single row's EWMA is itself")
+    val an = Analytics.anomalyFlags(one, Seq("user_id"), "ts_sec", "value").head
+    assert(an.isNullAt(an.fieldIndex("anomaly")), "no history → null flag")
+    val sc = Dims.scd2(one, Seq("user_id"), "ts_sec", Seq("value")).head
+    assert(sc.getAs[Boolean]("is_current") && sc.isNullAt(sc.fieldIndex("eff_end")))
+    val gop = Text.gopherRules(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text").head
+    assert(!gop.getAs[Boolean]("gopher_pass"), "empty text must fail the battery")
+    val iv = Seq((1L, 5L, 9L)).toDF("k", "s", "en")
+    val m = Intervals.mergeIntervals(iv, Seq("k"), "s", "en").head
+    assert(m.getAs[Long]("start") === 5L && m.getAs[Long]("end") === 9L)
+  }
+
   test("single-row entity: lag-family operators emit null-gap rows, not errors") {
     val one = Seq((1L, 100L, 2.0)).toDF("user_id", "ts_sec", "value")
       .withColumn("event_id", lit(1L))
