@@ -213,6 +213,41 @@ class RestartRecoverySpec extends SparkSpecBase {
       s"restart fragmented the voyage: $got")
   }
 
+  test("Scd2Stream: a version spanning stop + restart closes as one interval") {
+    import graft.streaming.{Scd2Fix, Scd2Stream}
+    val inputDir = tmp("graft-scd2-in")
+    val outDir = tmp("graft-scd2-out")
+    val ckpt = tmp("graft-scd2-ckpt")
+    def addFile(rows: (Long, Long, String, Long)*): Unit =
+      rows.map { case (u, sec, a, e) => Scd2Fix(u, ts(sec), a, e) }
+        .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+    def run() = Scd2Stream.versions(
+        spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Scd2Fix]].schema)
+          .option("maxFilesPerTrigger", "1").parquet(inputDir).as[Scd2Fix],
+        watermarkDelay = "30 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // pre-restart: version A opens (plus heartbeats)
+    addFile((1L, 1000L, "A", 1L), (1L, 1400L, "A", 2L))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // post-restart: another heartbeat, then the change to B closes A;
+    // pushers advance the watermark past the change
+    addFile((1L, 1800L, "A", 3L), (1L, 2200L, "B", 4L))
+    addFile((1L, 2200L + 1800L + 600L, "B", 5L))
+    addFile((1L, 2200L + 2 * (1800L + 600L), "B", 6L))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("userId", "attr", "effStart", "effEnd", "nRows")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, "A", 1000L, 2200L, 3L)),
+      s"restart fragmented the version: $got")
+  }
+
   test("WindowedCounts aggregation state survives stop + restart: windows spanning it stay whole") {
     val inputDir = tmp("graft-wc-in")
     val outDir = tmp("graft-wc-out")

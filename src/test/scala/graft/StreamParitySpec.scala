@@ -457,6 +457,46 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("Scd2Stream closed versions equal batch scd2 on randomized out-of-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Scd2Fix, Scd2Stream}
+    val rng = new scala.util.Random(73)
+    val attrs = Array("A", "B", "C")
+    // heartbeat-heavy change log: attr changes ~every 3rd row per entity
+    val all = rng.shuffle(for {
+      u <- 1L to 5L
+      i <- 1 to 40
+    } yield Scd2Fix(u, ts(86400L + rng.nextInt(100) * 50L),
+      attrs(rng.nextInt(9) / 3), u * 1000L + i))
+    val input = MemoryStream[Scd2Fix]
+    // delay covers the whole timeline: nothing late, batch on full input
+    val stream = Scd2Stream.versions(input.toDS(), watermarkDelay = "2 hours")
+    val query = stream.writeStream.format("memory")
+      .queryName("parity_scd2").outputMode("append").start()
+    try {
+      all.grouped(70).foreach { b => input.addData(b); query.processAllAvailable() }
+      // pushers finalize every real row (strictly-below-watermark rule)
+      input.addData(Scd2Fix(99L, ts(10000000), "Z", 1L)); query.processAllAvailable()
+      input.addData(Scd2Fix(99L, ts(20000000), "Z", 2L)); query.processAllAvailable()
+
+      val streamed = spark.table("parity_scd2")
+        .filter(col("userId") =!= 99L)
+        .select("userId", "attr", "effStart", "effEnd", "nRows")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val expected = graft.operators.Dims.scd2(
+          all.map(f => (f.userId, f.ts.getTime / 1000, f.attr, f.eventId))
+            .toDF("user_id", "ts_sec", "attr", "event_id"),
+          Seq("user_id"), "ts_sec", Seq("attr"), tieBreak = Seq("event_id"))
+        .filter(col("eff_end").isNotNull) // stream emits CLOSED versions
+        .select("user_id", "attr", "eff_start", "eff_end")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed.map(t => (t._1, t._2, t._3, t._4)) === expected,
+        s"stream-only: ${streamed.map(t => (t._1, t._2, t._3, t._4)) -- expected}; " +
+          s"batch-only: ${expected -- streamed.map(t => (t._1, t._2, t._3, t._4))}")
+      assert(streamed.size > 10, s"fixture too thin: ${streamed.size} versions")
+    } finally query.stop()
+  }
+
   test("TrajectoryStream.odVoyages matrix equals batch Sessionize+odMatrix with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(67)
