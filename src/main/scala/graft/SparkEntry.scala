@@ -391,6 +391,11 @@ object SparkEntry {
         .select(col("query_id"), col("n_cands"),
           r3(col("max_abs_err")).as("max_abs_err"), col("ok"))),
 
+    // --- cross-corpus duplicated spans (exact-substring dedup regions) ---
+    "q_dup_spans" -> ((s, dir) =>
+      Text.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        n = 8, minCount = 2)),
+
     // --- Gopher hard-filter rule battery over documents ---
     "q_gopher" -> ((s, dir) =>
       Text.gopherRules(Tables.documents(s, dir), "doc_id", "text",
@@ -1436,6 +1441,33 @@ object SparkEntry {
          |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
          |GROUP BY q.query_id""".stripMargin
     },
+
+    "q_dup_spans" ->
+      """WITH sd AS (
+        |  SELECT doc_id AS id, t.i - 1 AS pos,
+        |         md5(array_to_string(string_split(text,' ')[t.i:t.i+7], ' ')) AS h
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text,' ')) - 7)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 8
+        |), dup AS (SELECT h FROM sd GROUP BY h HAVING COUNT(*) >= 2),
+        |dp AS (
+        |  SELECT sd.id, sd.pos AS s, sd.pos + 7 AS e
+        |  FROM sd JOIN dup ON sd.h = dup.h
+        |), mk AS (
+        |  SELECT id, s, e,
+        |         CASE WHEN lagmax IS NULL OR s > lagmax THEN 1 ELSE 0 END AS nw
+        |  FROM (SELECT id, s, e,
+        |          max(e) OVER (PARTITION BY id ORDER BY s ASC, e ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lagmax
+        |        FROM dp)
+        |), sp AS (
+        |  SELECT id, s, e,
+        |         CAST(SUM(nw) OVER (PARTITION BY id ORDER BY s ASC, e ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS span_id
+        |  FROM mk)
+        |SELECT id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_seeds
+        |FROM sp GROUP BY id, span_id""".stripMargin,
 
     "q_gopher" ->
       """WITH d AS (

@@ -135,6 +135,11 @@ object Stress {
     println(f"[stress] delta-probe/full-re-pair ratio ${tDelta / tFullPair}%.2fx " +
       "(a daily ingest pays probe + matched-candidate verify, never the archive re-pair)")
     probe("tfidf") { Text.tfidf(docs, "doc_id", "text").count() }
+    probe(s"duplicatedSpans ${nDocs / 1000}k docs") {
+      // every 100th doc is a near-copy → dense genuine duplication; the
+      // seed-count groupBy and semi-join must stay linear regardless
+      Text.duplicatedSpans(docs, "doc_id", "text", n = 8).count()
+    }
 
     // --- embeddings: 500k x 64 dims ---
     val nVecs = 500000L * scale

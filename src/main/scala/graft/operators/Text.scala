@@ -505,6 +505,43 @@ object Text {
 
   /** Word n-gram shingles (order-preserving, may repeat). Empty array when
    * the text has fewer than n tokens. */
+  /**
+   * Cross-corpus duplicated-SPAN detection (the Lee et al. '22
+   * "Deduplicating Training Data Makes Language Models Better" shape):
+   * every position's word n-gram is a SEED; seeds whose n-gram occurs
+   * at least `minCount` times ANYWHERE in the corpus (other docs or the
+   * same doc) are duplicated positions, and overlapping/adjacent
+   * duplicated positions merge into MAXIMAL duplicated token spans per
+   * doc — the regions an exact-substring dedup pass would cut, without
+   * a distributed suffix array. Emits (id, span_start, span_end
+   * [inclusive token indexes], n_seeds).
+   *
+   * Plan: one tokenize + posexplode of md5 seed keys (md5, not xxhash:
+   * 128 bits — no collision can bridge distinct text, and any engine
+   * reproduces it), one partial-agg'd seed count, a semi-join back, and
+   * [[Intervals.mergeIntervals]]'s single window per doc. Seed keys are
+   * high-cardinality (shuffles balance); a stop-gram cap is `minCount`'s
+   * job, not a skew hazard, because the count groupBy pre-aggregates.
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minCount: Long = 2): DataFrame = {
+    require(n >= 1 && minCount >= 2, "duplicatedSpans needs n >= 1, minCount >= 2")
+    val toks = tokens(col(textCol))
+    val seeds = df.select(col(idCol).as("id"), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("id"), posexplode(transform(sequence(lit(0), size(col("_t")) - n),
+        i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(n)))))))
+      .select(col("id"), col("pos"), col("col").as("h"))
+    val dup = seeds.groupBy("h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+    val dupPos = seeds.join(dup.select("h"), Seq("h"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + n - 1).cast("long").as("e"))
+    Intervals.mergeIntervals(dupPos, Seq("id"), "s", "e")
+      .select(col("id"), col("start").as("span_start"), col("end").as("span_end"),
+        col("n_members").as("n_seeds"))
+  }
+
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,

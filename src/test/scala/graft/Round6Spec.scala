@@ -407,6 +407,30 @@ class Round6Spec extends SparkSpecBase {
     assert(e.getMessage.contains("quadratic"), e.getMessage)
   }
 
+  // --- duplicated spans (exact-substring dedup regions) -----------------------------
+
+  test("duplicatedSpans: shared region found maximally, unique text untouched") {
+    def words(s: String) = s.trim
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens
+    val doc1 = words(s"${(1 to 10).map(i => s"a$i").mkString(" ")} $shared " +
+      (1 to 10).map(i => s"b$i").mkString(" "))
+    val doc2 = words(s"${(1 to 6).map(i => s"c$i").mkString(" ")} $shared " +
+      (1 to 8).map(i => s"d$i").mkString(" "))
+    val doc3 = words((1 to 40).map(i => s"u$i").mkString(" ")) // unique
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = Text.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: shared tokens occupy positions 10..21 → seeds 10..14, span 10..21
+    assert(got(1L) === ((10L, 21L)), s"doc1 span: ${got.get(1L)}")
+    // doc2: shared at positions 6..17
+    assert(got(2L) === ((6L, 17L)), s"doc2 span: ${got.get(2L)}")
+    assert(!got.contains(3L), "unique doc flagged")
+    // self-repetition inside ONE doc also counts (corpus-level, like Lee et al.)
+    val selfRep = Seq((9L, ((1 to 10).map(i => s"x$i").mkString(" ") + " ") * 2 +
+      (1 to 10).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Text.duplicatedSpans(selfRep, "doc_id", "text", n = 8).count() >= 1)
+  }
+
   // --- Gopher rule battery ----------------------------------------------------------
 
   test("gopherRules: each rule flips on its targeted pathology") {
