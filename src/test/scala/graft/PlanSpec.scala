@@ -271,6 +271,23 @@ class PlanSpec extends SparkSpecBase {
       "within-cell compare degraded to a cartesian\n" + p.take(2000))
   }
 
+  test("duplicated spans: partial-agg'd seed count, semi-join pruning, no cartesian") {
+    val p = plan("q_dup_spans")
+    assert(p.contains("partial_"), "seed count lost map-side combine")
+    assert(p.contains("LeftSemi"), "duplicated-position filter is not a semi-join\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("SCD2 and course features never degrade to non-window joins") {
+    for (q <- Seq("q_scd2", "q_course")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join — window family only\n" + p.take(2000))
+      assert(count(p, "(?<!Reused)Exchange (hash|range)") <= 2,
+        s"$q wants at most 2 shuffles")
+    }
+  }
+
   test("encounters plans a (band, bucket) equi-join, never a cross join") {
     val p = plan("q_encounters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
