@@ -248,6 +248,44 @@ class RestartRecoverySpec extends SparkSpecBase {
       s"restart fragmented the version: $got")
   }
 
+  test("EncounterStream: a pair whose two fixes straddle a stop + restart is still found") {
+    import graft.streaming.EncounterStream
+    val inputDir = tmp("graft-enc-in")
+    val outDir = tmp("graft-enc-out")
+    val ckpt = tmp("graft-enc-ckpt")
+    def addFile(rows: (Long, Long, Double, Double)*): Unit =
+      rows.map { case (u, sec, la, lo) => (u, ts(sec), la, lo) }
+        .toDF("user_id", "t", "lat", "lon")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    def run() = EncounterStream.encounters(
+        spark.readStream.schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("t", TimestampType),
+          StructField("lat", DoubleType), StructField("lon", DoubleType))))
+          .option("maxFilesPerTrigger", "1").parquet(inputDir),
+        "user_id", "t", "lat", "lon", maxKm = 50.0, maxGapSec = 600L,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // pre-restart: vessel 1's fix is buffered in JOIN STATE, unmatched
+    addFile((1L, 90000L, 10.00, 20.00))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // post-restart: vessel 2 appears 200 s later, ~8 km away — the pair
+    // must match against the RECOVERED buffered fix; then pushers flush
+    addFile((2L, 90200L, 10.07, 20.00))
+    addFile((9L, 90200L + 3000L, -60.0, 100.0))
+    addFile((9L, 90200L + 6000L, -60.0, 100.0))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)),
+      s"restart lost the buffered join-state fix: $got")
+  }
+
   test("WindowedCounts aggregation state survives stop + restart: windows spanning it stay whole") {
     val inputDir = tmp("graft-wc-in")
     val outDir = tmp("graft-wc-out")
