@@ -498,6 +498,14 @@ object SparkEntry {
       Sampling.capPerStratum(Tables.documents(s, dir), "doc_id", "lang", 30)
         .select("doc_id", "lang")),
 
+    // --- weighted median per type (integer-valued weights: cumulative
+    // sums are exact in double, so the crossing is engine-stable) ---
+    "q_weighted_median" -> ((s, dir) =>
+      Quality.weightedMedian(
+        ev(s, dir).withColumn("w", floor(col("value") * 100) + 1),
+        Seq("event_type"), "value", "w")
+        .select(col("event_type"), r3(col("weighted_median")).as("weighted_median"))),
+
     // --- sketch accuracy gate: HLL++ distinct counts within tolerance ---
     "q_approx_distinct" -> ((s, dir) =>
       Quality.approxDistinctGate(ev(s, dir),
@@ -1653,6 +1661,21 @@ object SparkEntry {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
         |  FROM documents
         |) WHERE rn <= 30""".stripMargin,
+
+    "q_weighted_median" ->
+      s"""$EvCte, wsrc AS (
+         |  SELECT event_type, value, floor(value * 100) + 1 AS w FROM e
+         |  WHERE floor(value * 100) + 1 > 0
+         |), c AS (
+         |  SELECT event_type, value,
+         |         SUM(w) OVER (PARTITION BY event_type ORDER BY value ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(w) OVER (PARTITION BY event_type) AS tot
+         |  FROM wsrc
+         |)
+         |SELECT event_type,
+         |       floor(MIN(value)*1000 + 0.5)/1000 AS weighted_median
+         |FROM c WHERE cum >= tot / 2 GROUP BY 1""".stripMargin,
 
     "q_approx_distinct" ->
       s"""$EvCte

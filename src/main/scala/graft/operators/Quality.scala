@@ -46,6 +46,32 @@ object Quality {
     }.reduce(_ unionAll _)
 
   /**
+   * Per-group WEIGHTED median: the smallest value whose cumulative
+   * weight reaches half the group's total — the location statistic for
+   * weighted corpora (mixture-weighted doc length, importance-weighted
+   * latency) where the plain median over-counts down-weighted rows.
+   * Non-positive/null weights are dropped (they carry no mass, and a
+   * negative weight makes the crossing undefined). One (group, value)
+   * window for the running weight + one group total window on the same
+   * partitioning (no second shuffle), then a partial-agg'd min over the
+   * crossing rows. Exact, order-insensitive under value ties (the
+   * crossing VALUE is unique even when cum order among equals is not).
+   */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, weightCol: String): DataFrame = {
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val ow = gw.orderBy(col(valueCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_cum", sum(col(weightCol).cast("double")).over(ow))
+      .withColumn("_tot", sum(col(weightCol).cast("double")).over(gw))
+      .filter(col("_cum") >= col("_tot") / 2)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("weighted_median"))
+  }
+
+  /**
    * Count–min-sketch heavy-hitter gate, the frequency twin of
    * [[approxDistinctGate]]: top-`k` keys by exact count next to the
    * one-pass CMS estimate, asserting the sketch's guarantee

@@ -498,6 +498,30 @@ class Round6Spec extends SparkSpecBase {
     assert(got === "prior")
   }
 
+  // --- weighted median --------------------------------------------------------------
+
+  test("weightedMedian: weights shift the location; bad weights dropped") {
+    // values 1..4; weight 10 on value 4 dominates → median 4; uniform → 2
+    val skewedW = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 10.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+    assert(Quality.weightedMedian(skewedW, Seq("g"), "v", "w")
+      .head.getDouble(1) === 4.0)
+    val uniform = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+    assert(Quality.weightedMedian(uniform, Seq("g"), "v", "w")
+      .head.getDouble(1) === 2.0)
+    // exact half-crossing: first of two equal weights IS the crossing
+    val half = Seq((1.0, 5.0), (9.0, 5.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+    assert(Quality.weightedMedian(half, Seq("g"), "v", "w")
+      .head.getDouble(1) === 1.0)
+    // zero/negative weights contribute nothing
+    val dirty = Seq((1.0, 0.0), (2.0, -5.0), (3.0, 1.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+    assert(Quality.weightedMedian(dirty, Seq("g"), "v", "w")
+      .head.getDouble(1) === 3.0)
+  }
+
   // --- CMS heavy-hitter gate --------------------------------------------------------
 
   test("cmsHeavyHitters: top-k exact counts with the sketch guarantee holding") {
