@@ -457,6 +457,50 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("AnomalyStream equals batch anomalyFlags row-for-row on out-of-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AnomalyStream, MetricFix}
+    val rng = new scala.util.Random(79)
+    // unique ts per entity (no tie ambiguity); a few planted spikes
+    val all = rng.shuffle(for {
+      u <- 1L to 4L
+      i <- 0 until 40
+    } yield MetricFix(u, ts(86400L + i * 60L),
+      if (i == 25) 500.0 else 10.0 + rng.nextDouble()))
+    val input = MemoryStream[MetricFix]
+    val stream = AnomalyStream.flags(input.toDS(), alpha = 0.3, window = 10,
+      k = 3.0, watermarkDelay = "2 hours")
+    val query = stream.writeStream.format("memory")
+      .queryName("parity_anom").outputMode("append").start()
+    try {
+      all.grouped(60).foreach { b => input.addData(b); query.processAllAvailable() }
+      // pushers finalize every real row
+      input.addData(MetricFix(99L, ts(10000000), 0.0)); query.processAllAvailable()
+      input.addData(MetricFix(99L, ts(20000000), 0.0)); query.processAllAvailable()
+
+      def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
+      val streamed = spark.table("parity_anom")
+        .filter(col("userId") =!= 99L)
+        .select("userId", "tsSec", "residual", "anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getAs[Any]("residual")).map(d => r3(d.asInstanceOf[Double])),
+          Option(r.getAs[Any]("anomaly")))).toSet
+      val expected = graft.operators.Analytics.anomalyFlags(
+          all.map(f => (f.userId, f.ts.getTime / 1000, f.value))
+            .toDF("user_id", "ts_sec", "value"),
+          Seq("user_id"), "ts_sec", "value", alpha = 0.3, window = 10, k = 3.0)
+        .select("user_id", "ts_sec", "residual", "anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getAs[Any]("residual")).map(d => r3(d.asInstanceOf[Double])),
+          Option(r.getAs[Any]("anomaly")))).toSet
+      assert(streamed === expected,
+        s"stream-only: ${(streamed -- expected).take(4)}; " +
+          s"batch-only: ${(expected -- streamed).take(4)}")
+      // the planted spikes really flag
+      assert(streamed.count(_._4.contains(true)) >= 4, "spikes not flagged")
+    } finally query.stop()
+  }
+
   test("Scd2Stream closed versions equal batch scd2 on randomized out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{Scd2Fix, Scd2Stream}
