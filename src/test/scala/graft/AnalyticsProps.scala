@@ -29,6 +29,70 @@ class AnalyticsProps extends SparkSpecBase {
     }
   }
 
+  test("ewma: bounded by the window's min/max; constant series reproduces the constant") {
+    for (seed <- 1L to 3L) {
+      val rows = randomRows(seed, 60).zipWithIndex
+        .map { case ((g, v), i) => (g, i.toLong, v) }
+      val df = rows.toDF("g", "ts", "v")
+      val w = 7
+      val checked = Analytics.ewma(df, Seq("g"), "ts", "v", alpha = 0.4, window = w)
+        .withColumn("lo", min("v").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("ts")
+            .rowsBetween(-(w - 1), 0)))
+        .withColumn("hi", max("v").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("ts")
+            .rowsBetween(-(w - 1), 0)))
+        .filter(col("ewma") < col("lo") - 1e-9 || col("ewma") > col("hi") + 1e-9)
+      assert(checked.count() === 0, s"seed $seed: EWMA escaped its window's range")
+      val const = (1 to 20).map(i => (1L, i.toLong, 42.5)).toDF("g", "ts", "v")
+      val vals = Analytics.ewma(const, Seq("g"), "ts", "v", 0.3, 5)
+        .select("ewma").as[Double].collect()
+      assert(vals.forall(v => math.abs(v - 42.5) < 1e-9))
+    }
+  }
+
+  test("mergeIntervals: spans disjoint+ordered, every input contained, mass preserved") {
+    import graft.operators.Intervals
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      val iv = Seq.fill(80)((rng.nextInt(3).toLong, rng.nextInt(1000).toLong,
+          rng.nextInt(200).toLong))
+        .map { case (k, s, len) => (k, s, s + len) }.toDF("k", "s", "e")
+      val spans = Intervals.mergeIntervals(iv, Seq("k"), "s", "e")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+      spans.values.foreach { ss =>
+        ss.toSeq.sliding(2).foreach { pair =>
+          if (pair.length == 2)
+            assert(pair(1)._1 > pair(0)._2, s"seed $seed: spans overlap/touch")
+        }
+      }
+      iv.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).foreach {
+        case (k, s, e) =>
+          assert(spans(k).exists { case (ss, se) => ss <= s && e <= se },
+            s"seed $seed: input [$s,$e] of key $k not contained in any span")
+      }
+    }
+  }
+
+  test("weightedMedian: equal weights give the lower median; crossing holds >= half the mass") {
+    import graft.operators.Quality
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      val vals = Seq.fill(31)(rng.nextInt(1000).toDouble)
+      val df = vals.map(v => (1L, v, 2.0)).toDF("g", "v", "w")
+      val wm = Quality.weightedMedian(df, Seq("g"), "v", "w").head.getDouble(1)
+      val sorted = vals.sorted
+      assert(wm === sorted(15), s"seed $seed: equal-weight median != middle element")
+      // random weights: at least half the total weight sits at <= wm
+      val wdf = vals.map(v => (1L, v, (rng.nextInt(9) + 1).toDouble)).toDF("g", "v", "w")
+      val wm2 = Quality.weightedMedian(wdf, Seq("g"), "v", "w").head.getDouble(1)
+      val rows = wdf.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      val tot = rows.map(_._2).sum
+      assert(rows.filter(_._1 <= wm2).map(_._2).sum >= tot / 2 - 1e-9, s"seed $seed")
+    }
+  }
+
   test("ntile: bucket sizes differ by at most one within each group") {
     for (seed <- 1L to 3L) {
       val df = randomRows(seed, 50).toDF("g", "v")
