@@ -321,6 +321,14 @@ object Stress {
       Analytics.ewma(events, Seq("user_id"), "ts_sec", "value",
         alpha = 0.3, window = 20, tieBreak = Seq("event_id")).count()
     }
+    probe(s"weightedMedian 5M x 8 fat groups") {
+      // few huge groups = the family's worst case (per-group sorted
+      // window); the probe documents that cost staying linear
+      Quality.weightedMedian(
+        events.withColumn("g", col("user_id") % 8)
+          .withColumn("w", floor(col("value")) + 1),
+        Seq("g"), "value", "w").count()
+    }
     probe(s"cms heavy hitters over skewed ${nEvents / 1000000}M") {
       Quality.cmsHeavyHitters(skewed, "user_id", k = 100).count()
     }
