@@ -55,7 +55,7 @@ object Bench {
     // round-over-round diffable numbers
     val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
     val spillAcc = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val metricsListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -63,7 +63,8 @@ object Bench {
           spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         }
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(metricsListener)
     def drained[T](body: => T): (T, Long, Long) = {
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
       val (s0, p0) = (shuffleAcc.get, spillAcc.get)
@@ -83,10 +84,18 @@ object Bench {
     }
     // deterministic execution order: rounds compare like-for-like and the
     // first-query session-warmup penalty always lands on the same query
+    // per-rep shuffle/spill deltas are medianed like the timings: the
+    // last rep alone could absorb a concurrent job's tasks (the listener
+    // is session-global) and misreport the query's own volume
+    def medianL(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val shuffles = scala.collection.mutable.ArrayBuffer[Long]()
+      val spills = scala.collection.mutable.ArrayBuffer[Long]()
       var firstFailure = 0.0
-      var (shuffleB, spillB) = (0L, 0L)
       (1 to reps).foreach { _ =>
         if (firstFailure == 0.0) {
           val t0 = System.nanoTime()
@@ -102,13 +111,16 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           // failures are marked with negative elapsed so they can never be
           // mistaken for a fast success downstream
-          if (ok) { times += dt; shuffleB = sh; spillB = sp }
+          if (ok) { times += dt; shuffles += sh; spills += sp }
           else firstFailure = -dt
         }
       }
       (name, if (firstFailure != 0.0) firstFailure else median(times.toSeq),
-        shuffleB, spillB)
+        if (shuffles.isEmpty) 0L else medianL(shuffles.toSeq),
+        if (spills.isEmpty) 0L else medianL(spills.toSeq))
     }
+    // the bench's accounting must not leak into later session activity
+    spark.sparkContext.removeSparkListener(metricsListener)
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val shuffles = results.map { case (k, _, s, _) => s"\"" + k + "\":" + s }

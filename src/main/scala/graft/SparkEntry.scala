@@ -573,7 +573,7 @@ object SparkEntry {
     "q_interval_merge" -> ((s, dir) =>
       Intervals.mergeIntervals(
         ev(s, dir).select(col("user_id"), col("ts_sec"),
-          (col("ts_sec") + (col("value") * 60).cast("long")).as("end_sec"),
+          (col("ts_sec") + floor(col("value") * 60).cast("long")).as("end_sec"),
           col("event_id")),
         Seq("user_id"), "ts_sec", "end_sec", adjacencySec = 0L,
         tieBreak = Seq("event_id"))),
@@ -582,7 +582,7 @@ object SparkEntry {
     "q_coverage_gaps" -> ((s, dir) =>
       Intervals.coverageGaps(
         ev(s, dir).select(col("user_id"), col("ts_sec"),
-          (col("ts_sec") + (col("value") * 60).cast("long")).as("end_sec"),
+          (col("ts_sec") + floor(col("value") * 60).cast("long")).as("end_sec"),
           col("event_id")),
         Seq("user_id"), "ts_sec", "end_sec", minGapSec = 600L,
         tieBreak = Seq("event_id"))),
@@ -590,7 +590,7 @@ object SparkEntry {
     // --- interval-overlap join: concurrent activity pairs per entity ---
     "q_interval_overlap" -> ((s, dir) => {
       val iv = ev(s, dir).select(col("user_id"), col("ts_sec"),
-        (col("ts_sec") + (col("value") * 60).cast("long")).as("end_sec"),
+        (col("ts_sec") + floor(col("value") * 60).cast("long")).as("end_sec"),
         col("event_id"))
       val l = iv.filter(col("event_id") % 2 === 0).select(col("user_id"),
         col("ts_sec").as("s_a"), col("end_sec").as("e_a"))

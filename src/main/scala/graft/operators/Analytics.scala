@@ -413,13 +413,20 @@ object Analytics {
         aggregate(col("_vs"), lit(0.0), (acc, _) => acc * decay + lit(alpha))))
       .withColumn("_sum", aggregate(col("_vs"), lit(0.0), (acc, x) => acc + x))
       .withColumn("_sq", aggregate(col("_vs"), lit(0.0), (acc, x) => acc + x * x))
-      .withColumn("_std", when(col("_n") >= 2, sqrt(
-        (col("_sq") - col("_sum") * col("_sum") / col("_n")) / (col("_n") - 1))))
+      // guard on the VARIANCE, not the sqrt: fp error can push the
+      // variance of a near-constant window slightly negative, and
+      // sqrt(<0) is NaN — which Spark orders GREATER than any number,
+      // so a `_std > 0` test would pass and emit a spurious `false`
+      // where the contract (and the oracle's explicit variance guard,
+      // and AnomalyStream's scalar NaN > 0 = false) says null
+      .withColumn("_var", when(col("_n") >= 2,
+        (col("_sq") - col("_sum") * col("_sum") / col("_n")) / (col("_n") - 1)))
+      .withColumn("_std", when(col("_var") > 0, sqrt(col("_var"))))
       .withColumn("residual", col(valueCol) - col("_ew"))
       .withColumn("anomaly",
         when(col("_n") >= minHistory && col("_std") > 0,
           abs(col("residual")) > lit(k) * col("_std")))
-      .drop("_vs", "_n", "_ew", "_sum", "_sq", "_std")
+      .drop("_vs", "_n", "_ew", "_sum", "_sq", "_var", "_std")
   }
 
   /**

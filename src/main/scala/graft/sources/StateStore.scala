@@ -129,6 +129,21 @@ object StateStore {
            before: Option[String] = None): Option[DataFrame] =
     readWithBucket(spark, root, before).map(_.drop("bucket"))
 
+  /** The store's data schema (no bucket column), read from the parquet
+   * footers of ONE existing non-empty bucket dir — independent of any
+   * touched-bucket pruning, so drift checks can't be bypassed by a
+   * delta whose keys all hash to buckets the store doesn't hold yet.
+   * None only when the whole store is empty. One-dir footer read:
+   * driver metadata cost, not a data scan. */
+  private def storedDataSchema(spark: SparkSession, root: String,
+                               before: Option[String]): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, root)
+    latestBucketDirs(spark, root, before)
+      .find(p => f.listStatus(p).exists(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
+      .map(p => spark.read.parquet(p.toString).schema)
+  }
+
   private def bucketOf(keys: Seq[String], nBuckets: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
 
@@ -168,6 +183,21 @@ object StateStore {
     // source recomputed between passes) could land rows in buckets absent
     // from `touched` — buckets whose prior state was never read, so the
     // new version's dir would SHADOW the old one and silently drop keys.
+    // schema-drift contract: a delta frame whose column set/types differ
+    // from the stored state would otherwise be written as a mixed-schema
+    // snapshot that later reads resolve inconsistently. Checked against
+    // the STORE's schema (one-dir footer probe), not the touched-bucket
+    // read: a delta whose keys all hash to buckets not yet present would
+    // make that read return None and skip the check entirely.
+    storedDataSchema(spark, root, before = Some(version)).foreach { st =>
+      val stored = st.map(fld => fld.name -> fld.dataType).sortBy(_._1)
+      val incoming = deltas.schema
+        .map(fld => fld.name -> fld.dataType).sortBy(_._1)
+      require(stored == incoming,
+        s"schema drift: store at $root holds ${stored.mkString(", ")} " +
+          s"but the delta frame carries ${incoming.mkString(", ")} — " +
+          "migrate the store explicitly instead of merging drifted deltas")
+    }
     val d = deltas.withColumn("bucket", bucketOf(keys, buckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -178,20 +208,7 @@ object StateStore {
       // itself, so untouched bytes are never even listed into the scan
       val prevTouched = readWithBucket(spark, root, before = Some(version),
           onlyBuckets = Some(touched))
-        .map { p =>
-          // schema-drift contract: a delta frame whose column set/types
-          // differ from the stored state would otherwise be written as a
-          // mixed-schema snapshot that later reads resolve inconsistently
-          val stored = p.drop("bucket").schema
-            .map(fld => fld.name -> fld.dataType).sortBy(_._1)
-          val incoming = deltas.schema
-            .map(fld => fld.name -> fld.dataType).sortBy(_._1)
-          require(stored == incoming,
-            s"schema drift: store at $root holds ${stored.mkString(", ")} " +
-              s"but the delta frame carries ${incoming.mkString(", ")} — " +
-              "migrate the store explicitly instead of merging drifted deltas")
-          p.drop("bucket")
-        }
+        .map(_.drop("bucket"))
       val merged = prevTouched match {
         case Some(s) =>
           StateOps.mergeDeltas(s, pinnedDeltas, keys, sumCols, minCols, maxCols)
