@@ -1,0 +1,63 @@
+package graft
+
+/**
+ * Numeric shuffle-volume locks for the heaviest query plans. PlanSpec
+ * locks plan SHAPE (exchange counts, broadcast sides, pushdown);
+ * these lock VOLUME: a join that silently starts shuffling 10× its
+ * input, or a pre-aggregation that stops combining map-side, passes
+ * every shape assertion and still dies at 100 TB. Budgets are ~4-6×
+ * the measured shuffle-write bytes at sf0.001 — far above run-to-run
+ * wobble (bytes at a fixed SF are near-deterministic modulo
+ * compression), far below an order-of-magnitude plan regression.
+ */
+class ShuffleBudgetSpec extends SparkSpecBase {
+
+  // measured at sf0.001 (local bench, round 7); budget = measured × ~4-6
+  private val budgets: Seq[(String, Long)] = Seq(
+    "q_dedup_cluster" -> (4L << 20), // 1.03 MB measured: iterative CC edge rounds
+    "q_dedup_jaccard" -> (4L << 20), // 1.01 MB: PPJoin prefix candidates
+    "q_containment" -> (4L << 20),   // 0.87 MB: inverted-index candidates
+    "q_dup_spans" -> (4L << 20),     // 0.83 MB: span fingerprint join
+    "q_kmeans" -> (2L << 20),        // 0.47 MB: per-round assignment aggs
+    "q_tfidf" -> (2L << 20),         // 0.46 MB: token-keyed df join
+    "q_dedup_minhash" -> (2L << 20), // 0.46 MB: band/bucket candidate join
+    "q_semdedup" -> (1L << 20),      // 0.23 MB: cell-capped cosine pairs
+    "q_table_diff" -> (1L << 20),    // 0.19 MB: full-outer keyed diff
+    "q_pagerank" -> (512L << 10),    // 74 kB: per-round contribution shuffle
+    "q_od_matrix" -> (256L << 10),   // 33 kB: min_by/max_by rollup
+    "q_encounters" -> (256L << 10),  // 19 kB: band/bucket self-join
+    "q_monthly" -> (256L << 10),     // 18 kB: active-scoped rebuild
+  )
+
+  private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+  private val listener = new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  private def shuffleBytesOf(body: => Unit): Long = {
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val s0 = shuffleAcc.get
+      body
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      shuffleAcc.get - s0
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name shuffles within its byte budget at sf0.001") {
+      val fn = SparkEntry.queries(name)
+      val got = shuffleBytesOf {
+        CacheScope.scoped { fn(spark, sfDir).count(): Unit }
+      }
+      assert(got <= budget,
+        s"$name shuffled $got bytes at sf0.001, budget $budget — the plan " +
+          "regressed in VOLUME (shape locks in PlanSpec may still pass); " +
+          "explain() the query and find the new exchange or lost combine")
+    }
+  }
+}
