@@ -568,6 +568,23 @@ object SparkEntry {
       Dims.scd2(ev(s, dir), Seq("user_id"), "ts_sec", Seq("event_type"),
         tieBreak = Seq("event_id"))),
 
+    // --- queryable-current SCD2: each entity's OPEN version, no history ---
+    "q_scd2_current" -> ((s, dir) =>
+      Dims.scd2Current(ev(s, dir), Seq("user_id"), "ts_sec",
+        Seq("event_type"), tieBreak = Seq("event_id"))),
+
+    // --- SCD2 point-in-time lookup: versions active at mid-timeline ---
+    "q_scd2_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // data-derived cutoff (timeline midpoint): scale-free and exactly
+      // reproducible in the oracle; one-row broadcast, no driver action
+      val cut = e.agg(floor((min(col("ts_sec")) + max(col("ts_sec"))) / lit(2.0))
+        .cast("long").as("_cut"))
+      Dims.scd2Current(
+        e.crossJoin(broadcast(cut)).filter(col("ts_sec") <= col("_cut")).drop("_cut"),
+        Seq("user_id"), "ts_sec", Seq("event_type"), tieBreak = Seq("event_id"))
+    }),
+
     // --- interval flattening: overlapping per-entity activity spans
     // merged into maximal disjoint coverage windows ---
     "q_interval_merge" -> ((s, dir) =>
@@ -1810,6 +1827,41 @@ object SparkEntry {
          |       (lead(eff_start, 1) OVER (PARTITION BY user_id ORDER BY ver ASC)
          |         IS NULL) AS is_current
          |FROM rolled""".stripMargin,
+
+    "q_scd2_current" ->
+      s"""$EvCte, ch AS (
+         |  SELECT user_id, ts_sec, event_type, event_id,
+         |         (row_number() OVER w = 1
+         |          OR lag(event_type) OVER w IS DISTINCT FROM event_type) AS chg
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+         |), cur AS (
+         |  SELECT user_id, event_type, ts_sec AS eff_start,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |  FROM ch WHERE chg
+         |)
+         |SELECT user_id, event_type, eff_start FROM cur WHERE rn = 1""".stripMargin,
+
+    "q_scd2_asof" ->
+      s"""$EvCte, cut AS (
+         |  SELECT CAST(floor((MIN(ts_sec) + MAX(ts_sec)) / 2.0) AS BIGINT) AS c
+         |  FROM e
+         |), f AS (
+         |  SELECT e.* FROM e, cut WHERE e.ts_sec <= cut.c
+         |), ch AS (
+         |  SELECT user_id, ts_sec, event_type, event_id,
+         |         (row_number() OVER w = 1
+         |          OR lag(event_type) OVER w IS DISTINCT FROM event_type) AS chg
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+         |), cur AS (
+         |  SELECT user_id, event_type, ts_sec AS eff_start,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |  FROM ch WHERE chg
+         |)
+         |SELECT user_id, event_type, eff_start FROM cur WHERE rn = 1""".stripMargin,
 
     "q_interval_merge" -> IntervalMergeSql(
       """SELECT user_id, span_id, MIN(s) AS start, MAX(en) AS "end",

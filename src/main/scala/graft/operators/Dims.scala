@@ -70,6 +70,44 @@ object Dims {
   }
 
   /**
+   * Queryable-CURRENT view of an SCD2 change log: one row per key with
+   * the OPEN version's attributes and its `eff_start` — what
+   * [[scd2]].filter(is_current) returns, computed WITHOUT building the
+   * history. `asOf` turns it into a point-in-time lookup (the version
+   * active at that instant): rows after the cutoff are dropped before
+   * version detection, so a change that happened later never bleeds
+   * backwards.
+   *
+   * Plan: the same single (key, ts)-ordered window marks version
+   * starts, then the heartbeats are DISCARDED and one partial-agg'd
+   * `max_by` per key picks the latest version start — no prefix-sum,
+   * no second window, no history rollup. The groupBy key equals the
+   * window partition key, so the aggregation reuses the window's
+   * exchange: one shuffle total.
+   */
+  def scd2Current(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+                  attrCols: Seq[String], tieBreak: Seq[String] = Nil,
+                  asOf: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Current needs at least one attribute column")
+    val scoped = asOf.map(t => changes.filter(col(tsCol) <= t)).getOrElse(changes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).asc +: tieBreak.map(col(_).asc)): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    // same null-safe change rule as scd2: the first row opens a version
+    val changed = !(attrs <=> lag(attrs, 1).over(w))
+    val ord = struct((col(tsCol) +: tieBreak.map(col)): _*)
+    scoped
+      .withColumn("_chg", changed)
+      .filter(col("_chg"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct((attrCols.map(col) :+ col(tsCol).as("eff_start")): _*), ord).as("_cur"))
+      .select((keyCols.map(col) ++ attrCols.map(c => col("_cur").getField(c).as(c)) :+
+        col("_cur").getField("eff_start").as("eff_start")): _*)
+  }
+
+  /**
    * Map a code column to a descriptive value via a small lookup table
    * (reference: common_functions_raw.py:163 join_lookup). The lookup side
    * is explicitly broadcast: at 100 TB the fact side never shuffles.

@@ -190,9 +190,12 @@ object StateStore {
     // read: a delta whose keys all hash to buckets not yet present would
     // make that read return None and skip the check entirely.
     storedDataSchema(spark, root, before = Some(version)).foreach { st =>
-      val stored = st.map(fld => fld.name -> fld.dataType).sortBy(_._1)
+      // nullability is NOT drift: parquet round-trips nested fields as
+      // optional, so a non-null struct field written once comes back
+      // nullable — only names and value types are contract
+      val stored = st.map(fld => fld.name -> fld.dataType.catalogString).sortBy(_._1)
       val incoming = deltas.schema
-        .map(fld => fld.name -> fld.dataType).sortBy(_._1)
+        .map(fld => fld.name -> fld.dataType.catalogString).sortBy(_._1)
       require(stored == incoming,
         s"schema drift: store at $root holds ${stored.mkString(", ")} " +
           s"but the delta frame carries ${incoming.mkString(", ")} — " +

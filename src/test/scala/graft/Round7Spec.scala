@@ -64,4 +64,113 @@ class Round7Spec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("anomaly")),
       "constant-window (fp-negative variance) row must be null, not false")
   }
+
+  // --- queryable-current SCD2 ---------------------------------------------
+
+  test("scd2Current equals scd2.filter(is_current), and asOf equals the filtered prefix") {
+    val rng = new scala.util.Random(41)
+    val attrs = Array("A", "B", "C")
+    val rows = for {
+      u <- 1L to 8L
+      i <- 1 to 50
+    } yield (u, 86400L + rng.nextInt(200) * 30L, attrs(rng.nextInt(9) / 3),
+      u * 1000L + i)
+    val df = rows.toDF("user_id", "ts_sec", "attr", "event_id")
+    val cur = Dims.scd2Current(df, Seq("user_id"), "ts_sec", Seq("attr"),
+        tieBreak = Seq("event_id"))
+      .select("user_id", "attr", "eff_start")
+      .as[(Long, String, Long)].collect().toSet
+    val fromHistory = Dims.scd2(df, Seq("user_id"), "ts_sec", Seq("attr"),
+        tieBreak = Seq("event_id"))
+      .filter(col("is_current"))
+      .select("user_id", "attr", "eff_start")
+      .as[(Long, String, Long)].collect().toSet
+    assert(cur === fromHistory)
+    assert(cur.size === 8)
+
+    val cutSec = 86400L + 100 * 30L
+    val asOf = Dims.scd2Current(df, Seq("user_id"), "ts_sec", Seq("attr"),
+        tieBreak = Seq("event_id"), asOf = Some(lit(cutSec)))
+      .select("user_id", "attr", "eff_start")
+      .as[(Long, String, Long)].collect().toSet
+    val prefix = Dims.scd2Current(df.filter(col("ts_sec") <= cutSec),
+        Seq("user_id"), "ts_sec", Seq("attr"), tieBreak = Seq("event_id"))
+      .select("user_id", "attr", "eff_start")
+      .as[(Long, String, Long)].collect().toSet
+    assert(asOf === prefix)
+    // the cutoff really bites: at least one entity's current version differs
+    assert(asOf !== cur, "fixture too thin: cutoff changed nothing")
+  }
+
+  test("scd2Current plans exactly one exchange (window partitioning reused by the agg)") {
+    val df = (1L to 100L).map(i => (i % 7, i, if (i % 11 < 5) "A" else "B", i))
+      .toDF("user_id", "ts_sec", "attr", "event_id")
+    val p = Dims.scd2Current(df, Seq("user_id"), "ts_sec", Seq("attr"),
+      tieBreak = Seq("event_id")).queryExecution.executedPlan.toString
+    assert("(?<!Reused)Exchange (hash|range)".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("streaming currentUpdates + StateSink store equals the batch current view") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Scd2Fix, Scd2Stream, StateSink}
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val rng = new scala.util.Random(59)
+    val attrs = Array("A", "B", "C")
+    val all = rng.shuffle(for {
+      u <- 1L to 6L
+      i <- 1 to 40
+    } yield Scd2Fix(u, ts(86400L + rng.nextInt(120) * 50L),
+      attrs(rng.nextInt(9) / 3), u * 1000L + i))
+    val root = Files.createTempDirectory("graft-scd2cur").toString
+    val ckpt = Files.createTempDirectory("graft-scd2cur-ck").toString
+    val input = MemoryStream[Scd2Fix]
+    // open-version snapshots packed into ONE orderable struct: a later
+    // snapshot of the same entity never compares lower (new version ⇒
+    // larger effStart; heartbeat ⇒ same effStart, larger nRows), so the
+    // store's max-merge IS last-write-wins
+    val query = Scd2Stream.currentUpdates(input.toDS(), watermarkDelay = "2 hours")
+      .select(col("userId").as("user_id"),
+        struct(col("effStart"), col("nRows"), col("attr")).as("cur"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StateSink.mergeBatch(b, id, root, keys = Seq("user_id"),
+          sumCols = Nil, maxCols = Seq("cur"), nBuckets = 4)
+      }.start()
+    try {
+      all.grouped(60).foreach { b => input.addData(b); query.processAllAvailable() }
+      // watermark pushers finalize every real row (strictly-below rule)
+      input.addData(Scd2Fix(99L, ts(10000000), "Z", 1L)); query.processAllAvailable()
+      input.addData(Scd2Fix(99L, ts(20000000), "Z", 2L)); query.processAllAvailable()
+
+      val stored = StateStore.read(spark, root).get
+        .filter(col("user_id") =!= 99L)
+        .select(col("user_id"), col("cur.attr"), col("cur.effStart"),
+          col("cur.nRows"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      // scala fold twin: the current run per entity, exact incl. nRows
+      val expected = all.filter(_.userId != 99L).groupBy(_.userId).map {
+        case (u, rs) =>
+          val sorted = rs.sortBy(r => (r.ts.getTime / 1000, r.eventId))
+          var attr = ""; var start = 0L; var n = 0L
+          for (r <- sorted) {
+            if (r.attr == attr) n += 1
+            else { attr = r.attr; start = r.ts.getTime / 1000; n = 1 }
+          }
+          (u, attr, start, n)
+      }.toSet
+      assert(stored === expected,
+        s"store-only: ${stored -- expected}; batch-only: ${expected -- stored}")
+      // and the batch operator agrees on the same input
+      val batchCur = Dims.scd2Current(
+          all.filter(_.userId != 99L)
+            .map(f => (f.userId, f.ts.getTime / 1000, f.attr, f.eventId))
+            .toDF("user_id", "ts_sec", "attr", "event_id"),
+          Seq("user_id"), "ts_sec", Seq("attr"), tieBreak = Seq("event_id"))
+        .select("user_id", "attr", "eff_start")
+        .as[(Long, String, Long)].collect().toSet
+      assert(stored.map(t => (t._1, t._2, t._3)) === batchCur)
+    } finally query.stop()
+  }
 }
