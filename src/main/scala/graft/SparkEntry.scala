@@ -396,6 +396,11 @@ object SparkEntry {
       Text.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
         n = 8, minCount = 2)),
 
+    // --- exact substring dedup: truncated-suffix-rank duplicated spans ---
+    "q_suffix_spans" -> ((s, dir) =>
+      Text.suffixSpans(Tables.documents(s, dir), "doc_id", "text",
+        minLen = 12, minCount = 2)),
+
     // --- Gopher hard-filter rule battery over documents ---
     "q_gopher" -> ((s, dir) =>
       Text.gopherRules(Tables.documents(s, dir), "doc_id", "text",
@@ -1477,6 +1482,35 @@ object SparkEntry {
         |), dup AS (SELECT h FROM sd GROUP BY h HAVING COUNT(*) >= 2),
         |dp AS (
         |  SELECT sd.id, sd.pos AS s, sd.pos + 7 AS e
+        |  FROM sd JOIN dup ON sd.h = dup.h
+        |), mk AS (
+        |  SELECT id, s, e,
+        |         CASE WHEN lagmax IS NULL OR s > lagmax THEN 1 ELSE 0 END AS nw
+        |  FROM (SELECT id, s, e,
+        |          max(e) OVER (PARTITION BY id ORDER BY s ASC, e ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lagmax
+        |        FROM dp)
+        |), sp AS (
+        |  SELECT id, s, e,
+        |         CAST(SUM(nw) OVER (PARTITION BY id ORDER BY s ASC, e ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS span_id
+        |  FROM mk)
+        |SELECT id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_seeds
+        |FROM sp GROUP BY id, span_id""".stripMargin,
+
+    // exact-substring twin: the window TEXT itself is the key (no md5) —
+    // the oracle materializes every window, the Spark side never does
+    "q_suffix_spans" ->
+      """WITH sd AS (
+        |  SELECT doc_id AS id, t.i - 1 AS pos,
+        |         array_to_string(string_split(text,' ')[t.i:t.i+11], ' ') AS h
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text,' ')) - 11)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 12
+        |), dup AS (SELECT h FROM sd GROUP BY h HAVING COUNT(*) >= 2),
+        |dp AS (
+        |  SELECT sd.id, sd.pos AS s, sd.pos + 11 AS e
         |  FROM sd JOIN dup ON sd.h = dup.h
         |), mk AS (
         |  SELECT id, s, e,

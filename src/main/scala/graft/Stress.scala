@@ -140,6 +140,12 @@ object Stress {
       // seed-count groupBy and semi-join must stay linear regardless
       Text.duplicatedSpans(docs, "doc_id", "text", n = 8).count()
     }
+    probe(s"suffixSpans ${nDocs / 1000}k docs (truncated suffix ranks)") {
+      // same dense-duplication corpus, exact (hash-free) path: 3 doubling
+      // rounds over ~8M positions — join/groupBy/join per round must stay
+      // linear; the window text is never materialized
+      Text.suffixSpans(docs, "doc_id", "text", minLen = 8).count()
+    }
 
     // --- embeddings: 500k x 64 dims ---
     val nVecs = 500000L * scale

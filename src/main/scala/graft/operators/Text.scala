@@ -542,6 +542,83 @@ object Text {
         col("n_members").as("n_seeds"))
   }
 
+  /**
+   * Exact duplicated-substring spans via TRUNCATED SUFFIX RANKS — the
+   * suffix-array-family sibling of [[duplicatedSpans]] (the same Lee
+   * et al. exact-substring dedup semantics, built the way the paper
+   * does it — suffix ordering — instead of hashed seeds). Two token
+   * positions start an identical `minLen`-token window iff their
+   * Manber–Myers prefix-doubling ranks agree; ranks are computed only
+   * up to the window width (⌈log₂ minLen⌉ rounds, NOT the full suffix
+   * array: rank equality at width w ⟺ the w-token windows are
+   * identical, and any length-L window is two overlapping width-2^m
+   * windows — the sparse-table argument). No hashing anywhere: unlike
+   * md5 seeds, a collision cannot merge unrelated spans, so the output
+   * is certificate-exact at any corpus size.
+   *
+   * Scale shape per round: one per-doc (id,pos)-keyed self-join pairs
+   * each position's rank with its pos+w successor; one partial-agg'd
+   * groupBy collapses equal pairs to a canonical representative — the
+   * class's minimum (id,pos), deterministic with no global sort and no
+   * monotonically_increasing_id; one join back; lineage cut per round
+   * (the plan otherwise fans out 3-way per doubling). Everything is
+   * equi-join shaped and ranks stay fixed-width structs — the window
+   * TEXT is never materialized per position, which is what makes this
+   * cheaper in bytes than seed hashing at large `minLen`.
+   */
+  def suffixSpans(df: DataFrame, idCol: String, textCol: String,
+                  minLen: Int = 12, minCount: Long = 2,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(minLen >= 2 && minCount >= 2,
+      "suffixSpans needs minLen >= 2, minCount >= 2")
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol).as("id"), size(toks).as("len"),
+        posexplode(toks))
+      .select(col("id"), col("len"), col("pos"), col("col").as("rank"))
+    // pair rank(i) with rank(i+off) per doc: the successor side is the
+    // same frame shifted by off — a plain (id, pos) equi-join. Tail
+    // positions pair with null; they can share ranks only among
+    // themselves (null never equals a live rank in grouping), and the
+    // final validity filter drops them before counting.
+    def paired(r: DataFrame, off: Int): DataFrame = {
+      val succ = r.select(col("id"), (col("pos") - off).as("pos"),
+        col("rank").as("_r2"))
+      r.join(succ, Seq("id", "pos"), "left")
+        .select(col("id"), col("len"), col("pos"),
+          struct(col("rank"), col("_r2")).as("pair"))
+    }
+    var r = base
+    var w = 1
+    while (w * 2 <= minLen) {
+      val p = paired(r, w)
+      // distinct pair classes → injective representative: each (id,pos)
+      // sits in exactly one class, so the class minimum never collides
+      val reps = p.groupBy("pair")
+        .agg(min(struct(col("id"), col("pos"))).as("rank"))
+      r = graft.CacheScope.lineageCut(
+        p.join(reps, Seq("pair"))
+          .select(col("id"), col("len"), col("pos"), col("rank")),
+        checkpointDir)
+      w *= 2
+    }
+    // width-minLen equality key: the two overlapping width-w windows
+    val keyed =
+      if (w == minLen)
+        r.select(col("id"), col("pos"), col("len"), col("rank").as("key"))
+      else
+        paired(r, minLen - w).select(col("id"), col("pos"), col("len"),
+          col("pair").as("key"))
+    val valid = keyed.filter(col("pos") + minLen <= col("len"))
+    val dup = valid.groupBy("key").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+    val dupPos = valid.join(dup.select("key"), Seq("key"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + minLen - 1).cast("long").as("e"))
+    Intervals.mergeIntervals(dupPos, Seq("id"), "s", "e")
+      .select(col("id"), col("start").as("span_start"),
+        col("end").as("span_end"), col("n_members").as("n_seeds"))
+  }
+
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,

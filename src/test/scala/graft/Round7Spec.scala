@@ -173,4 +173,52 @@ class Round7Spec extends SparkSpecBase {
       assert(stored.map(t => (t._1, t._2, t._3)) === batchCur)
     } finally query.stop()
   }
+
+  // --- suffix-rank exact substring dedup ----------------------------------
+
+  test("suffixSpans finds exactly the planted duplicated windows (non-power-of-two L)") {
+    // doc A and doc B share a 7-token run; doc C shares nothing; doc A
+    // additionally repeats a 5-token run internally (below minLen=6 ⇒
+    // only its 6+-token overlap region may appear — here none)
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      ("A", s"x1 x2 $shared y1 y2 y3"),
+      ("B", s"z1 $shared w1"),
+      ("C", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+    val got = Text.suffixSpans(docs, "doc_id", "text", minLen = 6, minCount = 2)
+      .select("id", "span_start", "span_end")
+      .as[(String, Long, Long)].collect().toSet
+    // the shared run spans tokens [2,8] in A and [1,7] in B; duplicated
+    // 6-windows start at its first two positions, merging to the full run
+    assert(got === Set(("A", 2L, 8L), ("B", 1L, 7L)), s"got $got")
+  }
+
+  test("suffixSpans handles docs shorter than minLen and exact-length docs") {
+    val docs = Seq(
+      ("S", "one two"),                       // shorter than minLen
+      ("E1", "p q r s"), ("E2", "p q r s"),   // exact-length full-doc dup
+      ("N", "p q r t")                        // 3-token prefix only: below L
+    ).toDF("doc_id", "text")
+    val got = Text.suffixSpans(docs, "doc_id", "text", minLen = 4, minCount = 2)
+      .select("id", "span_start", "span_end", "n_seeds")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("E1", 0L, 3L, 1L), ("E2", 0L, 3L, 1L)), s"got $got")
+  }
+
+  test("suffixSpans equals duplicatedSpans on real documents (md5-collision-free corpus)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val viaRanks = Text.suffixSpans(docs, "doc_id", "text",
+        minLen = 8, minCount = 2)
+      .select("id", "span_start", "span_end", "n_seeds")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val viaSeeds = Text.duplicatedSpans(docs, "doc_id", "text",
+        n = 8, minCount = 2)
+      .select("id", "span_start", "span_end", "n_seeds")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaRanks === viaSeeds,
+      s"ranks-only: ${(viaRanks -- viaSeeds).take(4)}; " +
+        s"seeds-only: ${(viaSeeds -- viaRanks).take(4)}")
+    assert(viaRanks.nonEmpty, "fixture has no duplicated spans — gate is vacuous")
+  }
 }
