@@ -455,6 +455,25 @@ object SparkEntry {
           n = 3, threshold = 0.7),
         "id_a", "id_b")),
 
+    // --- canonical dedup: best-quality survivor per near-dup cluster ---
+    "q_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalDedup(Tables.documents(s, dir), "doc_id",
+          Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.7),
+          "id_a", "id_b", scoreCol = "n_chars")
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("n_members"))),
+
+    // --- leakage-safe split: near-dup clusters stay in one split ---
+    "q_split_leakfree" -> ((s, dir) =>
+      Sampling.leakFreeSplit(Tables.documents(s, dir), "doc_id",
+          Dedup.clusterPairs(
+            Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+              n = 3, threshold = 0.7),
+            "id_a", "id_b"),
+          valFraction = 0.1, testFraction = 0.1)
+        .select(col("doc_id"), col("split"))),
+
     // --- PII / repetition / sampling ---
     "q_pii" -> ((s, dir) =>
       Text.redactPii(Tables.documents(s, dir), "text")
@@ -1628,6 +1647,30 @@ object SparkEntry {
 
     "q_dedup_cluster" -> ClusterSql,
 
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $ClusterCtes, j AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+         |)
+         |SELECT cluster_id, doc_id AS keep_id, n_members FROM (
+         |  SELECT cluster_id, doc_id,
+         |         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |           AS n_members,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM j)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT doc_id,
+         |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT d.doc_id,
+         |        ${bucketSql("COALESCE(cl.cluster_id, d.doc_id)")} AS b
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)""".stripMargin,
+
     "q_pii" -> PiiSql,
 
     "q_repetition" ->
@@ -2777,8 +2820,8 @@ object SparkEntry {
 
   /** Connected components over the t≥0.7 Jaccard pairs: transitive
    * closure by recursive CTE, component id = min reachable id. */
-  private val ClusterSql =
-    s"""WITH RECURSIVE $JaccardCtes, pr AS (
+  private val ClusterCtes =
+    s"""$JaccardCtes, pr AS (
        |  SELECT id_a, id_b FROM p
        |  WHERE common::DOUBLE / (n_a + n_b - common) >= 0.7
        |), edges AS (
@@ -2789,9 +2832,14 @@ object SparkEntry {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT src AS id, least(src, MIN(dst)) AS cluster_id
-       |FROM reach GROUP BY src""".stripMargin
+       |), cl AS (
+       |  SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
+  private val ClusterSql =
+    s"""WITH RECURSIVE $ClusterCtes
+       |SELECT id, cluster_id FROM cl""".stripMargin
 
   /** DuckDB PII scrub generated from the SAME pattern list as the Spark
    * operator ([[graft.operators.Text.PiiPatterns]]) — one source of truth. */

@@ -434,6 +434,40 @@ object Dedup {
   }
 
   /**
+   * Canonical near-dup collapse: ONE survivor per duplicate cluster —
+   * the highest-`scoreCol` member, ties broken by smallest id — plus
+   * every unpaired doc untouched. This is the corpus-dedup endpoint:
+   * any similarity join's pairs ([[minhashLsh]], [[ngramJaccard]], …)
+   * feed [[clusterPairs]], and instead of keeping an arbitrary cluster
+   * member the BEST-quality representative survives. Returns each
+   * survivor's full row plus its `cluster_id` and the cluster's
+   * `n_members`.
+   *
+   * Scale shape: the cluster map has one row per PAIRED doc (≪ corpus
+   * under realistic dup rates); the attach join is key-equi; the
+   * survivor pick is one partial-agg'd min_by per cluster — no window
+   * over the corpus, no second pass over text.
+   */
+  def canonicalDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String, bCol: String, scoreCol: String,
+                     maxIter: Int = 20,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = clusterPairs(pairs, aCol, bCol, maxIter, checkpointDir)
+      .withColumnRenamed("id", idCol)
+    val keyed = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    // min_by over (-score, id): max score, ties to the smallest id —
+    // one ordering struct, no mixed-direction window needed
+    val ord = struct((-col(scoreCol)).as("_ns"), col(idCol).as("_id"))
+    keyed.groupBy("cluster_id")
+      .agg(min_by(struct(docs.columns.map(col): _*), ord).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select((col("cluster_id") +:
+        docs.columns.map(c => col("_best").getField(c).as(c)) :+
+        col("n_members")): _*)
+  }
+
+  /**
    * Edit-distance near-duplicate pairs on a short key (title, URL,
    * normalized name): pairs with `levenshtein(key_a, key_b) <= maxDist`.
    *

@@ -58,6 +58,28 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe train/val/test split: near-duplicate documents must
+   * land in the SAME split — a train/val pair of near-copies leaks
+   * evaluation data into training, and a doc-id-hashed split
+   * ([[splitAssign]]) scatters a duplicate cluster across splits with
+   * probability ≈ 1 − (1−v−t)^(k−1) per k-cluster. The split key is
+   * therefore the doc's cluster id from
+   * [[graft.operators.Dedup.clusterPairs]] (singletons key by their own
+   * id), hashed with the exact [[splitAssign]] rule — so the split is
+   * still deterministic, engine-stable, and fraction-accurate over
+   * clusters.
+   */
+  def leakFreeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                    valFraction: Double, testFraction: Double,
+                    buckets: Int = DefaultBuckets): DataFrame = {
+    val cl = clusters.select(col("id").as(idCol), col("cluster_id"))
+    val keyed = df.join(cl, Seq(idCol), "left")
+      .withColumn("_skey", coalesce(col("cluster_id"), col(idCol)))
+    splitAssign(keyed, "_skey", valFraction, testFraction, buckets)
+      .drop("_skey", "cluster_id")
+  }
+
+  /**
    * Deterministic per-stratum cap: keep at most `maxPerStratum` rows of
    * each stratum, chosen by md5-hash order of the key — the "no more
    * than N docs per domain" guard against a single hot source flooding

@@ -221,4 +221,41 @@ class Round7Spec extends SparkSpecBase {
         s"seeds-only: ${(viaSeeds -- viaRanks).take(4)}")
     assert(viaRanks.nonEmpty, "fixture has no duplicated spans — gate is vacuous")
   }
+
+  // --- canonical dedup + leakage-safe split -------------------------------
+
+  test("canonicalDedup keeps the best-score member per cluster, ties to smallest id") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 30L), // cluster {1,2,3}: best=2 (30, min id)
+      (4L, "d", 5L),                                  // singleton
+      (5L, "e", 7L), (6L, "f", 2L)                    // cluster {5,6}: best=5
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalDedup(docs, "doc_id", pairs, "id_a", "id_b", "score")
+      .select("cluster_id", "doc_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L), (4L, 4L, 1L), (5L, 5L, 2L)))
+  }
+
+  test("leakFreeSplit: every near-dup cluster lands whole in one split") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val clusters = Dedup.clusterPairs(
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7),
+      "id_a", "id_b")
+    val split = Sampling.leakFreeSplit(docs, "doc_id", clusters, 0.2, 0.2)
+    // the leakage invariant itself
+    val mixed = split.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(mixed === 0L, s"$mixed clusters scattered across splits")
+    // and the plain doc-hash split DOES scatter on this corpus — the
+    // operator is load-bearing, not vacuously equal to splitAssign
+    val naive = Sampling.splitAssign(docs, "doc_id", 0.2, 0.2)
+    val naiveMixed = naive.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(naiveMixed > 0L, "fixture can't distinguish leak-free from naive split")
+    // all three splits are populated
+    assert(split.select("split").distinct().count() === 3)
+  }
 }
