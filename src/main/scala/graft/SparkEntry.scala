@@ -923,6 +923,12 @@ object SparkEntry {
           "doc_id", "w", k = 20, strataCols = Seq("lang"))
         .select("doc_id", "lang")),
 
+    // --- DSIR: importance-resampled raw-pool draw toward the en target ---
+    "q_dsir" -> ((s, dir) =>
+      Sampling.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", k = 50)
+        .select(col("doc_id"), r3(col("logw")).as("logw"))),
+
     // --- token-distribution entropy ---
     "q_entropy" -> ((s, dir) =>
       Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
@@ -2436,6 +2442,35 @@ object SparkEntry {
          |  FROM documents WHERE length(text) > 0
          |)
          |SELECT doc_id, lang FROM w WHERE rn <= 20""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, tgt,
+         |         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024
+         |           AS feat
+         |  FROM tk
+         |), f AS (
+         |  SELECT feat, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+         |               SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc
+         |  FROM t GROUP BY 1
+         |), tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM f),
+         |lr AS (
+         |  SELECT feat, ln((tc + 1.0) / (tt + 1024)) - ln((rc + 1.0) / (rt + 1024))
+         |           AS lr
+         |  FROM f CROSS JOIN tot
+         |), dw AS (
+         |  SELECT doc_id, SUM(lr) AS logw
+         |  FROM t JOIN lr USING (feat) WHERE NOT tgt GROUP BY 1
+         |)
+         |SELECT doc_id, floor(logw*1000 + 0.5)/1000 AS logw
+         |FROM dw
+         |ORDER BY logw - ln(-ln((${bucketSql("doc_id")} + 0.5) / 10000)) DESC,
+         |         doc_id
+         |LIMIT 50""".stripMargin,
 
     "q_entropy" ->
       """WITH t AS (

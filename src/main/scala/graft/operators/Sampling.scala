@@ -173,4 +173,46 @@ object Sampling {
         floor(col("fraction") * buckets))
       .drop("fraction")
   }
+
+  /**
+   * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+   * arXiv:2302.03169): pick the `k` raw-pool documents whose hashed
+   * token distribution looks most like a target domain. Features are
+   * md5-hashed tokens in `nFeatures` buckets (the paper's hashed
+   * n-grams); target and raw pools each fit an add-1-smoothed
+   * multinomial over the buckets; a doc's importance weight is
+   * Σ_tokens [ln p̂_tgt(feat) − ln p̂_raw(feat)]; the draw is Gumbel
+   * top-k — g = −ln(−ln u) with u an md5 uniform of the doc key, so the
+   * "random" resample is deterministic and engine-reproducible like
+   * every sampler here.
+   *
+   * Scale shape: tokenize once; the feature model is ≤ `nFeatures` rows
+   * (one partial-agg'd groupBy over the corpus, both pools counted in
+   * the same pass) and joins back BROADCAST; the per-doc sum is the
+   * corpus' one shuffle; the final draw is orderBy+limit — Spark plans
+   * TakeOrderedAndProject (per-partition top-k, k-row driver merge), no
+   * full sort. Nothing scales with corpus size except the two
+   * token-keyed passes.
+   */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int, nFeatures: Int = 1024,
+                 buckets: Int = DefaultBuckets): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"), isTarget.as("_tgt"),
+      explode(split(col(textCol), " ")).as("_token"))
+      .withColumn("_feat", hashBucket(col("_token"), nFeatures))
+    val feats = toks.groupBy("_feat").agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_tc"),
+      sum(when(col("_tgt"), 0L).otherwise(1L)).as("_rc"))
+    val totals = feats.agg(sum("_tc").as("_tt"), sum("_rc").as("_rt"))
+    val lr = feats.crossJoin(broadcast(totals)).select(col("_feat"),
+      (log((col("_tc") + 1.0) / (col("_tt") + nFeatures)) -
+        log((col("_rc") + 1.0) / (col("_rt") + nFeatures))).as("_lr"))
+    val logw = toks.filter(!col("_tgt"))
+      .join(broadcast(lr), "_feat")
+      .groupBy("_id").agg(sum("_lr").as("logw"))
+    val u = (hashBucket(col("_id"), buckets) + 0.5) / buckets
+    logw.withColumn("_gk", col("logw") - log(-log(u)))
+      .orderBy(desc("_gk"), col("_id")).limit(k)
+      .select(col("_id").as(idCol), col("logw"))
+  }
 }

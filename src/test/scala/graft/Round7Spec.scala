@@ -258,4 +258,33 @@ class Round7Spec extends SparkSpecBase {
     // all three splits are populated
     assert(split.select("split").distinct().count() === 3)
   }
+
+  // --- DSIR importance resampling -----------------------------------------
+
+  test("dsirSelect favors raw docs that look like the target domain") {
+    // target speaks "alpha"; half the raw pool speaks "alpha", half "omega"
+    val docs = (
+      (1L to 10L).map(i => (i, ("alpha " * 20).trim, true)) ++
+      (11L to 20L).map(i => (i, ("alpha " * 20).trim, false)) ++
+      (21L to 30L).map(i => (i, ("omega " * 20).trim, false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val got = Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("is_tgt"), k = 10)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    // never selects from the target pool
+    assert(ids.forall(_ > 10L), s"target docs leaked into the draw: $ids")
+    // alpha-speaking raw docs carry a strictly higher weight than omega
+    val w = got.select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    val alphaW = w.filter(_._1 <= 20).values
+    val omegaW = w.filter(_._1 > 20).values
+    if (alphaW.nonEmpty && omegaW.nonEmpty)
+      assert(alphaW.min > omegaW.max)
+    // the gumbel draw still picked SOME alpha docs (weight dominates)
+    assert(ids.count(_ <= 20L) >= 5, s"alpha raw docs under-drawn: $ids")
+    // deterministic: a rerun selects the identical set
+    val again = Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("is_tgt"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+  }
 }
