@@ -464,6 +464,13 @@ object SparkEntry {
         .select(col("cluster_id"), col("doc_id").as("keep_id"),
           col("n_members"))),
 
+    // --- dedup report: cluster-size distribution + rows removed ---
+    "q_dedup_profile" -> ((s, dir) =>
+      Dedup.dedupProfile(Tables.documents(s, dir), "doc_id",
+        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.7),
+        "id_a", "id_b")),
+
     // --- leakage-safe split: near-dup clusters stay in one split ---
     "q_split_leakfree" -> ((s, dir) =>
       Sampling.leakFreeSplit(Tables.documents(s, dir), "doc_id",
@@ -1667,6 +1674,19 @@ object SparkEntry {
          |           ORDER BY n_chars DESC, doc_id ASC) AS rn
          |  FROM j)
          |WHERE rn = 1""".stripMargin,
+
+    "q_dedup_profile" ->
+      s"""WITH RECURSIVE $ClusterCtes, j AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+         |), s AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM j GROUP BY 1
+         |)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         |       CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removed
+         |FROM s GROUP BY 1""".stripMargin,
 
     "q_split_leakfree" ->
       s"""WITH RECURSIVE $ClusterCtes

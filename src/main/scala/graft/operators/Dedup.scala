@@ -468,6 +468,32 @@ object Dedup {
   }
 
   /**
+   * Dedup report: the cluster-size distribution every corpus-dedup
+   * writeup leads with — for each duplicate-cluster size, how many
+   * clusters, how many docs they hold, and how many rows a
+   * keep-one-per-cluster pass removes (`n_docs − n_clusters`).
+   * Singletons (unpaired docs) appear as size 1, so the n_docs column
+   * sums to the corpus and the dup-rate falls straight out.
+   *
+   * Scale shape: cluster attach is a key-equi left join; then two
+   * partial-agg'd groupBys each strictly smaller than their input
+   * (corpus → clusters → sizes). Output is O(max cluster size) rows.
+   */
+  def dedupProfile(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String, bCol: String, maxIter: Int = 20,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = clusterPairs(pairs, aCol, bCol, maxIter, checkpointDir)
+      .withColumnRenamed("id", idCol)
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .withColumn("n_removed", col("n_docs") - col("n_clusters"))
+  }
+
+  /**
    * Edit-distance near-duplicate pairs on a short key (title, URL,
    * normalized name): pairs with `levenshtein(key_a, key_b) <= maxDist`.
    *

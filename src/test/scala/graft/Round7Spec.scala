@@ -259,6 +259,19 @@ class Round7Spec extends SparkSpecBase {
     assert(split.select("split").distinct().count() === 3)
   }
 
+  test("dedupProfile: size histogram accounts for every doc, removals = docs - clusters") {
+    val docs = Seq(
+      (1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), // cluster of 3
+      (4L, "d", 1L),                               // singleton
+      (5L, "e", 1L), (6L, "f", 1L)                 // cluster of 2
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupProfile(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("cluster_size", "n_clusters", "n_docs", "n_removed")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L, 3L, 2L), (1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L)))
+  }
+
   // --- DSIR importance resampling -----------------------------------------
 
   test("dsirSelect favors raw docs that look like the target domain") {
