@@ -566,4 +566,120 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
+
+  /** Per-subspace view of an embedding frame: one row per (id, sub) with
+   * the dsub-wide slice and the FULL-vector norm riding along. */
+  private def subspaced(em: DataFrame, idCol: String, vecCol: String,
+                        m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    em.select(col(idCol).as("id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "pq").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("id"), col("nrm"), col("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("vs"))
+  }
+
+  /** (sub, cell, c2) centroid frame with ‖c‖² precomputed, from row-form
+   * codebooks — the broadcast side of every PQ assignment join. */
+  private def pqCentArrays(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("sub", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => s.getField("mean")).as("c"))
+      .withColumn("c2", dot(col("c"), col("c")))
+
+  /** argmin-‖vs−c‖² code per (id, sub): broadcast-join the m·ks centroid
+   * table on the subspace key, partial-agg argmin — one row per (id, sub)
+   * reaches the shuffle regardless of ks. */
+  private def pqAssign(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.join(broadcast(cent), "sub")
+      .withColumn("d", col("c2") - lit(2.0) * dot(col("vs"), col("c")))
+      .groupBy("id", "sub")
+      .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
+        first(col("vs")).as("vs"), first(col("nrm")).as("nrm"))
+
+  /**
+   * Product-quantization codebook training (Jégou et al. 2011, "Product
+   * quantization for nearest neighbor search"): the embedding is split
+   * into `m` contiguous subspaces of `dim/m` dims and each subspace gets
+   * its own `ks`-cell k-means codebook — `m·log2(ks)` bits per vector
+   * instead of `dim·64`, the compression layer a 100 TB embedding
+   * corpus needs before any index fits anywhere.
+   *
+   * Training is [[kmeansCentroids]]' Lloyd loop with the subspace index
+   * as an extra group key — ALL m codebooks train in the same passes
+   * (one broadcast-assign join + one (sub, cell, dim) partial-agg
+   * groupBy per round, lineage cut per round), not m sequential runs.
+   * Deterministic like kmeans: md5-ordered init (the same picked rows
+   * seed every subspace), argmin ties to the smallest cell. Emits
+   * engine-portable row form (sub, cell, dim [1-based], mean).
+   */
+  def pqCodebooks(em: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int, iters: Int, dim: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    require(ks >= 1 && iters >= 0, "pqCodebooks needs ks >= 1, iters >= 0")
+    val sv = graft.CacheScope.persist(subspaced(em, idCol, vecCol, m, dim))
+    val picked = em.select(col(idCol).as("id"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h").limit(ks)
+      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .select("id", "cell")
+    var cent = sv.join(broadcast(picked), "id")
+      .select(col("sub"), col("cell"), col("vs").as("c"))
+      .withColumn("c2", dot(col("c"), col("c")))
+    for (_ <- 1 to iters) {
+      val next = pqAssign(sv, cent)
+        .select(col("sub"), col("cell"), posexplode(col("vs")).as(Seq("dim", "x")))
+        .groupBy("sub", "cell", "dim").agg(avg("x").as("mean"))
+      cent = pqCentArrays(graft.CacheScope.lineageCut(next
+        .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean")),
+        checkpointDir))
+    }
+    cent.select(col("sub"), col("cell"), posexplode(col("c")).as(Seq("dim", "mean")))
+      .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean"))
+  }
+
+  /**
+   * PQ-compressed ANN via asymmetric distance computation (ADC): train
+   * codebooks on the candidate corpus, encode every candidate to m
+   * codes, then score each query against the CODES — per query one
+   * m·ks-entry lookup table of subspace dot products (broadcast), the
+   * approximate dot is the sum of its m lookups, and the cosine uses
+   * the candidate's EXACT stored norm (the standard PQ-index trick: one
+   * extra float per vector, no second pass over raw data at query
+   * time). Top-k per query by the ADC cosine, ties to the smallest id.
+   *
+   * Scale shape: codes are m ints + 1 double per candidate — the raw
+   * vectors are read once at build time and never again; scoring is a
+   * broadcast equi-join (sub, code) + one partial-agg'd (query, cand)
+   * sum; ranking shuffles on query_id (balanced high-fanout keys).
+   */
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             m: Int = 4, ks: Int = 8, iters: Int = 2,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val cb = pqCodebooks(candidates, idCol, vecCol, m, ks, iters, dim, checkpointDir)
+    // the centroid table feeds the encode join AND the per-query LUT —
+    // persist or the whole Lloyd loop replays per consumer
+    val cent = graft.CacheScope.persist(pqCentArrays(cb))
+    val codes = pqAssign(subspaced(candidates, idCol, vecCol, m, dim), cent)
+      .select(col("id").as("cand_id"), col("sub"), col("cell").as("code"),
+        col("nrm").as("nrm_c"))
+    val lut = subspaced(queries, idCol, vecCol, m, dim)
+      .join(broadcast(cent), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("cell"),
+        dot(col("vs"), col("c")).as("dp"), col("nrm").as("nrm_q"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cell"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("dp").as("dsum"), first("nrm_c").as("nrm_c"),
+        first("nrm_q").as("nrm_q"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosOver(col("dsum"), col("nrm_q") * col("nrm_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
 }

@@ -272,6 +272,67 @@ class Round7Spec extends SparkSpecBase {
     assert(got === Set((3L, 1L, 3L, 2L), (1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L)))
   }
 
+  // --- product quantization ------------------------------------------------
+
+  test("pqTopK: blob resolution, planted twin retrieved, codebook shape, determinism") {
+    // 10 tight separated blobs of 40 vectors in 16-d. Within a tight
+    // blob every member quantizes to the SAME codes, so within-blob
+    // order is beyond PQ's resolution BY DESIGN — the honest structural
+    // claim is that every retrieved neighbor comes from the query's own
+    // blob (the q_ann_pq oracle gate measures the adversarial
+    // random-vector recall floor instead)
+    def vec(blob: Int, i: Int): Array[Double] =
+      Array.tabulate(16)(j => (((i * 13 + j * 7) % 11) - 5) * 0.03 +
+        (if (j == blob % 16) 10.0 else 1.0))
+    val rows = (for { b <- 0 until 10; i <- 0 until 40 }
+      yield ((b * 100 + i).toLong, vec(b, i))).toDF("vec_id", "embedding")
+    val queries = rows.filter(col("vec_id") % 100 === 7 && col("vec_id") < 500)
+    val pq = Similarity.pqTopK(rows, queries, "vec_id", "embedding", k = 5,
+      dim = 16, m = 4, ks = 16, iters = 3)
+    val wrongBlob = pq.filter(floor(col("cand_id") / 100) =!=
+      floor(col("query_id") / 100)).count()
+    assert(wrongBlob === 0L, s"$wrongBlob retrieved neighbors from a foreign blob")
+    assert(pq.count() === 25L) // 5 queries x full top-5
+    // planted near-twin in a RANDOM corpus: the twin shares every code
+    // with its query, so ADC ranks it at/near the top
+    val rng = new scala.util.Random(42)
+    def rv() = Array.fill(64)(rng.nextDouble() * 2 - 1)
+    val corpus = (0 until 500).map(i => (i.toLong, rv())).toDF("vec_id", "embedding")
+    val twins = (0 until 10).map { i =>
+      val src = i * 37
+      (1000L + src, src.toLong)
+    }
+    val srcVecs = corpus.filter(col("vec_id").isin(twins.map(_._2): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qdf = twins.map { case (qid, src) =>
+      (qid, srcVecs(src).map(_ + 0.01)) }.toDF("vec_id", "embedding")
+    val found = Similarity.pqTopK(corpus, qdf, "vec_id", "embedding", k = 5,
+        dim = 64, m = 8, ks = 64, iters = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = twins.count { case (qid, src) => found.getOrElse(qid, Set()).contains(src) }
+    assert(hits >= 8, s"planted twin retrieved for only $hits/10 queries")
+    // codebook row form: m*ks cells max, each with dim/m dims, 1-based
+    val cb = Similarity.pqCodebooks(rows, "vec_id", "embedding",
+      m = 4, ks = 16, iters = 1, dim = 16)
+    val shape = cb.groupBy("sub", "cell").count()
+    assert(shape.filter(col("count") =!= 4).isEmpty, "a cell missing dims")
+    assert(cb.agg(max("dim")).head.getInt(0) === 4)
+    assert(cb.select("sub").distinct().count() === 4)
+    // deterministic end to end
+    val again = Similarity.pqTopK(rows, queries, "vec_id", "embedding", k = 5,
+      dim = 16, m = 4, ks = 16, iters = 3)
+    assert(pq.select("query_id", "cand_id", "rank").collect().toSet ===
+      again.select("query_id", "cand_id", "rank").collect().toSet)
+    // dim mismatch fails fast
+    val bad = rows.withColumn("embedding", slice(col("embedding"), 1, 7))
+    val e = intercept[Exception] {
+      Similarity.pqCodebooks(bad, "vec_id", "embedding",
+        m = 4, ks = 4, iters = 1, dim = 16).collect()
+    }
+    assert(e.getMessage.contains("embedding length"))
+  }
+
   // --- DSIR importance resampling -----------------------------------------
 
   test("dsirSelect favors raw docs that look like the target domain") {
