@@ -166,6 +166,16 @@ object Stress {
       Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64).count()
     }
+    probe(s"ANN PQ (m=8 ks=64) ${nVecs / 1000}k") {
+      // train + encode + ADC-score the full corpus for 10 queries —
+      // the whole pipeline must stay linear in nVecs
+      Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 64, iters = 2).count()
+    }
+    probe(s"DSIR draw top-10k of ${nDocs / 1000}k docs") {
+      Sampling.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0, k = 10000).count()
+    }
     probe(s"simhash banded ${nDocs / 1000}k docs") {
       Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3).count()
     }

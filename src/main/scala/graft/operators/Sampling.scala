@@ -200,9 +200,13 @@ object Sampling {
     val toks = docs.select(col(idCol).as("_id"), isTarget.as("_tgt"),
       explode(split(col(textCol), " ")).as("_token"))
       .withColumn("_feat", hashBucket(col("_token"), nFeatures))
-    val feats = toks.groupBy("_feat").agg(
+    // persisted: ≤ nFeatures rows, but its subtree is the full corpus
+    // tokenization — without the persist the totals branch and the lr
+    // branch EACH replay that scan (3 corpus passes instead of the
+    // fit+score 2 the technique needs)
+    val feats = graft.CacheScope.persist(toks.groupBy("_feat").agg(
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("_tc"),
-      sum(when(col("_tgt"), 0L).otherwise(1L)).as("_rc"))
+      sum(when(col("_tgt"), 0L).otherwise(1L)).as("_rc")))
     val totals = feats.agg(sum("_tc").as("_tt"), sum("_rc").as("_rt"))
     val lr = feats.crossJoin(broadcast(totals)).select(col("_feat"),
       (log((col("_tc") + 1.0) / (col("_tt") + nFeatures)) -

@@ -620,7 +620,16 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
     require(ks >= 1 && iters >= 0, "pqCodebooks needs ks >= 1, iters >= 0")
     val sv = graft.CacheScope.persist(subspaced(em, idCol, vecCol, m, dim))
-    val picked = em.select(col(idCol).as("id"))
+    pqTrain(sv, ks, iters, checkpointDir)
+      .select(col("sub"), col("cell"), posexplode(col("c")).as(Seq("dim", "mean")))
+      .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean"))
+  }
+
+  /** Lloyd loop over a (PERSISTED) subspaced frame; returns the array-form
+   * centroid frame (sub, cell, c, c2). */
+  private def pqTrain(sv: DataFrame, ks: Int, iters: Int,
+                      checkpointDir: Option[String]): DataFrame = {
+    val picked = sv.filter(col("sub") === 0).select(col("id"))
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h").limit(ks)
       .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
@@ -636,8 +645,7 @@ object Similarity {
         .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean")),
         checkpointDir))
     }
-    cent.select(col("sub"), col("cell"), posexplode(col("c")).as(Seq("dim", "mean")))
-      .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean"))
+    cent
   }
 
   /**
@@ -659,11 +667,14 @@ object Similarity {
              idCol: String, vecCol: String, k: Int, dim: Int,
              m: Int = 4, ks: Int = 8, iters: Int = 2,
              checkpointDir: Option[String] = None): DataFrame = {
-    val cb = pqCodebooks(candidates, idCol, vecCol, m, ks, iters, dim, checkpointDir)
-    // the centroid table feeds the encode join AND the per-query LUT —
-    // persist or the whole Lloyd loop replays per consumer
-    val cent = graft.CacheScope.persist(pqCentArrays(cb))
-    val codes = pqAssign(subspaced(candidates, idCol, vecCol, m, dim), cent)
+    require(m >= 1 && dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    require(ks >= 1 && iters >= 0, "pqTopK needs ks >= 1, iters >= 0")
+    // ONE subspaced pass over the raw vectors serves both training and
+    // encoding; the centroid table feeds the encode join AND the
+    // per-query LUT — persist or the Lloyd loop replays per consumer
+    val sv = graft.CacheScope.persist(subspaced(candidates, idCol, vecCol, m, dim))
+    val cent = graft.CacheScope.persist(pqTrain(sv, ks, iters, checkpointDir))
+    val codes = pqAssign(sv, cent)
       .select(col("id").as("cand_id"), col("sub"), col("cell").as("code"),
         col("nrm").as("nrm_c"))
     val lut = subspaced(queries, idCol, vecCol, m, dim)

@@ -295,5 +295,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "per-pair rollup lost map-side combine")
   }
 
+  test("DSIR: broadcast feature model, TakeOrdered draw, no global window") {
+    val p = plan("q_dsir")
+    assert(count(p, "TakeOrderedAndProject") === 1,
+      "the gumbel draw should be per-partition top-k + k-row merge\n" + p.take(2000))
+    assert(count(p, "Window \\[") === 0, "draw degraded to a single-partition window")
+    assert(p.contains("BroadcastHashJoin"), "feature log-ratio table should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled on the feature key")
+  }
+
+  test("PQ ANN: broadcast code/LUT joins, rank pushed down, no sort-merge") {
+    val p = plan("q_ann_pq")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "PQ scoring degraded past broadcast joins\n" + p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k rank lost the group-limit pushdown (full per-query sort)")
+    assert(p.contains("partial_sum"), "ADC sum lost map-side combine")
+  }
+
   private val Similarity = graft.operators.Similarity
 }
