@@ -254,6 +254,12 @@ object SparkEntry {
       ev(s, dir).select(col("event_id"),
         Geo.geohash(col("lat"), col("lon"), 6).as("gh"))),
 
+    // --- geofence: per-zone rollup over the broadcast zone circles ---
+    "q_zones" -> ((s, dir) =>
+      Trajectory.zoneRollup(ev(s, dir),
+        s.createDataFrame(ZoneList).toDF("zone", "zone_lat", "zone_lon", "radius_km"),
+        "lat", "lon", "user_id", "ts_sec")),
+
     // real PNG encode→decode roundtrip through javax.imageio: decoded
     // header dims, gray-channel sum, and a per-pixel content check, all
     // predictable from doc_id by the SQL oracle
@@ -775,6 +781,21 @@ object SparkEntry {
         .select(col("query_id"), col("n_retrieved"), col("n_true"),
           r3(col("recall")).as("recall_at_5"))
     }),
+
+    // --- contrastive triplets: positive + hard negatives per anchor ---
+    "q_triplets" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.tripletMine(em, em.filter(col("vec_id") < 20), "vec_id",
+          "embedding", posThreshold = 0.3, nNegatives = 3)
+        .select(col("anchor_id"), col("pos_id"), r3(col("pos_cos")).as("pos_cos"),
+          col("neg_id"), r3(col("neg_cos")).as("neg_cos"), col("neg_rank"))
+    }),
+
+    // --- snake-draft sharding: per-lang token-balanced shards ---
+    "q_snake_shards" -> ((s, dir) =>
+      Sampling.snakeShards(Tables.documents(s, dir), "doc_id", "n_chars",
+          Seq("lang"), nShards = 4)
+        .select("doc_id", "lang", "shard")),
 
     // --- analytics: top-N / transitions / distributions ---
     "q_topk_days" -> ((s, dir) => {
@@ -1451,6 +1472,52 @@ object SparkEntry {
          |FROM p c CROSS JOIN q WHERE c.vec_id <> q.query_id
          |GROUP BY q.query_id""".stripMargin
     },
+
+    "q_zones" ->
+      s"""$EvCte, z AS (
+         |  SELECT * FROM (VALUES $ZoneValuesSql)
+         |    AS t(zone, zone_lat, zone_lon, radius_km)
+         |)
+         |SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities,
+         |       MIN(ts_sec) AS first_sec, MAX(ts_sec) AS last_sec
+         |FROM e JOIN z
+         |  ON 2 * 6371.0 * asin(sqrt(
+         |       pow(sin(radians(zone_lat - lat) / 2), 2) +
+         |       cos(radians(lat)) * cos(radians(zone_lat)) *
+         |       pow(sin(radians(zone_lon - lon) / 2), 2))) <= radius_km
+         |GROUP BY zone""".stripMargin,
+
+    "q_triplets" -> {
+      val cs = cosSql("a.va", "c.v")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, v AS va FROM v WHERE vec_id < 20),
+         |sc AS MATERIALIZED (
+         |  SELECT a.anchor_id, c.vec_id AS cand_id, $cs AS cos
+         |  FROM v c CROSS JOIN a WHERE c.vec_id <> a.anchor_id),
+         |pos AS (
+         |  SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rn
+         |    FROM sc WHERE cos >= 0.3) WHERE rn = 1),
+         |neg AS (
+         |  SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |           ORDER BY cos DESC, cand_id ASC) AS neg_rank
+         |  FROM sc WHERE cos < 0.3)
+         |SELECT n.anchor_id, p.pos_id, floor(p.pos_cos*1000 + 0.5)/1000 AS pos_cos,
+         |       n.neg_id, floor(n.neg_cos*1000 + 0.5)/1000 AS neg_cos, n.neg_rank
+         |FROM neg n JOIN pos p USING (anchor_id) WHERE n.neg_rank <= 3""".stripMargin
+    },
+
+    "q_snake_shards" ->
+      """SELECT doc_id, lang,
+        |       CAST(CASE WHEN (rn // 4) % 2 = 0 THEN rn % 4
+        |            ELSE 3 - rn % 4 END AS INTEGER) AS shard
+        |FROM (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id ASC) - 1 AS rn
+        |      FROM documents)""".stripMargin,
 
     "q_ann_pq" -> {
       // subspace-keyed Lloyd: q_kmeans' assign/refit with `sub` as an
@@ -2982,6 +3049,17 @@ object SparkEntry {
    * md5(key) mod 10000 — twin of [[graft.operators.Sampling.hashBucket]]. */
   private def bucketSql(keyExpr: String): String =
     s"CAST(concat('0x', substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+  /** Geofence fixture: five zone circles spanning the synthetic lat/lon
+   * range — one source of truth for the Spark frame and the oracle's
+   * VALUES list. */
+  private val ZoneList = Seq(
+    ("z0", -40.0, -80.0, 1500.0), ("z1", -20.0, -40.0, 2000.0),
+    ("z2", 0.0, 0.0, 2500.0), ("z3", 20.0, 40.0, 2000.0),
+    ("z4", 40.0, 80.0, 1500.0))
+  private val ZoneValuesSql = ZoneList
+    .map { case (z, la, lo, r) => s"('$z', ${la}::DOUBLE, ${lo}::DOUBLE, ${r}::DOUBLE)" }
+    .mkString(", ")
 
   /** Data-mixing target: 50% en / 30% de / 20% fr (es/zh excluded). */
   private val MixWeights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)

@@ -175,6 +175,34 @@ object Sampling {
   }
 
   /**
+   * Stratified snake-draft sharding: deal each stratum's rows into
+   * `nShards` shards so every shard gets a near-equal share of
+   * `weightCol` (token counts) — the training-shard writer's balance
+   * problem (hash sharding balances COUNTS; a shard that drew the long
+   * documents still trains slower). Rows are ranked by (weight desc,
+   * id) within their stratum and dealt serpentine (1..n, n..1, …), so
+   * each full round adds one row to every shard and the heaviest rows
+   * spread first — per-shard weight sums differ by at most one round's
+   * spread, regardless of the weight distribution's skew.
+   *
+   * The rank window is keyed per stratum (no global window); the
+   * assignment is pure arithmetic on the rank. Deterministic and
+   * engine-portable like every assignment here.
+   */
+  def snakeShards(df: DataFrame, idCol: String, weightCol: String,
+                  strataCols: Seq[String], nShards: Int): DataFrame = {
+    require(nShards >= 1, "snakeShards needs nShards >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    val rn = row_number().over(w) - 1
+    val round = floor(rn / nShards)
+    val pos = rn % nShards
+    df.withColumn("shard",
+      when(round % 2 === 0, pos).otherwise(lit(nShards - 1) - pos).cast("int"))
+  }
+
+  /**
    * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
    * arXiv:2302.03169): pick the `k` raw-pool documents whose hashed
    * token distribution looks most like a target domain. Features are

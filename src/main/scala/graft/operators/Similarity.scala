@@ -567,6 +567,49 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * Contrastive triplet mining (anchor, positive, hard negatives): for
+   * each anchor, the positive is its most-similar candidate at cosine ≥
+   * `posThreshold` (a near-duplicate / same-item pair) and the
+   * negatives are the `nNegatives` most-similar candidates BELOW the
+   * threshold — the "hard" negatives that sit right at the margin,
+   * which is where embedding-model training gets its gradient (easy
+   * random negatives teach nothing). Anchors with no qualifying
+   * positive drop out (nothing to contrast against).
+   *
+   * One scored pass: anchors are small by contract and broadcast, the
+   * corpus never shuffles for scoring; both picks are rank windows
+   * keyed on the anchor (balanced high-fanout keys); the positive side
+   * is ≤ |anchors| rows and broadcasts back onto the negatives.
+   * Output: (anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank).
+   */
+  def tripletMine(candidates: DataFrame, anchors: DataFrame,
+                  idCol: String, vecCol: String,
+                  posThreshold: Double, nNegatives: Int): DataFrame = {
+    val cand = candidates.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
+    val anc = anchors.select(col(idCol).as("anchor_id"),
+        col(vecCol).cast("array<double>").as("v_a"))
+      .withColumn("nrm_a", sqrt(dot(col("v_a"), col("v_a"))))
+    val scored = cand.crossJoin(broadcast(anc))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("cos",
+        cosOver(dot(col("v_a"), col("v_c")), col("nrm_a") * col("nrm_c")))
+      .select("anchor_id", "cand_id", "cos")
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val pos = scored.filter(col("cos") >= posThreshold)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"), col("cos").as("pos_cos"))
+    val negs = scored.filter(col("cos") < posThreshold || col("cos").isNull)
+      .withColumn("neg_rank", row_number().over(w)).filter(col("neg_rank") <= nNegatives)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("neg_rank"))
+    negs.join(broadcast(pos), "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("neg_rank"))
+  }
+
   /** Per-subspace view of an embedding frame: one row per (id, sub) with
    * the dsub-wide slice and the FULL-vector norm riding along. */
   private def subspaced(em: DataFrame, idCol: String, vecCol: String,

@@ -346,4 +346,32 @@ object Trajectory {
       .filter(col("keep"))
       .drop("bucket_move", "keep")
   }
+
+  /**
+   * Geofence tagging: tag each point with every zone (circle: center +
+   * radius km) whose great-circle distance contains it — port areas,
+   * anchorages, traffic lanes. One row per (point, zone) match, so an
+   * overlap tags twice; points in no zone drop out (inner join — use
+   * [[zoneRollup]] for per-zone stats).
+   *
+   * The zone table is SMALL BY CONTRACT (a port list, not a corpus) and
+   * broadcasts: the points side never shuffles, the membership predicate
+   * ([[graft.functions.Geo.haversineKm]] ≤ radius) runs in codegen
+   * inside the broadcast join. At 100 TB this is a map-only pass.
+   */
+  def zoneTag(points: DataFrame, zones: DataFrame,
+              latCol: String, lonCol: String): DataFrame =
+    points.join(broadcast(zones),
+      Geo.haversineKm(col(latCol), col(lonCol),
+        col("zone_lat"), col("zone_lon")) <= col("radius_km"))
+
+  /** Per-zone rollup of [[zoneTag]]: points, distinct entities, and the
+   * zone's observed time span — one partial-agg'd groupBy on the zone. */
+  def zoneRollup(points: DataFrame, zones: DataFrame, latCol: String,
+                 lonCol: String, entityCol: String, tsSecCol: String): DataFrame =
+    zoneTag(points, zones, latCol, lonCol)
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col(entityCol)).as("n_entities"),
+        min(tsSecCol).as("first_sec"), max(tsSecCol).as("last_sec"))
 }

@@ -272,6 +272,60 @@ class Round7Spec extends SparkSpecBase {
     assert(got === Set((3L, 1L, 3L, 2L), (1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L)))
   }
 
+  // --- geofence, triplets, snake shards ------------------------------------
+
+  test("zoneTag: inside tagged, outside dropped, overlap tags twice, null coords drop") {
+    val zones = Seq(("a", 0.0, 0.0, 200.0), ("b", 1.0, 0.0, 200.0))
+      .toDF("zone", "zone_lat", "zone_lon", "radius_km")
+    // ~111 km per degree of latitude: 0.5° is inside both circles,
+    // 10° is outside both
+    val pts = Seq((1L, 0.5, 0.0), (2L, 10.0, 10.0), (3L, -1.5, 0.0))
+      .toDF("id", "lat", "lon")
+      .union(Seq((4L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(0.0)))
+        .toDF("id", "lat", "lon"))
+    val got = Trajectory.zoneTag(pts, zones, "lat", "lon")
+      .select("id", "zone").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (1L, "b"), (3L, "a")))
+  }
+
+  test("tripletMine: known positive, margin-ordered negatives, anchor without positive drops") {
+    // anchor 1: near-dup 2 (positive), then 3 and 4 progressively farther;
+    // anchor 9 is orthogonal to everything (no positive -> dropped)
+    val rows = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.99, 0.14, 0.0, 0.0)),   // cos ~0.990 -> positive
+      (3L, Array(0.8, 0.6, 0.0, 0.0)),     // cos 0.8    -> neg rank 1
+      (4L, Array(0.5, 0.866, 0.0, 0.0)),   // cos 0.5    -> neg rank 2
+      (5L, Array(0.0, 1.0, 0.0, 0.0)),     // cos 0      -> neg rank 3
+      (9L, Array(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.tripletMine(rows, rows.filter(col("vec_id").isin(1L, 9L)),
+      "vec_id", "embedding", posThreshold = 0.9, nNegatives = 3)
+    val trips = got.select("anchor_id", "pos_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(trips === Set((1L, 2L, 3L, 1), (1L, 2L, 4L, 2), (1L, 2L, 5L, 3)),
+      s"got $trips")
+  }
+
+  test("snakeShards: near-equal weight per shard, serpentine deal, deterministic") {
+    // skewed weights: doc i weighs i^2 — hash sharding would scatter badly
+    val docs = (1L to 101L).map(i => (i, "s", i * i)).toDF("id", "grp", "w")
+    val got = Sampling.snakeShards(docs, "id", "w", Seq("grp"), nShards = 4)
+    val sums = got.groupBy("shard").agg(sum("w").as("sw"), count(lit(1)).as("n"))
+      .select("shard", "sw", "n").as[(Int, Long, Long)].collect()
+    assert(sums.map(_._1).toSet === Set(0, 1, 2, 3))
+    // counts per shard differ by at most 1
+    assert(sums.map(_._3).max - sums.map(_._3).min <= 1)
+    // weight balance: spread within one round's worth (the top row's
+    // weight bounds any round's spread)
+    val spread = sums.map(_._2).max - sums.map(_._2).min
+    assert(spread <= 101L * 101L, s"shard weight spread $spread too wide: ${sums.toSeq}")
+    // serpentine: ranks 0..7 (weights 101²..94²) deal 0,1,2,3 then 3,2,1,0
+    val top8 = got.filter(col("id") >= 94L).orderBy(desc("w"))
+      .select("shard").as[Int].collect().toSeq
+    assert(top8 === Seq(0, 1, 2, 3, 3, 2, 1, 0), s"got $top8")
+  }
+
   // --- product quantization ------------------------------------------------
 
   test("pqTopK: blob resolution, planted twin retrieved, codebook shape, determinism") {
