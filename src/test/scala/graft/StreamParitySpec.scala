@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.operators.Sessionize
 import graft.streaming.{DedupStream, EncounterStream, OdFix, SessionStream,
   SessionWindowAgg, StaticEnrich, StayFix, StreamEvent, StreamJoin,
-  TrajectoryStream, WindowedCounts}
+  TrajectoryStream, WindowedCounts, ZoneStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -632,6 +632,61 @@ class StreamParitySpec extends SparkSpecBase {
         s"stream-only: ${(streamed -- expected).take(5)}; " +
           s"batch-only: ${(expected -- streamed).take(5)}")
       assert(streamed.nonEmpty, "fixture produced no encounters")
+    } finally query.stop()
+  }
+
+  test("ZoneStream occupancy equals the batch geofence rollup, with late drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    val zones = Seq(("a", 0.0, 0.0, 300.0), ("b", 3.0, 0.0, 300.0))
+      .toDF("zone", "zone_lat", "zone_lon", "radius_km")
+    // positions hop between the two zone neighborhoods and open water;
+    // 50s granularity +5s offset keeps times off the window boundaries
+    val all = rng.shuffle((1 to 300).map { i =>
+      val lat = rng.nextInt(3) match {
+        case 0 => rng.nextDouble() * 2 - 1        // zone a
+        case 1 => 3.0 + rng.nextDouble() * 2 - 1  // zone b
+        case _ => 40.0 + rng.nextDouble()         // open water
+      }
+      (ts(rng.nextInt(100) * 50L + 5), (i % 7).toLong, lat, rng.nextDouble() * 0.5)
+    })
+    val batches = all.grouped(100).toSeq
+    val (winSec, delaySec) = (600L, 600L)
+    var wmSec = Long.MinValue
+    var maxSeen = Long.MinValue
+    val kept = Seq.newBuilder[(Timestamp, Long, Double, Double)]
+    batches.foreach { b =>
+      kept ++= b.filter { e =>
+        (e._1.getTime / 1000 / winSec + 1) * winSec > wmSec
+      }
+      maxSeen = math.max(maxSeen, b.map(_._1.getTime / 1000).max)
+      wmSec = maxSeen - delaySec
+    }
+    val input = MemoryStream[(Timestamp, Long, Double, Double)]
+    val occ = ZoneStream.occupancy(
+      input.toDF().toDF("t", "user_id", "lat", "lon"), zones, "t",
+      "lat", "lon", "user_id",
+      windowLen = s"$winSec seconds", watermarkDelay = s"$delaySec seconds")
+    val query = occ.writeStream.format("memory")
+      .queryName("parity_zones").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData((ts(10000000), 999L, 0.0, 0.0)); query.processAllAvailable()
+      input.addData((ts(20000000), 999L, 0.0, 0.0)); query.processAllAvailable()
+      val streamed = spark.table("parity_zones")
+        .filter(col("window_start").cast("long") < 5000000L)
+        .select(col("window_start").cast("long"), col("zone"),
+          col("n_points"), col("n_entities"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      val expected = ZoneStream.occupancy(
+          kept.result().toDF("t", "user_id", "lat", "lon"), zones, "t",
+          "lat", "lon", "user_id", windowLen = s"$winSec seconds")
+        .select(col("window_start").cast("long"), col("zone"),
+          col("n_points"), col("n_entities"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed === expected,
+        s"stream-only: ${streamed -- expected}; batch-only: ${expected -- streamed}")
+      assert(streamed.nonEmpty, "fixture produced no zone occupancy")
     } finally query.stop()
   }
 }
