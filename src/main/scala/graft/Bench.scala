@@ -133,9 +133,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
-    println(json)
-    // also land the JSON in a file: stdout capture has been observed to
-    // truncate the tail under load, silently dropping per-query timings
+    // Full per-query detail lands in a file; stdout gets a COMPACT line.
+    // The harness that collects BENCH_r{N}.json keeps only the last ~2000
+    // chars of stdout and parses the JSON line out of that tail — the
+    // full line is ~10 KB and has therefore NEVER parsed (six rounds of
+    // `parsed: null`). The stdout line is capped to the headline subset
+    // below (~1.2 KB incl. the sbt "[success]" trailer that follows it).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -143,6 +146,30 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // headline queries: the heaviest / most representative of each family
+    // (iterative graph, near-dup joins, ANN, streaming-adjacent state,
+    // text, trajectory). Fixed list so rounds compare like-for-like.
+    val headline = Seq(
+      "q_pagerank", "q_dedup_cluster", "q_dedup_minhash", "q_triangles",
+      "q_editdist", "q_containment", "q_multimodal_frames", "q_encounters",
+      "q_kmeans", "q_ann_pq", "q_ann_ivf", "q_tfidf", "q_lang_id",
+      "q_monthly", "q_sessionize", "q_state_merge", "q_dup_spans",
+      "q_semdedup", "q_dsir", "q_cube", "q_interval_overlap", "q_scd2",
+      "q_vocab", "q_traj_sample", "q_dedup_jaccard")
+    def r3(v: Double): String = f"$v%.3f"
+    val byName = results.map(r => r._1 -> r).toMap
+    val headQs = headline.flatMap(k => byName.get(k))
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val shuffleMb = results.map(_._3).sum / 1e6
+    val spillMb = results.map(_._4).sum / 1e6
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""sf":"$sfDir","n_queries":${results.size},""" +
+        s""""shuffle_mb":${r3(shuffleMb)},"spill_mb":${r3(spillMb)},""" +
+        s""""failed":$failedJson,"queries":$headQs,""" +
+        s""""full":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }
