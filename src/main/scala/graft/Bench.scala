@@ -48,6 +48,10 @@ object Bench {
         }
       }
     }
+    // release warmup-dir shared stages (pair joins, cluster labels): the
+    // timed pass must pay its own one-time materialization, not inherit
+    // a warm cache keyed to a different input dir
+    SharedStage.clear()
 
     // per-query shuffle-write + spill bytes from task metrics: PlanSpec
     // locks plan SHAPE, these catch VOLUME regressions (a join that
@@ -128,11 +132,14 @@ object Bench {
     val spills = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // minimal JSON string escaping for names/paths we embed verbatim
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val failedJson = failed.map(jstr).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"sf":${jstr(sfDir)}}"""
     // Full per-query detail lands in a file; stdout gets a COMPACT line.
     // The harness that collects BENCH_r{N}.json keeps only the last ~2000
     // chars of stdout and parses the JSON line out of that tail — the
@@ -156,19 +163,28 @@ object Bench {
       "q_monthly", "q_sessionize", "q_state_merge", "q_dup_spans",
       "q_semdedup", "q_dsir", "q_cube", "q_interval_overlap", "q_scd2",
       "q_vocab", "q_traj_sample", "q_dedup_jaccard")
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit ROOT locale: the f"" interpolator formats with the JVM
+    // default locale, which under e.g. de_DE emits "1,234" and breaks the
+    // JSON parse downstream
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val byName = results.map(r => r._1 -> r).toMap
     val headQs = headline.flatMap(k => byName.get(k))
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val shuffleMb = results.map(_._3).sum / 1e6
     val spillMb = results.map(_._4).sum / 1e6
+    // cap the failed list on the compact line: it must stay inside the
+    // harness's ~2000-char stdout tail even when dozens of queries fail —
+    // exactly the rounds where the signal matters most. Full list is in
+    // the bench_out.json artifact.
+    val failedCompact = failed.take(8).map(jstr).mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""sf":"$sfDir","n_queries":${results.size},""" +
+        s""""sf":${jstr(sfDir)},"n_queries":${results.size},""" +
         s""""shuffle_mb":${r3(shuffleMb)},"spill_mb":${r3(spillMb)},""" +
-        s""""failed":$failedJson,"queries":$headQs,""" +
-        s""""full":"$outPath"}"""
+        s""""failed_count":${failed.size},"failed":$failedCompact,""" +
+        s""""queries":$headQs,"full":${jstr(outPath)}}"""
     println(compact)
     spark.stop()
   }

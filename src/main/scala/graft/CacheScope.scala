@@ -26,10 +26,16 @@ object CacheScope {
     new DynamicVariable(None)
 
   /** Persist `df`, registering it for release at the end of the enclosing
-   * [[scoped]] block (if any). */
+   * [[scoped]] block (if any). A frame that is ALREADY persisted (e.g. a
+   * [[SharedStage]] materialization passed into an operator that defends
+   * its own fan-out) is returned untouched: re-registering it here would
+   * hand its lifecycle to this scope and unpersist the owner's cache at
+   * scope exit. */
   def persist(df: DataFrame): DataFrame = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    current.value.foreach(_ += df)
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      current.value.foreach(_ += df)
+    }
     df
   }
 
@@ -58,5 +64,39 @@ object CacheScope {
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try current.withValue(Some(frames))(body)
     finally frames.foreach(_.unpersist(false))
+  }
+}
+
+/**
+ * Session-lifetime memoization for expensive intermediates SHARED BETWEEN
+ * QUERIES — the counterpart to [[CacheScope]], whose caches die with each
+ * query's action. The canonical user: the near-dup pair join
+ * ([[operators.Dedup.ngramJaccard]]) feeds four downstream queries
+ * (cluster / canonical survivor / profile / leak-free split); at 100 TB a
+ * pipeline materializes pairs and cluster labels ONCE and every consumer
+ * reads the materialization. This models that stage boundary in-session:
+ * the first consumer computes and persists, the rest reuse.
+ *
+ * Keys embed the input dir and every parameter, so distinct corpora or
+ * thresholds can never alias. Frames persist OUTSIDE any enclosing
+ * [[CacheScope.scoped]] block by design — release is explicit via
+ * [[clear]] (drivers call it between workload phases).
+ */
+object SharedStage {
+  private val frames =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** Memoized compute-and-persist of `key` for input `dir`. */
+  def get(dir: String, key: String)(compute: => DataFrame): DataFrame =
+    frames.getOrElseUpdate((dir, key), {
+      val df = compute
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
+  /** Unpersist and forget every shared frame. */
+  def clear(): Unit = {
+    frames.values.foreach(_.unpersist(false))
+    frames.clear()
   }
 }

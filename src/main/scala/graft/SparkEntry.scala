@@ -67,6 +67,23 @@ object SparkEntry {
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize(ev(s, dir), "user_id", "ts_sec", GapSec, tieBreak = Seq("event_id"))
 
+  /** Near-dup PPJoin pairs over documents, materialized ONCE per input dir
+   * via [[SharedStage]]: five queries consume this frame (jaccard /
+   * cluster / canonical / profile / leak-free split). At 100 TB the pair
+   * join is a stage you run once and persist; recomputing it per consumer
+   * — what these queries did through round 7 — quadruples the dominant
+   * cost for identical output. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, "jaccard_pairs:documents:n=3:t=0.7")(
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.7))
+
+  /** Connected-component cluster labels over [[jaccardPairs]], shared the
+   * same way (three consumers: cluster / canonical / split). */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, "dup_clusters:documents:n=3:t=0.7")(
+      Dedup.clusterPairs(jaccardPairs(s, dir), "id_a", "id_b"))
+
   /** DuckDB twin of [[sessions]]: e + session_id. */
   private val SessCte = EvCte +
     """, g AS (
@@ -328,9 +345,7 @@ object SparkEntry {
           Seq("text"), rankCol = "src_pri", tieBreak = "doc_id")
         .select("doc_id", "src_pri", "n_dups")),
 
-    "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.7)),
+    "q_dedup_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
 
     // --- one-sided containment (quote/excerpt detection) ---
     "q_containment" -> ((s, dir) =>
@@ -455,36 +470,26 @@ object SparkEntry {
       Text.fingerprintGate(Tables.documents(s, dir), "doc_id", "text")),
 
     // --- dedup clustering (keep-one-per-cluster) ---
-    "q_dedup_cluster" -> ((s, dir) =>
-      Dedup.clusterPairs(
-        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.7),
-        "id_a", "id_b")),
+    "q_dedup_cluster" -> ((s, dir) => dupClusters(s, dir)),
 
     // --- canonical dedup: best-quality survivor per near-dup cluster ---
     "q_dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalDedup(Tables.documents(s, dir), "doc_id",
-          Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-            n = 3, threshold = 0.7),
-          "id_a", "id_b", scoreCol = "n_chars")
+          jaccardPairs(s, dir), "id_a", "id_b", scoreCol = "n_chars",
+          precomputedClusters = Some(dupClusters(s, dir)))
         .select(col("cluster_id"), col("doc_id").as("keep_id"),
           col("n_members"))),
 
     // --- dedup report: cluster-size distribution + rows removed ---
     "q_dedup_profile" -> ((s, dir) =>
       Dedup.dedupProfile(Tables.documents(s, dir), "doc_id",
-        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.7),
-        "id_a", "id_b")),
+        jaccardPairs(s, dir), "id_a", "id_b",
+        precomputedClusters = Some(dupClusters(s, dir)))),
 
     // --- leakage-safe split: near-dup clusters stay in one split ---
     "q_split_leakfree" -> ((s, dir) =>
       Sampling.leakFreeSplit(Tables.documents(s, dir), "doc_id",
-          Dedup.clusterPairs(
-            Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-              n = 3, threshold = 0.7),
-            "id_a", "id_b"),
-          valFraction = 0.1, testFraction = 0.1)
+          dupClusters(s, dir), valFraction = 0.1, testFraction = 0.1)
         .select(col("doc_id"), col("split"))),
 
     // --- PII / repetition / sampling ---

@@ -2,15 +2,21 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Loaders for the synthetic test tables.
  *
- * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
- * only reads as a raw nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong).
- * [[events]] normalizes it back to a microsecond TimestampType so every
- * downstream operator sees a plain timestamp column.
+ * `events.parquet` has shipped `ts` in two physical encodings across
+ * testdata generations: parquet TIMESTAMP(NANOS), which Spark only reads
+ * as a raw nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong), and
+ * parquet timestamp[us] without timezone, which Spark reads as
+ * TIMESTAMP_NTZ. [[events]] normalizes BOTH back to a plain microsecond
+ * TimestampType so every downstream operator (and every streaming
+ * watermark, which requires TimestampType) sees one contract regardless
+ * of which generation wrote the file. All graft sessions pin
+ * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is an exact
+ * micros-preserving reinterpretation, not a wall-clock shift.
  */
 object Tables {
 
@@ -25,6 +31,9 @@ object Tables {
       case LongType =>
         // nanos-as-long: integer-divide to micros (exact; no double round-trip)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // micros-NTZ: reinterpret as UTC instant (session TZ is UTC)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
@@ -65,9 +74,13 @@ object Tables {
         s"CREATE TABLE $database.$n USING PARQUET LOCATION '$dir/$n.parquet'")
     }
     // the external table serves the RAW schema; the view applies the
-    // normalization exactly once for every SQL consumer
-    val rawIsLong = table(spark, dir, "events").schema("ts").dataType == LongType
-    val viewTs = if (rawIsLong) "timestamp_micros(ts div 1000)" else "ts"
+    // normalization exactly once for every SQL consumer (same two-encoding
+    // contract as Tables.events above)
+    val viewTs = table(spark, dir, "events").schema("ts").dataType match {
+      case LongType         => "timestamp_micros(ts div 1000)"
+      case TimestampNTZType => "CAST(ts AS TIMESTAMP)"
+      case _                => "ts"
+    }
     spark.sql(
       s"""CREATE OR REPLACE VIEW $database.events_ts AS
          |SELECT event_id, $viewTs AS ts, user_id, event_type, value, props

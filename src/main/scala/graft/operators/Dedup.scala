@@ -451,8 +451,13 @@ object Dedup {
   def canonicalDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                      aCol: String, bCol: String, scoreCol: String,
                      maxIter: Int = 20,
-                     checkpointDir: Option[String] = None): DataFrame = {
-    val clusters = clusterPairs(pairs, aCol, bCol, maxIter, checkpointDir)
+                     checkpointDir: Option[String] = None,
+                     precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    // a pipeline that already materialized [[clusterPairs]] labels (the
+    // normal stage boundary at scale) passes them in; the CC loop only
+    // runs when the caller didn't
+    val clusters = precomputedClusters
+      .getOrElse(clusterPairs(pairs, aCol, bCol, maxIter, checkpointDir))
       .withColumnRenamed("id", idCol)
     val keyed = docs.join(clusters, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
@@ -481,8 +486,10 @@ object Dedup {
    */
   def dedupProfile(docs: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String, bCol: String, maxIter: Int = 20,
-                   checkpointDir: Option[String] = None): DataFrame = {
-    val clusters = clusterPairs(pairs, aCol, bCol, maxIter, checkpointDir)
+                   checkpointDir: Option[String] = None,
+                   precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val clusters = precomputedClusters
+      .getOrElse(clusterPairs(pairs, aCol, bCol, maxIter, checkpointDir))
       .withColumnRenamed("id", idCol)
     docs.join(clusters, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))

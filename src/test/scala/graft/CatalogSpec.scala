@@ -41,6 +41,46 @@ class CatalogSpec extends SparkSpecBase {
     assert(sqlMax === apiMax)
   }
 
+  // The testdata generator has flipped the physical `ts` encoding between
+  // rounds (TIMESTAMP(NANOS)→long vs timestamp[us]→TIMESTAMP_NTZ). Both
+  // must normalize to TimestampType through Tables.events AND the
+  // events_ts view, so the next flip can't re-break the contract. Each
+  // fixture dir symlinks the other nine tables and rewrites events with
+  // the target encoding.
+  private def fixtureDir(encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-events-enc").toString
+    Tables.Names.filterNot(_ == "events").foreach { n =>
+      Files.createSymbolicLink(
+        Paths.get(s"$dir/$n.parquet"), Paths.get(s"$sfDir/$n.parquet"))
+    }
+    encode(Tables.events(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events ts normalizes to TimestampType under BOTH physical encodings") {
+    val truth = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val fixtures = Seq(
+      // micros-NTZ: what the current generator writes
+      "ntz" -> fixtureDir(df => df.withColumn("ts", col("ts").cast("timestamp_ntz"))),
+      // nanos-as-long: what the old generator's TIMESTAMP(NANOS) read as
+      "long" -> fixtureDir(df => df.withColumn("ts", expr("unix_micros(ts) * 1000L"))))
+    fixtures.foreach { case (enc, dir) =>
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType === TimestampType, s"encoding $enc via Tables.events")
+      assert(ev.agg(max(unix_micros(col("ts")))).head().getLong(0) === truth,
+        s"encoding $enc drifted the instant")
+      Tables.register(spark, dir)
+      val view = spark.sql("SELECT ts FROM graft.events_ts")
+      assert(view.schema("ts").dataType === TimestampType, s"encoding $enc via events_ts")
+      assert(spark.sql("SELECT max(unix_micros(ts)) FROM graft.events_ts")
+        .head().getLong(0) === truth, s"encoding $enc drifted through the view")
+    }
+    Tables.register(spark, sfDir) // restore for other suites
+  }
+
   test("re-registration is idempotent and re-points at the new location") {
     Tables.register(spark, sfDir)
     val n1 = spark.sql("SELECT COUNT(*) FROM graft.lineitem").head().getLong(0)

@@ -27,6 +27,12 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_od_matrix" -> (256L << 10),   // 33 kB: min_by/max_by rollup
     "q_encounters" -> (256L << 10),  // 19 kB: band/bucket self-join
     "q_monthly" -> (256L << 10),     // 18 kB: active-scoped rebuild
+    // round 8: the three heaviest previously-unlocked shufflers
+    "q_suffix_spans" -> (32L << 20), // 7.74 MB: prefix-doubling rounds (the
+                                     // single heaviest shuffler — O(N·log
+                                     // minLen) re-shuffles of (id,pos,rank))
+    "q_dsir" -> (32L << 10),         // 5.3 kB: hashed-feature model agg
+    "q_ann_pq" -> (4L << 20),        // 0.80 MB: codebook training passes
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
@@ -51,9 +57,14 @@ class ShuffleBudgetSpec extends SparkSpecBase {
   budgets.foreach { case (name, budget) =>
     test(s"$name shuffles within its byte budget at sf0.001") {
       val fn = SparkEntry.queries(name)
+      // shared stages (pair joins, cluster labels) make later family
+      // members measure ~0 — clear so every query pays its OWN full cost
+      // and the budget is order-independent
+      SharedStage.clear()
       val got = shuffleBytesOf {
         CacheScope.scoped { fn(spark, sfDir).count(): Unit }
       }
+      info(s"$name measured $got shuffle bytes")
       assert(got <= budget,
         s"$name shuffled $got bytes at sf0.001, budget $budget — the plan " +
           "regressed in VOLUME (shape locks in PlanSpec may still pass); " +
