@@ -787,11 +787,37 @@ object SparkEntry {
           r3(col("recall")).as("recall_at_5"))
     }),
 
+    // --- IVF-PQ ANN (IVFADC): coarse cells + shared residual codebooks +
+    // ADC over probed cells only; measured recall gate at nProbe < nCells;
+    // the oracle replays coarse assign, residual Lloyd, codes, and the
+    // qc + LUT-sum scoring end to end ---
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val q = em.filter(col("vec_id") < 10)
+      val ivfpq = Similarity.ivfPqTopK(em, q, "vec_id", "embedding", k = 5,
+        dim = 64, nCells = 16, nProbe = 4, m = 8, ks = 64, iters = 2)
+      val brute = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ivfpq, brute, q.select(col("vec_id").as("query_id")), 5)
+        .select(col("query_id"), col("n_retrieved"), col("n_true"),
+          r3(col("recall")).as("recall_at_5"))
+    }),
+
     // --- contrastive triplets: positive + hard negatives per anchor ---
     "q_triplets" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
       Similarity.tripletMine(em, em.filter(col("vec_id") < 20), "vec_id",
           "embedding", posThreshold = 0.3, nNegatives = 3)
+        .select(col("anchor_id"), col("pos_id"), r3(col("pos_cos")).as("pos_cos"),
+          col("neg_id"), r3(col("neg_cos")).as("neg_cos"), col("neg_rank"))
+    }),
+
+    // --- ANN-prefiltered triplets: ivfTopK candidate generation, exact
+    // cosines decide the margin; oracle replays the probe + selection ---
+    "q_triplets_ann" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.tripletMineAnn(em, em.filter(col("vec_id") < 20), "vec_id",
+          "embedding", posThreshold = 0.3, nNegatives = 3,
+          candidateK = 16, nCells = 16, nProbe = 4)
         .select(col("anchor_id"), col("pos_id"), r3(col("pos_cos")).as("pos_cos"),
           col("neg_id"), r3(col("neg_cos")).as("neg_cos"), col("neg_rank"))
     }),
@@ -1515,6 +1541,51 @@ object SparkEntry {
          |FROM neg n JOIN pos p USING (anchor_id) WHERE n.neg_rank <= 3""".stripMargin
     },
 
+    "q_triplets_ann" -> {
+      val cs = s"""(${dotSql("p.vq", "a.v")} / (p.nrmq * a.nrm))"""
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (
+         |  SELECT v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 16),
+         |assign AS MATERIALIZED (
+         |  SELECT cand_id, v, nrm, cell FROM (
+         |    SELECT b.vec_id AS cand_id, b.v AS v,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrm, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c
+         |  ) WHERE rn = 1),
+         |probe AS MATERIALIZED (
+         |  SELECT query_id, vq, nrmq, cell FROM (
+         |    SELECT b.vec_id AS query_id, b.v AS vq,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrmq, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c WHERE b.vec_id < 20
+         |  ) WHERE rn <= 4),
+         |sc AS MATERIALIZED (
+         |  SELECT anchor_id, cand_id, cos FROM (
+         |    SELECT p.query_id AS anchor_id, a.cand_id, $cs AS cos,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY $cs DESC, a.cand_id ASC) AS rnk
+         |    FROM assign a JOIN probe p ON a.cell = p.cell AND p.query_id <> a.cand_id
+         |  ) WHERE rnk <= 16),
+         |pos AS (
+         |  SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rn
+         |    FROM sc WHERE cos >= 0.3) WHERE rn = 1),
+         |neg AS (
+         |  SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |           ORDER BY cos DESC, cand_id ASC) AS neg_rank
+         |  FROM sc WHERE cos < 0.3)
+         |SELECT n.anchor_id, p.pos_id, floor(p.pos_cos*1000 + 0.5)/1000 AS pos_cos,
+         |       n.neg_id, floor(n.neg_cos*1000 + 0.5)/1000 AS neg_cos, n.neg_rank
+         |FROM neg n JOIN pos p USING (anchor_id) WHERE n.neg_rank <= 3""".stripMargin
+    },
+
     "q_snake_shards" ->
       """SELECT doc_id, lang,
         |       CAST(CASE WHEN (rn // 4) % 2 = 0 THEN rn % 4
@@ -1580,6 +1651,95 @@ object SparkEntry {
          |             AS rnk
          |    FROM scored WHERE query_id <> cand_id
          |  ) WHERE rnk <= 5),
+         |$BruteTop5Cte,
+         |$RecallTailSql""".stripMargin
+    },
+
+    "q_ann_ivfpq" -> {
+      // IVFADC end to end: q_ann_ivf's coarse quantizer, q_ann_pq's
+      // subspace Lloyd over the RESIDUALS (v − coarse centroid), then
+      // qc + LUT-sum ADC scoring restricted to the probed cells
+      def assign(cents: String) =
+        s"""SELECT id, ivf_cell, sub, vs, nrm, cell FROM (
+           |    SELECT b.id, b.ivf_cell, b.sub, b.vs, b.nrm, c.cell,
+           |           row_number() OVER (PARTITION BY b.id, b.sub
+           |             ORDER BY (${dotSql("c.c", "c.c")}
+           |               - 2.0 * ${dotSql("b.vs", "c.c")}) ASC, c.cell ASC) AS rn
+           |    FROM rsv b JOIN $cents c ON c.sub = b.sub) WHERE rn = 1""".stripMargin
+      def refit(asg: String) =
+        s"""SELECT sub, cell, list_transform(
+           |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c FROM (
+           |    SELECT sub, cell, t.i AS dim, AVG(u.vs[t.i]) AS m
+           |    FROM $asg u, unnest(generate_series(1, len(u.vs))) AS t(i)
+           |    GROUP BY 1, 2, 3) GROUP BY sub, cell""".stripMargin
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS MATERIALIZED (
+         |  SELECT v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 16),
+         |cassign AS MATERIALIZED (
+         |  SELECT cand_id, v, nrm, cell AS ivf_cell FROM (
+         |    SELECT b.vec_id AS cand_id, b.v AS v,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrm, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c
+         |  ) WHERE rn = 1),
+         |rsv AS MATERIALIZED (
+         |  SELECT a.cand_id AS id, a.ivf_cell, s.sub AS sub,
+         |         list_transform(a.v, (x,i) -> x - ct.cv[i])
+         |           [s.sub*8 + 1 : s.sub*8 + 8] AS vs,
+         |         a.nrm
+         |  FROM cassign a JOIN cent ct ON ct.cell = a.ivf_cell,
+         |       unnest(generate_series(0, 7)) AS s(sub)),
+         |picked AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1
+         |           AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 64),
+         |c0 AS MATERIALIZED (
+         |  SELECT b.sub, p.cell, b.vs AS c FROM rsv b JOIN picked p ON b.id = p.id),
+         |a1 AS MATERIALIZED (${assign("c0")}),
+         |c1 AS MATERIALIZED (${refit("a1")}),
+         |a2 AS MATERIALIZED (${assign("c1")}),
+         |c2 AS MATERIALIZED (${refit("a2")}),
+         |codes AS MATERIALIZED (
+         |  SELECT id AS cand_id, ivf_cell, sub, cell AS code, nrm AS nrm_c
+         |  FROM (${assign("c2")})),
+         |probe AS MATERIALIZED (
+         |  SELECT query_id, cell, qc, nrmq FROM (
+         |    SELECT b.vec_id AS query_id, c.cell,
+         |           ${dotSql("b.v", "c.cv")} AS qc,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrmq,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c WHERE b.vec_id < 10
+         |  ) WHERE rn <= 4),
+         |lut AS MATERIALIZED (
+         |  SELECT qv.query_id, s.sub, c.cell,
+         |         ${dotSql("qv.v[s.sub*8 + 1 : s.sub*8 + 8]", "c.c")} AS dp
+         |  FROM (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 10) qv,
+         |       unnest(generate_series(0, 7)) AS s(sub), c2 c
+         |  WHERE c.sub = s.sub),
+         |scored AS MATERIALIZED (
+         |  SELECT p.query_id, k.cand_id,
+         |         ANY_VALUE(p.qc) + SUM(l.dp) AS adot,
+         |         ANY_VALUE(k.nrm_c) AS nrm_c, ANY_VALUE(p.nrmq) AS nrm_q
+         |  FROM codes k
+         |  JOIN probe p ON p.cell = k.ivf_cell
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub
+         |            AND l.cell = k.code
+         |  GROUP BY 1, 2),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adot / NULLIF(nrm_q * nrm_c, 0) DESC, cand_id ASC)
+         |             AS rnk
+         |    FROM scored WHERE query_id <> cand_id
+         |  ) WHERE rnk <= 5),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
          |$BruteTop5Cte,
          |$RecallTailSql""".stripMargin
     },

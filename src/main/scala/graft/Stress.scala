@@ -172,6 +172,14 @@ object Stress {
       Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 64, iters = 2).count()
     }
+    probe(s"ANN IVF-PQ (16 cells/4 probe, m=8 ks=64) ${nVecs / 1000}k") {
+      // the full IVFADC build + query path at 500k×64: coarse assign,
+      // residual codebook training, encode, probed-cell ADC — every stage
+      // linear in nVecs, broadcast-only joins
+      Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64,
+        nCells = 16, nProbe = 4, m = 8, ks = 64, iters = 2).count()
+    }
     probe(s"DSIR draw top-10k of ${nDocs / 1000}k docs") {
       Sampling.dsirSelect(docs, "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0, k = 10000).count()

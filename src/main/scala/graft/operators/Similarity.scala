@@ -585,18 +585,82 @@ object Similarity {
    */
   def tripletMine(candidates: DataFrame, anchors: DataFrame,
                   idCol: String, vecCol: String,
-                  posThreshold: Double, nNegatives: Int): DataFrame = {
+                  posThreshold: Double, nNegatives: Int,
+                  maxAnchors: Long = 100000L): DataFrame = {
     val cand = candidates.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-    val anc = anchors.select(col(idCol).as("anchor_id"),
-        col(vecCol).cast("array<double>").as("v_a"))
-      .withColumn("nrm_a", sqrt(dot(col("v_a"), col("v_a"))))
+    val anc = anchorsChecked(anchors, idCol, vecCol, maxAnchors, "tripletMine")
     val scored = cand.crossJoin(broadcast(anc))
       .filter(col("anchor_id") =!= col("cand_id"))
       .withColumn("cos",
         cosOver(dot(col("v_a"), col("v_c")), col("nrm_a") * col("nrm_c")))
       .select("anchor_id", "cand_id", "cos")
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val pos = scored.filter(col("cos") >= posThreshold)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"), col("cos").as("pos_cos"))
+    val negs = scored.filter(col("cos") < posThreshold || col("cos").isNull)
+      .withColumn("neg_rank", row_number().over(w)).filter(col("neg_rank") <= nNegatives)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("neg_rank"))
+    negs.join(broadcast(pos), "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("neg_rank"))
+  }
+
+  /** The anchors-broadcast contract, ENFORCED: [[tripletMine]] and
+   * [[tripletMineAnn]] broadcast the anchor frame into every scoring
+   * join, so an oversized anchor set must fail with this message, not
+   * with an executor-killing broadcast blowup. The count is one cheap
+   * driver-side job over the (small by contract) anchor frame. */
+  private def anchorsChecked(anchors: DataFrame, idCol: String,
+                             vecCol: String, maxAnchors: Long,
+                             op: String): DataFrame = {
+    val anc = anchors.select(col(idCol).as("anchor_id"),
+        col(vecCol).cast("array<double>").as("v_a"))
+      .withColumn("nrm_a", sqrt(dot(col("v_a"), col("v_a"))))
+    val n = anc.count()
+    require(n <= maxAnchors,
+      s"$op: $n anchors > maxAnchors=$maxAnchors — anchors BROADCAST into " +
+        "every scoring join; shard the anchor set (or raise the ceiling " +
+        "deliberately with executor memory to back it)")
+    anc
+  }
+
+  /**
+   * [[tripletMine]] with ANN candidate generation: instead of scoring
+   * every anchor against the FULL corpus (one pass, but still |corpus| ·
+   * |anchors| kernel evaluations), candidates come from [[ivfTopK]] —
+   * each anchor exactly-scores only its `candidateK` nearest neighbors
+   * from the probed cells. The positive/negative selection logic is
+   * IDENTICAL (ivfTopK's cosines are exact — PQ/LSH approximation never
+   * decides a margin); what the ANN stage changes is WHICH candidates
+   * are visible, and hard-negative mining wants precisely the
+   * highest-cosine region the probes retrieve. Round8Spec measures
+   * agreement against the exhaustive miner on planted positives instead
+   * of assuming it.
+   *
+   * Scale: corpus kernel evaluations drop from |corpus|·|anchors| to
+   * |corpus|·nCells (assignment) + probed-cell scoring; at 4096 cells /
+   * 8 probes that is ~500× less work per anchor at equal corpus size.
+   * `candidateK` must cover the selection (≥ nNegatives + 1 at the
+   * margin; oversize it toward ~4× for headroom).
+   */
+  def tripletMineAnn(candidates: DataFrame, anchors: DataFrame,
+                     idCol: String, vecCol: String,
+                     posThreshold: Double, nNegatives: Int,
+                     candidateK: Int, nCells: Int = 16, nProbe: Int = 4,
+                     maxAnchors: Long = 100000L): DataFrame = {
+    require(candidateK >= nNegatives + 1,
+      s"tripletMineAnn: candidateK=$candidateK cannot cover 1 positive + " +
+        s"$nNegatives negatives")
+    val anc = anchorsChecked(anchors, idCol, vecCol, maxAnchors, "tripletMineAnn")
+    // exact cosines over ANN-retrieved candidates, ranked per anchor
+    val scored = ivfTopK(candidates,
+        anc.select(col("anchor_id").as(idCol), col("v_a").as(vecCol)),
+        idCol, vecCol, k = candidateK, nCentroids = nCells, nProbe = nProbe)
+      .select(col("query_id").as("anchor_id"), col("cand_id"), col("cos"))
     val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("cand_id").asc)
     val pos = scored.filter(col("cos") >= posThreshold)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -706,6 +770,119 @@ object Similarity {
    * broadcast equi-join (sub, code) + one partial-agg'd (query, cand)
    * sum; ranking shuffles on query_id (balanced high-fanout keys).
    */
+  /**
+   * IVF-PQ ANN (Jégou et al. 2011 §V: the IVFADC system) — the index
+   * shape a 100 TB embedding corpus actually ships: a coarse inverted
+   * file restricts the search to `nProbe` of `nCells` cells, and within
+   * cells candidates are scored from PQ codes of their RESIDUAL
+   * (v − coarse centroid), never from raw vectors. Composition of
+   * [[ivfTopK]]'s coarse quantizer (md5 hash-picked, cross-engine
+   * reproducible) and [[pqCodebooks]]' subspace Lloyd — trained on the
+   * residuals, which concentrate near 0 so one shared codebook serves
+   * every cell (the standard IVFADC choice).
+   *
+   * Query scoring is asymmetric (ADC) against the identity
+   * q·v ≈ q·c_cell + q·r̂: the first term is the probe join's coarse
+   * dot, the second is m lookups in the per-query subspace LUT; the
+   * cosine then uses the candidate's EXACT stored norm. Recall is
+   * strictly better than plain PQ at equal code budget because the
+   * residual quantization error is a fraction of the full-vector one —
+   * and it is MEASURED (recallAtK vs brute truth), not assumed.
+   *
+   * Scale shape: raw candidate vectors are read once at build; the
+   * stored index is m ints + 1 cell id + 1 double per vector. Scoring
+   * touches only probed cells via an equi-join on cell id against a
+   * BROADCAST (probe × LUT) frame of |queries|·nProbe·m·ks rows; one
+   * partial-agg'd (query, cand) sum reaches the shuffle. The plan is
+   * O(1) in nCells and ks — a 4096-cell, 256-code index compiles
+   * exactly like the test shape.
+   */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int, dim: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ks: Int = 8, iters: Int = 2,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m $m")
+    require(nCells >= 1 && nProbe >= 1 && ks >= 1 && iters >= 0,
+      "ivfPqTopK needs nCells/nProbe/ks >= 1, iters >= 0")
+    val dsub = dim / m
+    val base = candidates.select(col(idCol).as("cand_id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
+    // coarse quantizer: same md5 hash-pick as ivfTopK (deterministic,
+    // oracle-replayable); feeds THREE joins → persist
+    val cent = graft.CacheScope.persist(base
+      .withColumn("h", md5(col("cand_id").cast("string")))
+      .orderBy("h").limit(nCells)
+      .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
+      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .drop("h"))
+    // nearest cell per candidate (argmax cosine, ties to smallest cell);
+    // partial agg collapses the ×nCells expansion before the shuffle
+    val assigned = base.crossJoin(broadcast(cent))
+      .withColumn("cscore", cosOver(dot(col("v_c"), col("c_vec")), col("c_nrm")))
+      .groupBy("cand_id")
+      .agg(max_by(col("cell"), struct(col("cscore"), -col("cell"))).as("ivf_cell"),
+        first(col("v_c")).as("v_c"), first(col("nrm_c")).as("nrm_c"))
+    // residual r = v − c_cell, subspaced; the zip_with subtraction is
+    // interpreted but runs ONCE per vector at build time, never at query
+    // time. nrm stays the EXACT full-vector norm (ADC needs it).
+    val sv = graft.CacheScope.persist(assigned
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"), col("c_vec"))), "ivf_cell")
+      .withColumn("r", zip_with(col("v_c"), col("c_vec"), (x, y) => x - y))
+      .select(col("cand_id").as("id"), col("ivf_cell"), col("nrm_c").as("nrm"), col("r"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("id"), col("ivf_cell"), col("nrm"), col("sub"),
+        slice(col("r"), col("sub") * dsub + 1, lit(dsub)).as("vs")))
+    // ONE shared residual codebook set across cells (standard IVFADC);
+    // trained in pqTrain's joint subspace passes
+    val pqcent = graft.CacheScope.persist(pqTrain(sv, ks, iters, checkpointDir))
+    // encode: m residual codes + coarse cell + exact norm per candidate
+    val codes = sv.join(broadcast(pqcent), "sub")
+      .withColumn("d", col("c2") - lit(2.0) * dot(col("vs"), col("c")))
+      .groupBy("id", "sub")
+      .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("code"),
+        first(col("ivf_cell")).as("ivf_cell"), first(col("nrm")).as("nrm_c"))
+      .select(col("id").as("cand_id"), col("sub"), col("code"),
+        col("ivf_cell"), col("nrm_c"))
+    // queries probe their nProbe closest cells, carrying the coarse dot
+    // q·c (the first ADC term)
+    val probed = queries.select(col(idCol).as("query_id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+      .crossJoin(broadcast(cent))
+      .withColumn("qc", dot(col("v_q"), col("c_vec")))
+      .withColumn("cscore", cosOver(col("qc"), col("c_nrm")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("cell").as("p_cell"), col("qc"),
+        col("v_q"), col("nrm_q"))
+    // per-query LUT of subspace dots q_s · c(sub, code) — m·ks entries
+    val lut = probed.select("query_id", "v_q").distinct()
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("query_id"), col("sub"),
+        slice(col("v_q"), col("sub") * dsub + 1, lit(dsub)).as("qs"))
+      .join(broadcast(pqcent), "sub")
+      .select(col("query_id"), col("sub"), col("cell").as("p_code"),
+        dot(col("qs"), col("c")).as("dp"))
+    // (probe × LUT): |queries|·nProbe·m·ks rows — broadcast by contract
+    val probedLut = probed.drop("v_q").join(lut, "query_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    codes.join(broadcast(probedLut),
+        codes("ivf_cell") === probedLut("p_cell") &&
+          codes("sub") === probedLut("sub") &&
+          codes("code") === probedLut("p_code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("dp").as("rsum"), first("qc").as("qc"),
+        first("nrm_c").as("nrm_c"), first("nrm_q").as("nrm_q"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosOver(col("qc") + col("rsum"), col("nrm_q") * col("nrm_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   def pqTopK(candidates: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, dim: Int,
              m: Int = 4, ks: Int = 8, iters: Int = 2,

@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-8 gates: IVF-PQ composition (the IVFADC index shape) measured on
+ * structured corpora, the ANN-prefiltered triplet miner's agreement with
+ * the exhaustive one, and the anchors-broadcast contract enforcement.
+ */
+class Round8Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 10 tight separated blobs of 40 vectors in 16-d (the pqTopK fixture):
+  // within-blob order is beyond PQ resolution by design; the structural
+  // claim is own-blob retrieval.
+  private def blobVec(blob: Int, i: Int): Array[Double] =
+    Array.tabulate(16)(j => (((i * 13 + j * 7) % 11) - 5) * 0.03 +
+      (if (j == blob % 16) 10.0 else 1.0))
+  private lazy val blobRows = (for { b <- 0 until 10; i <- 0 until 40 }
+    yield ((b * 100 + i).toLong, blobVec(b, i))).toDF("vec_id", "embedding")
+
+  // --- IVF-PQ composition ---------------------------------------------------
+
+  test("ivfPqTopK: own-blob retrieval, planted twin, nProbe monotone, deterministic") {
+    val queries = blobRows.filter(col("vec_id") % 100 === 7 && col("vec_id") < 500)
+    val r = Similarity.ivfPqTopK(blobRows, queries, "vec_id", "embedding",
+      k = 5, dim = 16, nCells = 8, nProbe = 4, m = 4, ks = 16, iters = 3)
+    val wrongBlob = r.filter(floor(col("cand_id") / 100) =!=
+      floor(col("query_id") / 100)).count()
+    assert(wrongBlob === 0L, s"$wrongBlob retrieved neighbors from a foreign blob")
+    assert(r.count() === 25L) // 5 queries x full top-5
+
+    // planted near-twin in a RANDOM corpus: the twin lands in the same
+    // coarse cell and shares every residual code, so ADC puts it at the top
+    val rng = new scala.util.Random(42)
+    def rv() = Array.fill(64)(rng.nextDouble() * 2 - 1)
+    val corpus = (0 until 500).map(i => (i.toLong, rv())).toDF("vec_id", "embedding")
+    val twins = (0 until 10).map(i => (1000L + i * 37, (i * 37).toLong))
+    val srcVecs = corpus.filter(col("vec_id").isin(twins.map(_._2): _*))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    val qdf = twins.map { case (qid, src) =>
+      (qid, srcVecs(src).map(_ + 0.01)) }.toDF("vec_id", "embedding")
+    val found = Similarity.ivfPqTopK(corpus, qdf, "vec_id", "embedding", k = 5,
+        dim = 64, nCells = 8, nProbe = 4, m = 8, ks = 64, iters = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = twins.count { case (qid, src) => found.getOrElse(qid, Set()).contains(src) }
+    // the twin's probe must include its own cell (top-scored by
+    // construction), so ~all twins are retrieved; leave 2 slack for
+    // twins straddling a cell boundary
+    assert(hits >= 8, s"planted twin retrieved for only $hits/10 queries")
+
+    // more probes can only widen the candidate pool → recall monotone
+    val truth = Similarity.bruteForceTopK(blobRows, queries, "vec_id", "embedding", k = 5)
+    val qids = queries.select(col("vec_id").as("query_id"))
+    def recall(nProbe: Int): Double = Similarity.recallAtK(
+        Similarity.ivfPqTopK(blobRows, queries, "vec_id", "embedding",
+          k = 5, dim = 16, nCells = 8, nProbe = nProbe, m = 4, ks = 16, iters = 3),
+        truth, qids, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    val (r1, r8) = (recall(1), recall(8))
+    assert(r8 >= r1, s"recall fell when probing every cell: nProbe=1 $r1, nProbe=8 $r8")
+
+    // deterministic end to end
+    val again = Similarity.ivfPqTopK(blobRows, queries, "vec_id", "embedding",
+      k = 5, dim = 16, nCells = 8, nProbe = 4, m = 4, ks = 16, iters = 3)
+    assert(r.select("query_id", "cand_id", "rank").collect().toSet ===
+      again.select("query_id", "cand_id", "rank").collect().toSet)
+
+    // dim mismatch fails fast (checkedDim, not a silent wrong slice)
+    val bad = blobRows.withColumn("embedding", slice(col("embedding"), 1, 7))
+    intercept[Exception] {
+      Similarity.ivfPqTopK(bad, queries, "vec_id", "embedding",
+        k = 5, dim = 16, nCells = 8, nProbe = 4, m = 4, ks = 16, iters = 1).count()
+    }
+  }
+
+  // --- ANN-prefiltered triplet mining ---------------------------------------
+
+  test("tripletMineAnn agrees with the exhaustive miner on planted positives") {
+    // blob corpus: each anchor's positive is a same-blob near-twin
+    // (cos ≈ 1 ≥ t), negatives are foreign-blob vectors below t. Blobs
+    // sit far apart, so the margin is wide and both miners must agree
+    // on every positive and on the negative SET the probes retrieve.
+    val anchors = blobRows.filter(col("vec_id") % 100 === 7 && col("vec_id") < 500)
+    def mineCols(df: DataFrame) = df
+      .select("anchor_id", "pos_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val exhaustive = Similarity.tripletMine(blobRows, anchors, "vec_id",
+      "embedding", posThreshold = 0.9, nNegatives = 3)
+    // candidateK must reach PAST the 40-member blob into the margin
+    // region (a pool of 39 same-blob positives retrieves zero negatives
+    // at candidateK=30 — the scaladoc's "oversize toward 4×" rule)
+    val ann = Similarity.tripletMineAnn(blobRows, anchors, "vec_id",
+      "embedding", posThreshold = 0.9, nNegatives = 3,
+      candidateK = 50, nCells = 8, nProbe = 8)
+    // positives: identical (the top same-blob neighbor is in every probe)
+    val posEx = exhaustive.select("anchor_id", "pos_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    val posAnn = ann.select("anchor_id", "pos_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(posAnn === posEx, s"positive disagreement: ann $posAnn vs exhaustive $posEx")
+    // full triplets: at nProbe = nCells the candidate pool is the global
+    // top-candidateK, so the hard-negative margin region matches too
+    assert(mineCols(ann) === mineCols(exhaustive),
+      "ANN miner with full probes disagrees with the exhaustive miner")
+  }
+
+  test("anchors-broadcast contract: oversized anchor frames are refused") {
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.tripletMine(blobRows, blobRows, "vec_id", "embedding",
+        posThreshold = 0.9, nNegatives = 3, maxAnchors = 100L)
+    }
+    assert(e1.getMessage.contains("maxAnchors"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.tripletMineAnn(blobRows, blobRows, "vec_id", "embedding",
+        posThreshold = 0.9, nNegatives = 3, candidateK = 10, maxAnchors = 100L)
+    }
+    assert(e2.getMessage.contains("maxAnchors"), e2.getMessage)
+    // candidateK too small to cover the selection is a config error
+    intercept[IllegalArgumentException] {
+      Similarity.tripletMineAnn(blobRows, blobRows.limit(5), "vec_id", "embedding",
+        posThreshold = 0.9, nNegatives = 3, candidateK = 2)
+    }
+  }
+}
