@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.windowExec()
 
     // Warm up JIT/codegen/parquet-footer paths untimed: one full pass of
     // every query at the smallest scale factor. The plans are structurally

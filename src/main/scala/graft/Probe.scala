@@ -18,6 +18,7 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.windowExec()
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--explain")) df.explain("formatted")
     // warm scans

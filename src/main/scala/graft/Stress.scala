@@ -27,6 +27,7 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.windowExec()
     import spark.implicits._
 
     // SPARK_GRAFT_STRESS_ONLY=<substring> runs just the matching probes
@@ -355,6 +356,18 @@ object Stress {
     }
     probe(s"cms heavy hitters over skewed ${nEvents / 1000000}M") {
       Quality.cmsHeavyHitters(skewed, "user_id", k = 100).count()
+    }
+    probe(s"scd2Current ${nEvents / 1000000}M changes x ${nUsers * 10 / 1000}k keys") {
+      // the queryable-current view over a wide change log: ~5 changes +
+      // heartbeats per key; one window + exchange-reused max_by per key
+      // (PlanSpec locks the single shuffle; this probe proves the slope)
+      val changes = spark.range(nEvents).select(
+        (col("id") % (nUsers * 10)).as("entity"),
+        (col("id") / (nUsers * 10)).as("ts_sec"),
+        // attribute flips on ~1/5 of each key's rows — the rest are
+        // heartbeats scd2Current must discard before aggregating
+        pmod(xxhash64(col("id"), lit(41)), lit(5)).as("attr"))
+      Dims.scd2Current(changes, Seq("entity"), "ts_sec", Seq("attr")).count()
     }
     probe(s"gopherRules ${nDocs / 1000}k docs") {
       Text.gopherRules(docs, "doc_id", "text").count()

@@ -254,6 +254,9 @@ object Quality {
       .groupBy(v.as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    // the single-task cumulative pass IS the CDF's plan — its size is
+    // enforced by the cardinality gate above, so WindowExec's empty-spec
+    // warning is benign here (driver mains quiet that logger, LogQuiet)
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

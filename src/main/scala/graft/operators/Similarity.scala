@@ -35,6 +35,16 @@ object Similarity {
   private def cosOver(dotAb: Column, nrmProduct: Column): Column =
     when(nrmProduct === 0.0, lit(null)).otherwise(dotAb / nrmProduct)
 
+  /** md5-rank window for the hash-picked centroid inits. The input is
+   * already `.limit(k)` rows (k = a centroid count), so the global
+   * single-partition window WindowExec warns about is exactly the
+   * intended ≤k-row plan — a constant partition key can't silence it
+   * (Spark 4 folds literal partition specs away). Driver mains quiet
+   * the WindowExec logger instead ([[graft.LogQuiet]]); specs keep the
+   * warning visible so a NEW unbounded window still surfaces. */
+  private def hRank: Column =
+    row_number().over(Window.orderBy("h"))
+
   /**
    * Exact cosine near-duplicate pairs (id_a < id_b) with similarity ≥
    * threshold. `blockCols` bounds the candidate space — at 100 TB an
@@ -231,7 +241,7 @@ object Similarity {
     var cent = base
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h").limit(k)
-      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .withColumn("cell", (hRank - 1).cast("int"))
       .select(col("cell"), col("v").as("c"))
     for (_ <- 1 to iters) {
       // argmin ‖v−c‖² ≡ argmin (c·c − 2·v·c): the ‖v‖² term is constant
@@ -282,7 +292,7 @@ object Similarity {
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h").limit(nCells)
       .select(col("v").as("c_vec"), col("nrm").as("c_nrm"), col("h"))
-      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .withColumn("cell", (hRank - 1).cast("int"))
       .drop("h"))
     val assigned = graft.CacheScope.persist(
       base.crossJoin(broadcast(cent))
@@ -429,7 +439,7 @@ object Similarity {
       .withColumn("h", md5(col("cand_id").cast("string")))
       .orderBy("h").limit(nCentroids)
       .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
-      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .withColumn("cell", (hRank - 1).cast("int"))
       .drop("h"))
     ivfWith(base, queries, idCol, vecCol, k, nProbe, cent)
   }
@@ -739,7 +749,7 @@ object Similarity {
     val picked = sv.filter(col("sub") === 0).select(col("id"))
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h").limit(ks)
-      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .withColumn("cell", (hRank - 1).cast("int"))
       .select("id", "cell")
     var cent = sv.join(broadcast(picked), "id")
       .select(col("sub"), col("cell"), col("vs").as("c"))
@@ -815,7 +825,7 @@ object Similarity {
       .withColumn("h", md5(col("cand_id").cast("string")))
       .orderBy("h").limit(nCells)
       .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
-      .withColumn("cell", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .withColumn("cell", (hRank - 1).cast("int"))
       .drop("h"))
     // nearest cell per candidate (argmax cosine, ties to smallest cell);
     // partial agg collapses the ×nCells expansion before the shuffle

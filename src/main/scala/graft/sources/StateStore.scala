@@ -129,6 +129,29 @@ object StateStore {
            before: Option[String] = None): Option[DataFrame] =
     readWithBucket(spark, root, before).map(_.drop("bucket"))
 
+  /**
+   * Catalog registration with snapshot isolation — the plain-parquet
+   * stand-in for `VERSION AS OF` time travel: `<table>` serves the
+   * CURRENT committed state and `<table>_v_<version>` serves each dated
+   * snapshot (the state as of that version, inclusive). Each view's
+   * bucket-directory list is resolved EAGERLY here, so a merge committed
+   * after registration cannot bleed into an already-registered view —
+   * re-register to see it (the same registration-wins contract as
+   * [[graft.Tables.register]]). Views are session-scoped (the store is
+   * a directory, not a metastore location, so external-table DDL can't
+   * express the multi-version dir layering).
+   */
+  def register(spark: SparkSession, root: String, table: String): Unit = {
+    val versions = committedVersions(spark, root)
+    versions.zipWithIndex.foreach { case (v, i) =>
+      // "as of v" INCLUSIVE = everything strictly before v's successor
+      val bound = if (i + 1 < versions.length) Some(versions(i + 1)) else None
+      read(spark, root, bound).foreach(_.createOrReplaceTempView(
+        s"${table}_v_${v.replaceAll("[^A-Za-z0-9]", "_")}"))
+    }
+    read(spark, root).foreach(_.createOrReplaceTempView(table))
+  }
+
   /** The store's data schema (no bucket column), read from the parquet
    * footers of ONE existing non-empty bucket dir — independent of any
    * touched-bucket pruning, so drift checks can't be bypassed by a

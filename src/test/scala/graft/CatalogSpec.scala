@@ -81,6 +81,36 @@ class CatalogSpec extends SparkSpecBase {
     Tables.register(spark, sfDir) // restore for other suites
   }
 
+  test("StateStore.register serves versioned snapshots through SQL with isolation") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-state").toString
+    graft.sources.StateStore.merge(spark, root, "2024-01-01",
+      Seq(("a", 1.0), ("b", 2.0)).toDF("entity", "dist"),
+      keys = Seq("entity"), sumCols = Seq("dist"), nBuckets = 4)
+    graft.sources.StateStore.merge(spark, root, "2024-01-02",
+      Seq(("a", 10.0), ("c", 5.0)).toDF("entity", "dist"),
+      keys = Seq("entity"), sumCols = Seq("dist"), nBuckets = 4)
+    graft.sources.StateStore.register(spark, root, "voyage_state")
+    def m(view: String) = spark.sql(s"SELECT entity, dist FROM $view")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // day-1 snapshot: the pre-merge state
+    assert(m("voyage_state_v_2024_01_01") === Map("a" -> 1.0, "b" -> 2.0))
+    // day-2 snapshot = current: merged sums + the new key
+    assert(m("voyage_state_v_2024_01_02") === Map("a" -> 11.0, "b" -> 2.0, "c" -> 5.0))
+    assert(m("voyage_state") === m("voyage_state_v_2024_01_02"))
+    // snapshot ISOLATION: a merge committed after registration must not
+    // bleed into the already-registered views
+    graft.sources.StateStore.merge(spark, root, "2024-01-03",
+      Seq(("a", 100.0)).toDF("entity", "dist"),
+      keys = Seq("entity"), sumCols = Seq("dist"), nBuckets = 4)
+    assert(m("voyage_state")("a") === 11.0,
+      "post-registration merge bled into the registered current view")
+    // re-registration sees it
+    graft.sources.StateStore.register(spark, root, "voyage_state")
+    assert(m("voyage_state")("a") === 111.0)
+    assert(m("voyage_state_v_2024_01_01") === Map("a" -> 1.0, "b" -> 2.0))
+  }
+
   test("re-registration is idempotent and re-points at the new location") {
     Tables.register(spark, sfDir)
     val n1 = spark.sql("SELECT COUNT(*) FROM graft.lineitem").head().getLong(0)

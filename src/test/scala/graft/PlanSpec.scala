@@ -295,6 +295,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "per-pair rollup lost map-side combine")
   }
 
+  test("queryable-current SCD2: groupBy reuses the window exchange (one shuffle)") {
+    // scd2Current's scaladoc claims the per-key max_by aggregation rides
+    // the window's (key)-hash partitioning — assert it stays ONE shuffle
+    // end-to-end so a refactor can't silently re-shuffle the change log
+    val p = plan("q_scd2_current")
+    val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
+    assert(exchanges === 1,
+      s"scd2Current wants 1 shuffle, got $exchanges\n${p.take(2000)}")
+    assert(!p.contains("Join"), "scd2Current grew a join — window+agg family only")
+  }
+
   test("DSIR: broadcast feature model, TakeOrdered draw, no global window") {
     val p = plan("q_dsir")
     assert(count(p, "TakeOrderedAndProject") === 1,
