@@ -811,7 +811,8 @@ object Similarity {
                 idCol: String, vecCol: String, k: Int, dim: Int,
                 nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 4, ks: Int = 8, iters: Int = 2,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None,
+                coarseCentroids: Option[DataFrame] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m $m")
     require(nCells >= 1 && nProbe >= 1 && ks >= 1 && iters >= 0,
       "ivfPqTopK needs nCells/nProbe/ks >= 1, iters >= 0")
@@ -819,14 +820,25 @@ object Similarity {
     val base = candidates.select(col(idCol).as("cand_id"),
         checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-    // coarse quantizer: same md5 hash-pick as ivfTopK (deterministic,
-    // oracle-replayable); feeds THREE joins → persist
-    val cent = graft.CacheScope.persist(base
-      .withColumn("h", md5(col("cand_id").cast("string")))
-      .orderBy("h").limit(nCells)
-      .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
-      .withColumn("cell", (hRank - 1).cast("int"))
-      .drop("h"))
+    // coarse quantizer: md5 hash-pick by default (deterministic,
+    // oracle-replayable) or FITTED [[kmeansCentroids]] row-form output
+    // via `coarseCentroids` (nCells then comes from the frame) — trained
+    // cells align with real clusters, so the same nProbe buys strictly
+    // better recall on clustered corpora (Round8Spec measures it, the
+    // same composition as ivfTopKFitted). Feeds THREE joins → persist.
+    val cent = graft.CacheScope.persist(coarseCentroids match {
+      case Some(rows) => rows.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as("c_vec"))
+        .withColumn("c_nrm", sqrt(dot(col("c_vec"), col("c_vec"))))
+        .select("c_vec", "c_nrm", "cell")
+      case None => base
+        .withColumn("h", md5(col("cand_id").cast("string")))
+        .orderBy("h").limit(nCells)
+        .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
+        .withColumn("cell", (hRank - 1).cast("int"))
+        .drop("h")
+    })
     // nearest cell per candidate (argmax cosine, ties to smallest cell);
     // partial agg collapses the ×nCells expansion before the shuffle
     val assigned = base.crossJoin(broadcast(cent))

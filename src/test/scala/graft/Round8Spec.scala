@@ -77,6 +77,40 @@ class Round8Spec extends SparkSpecBase {
     }
   }
 
+  test("ivfPqTopK with fitted coarse cells: recall >= hash-picked at equal nProbe") {
+    // the realistic 100 TB composition: kmeansCentroids trains the coarse
+    // quantizer, IVF-PQ rides it (same frame contract as ivfTopKFitted).
+    // On separated blobs the trained cells align with the blobs, so one
+    // probe suffices; hash-picked cells often leave blobs unrepresented.
+    val queries = blobRows.filter(col("vec_id") % 100 === 7 && col("vec_id") < 500)
+    val truth = Similarity.bruteForceTopK(blobRows, queries, "vec_id", "embedding", k = 5)
+    val qids = queries.select(col("vec_id").as("query_id"))
+    val cents = Similarity.kmeansCentroids(blobRows, "vec_id", "embedding",
+      k = 8, iters = 4)
+    def recall(coarse: Option[org.apache.spark.sql.DataFrame]): Double =
+      Similarity.recallAtK(
+          Similarity.ivfPqTopK(blobRows, queries, "vec_id", "embedding",
+            k = 5, dim = 16, nCells = 8, nProbe = 1, m = 4, ks = 16, iters = 3,
+            coarseCentroids = coarse),
+          truth, qids, 5)
+        .agg(avg("recall")).head.getDouble(0)
+    val (rf, rh) = (recall(Some(cents)), recall(None))
+    assert(rf >= rh, s"fitted coarse recall $rf < hash-picked $rh")
+    // within a TIGHT blob every member shares residual codes, so exact
+    // rank recall is beyond PQ resolution by design (same honesty rule
+    // as the pqTopK spec) — the structural claim for fitted cells at
+    // nProbe=1 is full own-blob retrieval: every query still fills its
+    // top-5 and never from a foreign blob (hash-picked cells leave blobs
+    // unrepresented and can't promise either)
+    val fitted = Similarity.ivfPqTopK(blobRows, queries, "vec_id", "embedding",
+      k = 5, dim = 16, nCells = 8, nProbe = 1, m = 4, ks = 16, iters = 3,
+      coarseCentroids = Some(cents))
+    assert(fitted.count() === 25L, "a query failed to fill its top-5 from one probe")
+    assert(fitted.filter(floor(col("cand_id") / 100) =!=
+      floor(col("query_id") / 100)).count() === 0L,
+      "fitted single-probe retrieval crossed into a foreign blob")
+  }
+
   // --- ANN-prefiltered triplet mining ---------------------------------------
 
   test("tripletMineAnn agrees with the exhaustive miner on planted positives") {
