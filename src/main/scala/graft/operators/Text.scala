@@ -575,17 +575,22 @@ object Text {
     val base = df.select(col(idCol).as("id"), size(toks).as("len"),
         posexplode(toks))
       .select(col("id"), col("len"), col("pos"), col("col").as("rank"))
-    // pair rank(i) with rank(i+off) per doc: the successor side is the
-    // same frame shifted by off — a plain (id, pos) equi-join. Tail
-    // positions pair with null; they can share ranks only among
-    // themselves (null never equals a live rank in grouping), and the
-    // final validity filter drops them before counting.
+    // pair rank(i) with rank(i+off) per doc. Positions are DENSE
+    // (posexplode emits every 0..len-1, and every round preserves every
+    // row), so the successor is simply the row `off` places later in the
+    // per-doc position order — one lead() window, ONE per-doc shuffle,
+    // where the (id, pos) self-join this replaced shuffled both sides.
+    // Per-doc windows bound the task by doc length (the Sessionize
+    // contract), not by class size — the skew-prone class-rep step below
+    // stays a partial-agg'd groupBy. Tail positions pair with null; they
+    // can share ranks only among themselves (null never equals a live
+    // rank in grouping), and the final validity filter drops them before
+    // counting.
     def paired(r: DataFrame, off: Int): DataFrame = {
-      val succ = r.select(col("id"), (col("pos") - off).as("pos"),
-        col("rank").as("_r2"))
-      r.join(succ, Seq("id", "pos"), "left")
-        .select(col("id"), col("len"), col("pos"),
-          struct(col("rank"), col("_r2")).as("pair"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("pos")
+      r.select(col("id"), col("len"), col("pos"),
+        struct(col("rank"), lead(col("rank"), off).over(wd).as("_r2")).as("pair"))
     }
     var r = base
     var w = 1

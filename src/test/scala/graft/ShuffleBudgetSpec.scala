@@ -28,9 +28,11 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_encounters" -> (256L << 10),  // 19 kB: band/bucket self-join
     "q_monthly" -> (256L << 10),     // 18 kB: active-scoped rebuild
     // round 8: the three heaviest previously-unlocked shufflers
-    "q_suffix_spans" -> (32L << 20), // 7.74 MB: prefix-doubling rounds (the
+    "q_suffix_spans" -> (16L << 20), // 4.42 MB: prefix-doubling rounds (the
                                      // single heaviest shuffler — O(N·log
-                                     // minLen) re-shuffles of (id,pos,rank))
+                                     // minLen) re-shuffles of (id,pos,rank);
+                                     // was 7.74 MB before the lead()-window
+                                     // successor replaced the self-join)
     "q_dsir" -> (32L << 10),         // 5.3 kB: hashed-feature model agg
     "q_ann_pq" -> (4L << 20),        // 0.80 MB: codebook training passes
   )
