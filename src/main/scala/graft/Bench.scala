@@ -160,10 +160,11 @@ object Bench {
     val headline = Seq(
       "q_pagerank", "q_dedup_cluster", "q_dedup_minhash", "q_triangles",
       "q_editdist", "q_containment", "q_multimodal_frames", "q_encounters",
-      "q_kmeans", "q_ann_pq", "q_ann_ivf", "q_tfidf", "q_lang_id",
-      "q_monthly", "q_sessionize", "q_state_merge", "q_dup_spans",
-      "q_semdedup", "q_dsir", "q_cube", "q_interval_overlap", "q_scd2",
-      "q_vocab", "q_traj_sample", "q_dedup_jaccard")
+      "q_kmeans", "q_ann_pq", "q_ann_ivf", "q_ann_ivfpq", "q_tfidf",
+      "q_lang_id", "q_monthly", "q_sessionize", "q_state_merge",
+      "q_dup_spans", "q_semdedup", "q_dsir", "q_cube", "q_interval_overlap",
+      "q_scd2", "q_vocab", "q_traj_sample", "q_dedup_jaccard",
+      "q_suffix_spans")
     // explicit ROOT locale: the f"" interpolator formats with the JVM
     // default locale, which under e.g. de_DE emits "1,234" and breaks the
     // JSON parse downstream

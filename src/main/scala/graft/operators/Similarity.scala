@@ -905,24 +905,49 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
-  def pqTopK(candidates: DataFrame, queries: DataFrame,
-             idCol: String, vecCol: String, k: Int, dim: Int,
-             m: Int = 4, ks: Int = 8, iters: Int = 2,
-             checkpointDir: Option[String] = None): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
-    require(ks >= 1 && iters >= 0, "pqTopK needs ks >= 1, iters >= 0")
+  /**
+   * A trained PQ index: the per-candidate code table (m ints + the exact
+   * norm each) and the codebook centroid table — the two frames a
+   * retrieval service keeps RESIDENT while query batches come and go
+   * (e.g. [[graft.streaming.AnnStream]] scores a query stream against
+   * one of these per micro-batch). Build once with [[pqIndexBuild]],
+   * score any number of query frames with [[pqScore]].
+   */
+  final case class PqIndex(codes: DataFrame, codebooks: DataFrame,
+                           dim: Int, m: Int)
+
+  /** Train codebooks and encode the corpus — the index half of
+   * [[pqTopK]]. `codes` is persisted: a resident index must not replay
+   * the encode join (corpus-sized) for every query batch scored
+   * against it. */
+  def pqIndexBuild(candidates: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, m: Int = 4, ks: Int = 8, iters: Int = 2,
+                   checkpointDir: Option[String] = None): PqIndex = {
+    require(m >= 1 && dim % m == 0, s"pqIndexBuild: dim $dim not divisible by m $m")
+    require(ks >= 1 && iters >= 0, "pqIndexBuild needs ks >= 1, iters >= 0")
     // ONE subspaced pass over the raw vectors serves both training and
-    // encoding; the centroid table feeds the encode join AND the
-    // per-query LUT — persist or the Lloyd loop replays per consumer
+    // encoding; the centroid table feeds the encode join AND every
+    // query LUT — persist or the Lloyd loop replays per consumer
     val sv = graft.CacheScope.persist(subspaced(candidates, idCol, vecCol, m, dim))
     val cent = graft.CacheScope.persist(pqTrain(sv, ks, iters, checkpointDir))
-    val codes = pqAssign(sv, cent)
+    val codes = graft.CacheScope.persist(pqAssign(sv, cent)
       .select(col("id").as("cand_id"), col("sub"), col("cell").as("code"),
-        col("nrm").as("nrm_c"))
-    val lut = subspaced(queries, idCol, vecCol, m, dim)
-      .join(broadcast(cent), "sub")
+        col("nrm").as("nrm_c")))
+    PqIndex(codes, cent, dim, m)
+  }
+
+  /** ADC scoring of a query frame against a built [[PqIndex]] — the
+   * query half of [[pqTopK]]: per-query LUT (m·ks broadcast rows),
+   * partial-agg'd LUT-sum per (query, cand), top-k rank. Stateless in
+   * the queries: any number of frames/micro-batches score against the
+   * same index and agree row-for-row with a single-frame run. */
+  def pqScore(index: PqIndex, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val lut = subspaced(queries, idCol, vecCol, index.m, index.dim)
+      .join(broadcast(index.codebooks), "sub")
       .select(col("id").as("query_id"), col("sub"), col("cell"),
         dot(col("vs"), col("c")).as("dp"), col("nrm").as("nrm_q"))
+    val codes = index.codes
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cell"))
@@ -935,4 +960,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
+
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             m: Int = 4, ks: Int = 8, iters: Int = 2,
+             checkpointDir: Option[String] = None): DataFrame =
+    pqScore(pqIndexBuild(candidates, idCol, vecCol, dim, m, ks, iters,
+      checkpointDir), queries, idCol, vecCol, k)
 }

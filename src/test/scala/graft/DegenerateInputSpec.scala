@@ -44,6 +44,36 @@ class DegenerateInputSpec extends SparkSpecBase {
     val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(Similarity.bruteForceTopK(noVecs, q, "vec_id", "embedding", 5).count() === 0)
     assert(Similarity.ivfTopK(noVecs, q, "vec_id", "embedding", 5).count() === 0)
+    assert(Similarity.ivfPqTopK(noVecs, q, "vec_id", "embedding", 5,
+      dim = 2, m = 2, ks = 4, iters = 1).count() === 0)
+  }
+
+  test("round-8 composites on tiny/degenerate input stay well-defined") {
+    // corpus smaller than k / nCells / ks: every stage must shrink
+    // gracefully (fewer cells, fewer codes), never divide-by-zero or
+    // produce phantom rows
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqTopK(tiny, tiny, "vec_id", "embedding", k = 5,
+      dim = 2, nCells = 16, nProbe = 4, m = 2, ks = 8, iters = 2)
+    assert(r.count() === 6L) // 3 queries x 2 candidates (self excluded)
+    assert(r.filter(col("query_id") === col("cand_id")).count() === 0)
+    // zero-norm vectors: null cosine sorts last, never a DIVIDE_BY_ZERO
+    val withZero = tiny.union(Seq((4L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"))
+    assert(Similarity.ivfPqTopK(withZero, withZero.filter(col("vec_id") === 4L),
+      "vec_id", "embedding", k = 3, dim = 2, m = 2, ks = 4, iters = 1)
+      .count() === 3L)
+    // triplet miners: no anchor clears the positive threshold -> empty
+    // output (nothing to contrast), not an error
+    assert(Similarity.tripletMine(tiny, tiny.limit(1), "vec_id", "embedding",
+      posThreshold = 0.9999, nNegatives = 2).count() === 0)
+    assert(Similarity.tripletMineAnn(tiny, tiny.limit(1), "vec_id", "embedding",
+      posThreshold = 0.9999, nNegatives = 2, candidateK = 3).count() === 0)
+    // suffixSpans: docs shorter than minLen contribute nothing; an empty
+    // corpus returns empty
+    val shorts = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Text.suffixSpans(shorts, "doc_id", "text", minLen = 12).count() === 0)
+    assert(Text.suffixSpans(noDocs, "doc_id", "text", minLen = 12).count() === 0)
   }
 
   test("round-6 operators on empty input return empty, not a crash") {

@@ -312,6 +312,46 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("AnnStream.pqRetrieve over a static index equals batch pqScore row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 200-vector corpus in 16-d; queries are OUTSIDE the
+    // corpus id space (no self-exclusion interplay with batch splits)
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val corpus = (0L until 200L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val index = operators.Similarity.pqIndexBuild(corpus, "vec_id", "embedding",
+      dim = 16, m = 4, ks = 16, iters = 2)
+    val queries = (1000L until 1012L).map(i => (i, vec(i * 7)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    val query = streaming.AnnStream.pqRetrieve(
+      input.toDF().toDF("vec_id", "embedding"), index,
+      "vec_id", "embedding", k = 5, ckpt) { out =>
+      got.synchronized {
+        got ++= out.select("query_id", "cand_id", "rank")
+          .as[(Long, Long, Int)].collect()
+      }
+    }
+    try {
+      // shuffled batch splits: per-query results must not depend on
+      // which micro-batch carried the query
+      val rng = new scala.util.Random(59)
+      rng.shuffle(queries).grouped(5).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val expected = operators.Similarity.pqScore(index,
+          queries.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 5)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got.toSet === expected,
+        s"stream-only: ${(got.toSet -- expected).take(5)}; " +
+          s"batch-only: ${(expected -- got.toSet).take(5)}")
+      assert(got.size === queries.size * 5) // every query filled its top-5 once
+    } finally query.stop()
+  }
+
   test("WindowedCounts.distinctPerWindow stream equals its batch HLL twin, with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(43)
