@@ -427,6 +427,17 @@ object SparkEntry {
       Text.gopherRules(Tables.documents(s, dir), "doc_id", "text",
         minWords = 30)),
 
+    // --- WITHIN-doc repeated-span removal (map-only, no shuffle) ---
+    "q_doc_span_dedup" -> ((s, dir) =>
+      Text.docSpanDedup(Tables.documents(s, dir), "doc_id", "text",
+        spanWords = 5)),
+
+    // --- Zipf slope of the corpus token distribution ---
+    "q_zipf" -> ((s, dir) =>
+      Text.zipfSlope(Tables.documents(s, dir), "text", topN = 30)
+        .select(col("n_tokens"), r3(col("slope")).as("slope"),
+          r3(col("intercept")).as("intercept"))),
+
     // --- similarity search ---
     "q_ann_brute" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -1902,6 +1913,42 @@ object SparkEntry {
         |         (stop_hits >= 2) AS g_stop
         |  FROM m
         |)""".stripMargin,
+
+    // within-doc span build mirrors Spark's: span i covers tokens
+    // i*5+1 .. i*5+5 (both engines clamp the trailing partial span),
+    // first occurrence per (doc, span) survives, order by position
+    "q_doc_span_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id, t.i - 1 AS idx,
+        |         array_to_string(
+        |           string_split(text,' ')[(t.i-1)*5 + 1 : (t.i-1)*5 + 5], ' ') AS span
+        |  FROM documents,
+        |       unnest(generate_series(1,
+        |         greatest((len(string_split(text,' ')) - 1) // 5, 0) + 1)) AS t(i)
+        |), k AS (
+        |  SELECT doc_id, idx, span,
+        |         min(idx) OVER (PARTITION BY doc_id, span) AS first_idx
+        |  FROM sp
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+        |       array_to_string(list(span ORDER BY idx), ' ') AS text_dedup
+        |FROM k WHERE idx = first_idx GROUP BY doc_id""".stripMargin,
+
+    "q_zipf" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), ct AS (
+        |  SELECT tok, COUNT(*) AS c FROM tk WHERE tok <> '' GROUP BY tok
+        |  ORDER BY c DESC, tok ASC LIMIT 30
+        |), pts AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+        |         ln(CAST(c AS DOUBLE)) AS y
+        |  FROM ct
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       floor(regr_slope(y, x)*1000 + 0.5)/1000 AS slope,
+        |       floor(regr_intercept(y, x)*1000 + 0.5)/1000 AS intercept
+        |FROM pts""".stripMargin,
 
     "q_ann_brute" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

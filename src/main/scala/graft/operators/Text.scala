@@ -691,6 +691,68 @@ object Text {
   }
 
   /**
+   * WITHIN-document repeated-span removal — the map-only sibling of
+   * [[spanDedup]]: each doc keeps the FIRST occurrence of every distinct
+   * `spanWords`-word span OF ITS OWN TEXT (the RefinedWeb/CCNet
+   * in-document repetition scrub, vs C4's corpus-level first-occurrence
+   * rule). Because no other document matters, the whole operator is one
+   * higher-order-function expression over the token array: NO shuffle,
+   * no state, no join — at 100 TB it executes as a map over the scan
+   * with perfect linear scaling, which is why a pipeline runs this
+   * BEFORE the corpus-level passes. Per-doc cost is O(spans²) via
+   * array_position — bounded by document length, not corpus size.
+   */
+  def docSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                   spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, "docSpanDedup needs spanWords >= 1")
+    val toks = tokens(col(textCol))
+    val lastSpan = floor((size(toks) - 1) / lit(spanWords)).cast("int")
+    val spans = when(size(toks) > 0,
+      transform(sequence(lit(0), greatest(lastSpan, lit(0))),
+        i => concat_ws(" ", slice(toks, i * spanWords + 1, lit(spanWords)))))
+      .otherwise(array().cast("array<string>"))
+    // keep span i iff its first occurrence IS position i (1-based
+    // array_position vs 0-based lambda index)
+    val kept = filter(spans, (s, i) => array_position(spans, s) === i + 1)
+    df.select(col(idCol), kept.as("_kept"))
+      .select(col(idCol), size(col("_kept")).cast("long").as("n_spans_kept"),
+        concat_ws(" ", col("_kept")).as("text_dedup"))
+  }
+
+  /**
+   * Zipf slope of the corpus token-frequency distribution: OLS fit of
+   * ln(count) against ln(rank) over the top-`topN` tokens — the
+   * corpus-health number data curation watches (natural language sits
+   * near −1; templated/synthetic corpora run much flatter, and a sudden
+   * slope shift between snapshots means the mix changed). One
+   * partial-agg'd token count, a `topN`-row TakeOrdered to the driver
+   * plan side, and the [[Analytics.linearFit]] covar/var formulas on
+   * ln/ln points — corpus-sized work is exactly one groupBy.
+   */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 30): DataFrame = {
+    require(topN >= 2, "zipfSlope needs topN >= 2")
+    val counts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(topN)
+    // rank over ≤topN rows: the benign bounded single-partition window
+    // (see LogQuiet); ln/ln OLS via the same covar/var convention as
+    // Analytics.linearFit so the oracle uses regr_slope directly
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    counts.withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+      .agg(count(lit(1)).as("n_tokens"),
+        covar_samp(col("y"), col("x")).as("_cov"),
+        var_samp(col("x")).as("_vx"),
+        avg(col("y")).as("_my"), avg(col("x")).as("_mx"))
+      .withColumn("slope", when(col("_vx") > 0, col("_cov") / col("_vx")))
+      .withColumn("intercept",
+        when(col("_vx") > 0, col("_my") - col("slope") * col("_mx")))
+      .select(col("n_tokens"), col("slope"), col("intercept"))
+  }
+
+  /**
    * Sliding-window document chunking: cut each doc into `chunkTokens`-
    * token windows advancing by `stride` tokens (stride < chunkTokens →
    * overlapping context, the standard long-document → training-sample

@@ -74,6 +74,13 @@ class DegenerateInputSpec extends SparkSpecBase {
     val shorts = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Text.suffixSpans(shorts, "doc_id", "text", minLen = 12).count() === 0)
     assert(Text.suffixSpans(noDocs, "doc_id", "text", minLen = 12).count() === 0)
+    // map-only span dedup and the zipf fit: empty corpus / empty text
+    assert(Text.docSpanDedup(noDocs, "doc_id", "text").count() === 0)
+    val blank2 = Seq((1L, "")).toDF("doc_id", "text")
+    val bd = Text.docSpanDedup(blank2, "doc_id", "text").head
+    assert(bd.getLong(1) === 1L && bd.getString(2) === "") // [""] span survives
+    assert(Text.zipfSlope(noDocs, "text").head.getLong(0) === 0L)
+    assert(Text.zipfSlope(blank2, "text").head.getLong(0) === 0L)
   }
 
   test("round-6 operators on empty input return empty, not a crash") {

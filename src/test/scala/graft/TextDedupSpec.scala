@@ -111,6 +111,33 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!lsh.exists(p => p._1 == p._2))
   }
 
+  test("docSpanDedup removes repeats within a doc, never across docs") {
+    val d = Seq(
+      // doc 1: the first 5-word span repeats verbatim at position 1
+      (1L, "a b c d e a b c d e f g h i j"),
+      // doc 2 STARTS with doc 1's span — must be untouched (map-only,
+      // no cross-doc state)
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val r = operators.Text.docSpanDedup(d, "doc_id", "text", spanWords = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(1L) === (2L, "a b c d e f g h i j"))
+    assert(r(2L) === (2L, "a b c d e x y z w v"))
+    assert(r(3L) === (1L, "p q r")) // short doc: one partial span, kept
+  }
+
+  test("zipfSlope fits ln/ln over the ranked token counts") {
+    // counts 4/2/1 -> strictly decreasing: slope strictly negative;
+    // and a perfectly flat corpus fits slope 0
+    val d = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val r = operators.Text.zipfSlope(d, "text", topN = 3).head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) < 0.0)
+    val flat = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(math.abs(operators.Text.zipfSlope(flat, "text", topN = 3)
+      .head.getDouble(1)) < 1e-12)
+  }
+
   test("multimodal pack + decode roundtrip: counts and checksum deterministic") {
     val packed = Multimodal.packBinary(docs, "doc_id", "text", "text/plain")
     assert(packed.schema("media").dataType.typeName === "binary")
