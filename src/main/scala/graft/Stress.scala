@@ -181,6 +181,19 @@ object Stress {
         "vec_id", "embedding", k = 5, dim = 64,
         nCells = 16, nProbe = 4, m = 8, ks = 64, iters = 2).count()
     }
+    // the ANN-prefiltered miner's claim is a WORK ratio, not recall:
+    // exhaustive scoring pays |corpus|·|anchors| kernel evals, the
+    // prefiltered one |corpus|·nCells + probed-cell scoring
+    val tMineFull = probe(s"tripletMine EXHAUSTIVE ${nVecs / 1000}k x 100 anchors") {
+      Similarity.tripletMine(vecs, vecs.filter(col("vec_id") < 100),
+        "vec_id", "embedding", posThreshold = 0.9, nNegatives = 3).count()
+    }
+    val tMineAnn = probe("tripletMine ANN-prefiltered (16c/4p)") {
+      Similarity.tripletMineAnn(vecs, vecs.filter(col("vec_id") < 100),
+        "vec_id", "embedding", posThreshold = 0.9, nNegatives = 3,
+        candidateK = 50, nCells = 16, nProbe = 4).count()
+    }
+    println(f"[stress] triplet ann/exhaustive = ${tMineAnn / tMineFull}%.2fx")
     probe(s"DSIR draw top-10k of ${nDocs / 1000}k docs") {
       Sampling.dsirSelect(docs, "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0, k = 10000).count()
