@@ -702,9 +702,10 @@ object Text {
    * BEFORE the corpus-level passes. Per-doc cost is O(spans²) via
    * array_position — bounded by document length, not corpus size.
    */
-  def docSpanDedup(df: DataFrame, idCol: String, textCol: String,
-                   spanWords: Int = 10): DataFrame = {
-    require(spanWords >= 1, "docSpanDedup needs spanWords >= 1")
+  /** The surviving-spans array underlying [[docSpanDedup]] /
+   * [[scrubRepeatedSpans]]: spans of `textCol`, first occurrence of
+   * each distinct span kept in position order. Pure expression. */
+  private def keptSpans(textCol: String, spanWords: Int): Column = {
     val toks = tokens(col(textCol))
     val lastSpan = floor((size(toks) - 1) / lit(spanWords)).cast("int")
     val spans = when(size(toks) > 0,
@@ -713,10 +714,24 @@ object Text {
       .otherwise(array().cast("array<string>"))
     // keep span i iff its first occurrence IS position i (1-based
     // array_position vs 0-based lambda index)
-    val kept = filter(spans, (s, i) => array_position(spans, s) === i + 1)
-    df.select(col(idCol), kept.as("_kept"))
+    filter(spans, (s, i) => array_position(spans, s) === i + 1)
+  }
+
+  def docSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                   spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, "docSpanDedup needs spanWords >= 1")
+    df.select(col(idCol), keptSpans(textCol, spanWords).as("_kept"))
       .select(col(idCol), size(col("_kept")).cast("long").as("n_spans_kept"),
         concat_ws(" ", col("_kept")).as("text_dedup"))
+  }
+
+  /** In-place variant of [[docSpanDedup]] for pipeline composition:
+   * replaces `textCol` with its within-doc-deduped text, all other
+   * columns untouched — still a pure expression, no shuffle. */
+  def scrubRepeatedSpans(df: DataFrame, textCol: String,
+                         spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, "scrubRepeatedSpans needs spanWords >= 1")
+    df.withColumn(textCol, concat_ws(" ", keptSpans(textCol, spanWords)))
   }
 
   /**

@@ -82,6 +82,47 @@ class PipelineSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("CurateDocuments keeps the BEST-quality cluster member; split is cluster-keyed") {
+    val extra = Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog again and again and again today"),
+      (9002L, "the quick brown fox jumps over the sleepy dog again and again and again today"))
+      .toDF("doc_id", "text")
+    // don't hand-predict the composite quality score — compute it and
+    // assert the canonical rule (max score, ties to smallest id) held
+    val q = operators.Text.qualityScore(extra, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val best = Seq(9001L, 9002L).minBy(id => (-q(id), id))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").unionByName(extra)
+    // one changed word in a 15-word doc is J ≈ 0.63 on 3-gram sets —
+    // below the 0.8 default; 0.5 makes the planted pair a near-dup
+    val out = CurateDocuments.run(docs,
+      CurateDocuments.Config(idCol = "doc_id", textCol = "text",
+        jaccardThreshold = 0.5)).cache()
+    val survivors = out.filter(col("doc_id") >= 9001L)
+      .select("doc_id", "cluster_id", "n_members").collect()
+    assert(survivors.length === 1 && survivors.head.getLong(0) === best,
+      s"expected best-quality survivor $best, got ${survivors.mkString(",")}")
+    assert(survivors.head.getLong(2) === 2L) // the pair clustered
+    out.unpersist()
+  }
+
+  test("CurateDocuments spanWords scrubs within-doc repeats before corpus passes") {
+    val docs = Seq(
+      // the same 5-word span repeated 3x + unique tail; post-scrub the
+      // doc is ordinary prose and must survive the floors
+      (1L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon " +
+        "alpha beta gamma delta epsilon the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home"))
+      .toDF("doc_id", "text")
+    val out = CurateDocuments.run(docs,
+      CurateDocuments.Config(idCol = "doc_id", textCol = "text",
+        spanWords = 5, minQuality = 0.0))
+    val t1 = out.filter(col("doc_id") === 1L).select("text").as[String].head
+    assert(t1.startsWith("alpha beta gamma delta epsilon the quick"),
+      s"repeated span survived the scrub: $t1")
+    assert(!t1.contains("epsilon alpha"), s"second span occurrence kept: $t1")
+  }
+
   test("CurateDocuments: blocklist scrubs first; entropy floor kills boilerplate") {
     val docs = Seq(
       (1L, "opted out text that must never appear in the corpus at all costs"),
