@@ -295,6 +295,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "per-pair rollup lost map-side combine")
   }
 
+  test("within-doc span dedup is map-only: ZERO exchanges, no window, no join") {
+    // the operator's whole scale claim is that it is a pure expression
+    // over the scan — any shuffle appearing here means someone turned it
+    // back into a corpus-level pass
+    val p = plan("q_doc_span_dedup")
+    assert(count(p, "(?<!Reused)Exchange (hash|range)") === 0,
+      s"docSpanDedup grew a shuffle\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
+  }
+
   test("queryable-current SCD2: groupBy reuses the window exchange (one shuffle)") {
     // scd2Current's scaladoc claims the per-key max_by aggregation rides
     // the window's (key)-hash partitioning — assert it stays ONE shuffle
