@@ -813,6 +813,20 @@ object SparkEntry {
           r3(col("recall")).as("recall_at_5"))
     }),
 
+    // --- embedding-outlier screen: per-label centroid-cosine z-score ---
+    "q_embed_outlier" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", zCut = 2.0)
+        .select(col("id").as("vec_id"), col("label"), r3(col("cos")).as("cos"),
+          r3(col("z")).as("z"), col("outlier"))),
+
+    // --- k-NN label propagation (weak labeling from a labeled seed) ---
+    "q_knn_label" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.knnLabel(em, em.filter(col("vec_id") < 20), "vec_id",
+        "embedding", "label", k = 10)
+    }),
+
     // --- contrastive triplets: positive + hard negatives per anchor ---
     "q_triplets" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -2721,6 +2735,54 @@ object SparkEntry {
         |)
         |SELECT label, dim, floor(AVG(val)*1000 + 0.5)/1000 AS mean
         |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q_embed_outlier" -> {
+      val z = "((cos - s / n) / sqrt((sq - s * s / n) / (n - 1)))"
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (
+         |  SELECT label, list_transform(
+         |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c
+         |  FROM (
+         |    SELECT label, t.i AS dim, AVG(v[t.i]) AS m
+         |    FROM v, unnest(generate_series(1, len(v))) AS t(i)
+         |    GROUP BY 1, 2) GROUP BY label),
+         |sc AS MATERIALIZED (
+         |  SELECT b.vec_id, b.label, ${cosSql("b.v", "c.c")} AS cos
+         |  FROM v b JOIN cent c USING (label)),
+         |st AS (
+         |  SELECT label, SUM(cos) AS s, SUM(cos * cos) AS sq,
+         |         CAST(COUNT(cos) AS DOUBLE) AS n
+         |  FROM sc GROUP BY label)
+         |SELECT vec_id, label,
+         |       floor(cos*1000 + 0.5)/1000 AS cos,
+         |       CASE WHEN sqrt((sq - s * s / n) / (n - 1)) = 0 THEN NULL
+         |            ELSE floor($z*1000 + 0.5)/1000 END AS z,
+         |       CASE WHEN sqrt((sq - s * s / n) / (n - 1)) = 0 THEN FALSE
+         |            ELSE abs($z) > 2.0 END AS outlier
+         |FROM sc JOIN st USING (label)""".stripMargin
+    },
+
+    "q_knn_label" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 20),
+         |tk AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.query_id, c.vec_id AS cand_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("q.vq", "c.v")} DESC, c.vec_id ASC) AS rnk
+         |    FROM v c CROSS JOIN q WHERE q.query_id <> c.vec_id
+         |  ) WHERE rnk <= 10),
+         |vt AS (
+         |  SELECT t.query_id, c.label AS nl, COUNT(*) AS n
+         |  FROM tk t JOIN v c ON c.vec_id = t.cand_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, nl AS pred_label, n AS n_votes,
+         |       CAST(tot AS BIGINT) AS n_neighbors FROM (
+         |  SELECT query_id, nl, n,
+         |         SUM(n) OVER (PARTITION BY query_id) AS tot,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY n DESC, nl ASC) AS rn
+         |  FROM vt) WHERE rn = 1""".stripMargin,
 
     "q_blocklist" ->
       """SELECT doc_id FROM documents d

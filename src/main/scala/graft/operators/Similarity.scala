@@ -513,6 +513,65 @@ object Similarity {
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(avg(col("col")).as("mean"))
 
+  /**
+   * Embedding-outlier screen: per-label cosine-to-centroid, z-scored
+   * WITHIN the label — the "does this vector belong to its group"
+   * filter run before an index build or a contrastive-training pass
+   * (mislabeled rows and junk embeddings sit far from their label's
+   * centroid). Composition: [[labelCentroids]] (partial-agg'd, |labels|·dim
+   * rows) broadcast back onto the corpus for one codegen cosine per row,
+   * then [[Analytics.zscore]]'s explicit-sums standardization per label.
+   * A degenerate label (constant cosine) yields null z → outlier=false,
+   * never a divide-by-zero.
+   *
+   * Scale shape: one posexplode+groupBy for the centroids, one broadcast
+   * join (the corpus never shuffles for scoring), one label-keyed window
+   * for the z — no pairwise anything.
+   */
+  def embedOutliers(em: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, zCut: Double = 2.5): DataFrame = {
+    require(zCut > 0, "embedOutliers needs zCut > 0")
+    val base = em.select(col(idCol).as("id"), col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cent = labelCentroids(base, "label", "v")
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => s.getField("mean")).as("c"))
+    val scored = base.join(broadcast(cent), "label")
+      .withColumn("cos", cosine(col("v"), col("c")))
+    Analytics.zscore(scored, Seq("label"), "cos")
+      .select(col("id"), col("label"), col("cos"), col("z"),
+        coalesce(abs(col("z")) > zCut, lit(false)).as("outlier"))
+  }
+
+  /**
+   * k-NN label propagation (weak labeling): each query vector takes the
+   * majority label of its k nearest labeled neighbors (ties: most votes,
+   * then smallest label) — the standard way a small hand-labeled seed
+   * set annotates a big corpus before quality filtering. The neighbor
+   * stage here is [[bruteForceTopK]] (exact, oracle-replayable);
+   * at index scale swap in [[ivfTopK]] / [[pqScore]] — the vote logic
+   * only needs (query_id, cand_id) pairs.
+   *
+   * Scale shape: the neighbor result is |queries|·k rows and BROADCASTS
+   * into the label attach (the labeled corpus never shuffles); the vote
+   * is one partial-agg'd count + one min_by per query.
+   */
+  def knnLabel(labeled: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "knnLabel needs k >= 1")
+    val topk = bruteForceTopK(labeled, queries, idCol, vecCol, k)
+      .select("query_id", "cand_id")
+    val votes = labeled.select(col(idCol).as("cand_id"), col(labelCol).as("_nl"))
+      .join(broadcast(topk), "cand_id")
+      .groupBy("query_id", "_nl").agg(count(lit(1)).as("n"))
+    votes.groupBy("query_id")
+      .agg(min_by(struct(col("_nl"), col("n")), struct(-col("n"), col("_nl"))).as("_w"),
+        sum("n").as("n_neighbors"))
+      .select(col("query_id"), col("_w").getField("_nl").as("pred_label"),
+        col("_w").getField("n").as("n_votes"), col("n_neighbors"))
+  }
+
   /** The plane set of LSH table `t` when `nTables` tables of `nPlanes`
    * planes are drawn from one seeded stream — shared with the oracle
    * generator so an external engine reproduces the exact buckets. */

@@ -142,6 +142,36 @@ class Round8Spec extends SparkSpecBase {
       "ANN miner with full probes disagrees with the exhaustive miner")
   }
 
+  test("embedOutliers flags the planted stray; degenerate label yields no flags") {
+    // label "a": 30 tight vectors around e0 + one OPPOSITE-direction
+    // stray; label "b": all-identical vectors (zero variance)
+    val rows = ((0 until 30).map { i =>
+      (i.toLong, "a", Array(10.0, (i % 5) * 0.01, 0.0, 0.0))
+    } :+ (99L, "a", Array(-10.0, 0.0, 0.1, 0.0))) ++
+      (200 until 210).map(i => (i.toLong, "b", Array(0.0, 5.0, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val r = Similarity.embedOutliers(df, "vec_id", "embedding", "label", zCut = 2.5)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(4)).toMap
+    assert(r(99L), "opposite-direction stray not flagged")
+    assert((0 until 30).forall(i => !r(i.toLong)), "in-cluster vector flagged")
+    assert((200 until 210).forall(i => !r(i.toLong)),
+      "zero-variance label must flag nothing (null z), not crash")
+  }
+
+  test("knnLabel propagates the blob's label; ties break to most votes then smallest") {
+    val labeled = blobRows.withColumn("label",
+      concat(lit("blob"), floor(col("vec_id") / 100)))
+    val queries = blobRows.filter(col("vec_id") % 100 === 7 && col("vec_id") < 500)
+    val r = Similarity.knnLabel(labeled, queries, "vec_id", "embedding",
+        "label", k = 10)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.length === 5)
+    r.foreach { case (qid, pred, votes, total) =>
+      assert(pred === s"blob${qid / 100}", s"query $qid predicted $pred")
+      assert(votes === 10L && total === 10L) // unanimous inside a blob
+    }
+  }
+
   test("anchors-broadcast contract: oversized anchor frames are refused") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.tripletMine(blobRows, blobRows, "vec_id", "embedding",
