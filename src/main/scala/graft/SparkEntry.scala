@@ -820,6 +820,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("label"), r3(col("cos")).as("cos"),
           r3(col("z")).as("z"), col("outlier"))),
 
+    // --- embedding-space drift: per-label centroid cosine between the
+    // even/odd pseudo-snapshots of the corpus ---
+    "q_embed_drift" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.centroidDrift(em.filter(col("vec_id") % 2 === 0),
+          em.filter(col("vec_id") % 2 === 1), "embedding", "label",
+          minCos = 0.9)
+        .select(col("label"), col("status"), r3(col("cos")).as("cos"), col("ok"))
+    }),
+
     // --- k-NN label propagation (weak labeling from a labeled seed) ---
     "q_knn_label" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -2760,6 +2770,30 @@ object SparkEntry {
          |       CASE WHEN sqrt((sq - s * s / n) / (n - 1)) = 0 THEN FALSE
          |            ELSE abs($z) > 2.0 END AS outlier
          |FROM sc JOIN st USING (label)""".stripMargin
+    },
+
+    "q_embed_drift" -> {
+      def centCte(name: String, parity: Int) =
+        s"""$name AS (
+           |  SELECT label, list_transform(
+           |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c
+           |  FROM (
+           |    SELECT label, t.i AS dim, AVG(v[t.i]) AS m
+           |    FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+           |          WHERE vec_id % 2 = $parity) s,
+           |         unnest(generate_series(1, len(v))) AS t(i)
+           |    GROUP BY 1, 2) GROUP BY label)""".stripMargin
+      s"""WITH ${centCte("cb", 0)},
+         |${centCte("ca", 1)}
+         |SELECT coalesce(cb.label, ca.label) AS label,
+         |       CASE WHEN cb.label IS NULL THEN 'added'
+         |            WHEN ca.label IS NULL THEN 'removed'
+         |            ELSE 'common' END AS status,
+         |       CASE WHEN cb.label IS NOT NULL AND ca.label IS NOT NULL
+         |            THEN floor(${cosSql("cb.c", "ca.c")}*1000 + 0.5)/1000 END AS cos,
+         |       CASE WHEN cb.label IS NOT NULL AND ca.label IS NOT NULL
+         |            THEN ${cosSql("cb.c", "ca.c")} >= 0.9 ELSE FALSE END AS ok
+         |FROM cb FULL OUTER JOIN ca ON cb.label = ca.label""".stripMargin
     },
 
     "q_knn_label" ->

@@ -545,6 +545,36 @@ object Similarity {
   }
 
   /**
+   * Embedding-space drift gate between two corpus snapshots: per-label
+   * centroid cosine — the embedding-side sibling of the scalar PSI/KS
+   * drift screens. A retrained or silently-changed embedding model (or
+   * a poisoned ingest) moves label centroids; scalar monitors never see
+   * it. Labels present in only one snapshot surface as added/removed
+   * rows instead of vanishing. Two partial-agg'd centroid passes + a
+   * |labels|-row join: corpus-sized work is exactly the two groupBys.
+   */
+  def centroidDrift(before: DataFrame, after: DataFrame,
+                    vecCol: String, labelCol: String,
+                    minCos: Double = 0.95): DataFrame = {
+    def cents(df: DataFrame, out: String) =
+      labelCentroids(df.select(col(labelCol).as("label"),
+          col(vecCol).cast("array<double>").as("v")), "label", "v")
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as(out))
+    cents(before, "c_before")
+      .join(cents(after, "c_after"), Seq("label"), "full_outer")
+      .withColumn("status",
+        when(col("c_before").isNull, "added")
+          .when(col("c_after").isNull, "removed")
+          .otherwise("common"))
+      .withColumn("cos", when(col("status") === "common",
+        cosine(col("c_before"), col("c_after"))))
+      .withColumn("ok", coalesce(col("cos") >= minCos, lit(false)))
+      .select("label", "status", "cos", "ok")
+  }
+
+  /**
    * k-NN label propagation (weak labeling): each query vector takes the
    * majority label of its k nearest labeled neighbors (ties: most votes,
    * then smallest label) — the standard way a small hand-labeled seed

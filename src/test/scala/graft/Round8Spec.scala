@@ -172,6 +172,26 @@ class Round8Spec extends SparkSpecBase {
     }
   }
 
+  test("centroidDrift: stable label ok, rotated label flagged, added/removed surfaced") {
+    def rows(flipB: Boolean) = (0 until 20).map { i =>
+      ("a", Array(10.0, (i % 3) * 0.01, 0.0))
+    } ++ (0 until 20).map { i =>
+      // label b's snapshot-2 centroid rotates 90°
+      if (flipB) ("b", Array(0.0, 0.02 * (i % 3), 10.0))
+      else ("b", Array(0.0, 10.0, 0.02 * (i % 3)))
+    }
+    val before = (rows(flipB = false) ++ Seq(("gone", Array(1.0, 0.0, 0.0))))
+      .toDF("label", "embedding")
+    val after = (rows(flipB = true) ++ Seq(("new", Array(0.0, 1.0, 0.0))))
+      .toDF("label", "embedding")
+    val r = Similarity.centroidDrift(before, after, "embedding", "label",
+        minCos = 0.9)
+      .collect().map(x => x.getString(0) -> (x.getString(1), x.getBoolean(3))).toMap
+    assert(r("a") === ("common", true), s"stable label flagged: ${r("a")}")
+    assert(r("b") === ("common", false), s"rotated label not flagged: ${r("b")}")
+    assert(r("gone") === ("removed", false) && r("new") === ("added", false))
+  }
+
   test("anchors-broadcast contract: oversized anchor frames are refused") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.tripletMine(blobRows, blobRows, "vec_id", "embedding",
