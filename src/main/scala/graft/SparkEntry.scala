@@ -857,6 +857,15 @@ object SparkEntry {
           col("neg_id"), r3(col("neg_cos")).as("neg_cos"), col("neg_rank"))
     }),
 
+    // --- token-budget selection: best docs until the token budget ---
+    "q_budget_select" -> ((s, dir) =>
+      Sampling.budgetSelect(
+          Tables.documents(s, dir)
+            .withColumn("score", col("n_chars") / lit(600.0))
+            .withColumn("toks", size(split(col("text"), " ")).cast("long")),
+          "doc_id", "score", "toks", budget = 10000L)
+        .select("doc_id", "toks")),
+
     // --- snake-draft sharding: per-lang token-balanced shards ---
     "q_snake_shards" -> ((s, dir) =>
       Sampling.snakeShards(Tables.documents(s, dir), "doc_id", "n_chars",
@@ -1620,6 +1629,21 @@ object SparkEntry {
          |       n.neg_id, floor(n.neg_cos*1000 + 0.5)/1000 AS neg_cos, n.neg_rank
          |FROM neg n JOIN pos p USING (anchor_id) WHERE n.neg_rank <= 3""".stripMargin
     },
+
+    // the oracle states the SEMANTICS (exact global greedy prefix); the
+    // Spark side's bucketed threshold+boundary plan must equal it
+    "q_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars/600.0 AS score,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         SUM(toks) OVER (ORDER BY score DESC, doc_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, toks FROM c WHERE cum <= 10000""".stripMargin,
 
     "q_snake_shards" ->
       """SELECT doc_id, lang,

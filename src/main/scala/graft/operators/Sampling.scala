@@ -80,6 +80,61 @@ object Sampling {
   }
 
   /**
+   * Token-budget corpus selection: keep the highest-`scoreCol` documents
+   * whose cumulative `weightCol` (token counts) stays within `budget` —
+   * "the best N-token subset", the selection a fixed-budget training run
+   * makes. Semantics are the exact greedy prefix of the global
+   * (score desc, id asc) order; rows with null score or non-positive
+   * weight are excluded up front.
+   *
+   * The naive plan is a GLOBAL ordered cumulative window — a 100 TB
+   * non-starter. The scale shape here is threshold + boundary: scores
+   * (expected in [0,1]; out-of-range clamps) quantize into `nBuckets`
+   * buckets whose token mass pre-aggregates map-side to ≤ nBuckets rows;
+   * the bucket cumsums broadcast back; every doc in a bucket that fits
+   * entirely under the remaining budget is taken EN MASSE with no
+   * ordering at all; only the single cutoff bucket — 1/nBuckets of the
+   * corpus in expectation, ceiling ENFORCED via `maxBoundaryRows` like
+   * ksTest's cardinality gate — pays an ordered prefix window to fill
+   * the remainder. Bucketing is monotone in score, so the result equals
+   * the global prefix row-for-row (Round8Spec asserts the equality).
+   */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                   weightCol: String, budget: Long, nBuckets: Int = 1000,
+                   maxBoundaryRows: Long = 10000000L): DataFrame = {
+    require(budget >= 0 && nBuckets >= 1 && maxBoundaryRows >= 1,
+      "budgetSelect needs budget >= 0, nBuckets >= 1, maxBoundaryRows >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val b = df.filter(col(weightCol) > 0 && col(scoreCol).isNotNull)
+      .withColumn("_bk", least(greatest(floor(col(scoreCol) * nBuckets),
+        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int"))
+    val cum = b.groupBy("_bk").agg(sum(col(weightCol)).as("_bw"))
+      // strictly-higher buckets' mass: ≤ nBuckets rows, benign bounded
+      // single-partition window (see LogQuiet)
+      .withColumn("_above", coalesce(sum(col("_bw")).over(
+        W.orderBy(col("_bk").desc).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+    val tagged = b.join(broadcast(cum), "_bk")
+    val full = tagged.filter(col("_above") + col("_bw") <= budget)
+    val boundary = tagged.filter(col("_above") < budget &&
+      col("_above") + col("_bw") > budget)
+    val nBoundary = boundary.count()
+    require(nBoundary <= maxBoundaryRows,
+      s"budgetSelect: cutoff bucket holds $nBoundary rows > " +
+        s"maxBoundaryRows=$maxBoundaryRows — the boundary prefix window " +
+        "would see them all in one task; raise nBuckets (score ties are " +
+        "collapsing into one bucket) or the ceiling deliberately")
+    val wIn = W.partitionBy("_bk")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val bsel = boundary
+      .withColumn("_cum", sum(col(weightCol)).over(wIn))
+      .filter(col("_above") + col("_cum") <= budget)
+      .drop("_cum")
+    full.unionByName(bsel).select(df.columns.map(col): _*)
+  }
+
+  /**
    * Deterministic per-stratum cap: keep at most `maxPerStratum` rows of
    * each stratum, chosen by md5-hash order of the key — the "no more
    * than N docs per domain" guard against a single hot source flooding

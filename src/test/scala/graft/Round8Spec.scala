@@ -192,6 +192,32 @@ class Round8Spec extends SparkSpecBase {
     assert(r("gone") === ("removed", false) && r("new") === ("added", false))
   }
 
+  test("budgetSelect equals the naive global prefix; edges and cap enforced") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rng = new scala.util.Random(61)
+    val docs = (0 until 400).map(i =>
+      (i.toLong, rng.nextInt(1000) / 1000.0, 1L + rng.nextInt(50)))
+      .toDF("doc_id", "score", "toks")
+    def naive(budget: Long): Set[Long] = docs
+      .withColumn("cum", sum("toks").over(W.orderBy(col("score").desc,
+        col("doc_id").asc).rowsBetween(W.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget)
+      .select("doc_id").as[Long].collect().toSet
+    for (budget <- Seq(0L, 37L, 3000L, 1000000L)) {
+      val got = Sampling.budgetSelect(docs, "doc_id", "score", "toks", budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === naive(budget), s"budget=$budget diverged from global prefix")
+    }
+    // all 400 scores identical -> one bucket holds everything; the
+    // boundary-window ceiling must refuse, not plan a global window
+    val flat = docs.withColumn("score", lit(0.5))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(flat, "doc_id", "score", "toks",
+        budget = 100L, maxBoundaryRows = 100L)
+    }
+    assert(e.getMessage.contains("maxBoundaryRows"), e.getMessage)
+  }
+
   test("anchors-broadcast contract: oversized anchor frames are refused") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.tripletMine(blobRows, blobRows, "vec_id", "embedding",
