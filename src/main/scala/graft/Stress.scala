@@ -194,6 +194,17 @@ object Stress {
         candidateK = 50, nCells = 16, nProbe = 4).count()
     }
     println(f"[stress] triplet ann/exhaustive = ${tMineAnn / tMineFull}%.2fx")
+    probe(s"budgetSelect ${nEvents / 1000000}M docs, ~10% budget") {
+      // threshold+boundary selection: the full-bucket path moves ~10% of
+      // rows with no ordering; only the one cutoff bucket (~1/1000 of
+      // the corpus) pays a prefix window
+      val scored = spark.range(nEvents).select(
+        col("id").as("doc_id"),
+        (pmod(xxhash64(col("id"), lit(51)), lit(1000)).cast("double") / 1000).as("score"),
+        (pmod(xxhash64(col("id"), lit(52)), lit(400)) + 50).as("toks"))
+      Sampling.budgetSelect(scored, "doc_id", "score", "toks",
+        budget = nEvents * 25L).count()
+    }
     probe(s"DSIR draw top-10k of ${nDocs / 1000}k docs") {
       Sampling.dsirSelect(docs, "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0, k = 10000).count()
