@@ -96,7 +96,25 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The SharedStage materializations (near-dup pair join + CC labels)
+    // are measured ONCE as their own entry: the per-query medians below
+    // are amortized steady-state costs — later reps and later family
+    // members ride the cache — so without this row a regression in the
+    // shared build would move NO reported number. Driving q_dedup_cluster
+    // cold materializes both stages; its own median below then reads the
+    // warm cache, which is exactly the pipeline cost model.
+    val buildT0 = System.nanoTime()
+    val (_, buildSh, buildSp) = drained {
+      CacheScope.scoped {
+        try SparkEntry.queries("q_dedup_cluster")(spark, sfDir).count(): Unit
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] shared-stage build failed: ${e.getMessage}")
+        }
+      }
+    }
+    val buildEntry = ("_shared_stage_build",
+      (System.nanoTime() - buildT0) / 1e9, buildSh, buildSp)
+    val results = buildEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val shuffles = scala.collection.mutable.ArrayBuffer[Long]()
       val spills = scala.collection.mutable.ArrayBuffer[Long]()

@@ -2789,9 +2789,9 @@ object SparkEntry {
          |  FROM sc GROUP BY label)
          |SELECT vec_id, label,
          |       floor(cos*1000 + 0.5)/1000 AS cos,
-         |       CASE WHEN sqrt((sq - s * s / n) / (n - 1)) = 0 THEN NULL
+         |       CASE WHEN n < 2 OR sqrt((sq - s * s / n) / (n - 1)) = 0 THEN NULL
          |            ELSE floor($z*1000 + 0.5)/1000 END AS z,
-         |       CASE WHEN sqrt((sq - s * s / n) / (n - 1)) = 0 THEN FALSE
+         |       CASE WHEN n < 2 OR sqrt((sq - s * s / n) / (n - 1)) = 0 THEN FALSE
          |            ELSE abs($z) > 2.0 END AS outlier
          |FROM sc JOIN st USING (label)""".stripMargin
     },

@@ -255,7 +255,13 @@ object Analytics {
     val n = count(v).over(w).cast("double")
     val mean = s / n
     val std = sqrt((sq - s * s / n) / (n - 1))
-    df.withColumn(outCol, when(std === 0, lit(null)).otherwise((v - mean) / std))
+    // n < 2 makes the sample variance 0/0 = NaN, which the std = 0 guard
+    // does NOT catch — and NaN compares GREATER than any threshold under
+    // Spark's NaN ordering, so an unguarded singleton group would z-score
+    // to NaN and pass every |z| > cut filter. Singletons are null like
+    // zero-variance groups.
+    df.withColumn(outCol,
+      when(n < 2 || std === 0, lit(null)).otherwise((v - mean) / std))
   }
 
   /**

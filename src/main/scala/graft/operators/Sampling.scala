@@ -105,25 +105,33 @@ object Sampling {
     require(budget >= 0 && nBuckets >= 1 && maxBoundaryRows >= 1,
       "budgetSelect needs budget >= 0, nBuckets >= 1, maxBoundaryRows >= 1")
     val W = org.apache.spark.sql.expressions.Window
-    val b = df.filter(col(weightCol) > 0 && col(scoreCol).isNotNull)
-      .withColumn("_bk", least(greatest(floor(col(scoreCol) * nBuckets),
-        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int"))
-    val cum = b.groupBy("_bk").agg(sum(col(weightCol)).as("_bw"))
+    // persisted: the bucket aggregate plus BOTH selection branches read
+    // this frame — without the persist the input is scanned three times
+    val b = graft.CacheScope.persist(
+      df.filter(col(weightCol) > 0 && col(scoreCol).isNotNull)
+        .withColumn("_bk", least(greatest(floor(col(scoreCol) * nBuckets),
+          lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")))
+    val cum = b.groupBy("_bk")
+      .agg(sum(col(weightCol)).as("_bw"), count(lit(1)).as("_bn"))
       // strictly-higher buckets' mass: ≤ nBuckets rows, benign bounded
       // single-partition window (see LogQuiet)
       .withColumn("_above", coalesce(sum(col("_bw")).over(
         W.orderBy(col("_bk").desc).rowsBetween(W.unboundedPreceding, -1)),
         lit(0L)))
-    val tagged = b.join(broadcast(cum), "_bk")
-    val full = tagged.filter(col("_above") + col("_bw") <= budget)
-    val boundary = tagged.filter(col("_above") < budget &&
-      col("_above") + col("_bw") > budget)
-    val nBoundary = boundary.count()
+    // the boundary-size gate reads the ≤ nBuckets-row aggregate, not the
+    // corpus — no extra data scan
+    val nBoundary = cum.filter(col("_above") < budget &&
+        col("_above") + col("_bw") > budget)
+      .agg(coalesce(sum("_bn"), lit(0L))).head.getLong(0)
     require(nBoundary <= maxBoundaryRows,
       s"budgetSelect: cutoff bucket holds $nBoundary rows > " +
         s"maxBoundaryRows=$maxBoundaryRows — the boundary prefix window " +
         "would see them all in one task; raise nBuckets (score ties are " +
         "collapsing into one bucket) or the ceiling deliberately")
+    val tagged = b.join(broadcast(cum.drop("_bn")), "_bk")
+    val full = tagged.filter(col("_above") + col("_bw") <= budget)
+    val boundary = tagged.filter(col("_above") < budget &&
+      col("_above") + col("_bw") > budget)
     val wIn = W.partitionBy("_bk")
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(W.unboundedPreceding, 0)

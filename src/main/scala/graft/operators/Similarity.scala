@@ -425,22 +425,38 @@ object Similarity {
    * map-side-combined argmax (one row per vector reaches the shuffle);
    * the probe join is an equi-join on cell id.
    */
+  /** md5 hash-picked coarse quantizer over a (cand_id, v_c, nrm_c) frame
+   * → (c_vec, c_nrm, cell). Deterministic AND cross-engine reproducible
+   * (md5, unlike xxhash64, is bit-identical everywhere) — the one
+   * construction shared by ivfTopK / ivfPqTopK so a tie-break or norm
+   * fix can never diverge between them. */
+  private def hashPickedCells(base: DataFrame, nCells: Int): DataFrame =
+    base.withColumn("h", md5(col("cand_id").cast("string")))
+      .orderBy("h").limit(nCells)
+      .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
+      .withColumn("cell", (hRank - 1).cast("int"))
+      .drop("h")
+
+  /** [[kmeansCentroids]] row-form output → the same (c_vec, c_nrm, cell)
+   * shape, shared by ivfTopKFitted / ivfPqTopK's fitted path. */
+  private def fittedCells(centroidRows: DataFrame): DataFrame =
+    centroidRows.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => s.getField("mean")).as("c_vec"))
+      .withColumn("c_nrm", sqrt(dot(col("c_vec"), col("c_vec"))))
+      .select("c_vec", "c_nrm", "cell")
+
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = candidates.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-    // coarse quantizer: nCentroids hash-picked vectors; cell id = rank in
-    // hash order (16 rows — the single-partition window is trivial).
-    // Persisted: it feeds TWO broadcast joins below, and without the
-    // persist each broadcast recomputes the full candidate scan + top-k.
-    val cent = graft.CacheScope.persist(base
-      .withColumn("h", md5(col("cand_id").cast("string")))
-      .orderBy("h").limit(nCentroids)
-      .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
-      .withColumn("cell", (hRank - 1).cast("int"))
-      .drop("h"))
+    // coarse quantizer: nCentroids hash-picked vectors (16 rows — the
+    // single-partition window is trivial). Persisted: it feeds TWO
+    // broadcast joins below, and without the persist each broadcast
+    // recomputes the full candidate scan + top-k.
+    val cent = graft.CacheScope.persist(hashPickedCells(base, nCentroids))
     ivfWith(base, queries, idCol, vecCol, k, nProbe, cent)
   }
 
@@ -457,12 +473,7 @@ object Similarity {
     val base = candidates.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-    val cent = graft.CacheScope.persist(centroidRows
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-        s => s.getField("mean")).as("c_vec"))
-      .withColumn("c_nrm", sqrt(dot(col("c_vec"), col("c_vec"))))
-      .select("c_vec", "c_nrm", "cell"))
+    val cent = graft.CacheScope.persist(fittedCells(centroidRows))
     ivfWith(base, queries, idCol, vecCol, k, nProbe, cent)
   }
 
@@ -577,19 +588,29 @@ object Similarity {
   /**
    * k-NN label propagation (weak labeling): each query vector takes the
    * majority label of its k nearest labeled neighbors (ties: most votes,
-   * then smallest label) — the standard way a small hand-labeled seed
-   * set annotates a big corpus before quality filtering. The neighbor
-   * stage here is [[bruteForceTopK]] (exact, oracle-replayable);
-   * at index scale swap in [[ivfTopK]] / [[pqScore]] — the vote logic
+   * then smallest label). The neighbor stage here is [[bruteForceTopK]]
+   * (exact, oracle-replayable), which BROADCASTS the query side — so a
+   * batch of queries must be broadcast-sized, enforced via `maxQueries`
+   * (the same contract-as-require rule as the triplet miners'
+   * anchorsChecked). Annotating a whole big corpus from a small labeled
+   * seed is a LOOP of such batches — or swap the neighbor stage for
+   * [[ivfTopK]] / [[pqScore]] against a resident index; the vote logic
    * only needs (query_id, cand_id) pairs.
    *
-   * Scale shape: the neighbor result is |queries|·k rows and BROADCASTS
-   * into the label attach (the labeled corpus never shuffles); the vote
-   * is one partial-agg'd count + one min_by per query.
+   * Scale shape per batch: the neighbor result is |queries|·k rows and
+   * broadcasts into the label attach (the labeled corpus never
+   * shuffles); the vote is one partial-agg'd count + one min_by per
+   * query.
    */
   def knnLabel(labeled: DataFrame, queries: DataFrame, idCol: String,
-               vecCol: String, labelCol: String, k: Int): DataFrame = {
+               vecCol: String, labelCol: String, k: Int,
+               maxQueries: Long = 100000L): DataFrame = {
     require(k >= 1, "knnLabel needs k >= 1")
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"knnLabel: $nQ queries > maxQueries=$maxQueries — the query side " +
+        "BROADCASTS into the scoring join; batch the queries (or raise " +
+        "the ceiling deliberately with executor memory to back it)")
     val topk = bruteForceTopK(labeled, queries, idCol, vecCol, k)
       .select("query_id", "cand_id")
     val votes = labeled.select(col(idCol).as("cand_id"), col(labelCol).as("_nl"))
@@ -909,25 +930,14 @@ object Similarity {
     val base = candidates.select(col(idCol).as("cand_id"),
         checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
-    // coarse quantizer: md5 hash-pick by default (deterministic,
+    // coarse quantizer: [[hashPickedCells]] by default (deterministic,
     // oracle-replayable) or FITTED [[kmeansCentroids]] row-form output
     // via `coarseCentroids` (nCells then comes from the frame) — trained
     // cells align with real clusters, so the same nProbe buys strictly
     // better recall on clustered corpora (Round8Spec measures it, the
     // same composition as ivfTopKFitted). Feeds THREE joins → persist.
-    val cent = graft.CacheScope.persist(coarseCentroids match {
-      case Some(rows) => rows.groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-          s => s.getField("mean")).as("c_vec"))
-        .withColumn("c_nrm", sqrt(dot(col("c_vec"), col("c_vec"))))
-        .select("c_vec", "c_nrm", "cell")
-      case None => base
-        .withColumn("h", md5(col("cand_id").cast("string")))
-        .orderBy("h").limit(nCells)
-        .select(col("v_c").as("c_vec"), col("nrm_c").as("c_nrm"), col("h"))
-        .withColumn("cell", (hRank - 1).cast("int"))
-        .drop("h")
-    })
+    val cent = graft.CacheScope.persist(coarseCentroids
+      .map(fittedCells).getOrElse(hashPickedCells(base, nCells)))
     // nearest cell per candidate (argmax cosine, ties to smallest cell);
     // partial agg collapses the ×nCells expansion before the shuffle
     val assigned = base.crossJoin(broadcast(cent))

@@ -727,11 +727,14 @@ object Text {
 
   /** In-place variant of [[docSpanDedup]] for pipeline composition:
    * replaces `textCol` with its within-doc-deduped text, all other
-   * columns untouched — still a pure expression, no shuffle. */
+   * columns untouched — still a pure expression, no shuffle. Null text
+   * stays NULL (concat_ws would silently coerce it to "", collapsing
+   * every null-text doc into one empty doc at the next exact dedup). */
   def scrubRepeatedSpans(df: DataFrame, textCol: String,
                          spanWords: Int = 10): DataFrame = {
     require(spanWords >= 1, "scrubRepeatedSpans needs spanWords >= 1")
-    df.withColumn(textCol, concat_ws(" ", keptSpans(textCol, spanWords)))
+    df.withColumn(textCol, when(col(textCol).isNull, lit(null))
+      .otherwise(concat_ws(" ", keptSpans(textCol, spanWords))))
   }
 
   /**
@@ -751,20 +754,15 @@ object Text {
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc).limit(topN)
     // rank over ≤topN rows: the benign bounded single-partition window
-    // (see LogQuiet); ln/ln OLS via the same covar/var convention as
-    // Analytics.linearFit so the oracle uses regr_slope directly
+    // (see LogQuiet); the ln/ln OLS IS Analytics.linearFit (ungrouped) —
+    // one divide-by-zero-safe slope implementation, not two
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("tok").asc)
-    counts.withColumn("x", log(row_number().over(w).cast("double")))
+    val pts = counts
+      .withColumn("x", log(row_number().over(w).cast("double")))
       .withColumn("y", log(col("c").cast("double")))
-      .agg(count(lit(1)).as("n_tokens"),
-        covar_samp(col("y"), col("x")).as("_cov"),
-        var_samp(col("x")).as("_vx"),
-        avg(col("y")).as("_my"), avg(col("x")).as("_mx"))
-      .withColumn("slope", when(col("_vx") > 0, col("_cov") / col("_vx")))
-      .withColumn("intercept",
-        when(col("_vx") > 0, col("_my") - col("slope") * col("_mx")))
-      .select(col("n_tokens"), col("slope"), col("intercept"))
+    Analytics.linearFit(pts, Seq.empty, "y", "x")
+      .select(col("n").as("n_tokens"), col("slope"), col("intercept"))
   }
 
   /**

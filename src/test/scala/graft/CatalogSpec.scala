@@ -67,7 +67,7 @@ class CatalogSpec extends SparkSpecBase {
       "ntz" -> fixtureDir(df => df.withColumn("ts", col("ts").cast("timestamp_ntz"))),
       // nanos-as-long: what the old generator's TIMESTAMP(NANOS) read as
       "long" -> fixtureDir(df => df.withColumn("ts", expr("unix_micros(ts) * 1000L"))))
-    fixtures.foreach { case (enc, dir) =>
+    try fixtures.foreach { case (enc, dir) =>
       val ev = Tables.events(spark, dir)
       assert(ev.schema("ts").dataType === TimestampType, s"encoding $enc via Tables.events")
       assert(ev.agg(max(unix_micros(col("ts")))).head().getLong(0) === truth,
@@ -78,7 +78,9 @@ class CatalogSpec extends SparkSpecBase {
       assert(spark.sql("SELECT max(unix_micros(ts)) FROM graft.events_ts")
         .head().getLong(0) === truth, s"encoding $enc drifted through the view")
     }
-    Tables.register(spark, sfDir) // restore for other suites
+    // finally, not tail: a failed assertion must not leave the shared
+    // session's catalog pointed at the temp fixture for every later suite
+    finally Tables.register(spark, sfDir)
   }
 
   test("StateStore.register serves versioned snapshots through SQL with isolation") {

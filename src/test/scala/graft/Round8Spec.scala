@@ -148,7 +148,11 @@ class Round8Spec extends SparkSpecBase {
     val rows = ((0 until 30).map { i =>
       (i.toLong, "a", Array(10.0, (i % 5) * 0.01, 0.0, 0.0))
     } :+ (99L, "a", Array(-10.0, 0.0, 0.1, 0.0))) ++
-      (200 until 210).map(i => (i.toLong, "b", Array(0.0, 5.0, 0.0, 0.0)))
+      (200 until 210).map(i => (i.toLong, "b", Array(0.0, 5.0, 0.0, 0.0))) :+
+      // SINGLETON label: sample variance is 0/0 = NaN, and NaN compares
+      // greater than any cut under Spark's NaN ordering — the zscore n<2
+      // guard must null it out, not flag it
+      (300L, "solo", Array(1.0, 2.0, 3.0, 4.0))
     val df = rows.toDF("vec_id", "label", "embedding")
     val r = Similarity.embedOutliers(df, "vec_id", "embedding", "label", zCut = 2.5)
       .collect().map(x => x.getLong(0) -> x.getBoolean(4)).toMap
@@ -156,6 +160,7 @@ class Round8Spec extends SparkSpecBase {
     assert((0 until 30).forall(i => !r(i.toLong)), "in-cluster vector flagged")
     assert((200 until 210).forall(i => !r(i.toLong)),
       "zero-variance label must flag nothing (null z), not crash")
+    assert(!r(300L), "singleton label flagged via NaN z")
   }
 
   test("knnLabel propagates the blob's label; ties break to most votes then smallest") {
