@@ -150,13 +150,20 @@ object Bench {
       .mkString("{", ",", "}")
     val spills = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // totals and counts bill QUERIES only: the one-time _shared_stage_build
+    // row stays in the per-entry maps (it is real pipeline cost) but is
+    // reported as its own build_* fields so round-over-round total/count
+    // diffs compare query work against query work
+    val queryResults = results.filterNot(_._1 == "_shared_stage_build")
+    val total = if (queryResults.nonEmpty) queryResults.map(_._2).sum else 0.0
     // minimal JSON string escaping for names/paths we embed verbatim
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failedJson = failed.map(jstr).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""n_queries":${queryResults.size},"n_entries":${results.size},""" +
+        s""""build_sec":${buildEntry._2},"build_shuffle_bytes":${buildEntry._3},""" +
         s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,""" +
         s""""failed":$failedJson,"sf":${jstr(sfDir)}}"""
     // Full per-query detail lands in a file; stdout gets a COMPACT line.
@@ -192,8 +199,8 @@ object Bench {
     val headQs = headline.flatMap(k => byName.get(k))
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val shuffleMb = results.map(_._3).sum / 1e6
-    val spillMb = results.map(_._4).sum / 1e6
+    val shuffleMb = queryResults.map(_._3).sum / 1e6
+    val spillMb = queryResults.map(_._4).sum / 1e6
     // cap the failed list on the compact line: it must stay inside the
     // harness's ~2000-char stdout tail even when dozens of queries fail —
     // exactly the rounds where the signal matters most. Full list is in
@@ -201,7 +208,8 @@ object Bench {
     val failedCompact = failed.take(8).map(jstr).mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""sf":${jstr(sfDir)},"n_queries":${results.size},""" +
+        s""""sf":${jstr(sfDir)},"n_queries":${queryResults.size},""" +
+        s""""n_entries":${results.size},"build_sec":${r3(buildEntry._2)},""" +
         s""""shuffle_mb":${r3(shuffleMb)},"spill_mb":${r3(spillMb)},""" +
         s""""failed_count":${failed.size},"failed":$failedCompact,""" +
         s""""queries":$headQs,"full":${jstr(outPath)}}"""

@@ -435,7 +435,7 @@ object SparkEntry {
     // --- Zipf slope of the corpus token distribution ---
     "q_zipf" -> ((s, dir) =>
       Text.zipfSlope(Tables.documents(s, dir), "text", topN = 30)
-        .select(col("n_tokens"), r3(col("slope")).as("slope"),
+        .select(col("n_ranks"), r3(col("slope")).as("slope"),
           r3(col("intercept")).as("intercept"))),
 
     // --- similarity search ---
@@ -1641,7 +1641,9 @@ object SparkEntry {
         |  SELECT doc_id, toks,
         |         SUM(toks) OVER (ORDER BY score DESC, doc_id ASC
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM d
+        |  -- mirror budgetSelect's up-front exclusion of null-score /
+        |  -- non-positive-weight rows so both engines state the same filter
+        |  FROM d WHERE toks > 0 AND score IS NOT NULL
         |)
         |SELECT doc_id, toks FROM c WHERE cum <= 10000""".stripMargin,
 
@@ -1993,7 +1995,7 @@ object SparkEntry {
         |         ln(CAST(c AS DOUBLE)) AS y
         |  FROM ct
         |)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
         |       floor(regr_slope(y, x)*1000 + 0.5)/1000 AS slope,
         |       floor(regr_intercept(y, x)*1000 + 0.5)/1000 AS intercept
         |FROM pts""".stripMargin,

@@ -98,6 +98,11 @@ object Sampling {
    * ksTest's cardinality gate — pays an ordered prefix window to fill
    * the remainder. Bucketing is monotone in score, so the result equals
    * the global prefix row-for-row (Round8Spec asserts the equality).
+   *
+   * Fully lazy: constructing the frame triggers NO Spark job. The
+   * `maxBoundaryRows` ceiling is an in-plan `assert_true` on the cutoff
+   * bucket's broadcast row count, raised when the caller's ACTION runs
+   * (surfaced inside the task failure's cause chain).
    */
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                    weightCol: String, budget: Long, nBuckets: Int = 1000,
@@ -118,20 +123,24 @@ object Sampling {
       .withColumn("_above", coalesce(sum(col("_bw")).over(
         W.orderBy(col("_bk").desc).rowsBetween(W.unboundedPreceding, -1)),
         lit(0L)))
-    // the boundary-size gate reads the ≤ nBuckets-row aggregate, not the
-    // corpus — no extra data scan
-    val nBoundary = cum.filter(col("_above") < budget &&
-        col("_above") + col("_bw") > budget)
-      .agg(coalesce(sum("_bn"), lit(0L))).head.getLong(0)
-    require(nBoundary <= maxBoundaryRows,
-      s"budgetSelect: cutoff bucket holds $nBoundary rows > " +
-        s"maxBoundaryRows=$maxBoundaryRows — the boundary prefix window " +
-        "would see them all in one task; raise nBuckets (score ties are " +
-        "collapsing into one bucket) or the ceiling deliberately")
-    val tagged = b.join(broadcast(cum.drop("_bn")), "_bk")
+    val tagged = b.join(broadcast(cum), "_bk")
     val full = tagged.filter(col("_above") + col("_bw") <= budget)
+    // the boundary-size ceiling RIDES THE ACTION instead of running an
+    // eager driver job at plan-build time (constructing this frame must
+    // trigger no Spark job — the operator stays lazily composable): every
+    // cutoff-bucket row carries its bucket's count `_bn` from the
+    // broadcast aggregate and asserts it under the cap as it flows into
+    // the prefix window. assert_true yields NULL on pass, so the isNull
+    // filter keeps all rows while forcing the check to stay in the plan.
     val boundary = tagged.filter(col("_above") < budget &&
-      col("_above") + col("_bw") > budget)
+        col("_above") + col("_bw") > budget)
+      .withColumn("_gate", assert_true(col("_bn") <= maxBoundaryRows,
+        concat(lit("budgetSelect: cutoff bucket holds "), col("_bn"),
+          lit(s" rows > maxBoundaryRows=$maxBoundaryRows — the boundary " +
+            "prefix window would see them all in one task; raise nBuckets " +
+            "(score ties are collapsing into one bucket) or the ceiling " +
+            "deliberately"))))
+      .filter(col("_gate").isNull).drop("_gate")
     val wIn = W.partitionBy("_bk")
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(W.unboundedPreceding, 0)

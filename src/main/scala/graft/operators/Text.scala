@@ -762,7 +762,9 @@ object Text {
       .withColumn("x", log(row_number().over(w).cast("double")))
       .withColumn("y", log(col("c").cast("double")))
     Analytics.linearFit(pts, Seq.empty, "y", "x")
-      .select(col("n").as("n_tokens"), col("slope"), col("intercept"))
+      // n_ranks, not n_tokens: this is the number of RANKED POINTS in the
+      // fit (≤ topN distinct tokens), not a corpus token count
+      .select(col("n").as("n_ranks"), col("slope"), col("intercept"))
   }
 
   /**

@@ -214,13 +214,28 @@ class Round8Spec extends SparkSpecBase {
       assert(got === naive(budget), s"budget=$budget diverged from global prefix")
     }
     // all 400 scores identical -> one bucket holds everything; the
-    // boundary-window ceiling must refuse, not plan a global window
+    // boundary-window ceiling must refuse, not plan a global window.
+    // The gate is deferred into the plan: CONSTRUCTION runs no job and
+    // throws nothing; the refusal surfaces when the action runs.
     val flat = docs.withColumn("score", lit(0.5))
-    val e = intercept[IllegalArgumentException] {
-      Sampling.budgetSelect(flat, "doc_id", "score", "toks",
-        budget = 100L, maxBoundaryRows = 100L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
     }
-    assert(e.getMessage.contains("maxBoundaryRows"), e.getMessage)
+    spark.sparkContext.addSparkListener(l)
+    val frame = try {
+      val f = Sampling.budgetSelect(flat, "doc_id", "score", "toks",
+        budget = 100L, maxBoundaryRows = 100L)
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      f
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get === 0, s"budgetSelect construction ran ${jobs.get} job(s)")
+    val e = intercept[Exception] { frame.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxBoundaryRows")), msgs(e).mkString("|"))
   }
 
   test("anchors-broadcast contract: oversized anchor frames are refused") {
