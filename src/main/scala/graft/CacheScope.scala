@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 import scala.util.DynamicVariable
 
@@ -81,22 +81,91 @@ object CacheScope {
  * thresholds can never alias. Frames persist OUTSIDE any enclosing
  * [[CacheScope.scoped]] block by design — release is explicit via
  * [[clear]] (drivers call it between workload phases).
+ *
+ * STALENESS: each entry is versioned by a filesystem snapshot signature
+ * of its input dir (every file's path + length + mtime). A [[get]] whose
+ * dir has been rewritten since the entry was cached — graft's own
+ * [[graft.sources.LakeWriter]] overwrite or
+ * [[graft.sources.StateStore]] merge can re-land a table a long-lived
+ * session already read — recomputes instead of serving stale rows;
+ * parquet rewrites always mint fresh part-file names, so any re-land
+ * flips the signature. Writers additionally call [[invalidate]] for
+ * prompt release of the superseded cache. Entries bound to a stopped
+ * SparkSession are likewise recomputed, never returned. `get` is
+ * synchronized: concurrent first readers of one key compute once (plan
+ * construction is cheap — the materialization itself stays lazy).
  */
 object SharedStage {
+  private final case class Entry(sig: String, df: DataFrame)
   private val frames =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    scala.collection.mutable.HashMap[(String, String), Entry]()
 
-  /** Memoized compute-and-persist of `key` for input `dir`. */
+  /** Snapshot signature of `dir`: order-insensitive hash over every
+   * file's (path, length, mtime) from one recursive listing — O(files)
+   * like any scan planning, no data read. */
+  private def signature(dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else {
+      // commutative combine (sum + xor of per-file hashes): listing
+      // order is filesystem-dependent; per-file inputs are distinct
+      // (paths are unique) so cancellation can't occur
+      var sum = 0L
+      var xor = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val h = scala.util.hashing.MurmurHash3.stringHash(
+          s"${f.getPath}#${f.getLen}#${f.getModificationTime}").toLong
+        sum += h; xor ^= h
+      }
+      s"${java.lang.Long.toHexString(sum)}:${java.lang.Long.toHexString(xor)}"
+    }
+  }
+
+  private def dead(df: DataFrame): Boolean =
+    df.sparkSession.sparkContext.isStopped
+
+  /** Memoized compute-and-persist of `key` for input `dir`, valid only
+   * while `dir`'s file snapshot is unchanged and the owning session is
+   * alive. */
   def get(dir: String, key: String)(compute: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((dir, key), {
-      val df = compute
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      df
-    })
+    synchronized {
+      val sig = signature(dir)
+      frames.get((dir, key)) match {
+        case Some(e) if e.sig == sig && !dead(e.df) => e.df
+        case stale =>
+          stale.foreach(e =>
+            if (!dead(e.df)) scala.util.Try(e.df.unpersist(false)))
+          val df = compute
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+          frames((dir, key)) = Entry(sig, df)
+          df
+      }
+    }
+
+  /** Unpersist and forget every entry whose input dir contains — or is
+   * contained by — `path`: writers call this after landing data so the
+   * next read recomputes immediately instead of waiting for the
+   * signature check to notice. */
+  def invalidate(path: String): Unit = synchronized {
+    def norm(s: String) = s.stripSuffix("/") + "/"
+    val doomed = frames.keys.filter { case (dir, _) =>
+      norm(dir).startsWith(norm(path)) || norm(path).startsWith(norm(dir))
+    }.toSeq
+    doomed.foreach { k =>
+      frames.remove(k).foreach(e =>
+        if (!dead(e.df)) scala.util.Try(e.df.unpersist(false)))
+    }
+  }
 
   /** Unpersist and forget every shared frame. */
-  def clear(): Unit = {
-    frames.values.foreach(_.unpersist(false))
+  def clear(): Unit = synchronized {
+    frames.values.foreach(e =>
+      if (!dead(e.df)) scala.util.Try(e.df.unpersist(false)))
     frames.clear()
   }
 }

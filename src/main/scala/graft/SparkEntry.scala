@@ -837,6 +837,14 @@ object SparkEntry {
         "embedding", "label", k = 10)
     }),
 
+    // --- ANN k-NN label propagation: IVFADC neighbors, same vote ---
+    "q_knn_label_ann" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.knnLabelAnn(em, em.filter(col("vec_id") < 20), "vec_id",
+        "embedding", "label", k = 10, dim = 64, nCells = 16, nProbe = 4,
+        m = 8, ks = 64, iters = 2)
+    }),
+
     // --- contrastive triplets: positive + hard negatives per anchor ---
     "q_triplets" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
@@ -1716,94 +1724,11 @@ object SparkEntry {
          |$RecallTailSql""".stripMargin
     },
 
-    "q_ann_ivfpq" -> {
-      // IVFADC end to end: q_ann_ivf's coarse quantizer, q_ann_pq's
-      // subspace Lloyd over the RESIDUALS (v − coarse centroid), then
-      // qc + LUT-sum ADC scoring restricted to the probed cells
-      def assign(cents: String) =
-        s"""SELECT id, ivf_cell, sub, vs, nrm, cell FROM (
-           |    SELECT b.id, b.ivf_cell, b.sub, b.vs, b.nrm, c.cell,
-           |           row_number() OVER (PARTITION BY b.id, b.sub
-           |             ORDER BY (${dotSql("c.c", "c.c")}
-           |               - 2.0 * ${dotSql("b.vs", "c.c")}) ASC, c.cell ASC) AS rn
-           |    FROM rsv b JOIN $cents c ON c.sub = b.sub) WHERE rn = 1""".stripMargin
-      def refit(asg: String) =
-        s"""SELECT sub, cell, list_transform(
-           |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c FROM (
-           |    SELECT sub, cell, t.i AS dim, AVG(u.vs[t.i]) AS m
-           |    FROM $asg u, unnest(generate_series(1, len(u.vs))) AS t(i)
-           |    GROUP BY 1, 2, 3) GROUP BY sub, cell""".stripMargin
-      s"""WITH v AS MATERIALIZED (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS MATERIALIZED (
-         |  SELECT v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm,
-         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
-         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 16),
-         |cassign AS MATERIALIZED (
-         |  SELECT cand_id, v, nrm, cell AS ivf_cell FROM (
-         |    SELECT b.vec_id AS cand_id, b.v AS v,
-         |           sqrt(${dotSql("b.v", "b.v")}) AS nrm, c.cell,
-         |           row_number() OVER (PARTITION BY b.vec_id
-         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
-         |    FROM v b CROSS JOIN cent c
-         |  ) WHERE rn = 1),
-         |rsv AS MATERIALIZED (
-         |  SELECT a.cand_id AS id, a.ivf_cell, s.sub AS sub,
-         |         list_transform(a.v, (x,i) -> x - ct.cv[i])
-         |           [s.sub*8 + 1 : s.sub*8 + 8] AS vs,
-         |         a.nrm
-         |  FROM cassign a JOIN cent ct ON ct.cell = a.ivf_cell,
-         |       unnest(generate_series(0, 7)) AS s(sub)),
-         |picked AS MATERIALIZED (
-         |  SELECT vec_id AS id,
-         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1
-         |           AS cell
-         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 64),
-         |c0 AS MATERIALIZED (
-         |  SELECT b.sub, p.cell, b.vs AS c FROM rsv b JOIN picked p ON b.id = p.id),
-         |a1 AS MATERIALIZED (${assign("c0")}),
-         |c1 AS MATERIALIZED (${refit("a1")}),
-         |a2 AS MATERIALIZED (${assign("c1")}),
-         |c2 AS MATERIALIZED (${refit("a2")}),
-         |codes AS MATERIALIZED (
-         |  SELECT id AS cand_id, ivf_cell, sub, cell AS code, nrm AS nrm_c
-         |  FROM (${assign("c2")})),
-         |probe AS MATERIALIZED (
-         |  SELECT query_id, cell, qc, nrmq FROM (
-         |    SELECT b.vec_id AS query_id, c.cell,
-         |           ${dotSql("b.v", "c.cv")} AS qc,
-         |           sqrt(${dotSql("b.v", "b.v")}) AS nrmq,
-         |           row_number() OVER (PARTITION BY b.vec_id
-         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
-         |    FROM v b CROSS JOIN cent c WHERE b.vec_id < 10
-         |  ) WHERE rn <= 4),
-         |lut AS MATERIALIZED (
-         |  SELECT qv.query_id, s.sub, c.cell,
-         |         ${dotSql("qv.v[s.sub*8 + 1 : s.sub*8 + 8]", "c.c")} AS dp
-         |  FROM (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 10) qv,
-         |       unnest(generate_series(0, 7)) AS s(sub), c2 c
-         |  WHERE c.sub = s.sub),
-         |scored AS MATERIALIZED (
-         |  SELECT p.query_id, k.cand_id,
-         |         ANY_VALUE(p.qc) + SUM(l.dp) AS adot,
-         |         ANY_VALUE(k.nrm_c) AS nrm_c, ANY_VALUE(p.nrmq) AS nrm_q
-         |  FROM codes k
-         |  JOIN probe p ON p.cell = k.ivf_cell
-         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub
-         |            AND l.cell = k.code
-         |  GROUP BY 1, 2),
-         |approx AS (
-         |  SELECT query_id, cand_id FROM (
-         |    SELECT query_id, cand_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY adot / NULLIF(nrm_q * nrm_c, 0) DESC, cand_id ASC)
-         |             AS rnk
-         |    FROM scored WHERE query_id <> cand_id
-         |  ) WHERE rnk <= 5),
+    "q_ann_ivfpq" ->
+      s"""${ivfPqAdcCtes(10, 5)},
          |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
          |$BruteTop5Cte,
-         |$RecallTailSql""".stripMargin
-    },
+         |$RecallTailSql""".stripMargin,
 
     "q_kmeans" -> {
       // argmin ||v-c||^2 as (c.c − 2·v.c), both dots the strict-left-fold
@@ -2844,6 +2769,22 @@ object SparkEntry {
          |           ORDER BY n DESC, nl ASC) AS rn
          |  FROM vt) WHERE rn = 1""".stripMargin,
 
+    // the q_knn_label vote tail over the IVFADC `approx` neighbors
+    "q_knn_label_ann" ->
+      s"""${ivfPqAdcCtes(20, 10)},
+         |lv AS (SELECT vec_id, label FROM embeddings),
+         |vt AS (
+         |  SELECT t.query_id, c.label AS nl, COUNT(*) AS n
+         |  FROM approx t JOIN lv c ON c.vec_id = t.cand_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, nl AS pred_label, n AS n_votes,
+         |       CAST(tot AS BIGINT) AS n_neighbors FROM (
+         |  SELECT query_id, nl, n,
+         |         SUM(n) OVER (PARTITION BY query_id) AS tot,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY n DESC, nl ASC) AS rn
+         |  FROM vt) WHERE rn = 1""".stripMargin,
+
     "q_blocklist" ->
       """SELECT doc_id FROM documents d
         |WHERE NOT EXISTS (
@@ -3312,6 +3253,97 @@ object SparkEntry {
       |       coalesce(st.n_true, 0) AS n_true,
       |       floor((coalesce(st.n_true, 0) / 5.0)*1000 + 0.5)/1000 AS recall_at_5
       |FROM q LEFT JOIN st ON q.query_id = st.query_id""".stripMargin
+
+  /** IVFADC oracle replay — q_ann_ivf's coarse quantizer, q_ann_pq's
+   * subspace Lloyd over the RESIDUALS (v − coarse centroid), then
+   * qc + LUT-sum ADC scoring restricted to the probed cells — ending at
+   * an `approx(query_id, cand_id)` CTE holding the top-`k` per query.
+   * Shared by q_ann_ivfpq (recall tail) and q_knn_label_ann (vote
+   * tail); the index shape is pinned to the Spark calls' (nCells=16,
+   * nProbe=4, m=8, ks=64, iters=2, dim=64). Queries are the
+   * `vec_id < qmax` rows. */
+  private def ivfPqAdcCtes(qmax: Int, k: Int): String = {
+    def assign(cents: String) =
+        s"""SELECT id, ivf_cell, sub, vs, nrm, cell FROM (
+           |    SELECT b.id, b.ivf_cell, b.sub, b.vs, b.nrm, c.cell,
+           |           row_number() OVER (PARTITION BY b.id, b.sub
+           |             ORDER BY (${dotSql("c.c", "c.c")}
+           |               - 2.0 * ${dotSql("b.vs", "c.c")}) ASC, c.cell ASC) AS rn
+           |    FROM rsv b JOIN $cents c ON c.sub = b.sub) WHERE rn = 1""".stripMargin
+      def refit(asg: String) =
+        s"""SELECT sub, cell, list_transform(
+           |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c FROM (
+           |    SELECT sub, cell, t.i AS dim, AVG(u.vs[t.i]) AS m
+           |    FROM $asg u, unnest(generate_series(1, len(u.vs))) AS t(i)
+           |    GROUP BY 1, 2, 3) GROUP BY sub, cell""".stripMargin
+    s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS MATERIALIZED (
+         |  SELECT v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 16),
+         |cassign AS MATERIALIZED (
+         |  SELECT cand_id, v, nrm, cell AS ivf_cell FROM (
+         |    SELECT b.vec_id AS cand_id, b.v AS v,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrm, c.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c
+         |  ) WHERE rn = 1),
+         |rsv AS MATERIALIZED (
+         |  SELECT a.cand_id AS id, a.ivf_cell, s.sub AS sub,
+         |         list_transform(a.v, (x,i) -> x - ct.cv[i])
+         |           [s.sub*8 + 1 : s.sub*8 + 8] AS vs,
+         |         a.nrm
+         |  FROM cassign a JOIN cent ct ON ct.cell = a.ivf_cell,
+         |       unnest(generate_series(0, 7)) AS s(sub)),
+         |picked AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1
+         |           AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 64),
+         |c0 AS MATERIALIZED (
+         |  SELECT b.sub, p.cell, b.vs AS c FROM rsv b JOIN picked p ON b.id = p.id),
+         |a1 AS MATERIALIZED (${assign("c0")}),
+         |c1 AS MATERIALIZED (${refit("a1")}),
+         |a2 AS MATERIALIZED (${assign("c1")}),
+         |c2 AS MATERIALIZED (${refit("a2")}),
+         |codes AS MATERIALIZED (
+         |  SELECT id AS cand_id, ivf_cell, sub, cell AS code, nrm AS nrm_c
+         |  FROM (${assign("c2")})),
+         |probe AS MATERIALIZED (
+         |  SELECT query_id, cell, qc, nrmq FROM (
+         |    SELECT b.vec_id AS query_id, c.cell,
+         |           ${dotSql("b.v", "c.cv")} AS qc,
+         |           sqrt(${dotSql("b.v", "b.v")}) AS nrmq,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.v", "c.cv")} / c.cnrm DESC, c.cell ASC) AS rn
+         |    FROM v b CROSS JOIN cent c WHERE b.vec_id < $qmax
+         |  ) WHERE rn <= 4),
+         |lut AS MATERIALIZED (
+         |  SELECT qv.query_id, s.sub, c.cell,
+         |         ${dotSql("qv.v[s.sub*8 + 1 : s.sub*8 + 8]", "c.c")} AS dp
+         |  FROM (SELECT vec_id AS query_id, v FROM v WHERE vec_id < $qmax) qv,
+         |       unnest(generate_series(0, 7)) AS s(sub), c2 c
+         |  WHERE c.sub = s.sub),
+         |scored AS MATERIALIZED (
+         |  SELECT p.query_id, k.cand_id,
+         |         ANY_VALUE(p.qc) + SUM(l.dp) AS adot,
+         |         ANY_VALUE(k.nrm_c) AS nrm_c, ANY_VALUE(p.nrmq) AS nrm_q
+         |  FROM codes k
+         |  JOIN probe p ON p.cell = k.ivf_cell
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub
+         |            AND l.cell = k.code
+         |  GROUP BY 1, 2),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adot / NULLIF(nrm_q * nrm_c, 0) DESC, cand_id ASC)
+         |             AS rnk
+         |    FROM scored WHERE query_id <> cand_id
+         |  ) WHERE rnk <= $k)""".stripMargin
+  }
 
   /** Shared CTEs: per-doc distinct word-3-gram sets and co-occurring pair
    * intersection counts via an inverted index (equivalent to the all-pairs

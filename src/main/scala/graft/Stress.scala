@@ -173,6 +173,16 @@ object Stress {
       Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ks = 64, iters = 2).count()
     }
+    probe(s"knnLabelAnn ${nVecs / 1000}k labeled x 100 queries (IVFADC)") {
+      // label propagation against the IVF-PQ index: the labeled corpus
+      // is read once at build; the query batch probes 4 of 16 cells —
+      // linear in nVecs (index build dominates), never |labeled|·|queries|
+      val labeled = vecs.withColumn("label",
+        pmod(col("vec_id"), lit(50)).cast("string"))
+      Similarity.knnLabelAnn(labeled, labeled.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "label", k = 10, dim = 64,
+        nCells = 16, nProbe = 4, m = 8, ks = 64, iters = 2).count()
+    }
     probe(s"ANN IVF-PQ (16 cells/4 probe, m=8 ks=64) ${nVecs / 1000}k") {
       // the full IVFADC build + query path at 500k×64: coarse assign,
       // residual codebook training, encode, probed-cell ADC — every stage

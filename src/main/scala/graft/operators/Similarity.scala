@@ -593,9 +593,9 @@ object Similarity {
    * batch of queries must be broadcast-sized, enforced via `maxQueries`
    * (the same contract-as-require rule as the triplet miners'
    * anchorsChecked). Annotating a whole big corpus from a small labeled
-   * seed is a LOOP of such batches — or swap the neighbor stage for
-   * [[ivfTopK]] / [[pqScore]] against a resident index; the vote logic
-   * only needs (query_id, cand_id) pairs.
+   * seed is a LOOP of such batches — or use [[knnLabelAnn]], which
+   * swaps the neighbor stage for the [[ivfPqTopK]] IVFADC index; the
+   * vote logic only needs (query_id, cand_id) pairs.
    *
    * Scale shape per batch: the neighbor result is |queries|·k rows and
    * broadcasts into the label attach (the labeled corpus never
@@ -613,6 +613,16 @@ object Similarity {
         "the ceiling deliberately with executor memory to back it)")
     val topk = bruteForceTopK(labeled, queries, idCol, vecCol, k)
       .select("query_id", "cand_id")
+    labelVote(labeled, idCol, labelCol, topk)
+  }
+
+  /** The majority-vote stage shared by [[knnLabel]] and [[knnLabelAnn]]:
+   * attach labels to a BROADCAST-sized (query_id, cand_id) neighbor
+   * frame (|queries|·k rows by the callers' contracts) and take the
+   * per-query majority (ties: most votes, then smallest label). The
+   * labeled corpus never shuffles. */
+  private def labelVote(labeled: DataFrame, idCol: String,
+                        labelCol: String, topk: DataFrame): DataFrame = {
     val votes = labeled.select(col(idCol).as("cand_id"), col(labelCol).as("_nl"))
       .join(broadcast(topk), "cand_id")
       .groupBy("query_id", "_nl").agg(count(lit(1)).as("n"))
@@ -621,6 +631,37 @@ object Similarity {
         sum("n").as("n_neighbors"))
       .select(col("query_id"), col("_w").getField("_nl").as("pred_label"),
         col("_w").getField("n").as("n_votes"), col("n_neighbors"))
+  }
+
+  /**
+   * [[knnLabel]] with the neighbor stage swapped from exact brute force
+   * to the [[ivfPqTopK]] IVFADC index — the scale path for annotating a
+   * large corpus from a labeled seed: the labeled side is read once at
+   * index build (stored as m residual codes + cell + norm per vector),
+   * and each query batch probes `nProbe` cells instead of scanning every
+   * labeled vector. The vote logic is [[labelVote]] verbatim, so brute
+   * and ANN propagation differ ONLY in neighbor retrieval — Round9Spec
+   * gates their agreement on clustered (planted-blob) data.
+   *
+   * Same broadcast contract as knnLabel: a batch of queries must be
+   * broadcast-sized (`maxQueries`); annotating a whole corpus is a loop
+   * of such batches against the amortized index.
+   */
+  def knnLabelAnn(labeled: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int, dim: Int,
+                  nCells: Int = 16, nProbe: Int = 4, m: Int = 4,
+                  ks: Int = 8, iters: Int = 2,
+                  maxQueries: Long = 100000L): DataFrame = {
+    require(k >= 1, "knnLabelAnn needs k >= 1")
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"knnLabelAnn: $nQ queries > maxQueries=$maxQueries — the query " +
+        "side BROADCASTS into the probe and LUT joins; batch the queries " +
+        "(or raise the ceiling deliberately with executor memory to back it)")
+    val topk = ivfPqTopK(labeled, queries, idCol, vecCol, k = k, dim = dim,
+        nCells = nCells, nProbe = nProbe, m = m, ks = ks, iters = iters)
+      .select("query_id", "cand_id")
+    labelVote(labeled, idCol, labelCol, topk)
   }
 
   /** The plane set of LSH table `t` when `nTables` tables of `nPlanes`

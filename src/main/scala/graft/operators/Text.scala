@@ -562,9 +562,9 @@ object Text {
    * class's minimum (id,pos), deterministic with no global sort and no
    * monotonically_increasing_id; one join back; lineage cut per round
    * (the plan otherwise fans out 3-way per doubling). Everything is
-   * equi-join shaped and ranks stay fixed-width structs — the window
-   * TEXT is never materialized per position, which is what makes this
-   * cheaper in bytes than seed hashing at large `minLen`.
+   * equi-join shaped and ranks stay flat fixed-width scalars — the
+   * window TEXT is never materialized per position, which is what makes
+   * this cheaper in bytes than seed hashing at large `minLen`.
    */
   def suffixSpans(df: DataFrame, idCol: String, textCol: String,
                   minLen: Int = 12, minCount: Long = 2,
@@ -574,7 +574,7 @@ object Text {
     val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"), size(toks).as("len"),
         posexplode(toks))
-      .select(col("id"), col("len"), col("pos"), col("col").as("rank"))
+      .select(col("id"), col("len"), col("pos"), col("col").as("ra"))
     // pair rank(i) with rank(i+off) per doc. Positions are DENSE
     // (posexplode emits every 0..len-1, and every round preserves every
     // row), so the successor is simply the row `off` places later in the
@@ -583,36 +583,55 @@ object Text {
     // Per-doc windows bound the task by doc length (the Sessionize
     // contract), not by class size — the skew-prone class-rep step below
     // stays a partial-agg'd groupBy. Tail positions pair with null; they
-    // can share ranks only among themselves (null never equals a live
-    // rank in grouping), and the final validity filter drops them before
-    // counting.
-    def paired(r: DataFrame, off: Int): DataFrame = {
+    // can share ranks only among themselves (struct grouping/equality
+    // treats a null field as equal only to null), and the final validity
+    // filter drops them before counting.
+    //
+    // Rank representation: FLAT columns, never a nested struct between
+    // rounds. Round 1 ranks are the token strings (one column `ra`);
+    // every rep-assignment after it carries the class representative's
+    // (id, pos) as two scalar columns (ra: long, rb: int). An UnsafeRow
+    // stores a nested struct(long,int) as an 8-byte slot plus a 24-byte
+    // child row — ~3x two top-level scalars — and every round shuffles
+    // the rank three times (window, class groupBy, join probe), so flat
+    // ranks cut round shuffle volume by roughly a third. The per-round
+    // pair key is a ONE-LEVEL struct of the 2·|rankCols| scalars.
+    def paired(r: DataFrame, rankCols: Seq[String], off: Int): DataFrame = {
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("pos")
-      r.select(col("id"), col("len"), col("pos"),
-        struct(col("rank"), lead(col("rank"), off).over(wd).as("_r2")).as("pair"))
+      val leads = rankCols.zipWithIndex.map { case (c, i) =>
+        lead(col(c), off).over(wd).as(s"_l$i") }
+      r.select(Seq(col("id"), col("len"), col("pos")) ++
+          rankCols.map(col) ++ leads: _*)
+        .withColumn("pair", struct(rankCols.map(col) ++
+          rankCols.indices.map(i => col(s"_l$i")): _*))
+        .select(col("id"), col("len"), col("pos"), col("pair"))
     }
     var r = base
+    var rankCols = Seq("ra")
     var w = 1
     while (w * 2 <= minLen) {
-      val p = paired(r, w)
+      val p = paired(r, rankCols, w)
       // distinct pair classes → injective representative: each (id,pos)
       // sits in exactly one class, so the class minimum never collides
       val reps = p.groupBy("pair")
         .agg(min(struct(col("id"), col("pos"))).as("rank"))
       r = graft.CacheScope.lineageCut(
         p.join(reps, Seq("pair"))
-          .select(col("id"), col("len"), col("pos"), col("rank")),
+          .select(col("id"), col("len"), col("pos"),
+            col("rank.id").as("ra"), col("rank.pos").as("rb")),
         checkpointDir)
+      rankCols = Seq("ra", "rb")
       w *= 2
     }
     // width-minLen equality key: the two overlapping width-w windows
     val keyed =
       if (w == minLen)
-        r.select(col("id"), col("pos"), col("len"), col("rank").as("key"))
+        r.select(col("id"), col("pos"), col("len"),
+          struct(rankCols.map(col): _*).as("key"))
       else
-        paired(r, minLen - w).select(col("id"), col("pos"), col("len"),
-          col("pair").as("key"))
+        paired(r, rankCols, minLen - w).select(col("id"), col("pos"),
+          col("len"), col("pair").as("key"))
     val valid = keyed.filter(col("pos") + minLen <= col("len"))
     val dup = valid.groupBy("key").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)

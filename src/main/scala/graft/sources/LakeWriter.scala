@@ -39,6 +39,10 @@ object LakeWriter {
       .mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    // a long-lived session may hold SharedStage frames computed from this
+    // path — drop them now so the next consumer recomputes from the new
+    // snapshot instead of serving pre-overwrite rows
+    graft.SharedStage.invalidate(path)
   }
 
   /** Read the lake back; partition columns come from directory names and
@@ -114,6 +118,103 @@ object LakeWriter {
       finally spark.conf.set(inferKey, prev)
     writePartitioned(staged, path, partitionCols, keyCol, filesPerPartition)
     staged.unpersist(false)
+  }
+
+  /**
+   * ATOMIC partitioned publish — the crash-safe sibling of
+   * [[writePartitioned]]. Dynamic partition overwrite on plain parquet
+   * is not atomic ACROSS partitions: a writer that dies after replacing
+   * `day=1` but before `day=2` leaves a torn mixed snapshot that every
+   * reader sees. This lifts [[StateStore]]'s `_COMMITTED` protocol onto
+   * the lake layout: each publish writes a FRESH
+   * `path/v=<version>/year=/month=/day=/` tree, then drops the empty
+   * marker as the single atomic visibility point. [[readVersioned]]
+   * resolves every leaf partition directory to its newest COMMITTED
+   * version, so readers see only the old or only the new snapshot —
+   * never a mix — and an incremental publish that recomputes a subset
+   * of partitions still composes with older versions' untouched ones.
+   *
+   * Same idempotence/crash rules as [[StateStore.merge]]: a committed
+   * `v=` is never rewritten (re-running the same window is a no-op); an
+   * uncommitted leftover is a crashed attempt, invisible to readers and
+   * deleted by the next attempt.
+   */
+  def writePartitionedVersioned(df: DataFrame, path: String, version: String,
+                                partitionCols: Seq[String] = DefaultPartitionCols,
+                                keyCol: Option[String] = None,
+                                filesPerPartition: Int = 4): Unit = {
+    require(!version.contains("/") && version.nonEmpty, s"bad version: $version")
+    val spark = df.sparkSession
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path, s"v=$version")
+    val marker = new org.apache.hadoop.fs.Path(target, StateStore.CommitMarker)
+    if (f.exists(marker)) return // idempotent re-run: already published
+    if (f.exists(target)) f.delete(target, true) // crashed attempt
+    val arranged = keyCol match {
+      case Some(k) =>
+        df.repartition((partitionCols.map(col) :+
+          (pmod(xxhash64(col(k)), lit(filesPerPartition)))): _*)
+      case None => df.repartition(partitionCols.map(col): _*)
+    }
+    // a fresh version dir needs no dynamic-overwrite mode: nothing
+    // pre-existing can be clobbered, and visibility is the marker's job
+    arranged.write.partitionBy(partitionCols: _*).parquet(target.toString)
+    f.create(marker).close() // marker LAST: the atomic visibility point
+    graft.SharedStage.invalidate(path)
+  }
+
+  /** Committed snapshot versions under a versioned lake, ascending. */
+  def committedSnapshotVersions(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v="))
+      .filter(v => f.exists(new org.apache.hadoop.fs.Path(root,
+        s"v=$v/${StateStore.CommitMarker}")))
+      .sorted.toSeq
+  }
+
+  /**
+   * Read a [[writePartitionedVersioned]] lake: every leaf partition
+   * directory resolves to its newest committed version (uncommitted
+   * dirs are invisible), and the resolved leaves are scanned per
+   * version with that version dir as `basePath` so partition columns
+   * parse exactly as in [[read]]. Driver-side listing is
+   * O(#versions · #partitions) — metadata, not data, the same contract
+   * as [[StateStore]]'s reader. `before` pins a read to versions
+   * strictly older (time travel + the dated-rerun read point).
+   */
+  def readVersioned(spark: SparkSession, path: String,
+                    before: Option[String] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedSnapshotVersions(spark, path)
+      .filter(v => before.forall(v < _))
+    require(versions.nonEmpty, s"no committed versions at $path")
+    // leaf partition dirs, relative to the version root: recurse through
+    // `name=value` levels, stop where data files live
+    def leaves(p: org.apache.hadoop.fs.Path,
+               rel: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
+      val kids = f.listStatus(p)
+      val parts = kids.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq((rel, p))
+      else parts.toSeq.flatMap(d =>
+        leaves(d.getPath, s"$rel/${d.getPath.getName}"))
+    }
+    val latest = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions.foreach { v => // ascending: later versions shadow
+      leaves(new org.apache.hadoop.fs.Path(root, s"v=$v"), "").foreach {
+        case (rel, _) => latest(rel) = v
+      }
+    }
+    latest.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, rels) =>
+      val base = s"$path/v=$v"
+      spark.read.option("basePath", base)
+        .parquet(rels.map { case (rel, _) => s"$base$rel" }: _*)
+    }.reduce(_ unionByName _)
   }
 
   /**

@@ -249,6 +249,9 @@ object StateStore {
         .write.partitionBy("bucket").mode("overwrite").parquet(target.toString)
       // marker LAST: commit is the atomic visibility point
       f.create(new Path(target, CommitMarker)).close()
+      // drop any SharedStage frames computed from this store: the new
+      // version changes what a fresh read returns
+      graft.SharedStage.invalidate(root)
     } finally d.unpersist(false)
   }
 
@@ -296,6 +299,7 @@ object StateStore {
           if (!f.exists(bd)) f.mkdirs(bd)
         }
         f.create(new Path(target, CommitMarker)).close()
+        graft.SharedStage.invalidate(root)
       }
     } finally d.unpersist(false)
   }

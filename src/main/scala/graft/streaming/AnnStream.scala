@@ -29,10 +29,37 @@ object AnnStream {
   def pqRetrieve(queryStream: DataFrame, index: Similarity.PqIndex,
                  idCol: String, vecCol: String, k: Int,
                  checkpointDir: String)(sink: DataFrame => Unit): StreamingQuery =
+    pqRetrieveSwappable(queryStream,
+      new java.util.concurrent.atomic.AtomicReference(index),
+      idCol, vecCol, k, checkpointDir)(sink)
+
+  /**
+   * [[pqRetrieve]] with a SWAPPABLE resident index — the refresh path a
+   * real retrieval service needs: the corpus grows or the embedding
+   * model retrains, a new index is built with
+   * [[Similarity.pqIndexBuild]], and `ref.set(newIndex)` swaps it in
+   * WITHOUT stopping the stream.
+   *
+   * Atomicity contract: the reference is read exactly ONCE per
+   * micro-batch, and foreachBatch bodies of one query run sequentially
+   * — so every batch scores entirely against a single index generation
+   * (no mixed-index rows), a swap between batches takes effect at the
+   * next batch boundary, and a swap racing a running batch leaves that
+   * batch on the generation it started with. Unpersist the OLD index's
+   * frames only AFTER `set` returns (no later batch can observe it;
+   * the in-flight batch, if any, still holds its own reference).
+   * StreamParitySpec swaps mid-stream and proves pre/post batches each
+   * match their own generation's batch pqScore.
+   */
+  def pqRetrieveSwappable(queryStream: DataFrame,
+                          ref: java.util.concurrent.atomic.AtomicReference[Similarity.PqIndex],
+                          idCol: String, vecCol: String, k: Int,
+                          checkpointDir: String)(sink: DataFrame => Unit): StreamingQuery =
     queryStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(Similarity.pqScore(index, batch, idCol, vecCol, k))
+        val idx = ref.get()
+        sink(Similarity.pqScore(idx, batch, idCol, vecCol, k))
       }
       .start()
 }

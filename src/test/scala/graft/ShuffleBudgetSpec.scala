@@ -28,13 +28,20 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_encounters" -> (256L << 10),  // 19 kB: band/bucket self-join
     "q_monthly" -> (256L << 10),     // 18 kB: active-scoped rebuild
     // round 8: the three heaviest previously-unlocked shufflers
-    "q_suffix_spans" -> (16L << 20), // 4.42 MB: prefix-doubling rounds (the
+    "q_suffix_spans" -> (14L << 20), // 4.00 MB: prefix-doubling rounds (the
                                      // single heaviest shuffler — O(N·log
                                      // minLen) re-shuffles of (id,pos,rank);
-                                     // was 7.74 MB before the lead()-window
-                                     // successor replaced the self-join)
+                                     // 7.74 MB as an (id,pos) self-join,
+                                     // 4.42 with the lead()-window successor,
+                                     // 4.00 with flat two-scalar ranks)
     "q_dsir" -> (32L << 10),         // 5.3 kB: hashed-feature model agg
     "q_ann_pq" -> (4L << 20),        // 0.80 MB: codebook training passes
+    // round 9: the heaviest entries still unlocked. _shared_stage_build
+    // needs no row of its own — q_dedup_cluster above measures COLD
+    // (SharedStage cleared), so its budget already contains the build.
+    "q_ann_ivfpq" -> (3L << 20),     // 0.62 MB: coarse assign + residual
+                                     // Lloyd + encode + probed-cell ADC
+    "q_triplets_ann" -> (2L << 20),  // 0.45 MB: IVF probe + margin windows
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong

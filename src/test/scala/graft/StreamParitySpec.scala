@@ -352,6 +352,57 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("AnnStream index swap mid-stream: each batch matches its own generation") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    // two index GENERATIONS over different corpora (a grown corpus is
+    // the realistic refresh trigger) — their top-5 sets genuinely differ
+    val corpus1 = (0L until 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val corpus2 = (0L until 200L).map(i => (i, vec(i + 3))).toDF("vec_id", "embedding")
+    val idx1 = operators.Similarity.pqIndexBuild(corpus1, "vec_id", "embedding",
+      dim = 16, m = 4, ks = 16, iters = 2)
+    val idx2 = operators.Similarity.pqIndexBuild(corpus2, "vec_id", "embedding",
+      dim = 16, m = 4, ks = 16, iters = 2)
+    val ref = new java.util.concurrent.atomic.AtomicReference(idx1)
+    val queries = (1000L until 1012L).map(i => (i, vec(i * 7)))
+    val (preQ, postQ) = queries.splitAt(6)
+    val input = MemoryStream[(Long, Seq[Double])]
+    // one result bucket per callback: batch boundaries stay observable
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Int)]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annswap").toString
+    val query = streaming.AnnStream.pqRetrieveSwappable(
+      input.toDF().toDF("vec_id", "embedding"), ref,
+      "vec_id", "embedding", k = 5, ckpt) { out =>
+      batches.synchronized {
+        batches += out.select("query_id", "cand_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      }
+    }
+    try {
+      preQ.grouped(3).foreach { b => input.addData(b); query.processAllAvailable() }
+      val nPre = batches.size
+      // the swap lands BETWEEN batches; every later batch must score
+      // against generation 2 only
+      ref.set(idx2)
+      postQ.grouped(3).foreach { b => input.addData(b); query.processAllAvailable() }
+      def expected(idx: operators.Similarity.PqIndex, qs: Seq[(Long, Seq[Double])]) =
+        operators.Similarity.pqScore(idx, qs.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", k = 5)
+          .select("query_id", "cand_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val (preGot, postGot) = batches.toSeq.splitAt(nPre)
+      assert(preGot.flatten.toSet === expected(idx1, preQ),
+        "pre-swap batches diverged from generation-1 batch pqScore")
+      assert(postGot.flatten.toSet === expected(idx2, postQ),
+        "post-swap batches diverged from generation-2 batch pqScore")
+      // the two generations disagree on these queries — the swap was
+      // observable, not vacuous
+      assert(expected(idx1, postQ) !== expected(idx2, postQ),
+        "fixture too weak: both generations rank identically")
+    } finally query.stop()
+  }
+
   test("WindowedCounts.distinctPerWindow stream equals its batch HLL twin, with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(43)
