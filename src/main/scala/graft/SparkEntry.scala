@@ -458,6 +458,54 @@ object SparkEntry {
           r3(col("recall")).as("recall_at_5"))
     }),
 
+    // --- sparse retrieval: BM25 top-k, query docs retrieving from the
+    // corpus; ranked on the parity-rounded score (see bm25TopK scaladoc)
+    "q_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Text.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text", k = 10,
+        scoreRoundDecimals = Some(3))
+    }),
+
+    // --- hybrid retrieval: reciprocal-rank fusion of the sparse (BM25
+    // over text) and dense (exact cosine over embeddings) rankings for
+    // the same query ids — documents and embeddings share the 0..N id
+    // space by construction (SURVEY §3)
+    "q_rrf_hybrid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val em = Tables.embeddings(s, dir)
+      val sparse = Text.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+          "doc_id", "text", "doc_id", "text", k = 20,
+          scoreRoundDecimals = Some(3))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      Analytics.rrfFuse(Seq(sparse, dense), k = 10)
+        .select(col("query_id"), col("doc_id"), r3(col("rrf")).as("rrf"),
+          col("n_lists"), col("rank"))
+    }),
+
+    // --- multi-vector late-interaction (MaxSim): embeddings grouped
+    // into 8-vector bags per synthetic doc; the first 3 bags query
+    "q_maxsim" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+        .withColumn("mdoc", floor(col("vec_id") / 8).cast("long"))
+      Similarity.maxSimTopK(em, em.filter(col("mdoc") < 3),
+          "mdoc", "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_doc"), col("cand_doc"),
+          r3(col("maxsim")).as("maxsim"), col("n_qvecs"), col("rank"))
+    }),
+
+    // --- sketch rollup: per-(day, event_type) HLL sketches union to
+    // month; rollup_ok bounds union-vs-one-pass estimate agreement
+    // (see sketchRollup scaladoc), approx_ok bounds it vs exact distinct
+    "q_sketch_rollup" -> ((s, dir) =>
+      Quality.sketchRollup(Tables.events(s, dir), "ts", "user_id",
+          dims = Seq("event_type"))
+        .select(col("month"), col("event_type"), col("n_exact"),
+          col("rollup_ok"), col("approx_ok"))),
+
     // --- text analysis ---
     "q_tokens" -> ((s, dir) =>
       Text.tokenCount(Tables.documents(s, dir), "text")
@@ -1937,6 +1985,66 @@ object SparkEntry {
          |    ORDER BY cos DESC, cand_id ASC) AS rank FROM s
          |) WHERE rank <= 5""".stripMargin,
 
+    "q_bm25" -> bm25Sql(k = 10, cols = "query_id, doc_id, bm25, n_terms, rank"),
+
+    "q_rrf_hybrid" ->
+      s"""WITH sparse AS (${bm25Sql(k = 20, cols = "query_id, doc_id, rank")}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 5),
+         |cs AS (
+         |  SELECT query_id, c.vec_id AS doc_id, ${cosSql("qv.vq", "c.v")} AS cos
+         |  FROM v c CROSS JOIN qv WHERE qv.query_id <> c.vec_id
+         |),
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id ASC) AS rank FROM cs
+         |  ) WHERE rank <= 20
+         |),
+         |u AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+         |f AS (
+         |  SELECT query_id, doc_id, SUM(1.0 / (60 + rank)) AS rrf,
+         |         COUNT(*) AS n_lists
+         |  FROM u GROUP BY 1, 2
+         |)
+         |SELECT query_id, doc_id, floor(rrf*1000 + 0.5)/1000 AS rrf,
+         |       n_lists, rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS rank FROM f
+         |) WHERE rank <= 10""".stripMargin,
+
+    "q_maxsim" ->
+      s"""WITH v AS (
+         |  SELECT CAST(floor(vec_id / 8) AS BIGINT) AS mdoc, vec_id,
+         |         embedding::DOUBLE[] AS v
+         |  FROM embeddings
+         |),
+         |q AS (SELECT mdoc AS query_doc, vec_id AS qvec_id, v AS vq
+         |      FROM v WHERE mdoc < 3),
+         |s AS (
+         |  SELECT query_doc, c.mdoc AS cand_doc, qvec_id,
+         |         ${cosSql("q.vq", "c.v")} AS cos
+         |  FROM v c CROSS JOIN q WHERE q.query_doc <> c.mdoc
+         |),
+         |m AS (SELECT query_doc, cand_doc, qvec_id, MAX(cos) AS best
+         |      FROM s GROUP BY 1, 2, 3),
+         |t AS (SELECT query_doc, cand_doc, SUM(best) AS maxsim,
+         |             COUNT(*) AS n_qvecs
+         |      FROM m GROUP BY 1, 2)
+         |SELECT query_doc, cand_doc, floor(maxsim*1000 + 0.5)/1000 AS maxsim,
+         |       n_qvecs, rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY maxsim DESC, cand_doc ASC) AS rank FROM t
+         |) WHERE rank <= 5""".stripMargin,
+
+    "q_sketch_rollup" ->
+      """SELECT date_trunc('month', ts)::DATE AS month, event_type,
+        |       COUNT(DISTINCT user_id) AS n_exact,
+        |       TRUE AS rollup_ok, TRUE AS approx_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
@@ -3149,6 +3257,46 @@ object SparkEntry {
        |           AS span_id
        |  FROM mk)
        |$tail""".stripMargin
+
+  /** DuckDB twin of [[Text.bm25TopK]](docs, docs where doc_id < 5,
+   * k1=1.2, b=0.75, scoreRoundDecimals=3) — expression shapes mirror
+   * the Spark column tree exactly (left-associated products, the
+   * (k1 + 1.0) constant interpolated from the Scala double so both
+   * engines divide by the bit-identical value). Shared by q_bm25 and
+   * q_rrf_hybrid's sparse branch. */
+  private def bm25Sql(k: Int, cols: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), tf2 AS (
+       |  SELECT *, SUM(tf) OVER (PARTITION BY id) AS dl FROM tf
+       |), dfreq AS (
+       |  SELECT token, COUNT(DISTINCT id) AS df FROM toks GROUP BY 1
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+       |  FROM (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1)
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS query_id,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE doc_id < 5
+       |), scored AS (
+       |  SELECT query_id, id,
+       |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${1.2 + 1.0}
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+       |  FROM tf2 JOIN dfreq USING (token) JOIN qt USING (token)
+       |       CROSS JOIN stats
+       |  WHERE query_id <> id
+       |), agg AS (
+       |  SELECT query_id, id AS doc_id,
+       |         floor(SUM(w)*1000 + 0.5)/1000 AS bm25, COUNT(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2
+       |)
+       |SELECT $cols FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg
+       |) WHERE rank <= $k""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_transform($a, (x,i) -> x * $b[i]), (x,y) -> x + y)

@@ -554,4 +554,35 @@ object Analytics {
         when(col("_vx") > 0, col("_my") - col("slope") * col("_mx")))
       .select((groupKeys.map(col) ++
         Seq("pearson_r", "covar", "slope", "intercept", "n").map(col)): _*)
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): merge
+   * per-query rankings from heterogeneous retrievers (BM25, dense ANN,
+   * …) into one list by score(q, d) = Σ_r 1/(kConst + rank_r(q, d)),
+   * summed over the rankings that retrieved d. Rank-based, so the
+   * retrievers' raw scores never need calibrating against each other —
+   * the standard hybrid-retrieval combiner.
+   *
+   * Each input is `(query_id, doc_id, rank)`. Scale shape: a union of
+   * result lists (each already top-k-bounded, so |input| ≤ Σ k_r per
+   * query — retrieval output, not corpus), one partial-agg'd
+   * (query, doc) sum, one top-k rank shuffle on query_id. The integer
+   * reciprocal sum is order-exact at double precision for any
+   * realistic kConst/rank, so results are engine-reproducible.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val unioned = rankings.map(_.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+    unioned
+      .withColumn("w", lit(1.0) / (lit(kConst) + col("rank")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("w").as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("n_lists"), col("rank"))
+  }
 }

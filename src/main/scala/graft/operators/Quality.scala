@@ -370,4 +370,52 @@ object Quality {
       nullCheckCols.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
     df.observe(observation, metrics.head, metrics.tail: _*)
   }
+
+  /**
+   * Sketch rollup: distinct-count re-aggregation WITHOUT rescanning raw
+   * data — per-day DataSketches HLL sketches union up to per-month
+   * counts. This is the 100 TB reporting pattern the raw→curated
+   * pipelines feed: the fact table keeps a few-KB sketch per (day,
+   * dimension) and every coarser rollup (month, quarter, ad-hoc date
+   * range) is a sketch UNION over already-aggregated rows — the raw
+   * events are read exactly once, ever.
+   *
+   * The gate PROVES the algebra instead of trusting it. HLL merge is
+   * lossless at the REGISTER level (union takes the per-register max —
+   * the same state one pass builds), but the ESTIMATE is not identical:
+   * a sketch built by direct updates keeps its HIP (historical inverse
+   * probability) estimator, while a union must fall back to the
+   * composite estimator (measured here: 1494 vs 1488 on 1500 true
+   * distincts — both well inside the lgK=12 rsd). So `rollup_ok`
+   * asserts the unioned estimate agrees with the single-pass estimate
+   * within `mergeTolerance` (far tighter than the sketch's own error
+   * bound — a broken merge path diverges wildly, an estimator switch
+   * does not), and `approx_ok` bounds the estimate against the exact
+   * distinct count computed on gate data only.
+   */
+  def sketchRollup(df: DataFrame, tsCol: String, keyCol: String,
+                   dims: Seq[String] = Nil,
+                   lgK: Int = 12, tolerance: Double = 0.05,
+                   mergeTolerance: Double = 0.02): DataFrame = {
+    val days = df
+      .withColumn("month", date_trunc("month", col(tsCol)).cast("date"))
+      .withColumn("day", to_date(col(tsCol)))
+    val coarse = ("month" +: dims).map(col)
+    val daily = days.groupBy((col("day") +: coarse): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
+    val rolled = daily.groupBy(coarse: _*)
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), lit(false))).as("n_rollup"))
+    val direct = days.groupBy(coarse: _*)
+      .agg(hll_sketch_estimate(
+          hll_sketch_agg(col(keyCol), lit(lgK))).as("n_direct"),
+        countDistinct(col(keyCol)).as("n_exact"))
+    rolled.join(direct, "month" +: dims)
+      .select((coarse :+ col("n_exact") :+
+        (abs(col("n_rollup") - col("n_direct")) <=
+          greatest(col("n_direct").cast("double") * mergeTolerance, lit(1.0)))
+          .as("rollup_ok") :+
+        (abs(col("n_rollup") - col("n_exact")) <=
+          col("n_exact").cast("double") * tolerance).as("approx_ok")): _*)
+  }
 }

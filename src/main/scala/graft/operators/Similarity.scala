@@ -1107,4 +1107,84 @@ object Similarity {
              checkpointDir: Option[String] = None): DataFrame =
     pqScore(pqIndexBuild(candidates, idCol, vecCol, dim, m, ks, iters,
       checkpointDir), queries, idCol, vecCol, k)
+
+  /**
+   * Grow a [[PqIndex]] WITHOUT retraining: encode the new vectors with
+   * the index's FROZEN codebooks and union their codes in. This is how
+   * a deployed retrieval index actually ingests — codebooks retrain on
+   * a schedule (then swap atomically, see
+   * [[graft.streaming.AnnStream.pqRetrieveSwappable]]); between
+   * retrains every append is a map-side encode of the DELTA only (one
+   * broadcast-assign join over the new vectors — the resident corpus
+   * codes are never touched, never re-read). Quantization error for
+   * appended vectors matches what a full re-encode under the same
+   * codebooks would give, by construction: the encode join is the same
+   * [[pqAssign]] argmin.
+   */
+  def pqIndexAppend(index: PqIndex, newVecs: DataFrame,
+                    idCol: String, vecCol: String): PqIndex = {
+    val sv = subspaced(newVecs, idCol, vecCol, index.m, index.dim)
+    val newCodes = pqAssign(sv, index.codebooks)
+      .select(col("id").as("cand_id"), col("sub"), col("cell").as("code"),
+        col("nrm").as("nrm_c"))
+    index.copy(codes = graft.CacheScope.persist(
+      index.codes.unionByName(newCodes)))
+  }
+
+  /**
+   * Multi-vector late-interaction retrieval (MaxSim; Khattab & Zaharia
+   * 2020, ColBERT): documents and queries are BAGS of vectors (one per
+   * token/patch), and score(q, d) = Σ_{u ∈ q} max_{v ∈ d} cos(u, v) —
+   * each query vector finds its best match in the document
+   * independently, which preserves token-level interaction that a
+   * single pooled vector destroys.
+   *
+   * Input frames are flat `(docIdCol, vecIdCol, vecCol)` rows — the
+   * layout a 100 TB multi-vector corpus stores (one row per vector,
+   * doc-id keyed), not array-of-arrays blobs. The query bag (a query
+   * BATCH — bounded by contract, `maxQueryVecs` enforced) broadcasts
+   * into one scan of the candidate vectors; the per-(query doc, cand
+   * doc, query vec) max and the per-(query doc, cand doc) sum are both
+   * partial-agg'd, so one corpus pass + one balanced (qd, cd) shuffle
+   * + the final query-keyed top-k rank is the whole plan. The corpus
+   * never self-joins and never shuffles its vectors.
+   */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
+                 docIdCol: String, vecIdCol: String, vecCol: String,
+                 k: Int, dim: Int, maxQueryVecs: Int = 10000): DataFrame = {
+    val cand = docVecs.select(col(docIdCol).as("cand_doc"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "maxsim").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
+    // broadcast contract, enforced IN-PLAN (no job at plan-build time,
+    // same pattern as budgetSelect's boundary gate): every query vector
+    // carries the batch's total row count from a windowed count and
+    // asserts it under the ceiling as it flows into the join broadcast.
+    // assert_true is NULL on pass, so the isNull filter keeps all rows.
+    val q = queryVecs.select(col(docIdCol).as("query_doc"),
+        col(vecIdCol).as("qvec_id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "maxsim").as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+      .withColumn("_nq", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("_gate", assert_true(col("_nq") <= maxQueryVecs,
+        concat(lit("maxSimTopK: query batch holds "), col("_nq"),
+          lit(s" vectors > maxQueryVecs=$maxQueryVecs — every corpus task " +
+            "receives the whole batch via broadcast; split the batch or " +
+            "raise the ceiling deliberately"))))
+      .filter(col("_gate").isNull).drop("_gate", "_nq")
+    val w = Window.partitionBy("query_doc").orderBy(col("maxsim").desc,
+      col("cand_doc").asc)
+    cand.join(broadcast(q), col("query_doc") =!= col("cand_doc"))
+      .withColumn("cos", cosOver(dot(col("v_q"), col("v_c")),
+        col("nrm_q") * col("nrm_c")))
+      .groupBy("query_doc", "cand_doc", "qvec_id")
+      .agg(max("cos").as("best"))
+      .groupBy("query_doc", "cand_doc")
+      .agg(sum("best").as("maxsim"), count(lit(1)).as("n_qvecs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("cand_doc"), col("maxsim"),
+        col("n_qvecs"), col("rank"))
+  }
 }

@@ -840,4 +840,65 @@ object Text {
         size(collect_set(col("fingerprints")).over(wText)))
       .select(col(idCol), col("sound"), col("in_bounds"), col("n_fp_sets"))
   }
+
+  /**
+   * BM25 top-k retrieval (Robertson–Spärck Jones; the Lucene-shaped
+   * non-negative idf): score(q, d) = Σ_{t ∈ q distinct} idf(t) ·
+   * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 +
+   * (N − df + 0.5)/(df + 0.5)). The sparse half of hybrid retrieval
+   * (dense half: [[graft.operators.Similarity]]; fuse with
+   * [[graft.operators.Analytics.rrfFuse]]).
+   *
+   * Scale shape: doc term frequencies and document frequencies are
+   * token-keyed partial-agg groupBys over ONE tokenize pass (persisted —
+   * tf and df must not re-explode the corpus twice); N and avgdl ride
+   * along as a broadcast single-row frame; the query side (tiny by
+   * contract — a query batch, not a corpus) is broadcast into the
+   * token-keyed match join, so the corpus never shuffles on anything
+   * but the token key; per-(query, doc) sums partial-agg before the
+   * final top-k rank shuffle on query_id.
+   */
+  /** `scoreRoundDecimals`: rank on the score ROUNDED to that many
+   * decimals (floor(x·10^d + 0.5) — the repo's parity rounding) instead
+   * of the raw double. The per-(query, doc) score is a SUM over matched
+   * terms, and FP sums are accumulation-order-dependent — two docs with
+   * identical text (ubiquitous in a dedup-bearing corpus) can come out
+   * ulps apart and rank differently run-to-run and engine-to-engine.
+   * Rounded ranking makes the ordering reproducible; None keeps raw. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               scoreRoundDecimals: Option[Int] = None): DataFrame = {
+    val toks = graft.CacheScope.persist(
+      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token")))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val dfreq = toks.select("id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("token"))
+    tf.join(dfreq, "token")
+      .join(broadcast(qTerms), "token")
+      .crossJoin(broadcast(stats))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "id")
+      .agg(sum("w").as("bm25"), count(lit(1)).as("n_terms"))
+      .withColumn("bm25", scoreRoundDecimals.fold(col("bm25")) { d =>
+        val p = math.pow(10, d)
+        floor(col("bm25") * p + 0.5) / p
+      })
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("bm25"),
+        col("n_terms"), col("rank"))
+  }
 }

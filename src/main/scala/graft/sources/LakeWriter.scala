@@ -265,4 +265,58 @@ object LakeWriter {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /**
+   * File-level zone-map index: per data file, min/max (and null count)
+   * of each indexed column — the manifest-stats layer every table
+   * format (Iceberg/Delta manifests, parquet footers one level up)
+   * uses to prune FILES before the scan plans a single task. Built
+   * distributed in ONE pass over the lake (`input_file_name` groupBy,
+   * partial-agg'd); persist the result next to the table and rebuild
+   * only for partitions a writer touched.
+   *
+   * At 100 TB the win is scheduler-side: row-group stats still require
+   * opening every footer (per-file driver/executor round trips);
+   * file-level stats cut the file LIST, so a selective range predicate
+   * plans thousands of tasks instead of millions.
+   */
+  def statsIndex(spark: SparkSession, path: String,
+                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statsIndex needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      count(when(col(c).isNull, 1)).as(s"nulls_$c"))) :+
+      count(lit(1)).as("n_rows")
+    read(spark, path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Range-predicate read through a [[statsIndex]]: keep only files
+   * whose [min, max] interval intersects `[lo, hi]` (files that are all
+   * null on the column can never match and are dropped), then scan just
+   * those. The index read is manifest-scale (one row per file — driver
+   * collect is bounded by file count, the same contract as every lake
+   * format's planning phase); the data scan still carries the exact
+   * predicate, so skipped files are PURE savings and kept files stay
+   * row-group-pruned by their own footers. Returns the pruned frame
+   * plus the (kept, total) file counts so callers/specs can assert the
+   * skip actually happened.
+   */
+  def readPruned(spark: SparkSession, path: String, stats: DataFrame,
+                 c: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    // interval-intersection prune evaluated by Spark (typed literals —
+    // no driver-side comparator per column type); the collect is one
+    // string per surviving file, manifest-scale by contract
+    val total = stats.count().toInt
+    val kept = stats
+      .filter(col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
+        col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (kept.isEmpty) read(spark, path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(kept.toSeq: _*)
+    (pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi)), kept.length, total)
+  }
 }

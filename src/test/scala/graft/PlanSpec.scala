@@ -334,5 +334,41 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), "ADC sum lost map-side combine")
   }
 
+  test("BM25: query terms broadcast into the token join; no corpus cartesian") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term join lost its broadcast\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "corpus-side cartesian appeared (N/avgdl must ride a broadcast)")
+    assert(p.contains("partial_sum"), "per-(query,doc) score sum lost map-side combine")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k rank lost the group-limit pushdown")
+  }
+
+  test("RRF fusion: union of bounded lists, partial-agg'd sum, rank pushed down") {
+    val p = plan("q_rrf_hybrid")
+    assert(p.contains("partial_sum"), "fusion sum lost map-side combine")
+    assert(p.contains("WindowGroupLimit"),
+      "fused top-k lost the group-limit pushdown")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("MaxSim: query bag broadcast (nested-loop on the BROADCAST side only), two partial aggs") {
+    val p = plan("q_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query-bag join is not broadcast\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "corpus self-join appeared — MaxSim must scan the corpus once")
+    assert(p.contains("partial_max") && p.contains("partial_sum"),
+      "per-qvec max / per-doc sum lost map-side combine")
+  }
+
+  test("sketch rollup: both sketch passes partial-agg before their shuffles") {
+    val p = plan("q_sketch_rollup")
+    assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
+      "daily sketch build lost map-side combine\n" + p.take(2000))
+    assert(!p.contains("Join") || !p.contains("SortMergeJoin"), p.take(500))
+  }
+
   private val Similarity = graft.operators.Similarity
 }

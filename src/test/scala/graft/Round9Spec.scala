@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-9 hardening: SharedStage snapshot versioning — a rewritten input
@@ -123,6 +123,150 @@ class Round9Spec extends SparkSpecBase {
     assert(rows() === v2, "committed version was rewritten")
     // time travel: a read pinned before v=002 sees the v1 snapshot
     assert(rows(before = Some("002")) === v1)
+  }
+
+  test("pqIndexAppend: frozen-codebook delta encode ≡ re-encode of the union; appended vectors retrievable") {
+    // the Round8 blob fixture: frozen codebooks trained on the base
+    // corpus must place delta vectors landing in a known blob into that
+    // blob's code region — a blob-level property within PQ resolution
+    def blobVec(blob: Int, i: Int): Array[Double] =
+      Array.tabulate(16)(j => (((i * 13 + j * 7) % 11) - 5) * 0.03 +
+        (if (j == blob % 16) 10.0 else 1.0))
+    val base = (for { b <- 0 until 10; i <- 0 until 40 }
+      yield ((b * 100 + i).toLong, blobVec(b, i))).toDF("vec_id", "embedding")
+    // delta: 10 fresh members of blob 3
+    val delta = (0 until 10).map(j => ((5000 + j).toLong, blobVec(3, 40 + j)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.pqIndexBuild(base, "vec_id", "embedding",
+      dim = 16, m = 4, ks = 16, iters = 3)
+    val appended = Similarity.pqIndexAppend(idx, delta, "vec_id", "embedding")
+    // the union re-encoded under the SAME codebooks (NOT a retrain) must
+    // produce the appended index's code table row-for-row: appending is
+    // a pure delta encode, never a drift in how old rows are coded
+    val reEncoded = Similarity.pqIndexAppend(
+      idx.copy(codes = idx.codes.limit(0)), base.unionByName(delta),
+      "vec_id", "embedding")
+    val a = appended.codes.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = reEncoded.codes.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a === b, "appended codes diverge from frozen-codebook re-encode")
+    assert(a.map(_._1) ===
+      ((for { b0 <- 0 until 10; i <- 0 until 40 } yield (b0 * 100 + i).toLong)
+        .toSet ++ (5000L until 5010L)))
+    // appended vectors are retrievable: a delta query's top-5 under the
+    // grown index is entirely blob-3 members (base or delta)
+    val q = Seq((5000L, blobVec(3, 40))).toDF("vec_id", "embedding")
+    val top = Similarity.pqScore(appended, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(1))
+    assert(top.length === 5 && top.forall(c => c / 100 === 3L || c >= 5000L),
+      s"appended-index retrieval left blob 3: ${top.mkString(",")}")
+  }
+
+  test("zone-map skipping: pruned read ≡ full-scan filter, with files actually skipped") {
+    val dir = tmpDir("zonemap")
+    val lake = s"$dir/t"
+    // value-clustered files: repartitionByRange gives each file a tight
+    // disjoint [min, max] value interval — the layout writeClustered
+    // produces on real lakes, where zone maps bite
+    spark.range(0, 10000).toDF("id")
+      .withColumn("v", col("id") % 1000)
+      .repartitionByRange(8, col("v"))
+      .write.parquet(lake)
+    val stats = sources.LakeWriter.statsIndex(spark, lake, Seq("v"))
+    val (pruned, kept, total) =
+      sources.LakeWriter.readPruned(spark, lake, stats, "v", 100L, 220L)
+    val full = spark.read.parquet(lake)
+      .filter(col("v") >= 100L && col("v") <= 220L)
+    assert(total === 8, s"expected 8 files, saw $total")
+    assert(kept < total, s"no files skipped: kept=$kept of $total")
+    assert(pruned.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      full.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // an out-of-range predicate prunes everything and still answers
+    val (none, kept0, _) =
+      sources.LakeWriter.readPruned(spark, lake, stats, "v", 5000L, 6000L)
+    assert(kept0 === 0 && none.count() === 0L)
+  }
+
+  test("incremental corpus e2e: delta-index dedup ≡ from-scratch pairs; re-landed dir curates byte-identically to a clean-room run") {
+    def prose(seed: Int): String =
+      (0 until 30).map(i => s"w${(seed * 17 + i * i) % 97}").mkString(" ")
+    def rows(ids: Seq[Long], dupOf: Map[Long, Long] = Map.empty) = ids.map { i =>
+      val text = dupOf.get(i).map(d => prose(d.toInt) + " tail")
+        .getOrElse(prose(i.toInt))
+      (i, text, "en", s"src${i % 3}", text.length)
+    }
+    val archive = rows(Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // delta: 10 near-dups archive doc 3; 11 is fresh; 12 near-dups 11
+    val delta = rows(Seq(10L, 11L, 12L),
+      dupOf = Map(10L -> 3L, 12L -> 11L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def frame(r: Seq[(Long, String, String, String, Int)]) = r.toDF(cols: _*)
+    def land(dir: String, r: Seq[(Long, String, String, String, Int)]): Unit =
+      frame(r).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val incDir = tmpDir("inc") // re-landed in place (the long-lived-session shape)
+    val cleanDir = tmpDir("clean") // from-scratch landing of the final union
+    try {
+      // ROUND 1: land the archive, index it once
+      land(incDir, archive)
+      val index = graft.CacheScope.persist(Dedup.minhashIndex(
+        frame(archive), "doc_id", "text", n = 3))
+      // ROUND 2: the delta dedups AGAINST THE INDEX — no archive re-pair
+      val deltaPairs = Dedup.dedupAgainstIndex(frame(delta), index,
+          frame(archive), "doc_id", "text", n = 3, threshold = 0.7)
+        .select("new_id", "dup_id", "dup_src").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // parity: the incremental pairs are EXACTLY the from-scratch pair
+      // join over the union, restricted to pairs touching a delta id
+      val scratch = Dedup.minhashLsh(frame(archive ++ delta), "doc_id",
+          "text", n = 3, threshold = 0.7)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deltaIds = delta.map(_._1).toSet
+      val scratchDelta = scratch
+        .filter(p => deltaIds(p._1) || deltaIds(p._2))
+        .map(p => Set(p._1, p._2))
+      assert(deltaPairs.map(p => Set(p._1, p._2)) === scratchDelta,
+        s"delta-index pairs diverge: inc=$deltaPairs scratch=$scratchDelta")
+      assert(deltaPairs.exists(p => p._3 === "old" && Set(p._1, p._2) === Set(10L, 3L)))
+      assert(deltaPairs.exists(p => p._3 === "new" && Set(p._1, p._2) === Set(11L, 12L)))
+      // ROUND 3: re-land the union INTO THE SAME DIR; every dir-keyed
+      // query must see the new snapshot (SharedStage signature), and the
+      // whole dedup family must agree byte-for-byte with a clean-room
+      // landing of identical content in a fresh dir
+      land(incDir, archive ++ delta)
+      land(cleanDir, archive ++ delta)
+      Seq("q_dedup_cluster", "q_dedup_canonical", "q_dedup_profile",
+          "q_split_leakfree").foreach { qn =>
+        val inc = SparkEntry.queries(qn)(spark, incDir).collect().map(_.toString).sorted
+        val clean = SparkEntry.queries(qn)(spark, cleanDir).collect().map(_.toString).sorted
+        assert(inc.sameElements(clean), s"$qn: re-landed dir diverges from clean-room run")
+      }
+      // and the curation pipeline over the re-landed frame equals the
+      // clean-room curation row-for-row (same input bytes → same output)
+      val cfg = graft.pipelines.CurateDocuments.Config("doc_id", "text",
+        jaccardThreshold = 0.7, minQuality = -1.0)
+      val incCur = graft.pipelines.CurateDocuments.run(
+        spark.read.parquet(s"$incDir/documents.parquet"), cfg)
+        .collect().map(_.toString).sorted
+      val cleanCur = graft.pipelines.CurateDocuments.run(
+        spark.read.parquet(s"$cleanDir/documents.parquet"), cfg)
+        .collect().map(_.toString).sorted
+      assert(incCur.sameElements(cleanCur),
+        "curation over the re-landed dir diverges from clean-room")
+      // the near-dup clusters the delta path flagged are exactly the
+      // ones curation collapses: one survivor from {3,10}, one from
+      // {11,12} (which member wins is the keep-best score's call), all
+      // four never-flagged archive docs intact → 7 survivors total
+      val keptIds = graft.pipelines.CurateDocuments.run(
+        spark.read.parquet(s"$incDir/documents.parquet"), cfg)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds.intersect(Set(3L, 10L)).size === 1 &&
+        keptIds.intersect(Set(11L, 12L)).size === 1 &&
+        Set(1L, 2L, 4L, 5L, 6L).subsetOf(keptIds) && keptIds.size === 7,
+        s"incremental dedup decisions don't match curation survivors: $keptIds")
+    } finally SharedStage.clear()
   }
 
   test("LakeWriter.writePartitioned invalidates SharedStage frames over its path") {
