@@ -78,6 +78,12 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.7))
 
+  /** BM25 postings-with-stats index over documents, materialized ONCE
+   * per input dir (q_bm25 + q_rrf_hybrid's sparse branch). */
+  private def bm25SharedIndex(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, "bm25_index:documents")(
+      Text.bm25Index(Tables.documents(s, dir), "doc_id", "text"))
+
   /** Connected-component cluster labels over [[jaccardPairs]], shared the
    * same way (three consumers: cluster / canonical / split). */
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
@@ -459,13 +465,14 @@ object SparkEntry {
     }),
 
     // --- sparse retrieval: BM25 top-k, query docs retrieving from the
-    // corpus; ranked on the parity-rounded score (see bm25TopK scaladoc)
-    "q_bm25" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Text.bm25TopK(docs, docs.filter(col("doc_id") < 5),
-        "doc_id", "text", "doc_id", "text", k = 10,
-        scoreRoundDecimals = Some(3))
-    }),
+    // corpus; ranked on the parity-rounded score (see bm25TopK scaladoc).
+    // The postings-with-stats index materializes ONCE per input dir
+    // (SharedStage) — q_rrf_hybrid's sparse branch reads the same frame,
+    // the stage boundary a real IR pipeline persists.
+    "q_bm25" -> ((s, dir) =>
+      Text.bm25ScoreIndex(bm25SharedIndex(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") < 5),
+        "doc_id", "text", k = 10, scoreRoundDecimals = Some(3))),
 
     // --- hybrid retrieval: reciprocal-rank fusion of the sparse (BM25
     // over text) and dense (exact cosine over embeddings) rankings for
@@ -474,9 +481,9 @@ object SparkEntry {
     "q_rrf_hybrid" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val em = Tables.embeddings(s, dir)
-      val sparse = Text.bm25TopK(docs, docs.filter(col("doc_id") < 5),
-          "doc_id", "text", "doc_id", "text", k = 20,
-          scoreRoundDecimals = Some(3))
+      val sparse = Text.bm25ScoreIndex(bm25SharedIndex(s, dir),
+          docs.filter(col("doc_id") < 5),
+          "doc_id", "text", k = 20, scoreRoundDecimals = Some(3))
         .select(col("query_id"), col("doc_id"), col("rank"))
       val dense = Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 20)
@@ -584,6 +591,23 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, dir) =>
       Sampling.mixtureSample(Tables.documents(s, dir), "doc_id", "lang", MixWeights)
         .select("doc_id", "lang")),
+
+    // --- temperature (alpha=0.7) mixture: tempered per-source shares ---
+    "q_mixture_temp" -> ((s, dir) =>
+      Sampling.temperatureMixture(Tables.documents(s, dir), "source",
+          alpha = 0.7)
+        .select(col("source"), col("n_docs"), r3(col("p_raw")).as("p_raw"),
+          r3(col("p_temp")).as("p_temp"), r3(col("boost")).as("boost"))),
+
+    // --- CCNet-shape cross-corpus LM scoring: even docs are the
+    // reference model, odd docs are the scored target snapshot ---
+    "q_lm_cross" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Text.lmCrossScore(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("id"), col("n_tokens"), col("n_oov_ref"),
+          r3(col("logprob")).as("logprob"))
+    }),
 
     // --- C4-style span-level exact dedup (keep first occurrence) ---
     "q_span_dedup" -> ((s, dir) =>
@@ -2174,6 +2198,38 @@ object SparkEntry {
          |SELECT lang, n_docs,
          |       floor(least(1.0::DOUBLE, weight * t_max / n_docs)*1000 + 0.5)/1000 AS fraction
          |FROM c, t""".stripMargin,
+
+    "q_mixture_temp" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |           WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS n_total,
+        |             SUM(pow(n_docs::DOUBLE, 0.7)) AS z FROM c)
+        |SELECT source, n_docs,
+        |       floor(n_docs::DOUBLE / n_total * 1000 + 0.5)/1000 AS p_raw,
+        |       floor(pow(n_docs::DOUBLE, 0.7) / z * 1000 + 0.5)/1000 AS p_temp,
+        |       floor((pow(n_docs::DOUBLE, 0.7) / z)
+        |             / (n_docs::DOUBLE / n_total) * 1000 + 0.5)/1000 AS boost
+        |FROM c, t""".stripMargin,
+
+    "q_lm_cross" ->
+      """WITH ref AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents WHERE doc_id % 2 = 0),
+        |rc AS (SELECT token, COUNT(*) AS cnt FROM ref GROUP BY 1),
+        |m AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM rc),
+        |tt AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |s AS (
+        |  SELECT id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_oov_ref,
+        |         AVG(ln((coalesce(cnt, 0) + 0.1)
+        |               / (total + 0.1 * (v + 1)))) AS logprob
+        |  FROM tt LEFT JOIN rc USING (token) CROSS JOIN m GROUP BY 1
+        |)
+        |SELECT d.doc_id AS id, s.n_tokens, s.n_oov_ref,
+        |       floor(s.logprob*1000 + 0.5)/1000 AS logprob
+        |FROM documents d LEFT JOIN s ON s.id = d.doc_id
+        |WHERE d.doc_id % 2 = 1""".stripMargin,
 
     "q_mixture_sample" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs, $MixWeightSql AS weight

@@ -414,6 +414,46 @@ object Stress {
         Seq("user_id"), "ts_sec", Seq("state_value"),
         direction = "nearest").count()
     }
+    probe(s"lmCrossScore ${nDocs / 1000}k target vs 50% reference") {
+      // the CCNet screen: model pass over the reference half + one
+      // token-keyed left join over the target half
+      Text.lmCrossScore(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").count()
+    }
+    probe(s"bm25 ${nDocs / 1000}k docs x 20 query docs") {
+      // one tokenize pass feeds tf/df; 20 query docs broadcast into the
+      // token-keyed match join — the corpus shuffles only on tokens
+      Text.bm25TopK(docs, docs.filter(col("doc_id") < 20), "doc_id", "text",
+        "doc_id", "text", k = 10).count()
+    }
+    probe(s"maxSim ${nVecs / 8000}k bags (8 vecs each) x 2 query bags") {
+      // 500k vectors / 8-per-bag corpus scanned ONCE; the 16-vector query
+      // bag broadcasts; both partial aggs collapse before any shuffle
+      val mv = vecs.withColumn("mdoc", floor(col("vec_id") / 8).cast("long"))
+      Similarity.maxSimTopK(mv, mv.filter(col("mdoc") < 2),
+        "mdoc", "vec_id", "embedding", k = 5, dim = 64).count()
+    }
+    probe(s"sketchRollup ${nEvents / 1000000}M events -> day/month HLL") {
+      Quality.sketchRollup(
+        events.withColumn("ts", timestamp_seconds(col("ts_sec"))),
+        "ts", "user_id", dims = Seq.empty).count()
+    }
+    // the between-retrain ingest path: the RESIDENT index build is the
+    // amortized cost a service pays once per retrain — materialize it
+    // UNTIMED (unmanaged persist; the session ends right after), then
+    // time what an ingest actually pays: one broadcast-assign encode of
+    // the 1% delta + the union count over resident codes
+    if ("pqindexappend".contains(only.toLowerCase)) {
+      val pqBase = Similarity.pqIndexBuild(
+        vecs.filter(pmod(col("vec_id"), lit(100)) =!= 0),
+        "vec_id", "embedding", dim = 64, m = 8, ks = 64, iters = 2)
+      pqBase.codes.count()
+      probe(s"pqIndexAppend 1% delta onto ${nVecs / 1000}k index") {
+        Similarity.pqIndexAppend(pqBase,
+          vecs.filter(pmod(col("vec_id"), lit(100)) === 0),
+          "vec_id", "embedding").codes.count()
+      }
+    }
 
     spark.stop()
   }

@@ -229,6 +229,37 @@ object Sampling {
   }
 
   /**
+   * Temperature (α) mixture weights over strata — the multilingual /
+   * multi-source sampling rule (Devlin et al. mBERT; Conneau et al.
+   * XLM-R; Raffel et al. mT5): sampling probability p_s ∝ n_s^α, α < 1
+   * flattening the head so low-resource strata are not drowned by raw
+   * frequency. Emits per stratum the observed share `p_raw = n_s / N`,
+   * the tempered target share `p_temp = n_s^α / Σ n_t^α`, and the
+   * per-document oversampling factor `boost = p_temp / p_raw` (> 1 =
+   * upsample; feed `p_temp` into [[mixturePlan]]/[[mixtureSample]] or
+   * `boost` into a repeat-factor loader).
+   *
+   * One partial-agg'd count per stratum; the Σ n^α normalizer rides a
+   * broadcast single-row frame — |strata| rows end to end, any corpus
+   * size.
+   */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(pow(col("n_docs").cast("double"), alpha)).as("z"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_raw", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("p_temp",
+        pow(col("n_docs").cast("double"), alpha) / col("z"))
+      .withColumn("boost", col("p_temp") / col("p_raw"))
+      .select(col(stratumCol), col("n_docs"), col("p_raw"), col("p_temp"),
+        col("boost"))
+  }
+
+  /**
    * Apply a [[mixturePlan]]: deterministic md5-bucket sampling with each
    * stratum's computed fraction (broadcast join — the plan is |strata|
    * rows). Reproducible cross-engine like every sampler here.

@@ -293,6 +293,48 @@ object Text {
   }
 
   /**
+   * CROSS-corpus LM quality scoring (the CCNet shape, Wenzek et al.
+   * 2020): train an add-k-smoothed unigram LM on a REFERENCE corpus
+   * (Wikipedia-grade text), score TARGET docs by mean token log-prob —
+   * crawl pages that read like the reference score high, boilerplate
+   * and junk score low. Unlike [[unigramLogProb]] (which scores a
+   * corpus against itself and so drifts with the junk it contains),
+   * the reference model is fixed, making scores comparable across
+   * target snapshots.
+   *
+   * Smoothing: P(t) = (c_t + k) / (total + k·(V+1)) with c_t = 0 for
+   * out-of-reference tokens (the +1 pools all unseen mass into one
+   * pseudo-type). Model stats are one partial-agg pass over the
+   * reference; scoring is one token-keyed LEFT join from the exploded
+   * target stream (reference side aggregated — far smaller than either
+   * corpus) + one per-doc avg; denominators ride a broadcast single-row
+   * frame. Emits `(id, n_tokens, n_oov_ref, logprob)`; empty/null-text
+   * docs keep a row with nulls, never vanish.
+   */
+  def lmCrossScore(reference: DataFrame, target: DataFrame,
+                   idCol: String, textCol: String,
+                   addK: Double = 0.1): DataFrame = {
+    require(addK > 0, "lmCrossScore needs addK > 0")
+    val refCounts = reference
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val model = refCounts.agg(sum("cnt").as("total"),
+      count(lit(1)).as("v"))
+    val toks = target.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val scored = toks
+      .join(refCounts, Seq("token"), "left")
+      .crossJoin(broadcast(model))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov_ref"),
+        avg(log((coalesce(col("cnt"), lit(0L)) + addK) /
+          (col("total") + lit(addK) * (col("v") + lit(1L))))).as("logprob"))
+    target.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_oov_ref"), col("logprob"))
+  }
+
+  /**
    * Vocabulary build: global token counts, ranked. `minCount` prunes the
    * long tail before the single-partition ranking: the aggregation is
    * map-side-combined per token (high cardinality, balanced), and only
@@ -858,6 +900,29 @@ object Text {
    * but the token key; per-(query, doc) sums partial-agg before the
    * final top-k rank shuffle on query_id.
    */
+  /**
+   * BM25 corpus index: one row per (document, distinct token) carrying
+   * term frequency, document length, document frequency, and the
+   * corpus-wide N / avgdl — everything scoring needs, with the raw text
+   * read exactly once. This is the postings-with-stats table a real IR
+   * deployment MATERIALIZES (persist it, or share it via
+   * [[graft.SharedStage]] when several retrieval queries hit the same
+   * corpus); [[bm25ScoreIndex]] then serves any number of query
+   * batches against it without touching the corpus again.
+   */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.CacheScope.persist(
+      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token")))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val dfreq = toks.select("id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    tf.join(dfreq, "token").crossJoin(broadcast(stats))
+  }
+
   /** `scoreRoundDecimals`: rank on the score ROUNDED to that many
    * decimals (floor(x·10^d + 0.5) — the repo's parity rounding) instead
    * of the raw double. The per-(query, doc) score is a SUM over matched
@@ -868,21 +933,19 @@ object Text {
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                idCol: String, textCol: String, qIdCol: String, qTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75,
-               scoreRoundDecimals: Option[Int] = None): DataFrame = {
-    val toks = graft.CacheScope.persist(
-      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token")))
-    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    val dfreq = toks.select("id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    val stats = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+               scoreRoundDecimals: Option[Int] = None): DataFrame =
+    bm25ScoreIndex(bm25Index(docs, idCol, textCol), queries,
+      qIdCol, qTextCol, k, k1, b, scoreRoundDecimals)
+
+  /** Score a query batch against a prebuilt [[bm25Index]]. */
+  def bm25ScoreIndex(index: DataFrame, queries: DataFrame,
+                     qIdCol: String, qTextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     scoreRoundDecimals: Option[Int] = None): DataFrame = {
     val qTerms = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(tokens(col(qTextCol)))).as("token"))
-    tf.join(dfreq, "token")
+    index
       .join(broadcast(qTerms), "token")
-      .crossJoin(broadcast(stats))
       .filter(col("query_id") =!= col("id"))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

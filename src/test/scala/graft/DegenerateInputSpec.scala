@@ -146,4 +146,53 @@ class DegenerateInputSpec extends SparkSpecBase {
       .head.isNullAt(2)) // n_chars null, not a crash
     assert(Dedup.editDistancePairs(docs, "doc_id", "text", 2).count() === 0)
   }
+
+  test("round-9 retrieval stack on empty/degenerate input stays well-defined") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    // empty corpus and empty query batch both yield empty, not a crash
+    assert(Text.bm25TopK(noDocs, docs, "doc_id", "text", "doc_id", "text",
+      k = 5).count() === 0)
+    assert(Text.bm25TopK(docs, noDocs, "doc_id", "text", "doc_id", "text",
+      k = 5).count() === 0)
+    // a query term absent from the corpus contributes nothing; a query
+    // doc with NO matching terms retrieves nothing
+    val q = Seq((9L, "zeta eta theta")).toDF("doc_id", "text")
+    assert(Text.bm25TopK(docs, q, "doc_id", "text", "doc_id", "text",
+      k = 5).count() === 0)
+    // rrfFuse over empty rankings is empty; a doc in one list only fuses
+    val empty = Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rank")
+    assert(Analytics.rrfFuse(Seq(empty, empty), k = 5).count() === 0)
+    val one = Seq((1L, 2L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = Analytics.rrfFuse(Seq(one, empty), k = 5).collect()
+    assert(fused.length === 1 && fused.head.getLong(3) === 1L)
+    // maxSim: zero-norm vectors null their cosines and drop from top-k
+    // rather than throwing (ANSI divide-by-zero)
+    val mv = Seq((1L, 10L, Array(0.0, 0.0)), (2L, 20L, Array(1.0, 0.0)),
+      (3L, 30L, Array(0.0, 1.0))).toDF("mdoc", "vec_id", "embedding")
+    val ms = Similarity.maxSimTopK(mv, mv.filter(col("mdoc") === 1),
+      "mdoc", "vec_id", "embedding", k = 5, dim = 2).collect()
+    assert(ms.forall(r => r.isNullAt(2)),
+      s"zero-norm query cosines should be null: ${ms.mkString}")
+    // sketchRollup on empty events returns empty
+    val noTs = Seq.empty[(java.sql.Timestamp, Long)].toDF("ts", "user_id")
+    assert(Quality.sketchRollup(noTs, "ts", "user_id").count() === 0)
+    // temperature mixture: empty corpus → empty plan; single stratum →
+    // p_raw = p_temp = boost = 1 exactly
+    assert(Sampling.temperatureMixture(
+      Seq.empty[(Long, String)].toDF("doc_id", "source"), "source", 0.7)
+      .count() === 0)
+    val single = Sampling.temperatureMixture(
+      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "source"), "source", 0.7)
+      .collect()
+    assert(single.length === 1 && single.head.getDouble(2) === 1.0 &&
+      single.head.getDouble(3) === 1.0 && single.head.getDouble(4) === 1.0)
+    // cross-corpus LM: empty reference → every target token is OOV and
+    // scored from pure smoothing mass, never a crash; empty target → empty
+    val ref = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val tgt = Seq((2L, "gamma delta")).toDF("doc_id", "text")
+    val oov = Text.lmCrossScore(noDocs, tgt, "doc_id", "text").collect()
+    assert(oov.length === 1 && oov.head.getLong(2) === 2L)
+    assert(Text.lmCrossScore(ref, noDocs, "doc_id", "text").count() === 0)
+  }
 }

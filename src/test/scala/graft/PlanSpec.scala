@@ -363,6 +363,31 @@ class PlanSpec extends SparkSpecBase {
       "per-qvec max / per-doc sum lost map-side combine")
   }
 
+  test("dynamic partition pruning: a dim filter prunes lake partitions at runtime") {
+    // the 100 TB join shape: a y/m/d-partitioned fact joined to a small
+    // filtered dim must scan only the dim's surviving partitions — DPP
+    // injects the dim's day-set into the fact scan's partition filters
+    // at runtime (no manual predicate on the fact side)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    import spark.implicits._
+    val fact = (1 to 8).flatMap(d => (1 to 50).map(i =>
+      (2024, 1, d, i.toLong, d * 100.0 + i)))
+      .toDF("year", "month", "day", "key", "v")
+    sources.LakeWriter.writePartitioned(fact, s"$dir/fact")
+    // the dim must be a real source (not a pre-folded LocalRelation) so
+    // its filter survives as a plan node for the DPP rule to harvest
+    Seq((1, "keep"), (2, "keep"), (3, "drop")).toDF("day", "tag")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = sources.LakeWriter.read(spark, s"$dir/fact")
+      .join(broadcast(dim).filter(col("tag") === "keep"), Seq("day"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan lost dynamic partition pruning — every partition would " +
+        "be read despite the dim filter\n" + p.take(2000))
+    assert(joined.count() === 100L) // 2 surviving days × 50 rows
+  }
+
   test("sketch rollup: both sketch passes partial-agg before their shuffles") {
     val p = plan("q_sketch_rollup")
     assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),

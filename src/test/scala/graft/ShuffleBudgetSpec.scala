@@ -42,6 +42,13 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_ann_ivfpq" -> (3L << 20),     // 0.62 MB: coarse assign + residual
                                      // Lloyd + encode + probed-cell ADC
     "q_triplets_ann" -> (2L << 20),  // 0.45 MB: IVF probe + margin windows
+    // round 9: the retrieval stack
+    "q_bm25" -> (2L << 20),          // 0.43 MB: token-keyed tf/df joins
+    "q_rrf_hybrid" -> (2L << 20),    // 0.43 MB: = BM25 branch + bounded lists
+    "q_maxsim" -> (256L << 10),      // 39 kB: two partial-agg'd reductions
+    "q_sketch_rollup" -> (64L << 10),// 0.8 kB: per-day sketch rows only
+    "q_lm_cross" -> (64L << 10),     // 59 B: model broadcast, per-doc agg
+    "q_mixture_temp" -> (64L << 10), // 0.7 kB: n-strata rows end to end
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong

@@ -403,6 +403,57 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("AnnStream online ingest: pqIndexAppend swapped in mid-stream serves appended vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    // the retrieval-service ingest lifecycle: a delta lands, the resident
+    // index GROWS via frozen-codebook append (no retrain, no restart),
+    // and the next micro-batch retrieves the appended vectors
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val corpus = (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val idx1 = operators.Similarity.pqIndexBuild(corpus, "vec_id", "embedding",
+      dim = 16, m = 4, ks = 16, iters = 2)
+    // delta vectors sit just off corpus lattice points (distinct values,
+    // same neighborhoods) so they compete for, and win, some top-5 slots
+    val delta = (500L until 540L)
+      .map(i => (i, vec(i - 500L).map(_ * 0.9 + 0.3)))
+      .toDF("vec_id", "embedding")
+    val idx2 = operators.Similarity.pqIndexAppend(idx1, delta, "vec_id", "embedding")
+    val ref = new java.util.concurrent.atomic.AtomicReference(idx1)
+    val queries = (1000L until 1008L).map(i => (i, vec(i * 7)))
+    val (preQ, postQ) = queries.splitAt(4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Int)]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annappend").toString
+    val query = streaming.AnnStream.pqRetrieveSwappable(
+      input.toDF().toDF("vec_id", "embedding"), ref,
+      "vec_id", "embedding", k = 5, ckpt) { out =>
+      batches.synchronized {
+        batches += out.select("query_id", "cand_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      }
+    }
+    try {
+      preQ.grouped(2).foreach { b => input.addData(b); query.processAllAvailable() }
+      val nPre = batches.size
+      ref.set(idx2) // the append swaps in between batches
+      postQ.grouped(2).foreach { b => input.addData(b); query.processAllAvailable() }
+      def expected(idx: operators.Similarity.PqIndex, qs: Seq[(Long, Seq[Double])]) =
+        operators.Similarity.pqScore(idx, qs.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", k = 5)
+          .select("query_id", "cand_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val (preGot, postGot) = batches.toSeq.splitAt(nPre)
+      assert(preGot.flatten.toSet === expected(idx1, preQ),
+        "pre-append batches diverged from the base index's batch pqScore")
+      assert(postGot.flatten.toSet === expected(idx2, postQ),
+        "post-append batches diverged from the grown index's batch pqScore")
+      // the appended vectors actually surface in post-append retrievals
+      assert(postGot.flatten.exists(_._2 >= 500L),
+        "no appended vector reached any post-append top-5 — fixture too weak")
+    } finally query.stop()
+  }
+
   test("WindowedCounts.distinctPerWindow stream equals its batch HLL twin, with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(43)
