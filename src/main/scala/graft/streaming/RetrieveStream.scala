@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.{Analytics, Similarity, Text}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming retrieval over RESIDENT indexes — the sparse and hybrid
+ * siblings of [[AnnStream]]: a [[Text.bm25Index]] (postings-with-stats
+ * frame) and/or a [[Similarity.PqIndex]] stay resident while query
+ * micro-batches come and go. Same design contract as AnnStream:
+ * foreachBatch (per-query rank windows are a batch construct, so each
+ * batch's plan IS the batch scoring plan and stream ≡ batch is asserted,
+ * not assumed), no streaming state, no watermark — scoring is stateless
+ * in the queries, so checkpoint replay reproduces identical rows (use
+ * an idempotent sink). Indexes sit behind `AtomicReference`s read once
+ * per batch: re-landing the corpus re-indexes and swaps with no stream
+ * restart and no mixed-index rows (AnnStream's atomicity contract,
+ * verbatim).
+ *
+ * Scale: the BM25 index is one row per (doc, distinct token) — the raw
+ * corpus is never touched at query time; the PQ index is m ints + a
+ * norm per vector; each batch broadcasts only its own query terms/LUT.
+ */
+object RetrieveStream {
+
+  /** Sparse half: each micro-batch of (id, text) queries is BM25-scored
+   * against the resident index. */
+  def bm25Retrieve(queryStream: DataFrame,
+                   ref: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                   qIdCol: String, qTextCol: String, k: Int,
+                   checkpointDir: String,
+                   scoreRoundDecimals: Option[Int] = Some(3))
+                  (sink: DataFrame => Unit): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Text.bm25ScoreIndex(ref.get(), batch, qIdCol, qTextCol, k,
+          scoreRoundDecimals = scoreRoundDecimals))
+      }
+      .start()
+
+  /**
+   * Hybrid retrieval service: each micro-batch of (id, text, embedding)
+   * queries is scored against BOTH resident indexes — BM25 for the
+   * sparse lexical match, PQ ADC for the dense semantic match — and the
+   * two rankings fuse via [[Analytics.rrfFuse]] inside the same batch.
+   * Both references are read once per batch, so a coordinated re-index
+   * (`bm25Ref.set(...); pqRef.set(...)` between batches) swaps the
+   * whole stack atomically at the next batch boundary.
+   */
+  def hybridRetrieve(queryStream: DataFrame,
+                     bm25Ref: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                     pqRef: java.util.concurrent.atomic.AtomicReference[Similarity.PqIndex],
+                     qIdCol: String, qTextCol: String, qVecCol: String,
+                     k: Int, perListK: Int, checkpointDir: String,
+                     scoreRoundDecimals: Option[Int] = Some(3))
+                    (sink: DataFrame => Unit): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sparse = Text.bm25ScoreIndex(bm25Ref.get(), batch,
+            qIdCol, qTextCol, perListK, scoreRoundDecimals = scoreRoundDecimals)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val dense = Similarity.pqScore(pqRef.get(), batch,
+            qIdCol, qVecCol, perListK)
+          .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+        sink(Analytics.rrfFuse(Seq(sparse, dense), k))
+      }
+      .start()
+}

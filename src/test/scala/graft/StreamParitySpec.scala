@@ -454,6 +454,60 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("RetrieveStream.hybridRetrieve: streamed query batches equal the batch BM25+PQ fusion") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq("spark", "scan", "join", "sort", "agg", "window",
+      "table", "query", "batch", "stream", "merge", "filter")
+    def text(seed: Int): String =
+      (0 until 12).map(i => words((seed * 7 + i * i) % words.length)).mkString(" ")
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val corpusDocs = (0L until 80L).map(i => (i, text(i.toInt)))
+      .toDF("doc_id", "text")
+    val corpusVecs = (0L until 80L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val bm25Ref = new java.util.concurrent.atomic.AtomicReference(
+      graft.CacheScope.persist(
+        operators.Text.bm25Index(corpusDocs, "doc_id", "text")))
+    val pqRef = new java.util.concurrent.atomic.AtomicReference(
+      operators.Similarity.pqIndexBuild(corpusVecs, "vec_id", "embedding",
+        dim = 16, m = 4, ks = 16, iters = 2))
+    val queries = (1000L until 1010L).map(i => (i, text(i.toInt), vec(i * 3)))
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long, Int)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
+    val query = streaming.RetrieveStream.hybridRetrieve(
+      input.toDF().toDF("query_id", "text", "embedding"),
+      bm25Ref, pqRef, "query_id", "text", "embedding",
+      k = 5, perListK = 10, ckpt) { out =>
+      got.synchronized {
+        got ++= out.as[(Long, Long, Double, Long, Int)].collect()
+      }
+    }
+    try {
+      val rng = new scala.util.Random(61)
+      rng.shuffle(queries).grouped(3).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      // batch truth: the same composition over the full query frame
+      val qdf = queries.toDF("query_id", "text", "embedding")
+      val sparse = operators.Text.bm25ScoreIndex(bm25Ref.get(), qdf,
+          "query_id", "text", k = 10, scoreRoundDecimals = Some(3))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = operators.Similarity.pqScore(pqRef.get(), qdf,
+          "query_id", "embedding", k = 10)
+        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      val expected = operators.Analytics.rrfFuse(Seq(sparse, dense), k = 5)
+        .as[(Long, Long, Double, Long, Int)].collect().toSet
+      assert(got.toSet === expected,
+        s"stream-only: ${(got.toSet -- expected).take(5)}; " +
+          s"batch-only: ${(expected -- got.toSet).take(5)}")
+      // both retrievers contributed: some fused row was found by both
+      // lists, some by exactly one — the fusion is non-vacuous
+      assert(got.exists(_._4 === 2L) && got.exists(_._4 === 1L),
+        "fixture too weak: fusion never mixed single- and double-list hits")
+    } finally query.stop()
+  }
+
   test("WindowedCounts.distinctPerWindow stream equals its batch HLL twin, with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(43)
