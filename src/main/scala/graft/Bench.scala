@@ -96,19 +96,23 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
-    // The SharedStage materializations (near-dup pair join + CC labels)
-    // are measured ONCE as their own entry: the per-query medians below
-    // are amortized steady-state costs — later reps and later family
-    // members ride the cache — so without this row a regression in the
-    // shared build would move NO reported number. Driving q_dedup_cluster
-    // cold materializes both stages; its own median below then reads the
-    // warm cache, which is exactly the pipeline cost model.
+    // The SharedStage materializations (near-dup pair join + CC labels,
+    // and the BM25 postings index) are measured ONCE as their own entry:
+    // the per-query medians below are amortized steady-state costs —
+    // later reps and later family members ride the cache — so without
+    // this row a regression in ANY shared build would move NO reported
+    // number (median-of-3 discards the single cold rep). Driving
+    // q_dedup_cluster cold materializes the dedup stages and q_bm25 the
+    // retrieval index; their own medians below then read the warm cache,
+    // which is exactly the pipeline cost model.
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp) = drained {
       CacheScope.scoped {
-        try SparkEntry.queries("q_dedup_cluster")(spark, sfDir).count(): Unit
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench] shared-stage build failed: ${e.getMessage}")
+        for (q <- Seq("q_dedup_cluster", "q_bm25")) {
+          try SparkEntry.queries(q)(spark, sfDir).count(): Unit
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] shared-stage build ($q) failed: ${e.getMessage}")
+          }
         }
       }
     }

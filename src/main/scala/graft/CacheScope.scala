@@ -91,9 +91,18 @@ object CacheScope {
  * parquet rewrites always mint fresh part-file names, so any re-land
  * flips the signature. Writers additionally call [[invalidate]] for
  * prompt release of the superseded cache. Entries bound to a stopped
- * SparkSession are likewise recomputed, never returned. `get` is
- * synchronized: concurrent first readers of one key compute once (plan
- * construction is cheap — the materialization itself stays lazy).
+ * SparkSession are likewise recomputed, never returned.
+ *
+ * Concurrency: only MAP access is locked — the O(files) recursive
+ * listing and plan construction run outside it, so cache hits on one
+ * key never convoy behind another key's (possibly object-store-slow)
+ * listing. Two concurrent FIRST readers of one key may both construct
+ * the plan; the loser's frame is unpersisted and the winner's kept
+ * (plans are cheap, the materialization stays lazy, and at most one
+ * entry survives). A re-land racing between signature() and compute
+ * caches FRESH data under the pre-land signature — the safe direction:
+ * the next get sees a signature mismatch and recomputes, a spurious
+ * recompute but never stale rows.
  */
 object SharedStage {
   private final case class Entry(sig: String, df: DataFrame)
@@ -132,20 +141,31 @@ object SharedStage {
   /** Memoized compute-and-persist of `key` for input `dir`, valid only
    * while `dir`'s file snapshot is unchanged and the owning session is
    * alive. */
-  def get(dir: String, key: String)(compute: => DataFrame): DataFrame =
+  def get(dir: String, key: String)(compute: => DataFrame): DataFrame = {
+    val sig = signature(dir) // outside the lock: see the header contract
+    val k = (dir, key)
     synchronized {
-      val sig = signature(dir)
-      frames.get((dir, key)) match {
-        case Some(e) if e.sig == sig && !dead(e.df) => e.df
+      frames.get(k) match {
+        case Some(e) if e.sig == sig && !dead(e.df) => return e.df
+        case _ => ()
+      }
+    }
+    val df = compute
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      frames.get(k) match {
+        case Some(e) if e.sig == sig && !dead(e.df) =>
+          // a concurrent first reader won the race: keep theirs
+          scala.util.Try(df.unpersist(false))
+          e.df
         case stale =>
           stale.foreach(e =>
             if (!dead(e.df)) scala.util.Try(e.df.unpersist(false)))
-          val df = compute
-          df.persist(StorageLevel.MEMORY_AND_DISK)
-          frames((dir, key)) = Entry(sig, df)
+          frames(k) = Entry(sig, df)
           df
       }
     }
+  }
 
   /** Unpersist and forget every entry whose input dir contains — or is
    * contained by — `path`: writers call this after landing data so the

@@ -499,9 +499,10 @@ object SparkEntry {
       val em = Tables.embeddings(s, dir)
         .withColumn("mdoc", floor(col("vec_id") / 8).cast("long"))
       Similarity.maxSimTopK(em, em.filter(col("mdoc") < 3),
-          "mdoc", "vec_id", "embedding", k = 5, dim = 64)
-        .select(col("query_doc"), col("cand_doc"),
-          r3(col("maxsim")).as("maxsim"), col("n_qvecs"), col("rank"))
+          "mdoc", "vec_id", "embedding", k = 5, dim = 64,
+          scoreRoundDecimals = Some(3))
+        .select(col("query_doc"), col("cand_doc"), col("maxsim"),
+          col("n_qvecs"), col("rank"))
     }),
 
     // --- sketch rollup: per-(day, event_type) HLL sketches union to
@@ -2053,11 +2054,11 @@ object SparkEntry {
          |),
          |m AS (SELECT query_doc, cand_doc, qvec_id, MAX(cos) AS best
          |      FROM s GROUP BY 1, 2, 3),
-         |t AS (SELECT query_doc, cand_doc, SUM(best) AS maxsim,
+         |t AS (SELECT query_doc, cand_doc,
+         |             floor(SUM(best)*1000 + 0.5)/1000 AS maxsim,
          |             COUNT(*) AS n_qvecs
          |      FROM m GROUP BY 1, 2)
-         |SELECT query_doc, cand_doc, floor(maxsim*1000 + 0.5)/1000 AS maxsim,
-         |       n_qvecs, rank
+         |SELECT query_doc, cand_doc, maxsim, n_qvecs, rank
          |FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_doc
          |    ORDER BY maxsim DESC, cand_doc ASC) AS rank FROM t

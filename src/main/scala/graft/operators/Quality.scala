@@ -410,8 +410,14 @@ object Quality {
       .agg(hll_sketch_estimate(
           hll_sketch_agg(col(keyCol), lit(lgK))).as("n_direct"),
         countDistinct(col(keyCol)).as("n_exact"))
-    rolled.join(direct, "month" +: dims)
-      .select((coarse :+ col("n_exact") :+
+    // null-SAFE join keys: a NULL dimension value is a legitimate group
+    // (both aggregates emit it) — an EqualTo join would silently drop
+    // its rollup row, undercounting exactly the bucket most likely to
+    // hide data-quality problems
+    val cond = ("month" +: dims)
+      .map(c => rolled(c) <=> direct(c)).reduce(_ && _)
+    rolled.join(direct, cond)
+      .select((("month" +: dims).map(rolled(_)) :+ col("n_exact") :+
         (abs(col("n_rollup") - col("n_direct")) <=
           greatest(col("n_direct").cast("double") * mergeTolerance, lit(1.0)))
           .as("rollup_ok") :+

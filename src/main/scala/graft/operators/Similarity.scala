@@ -1054,7 +1054,15 @@ object Similarity {
    * score any number of query frames with [[pqScore]].
    */
   final case class PqIndex(codes: DataFrame, codebooks: DataFrame,
-                           dim: Int, m: Int)
+                           dim: Int, m: Int) {
+    /** Unpersist this index's cached frames. Call on a SUPERSEDED index
+     * after the replacement has been swapped in ([[pqIndexAppend]]'s
+     * lifecycle note) — never on one a stream may still score against. */
+    def release(): Unit = {
+      scala.util.Try(codes.unpersist(false))
+      scala.util.Try(codebooks.unpersist(false))
+    }
+  }
 
   /** Train codebooks and encode the corpus — the index half of
    * [[pqTopK]]. `codes` is persisted: a resident index must not replay
@@ -1110,16 +1118,26 @@ object Similarity {
 
   /**
    * Grow a [[PqIndex]] WITHOUT retraining: encode the new vectors with
-   * the index's FROZEN codebooks and union their codes in. This is how
-   * a deployed retrieval index actually ingests — codebooks retrain on
-   * a schedule (then swap atomically, see
+   * the index's FROZEN codebooks and UPSERT their codes — an id already
+   * in the index is REPLACED by its new encoding (re-ingests, retries,
+   * and vector updates are all idempotent; a blind union would leave
+   * two code rows per (id, sub) and every later [[pqScore]] would
+   * silently double-count that candidate's LUT sum). This is how a
+   * deployed retrieval index ingests — codebooks retrain on a schedule
+   * (then swap atomically, see
    * [[graft.streaming.AnnStream.pqRetrieveSwappable]]); between
-   * retrains every append is a map-side encode of the DELTA only (one
-   * broadcast-assign join over the new vectors — the resident corpus
-   * codes are never touched, never re-read). Quantization error for
-   * appended vectors matches what a full re-encode under the same
-   * codebooks would give, by construction: the encode join is the same
+   * retrains every append pays one broadcast-assign encode of the
+   * DELTA plus a broadcast anti-join of the resident codes against the
+   * delta's ids (the codes are scanned from cache, never re-derived
+   * from raw vectors). Quantization matches a full re-encode under the
+   * same codebooks by construction: the encode join is the same
    * [[pqAssign]] argmin.
+   *
+   * Lifecycle: the returned index persists a NEW codes frame; the old
+   * one stays cached for any in-flight reader. After swapping the new
+   * index in (AnnStream contract: no later batch can observe the old
+   * one), call `old.release()` so a long-lived service doesn't pin one
+   * superseded code table per ingest.
    */
   def pqIndexAppend(index: PqIndex, newVecs: DataFrame,
                     idCol: String, vecCol: String): PqIndex = {
@@ -1127,8 +1145,10 @@ object Similarity {
     val newCodes = pqAssign(sv, index.codebooks)
       .select(col("id").as("cand_id"), col("sub"), col("cell").as("code"),
         col("nrm").as("nrm_c"))
+    val survivors = index.codes.join(
+      broadcast(newCodes.select("cand_id").distinct()), Seq("cand_id"), "left_anti")
     index.copy(codes = graft.CacheScope.persist(
-      index.codes.unionByName(newCodes)))
+      survivors.unionByName(newCodes)))
   }
 
   /**
@@ -1148,10 +1168,17 @@ object Similarity {
    * partial-agg'd, so one corpus pass + one balanced (qd, cd) shuffle
    * + the final query-keyed top-k rank is the whole plan. The corpus
    * never self-joins and never shuffles its vectors.
+   *
+   * `scoreRoundDecimals`: rank on the ROUNDED score (same contract as
+   * [[graft.operators.Text.bm25TopK]]) — the per-(qd, cd) score is a
+   * SUM of per-query-vector maxes, and FP sums are accumulation-order-
+   * dependent, so near-tied candidate bags can rank differently
+   * run-to-run and engine-to-engine on the raw double. None keeps raw.
    */
   def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
                  docIdCol: String, vecIdCol: String, vecCol: String,
-                 k: Int, dim: Int, maxQueryVecs: Int = 10000): DataFrame = {
+                 k: Int, dim: Int, maxQueryVecs: Int = 10000,
+                 scoreRoundDecimals: Option[Int] = None): DataFrame = {
     val cand = docVecs.select(col(docIdCol).as("cand_doc"),
         checkedDim(col(vecCol).cast("array<double>"), dim, "maxsim").as("v_c"))
       .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
@@ -1182,6 +1209,10 @@ object Similarity {
       .agg(max("cos").as("best"))
       .groupBy("query_doc", "cand_doc")
       .agg(sum("best").as("maxsim"), count(lit(1)).as("n_qvecs"))
+      .withColumn("maxsim", scoreRoundDecimals.fold(col("maxsim")) { d =>
+        val p = math.pow(10, d)
+        floor(col("maxsim") * p + 0.5) / p
+      })
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_doc"), col("cand_doc"), col("maxsim"),

@@ -195,14 +195,21 @@ object LakeWriter {
       .filter(v => before.forall(v < _))
     require(versions.nonEmpty, s"no committed versions at $path")
     // leaf partition dirs, relative to the version root: recurse through
-    // `name=value` levels, stop where data files live
+    // `name=value` levels, stop where data files live. A dir with no
+    // partition subdirs AND no data files contributes nothing — a
+    // zero-row incremental window publishes a committed version holding
+    // only marker files, and treating it as a leaf (rel "") would pin an
+    // unreadable empty scan into every later read of the lake
     def leaves(p: org.apache.hadoop.fs.Path,
                rel: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
       val kids = f.listStatus(p)
       val parts = kids.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      if (parts.isEmpty) Seq((rel, p))
-      else parts.toSeq.flatMap(d =>
-        leaves(d.getPath, s"$rel/${d.getPath.getName}"))
+      if (parts.nonEmpty)
+        parts.toSeq.flatMap(d => leaves(d.getPath, s"$rel/${d.getPath.getName}"))
+      else if (kids.exists(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")))
+        Seq((rel, p))
+      else Seq.empty
     }
     val latest = scala.collection.mutable.LinkedHashMap[String, String]()
     versions.foreach { v => // ascending: later versions shadow
@@ -210,6 +217,8 @@ object LakeWriter {
         case (rel, _) => latest(rel) = v
       }
     }
+    require(latest.nonEmpty,
+      s"no data files in any committed version at $path (all snapshots empty)")
     latest.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, rels) =>
       val base = s"$path/v=$v"
       spark.read.option("basePath", base)
@@ -307,16 +316,20 @@ object LakeWriter {
   def readPruned(spark: SparkSession, path: String, stats: DataFrame,
                  c: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
     // interval-intersection prune evaluated by Spark (typed literals —
-    // no driver-side comparator per column type); the collect is one
-    // string per surviving file, manifest-scale by contract
-    val total = stats.count().toInt
-    val kept = stats
-      .filter(col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
-        col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
-      .select("file").collect().map(_.getString(0))
+    // no driver-side comparator per column type). ONE action over the
+    // stats frame: `stats` is typically the lazy statsIndex result — a
+    // full-lake aggregate — so a separate count() would pay that scan
+    // twice. The keep bit is computed per row and the manifest-scale
+    // (file, keep) pairs collect once.
+    val flags = stats
+      .select(col("file"),
+        (col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
+          col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)).as("keep"))
+      .collect()
+    val kept = flags.filter(_.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (kept.isEmpty) read(spark, path).filter(lit(false))
       else spark.read.option("basePath", path).parquet(kept.toSeq: _*)
-    (pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi)), kept.length, total)
+    (pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi)), kept.length, flags.length)
   }
 }

@@ -41,18 +41,25 @@ object RetrieveStream {
       }
       .start()
 
+  /** The resident index PAIR a hybrid service holds: swap the whole
+   * case class through ONE AtomicReference so a re-index can never be
+   * observed half-applied (two separate refs would let a set racing a
+   * running batch fuse one generation's sparse ranks with the other's
+   * dense ranks — exactly the mixed-index rows the AnnStream contract
+   * rules out). */
+  final case class HybridIndex(bm25: DataFrame, pq: Similarity.PqIndex)
+
   /**
    * Hybrid retrieval service: each micro-batch of (id, text, embedding)
    * queries is scored against BOTH resident indexes — BM25 for the
    * sparse lexical match, PQ ADC for the dense semantic match — and the
    * two rankings fuse via [[Analytics.rrfFuse]] inside the same batch.
-   * Both references are read once per batch, so a coordinated re-index
-   * (`bm25Ref.set(...); pqRef.set(...)` between batches) swaps the
-   * whole stack atomically at the next batch boundary.
+   * The [[HybridIndex]] reference is read exactly once per batch, so a
+   * re-index (`ref.set(HybridIndex(newBm25, newPq))`) swaps the whole
+   * stack atomically at the next batch boundary.
    */
   def hybridRetrieve(queryStream: DataFrame,
-                     bm25Ref: java.util.concurrent.atomic.AtomicReference[DataFrame],
-                     pqRef: java.util.concurrent.atomic.AtomicReference[Similarity.PqIndex],
+                     ref: java.util.concurrent.atomic.AtomicReference[HybridIndex],
                      qIdCol: String, qTextCol: String, qVecCol: String,
                      k: Int, perListK: Int, checkpointDir: String,
                      scoreRoundDecimals: Option[Int] = Some(3))
@@ -60,10 +67,11 @@ object RetrieveStream {
     queryStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sparse = Text.bm25ScoreIndex(bm25Ref.get(), batch,
+        val idx = ref.get()
+        val sparse = Text.bm25ScoreIndex(idx.bm25, batch,
             qIdCol, qTextCol, perListK, scoreRoundDecimals = scoreRoundDecimals)
           .select(col("query_id"), col("doc_id"), col("rank"))
-        val dense = Similarity.pqScore(pqRef.get(), batch,
+        val dense = Similarity.pqScore(idx.pq, batch,
             qIdCol, qVecCol, perListK)
           .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
         sink(Analytics.rrfFuse(Seq(sparse, dense), k))

@@ -177,6 +177,17 @@ class DegenerateInputSpec extends SparkSpecBase {
     // sketchRollup on empty events returns empty
     val noTs = Seq.empty[(java.sql.Timestamp, Long)].toDF("ts", "user_id")
     assert(Quality.sketchRollup(noTs, "ts", "user_id").count() === 0)
+    // a NULL dimension value is a legitimate group: the rollup-vs-direct
+    // join must be null-safe or the NULL bucket silently vanishes
+    val nulled = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2L, null.asInstanceOf[String]),
+      (java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 3L, null.asInstanceOf[String]))
+      .toDF("ts", "user_id", "dim")
+    val byDim = Quality.sketchRollup(nulled, "ts", "user_id", dims = Seq("dim"))
+      .collect().map(r => Option(r.getString(1)) -> r.getLong(2)).toMap
+    assert(byDim === Map(Some("a") -> 1L, None -> 2L),
+      s"null-dim rollup group lost: $byDim")
     // temperature mixture: empty corpus → empty plan; single stratum →
     // p_raw = p_temp = boost = 1 exactly
     assert(Sampling.temperatureMixture(

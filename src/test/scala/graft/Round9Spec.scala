@@ -123,6 +123,16 @@ class Round9Spec extends SparkSpecBase {
     assert(rows() === v2, "committed version was rewritten")
     // time travel: a read pinned before v=002 sees the v1 snapshot
     assert(rows(before = Some("002")) === v1)
+    // a zero-row incremental window publishes a committed but EMPTY
+    // snapshot — it must contribute nothing, not poison every later
+    // read with an unreadable marker-only leaf
+    sources.LakeWriter.writePartitionedVersioned(
+      docs().limit(0), lake, "003")
+    assert(rows() === v2, "empty committed snapshot broke the read")
+    sources.LakeWriter.writePartitionedVersioned(
+      docs((2024, 1, 3, "c", 5.0)), lake, "004")
+    assert(rows() === v2 + ((2024, 1, 3, "c", 5.0)),
+      "post-empty-snapshot publish not visible")
   }
 
   test("pqIndexAppend: frozen-codebook delta encode ≡ re-encode of the union; appended vectors retrievable") {
@@ -161,6 +171,21 @@ class Round9Spec extends SparkSpecBase {
       .collect().map(_.getLong(1))
     assert(top.length === 5 && top.forall(c => c / 100 === 3L || c >= 5000L),
       s"appended-index retrieval left blob 3: ${top.mkString(",")}")
+    // UPSERT: re-appending an EXISTING id (retry, or a vector update —
+    // here id 0 moves from blob 0 to blob 7) must REPLACE its codes,
+    // never leave two rows per (id, sub) for pqScore to double-count
+    val moved = Similarity.pqIndexAppend(appended,
+      Seq((0L, blobVec(7, 3))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val id0 = moved.codes.filter(col("cand_id") === 0L)
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(id0.length === 4, s"duplicate code rows after re-append: ${id0.length}")
+    assert(moved.codes.count() === appended.codes.count(),
+      "upsert changed the index cardinality")
+    val blob7codes = moved.codes.filter(col("cand_id") === 703L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(id0.toSet === blob7codes,
+      s"re-encoded id 0 should carry blob-7 codes: ${id0.toSet} vs $blob7codes")
   }
 
   test("zone-map skipping: pruned read ≡ full-scan filter, with files actually skipped") {

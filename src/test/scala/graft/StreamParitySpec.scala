@@ -465,19 +465,19 @@ class StreamParitySpec extends SparkSpecBase {
     val corpusDocs = (0L until 80L).map(i => (i, text(i.toInt)))
       .toDF("doc_id", "text")
     val corpusVecs = (0L until 80L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
-    val bm25Ref = new java.util.concurrent.atomic.AtomicReference(
-      graft.CacheScope.persist(
-        operators.Text.bm25Index(corpusDocs, "doc_id", "text")))
-    val pqRef = new java.util.concurrent.atomic.AtomicReference(
-      operators.Similarity.pqIndexBuild(corpusVecs, "vec_id", "embedding",
-        dim = 16, m = 4, ks = 16, iters = 2))
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      streaming.RetrieveStream.HybridIndex(
+        graft.CacheScope.persist(
+          operators.Text.bm25Index(corpusDocs, "doc_id", "text")),
+        operators.Similarity.pqIndexBuild(corpusVecs, "vec_id", "embedding",
+          dim = 16, m = 4, ks = 16, iters = 2)))
     val queries = (1000L until 1010L).map(i => (i, text(i.toInt), vec(i * 3)))
     val input = MemoryStream[(Long, String, Seq[Double])]
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long, Int)]()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
     val query = streaming.RetrieveStream.hybridRetrieve(
       input.toDF().toDF("query_id", "text", "embedding"),
-      bm25Ref, pqRef, "query_id", "text", "embedding",
+      ref, "query_id", "text", "embedding",
       k = 5, perListK = 10, ckpt) { out =>
       got.synchronized {
         got ++= out.as[(Long, Long, Double, Long, Int)].collect()
@@ -490,10 +490,10 @@ class StreamParitySpec extends SparkSpecBase {
       }
       // batch truth: the same composition over the full query frame
       val qdf = queries.toDF("query_id", "text", "embedding")
-      val sparse = operators.Text.bm25ScoreIndex(bm25Ref.get(), qdf,
+      val sparse = operators.Text.bm25ScoreIndex(ref.get().bm25, qdf,
           "query_id", "text", k = 10, scoreRoundDecimals = Some(3))
         .select(col("query_id"), col("doc_id"), col("rank"))
-      val dense = operators.Similarity.pqScore(pqRef.get(), qdf,
+      val dense = operators.Similarity.pqScore(ref.get().pq, qdf,
           "query_id", "embedding", k = 10)
         .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
       val expected = operators.Analytics.rrfFuse(Seq(sparse, dense), k = 5)
