@@ -160,4 +160,55 @@ class AnalyticsProps extends SparkSpecBase {
       assert(fast === brute, s"seed $seed: fast=${fast.size} brute=${brute.size}")
     }
   }
+
+  test("temperatureMixture: shares sum to 1, alpha=1 is the identity, alpha<1 flattens") {
+    import graft.operators.Sampling
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      val df = Seq.fill(300)((rng.nextLong(), s"s${rng.nextInt(6)}"))
+        .toDF("doc_id", "src")
+      val t = Sampling.temperatureMixture(df, "src", alpha = 0.6).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(math.abs(t.map(_._3).sum - 1.0) < 1e-9, s"seed $seed: p_raw sums")
+      assert(math.abs(t.map(_._4).sum - 1.0) < 1e-9, s"seed $seed: p_temp sums")
+      // flattening: tempered shares order-preserving but closer to
+      // uniform — max share shrinks, min share grows
+      assert(t.map(_._4).max <= t.map(_._3).max + 1e-12 &&
+        t.map(_._4).min >= t.map(_._3).min - 1e-12,
+        s"seed $seed: alpha<1 failed to flatten")
+      val ident = Sampling.temperatureMixture(df, "src", alpha = 1.0).collect()
+        .map(r => (r.getDouble(2), r.getDouble(3)))
+      ident.foreach { case (raw, temp) =>
+        assert(math.abs(raw - temp) < 1e-12, s"seed $seed: alpha=1 not identity") }
+    }
+  }
+
+  test("rrfFuse: a doc in every list outranks docs in strictly dominated positions") {
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      // two rankings over a shared candidate pool; fused score must be
+      // monotone: doc X at ranks (a1, a2) with a1<=b1, a2<=b2 (strict
+      // somewhere) beats doc Y at (b1, b2); and every fused score is
+      // the exact 2-term reciprocal sum (order-exact in IEEE)
+      val perm1 = rng.shuffle((1L to 20L).toList)
+      val perm2 = rng.shuffle((1L to 20L).toList)
+      def ranking(p: List[Long]) =
+        p.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }
+          .toDF("query_id", "doc_id", "rank")
+      val fused = Analytics.rrfFuse(Seq(ranking(perm1), ranking(perm2)), k = 20)
+        .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(4))).toMap
+      val r1 = perm1.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      val r2 = perm2.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      for (x <- 1L to 20L; y <- 1L to 20L
+           if r1(x) <= r1(y) && r2(x) <= r2(y) && x != y) {
+        assert(fused(x)._2 < fused(y)._2,
+          s"seed $seed: dominated doc $y outranked $x")
+      }
+      (1L to 20L).foreach { d =>
+        val expect = 1.0 / (60 + r1(d)) + 1.0 / (60 + r2(d))
+        assert(math.abs(fused(d)._1 - expect) < 1e-15,
+          s"seed $seed: fused score drifted for $d")
+      }
+    }
+  }
 }
