@@ -514,6 +514,25 @@ object SparkEntry {
         .select(col("month"), col("event_type"), col("n_exact"),
           col("rollup_ok"), col("approx_ok"))),
 
+    // --- cross-corpus overlap via KMV bottom-k sketches: estimated
+    // union / intersection / Jaccard between the two source halves'
+    // word-trigram sets, gated against the exact counts; the estimator
+    // is bit-identically replayed by the oracle (md5 bottom-k is
+    // engine-portable), so the estimates hash-match, not just the gates
+    "q_corpus_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val ws = split(col("text"), " ")
+      val grams = when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - lit(3)),
+          i => array_join(slice(ws, i + lit(1), lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      def half(p: org.apache.spark.sql.Column) =
+        d.filter(p).select(explode(grams).as("elem"))
+      Quality.kmvOverlapGate(half(srcNum < 10), half(srcNum >= 10),
+        "elem", k = 512)
+    }),
+
     // --- text analysis ---
     "q_tokens" -> ((s, dir) =>
       Text.tokenCount(Tables.documents(s, dir), "text")
@@ -2069,6 +2088,50 @@ object SparkEntry {
         |       COUNT(DISTINCT user_id) AS n_exact,
         |       TRUE AS rollup_ok, TRUE AS approx_ok
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Full estimator replay, not just TRUE gates: md5 bottom-k sketches
+    // are engine-portable, so the estimates themselves hash-match.
+    "q_corpus_overlap" ->
+      """WITH g AS (
+        |  SELECT cast(substr(source,4,10) AS INT) < 10 AS in_a,
+        |         CASE WHEN len(string_split(text,' ')) >= 3
+        |           THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+        |                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |           ELSE [] END AS s
+        |  FROM documents WHERE text IS NOT NULL
+        |), el AS (SELECT in_a, md5(unnest(s)) AS h FROM g),
+        |da AS (SELECT DISTINCT h FROM el WHERE in_a),
+        |db AS (SELECT DISTINCT h FROM el WHERE NOT in_a),
+        |ka AS (SELECT h FROM da ORDER BY h LIMIT 512),
+        |kb AS (SELECT h FROM db ORDER BY h LIMIT 512),
+        |ku AS (SELECT h FROM (SELECT DISTINCT h FROM
+        |        (SELECT h FROM ka UNION ALL SELECT h FROM kb)) ORDER BY h LIMIT 512),
+        |mm AS (SELECT COUNT(*) AS m FROM ku JOIN ka USING (h) JOIN kb USING (h)),
+        |ua AS (SELECT COUNT(*) AS n_sk, MAX(h) AS kth FROM ku),
+        |ex AS (SELECT
+        |  (SELECT COUNT(*) FROM da) AS n_a,
+        |  (SELECT COUNT(*) FROM db) AS n_b,
+        |  (SELECT COUNT(*) FROM da JOIN db USING (h)) AS n_inter),
+        |est AS (SELECT
+        |  CASE WHEN n_sk < 512 THEN n_sk::DOUBLE
+        |       ELSE (n_sk - 1)::DOUBLE /
+        |            (('0x' || substr(kth,1,15))::BIGINT / 1152921504606846976.0) END
+        |    AS d_union_raw,
+        |  CASE WHEN n_sk = 0 THEN 0.0 ELSE m::DOUBLE / n_sk::DOUBLE END AS jac_raw
+        |  FROM mm, ua)
+        |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+        |  CAST(floor(d_union_raw + 0.5) AS BIGINT) AS union_est,
+        |  CAST(floor(jac_raw * d_union_raw + 0.5) AS BIGINT) AS inter_est,
+        |  floor(n_inter::DOUBLE / (n_a + n_b - n_inter) * 1000 + 0.5)/1000 AS jaccard_exact,
+        |  floor(jac_raw * 1000 + 0.5)/1000 AS jaccard_est,
+        |  abs(CAST(floor(d_union_raw + 0.5) AS BIGINT) - (n_a + n_b - n_inter))
+        |    <= (n_a + n_b - n_inter)::DOUBLE * 0.10 AS union_ok,
+        |  abs(CAST(floor(jac_raw * d_union_raw + 0.5) AS BIGINT) - n_inter)
+        |    <= greatest(n_inter::DOUBLE * 0.20,
+        |                (n_a + n_b - n_inter)::DOUBLE / 512) AS inter_ok,
+        |  abs(floor(jac_raw*1000+0.5)/1000
+        |      - n_inter::DOUBLE / (n_a + n_b - n_inter)) <= 0.05 AS jac_ok
+        |FROM ex, est""".stripMargin,
 
     "q_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,

@@ -424,4 +424,122 @@ object Quality {
         (abs(col("n_rollup") - col("n_exact")) <=
           col("n_exact").cast("double") * tolerance).as("approx_ok")): _*)
   }
+
+  /** 2^60 as a double — the hash-space size of the 15-hex-char (60-bit)
+   * prefix both engines read off an md5. */
+  private val HashSpace60 = 1152921504606846976.0d
+
+  /**
+   * KMV (bottom-k / k-minimum-values) distinct sketch: the `k`
+   * lexicographically smallest md5 hashes of the column's DISTINCT
+   * values (fixed-width hex compares as the 128-bit integer). Unlike
+   * HLL, KMV supports set INTERSECTION estimation (Beyer et al.,
+   * "On synopses for distinct-value estimation under multiset
+   * operations", SIGMOD'07), which is what cross-corpus overlap needs —
+   * and md5 makes the sketch bit-identical across engines (the
+   * [[Sampling.hashBucket]] portability contract), so a DuckDB/Trino
+   * consumer reproduces the exact same k hashes.
+   *
+   * Scale shape: a per-partition bounded TreeSet keeps at most `k`
+   * distinct hashes per task (the same kernel as RDD.takeOrdered), so
+   * the exchange moves ≤ k·numPartitions 32-char rows — the corpus is
+   * scanned once, map-only, and never shuffled. mapPartitions is used
+   * deliberately: a declarative bottom-k-distinct would need a window
+   * over spark_partition_id(), which plans a full exchange.
+   */
+  def kmvSketch(df: DataFrame, elemCol: String, k: Int = 512): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val hashed = df.select(md5(col(elemCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).as[String]
+    val kk = k
+    val localTopK = hashed.mapPartitions { it =>
+      val set = new java.util.TreeSet[String]()
+      it.foreach { h =>
+        if (!set.contains(h)) {
+          if (set.size < kk) { set.add(h); () }
+          else if (h.compareTo(set.last) < 0) { set.add(h); set.pollLast(); () }
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator()).asScala
+    }
+    localTopK.toDF("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** Merge KMV sketches (same `k`): bottom-k of the union — the
+   * re-aggregation path (per-shard or per-day sketches roll up without
+   * rescanning raw data, the [[sketchRollup]] algebra for KMV). */
+  def kmvMerge(sketches: Seq[DataFrame], k: Int = 512): DataFrame =
+    sketches.reduce(_ unionAll _).distinct().orderBy("h").limit(k)
+
+  /**
+   * Overlap estimates from two KMV sketches: estimated distinct union,
+   * intersection, and Jaccard. Estimator (Beyer et al. '07): with
+   * `ku` = bottom-k of the sketch union, `ρ = |ku ∩ ka ∩ kb| / |ku|`
+   * estimates Jaccard, and `D_union = (k−1) / U_(k)` where `U_(k)` is
+   * the k-th smallest hash as a fraction of the hash space (read off
+   * the first 60 bits of the md5); when the union sketch holds fewer
+   * than `k` hashes it IS the distinct union, so the estimate is exact.
+   * Everything is integer-derived IEEE math on bit-identical inputs —
+   * a DuckDB replay produces the same doubles.
+   */
+  def kmvOverlapEstimate(ska: DataFrame, skb: DataFrame, k: Int = 512): DataFrame = {
+    val ku = kmvMerge(Seq(ska, skb), k)
+    val m = ku.join(ska, "h").join(skb, "h").agg(count(lit(1)).as("m"))
+    val uagg = ku.agg(count(lit(1)).as("n_sk"), max("h").as("kth"))
+    val frac = conv(substring(col("kth"), 1, 15), 16, 10).cast("long") /
+      lit(HashSpace60)
+    m.crossJoin(uagg)
+      .withColumn("d_union_raw",
+        when(col("n_sk") < k, col("n_sk").cast("double"))
+          .otherwise((col("n_sk") - 1).cast("double") / frac))
+      .withColumn("jac_raw",
+        when(col("n_sk") === 0, lit(0.0))
+          .otherwise(col("m").cast("double") / col("n_sk").cast("double")))
+      .select(
+        floor(col("d_union_raw") + 0.5).cast("long").as("union_est"),
+        floor(col("jac_raw") * col("d_union_raw") + 0.5).cast("long")
+          .as("inter_est"),
+        col("jac_raw"), col("m"), col("n_sk"))
+  }
+
+  /**
+   * Measured accuracy gate for KMV overlap (the [[approxDistinctGate]]
+   * pattern): exact distinct counts and intersection next to the sketch
+   * estimates, plus in-tolerance bits the oracle asserts TRUE. The
+   * exact side pays the distinct shuffle + join — that is the gate
+   * harness; the 100 TB production path is [[kmvSketch]] per corpus
+   * (map-only, k rows out) + [[kmvOverlapEstimate]] (k-row joins).
+   */
+  def kmvOverlapGate(a: DataFrame, b: DataFrame, elemCol: String,
+                     k: Int = 512,
+                     unionTolRel: Double = 0.10,
+                     interTolRel: Double = 0.20,
+                     jacTolAbs: Double = 0.05): DataFrame = {
+    val da = a.select(md5(col(elemCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val db = b.select(md5(col(elemCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val exact = da.agg(count(lit(1)).as("n_a"))
+      .crossJoin(db.agg(count(lit(1)).as("n_b")))
+      .crossJoin(da.join(db, "h").agg(count(lit(1)).as("n_inter")))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+    val est = kmvOverlapEstimate(kmvSketch(a, elemCol, k),
+      kmvSketch(b, elemCol, k), k)
+    val r3 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000 + 0.5) / 1000
+    exact.crossJoin(est).select(
+      col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+      col("union_est"), col("inter_est"),
+      r3(col("n_inter").cast("double") / col("n_union")).as("jaccard_exact"),
+      r3(col("jac_raw")).as("jaccard_est"),
+      (abs(col("union_est") - col("n_union")) <=
+        col("n_union").cast("double") * unionTolRel).as("union_ok"),
+      (abs(col("inter_est") - col("n_inter")) <=
+        greatest(col("n_inter").cast("double") * interTolRel,
+          col("n_union").cast("double") / k)).as("inter_ok"),
+      (abs(r3(col("jac_raw")) -
+        col("n_inter").cast("double") / col("n_union")) <= jacTolAbs)
+        .as("jac_ok"))
+  }
 }

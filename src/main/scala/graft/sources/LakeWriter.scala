@@ -332,4 +332,66 @@ object LakeWriter {
       else spark.read.option("basePath", path).parquet(kept.toSeq: _*)
     (pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi)), kept.length, flags.length)
   }
+
+  /**
+   * Z-order (Morton) value over `buckets` per-dimension bucket ids in
+   * [0, 2^bits): bit j of dimension i lands at position `j·d + i`, so
+   * nearby (a, b, …) tuples get nearby z values along a space-filling
+   * curve. A static Scala fold over bit positions — pure integer
+   * shift/mask Column expressions, no UDF.
+   */
+  def zValue(buckets: Seq[org.apache.spark.sql.Column],
+             bits: Int): org.apache.spark.sql.Column = {
+    val d = buckets.size
+    require(d >= 2, "z-order needs at least two dimensions")
+    require(d * bits <= 62, s"$d dims x $bits bits overflows a long")
+    (0 until bits).flatMap { j =>
+      buckets.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * d + i)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Quantile-bucket a numeric column against precomputed interior cut
+   * points: bucket = number of cuts ≤ x (nulls → bucket 0). An
+   * aggregate-HOF over the literal cut array — O(2^bits) integer adds
+   * per row, paid once at write time. */
+  private def quantileBucket(c: org.apache.spark.sql.Column,
+                             cuts: Array[Double]): org.apache.spark.sql.Column =
+    when(c.isNull, lit(0L)).otherwise(
+      aggregate(typedLit(cuts.toSeq), lit(0L),
+        (acc, cut) => acc + when(c.cast("double") >= cut, 1L).otherwise(0L)))
+
+  /**
+   * TRUE multi-column clustering: rows sorted along a Z-order curve over
+   * `zCols`, then RANGE-partitioned into `nFiles` files — each file
+   * covers a contiguous z-range, so its min/max on EVERY z-dimension is
+   * tight and a [[statsIndex]]/[[readPruned]] range predicate on ANY of
+   * the dims skips files (Delta/Iceberg `OPTIMIZE ZORDER BY`). This is
+   * what [[writeClustered]]'s single-sort-key layout cannot do: sorting
+   * by `a` makes `b`'s per-file ranges span the whole domain, and a
+   * filter on `b` keeps every file.
+   *
+   * Dimension values map to 2^bits quantile buckets via
+   * `stat.approxQuantile` cut points (one sketch pass, driver gets
+   * 2^bits doubles per dim — the same bounded planning action
+   * repartitionByRange's range sampling performs; quantile cuts keep
+   * the curve balanced under skew where uniform-width buckets collapse).
+   */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    nFiles: Int = 16, bits: Int = 8): Unit = {
+    require(zCols.size >= 2, "writeZOrdered needs at least two columns")
+    val nCuts = (1 << bits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    val cast = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val buckets = zCols.map { c =>
+      val cuts = cast.stat.approxQuantile(c, probs, 0.001).distinct
+      quantileBucket(col(c), cuts)
+    }
+    df.withColumn("_z", zValue(buckets, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
