@@ -378,6 +378,59 @@ object LakeWriter {
    * repartitionByRange's range sampling performs; quantile cuts keep
    * the curve balanced under skew where uniform-width buckets collapse).
    */
+  /**
+   * Per-file BLOOM index — the point-lookup sibling of [[statsIndex]]'s
+   * range zone maps (Delta's bloom filter index): one bloom filter of
+   * the key column per data file, built distributed in ONE pass
+   * (`input_file_name` groupBy over Spark's own BloomFilterAggregate —
+   * the kernel behind its runtime join filters, bridged like
+   * [[graft.operators.Skew.bloomJoin]]). Min/max stats cannot prune
+   * equality lookups on high-cardinality keys that every file's range
+   * covers; a bloom answers "key definitely absent" per file. Size
+   * `numBits` for the per-file row count: FP rate only costs pruning
+   * efficiency, never correctness.
+   */
+  def bloomIndex(spark: SparkSession, path: String, keyCol: String,
+                 expectedItems: Long = 1000000L,
+                 numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(xxhash64(col(keyCol))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    read(spark, path)
+      .groupBy(input_file_name().as("file"))
+      .agg(bfAgg.as("bloom"))
+  }
+
+  /**
+   * Equality-predicate read through a [[bloomIndex]]: probe each file's
+   * bloom with the lookup key's xxhash64 (cast to the column's lake
+   * type first — xxhash64(int) ≠ xxhash64(long)) and scan only files
+   * that might contain it. The index collect is manifest-scale (one
+   * bloom per file — the lake-format planning contract shared with
+   * [[readPruned]]); kept files still carry the exact predicate, so a
+   * bloom false positive costs one file scan, never a wrong row.
+   */
+  def readPointPruned(spark: SparkSession, path: String, index: DataFrame,
+                      keyCol: String, value: Any): (DataFrame, Int, Int) = {
+    val keyType = read(spark, path).schema(keyCol).dataType
+    val h = spark.range(1)
+      .select(xxhash64(lit(value).cast(keyType))).head().getLong(0)
+    val rows = index.select(col("file"), col("bloom")).collect()
+    val kept = rows.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        .mightContainLong(h)
+    }.map(_.getString(0))
+    val pruned =
+      if (kept.isEmpty) read(spark, path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(kept.toSeq: _*)
+    (pruned.filter(col(keyCol) === lit(value).cast(keyType)),
+      kept.length, rows.length)
+  }
+
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     nFiles: Int = 16, bits: Int = 8): Unit = {
     require(zCols.size >= 2, "writeZOrdered needs at least two columns")

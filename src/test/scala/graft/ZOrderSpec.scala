@@ -68,6 +68,34 @@ class ZOrderSpec extends SparkSpecBase {
       s"sort-by-a unexpectedly pruned on b ($sKeptB/$sTotalB) — bad contrast fixture")
   }
 
+  test("bloom index prunes point lookups min/max stats cannot") {
+    val dir = tmp("bloom")
+    // cluster by user bucket: each user's rows land in ONE file, but ids
+    // are spread so every file's [min_id, max_id] spans the whole domain
+    // — range zone maps are useless for id equality here
+    val users = spark.range(8000).select(
+      col("id"), pmod(col("id"), lit(8)).as("bucket"),
+      (col("id") * 37 % 8000).as("probe_id"))
+    users.repartition(8, col("bucket")).write.mode("overwrite").parquet(dir)
+
+    val stats = LakeWriter.statsIndex(spark, dir, Seq("id"))
+    val (_, rangeKept, rangeTotal) =
+      LakeWriter.readPruned(spark, dir, stats, "id", 4242, 4242)
+    assert(rangeKept === rangeTotal,
+      s"fixture broke: min/max should NOT prune ids ($rangeKept/$rangeTotal)")
+
+    val idx = LakeWriter.bloomIndex(spark, dir, "id",
+      expectedItems = 2000, numBits = 64 * 1024)
+    val (hit, kept, total) = LakeWriter.readPointPruned(spark, dir, idx, "id", 4242L)
+    assert(hit.count() === 1L && hit.head.getLong(0) === 4242L)
+    assert(kept < total, s"bloom did not prune: $kept/$total")
+    // absent key: bloom says definitely-absent for ~all files
+    val (miss, keptMiss, _) =
+      LakeWriter.readPointPruned(spark, dir, idx, "id", 999999L)
+    assert(miss.count() === 0L)
+    assert(keptMiss <= 1, s"absent key kept $keptMiss files")
+  }
+
   test("skewed dims still spread the curve (quantile buckets, not widths)") {
     // heavy skew: 90% of mass in [0, 10], tail to 1e6
     val skew = spark.range(20000).select(
