@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.sources.LakeWriter
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -437,6 +438,32 @@ object Stress {
       Quality.sketchRollup(
         events.withColumn("ts", timestamp_seconds(col("ts_sec"))),
         "ts", "user_id", dims = Seq.empty).count()
+    }
+    // the sketch side alone (no exact gate): ONE map-only pass over the
+    // corpus, ≤ k hashes leave each task — this is the 100 TB path
+    probe(s"kmvSketch ${nEvents / 1000000}M elems (k=512)") {
+      Quality.kmvSketch(
+        events.select(concat(lit("e"), col("event_id")).as("e")),
+        "e", k = 512).count()
+    }
+    probe(s"kmvOverlapEstimate ${nEvents / 1000000}M x ${nEvents / 1000000}M (~50% overlap)") {
+      val left = events.filter(col("event_id") < nEvents * 3 / 4)
+        .select(concat(lit("e"), col("event_id")).as("e"))
+      val right = events.filter(col("event_id") >= nEvents / 4)
+        .select(concat(lit("e"), col("event_id")).as("e"))
+      Quality.kmvOverlapEstimate(
+        Quality.kmvSketch(left, "e", 512),
+        Quality.kmvSketch(right, "e", 512), 512).count()
+    }
+    probe(s"writeZOrdered ${nEvents / 1000000}M rows (2 dims, 32 files)") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-stress-z").toString
+      LakeWriter.writeZOrdered(
+        events.select(col("user_id"), col("value"), col("event_id")),
+        dir, Seq("user_id", "value"), nFiles = 32)
+      val n = spark.read.parquet(dir).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      n
     }
     // the between-retrain ingest path: the RESIDENT index build is the
     // amortized cost a service pays once per retrain — materialize it

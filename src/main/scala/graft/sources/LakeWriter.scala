@@ -377,6 +377,10 @@ object LakeWriter {
    * 2^bits doubles per dim — the same bounded planning action
    * repartitionByRange's range sampling performs; quantile cuts keep
    * the curve balanced under skew where uniform-width buckets collapse).
+   * Default 2^6 buckets/dim: file-level pruning granularity is set by
+   * file count (tens to thousands), so 64 buckets per dim (4096 cells)
+   * already over-resolves it, and the bucketing HOF costs O(2^bits)
+   * interpreted adds per row — 6 bits keeps the write pass cheap.
    */
   /**
    * Per-file BLOOM index — the point-lookup sibling of [[statsIndex]]'s
@@ -432,13 +436,13 @@ object LakeWriter {
   }
 
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-                    nFiles: Int = 16, bits: Int = 8): Unit = {
+                    nFiles: Int = 16, bits: Int = 6): Unit = {
     require(zCols.size >= 2, "writeZOrdered needs at least two columns")
     val nCuts = (1 << bits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
     val cast = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
     val buckets = zCols.map { c =>
-      val cuts = cast.stat.approxQuantile(c, probs, 0.001).distinct
+      val cuts = cast.stat.approxQuantile(c, probs, 0.01).distinct
       quantileBucket(col(c), cuts)
     }
     df.withColumn("_z", zValue(buckets, bits))
