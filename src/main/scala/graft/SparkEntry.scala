@@ -514,6 +514,17 @@ object SparkEntry {
         .select(col("month"), col("event_type"), col("n_exact"),
           col("rollup_ok"), col("approx_ok"))),
 
+    // --- quantile rollup: per-(day, event_type) KLL sketches merge to
+    // month; pXX_ok asserts the rolled estimate sits inside the exact
+    // rank band q∓eps (KLL compaction is randomized, so the estimates
+    // themselves are not oracle-hashable — the sketchRollup contract)
+    "q_quantile_rollup" -> ((s, dir) =>
+      Quality.quantileRollup(Tables.events(s, dir), "ts", "value",
+          dims = Seq("event_type"), qs = Seq(0.5, 0.95))
+        .select(col("month"), col("event_type"),
+          r3(col("p50_exact")).as("p50_exact"), col("p50_ok"),
+          r3(col("p95_exact")).as("p95_exact"), col("p95_ok"))),
+
     // --- cross-corpus overlap via KMV bottom-k sketches: estimated
     // union / intersection / Jaccard between the two source halves'
     // word-trigram sets, gated against the exact counts; the estimator
@@ -2087,6 +2098,14 @@ object SparkEntry {
       """SELECT date_trunc('month', ts)::DATE AS month, event_type,
         |       COUNT(DISTINCT user_id) AS n_exact,
         |       TRUE AS rollup_ok, TRUE AS approx_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_quantile_rollup" ->
+      """SELECT date_trunc('month', ts)::DATE AS month, event_type,
+        |       floor(quantile_cont(value, 0.5)*1000 + 0.5)/1000 AS p50_exact,
+        |       TRUE AS p50_ok,
+        |       floor(quantile_cont(value, 0.95)*1000 + 0.5)/1000 AS p95_exact,
+        |       TRUE AS p95_ok
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Full estimator replay, not just TRUE gates: md5 bottom-k sketches

@@ -439,6 +439,11 @@ object Stress {
         events.withColumn("ts", timestamp_seconds(col("ts_sec"))),
         "ts", "user_id", dims = Seq.empty).count()
     }
+    probe(s"quantileRollup ${nEvents / 1000000}M events -> day/month KLL") {
+      Quality.quantileRollup(
+        events.withColumn("ts", timestamp_seconds(col("ts_sec"))),
+        "ts", "value").count()
+    }
     // the sketch side alone (no exact gate): ONE map-only pass over the
     // corpus, ≤ k hashes leave each task — this is the 100 TB path
     probe(s"kmvSketch ${nEvents / 1000000}M elems (k=512)") {

@@ -425,6 +425,68 @@ object Quality {
           col("n_exact").cast("double") * tolerance).as("approx_ok")): _*)
   }
 
+  /**
+   * Quantile rollup — the percentile twin of [[sketchRollup]]: per-(day,
+   * dim) KLL sketches (a few KB each) merge up to per-(month, dim)
+   * quantile estimates WITHOUT rescanning raw rows. Spark's own
+   * `approx_percentile` state is not re-aggregatable, so without this a
+   * monthly p95 over a 100 TB fact table re-reads the raw events; with
+   * it the month (or quarter, or ad-hoc range) is a sketch union over
+   * day rows.
+   *
+   * The gate is a RANK band, which is what KLL actually guarantees
+   * (normalized rank error, not value error): each rolled estimate for
+   * quantile q must land between the EXACT percentiles at q∓`eps`. KLL
+   * compaction is randomized, so estimates vary run to run within the
+   * bound — the gate bits are stable, the estimates are not
+   * oracle-hashable (exact values + TRUE bits go to the oracle, the
+   * [[sketchRollup]] contract).
+   */
+  def quantileRollup(df: DataFrame, tsCol: String, valueCol: String,
+                     dims: Seq[String] = Nil,
+                     qs: Seq[Double] = Seq(0.5, 0.95),
+                     k: Int = 200, eps: Double = 0.05): DataFrame = {
+    import graft.expressions.{KllMergeAgg, KllSketchAgg, KllQuantile}
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val days = df
+      .withColumn("month", date_trunc("month", col(tsCol)).cast("date"))
+      .withColumn("day", to_date(col(tsCol)))
+    val coarse = ("month" +: dims).map(col)
+    val daily = days.groupBy((col("day") +: coarse): _*)
+      .agg(GraftBridge.column(
+        KllSketchAgg(GraftBridge.expression(col(valueCol).cast("double")), k)
+          .toAggregateExpression()).as("sk"))
+    val rolled = daily.groupBy(coarse: _*)
+      .agg(GraftBridge.column(
+        KllMergeAgg(GraftBridge.expression(col("sk")), k)
+          .toAggregateExpression()).as("msk"))
+      .select(coarse ++ qs.map { q =>
+        GraftBridge.column(KllQuantile(GraftBridge.expression(col("msk")),
+          Literal(q))).as(s"est_p${math.round(q * 100)}")
+      }: _*)
+    val exactAggs = qs.flatMap { q =>
+      val lo = math.max(q - eps, 0.0); val hi = math.min(q + eps, 1.0)
+      val p = math.round(q * 100)
+      Seq(expr(s"percentile($valueCol, $q)").as(s"p${p}_exact"),
+        expr(s"percentile($valueCol, $lo)").as(s"_p${p}_lo"),
+        expr(s"percentile($valueCol, $hi)").as(s"_p${p}_hi"))
+    }
+    val direct = days.groupBy(coarse: _*)
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    // null-safe dim join: the sketchRollup contract — a NULL dim value
+    // is a legitimate group both sides emit
+    val cond = ("month" +: dims)
+      .map(c => rolled(c) <=> direct(c)).reduce(_ && _)
+    rolled.join(direct, cond)
+      .select(("month" +: dims).map(rolled(_)) ++ qs.flatMap { q =>
+        val p = math.round(q * 100)
+        Seq(col(s"p${p}_exact"),
+          (col(s"est_p$p") >= col(s"_p${p}_lo") &&
+            col(s"est_p$p") <= col(s"_p${p}_hi")).as(s"p${p}_ok"))
+      }: _*)
+  }
+
   /** 2^60 as a double — the hash-space size of the 15-hex-char (60-bit)
    * prefix both engines read off an md5. */
   private val HashSpace60 = 1152921504606846976.0d

@@ -388,6 +388,29 @@ class PlanSpec extends SparkSpecBase {
     assert(joined.count() === 100L) // 2 surviving days × 50 rows
   }
 
+  test("quantile rollup: KLL sketch aggs partial-agg before their shuffles") {
+    val p = plan("q_quantile_rollup")
+    assert(p.contains("partial_kll_sketch_agg"),
+      "daily KLL build lost map-side combine\n" + p.take(2000))
+    assert(p.contains("partial_kll_merge_agg"),
+      "rollup merge lost map-side combine\n" + p.take(2000))
+    // the exact gate side joins at rollup cardinality — a handful of
+    // (month, event_type) rows — so the join must be broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "rollup-vs-exact gate join stopped broadcasting\n" + p.take(2000))
+  }
+
+  test("corpus overlap: sketch side is map-only bottom-k, not a distinct shuffle") {
+    val p = plan("q_corpus_overlap")
+    // the exact gate pays its distinct aggregates; the SKETCH branches
+    // must contribute only bounded TakeOrdered merges (k rows), never a
+    // sort of the corpus hashes
+    assert(count(p, "TakeOrderedAndProject") >= 3,
+      "KMV bottom-k stopped planning as TakeOrdered (global sort crept in)\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a k-row sketch join planned as SMJ — broadcast lost\n" + p.take(2000))
+  }
+
   test("sketch rollup: both sketch passes partial-agg before their shuffles") {
     val p = plan("q_sketch_rollup")
     assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),

@@ -49,6 +49,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_sketch_rollup" -> (64L << 10),// 0.8 kB: per-day sketch rows only
     "q_lm_cross" -> (64L << 10),     // 59 B: model broadcast, per-doc agg
     "q_mixture_temp" -> (64L << 10), // 0.7 kB: n-strata rows end to end
+    "q_quantile_rollup" -> (64L << 10),// 0.7 kB: KLL blobs per (day, dim)
+                                     // + exact-gate percentile rows only
     "q_corpus_overlap" -> (4L << 20), // 0.70 MB: the exact-side distinct
                                      // shuffle + intersection join IS the
                                      // gate harness; the sketch side moves
