@@ -811,6 +811,17 @@ object SparkEntry {
           budget = 512L)
         .select("doc_id", "lang", "pack_id")),
 
+    // --- length-bucketed batches: per-lang docs sorted by length form
+    // 16-doc batches; padding_waste is the pad-to-longest overhead the
+    // sorted batching exists to collapse ---
+    "q_length_batches" -> ((s, dir) =>
+      Text.lengthBatches(
+          Tables.documents(s, dir).withColumn("n_chars_t", length(col("text"))),
+          shardCol = "lang", idCol = "doc_id", lenCol = "n_chars_t",
+          batchSize = 16)
+        .select(col("lang"), col("batch_id"), col("n_docs"),
+          col("max_len"), col("sum_len"), col("padding_waste"))),
+
     "q_quantiles" -> ((s, dir) =>
       Quality.quantiles(
           Tables.documents(s, dir).withColumn("n_chars", length(col("text"))),
@@ -2414,6 +2425,19 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |         / 512) AS BIGINT) AS pack_id
         |FROM documents""".stripMargin,
+
+    "q_length_batches" ->
+      """WITH r AS (
+        |  SELECT lang, length(text) AS l,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY length(text) ASC, doc_id ASC) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_id,
+        |       COUNT(*) AS n_docs, MAX(l) AS max_len,
+        |       CAST(SUM(l) AS BIGINT) AS sum_len,
+        |       CAST(COUNT(*) * MAX(l) - SUM(l) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_quantiles" ->
       """SELECT lang,

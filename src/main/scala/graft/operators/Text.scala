@@ -244,6 +244,32 @@ object Text {
    * parallel. A global pack order would funnel the corpus through one
    * partition.
    */
+  /**
+   * Length-bucketed batch assembly (sorted/dynamic batching): within
+   * each shard, documents sort by length and consecutive `batchSize`
+   * docs form a batch, so batch-mates have near-equal lengths and the
+   * pad-to-longest waste `n·max_len − Σlen` collapses — the training
+   * dataloader trick (bucketed batching) pushed into the corpus build,
+   * where at 100 TB it belongs (shuffling then bucketing per epoch
+   * re-reads the corpus; batching once at curation time does not).
+   * Returns one row per batch with the padding-waste accounting the
+   * curation report tracks. Same scale contract as [[packSequences]]:
+   * one window PER SHARD, shards in parallel, no global order.
+   */
+  def lengthBatches(df: DataFrame, shardCol: String, idCol: String,
+                    lenCol: String, batchSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(col(lenCol).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("batch_id", ((col("_rn") - 1) / batchSize).cast("long"))
+      .groupBy(col(shardCol), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(lenCol)).as("max_len"),
+        sum(col(lenCol)).as("sum_len"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   def packSequences(df: DataFrame, shardCol: String, orderCol: String,
                     tokenCountCol: String, budget: Long,
                     outCol: String = "pack_id"): DataFrame = {

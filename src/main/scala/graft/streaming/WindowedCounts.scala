@@ -49,6 +49,40 @@ object WindowedCounts {
   }
 
   /**
+   * Streaming per-window quantiles via the KLL sketch — the percentile
+   * sibling of [[distinctPerWindow]]. Exact streaming percentiles would
+   * need every value per open window in state; a KLL buffer keeps state
+   * at O(windows × sketch) and rate-independent, and the same
+   * serialized-sketch contract the batch rollup uses
+   * ([[graft.operators.Quality.quantileRollup]]) makes the state-store
+   * round trip native to the aggregate. KLL compaction is randomized,
+   * so the stream and its batch twin agree within the rank-error band,
+   * not bit-for-bit — the parity gate asserts the band against the
+   * exact per-window percentile, which is the guarantee KLL gives.
+   */
+  def quantilePerWindow(events: DataFrame, tsCol: String, valueCol: String,
+                        qs: Seq[Double] = Seq(0.5, 0.95),
+                        windowLen: String = "1 hour",
+                        watermarkDelay: String = "10 minutes",
+                        k: Int = 200): DataFrame = {
+    import graft.expressions.{KllQuantile, KllSketchAgg}
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+              else events
+    src.groupBy(window(col(tsCol), windowLen))
+      .agg(GraftBridge.column(
+          KllSketchAgg(GraftBridge.expression(col(valueCol).cast("double")), k)
+            .toAggregateExpression()).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start") +: col("n_events") +:
+        qs.map { q =>
+          GraftBridge.column(KllQuantile(GraftBridge.expression(col("sk")),
+            Literal(q))).as(s"est_p${math.round(q * 100)}")
+        }: _*)
+  }
+
+  /**
    * Sliding-window variant: each event lands in every window of
    * `windowLen` that starts on a `slideLen` boundary and covers it
    * (windowLen / slideLen overlapping windows per event). State per key

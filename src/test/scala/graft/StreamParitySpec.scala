@@ -556,6 +556,50 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("WindowedCounts.quantilePerWindow lands in the exact rank band per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    // 4 windows x 500 values, uniform on [window*1000, window*1000+999]
+    val all = rng.shuffle(for {
+      w <- 0 until 4; i <- 0 until 500
+    } yield (ts(w * 600L + rng.nextInt(590) + 5),
+      (w * 1000 + rng.nextInt(1000)).toLong, 0.0))
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val out = WindowedCounts.quantilePerWindow(
+      input.toDF().toDF("ts", "v", "value"), "ts", "v",
+      qs = Seq(0.5, 0.95), windowLen = "600 seconds",
+      // delay covers the whole shuffled timeline: no real row is ever
+      // late, only the far-future pushers advance the watermark
+      watermarkDelay = "2500 seconds")
+    val query = out.writeStream.format("memory")
+      .queryName("parity_qw").outputMode("append").start()
+    try {
+      all.grouped(400).foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData((ts(10000000), 0L, 0.0)); query.processAllAvailable()
+      input.addData((ts(20000000), 0L, 0.0)); query.processAllAvailable()
+      val streamed = spark.table("parity_qw")
+        .filter(col("window_start").cast("long") < 1000000L)
+        .select(col("window_start").cast("long"),
+          col("est_p50"), col("est_p95"), col("n_events"))
+        .collect()
+      assert(streamed.length === 4, s"expected 4 closed windows: ${streamed.toSeq}")
+      // nothing was late (delay covers the timeline): each window holds
+      // its full 500 values, so the exact rank band is known per window
+      val byWin = all.groupBy(_._1.getTime / 1000 / 600).map { case (w, rows) =>
+        w * 600 -> rows.map(_._2.toDouble).sorted
+      }
+      streamed.foreach { r =>
+        val vals = byWin(r.getLong(0))
+        def pct(q: Double) = vals((q * (vals.size - 1)).toInt)
+        assert(r.getLong(3) === vals.size.toLong)
+        assert(r.getDouble(1) >= pct(0.45) && r.getDouble(1) <= pct(0.55),
+          s"p50 out of rank band: $r")
+        assert(r.getDouble(2) >= pct(0.90) && r.getDouble(2) <= pct(1.0),
+          s"p95 out of rank band: $r")
+      }
+    } finally query.stop()
+  }
+
   test("TrajectoryStream.stayPoints equals batch stayPoints on randomized out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(61)
