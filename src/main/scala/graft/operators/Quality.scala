@@ -590,18 +590,21 @@ object Quality {
       kmvSketch(b, elemCol, k), k)
     val r3 = (c: org.apache.spark.sql.Column) =>
       floor(c * 1000 + 0.5) / 1000
+    // empty-union guard (ANSI division): both corpora empty → Jaccard 0
+    // by convention, every gate trivially holds. The oracle needn't
+    // mirror the guard — it only fires when there is no data to compare.
+    val jacExact = when(col("n_union") === 0, lit(0.0))
+      .otherwise(col("n_inter").cast("double") / col("n_union"))
     exact.crossJoin(est).select(
       col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
       col("union_est"), col("inter_est"),
-      r3(col("n_inter").cast("double") / col("n_union")).as("jaccard_exact"),
+      r3(jacExact).as("jaccard_exact"),
       r3(col("jac_raw")).as("jaccard_est"),
       (abs(col("union_est") - col("n_union")) <=
         col("n_union").cast("double") * unionTolRel).as("union_ok"),
       (abs(col("inter_est") - col("n_inter")) <=
         greatest(col("n_inter").cast("double") * interTolRel,
           col("n_union").cast("double") / k)).as("inter_ok"),
-      (abs(r3(col("jac_raw")) -
-        col("n_inter").cast("double") / col("n_union")) <= jacTolAbs)
-        .as("jac_ok"))
+      (abs(r3(col("jac_raw")) - jacExact) <= jacTolAbs).as("jac_ok"))
   }
 }

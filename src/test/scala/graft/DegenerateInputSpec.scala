@@ -83,6 +83,45 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Text.zipfSlope(blank2, "text").head.getLong(0) === 0L)
   }
 
+  test("round-9 sketch/batching operators stay well-defined on degenerate input") {
+    val noElems = Seq.empty[String].toDF("e")
+    // empty corpora: sketches empty, every exact count 0, estimates 0,
+    // gates hold (0 within every band around 0)
+    assert(Quality.kmvSketch(noElems, "e", 16).count() === 0)
+    val ov = Quality.kmvOverlapGate(noElems, noElems, "e", k = 16).head
+    assert(ov.getLong(ov.fieldIndex("n_union")) === 0L)
+    assert(ov.getLong(ov.fieldIndex("union_est")) === 0L)
+    assert(ov.getBoolean(ov.fieldIndex("union_ok")) &&
+      ov.getBoolean(ov.fieldIndex("inter_ok")))
+    // one-sided empty: intersection 0, union = the nonempty side
+    val some = Seq("a", "b", "c").toDF("e")
+    val half = Quality.kmvOverlapGate(some, noElems, "e", k = 16).head
+    assert(half.getLong(half.fieldIndex("n_union")) === 3L)
+    assert(half.getLong(half.fieldIndex("union_est")) === 3L)
+    assert(half.getLong(half.fieldIndex("inter_est")) === 0L)
+    // null elements are no elements
+    val nulls = Seq[Option[String]](None, None).toDF("e")
+    assert(Quality.kmvSketch(nulls, "e", 16).count() === 0)
+    // quantile rollup: empty frame → no groups; constant values → every
+    // percentile is the constant and the band is a point that contains it
+    val noTs = Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "v")
+    assert(Quality.quantileRollup(noTs, "ts", "v").count() === 0)
+    val const = Seq.fill(100)((java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 7.0))
+      .toDF("ts", "v")
+    val qr = Quality.quantileRollup(const, "ts", "v").head
+    assert(qr.getDouble(qr.fieldIndex("p50_exact")) === 7.0)
+    assert(qr.getBoolean(qr.fieldIndex("p50_ok")) &&
+      qr.getBoolean(qr.fieldIndex("p95_ok")))
+    // length batching: empty input → no batches; a partial final batch
+    // keeps its true size
+    assert(Text.lengthBatches(noDocs.withColumn("l", length(col("text"))),
+      "text", "doc_id", "l", 16).count() === 0)
+    val five = (1L to 5L).map(i => (i, "x" * i.toInt)).toDF("doc_id", "text")
+      .withColumn("l", length(col("text"))).withColumn("shard", lit("s"))
+    val b = Text.lengthBatches(five, "shard", "doc_id", "l", 4).collect()
+    assert(b.map(_.getAs[Long]("n_docs")).sorted.toSeq === Seq(1L, 4L))
+  }
+
   test("round-6 operators on empty input return empty, not a crash") {
     val e = noEvents.withColumn("event_id", col("ts_sec"))
     assert(Analytics.ewma(e, Seq("user_id"), "ts_sec", "value", 0.3, 10).count() === 0)
