@@ -436,7 +436,8 @@ object LakeWriter {
   }
 
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-                    nFiles: Int = 16, bits: Int = 6): Unit = {
+                    nFiles: Int = 16, bits: Int = 6,
+                    partitionCols: Seq[String] = Nil): Unit = {
     require(zCols.size >= 2, "writeZOrdered needs at least two columns")
     val nCuts = (1 << bits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
@@ -445,10 +446,25 @@ object LakeWriter {
       val cuts = cast.stat.approxQuantile(c, probs, 0.01).distinct
       quantileBucket(col(c), cuts)
     }
-    df.withColumn("_z", zValue(buckets, bits))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
+    // partitioned layout (Delta's OPTIMIZE ZORDER model — the curve runs
+    // WITHIN each partition dir): range-partitioning on (partitionCols,
+    // z) still hands each task a contiguous z-range of ONE partition
+    // (lexicographic ranges), so per-dir files keep tight per-dim stats;
+    // dynamic overwrite lets a partition subset re-cluster in place
+    val rangeKeys = partitionCols.map(col) :+ col("_z")
+    val arranged = df.withColumn("_z", zValue(buckets, bits))
+      .repartitionByRange(nFiles, rangeKeys: _*)
+      .sortWithinPartitions(rangeKeys: _*)
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
+    if (partitionCols.isEmpty)
+      arranged.write.mode("overwrite").parquet(path)
+    else {
+      arranged.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+      graft.SharedStage.invalidate(path)
+    }
   }
 }

@@ -367,4 +367,58 @@ object StateStore {
         if (uncommitted || shadowed) f.delete(p, true)
       }
   }
+
+  /**
+   * Row-level change feed between two snapshot reads — the CHANGE DATA
+   * FEED every table format exposes (Delta CDF / Iceberg changelog),
+   * derived here from the store's dated snapshots: a full-outer key
+   * join of the two states classifies every key as `insert` / `delete`
+   * / `update_preimage`+`update_postimage` (both images, Delta's CDF
+   * shape — downstream MERGE consumers need the pre-image to retract).
+   * Unchanged keys emit nothing.
+   *
+   * `fromBefore` / `toBefore` are EXCLUSIVE version bounds with exactly
+   * [[read]]'s `before` contract (None = current): callers pass the
+   * same strings they'd pass to read. ONE join pays the scan; each row
+   * fans out through a change-struct array + explode, so no branch
+   * recomputes the join. At scale both sides shuffle once on the key —
+   * the tableDiff contract at row granularity instead of counts.
+   */
+  def changesBetween(spark: SparkSession, root: String, keys: Seq[String],
+                     fromBefore: Option[String],
+                     toBefore: Option[String] = None): DataFrame = {
+    val oldSt = read(spark, root, fromBefore)
+      .getOrElse(spark.emptyDataFrame)
+    val newSt = read(spark, root, toBefore)
+      .getOrElse(spark.emptyDataFrame)
+    require(oldSt.columns.nonEmpty || newSt.columns.nonEmpty,
+      s"changesBetween on an empty store: $root")
+    val schema = if (newSt.columns.nonEmpty) newSt else oldSt
+    val dataCols = schema.columns.filterNot(keys.contains).toSeq
+    def normalized(df: DataFrame): DataFrame =
+      if (df.columns.nonEmpty) df
+      else schema.limit(0)
+    val l = normalized(oldSt).alias("l")
+    val r = normalized(newSt).alias("r")
+    val joined = l.join(r,
+      keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _),
+      "full_outer")
+    val lKey = col(s"l.${keys.head}")
+    val rKey = col(s"r.${keys.head}")
+    val same = dataCols.map(c => col(s"l.$c") <=> col(s"r.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def image(side: String, tpe: String) = struct(
+      lit(tpe).as("change_type") +:
+        keys.map(k => col(s"$side.$k").as(k)) ++:
+        dataCols.map(c => col(s"$side.$c").as(c)): _*)
+    val changes =
+      when(lKey.isNull, array(image("r", "insert")))
+        .when(rKey.isNull, array(image("l", "delete")))
+        // typed empty array without naming the struct type: a 1-element
+        // array sliced to length 0
+        .when(same, slice(array(image("r", "noop")), 1, 0))
+        .otherwise(array(image("l", "update_preimage"),
+          image("r", "update_postimage")))
+    joined.select(explode(changes).as("c")).select(col("c.*"))
+  }
 }

@@ -199,4 +199,31 @@ class StateStoreSpec extends SparkSpecBase {
       assert(stateMap(root) === got, "batch replay changed the state")
     } finally query.stop()
   }
+
+  test("changesBetween emits Delta-CDF-shaped row-level changes") {
+    val root = tmpRoot()
+    mergeDay(root, "2024-01-01",
+      deltas(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L), ("c", 1.0, 1L, 2L)))
+    // day 2: update a (sum adds), insert d; day 3: delete c
+    mergeDay(root, "2024-01-02", deltas(("a", 2.5, 250L, 300L), ("d", 7.0, 7L, 8L)))
+    StateStore.deleteKeys(spark, root, "2024-01-03",
+      Seq("c").toDF("entity"), Seq("entity"), nBuckets = 8)
+
+    def changeSet(from: Option[String], to: Option[String]) =
+      StateStore.changesBetween(spark, root, Seq("entity"), from, to)
+        .select("change_type", "entity", "dist")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+
+    // day1 -> day2: a updated (both images), d inserted, b/c silent
+    assert(changeSet(Some("2024-01-02"), Some("2024-01-03")) === Set(
+      ("update_preimage", "a", 10.0), ("update_postimage", "a", 12.5),
+      ("insert", "d", 7.0)))
+    // day2 -> current: only the deletion, carrying the old image
+    assert(changeSet(Some("2024-01-03"), None) === Set(("delete", "c", 1.0)))
+    // from before the first commit: everything is an insert
+    assert(changeSet(Some("2024-01-01"), Some("2024-01-02")) === Set(
+      ("insert", "a", 10.0), ("insert", "b", 5.0), ("insert", "c", 1.0)))
+    // no-op span: empty feed
+    assert(changeSet(Some("2024-01-02"), Some("2024-01-02")) === Set.empty)
+  }
 }

@@ -96,6 +96,22 @@ class ZOrderSpec extends SparkSpecBase {
     assert(keptMiss <= 1, s"absent key kept $keptMiss files")
   }
 
+  test("partitioned z-order keeps per-dir files curve-clustered") {
+    val dir = tmp("zpart")
+    val days = grid.withColumn("day", (col("id") % 2).cast("int"))
+    LakeWriter.writeZOrdered(days, dir, Seq("a", "b"), nFiles = 16,
+      partitionCols = Seq("day"))
+    val stats = LakeWriter.statsIndex(spark, dir, Seq("a", "b"))
+    val (df, kept, total) = LakeWriter.readPruned(spark, dir, stats, "b", 600, 650)
+    assert(kept < total, s"no pruning across partition dirs: $kept/$total")
+    val want = spark.read.parquet(dir).filter(col("b").between(600, 650))
+    assert(df.agg(sum("id")).head.getLong(0) ===
+      want.agg(sum("id")).head.getLong(0))
+    // partition pruning still composes: day filter + z-dim filter
+    assert(df.filter(col("day") === 1).count() ===
+      want.filter(col("day") === 1).count())
+  }
+
   test("skewed dims still spread the curve (quantile buckets, not widths)") {
     // heavy skew: 90% of mass in [0, 10], tail to 1e6
     val skew = spark.range(20000).select(
