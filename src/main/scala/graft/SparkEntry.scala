@@ -849,6 +849,16 @@ object SparkEntry {
         d.filter(col("doc_id") < 5), "text", n = 8, minOverlap = 1)
     }),
 
+    // --- same semantics as q_contamination through the BLOOM plan (the
+    // probe-set-too-big-to-broadcast path); FPs removed by the exact
+    // confirm join, so the SAME oracle asserts both plans ---
+    "q_contamination_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Text.contaminationLarge(d, "doc_id", "text",
+        d.filter(col("doc_id") < 5), "text", n = 8, minOverlap = 1,
+        expectedItems = 10000L, numBits = 256L * 1024)
+    }),
+
     "q_vocab" -> ((s, dir) =>
       Text.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)),
 
@@ -2609,6 +2619,26 @@ object SparkEntry {
          |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
 
     "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(string_split(text,' ')) >= 8
+        |           THEN list_distinct(list_transform(
+        |             range(1, len(string_split(text,' ')) - 6),
+        |             i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))
+        |           ELSE [] END AS s
+        |  FROM documents
+        |), pr AS (
+        |  SELECT DISTINCT unnest(s) AS sg FROM g WHERE id < 5
+        |), hits AS (
+        |  SELECT id, COUNT(*) AS n_hits
+        |  FROM (SELECT id, unnest(s) AS sg FROM g) e JOIN pr USING (sg)
+        |  GROUP BY id
+        |)
+        |SELECT g.id, coalesce(hits.n_hits, 0) AS n_hits,
+        |       coalesce(hits.n_hits, 0) >= 1 AS contaminated
+        |FROM g LEFT JOIN hits ON g.id = hits.id""".stripMargin,
+
+    "q_contamination_bloom" ->
       """WITH g AS (
         |  SELECT doc_id AS id,
         |         CASE WHEN len(string_split(text,' ')) >= 8

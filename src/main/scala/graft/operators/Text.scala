@@ -232,6 +232,38 @@ object Text {
   }
 
   /**
+   * [[contamination]] for probe sets too big to broadcast-join: the full
+   * eval-suite shingle set at 100 TB scale is tens of millions of
+   * n-grams — past the broadcast ceiling but well inside a Bloom filter
+   * (~1.2 bytes/item at 1% FP). The corpus side's exploded shingles are
+   * bloom-prefiltered MAP-SIDE (via [[graft.operators.Skew.bloomJoin]]'s
+   * kernel — Spark's own BloomFilterAggregate riding a scalar subquery),
+   * so only the ~hit fraction ever shuffles into the exact confirm join;
+   * false positives are removed there, making the result EXACTLY
+   * [[contamination]]'s — the same oracle asserts both plans.
+   */
+  def contaminationLarge(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeTextCol: String,
+                         n: Int = 8, minOverlap: Int = 1,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import graft.functions.Hashing
+    val probeShingles = probes
+      .select(explode(Hashing.hashedShingles(col(probeTextCol), n)).as("s"))
+      .distinct()
+    val corpusShingles = docs
+      .select(col(idCol).as("id"),
+        explode(Hashing.hashedShingles(col(textCol), n)).as("s"))
+    val hits = graft.operators.Skew
+      .bloomJoin(corpusShingles, probeShingles, "s", expectedItems, numBits)
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
+  /**
    * Sequence packing for pretraining: assign documents to contiguous
    * token-budget bins (`pack_id`) — consecutive docs (in `orderCol`
    * order, within a shard) share a pack until the running token count

@@ -421,4 +421,25 @@ object StateStore {
           image("r", "update_postimage")))
     joined.select(explode(changes).as("c")).select(col("c.*"))
   }
+
+  /**
+   * The CDF CONSUMER half: apply a [[changesBetween]] feed to a base
+   * snapshot and get the target snapshot — deletes and pre-images
+   * retract (anti-join), inserts and post-images land (union). This is
+   * the contract that makes a change feed USEFUL (a downstream mirror
+   * applies the feed instead of re-copying the table); the spec asserts
+   * the round trip `applyChanges(state@v1, changes(v1→v2)) ≡ state@v2`
+   * exactly, which pins both producer and consumer semantics at once.
+   */
+  def applyChanges(base: DataFrame, feed: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val retract = feed
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*)
+    val land = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    base.join(retract, keys, "left_anti").unionByName(land)
+  }
 }

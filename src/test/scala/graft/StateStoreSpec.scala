@@ -225,5 +225,21 @@ class StateStoreSpec extends SparkSpecBase {
       ("insert", "a", 10.0), ("insert", "b", 5.0), ("insert", "c", 1.0)))
     // no-op span: empty feed
     assert(changeSet(Some("2024-01-02"), Some("2024-01-02")) === Set.empty)
+
+    // consumer round trip: base + feed ≡ target, for every span
+    def snap(before: Option[String]) =
+      StateStore.read(spark, root, before).get
+        .collect().map(_.toSeq).toSet
+    for ((from, to) <- Seq(
+        (Some("2024-01-02"), Some("2024-01-03")),
+        (Some("2024-01-03"), None),
+        (Some("2024-01-02"), None))) {
+      val applied = StateStore.applyChanges(
+          StateStore.read(spark, root, from).get,
+          StateStore.changesBetween(spark, root, Seq("entity"), from, to),
+          Seq("entity"))
+        .collect().map(_.toSeq).toSet
+      assert(applied === snap(to), s"apply($from -> $to) diverged")
+    }
   }
 }
