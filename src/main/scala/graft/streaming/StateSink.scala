@@ -40,6 +40,31 @@ object StateSink {
       .start()
   }
 
+  /**
+   * [[start]] plus a live CHANGE FEED: after each micro-batch's merge,
+   * the row-level CDF for exactly that batch's span
+   * ([[StateStore.changesBetween]] between version b<id> and b<id+1> —
+   * batch versions are zero-padded, so the successor id IS the next
+   * exclusive bound) goes to `feedSink`. Downstream mirrors apply each
+   * feed with [[StateStore.applyChanges]] instead of re-reading the
+   * store. Checkpoint replay recomputes the SAME feed for a re-delivered
+   * batch (the merge no-ops, the span is unchanged) — use an idempotent
+   * feed sink, the same contract as every foreachBatch service here.
+   */
+  def startWithChangeFeed(events: DataFrame, root: String, checkpointDir: String,
+                          keys: Seq[String], sumCols: Seq[String],
+                          minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+                          nBuckets: Int = StateStore.DefaultBuckets)
+                         (feedSink: DataFrame => Unit): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, root, keys, sumCols, minCols, maxCols, nBuckets)
+        feedSink(StateStore.changesBetween(batch.sparkSession, root, keys,
+          Some(f"b$batchId%012d"), Some(f"b${batchId + 1}%012d")))
+      }
+      .start()
+
   /** One micro-batch's merge — factored out so recovery behavior is
    * directly testable (same batchId → same version → no-op replay). */
   def mergeBatch(batch: DataFrame, batchId: Long, root: String,

@@ -200,6 +200,48 @@ class StateStoreSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("startWithChangeFeed streams per-batch CDF a mirror can replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot()
+    val ckpt = tmpRoot()
+    val feeds = scala.collection.mutable.ArrayBuffer[
+      Array[org.apache.spark.sql.Row]]()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, Double, Long, Long)]
+    val query = graft.streaming.StateSink.startWithChangeFeed(
+      input.toDF().toDF("entity", "dist", "start_sec", "end_sec"),
+      root, ckpt, keys = Seq("entity"), sumCols = Seq("dist"),
+      minCols = Seq("start_sec"), maxCols = Seq("end_sec"), nBuckets = 8) {
+        feed => feeds += feed.collect()
+      }
+    try {
+      input.addData(("a", 10.0, 100L, 200L), ("b", 5.0, 50L, 60L))
+      query.processAllAvailable()
+      input.addData(("a", 2.5, 250L, 300L), ("c", 3.0, 1L, 2L))
+      query.processAllAvailable()
+      assert(feeds.size === 2)
+      val types1 = feeds(0).map(r => (r.getString(0), r.getString(1))).toSet
+      assert(types1 === Set(("insert", "a"), ("insert", "b")))
+      val types2 = feeds(1).map(r => (r.getString(0), r.getString(1))).toSet
+      assert(types2 === Set(("update_preimage", "a"),
+        ("update_postimage", "a"), ("insert", "c")))
+      // a mirror replaying the feeds in order lands on the store's state
+      val schema = StateStore.read(spark, root).get.schema
+      var mirror = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      feeds.foreach { rows =>
+        val feedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq),
+          StateStore.changesBetween(spark, root, Seq("entity"),
+            Some("b000000000000"), Some("b000000000001")).schema)
+        mirror = StateStore.applyChanges(mirror, feedDf, Seq("entity"))
+      }
+      assert(mirror.collect().map(_.toSeq).toSet ===
+        StateStore.read(spark, root).get.collect().map(_.toSeq).toSet,
+        "mirror replay diverged from the store")
+    } finally query.stop()
+  }
+
   test("changesBetween emits Delta-CDF-shaped row-level changes") {
     val root = tmpRoot()
     mergeDay(root, "2024-01-01",

@@ -96,6 +96,30 @@ class ZOrderSpec extends SparkSpecBase {
     assert(keptMiss <= 1, s"absent key kept $keptMiss files")
   }
 
+  test("clustering depth quantifies the layouts: z-order beats single-sort on the off key") {
+    val zDir = tmp("zdepth"); val sDir = tmp("sdepth")
+    LakeWriter.writeZOrdered(grid, zDir, Seq("a", "b"), nFiles = 16)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(sDir)
+    def depth(dir: String, c: String): (Double, Long) = {
+      val p = LakeWriter.clusteringProfile(
+        LakeWriter.statsIndex(spark, dir, Seq("a", "b")), Seq(c)).head()
+      (p.getDouble(p.fieldIndex("avg_depth")), p.getLong(p.fieldIndex("max_depth")))
+    }
+    val (sortA, _) = depth(sDir, "a")
+    val (sortB, sortBMax) = depth(sDir, "b")
+    val (zA, _) = depth(zDir, "a")
+    val (zB, _) = depth(zDir, "b")
+    // single sort: near-perfect on its key, useless on the other
+    assert(sortA < 2.5, s"sorted-by-a depth on a: $sortA")
+    assert(sortBMax === 16L && sortB > 12.0,
+      s"fixture broke: sorted-by-a should be unclustered on b ($sortB/$sortBMax)")
+    // z-order: moderate on BOTH dims, and far better than the single
+    // sort on the off key
+    assert(zB < sortB / 2, s"z depth on b ($zB) not < half of sorted ($sortB)")
+    assert(zA < sortB / 2, s"z depth on a ($zA) not < half of sorted-b ($sortB)")
+  }
+
   test("partitioned z-order keeps per-dir files curve-clustered") {
     val dir = tmp("zpart")
     val days = grid.withColumn("day", (col("id") % 2).cast("int"))
