@@ -292,6 +292,14 @@ object SparkEntry {
           verifyPixel = Some(Multimodal.referencePixel))
         .select("doc_id", "width", "height", "n_pixels", "pixel_sum", "px_ok")),
 
+    // ViT-style patch tiling of the really-decoded PNGs; the oracle
+    // derives every patch sum analytically from the reference pixel
+    // function, so the codec->tile path is content-verified end to end
+    "q_patchify" -> ((s, dir) =>
+      Multimodal.patchify(
+        Multimodal.packImages(Tables.documents(s, dir), "doc_id"),
+        patchW = 8, patchH = 4)),
+
     // stride-2 frame sampling over a length-prefixed multi-frame payload;
     // unsampled frames are byte-skipped, sampled ones really decoded
     "q_multimodal_frames" -> ((s, dir) =>
@@ -1468,6 +1476,22 @@ object SparkEntry {
     // of doc_id (row y is constant gray (doc_id+y)%256), so the oracle
     // predicts the decoded header dims, pixel sum, and the roundtrip
     // verification bit without touching a codec.
+    // pixel(doc, x, y) = (doc + y) % 256 is x-independent, so each
+    // 8x4 patch sums to 8 * sum over its 4 rows — derivable in SQL
+    "q_patchify" ->
+      """WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+        |                     CAST(8 + doc_id % 8 AS INT) AS h FROM documents),
+        |p AS (SELECT d.doc_id, x.px, y.py
+        |      FROM dims d, range(0, 4) x(px), range(0, 4) y(py)
+        |      WHERE x.px < d.w // 8 AND y.py < d.h // 4),
+        |s AS (SELECT p.doc_id, p.px, p.py,
+        |             CAST(8 * SUM((p.doc_id + p.py * 4 + i.i) % 256) AS BIGINT)
+        |               AS patch_sum
+        |      FROM p, range(0, 4) i(i) GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(px AS INT) AS patch_x, CAST(py AS INT) AS patch_y,
+        |       patch_sum
+        |FROM s""".stripMargin,
+
     "q_multimodal" ->
       """WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
         |                     CAST(8 + doc_id % 8 AS INT) AS h FROM documents),

@@ -301,4 +301,59 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  /** Output schema of [[patchify]]. */
+  val PatchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("patch_x", IntegerType),
+    StructField("patch_y", IntegerType),
+    StructField("patch_sum", LongType)))
+
+  /**
+   * ViT-style patch extraction: decode the image once, tile it into a
+   * `patchW`×`patchH` grid (partial edge tiles dropped — the standard
+   * crop-to-grid), one output row per patch summarized by its exact
+   * gray-channel sum (order-independent ⇒ deterministic; a downstream
+   * embedder consumes patch tensors the same flattened way). The
+   * corpus-side fan-out is rows × patches with NO shuffle — patch rows
+   * are born in the partition that decoded their image. Null or
+   * undecodable media contributes nothing (one corrupt file must not
+   * fail a 100 TB pass; the decode gate q_multimodal reports those).
+   */
+  def patchify(packed: DataFrame, patchW: Int = 8, patchH: Int = 4): DataFrame = {
+    require(patchW >= 1 && patchH >= 1, s"bad patch dims ${patchW}x$patchH")
+    val spark = packed.sparkSession
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(PatchSchema)
+    packed.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Iterator.empty
+        else {
+          val nx = img.getWidth / patchW
+          val ny = img.getHeight / patchH
+          for {
+            py <- Iterator.range(0, ny)
+            px <- Iterator.range(0, nx)
+          } yield {
+            var sum = 0L
+            var y = py * patchH
+            while (y < (py + 1) * patchH) {
+              var x = px * patchW
+              while (x < (px + 1) * patchW) {
+                sum += (img.getRGB(x, y) & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, px, py, sum)
+          }
+        }
+      }
+    }(encoder)
+  }
 }

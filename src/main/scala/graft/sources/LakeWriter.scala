@@ -164,6 +164,47 @@ object LakeWriter {
     graft.SharedStage.invalidate(path)
   }
 
+  /**
+   * CROSS-TABLE atomic publish: land a consistent MULTI-table snapshot
+   * (the star-schema export problem — facts and dims must come from the
+   * same pipeline run; per-table atomicity still lets a reader join
+   * new facts against old dims). All tables write under
+   * `root/v=<version>/<table>/`, then ONE marker at the version root is
+   * the single visibility point for the whole set: a crash after some
+   * tables leaves the entire version invisible, never a torn join.
+   * Same idempotence/crash rules as [[writePartitionedVersioned]].
+   */
+  def publishSnapshot(tables: Map[String, DataFrame], root: String,
+                      version: String): Unit = {
+    require(!version.contains("/") && version.nonEmpty, s"bad version: $version")
+    require(tables.nonEmpty, "publishSnapshot needs at least one table")
+    require(tables.keys.forall(n => !n.contains("/") && !n.startsWith("_")),
+      s"bad table names: ${tables.keys}")
+    val spark = tables.head._2.sparkSession
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(root, s"v=$version")
+    val marker = new org.apache.hadoop.fs.Path(target, StateStore.CommitMarker)
+    if (f.exists(marker)) return // idempotent re-run
+    if (f.exists(target)) f.delete(target, true) // crashed attempt
+    tables.foreach { case (name, df) =>
+      df.write.parquet(new org.apache.hadoop.fs.Path(target, name).toString)
+    }
+    f.create(marker).close() // one marker commits the whole set
+    graft.SharedStage.invalidate(root)
+  }
+
+  /** Read one table of the newest committed [[publishSnapshot]] set
+   * (strictly before `before` if given — time travel picks up the
+   * whole consistent set, never one table's newer copy). */
+  def readSnapshotTable(spark: SparkSession, root: String, table: String,
+                        before: Option[String] = None): DataFrame = {
+    val versions = committedSnapshotVersions(spark, root)
+      .filter(v => before.forall(v < _))
+    require(versions.nonEmpty, s"no committed snapshot at $root")
+    spark.read.parquet(s"$root/v=${versions.last}/$table")
+  }
+
   /** Committed snapshot versions under a versioned lake, ascending. */
   def committedSnapshotVersions(spark: SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -477,6 +518,32 @@ object LakeWriter {
     }.reduce(_ unionAll _)
   }
 
+  /**
+   * The maintenance loop [[clusteringProfile]] exists to drive — Delta's
+   * `OPTIMIZE` trigger: measure depth, re-cluster ONLY when the worst
+   * column's average depth exceeds `maxAvgDepth`, report whether a
+   * rewrite happened. Appends degrade clustering gradually (each new
+   * file spans the domain); the threshold turns that into bounded
+   * amortized rewrite cost instead of per-append reclustering.
+   * Unpartitioned lakes (the [[writeZOrdered]] default layout); the
+   * read is materialized before the overwrite (the [[compact]]
+   * self-rewrite rule).
+   */
+  def maintainClustering(spark: SparkSession, path: String, zCols: Seq[String],
+                         maxAvgDepth: Double = 4.0, nFiles: Int = 16,
+                         bits: Int = 6): Boolean = {
+    val profile = clusteringProfile(statsIndex(spark, path, zCols), zCols)
+      .collect()
+    val worst = profile.map(_.getAs[Double]("avg_depth")).max
+    if (worst <= maxAvgDepth) false
+    else {
+      val staged = read(spark, path).localCheckpoint(true)
+      writeZOrdered(staged, path, zCols, nFiles, bits)
+      staged.unpersist(false)
+      true
+    }
+  }
+
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     nFiles: Int = 16, bits: Int = 6,
                     partitionCols: Seq[String] = Nil): Unit = {
@@ -500,13 +567,12 @@ object LakeWriter {
       .drop("_z")
     if (partitionCols.isEmpty)
       arranged.write.mode("overwrite").parquet(path)
-    else {
+    else
       arranged.write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy(partitionCols: _*)
         .parquet(path)
-      graft.SharedStage.invalidate(path)
-    }
+    graft.SharedStage.invalidate(path)
   }
 }
