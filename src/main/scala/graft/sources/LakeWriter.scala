@@ -194,6 +194,35 @@ object LakeWriter {
     graft.SharedStage.invalidate(root)
   }
 
+  /**
+   * Snapshot retention: delete committed versions beyond the newest
+   * `keepLast` plus uncommitted leftovers older than the newest commit
+   * (crashed attempts — a forward-moving writer's in-flight dir is
+   * always the newest and is never touched). Works on any `v=`-versioned
+   * root ([[publishSnapshot]] and [[writePartitionedVersioned]] share
+   * the layout). Returns the deleted version names.
+   */
+  def vacuumSnapshots(spark: SparkSession, root: String,
+                      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(rootPath)) return Seq.empty
+    val committed = committedSnapshotVersions(spark, root)
+    val keep = committed.takeRight(keepLast).toSet
+    val newestCommitted = committed.lastOption.getOrElse("")
+    val deleted = f.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("v=")).toSeq
+      .flatMap { p =>
+        val v = p.getName.stripPrefix("v=")
+        val dead =
+          if (committed.contains(v)) !keep(v)
+          else v < newestCommitted // crash leftover, safely reapable
+        if (dead) { f.delete(p, true); Some(v) } else None
+      }
+    deleted.sorted
+  }
+
   /** Read one table of the newest committed [[publishSnapshot]] set
    * (strictly before `before` if given — time travel picks up the
    * whole consistent set, never one table's newer copy). */
@@ -331,15 +360,55 @@ object LakeWriter {
    * plans thousands of tasks instead of millions.
    */
   def statsIndex(spark: SparkSession, path: String,
-                 cols: Seq[String]): DataFrame = {
+                 cols: Seq[String]): DataFrame =
+    statsOf(read(spark, path), cols)
+
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "statsIndex needs at least one column")
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       count(when(col(c).isNull, 1)).as(s"nulls_$c"))) :+
       count(lit(1)).as("n_rows")
-    read(spark, path)
-      .groupBy(input_file_name().as("file"))
+    df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scheme-insensitive path key: `input_file_name` URIs ("file:///x")
+   * and Hadoop listing paths ("file:/x") must compare equal. */
+  private def pathKey(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /**
+   * INCREMENTAL [[statsIndex]] maintenance — the manifest-refresh every
+   * lake format performs on commit, for the plain-parquet stats layer:
+   * rows of `prior` whose file still exists are KEPT (their bytes are
+   * never re-read), stats are computed only over files the listing
+   * shows as new, and rows for deleted files drop. The listing is one
+   * recursive driver-side walk (manifest-scale); the data scan touches
+   * exactly the new files — an append of one file to a million-file
+   * lake costs one file's stats, not a full rebuild.
+   */
+  def refreshStatsIndex(spark: SparkSession, path: String, prior: DataFrame,
+                        cols: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = scala.collection.mutable.ArrayBuffer[String]()
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")) current += st.getPath.toString
+    }
+    val currentKeys = current.map(pathKey).toSet
+    val priorFiles = prior.select("file").collect().map(_.getString(0))
+    val priorKeys = priorFiles.map(pathKey).toSet
+    val survivors = priorFiles.filter(p => currentKeys(pathKey(p)))
+    val kept = prior.filter(col("file").isin(survivors.toSeq: _*))
+    val newFiles = current.filter(p => !priorKeys(pathKey(p)))
+    if (newFiles.isEmpty) kept
+    else kept.unionByName(statsOf(
+      spark.read.option("basePath", path).parquet(newFiles.toSeq: _*), cols))
   }
 
   /**

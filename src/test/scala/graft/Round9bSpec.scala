@@ -53,6 +53,72 @@ class Round9bSpec extends SparkSpecBase {
       maxAvgDepth = thr, nFiles = 8), "second pass should be a no-op")
   }
 
+  test("refreshStatsIndex re-reads only new files, result equals a rebuild") {
+    val dir = tmp("refresh")
+    spark.range(400000).select(col("id"), (col("id") % 97).as("a"),
+        md5(col("id").cast("string")).as("pad"))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val prior = LakeWriter.statsIndex(spark, dir, Seq("a")).localCheckpoint(true)
+    // append two files, delete one original
+    spark.range(400000, 401000).select(col("id"),
+        (col("id") % 97 + 1000).as("a"),
+        md5(col("id").cast("string")).as("pad"))
+      .repartition(2).write.mode("append").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    f.delete(victim, false)
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
+    }
+    def readBytes(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+        val s0 = bytesRead.get; body
+        org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+        bytesRead.get - s0
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.updated(0,
+        new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)).toSet
+    var refreshed: org.apache.spark.sql.DataFrame = null
+    val incBytes = readBytes {
+      refreshed = LakeWriter.refreshStatsIndex(spark, dir, prior, Seq("a"))
+        .localCheckpoint(true)
+    }
+    var rebuilt: org.apache.spark.sql.DataFrame = null
+    val fullBytes = readBytes {
+      rebuilt = LakeWriter.statsIndex(spark, dir, Seq("a")).localCheckpoint(true)
+    }
+    assert(normalize(refreshed) === normalize(rebuilt),
+      "incremental refresh diverged from the rebuild")
+    assert(incBytes < fullBytes / 2,
+      s"refresh read $incBytes bytes vs rebuild $fullBytes — not incremental")
+  }
+
+  test("vacuumSnapshots keeps the newest N consistent sets") {
+    val root = tmp("vac")
+    for (d <- 1 to 3)
+      LakeWriter.publishSnapshot(Map(
+        "t" -> Seq((d.toLong, d * 1.0)).toDF("k", "v")), root, s"2024-01-0$d")
+    // torn attempt older than the newest commit
+    Seq((9L, 9.0)).toDF("k", "v").write.parquet(s"$root/v=2024-01-02x/t")
+    val deleted = LakeWriter.vacuumSnapshots(spark, root, keepLast = 2)
+    assert(deleted === Seq("2024-01-01", "2024-01-02x"), s"deleted: $deleted")
+    assert(LakeWriter.committedSnapshotVersions(spark, root) ===
+      Seq("2024-01-02", "2024-01-03"))
+    assert(LakeWriter.readSnapshotTable(spark, root, "t").head.getLong(0) === 3L)
+    assert(LakeWriter.readSnapshotTable(spark, root, "t",
+      before = Some("2024-01-03")).head.getLong(0) === 2L)
+  }
+
   test("publishSnapshot commits a whole table set atomically") {
     val root = tmp("snap")
     val facts1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")

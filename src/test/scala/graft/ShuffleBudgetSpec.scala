@@ -51,6 +51,13 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_mixture_temp" -> (64L << 10), // 0.7 kB: n-strata rows end to end
     "q_quantile_rollup" -> (64L << 10),// 0.7 kB: KLL blobs per (day, dim)
                                      // + exact-gate percentile rows only
+    "q_length_batches" -> (64L << 10), // 6.9 kB: one per-shard window
+                                     // shuffle of (shard, id, len) + rollup
+    "q_contamination_bloom" -> (256L << 10), // 59 B at sf0.001: the bloom
+                                     // drops ~every clean shingle map-side;
+                                     // headroom for denser probe overlap
+    "q_patchify" -> (64L << 10),     // map-only: decode + tile in the
+                                     // scan partition, no exchange at all
     "q_corpus_overlap" -> (4L << 20), // 0.70 MB: the exact-side distinct
                                      // shuffle + intersection join IS the
                                      // gate harness; the sketch side moves
