@@ -211,4 +211,30 @@ class AnalyticsProps extends SparkSpecBase {
       }
     }
   }
+
+  test("zValue: bit-interleave round-trips and preserves per-dim order on shared prefixes") {
+    import graft.sources.LakeWriter
+    val rng = new scala.util.Random(97)
+    val pts = Seq.fill(300)((rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        LakeWriter.zValue(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      // de-interleave in plain Scala: even bits back to a, odd bits to b
+      var (da, db) = (0L, 0L)
+      (0 until 8).foreach { j =>
+        da |= ((z >> (2 * j)) & 1L) << j
+        db |= ((z >> (2 * j + 1)) & 1L) << j
+      }
+      assert(da === a && db === b, s"roundtrip broke for ($a,$b): z=$z -> ($da,$db)")
+    }
+    // within a fixed b, z is strictly monotone in a (and vice versa):
+    // the curve never reorders a single dimension's slices
+    got.groupBy(_._2).values.foreach { slice =>
+      val sorted = slice.sortBy(_._1)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq,
+        "z not monotone in a within fixed b")
+    }
+  }
 }
