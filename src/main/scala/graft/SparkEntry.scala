@@ -2170,7 +2170,11 @@ object SparkEntry {
         |kb AS (SELECT h FROM db ORDER BY h LIMIT 512),
         |ku AS (SELECT h FROM (SELECT DISTINCT h FROM
         |        (SELECT h FROM ka UNION ALL SELECT h FROM kb)) ORDER BY h LIMIT 512),
-        |mm AS (SELECT COUNT(*) AS m FROM ku JOIN ka USING (h) JOIN kb USING (h)),
+        |mm AS (SELECT
+        |  COUNT(*) FILTER (WHERE ka.h IS NOT NULL AND kb.h IS NOT NULL) AS m,
+        |  COUNT(*) FILTER (WHERE ka.h IS NOT NULL AND kb.h IS NULL) AS m_a,
+        |  COUNT(*) FILTER (WHERE kb.h IS NOT NULL AND ka.h IS NULL) AS m_b
+        |  FROM ku LEFT JOIN ka ON ku.h = ka.h LEFT JOIN kb ON ku.h = kb.h),
         |ua AS (SELECT COUNT(*) AS n_sk, MAX(h) AS kth FROM ku),
         |ex AS (SELECT
         |  (SELECT COUNT(*) FROM da) AS n_a,
@@ -2181,11 +2185,15 @@ object SparkEntry {
         |       ELSE (n_sk - 1)::DOUBLE /
         |            (('0x' || substr(kth,1,15))::BIGINT / 1152921504606846976.0) END
         |    AS d_union_raw,
-        |  CASE WHEN n_sk = 0 THEN 0.0 ELSE m::DOUBLE / n_sk::DOUBLE END AS jac_raw
+        |  CASE WHEN n_sk = 0 THEN 0.0 ELSE m::DOUBLE / n_sk::DOUBLE END AS jac_raw,
+        |  CASE WHEN n_sk = 0 THEN 0.0 ELSE m_a::DOUBLE / n_sk::DOUBLE END AS ra,
+        |  CASE WHEN n_sk = 0 THEN 0.0 ELSE m_b::DOUBLE / n_sk::DOUBLE END AS rb
         |  FROM mm, ua)
         |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
         |  CAST(floor(d_union_raw + 0.5) AS BIGINT) AS union_est,
         |  CAST(floor(jac_raw * d_union_raw + 0.5) AS BIGINT) AS inter_est,
+        |  CAST(floor(ra * d_union_raw + 0.5) AS BIGINT) AS a_only_est,
+        |  CAST(floor(rb * d_union_raw + 0.5) AS BIGINT) AS b_only_est,
         |  floor(n_inter::DOUBLE / (n_a + n_b - n_inter) * 1000 + 0.5)/1000 AS jaccard_exact,
         |  floor(jac_raw * 1000 + 0.5)/1000 AS jaccard_est,
         |  abs(CAST(floor(d_union_raw + 0.5) AS BIGINT) - (n_a + n_b - n_inter))

@@ -547,21 +547,35 @@ object Quality {
    */
   def kmvOverlapEstimate(ska: DataFrame, skb: DataFrame, k: Int = 512): DataFrame = {
     val ku = kmvMerge(Seq(ska, skb), k)
-    val m = ku.join(ska, "h").join(skb, "h").agg(count(lit(1)).as("m"))
+    // one membership-classified pass over the ≤k union hashes: the same
+    // ρ machinery yields intersection AND both set differences (|A\B| is
+    // the "how much of A is new" number a corpus-mixing decision needs)
+    val flagged = ku
+      .join(ska.withColumn("_a", lit(1)), Seq("h"), "left")
+      .join(skb.withColumn("_b", lit(1)), Seq("h"), "left")
+    val m = flagged.agg(
+      count(when(col("_a") === 1 && col("_b") === 1, 1)).as("m"),
+      count(when(col("_a") === 1 && col("_b").isNull, 1)).as("m_a"),
+      count(when(col("_b") === 1 && col("_a").isNull, 1)).as("m_b"))
     val uagg = ku.agg(count(lit(1)).as("n_sk"), max("h").as("kth"))
     val frac = conv(substring(col("kth"), 1, 15), 16, 10).cast("long") /
       lit(HashSpace60)
+    def ratio(c: org.apache.spark.sql.Column) =
+      when(col("n_sk") === 0, lit(0.0))
+        .otherwise(c.cast("double") / col("n_sk").cast("double"))
     m.crossJoin(uagg)
       .withColumn("d_union_raw",
         when(col("n_sk") < k, col("n_sk").cast("double"))
           .otherwise((col("n_sk") - 1).cast("double") / frac))
-      .withColumn("jac_raw",
-        when(col("n_sk") === 0, lit(0.0))
-          .otherwise(col("m").cast("double") / col("n_sk").cast("double")))
+      .withColumn("jac_raw", ratio(col("m")))
       .select(
         floor(col("d_union_raw") + 0.5).cast("long").as("union_est"),
         floor(col("jac_raw") * col("d_union_raw") + 0.5).cast("long")
           .as("inter_est"),
+        floor(ratio(col("m_a")) * col("d_union_raw") + 0.5).cast("long")
+          .as("a_only_est"),
+        floor(ratio(col("m_b")) * col("d_union_raw") + 0.5).cast("long")
+          .as("b_only_est"),
         col("jac_raw"), col("m"), col("n_sk"))
   }
 
@@ -598,6 +612,7 @@ object Quality {
     exact.crossJoin(est).select(
       col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
       col("union_est"), col("inter_est"),
+      col("a_only_est"), col("b_only_est"),
       r3(jacExact).as("jaccard_exact"),
       r3(col("jac_raw")).as("jaccard_est"),
       (abs(col("union_est") - col("n_union")) <=

@@ -61,6 +61,12 @@ class KmvSpec extends SparkSpecBase {
     assert(row.getBoolean(row.fieldIndex("jac_ok")), s"jaccard gate: $row")
     val unionEst = row.getLong(row.fieldIndex("union_est"))
     assert(math.abs(unionEst - 5500L) <= 550, s"union est off: $unionEst")
+    // set differences: |A\B|=2500, |B\A|=1500 — same ρ machinery, same
+    // error class as the intersection estimate
+    val aOnly = row.getLong(row.fieldIndex("a_only_est"))
+    val bOnly = row.getLong(row.fieldIndex("b_only_est"))
+    assert(math.abs(aOnly - 2500L) <= 500, s"a_only est off: $aOnly")
+    assert(math.abs(bOnly - 1500L) <= 400, s"b_only est off: $bOnly")
   }
 
   test("disjoint corpora estimate zero-ish intersection") {

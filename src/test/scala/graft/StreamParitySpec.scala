@@ -556,6 +556,39 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("StaticEnrich.scd2AsOf enriches by event time and swaps history atomically") {
+    implicit val sqlCtx = spark.sqlContext
+    val hist1 = Seq((1L, 100L, "v1"), (1L, 500L, "v2"), (2L, 200L, "w1"))
+      .toDF("user_id", "eff_start", "plan")
+    val ref = new java.util.concurrent.atomic.AtomicReference(hist1)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val input = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2e").toString
+    val query = graft.streaming.StaticEnrich.scd2AsOf(
+      input.toDF().toDF("user_id", "ts_sec"), ref,
+      Seq("user_id"), "ts_sec", Seq("plan"), ckpt) { out =>
+        got ++= out.collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2)))
+      }
+    try {
+      // batch 1: as-of against hist1 — late event 150 gets v1, not v2
+      input.addData((1L, 150L), (1L, 600L), (2L, 50L))
+      query.processAllAvailable()
+      assert(got.toSet === Set((1L, 150L, "v1"), (1L, 600L, "v2"),
+        (2L, 50L, null)), s"pre-swap enrichment wrong: $got")
+      // SCD2 rebuild lands: key 2 gains a version, key 1 a newer one
+      ref.set(hist1.unionAll(Seq((2L, 40L, "w0"), (1L, 700L, "v3"))
+        .toDF("user_id", "eff_start", "plan")))
+      got.clear()
+      input.addData((2L, 50L), (1L, 800L), (1L, 650L))
+      query.processAllAvailable()
+      // post-swap: same event (2, 50) now resolves; 650 still v2 —
+      // event-time correctness, not latest-version
+      assert(got.toSet === Set((2L, 50L, "w0"), (1L, 800L, "v3"),
+        (1L, 650L, "v2")), s"post-swap enrichment wrong: $got")
+    } finally query.stop()
+  }
+
   test("WindowedCounts.quantilePerWindow lands in the exact rank band per window") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(47)
