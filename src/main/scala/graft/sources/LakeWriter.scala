@@ -561,30 +561,39 @@ object LakeWriter {
    * same manifest-scale contract as readPruned's collect, never data
    * rows.
    */
-  def clusteringProfile(stats: DataFrame, cols: Seq[String]): DataFrame = {
+  def clusteringProfile(stats: DataFrame, cols: Seq[String],
+                        groupCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one constant pseudo-group keeps the grouped and global paths the
+    // same plan; with a real groupCol the sweep windows partition by it
+    // (per-partition-dir depth in ONE pass, no per-dir jobs)
+    val g = groupCol.getOrElse("_g")
     cols.map { c =>
-      val ev = stats
+      val base = groupCol.map(_ => stats)
+        .getOrElse(stats.withColumn(g, lit(0)))
         .filter(col(s"min_$c").isNotNull && col(s"max_$c").isNotNull)
-        .select(col(s"min_$c").cast("double").as("pos"), lit(1).as("d"))
-        .unionAll(stats
-          .filter(col(s"min_$c").isNotNull && col(s"max_$c").isNotNull)
-          .select(col(s"max_$c").cast("double").as("pos"), lit(-1).as("d")))
-      val order = Window.orderBy(col("pos").asc, col("d").desc)
+      val ev = base
+        .select(col(g), col(s"min_$c").cast("double").as("pos"), lit(1).as("d"))
+        .unionAll(base
+          .select(col(g), col(s"max_$c").cast("double").as("pos"), lit(-1).as("d")))
+      val order = Window.partitionBy(col(g)).orderBy(col("pos").asc, col("d").desc)
       val swept = ev
         .withColumn("depth", sum("d").over(order.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("seg", lead("pos", 1).over(order) - col("pos"))
-      swept.agg(
+      swept.groupBy(col(g)).agg(
           max("depth").as("max_depth"),
           sum(when(col("depth") > 0, col("depth") * col("seg"))).as("_wd"),
           sum(when(col("depth") > 0, col("seg"))).as("_w"),
           sum(when(col("d") === 1, 1)).as("n_files"))
-        .select(lit(c).as("col_name"), col("n_files"), col("max_depth"),
+        .select(col(g) +: lit(c).as("col_name") +: col("n_files") +:
+          col("max_depth") +:
           // all-point-mass intervals (zero total span) degenerate to the
           // max depth: every file overlaps the single point
-          when(col("_w") > 0, col("_wd") / col("_w"))
-            .otherwise(col("max_depth").cast("double")).as("avg_depth"))
-    }.reduce(_ unionAll _)
+          Seq(when(col("_w") > 0, col("_wd") / col("_w"))
+            .otherwise(col("max_depth").cast("double")).as("avg_depth")): _*)
+    }.reduce(_ unionAll _) match {
+      case out => if (groupCol.isDefined) out else out.drop("_g")
+    }
   }
 
   /**
@@ -611,6 +620,39 @@ object LakeWriter {
       staged.unpersist(false)
       true
     }
+  }
+
+  /**
+   * PARTITION-SCOPED clustering maintenance — the true Delta `OPTIMIZE`
+   * shape for a y/m/d lake: per-partition-dir depth computed in ONE
+   * grouped sweep over the stats manifest, then ONLY the dirs past
+   * `maxAvgDepth` are re-read and re-clustered — dynamic partition
+   * overwrite rewrites exactly those dirs (one write for all of them),
+   * untouched partitions keep their files byte-for-byte. At 100 TB this
+   * is the difference between "optimize the three days the stream
+   * appended to" and "rewrite the lake". Returns the rewritten dirs.
+   */
+  def maintainClusteringPartitioned(spark: SparkSession, path: String,
+                                    zCols: Seq[String],
+                                    partitionCols: Seq[String],
+                                    maxAvgDepth: Double = 4.0,
+                                    nFiles: Int = 16,
+                                    bits: Int = 6): Seq[String] = {
+    require(partitionCols.nonEmpty,
+      "use maintainClustering for unpartitioned lakes")
+    val stats = statsIndex(spark, path, zCols)
+      .withColumn("pdir", regexp_extract(col("file"), "^(.*)/[^/]+$", 1))
+    val bad = clusteringProfile(stats, zCols, groupCol = Some("pdir"))
+      .groupBy("pdir").agg(max("avg_depth").as("worst"))
+      .filter(col("worst") > maxAvgDepth)
+      .select("pdir").collect().map(_.getString(0)).toSeq.sorted
+    if (bad.nonEmpty) {
+      val staged = spark.read.option("basePath", path)
+        .parquet(bad: _*).localCheckpoint(true)
+      writeZOrdered(staged, path, zCols, nFiles, bits, partitionCols)
+      staged.unpersist(false)
+    }
+    bad
   }
 
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],

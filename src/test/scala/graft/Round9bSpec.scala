@@ -53,6 +53,52 @@ class Round9bSpec extends SparkSpecBase {
       maxAvgDepth = thr, nFiles = 8), "second pass should be a no-op")
   }
 
+  test("partitioned maintenance rewrites only the degraded partition dirs") {
+    val dir = tmp("popt")
+    val base = spark.range(30000).select(
+      (col("id") % 2).cast("int").as("day"),
+      pmod(hash(col("id")), lit(1000)).as("a"),
+      pmod(hash(col("id") * 3 + 1), lit(1000)).as("b"), col("id"))
+    LakeWriter.writeZOrdered(base, dir, Seq("a", "b"), nFiles = 8,
+      partitionCols = Seq("day"))
+    def files(day: Int): Set[String] = {
+      val f = new org.apache.hadoop.fs.Path(s"$dir/day=$day")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/day=$day"))
+        .map(s => s.getPath.getName + ":" + s.getModificationTime).toSet
+    }
+    val fresh0 = files(0)
+    // threshold above the fresh layout's own depth (self-calibrating,
+    // the maintainClustering spec's contract)
+    val stats0 = LakeWriter.statsIndex(spark, dir, Seq("a", "b"))
+      .withColumn("pdir", regexp_extract(col("file"), "^(.*)/[^/]+$", 1))
+    val thr = LakeWriter.clusteringProfile(stats0, Seq("a", "b"),
+        groupCol = Some("pdir"))
+      .agg(max("avg_depth")).head.getDouble(0) + 2.0
+    assert(LakeWriter.maintainClusteringPartitioned(spark, dir,
+      Seq("a", "b"), Seq("day"), maxAvgDepth = thr, nFiles = 8).isEmpty,
+      "healthy partitions rewritten")
+    // degrade ONLY day=1 with domain-spanning appends
+    (1 to 5).foreach { i =>
+      spark.range(2000).select(
+          pmod(hash(col("id") + i * 331), lit(1000)).as("a"),
+          pmod(hash(col("id") * 7 + i), lit(1000)).as("b"),
+          (col("id") + 500000L * i).as("id"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/day=1")
+    }
+    val total = spark.read.parquet(dir).agg(sum("id")).head.getLong(0)
+    val rewritten = LakeWriter.maintainClusteringPartitioned(spark, dir,
+      Seq("a", "b"), Seq("day"), maxAvgDepth = thr, nFiles = 8)
+    assert(rewritten.length === 1 && rewritten.head.endsWith("day=1"),
+      s"expected only day=1 rewritten: $rewritten")
+    assert(files(0) === fresh0, "untouched partition's files changed")
+    assert(spark.read.parquet(dir).agg(sum("id")).head.getLong(0) === total,
+      "partition rewrite lost or duplicated rows")
+    assert(LakeWriter.maintainClusteringPartitioned(spark, dir,
+      Seq("a", "b"), Seq("day"), maxAvgDepth = thr, nFiles = 8).isEmpty,
+      "healed lake rewritten again")
+  }
+
   test("refreshStatsIndex re-reads only new files, result equals a rebuild") {
     val dir = tmp("refresh")
     spark.range(400000).select(col("id"), (col("id") % 97).as("a"),
