@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, GeohashExpression, MinHashBands, SimHash64}
+import graft.expressions.{CmsEstimate, DotProduct, GeohashExpression, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashBands, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -52,6 +52,32 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException("simhash64(hashes) expects 1 argument")
   }
 
+  private def kllSketchBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v) => KllSketchAgg(Cast(v, DoubleType), 200)
+    case Seq(v, Literal(k: Int, _)) => KllSketchAgg(Cast(v, DoubleType), k)
+    case _ => throw new IllegalArgumentException(
+      "kll_sketch_agg(value[, k]) expects a value column and a literal k")
+  }
+
+  private def kllMergeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sk) => KllMergeAgg(sk, 200)
+    case Seq(sk, Literal(k: Int, _)) => KllMergeAgg(sk, k)
+    case _ => throw new IllegalArgumentException(
+      "kll_merge_agg(sketch[, k]) expects a sketch column and a literal k")
+  }
+
+  private def kllQuantileBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sk, q) => KllQuantile(sk, Cast(q, DoubleType))
+    case _ => throw new IllegalArgumentException(
+      "kll_quantile(sketch, q) expects 2 arguments")
+  }
+
+  private def cmsEstimateBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sk, key) => CmsEstimate(sk, Cast(key, org.apache.spark.sql.types.LongType))
+    case _ => throw new IllegalArgumentException(
+      "cms_estimate(sketch, key) expects 2 arguments")
+  }
+
   private def dotBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(a, b) =>
       DotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
@@ -70,7 +96,19 @@ object GraftFunctions {
       simhashBuilder _),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      dotBuilder _))
+      dotBuilder _),
+    (FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      kllSketchBuilder _),
+    (FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      kllMergeBuilder _),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      kllQuantileBuilder _),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      cmsEstimateBuilder _))
 
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -41,6 +41,20 @@ class KllSpec extends SparkSpecBase {
       s"group out of band: $r"))
   }
 
+  test("KLL trio is SQL-callable: sketch, re-aggregate, probe") {
+    GraftFunctions.register(spark)
+    days.createOrReplaceTempView("kll_days")
+    val row = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5) AS p50,
+        |       kll_quantile(kll_merge_agg(sk, 200), 0.95) AS p95
+        |FROM (SELECT kll_sketch_agg(v) AS sk FROM kll_days GROUP BY d)
+        |""".stripMargin).head()
+    // exact p50 ≈ 1500, p95 ≈ 2850 on the 3-step mixture; the sketch
+    // must land within a generous rank band either side
+    assert(row.getDouble(0) > 1200 && row.getDouble(0) < 1800, s"sql p50: $row")
+    assert(row.getDouble(1) > 2700 && row.getDouble(1) < 3000, s"sql p95: $row")
+  }
+
   test("merge path answers what no single day saw") {
     // day sketches individually cover one stratum; the month p95 (~2950)
     // exists only in stratum 2 — a broken merge (e.g. keeping one day's
