@@ -137,6 +137,13 @@ object Stress {
     println(f"[stress] delta-probe/full-re-pair ratio ${tDelta / tFullPair}%.2fx " +
       "(a daily ingest pays probe + matched-candidate verify, never the archive re-pair)")
     probe("tfidf") { Text.tfidf(docs, "doc_id", "text").count() }
+    probe(s"contaminationLarge ${nDocs / 1000}k docs vs 2k probes (bloom)") {
+      // probe set = 1% of the corpus → ~real shingle overlap density;
+      // the bloom must keep the corpus-side shuffle at the hit fraction
+      Text.contaminationLarge(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(100)) === 0), "text",
+        n = 8, expectedItems = 200000L).count()
+    }
     probe(s"duplicatedSpans ${nDocs / 1000}k docs") {
       // every 100th doc is a near-copy → dense genuine duplication; the
       // seed-count groupBy and semi-join must stay linear regardless
