@@ -557,6 +557,10 @@ object SparkEntry {
       Text.tokenCount(Tables.documents(s, dir), "text")
         .select("doc_id", "ws_tokens", "re_tokens")),
 
+    // --- per-lang token fertility: the tokenizer/mixture-design report
+    "q_fertility" -> ((s, dir) =>
+      Text.fertility(Tables.documents(s, dir), "lang", "text")),
+
     "q_quality" -> ((s, dir) =>
       Text.qualityScore(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
@@ -2209,6 +2213,24 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
         |FROM documents""".stripMargin,
+
+    "q_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS ws,
+        |         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re,
+        |         length(text) AS ch
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_total,
+        |  CAST(SUM(re) AS BIGINT) AS re_total,
+        |  floor(CAST(SUM(ws) AS BIGINT)::DOUBLE / COUNT(*) * 1000 + 0.5)/1000
+        |    AS tokens_per_doc,
+        |  floor(CAST(SUM(ch) AS BIGINT)::DOUBLE / CAST(SUM(re) AS BIGINT)
+        |    * 1000 + 0.5)/1000 AS chars_per_token,
+        |  floor(CAST(SUM(re) AS BIGINT)::DOUBLE / CAST(SUM(ws) AS BIGINT)
+        |    * 1000 + 0.5)/1000 AS fertility
+        |FROM t GROUP BY lang""".stripMargin,
 
     "q_quality" ->
       """WITH q AS (

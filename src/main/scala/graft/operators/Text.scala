@@ -35,6 +35,31 @@ object Text {
       .withColumn("re_tokens", size(regexp_extract_all(col(textCol), lit(TokenRegex), lit(0))))
 
   /**
+   * Per-stratum token FERTILITY profile — the aggregate tokenizer/
+   * mixture-design report the per-doc counters don't give: for each
+   * stratum (language, source), docs, total tokens under both lexers,
+   * tokens-per-doc, chars-per-(BPE-ish)-token, and the
+   * fertility ratio re/ws (how many subword-ish pieces a whitespace
+   * word splits into — the number multilingual tokenizer papers track,
+   * since a high-fertility language pays more sequence length per word
+   * and usually earns a larger mixture weight). One partial-agg'd
+   * groupBy over a single scan.
+   */
+  def fertility(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val r3 = (c: Column) => floor(c * 1000 + 0.5) / 1000
+    tokenCount(df.filter(col(textCol).isNotNull), textCol)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_total"),
+        sum(col("re_tokens")).as("re_total"),
+        sum(length(col(textCol))).as("chars_total"))
+      .select(col(stratumCol), col("n_docs"), col("ws_total"), col("re_total"),
+        r3(col("ws_total").cast("double") / col("n_docs")).as("tokens_per_doc"),
+        r3(col("chars_total").cast("double") / col("re_total")).as("chars_per_token"),
+        r3(col("re_total").cast("double") / col("ws_total")).as("fertility"))
+  }
+
+  /**
    * Heuristic quality signals: char/token counts, average token length,
    * punctuation ratio, stopword ratio, and a [0,1] composite score
    * (long-enough + stopword-bearing + low-punctuation text scores high).
