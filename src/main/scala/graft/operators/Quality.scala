@@ -413,11 +413,14 @@ object Quality {
     // null-SAFE join keys: a NULL dimension value is a legitimate group
     // (both aggregates emit it) — an EqualTo join would silently drop
     // its rollup row, undercounting exactly the bucket most likely to
-    // hide data-quality problems
+    // hide data-quality problems. Both sides share the `days` lineage,
+    // so qualify them through explicit aliases: `rolled(c) <=> direct(c)`
+    // would resolve only via Spark's plan-id disambiguation (and logs a
+    // "trivially true equals predicate" warning per key).
     val cond = ("month" +: dims)
-      .map(c => rolled(c) <=> direct(c)).reduce(_ && _)
-    rolled.join(direct, cond)
-      .select((("month" +: dims).map(rolled(_)) :+ col("n_exact") :+
+      .map(c => col(s"r.$c") <=> col(s"d.$c")).reduce(_ && _)
+    rolled.alias("r").join(direct.alias("d"), cond)
+      .select((("month" +: dims).map(c => col(s"r.$c")) :+ col("n_exact") :+
         (abs(col("n_rollup") - col("n_direct")) <=
           greatest(col("n_direct").cast("double") * mergeTolerance, lit(1.0)))
           .as("rollup_ok") :+
@@ -475,11 +478,12 @@ object Quality {
     val direct = days.groupBy(coarse: _*)
       .agg(exactAggs.head, exactAggs.tail: _*)
     // null-safe dim join: the sketchRollup contract — a NULL dim value
-    // is a legitimate group both sides emit
+    // is a legitimate group both sides emit; aliased for the same
+    // shared-lineage reason as sketchRollup's gate join
     val cond = ("month" +: dims)
-      .map(c => rolled(c) <=> direct(c)).reduce(_ && _)
-    rolled.join(direct, cond)
-      .select(("month" +: dims).map(rolled(_)) ++ qs.flatMap { q =>
+      .map(c => col(s"r.$c") <=> col(s"d.$c")).reduce(_ && _)
+    rolled.alias("r").join(direct.alias("d"), cond)
+      .select(("month" +: dims).map(c => col(s"r.$c")) ++ qs.flatMap { q =>
         val p = math.round(q * 100)
         Seq(col(s"p${p}_exact"),
           (col(s"est_p$p") >= col(s"_p${p}_lo") &&

@@ -522,22 +522,35 @@ object LakeWriter {
    * Equality-predicate read through a [[bloomIndex]]: probe each file's
    * bloom with the lookup key's xxhash64 (cast to the column's lake
    * type first — xxhash64(int) ≠ xxhash64(long)) and scan only files
-   * that might contain it. The index collect is manifest-scale (one
-   * bloom per file — the lake-format planning contract shared with
-   * [[readPruned]]); kept files still carry the exact predicate, so a
-   * bloom false positive costs one file scan, never a wrong row.
+   * that might contain it. The blooms are probed DISTRIBUTED — a
+   * [[graft.expressions.BloomMightContainLong]] filter over the index
+   * frame runs on executors, so the driver only ever receives the
+   * per-file (name, keep) verdicts (~tens of bytes each), never the
+   * megabyte bloom payloads: a million-file lake collects a file list,
+   * not a terabyte of filters. Kept files still carry the exact
+   * predicate, so a bloom false positive costs one file scan, never a
+   * wrong row.
    */
+  /**
+   * The executor-side probe plan: one (file, keep) verdict row per index
+   * entry, bloom payloads consumed where they live. Exposed so the spec
+   * can assert the driver-bound schema carries NO binary column — the
+   * scale contract readPointPruned relies on.
+   */
+  def bloomVerdicts(index: DataFrame, hashValue: Long): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val probe = GraftBridge.column(graft.expressions.BloomMightContainLong(
+      GraftBridge.expression(col("bloom")), hashValue))
+    index.select(col("file"), probe.as("keep"))
+  }
+
   def readPointPruned(spark: SparkSession, path: String, index: DataFrame,
                       keyCol: String, value: Any): (DataFrame, Int, Int) = {
     val keyType = read(spark, path).schema(keyCol).dataType
     val h = spark.range(1)
       .select(xxhash64(lit(value).cast(keyType))).head().getLong(0)
-    val rows = index.select(col("file"), col("bloom")).collect()
-    val kept = rows.filter { r =>
-      org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        .mightContainLong(h)
-    }.map(_.getString(0))
+    val rows = bloomVerdicts(index, h).collect()
+    val kept = rows.filter(_.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (kept.isEmpty) read(spark, path).filter(lit(false))
       else spark.read.option("basePath", path).parquet(kept.toSeq: _*)

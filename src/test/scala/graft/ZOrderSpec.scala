@@ -94,6 +94,19 @@ class ZOrderSpec extends SparkSpecBase {
       LakeWriter.readPointPruned(spark, dir, idx, "id", 999999L)
     assert(miss.count() === 0L)
     assert(keptMiss <= 1, s"absent key kept $keptMiss files")
+
+    // scale contract: the driver-bound probe result is (file, keep)
+    // verdicts only — the bloom payloads are consumed on executors and
+    // never appear in the collected schema
+    val h = spark.range(1).select(xxhash64(lit(4242L))).head().getLong(0)
+    val verdicts = LakeWriter.bloomVerdicts(idx, h)
+    assert(verdicts.schema.fields.map(_.dataType).forall {
+      case org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }, s"driver-bound bloom verdicts carry a binary payload: ${verdicts.schema}")
+    assert(verdicts.schema.fieldNames.toSeq === Seq("file", "keep"))
+    val keptViaVerdicts = verdicts.collect().count(_.getBoolean(1))
+    assert(keptViaVerdicts === kept, "verdict path diverged from readPointPruned")
   }
 
   test("clustering depth quantifies the layouts: z-order beats single-sort on the off key") {
