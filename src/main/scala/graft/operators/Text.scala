@@ -697,9 +697,37 @@ object Text {
     require(minLen >= 2 && minCount >= 2,
       "suffixSpans needs minLen >= 2, minCount >= 2")
     val toks = tokens(col(textCol))
+    // Packability probe — ONE cheap scan, no tokenization: n space-split
+    // tokens ≤ octet_length+1, so max(octet_length) bounds every pos.
+    // When ids are non-negative and small enough that (id << posBits)|pos
+    // cannot overflow, the whole class-representative (id, pos) packs
+    // into ONE long; otherwise (snowflake-scale or negative ids) the
+    // two-scalar fallback below keeps the operator total.
+    val integralId = {
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val b =
+      if (integralId)
+        df.agg(min(col(idCol).cast("long")).as("lo"),
+          max(col(idCol).cast("long")).as("hi"),
+          max(octet_length(col(textCol))).as("mb")).head()
+      else null
+    val posBits =
+      if (b == null || b.isNullAt(2)) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(b.getInt(2).toLong + 1L)
+    val packable = b != null && !b.isNullAt(0) && !b.isNullAt(2) &&
+      b.getLong(0) >= 0L && b.getLong(1) <= (Long.MaxValue >> posBits)
+    // gid is DERIVED (id << posBits | pos), never carried: the rows that
+    // shuffle every round stay (id, len, pos, rank*)
+    val gid = col("id") * lit(if (packable) 1L << posBits else 1L) + col("pos")
     val base = df.select(col(idCol).as("id"), size(toks).as("len"),
         posexplode(toks))
       .select(col("id"), col("len"), col("pos"), col("col").as("ra"))
+    val carry = Seq("id", "len", "pos")
     // pair rank(i) with rank(i+off) per doc. Positions are DENSE
     // (posexplode emits every 0..len-1, and every round preserves every
     // row), so the successor is simply the row `off` places later in the
@@ -713,24 +741,28 @@ object Text {
     // filter drops them before counting.
     //
     // Rank representation: FLAT columns, never a nested struct between
-    // rounds. Round 1 ranks are the token strings (one column `ra`);
-    // every rep-assignment after it carries the class representative's
-    // (id, pos) as two scalar columns (ra: long, rb: int). An UnsafeRow
-    // stores a nested struct(long,int) as an 8-byte slot plus a 24-byte
-    // child row — ~3x two top-level scalars — and every round shuffles
-    // the rank three times (window, class groupBy, join probe), so flat
-    // ranks cut round shuffle volume by roughly a third. The per-round
-    // pair key is a ONE-LEVEL struct of the 2·|rankCols| scalars.
+    // rounds — an UnsafeRow stores a nested struct(long,int) as an
+    // 8-byte slot plus a 24-byte child row, and every round shuffles the
+    // rank three times (window, class groupBy, join probe). Round 1
+    // ranks are the token strings (one column `ra`). After each
+    // rep-assignment the rank is DENSIFIED to the representative's
+    // packed global position `gid = (id << posBits) | pos` — ONE long —
+    // whenever the packability probe allowed it: gid is injective and
+    // monotone in (id, pos), so min(gid) IS min(struct(id, pos)), no
+    // hashing, still certificate-exact. The fallback carries (ra: long,
+    // rb: int) — the representative's raw (id, pos) — when ids are
+    // negative or too large to pack. Packed pair keys are 2 scalars vs
+    // the fallback's 4: the window, groupBy and join each move half the
+    // key bytes.
     def paired(r: DataFrame, rankCols: Seq[String], off: Int): DataFrame = {
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("pos")
       val leads = rankCols.zipWithIndex.map { case (c, i) =>
         lead(col(c), off).over(wd).as(s"_l$i") }
-      r.select(Seq(col("id"), col("len"), col("pos")) ++
-          rankCols.map(col) ++ leads: _*)
+      r.select(carry.map(col) ++ rankCols.map(col) ++ leads: _*)
         .withColumn("pair", struct(rankCols.map(col) ++
           rankCols.indices.map(i => col(s"_l$i")): _*))
-        .select(col("id"), col("len"), col("pos"), col("pair"))
+        .select(carry.map(col) :+ col("pair"): _*)
     }
     var r = base
     var rankCols = Seq("ra")
@@ -739,14 +771,23 @@ object Text {
       val p = paired(r, rankCols, w)
       // distinct pair classes → injective representative: each (id,pos)
       // sits in exactly one class, so the class minimum never collides
-      val reps = p.groupBy("pair")
-        .agg(min(struct(col("id"), col("pos"))).as("rank"))
-      r = graft.CacheScope.lineageCut(
-        p.join(reps, Seq("pair"))
-          .select(col("id"), col("len"), col("pos"),
-            col("rank.id").as("ra"), col("rank.pos").as("rb")),
-        checkpointDir)
-      rankCols = Seq("ra", "rb")
+      if (packable) {
+        val reps = p.groupBy("pair").agg(min(gid).as("rank"))
+        r = graft.CacheScope.lineageCut(
+          p.join(reps, Seq("pair"))
+            .select(carry.map(col) :+ col("rank").as("ra"): _*),
+          checkpointDir)
+        rankCols = Seq("ra")
+      } else {
+        val reps = p.groupBy("pair")
+          .agg(min(struct(col("id"), col("pos"))).as("rank"))
+        r = graft.CacheScope.lineageCut(
+          p.join(reps, Seq("pair"))
+            .select(col("id"), col("len"), col("pos"),
+              col("rank.id").as("ra"), col("rank.pos").as("rb")),
+          checkpointDir)
+        rankCols = Seq("ra", "rb")
+      }
       w *= 2
     }
     // width-minLen equality key: the two overlapping width-w windows

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Text
+import org.apache.spark.sql.functions._
+
+/** Round-10 hardening: packed vs fallback suffix-rank parity, plus the
+ * distributed bloom-probe scale contract lives in ZOrderSpec. */
+class Round10Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("suffixSpans packed-gid ranks equal the two-scalar fallback") {
+    // long ids take the packed (id << posBits | pos) densified-rank
+    // path; stringifying the SAME ids forces the (ra, rb) fallback —
+    // the span output must be identical row for row
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val packed = Text.suffixSpans(docs, "doc_id", "text",
+        minLen = 8, minCount = 2)
+      .select("id", "span_start", "span_end", "n_seeds")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fallback = Text.suffixSpans(
+        docs.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+        "doc_id", "text", minLen = 8, minCount = 2)
+      .select("id", "span_start", "span_end", "n_seeds")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (id, s, e, n) => (id.toLong, s, e, n) }.toSet
+    assert(packed.nonEmpty, "fixture has no duplicated spans — gate is vacuous")
+    assert(packed === fallback,
+      s"packed-only: ${(packed -- fallback).take(4)}; " +
+        s"fallback-only: ${(fallback -- packed).take(4)}")
+  }
+
+  test("suffixSpans packability probe rejects ids that would overflow the pack") {
+    // ids near Long.MaxValue cannot shift left by posBits — the probe
+    // must fall back (not overflow into colliding/negative gids)
+    val big = Long.MaxValue - 1
+    val docs = Seq(
+      (big, "p q r s t u v w"),
+      (big - 1, "p q r s t u v w"),
+      (1L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = Text.suffixSpans(docs, "doc_id", "text", minLen = 8, minCount = 2)
+      .select("id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((big, 0L, 7L), (big - 1, 0L, 7L)), s"got $got")
+  }
+}

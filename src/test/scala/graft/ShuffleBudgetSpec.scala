@@ -28,12 +28,14 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_encounters" -> (256L << 10),  // 19 kB: band/bucket self-join
     "q_monthly" -> (256L << 10),     // 18 kB: active-scoped rebuild
     // round 8: the three heaviest previously-unlocked shufflers
-    "q_suffix_spans" -> (14L << 20), // 4.00 MB: prefix-doubling rounds (the
+    "q_suffix_spans" -> (10L << 20), // 2.81 MB: prefix-doubling rounds (the
                                      // single heaviest shuffler — O(N·log
                                      // minLen) re-shuffles of (id,pos,rank);
                                      // 7.74 MB as an (id,pos) self-join,
                                      // 4.42 with the lead()-window successor,
-                                     // 4.00 with flat two-scalar ranks)
+                                     // 4.00 with flat two-scalar ranks,
+                                     // 2.81 with ranks densified to ONE
+                                     // packed (id<<bits|pos) long)
     "q_dsir" -> (32L << 10),         // 5.3 kB: hashed-feature model agg
     "q_ann_pq" -> (4L << 20),        // 0.80 MB: codebook training passes
     // round 9: the heaviest entries still unlocked. _shared_stage_build
