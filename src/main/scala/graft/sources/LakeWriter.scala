@@ -463,14 +463,18 @@ object LakeWriter {
   }
 
   /** Quantile-bucket a numeric column against precomputed interior cut
-   * points: bucket = number of cuts ≤ x (nulls → bucket 0). An
-   * aggregate-HOF over the literal cut array — O(2^bits) integer adds
-   * per row, paid once at write time. */
+   * points: bucket = number of cuts ≤ x (nulls → bucket 0). A
+   * binary-search codegen kernel ([[graft.expressions.QuantileBucket]])
+   * — O(bits) compares per row at write time, where the aggregate-HOF
+   * it replaced paid O(2^bits) interpreted lambda hops per row per
+   * dimension. */
   private def quantileBucket(c: org.apache.spark.sql.Column,
-                             cuts: Array[Double]): org.apache.spark.sql.Column =
-    when(c.isNull, lit(0L)).otherwise(
-      aggregate(typedLit(cuts.toSeq), lit(0L),
-        (acc, cut) => acc + when(c.cast("double") >= cut, 1L).otherwise(0L)))
+                             cuts: Array[Double]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    when(c.isNull, lit(0L)).otherwise(GraftBridge.column(
+      graft.expressions.QuantileBucket(
+        GraftBridge.expression(c.cast("double")), cuts)))
+  }
 
   /**
    * TRUE multi-column clustering: rows sorted along a Z-order curve over

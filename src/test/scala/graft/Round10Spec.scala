@@ -30,6 +30,27 @@ class Round10Spec extends SparkSpecBase {
         s"fallback-only: ${(fallback -- packed).take(4)}")
   }
 
+  test("QuantileBucket kernel matches the aggregate-HOF formulation (NaN, dup cuts)") {
+    import org.apache.spark.sql.GraftBridge
+    val cuts = Array(-3.0, -3.0, 0.0, 1.5, 1.5, 1.5, 7.25, 100.0)
+    val xs = Seq[java.lang.Double](-10.0, -3.0, -2.9, 0.0, 1.5, 1.49, 7.25,
+      99.9, 100.0, 1e9, Double.NaN, null)
+    val df = xs.toDF("x")
+    // null→0 guard is the caller's contract (LakeWriter.quantileBucket)
+    val kernel = when(col("x").isNull, lit(0L))
+      .otherwise(GraftBridge.column(graft.expressions.QuantileBucket(
+        GraftBridge.expression(col("x").cast("double")), cuts)))
+    val hof = aggregate(typedLit(cuts.toSeq), lit(0L),
+      (acc, cut) => acc + when(col("x").cast("double") >= cut, 1L).otherwise(0L))
+    val rows = df.select(col("x"), kernel.as("k"), hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null parity broke at ${r.get(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2),
+          s"x=${r.get(0)}: kernel ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+  }
+
   test("suffixSpans packability probe rejects ids that would overflow the pack") {
     // ids near Long.MaxValue cannot shift left by posBits — the probe
     // must fall back (not overflow into colliding/negative gids)
