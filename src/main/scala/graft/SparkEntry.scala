@@ -2495,7 +2495,7 @@ object SparkEntry {
         |  SELECT lang, length(text) AS l,
         |         row_number() OVER (PARTITION BY lang
         |           ORDER BY length(text) ASC, doc_id ASC) AS rn
-        |  FROM documents
+        |  FROM documents WHERE length(text) IS NOT NULL
         |)
         |SELECT lang, CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_id,
         |       COUNT(*) AS n_docs, MAX(l) AS max_len,

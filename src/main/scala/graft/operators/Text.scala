@@ -317,7 +317,13 @@ object Text {
                     lenCol: String, batchSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(shardCol).orderBy(col(lenCol).asc, col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
+    // NULL lengths are excluded EXPLICITLY: Spark sorts NULLS FIRST
+    // ascending while DuckDB sorts them last, so a NULL-length doc (null
+    // text) would silently shift every batch boundary differently per
+    // engine — and a doc with no measurable length has no place in a
+    // pad-to-longest batch anyway
+    df.filter(col(lenCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
       .withColumn("batch_id", ((col("_rn") - 1) / batchSize).cast("long"))
       .groupBy(col(shardCol), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"),

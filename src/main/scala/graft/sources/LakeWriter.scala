@@ -197,13 +197,20 @@ object LakeWriter {
   /**
    * Snapshot retention: delete committed versions beyond the newest
    * `keepLast` plus uncommitted leftovers older than the newest commit
-   * (crashed attempts — a forward-moving writer's in-flight dir is
-   * always the newest and is never touched). Works on any `v=`-versioned
-   * root ([[publishSnapshot]] and [[writePartitionedVersioned]] share
-   * the layout). Returns the deleted version names.
+   * (crashed attempts). An uncommitted dir must ALSO be stale by
+   * modification time (`uncommittedGraceMs`) before it is reaped:
+   * version ordering alone assumes a forward-moving writer, but a
+   * concurrent [[publishSnapshot]] backfilling an OLDER version (a
+   * dated rerun) has an in-flight dir that is lexicographically behind
+   * the newest commit while actively being written — the mtime gate
+   * protects it until the attempt is clearly abandoned. Works on any
+   * `v=`-versioned root ([[publishSnapshot]] and
+   * [[writePartitionedVersioned]] share the layout). Returns the
+   * deleted version names.
    */
   def vacuumSnapshots(spark: SparkSession, root: String,
-                      keepLast: Int): Seq[String] = {
+                      keepLast: Int,
+                      uncommittedGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -211,13 +218,25 @@ object LakeWriter {
     val committed = committedSnapshotVersions(spark, root)
     val keep = committed.takeRight(keepLast).toSet
     val newestCommitted = committed.lastOption.getOrElse("")
+    val cutoff = System.currentTimeMillis() - uncommittedGraceMs
+    // a dir's own mtime changes only when direct children are added, so
+    // probe the newest mtime under the attempt (depth 2 covers the
+    // table/partition level where files land during a write)
+    def newestMtime(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+      val self = f.getFileStatus(p).getModificationTime
+      if (depth <= 0) self
+      else (self +: f.listStatus(p).toSeq.map { s =>
+        if (s.isDirectory) newestMtime(s.getPath, depth - 1)
+        else s.getModificationTime
+      }).max
+    }
     val deleted = f.listStatus(rootPath).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("v=")).toSeq
       .flatMap { p =>
         val v = p.getName.stripPrefix("v=")
         val dead =
           if (committed.contains(v)) !keep(v)
-          else v < newestCommitted // crash leftover, safely reapable
+          else v < newestCommitted && newestMtime(p, 2) < cutoff
         if (dead) { f.delete(p, true); Some(v) } else None
       }
     deleted.sorted
@@ -632,9 +651,25 @@ object LakeWriter {
     val worst = profile.map(_.getAs[Double]("avg_depth")).max
     if (worst <= maxAvgDepth) false
     else {
-      val staged = read(spark, path).localCheckpoint(true)
-      writeZOrdered(staged, path, zCols, nFiles, bits)
-      staged.unpersist(false)
+      // staged-sibling write + rename swap, NOT a checkpoint-then-
+      // self-overwrite: localCheckpoint blocks are executor-local, so on
+      // a real cluster an executor loss mid-rewrite would force
+      // recomputation from an already-overwritten source. Here the
+      // source files stay untouched until the re-clustered copy is
+      // fully on disk; a crash at any point leaves a recoverable state
+      // (source intact, or source under the .__old sibling).
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      val staged = new org.apache.hadoop.fs.Path(root.toString + ".__optimize")
+      val old = new org.apache.hadoop.fs.Path(root.toString + ".__old")
+      fs.delete(staged, true)
+      writeZOrdered(read(spark, path), staged.toString, zCols, nFiles, bits)
+      fs.delete(old, true)
+      require(fs.rename(root, old), s"swap failed: $root -> $old")
+      require(fs.rename(staged, root), s"swap failed: $staged -> $root")
+      fs.delete(old, true)
+      graft.SharedStage.invalidate(path)
       true
     }
   }
@@ -664,10 +699,42 @@ object LakeWriter {
       .filter(col("worst") > maxAvgDepth)
       .select("pdir").collect().map(_.getString(0)).toSeq.sorted
     if (bad.nonEmpty) {
-      val staged = spark.read.option("basePath", path)
-        .parquet(bad: _*).localCheckpoint(true)
-      writeZOrdered(staged, path, zCols, nFiles, bits, partitionCols)
-      staged.unpersist(false)
+      // staged-sibling write + per-dir rename swap (the
+      // [[maintainClustering]] crash-safety rule): source partition dirs
+      // stay untouched until their re-clustered copies are fully
+      // written, then each dir swaps with two atomic renames. A crash
+      // mid-loop leaves every dir individually consistent — old files
+      // or new files, never a half-overwritten mix — where the previous
+      // localCheckpoint-then-dynamic-overwrite could lose a dir to an
+      // executor loss mid-rewrite.
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      def rel(abs: String): String = {
+        val qa = fs.makeQualified(new org.apache.hadoop.fs.Path(abs)).toString
+        require(qa.startsWith(root.toString + "/"), s"$qa outside $root")
+        qa.stripPrefix(root.toString + "/")
+      }
+      val staged = new org.apache.hadoop.fs.Path(root.toString + ".__optimize")
+      fs.delete(staged, true)
+      writeZOrdered(spark.read.option("basePath", path).parquet(bad: _*),
+        staged.toString, zCols, nFiles, bits, partitionCols)
+      bad.foreach { abs =>
+        val d = rel(abs)
+        val src = new org.apache.hadoop.fs.Path(staged, d)
+        require(fs.exists(src), s"staged rewrite missing for $d")
+        val dst = new org.apache.hadoop.fs.Path(root, d)
+        // hidden sibling (leading dot) so a crash leftover never parses
+        // as a partition value
+        val old = new org.apache.hadoop.fs.Path(dst.getParent,
+          s".__old_${dst.getName}")
+        fs.delete(old, true)
+        require(fs.rename(dst, old), s"swap failed: $dst -> $old")
+        require(fs.rename(src, dst), s"swap failed: $src -> $dst")
+        fs.delete(old, true)
+      }
+      fs.delete(staged, true)
+      graft.SharedStage.invalidate(path)
     }
     bad
   }

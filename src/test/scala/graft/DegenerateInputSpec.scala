@@ -120,6 +120,13 @@ class DegenerateInputSpec extends SparkSpecBase {
       .withColumn("l", length(col("text"))).withColumn("shard", lit("s"))
     val b = Text.lengthBatches(five, "shard", "doc_id", "l", 4).collect()
     assert(b.map(_.getAs[Long]("n_docs")).sorted.toSeq === Seq(1L, 4L))
+    // NULL length (null text) is excluded, not sorted engine-dependently
+    // (Spark NULLS FIRST asc vs DuckDB NULLS LAST would shift batches)
+    val withNull = five.union(Seq((6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").withColumn("l", length(col("text")))
+      .withColumn("shard", lit("s")))
+    val bn = Text.lengthBatches(withNull, "shard", "doc_id", "l", 4).collect()
+    assert(bn.map(_.getAs[Long]("n_docs")).sorted.toSeq === Seq(1L, 4L))
   }
 
   test("round-6 operators on empty input return empty, not a crash") {

@@ -154,10 +154,16 @@ class Round9bSpec extends SparkSpecBase {
     for (d <- 1 to 3)
       LakeWriter.publishSnapshot(Map(
         "t" -> Seq((d.toLong, d * 1.0)).toDF("k", "v")), root, s"2024-01-0$d")
-    // torn attempt older than the newest commit
+    // torn attempt older than the newest commit. A FRESH uncommitted dir
+    // must survive the default grace window — it could be a concurrent
+    // backfill of an older version mid-write, not a crash leftover
     Seq((9L, 9.0)).toDF("k", "v").write.parquet(s"$root/v=2024-01-02x/t")
-    val deleted = LakeWriter.vacuumSnapshots(spark, root, keepLast = 2)
-    assert(deleted === Seq("2024-01-01", "2024-01-02x"), s"deleted: $deleted")
+    val cautious = LakeWriter.vacuumSnapshots(spark, root, keepLast = 2)
+    assert(cautious === Seq("2024-01-01"), s"fresh in-flight dir reaped: $cautious")
+    // once stale past the grace window it is reapable
+    val deleted = LakeWriter.vacuumSnapshots(spark, root, keepLast = 2,
+      uncommittedGraceMs = -1000L) // cutoff in the future: "already stale"
+    assert(deleted === Seq("2024-01-02x"), s"deleted: $deleted")
     assert(LakeWriter.committedSnapshotVersions(spark, root) ===
       Seq("2024-01-02", "2024-01-03"))
     assert(LakeWriter.readSnapshotTable(spark, root, "t").head.getLong(0) === 3L)
