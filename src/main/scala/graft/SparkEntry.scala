@@ -533,6 +533,25 @@ object SparkEntry {
           r3(col("p50_exact")).as("p50_exact"), col("p50_ok"),
           r3(col("p95_exact")).as("p95_exact"), col("p95_ok"))),
 
+    // --- PERSISTED sketch store: per-(day, event_type) HLL+KLL+KMV
+    // sketch rows land in a StateStore table (keyed replace), the
+    // monthly rollup reads ONLY the persisted blobs — raw events
+    // scanned once ever — and the gate proves store-served answers
+    // match a direct raw rescan (ok bits; n_exact hash-anchors values)
+    "q_sketch_store" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q-skstore").toString
+      val events = Tables.events(s, dir)
+      operators.SketchStore.land(s, root, "v1",
+        operators.SketchStore.dailySketches(events, "ts", "user_id",
+          "value", dims = Seq("event_type")), dims = Seq("event_type"))
+      operators.SketchStore.rollupGate(s, root, events, "ts", "user_id",
+          "value", dims = Seq("event_type"))
+        .select(col("grain"), col("event_type"), col("n_exact"),
+          col("rows_ok"), col("hll_ok"), col("kmv_ok"),
+          col("p50_ok"), col("p95_ok"))
+    }),
+
     // --- cross-corpus overlap via KMV bottom-k sketches: estimated
     // union / intersection / Jaccard between the two source halves'
     // word-trigram sets, gated against the exact counts; the estimator
@@ -2155,6 +2174,13 @@ object SparkEntry {
         |       TRUE AS p50_ok,
         |       floor(quantile_cont(value, 0.95)*1000 + 0.5)/1000 AS p95_exact,
         |       TRUE AS p95_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sketch_store" ->
+      """SELECT date_trunc('month', ts)::DATE AS grain, event_type,
+        |       COUNT(DISTINCT user_id) AS n_exact,
+        |       TRUE AS rows_ok, TRUE AS hll_ok, TRUE AS kmv_ok,
+        |       TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Full estimator replay, not just TRUE gates: md5 bottom-k sketches

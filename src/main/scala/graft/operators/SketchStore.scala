@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.sources.StateStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTED sketch-rollup algebra — the operational half of
+ * [[Quality.sketchRollup]]/[[Quality.quantileRollup]]/
+ * [[Quality.kmvSketch]]: per-(day, dims) HLL + KLL + KMV sketch rows
+ * land in a [[StateStore]] table (keyed replace — a recomputed day
+ * REPLACES its row), and month/quarter/ad-hoc rollups re-aggregate the
+ * persisted blobs across SESSIONS without ever rescanning raw events.
+ * This is the "raw events read once ever" reporting pattern: a 100 TB
+ * fact table pays one scan per ingest day, and every later rollup is a
+ * merge over a few KB of sketch per day-row. Retention/vacuum and
+ * crash-safe versioning come from the store for free.
+ *
+ * Reference anchor: the reference's daily-rebuild analytics
+ * (athena_analysis_curated.sql) recompute aggregates from curated rows
+ * every run; the sketch store is the Spark-native incremental form.
+ */
+object SketchStore {
+
+  /** 2^60 as a double — [[Quality]]'s 15-hex-char md5-prefix hash space. */
+  private val HashSpace60 = 1152921504606846976.0d
+
+  val SketchCols: Seq[String] = Seq("hll", "kll", "kmv", "n_rows")
+
+  /**
+   * One sketch row per (day, dims...): HLL of `distinctCol` (distinct
+   * counts), KLL of `valueCol` (quantiles), KMV of `distinctCol`
+   * (cross-corpus overlap / mergeable distinct), plus the exact row
+   * count. ONE scan, one partial-agg'd groupBy.
+   */
+  def dailySketches(df: DataFrame, tsCol: String, distinctCol: String,
+                    valueCol: String, dims: Seq[String] = Nil,
+                    lgK: Int = 12, kllK: Int = 200,
+                    kmvK: Int = 512): DataFrame = {
+    import graft.expressions.{KllSketchAgg, KmvSketchAgg}
+    val kll = GraftBridge.column(KllSketchAgg(
+      GraftBridge.expression(col(valueCol).cast("double")), kllK)
+      .toAggregateExpression())
+    val kmv = GraftBridge.column(KmvSketchAgg(
+      GraftBridge.expression(md5(col(distinctCol).cast("string"))), kmvK)
+      .toAggregateExpression())
+    df.withColumn("day", to_date(col(tsCol)))
+      .groupBy((col("day") +: dims.map(col)): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("hll"),
+        kll.as("kll"), kmv.as("kmv"), count(lit(1)).as("n_rows"))
+  }
+
+  /**
+   * Land daily sketch rows into the store as snapshot `version`
+   * (keyed replace on (day, dims) — [[StateStore.merge]] touches only
+   * the buckets the landed days hash to). Re-landing a committed
+   * version is the store's explicit-maintenance action.
+   */
+  def land(spark: SparkSession, root: String, version: String,
+           daily: DataFrame, dims: Seq[String] = Nil,
+           overwriteCommitted: Boolean = false): Unit =
+    StateStore.merge(spark, root, version, daily,
+      keys = "day" +: dims, sumCols = Nil,
+      replaceCols = SketchCols, overwriteCommitted = overwriteCommitted)
+
+  /**
+   * Rollup STRICTLY from persisted sketches: no raw-event input at all.
+   * `grain` is any date_trunc unit (month, quarter, year). Emits the
+   * HLL distinct estimate, KLL quantile estimates, the KMV distinct
+   * estimate, and the exact row count — one row per (grain, dims).
+   */
+  def rollup(spark: SparkSession, root: String,
+             dims: Seq[String] = Nil, grain: String = "month",
+             qs: Seq[Double] = Seq(0.5, 0.95), kllK: Int = 200,
+             kmvK: Int = 512,
+             before: Option[String] = None): DataFrame = {
+    import graft.expressions.{KllMergeAgg, KllQuantile, KmvMergeAgg}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val st = StateStore.read(spark, root, before)
+      .getOrElse(throw new IllegalStateException(s"empty sketch store at $root"))
+    val kllMerge = GraftBridge.column(KllMergeAgg(
+      GraftBridge.expression(col("kll")), kllK).toAggregateExpression())
+    val kmvMerge = GraftBridge.column(KmvMergeAgg(
+      GraftBridge.expression(col("kmv")), kmvK).toAggregateExpression())
+    val g = st.withColumn("grain", date_trunc(grain, col("day")).cast("date"))
+      .groupBy((col("grain") +: dims.map(col)): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+          .as("distinct_est"),
+        kllMerge.as("_kll"), kmvMerge.as("_kmv"),
+        sum(col("n_rows")).as("n_rows"))
+    val quants = qs.map { q =>
+      GraftBridge.column(KllQuantile(GraftBridge.expression(col("_kll")),
+        Literal(q))).as(s"p${math.round(q * 100)}_est")
+    }
+    // KMV estimator (Beyer et al. '07): (k-1)/U_(k) off the kth hash;
+    // a sketch still below k IS the exact distinct set
+    val nSk = size(col("_kmv"))
+    val kth = element_at(col("_kmv"), -1)
+    val frac = conv(substring(kth, 1, 15), 16, 10).cast("long") /
+      lit(HashSpace60)
+    val kmvEst = when(nSk === 0, lit(0L))
+      .when(nSk < kmvK, nSk.cast("long"))
+      .otherwise(floor((nSk - 1).cast("double") / frac + 0.5).cast("long"))
+    g.select((col("grain") +: dims.map(col)) ++ Seq(
+      col("distinct_est"), col("n_rows"), kmvEst.as("kmv_distinct_est")) ++
+      quants: _*)
+  }
+
+  /**
+   * Accuracy gate over the persisted path: [[rollup]] vs DIRECT
+   * computation from raw events — the [[Quality.sketchRollup]] contract
+   * (exact values + in-tolerance bits), proving the landed store serves
+   * the same answers as a raw rescan. Spec harness, not a production
+   * query: the production path reads ONLY the store.
+   */
+  def rollupGate(spark: SparkSession, root: String, raw: DataFrame,
+                 tsCol: String, distinctCol: String, valueCol: String,
+                 dims: Seq[String] = Nil,
+                 qs: Seq[Double] = Seq(0.5, 0.95),
+                 distinctTol: Double = 0.05, rankEps: Double = 0.05): DataFrame = {
+    val rolled = rollup(spark, root, dims, qs = qs)
+    val exactAggs =
+      Seq(countDistinct(col(distinctCol)).as("n_exact"),
+        count(lit(1)).as("n_rows_exact")) ++
+      qs.flatMap { q =>
+        val lo = math.max(q - rankEps, 0.0); val hi = math.min(q + rankEps, 1.0)
+        val p = math.round(q * 100)
+        Seq(expr(s"percentile($valueCol, $lo)").as(s"_p${p}_lo"),
+          expr(s"percentile($valueCol, $hi)").as(s"_p${p}_hi"))
+      }
+    val direct = raw
+      .withColumn("grain", date_trunc("month", col(tsCol)).cast("date"))
+      .groupBy((col("grain") +: dims.map(col)): _*)
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    val cond = ("grain" +: dims)
+      .map(c => col(s"r.$c") <=> col(s"d.$c")).reduce(_ && _)
+    rolled.alias("r").join(direct.alias("d"), cond)
+      .select(("grain" +: dims).map(c => col(s"r.$c")) ++ Seq(
+        col("n_exact"),
+        (col("n_rows") === col("n_rows_exact")).as("rows_ok"),
+        (abs(col("distinct_est") - col("n_exact")) <=
+          greatest(col("n_exact").cast("double") * distinctTol, lit(1.0)))
+          .as("hll_ok"),
+        (abs(col("kmv_distinct_est") - col("n_exact")) <=
+          greatest(col("n_exact").cast("double") * distinctTol, lit(1.0)))
+          .as("kmv_ok")) ++
+        qs.map { q =>
+          val p = math.round(q * 100)
+          (col(s"p${p}_est") >= col(s"_p${p}_lo") &&
+            col(s"p${p}_est") <= col(s"_p${p}_hi")).as(s"p${p}_ok")
+        }: _*)
+  }
+}

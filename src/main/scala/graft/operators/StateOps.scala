@@ -33,7 +33,8 @@ object StateOps {
    */
   def mergeDeltas(state: DataFrame, deltas: DataFrame, keys: Seq[String],
                   sumCols: Seq[String], minCols: Seq[String] = Nil,
-                  maxCols: Seq[String] = Nil): DataFrame = {
+                  maxCols: Seq[String] = Nil,
+                  replaceCols: Seq[String] = Nil): DataFrame = {
     val s = state.alias("s")
     val d = deltas.alias("d")
     val joined = s.join(d, keys, "full_outer")
@@ -47,7 +48,10 @@ object StateOps {
     }
     val mins = minCols.map(c => least(col(s"s.$c"), col(s"d.$c")).as(c))
     val maxs = maxCols.map(c => greatest(col(s"s.$c"), col(s"d.$c")).as(c))
-    joined.select(keyCols ++ mins ++ maxs ++ sums: _*)
+    // delta wins: opaque payloads (sketch blobs, SCD attributes) where a
+    // re-landed key REPLACES its prior row rather than accumulating
+    val reps = replaceCols.map(c => coalesce(col(s"d.$c"), col(s"s.$c")).as(c))
+    joined.select(keyCols ++ mins ++ maxs ++ sums ++ reps: _*)
   }
 
   /**

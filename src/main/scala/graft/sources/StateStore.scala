@@ -189,7 +189,8 @@ object StateStore {
             deltas: DataFrame, keys: Seq[String], sumCols: Seq[String],
             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
             nBuckets: Int = DefaultBuckets,
-            overwriteCommitted: Boolean = false): Unit = {
+            overwriteCommitted: Boolean = false,
+            replaceCols: Seq[String] = Nil): Unit = {
     require(!version.contains("/") && version.nonEmpty, s"bad version: $version")
     val f = fs(spark, root)
     val target = new Path(root, s"v=$version")
@@ -237,12 +238,13 @@ object StateStore {
         .map(_.drop("bucket"))
       val merged = prevTouched match {
         case Some(s) =>
-          StateOps.mergeDeltas(s, pinnedDeltas, keys, sumCols, minCols, maxCols)
+          StateOps.mergeDeltas(s, pinnedDeltas, keys, sumCols, minCols,
+            maxCols, replaceCols)
         case None =>
           // empty prior: the merge of nothing with deltas normalizes the
           // column set/order exactly like the joined path
           StateOps.mergeDeltas(pinnedDeltas.limit(0), pinnedDeltas,
-            keys, sumCols, minCols, maxCols)
+            keys, sumCols, minCols, maxCols, replaceCols)
       }
       merged.withColumn("bucket", bucketOf(keys, buckets))
         .repartition(col("bucket"))

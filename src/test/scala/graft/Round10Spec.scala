@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
 class Round10Spec extends SparkSpecBase {
   import spark.implicits._
 
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-r10-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   test("suffixSpans packed-gid ranks equal the two-scalar fallback") {
     // long ids take the packed (id << posBits | pos) densified-rank
     // path; stringifying the SAME ids forces the (ra, rb) fallback —
@@ -48,6 +54,50 @@ class Round10Spec extends SparkSpecBase {
       if (!r.isNullAt(1))
         assert(r.getLong(1) === r.getLong(2),
           s"x=${r.get(0)}: kernel ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+  }
+
+  test("sketch store: cross-session landed sketches roll up == direct computation") {
+    import graft.operators.SketchStore
+    val root = tmpDir("skstore")
+    val events = graft.Tables.events(spark, sfDir)
+    val days = events.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString).toSeq
+    assert(days.length >= 3, s"fixture too thin: ${days.length} days")
+    // SESSION 1 lands the first half of the days, SESSION 2 (a later
+    // merge version, fresh frames — the restart) lands the rest; each
+    // landing scans ONLY its days' raw rows
+    val (d1, d2) = days.splitAt(days.length / 2)
+    def slice(ds: Seq[String]) =
+      events.filter(to_date(col("ts")).isin(ds: _*))
+    SketchStore.land(spark, root, "v1",
+      SketchStore.dailySketches(slice(d1.toSeq), "ts", "user_id", "value",
+        dims = Seq("event_type")), dims = Seq("event_type"))
+    SketchStore.land(spark, root, "v2",
+      SketchStore.dailySketches(slice(d2.toSeq), "ts", "user_id", "value",
+        dims = Seq("event_type")), dims = Seq("event_type"))
+    // retention vacuum keeps the store readable
+    graft.sources.StateStore.vacuum(spark, root, asOf = "v2")
+    val gates = SketchStore.rollupGate(spark, root, events, "ts",
+      "user_id", "value", dims = Seq("event_type"))
+    val rows = gates.collect()
+    assert(rows.nonEmpty, "gate produced no (month, dim) rows")
+    rows.foreach { r =>
+      Seq("rows_ok", "hll_ok", "kmv_ok", "p50_ok", "p95_ok").foreach { g =>
+        assert(r.getBoolean(r.fieldIndex(g)),
+          s"$g false at ${r.get(0)}/${r.get(1)}: $r")
+      }
+    }
+    // re-landing a day (explicit maintenance) REPLACES, never doubles:
+    // land day-1's sketches again as a maintenance version and re-gate
+    SketchStore.land(spark, root, "v3",
+      SketchStore.dailySketches(slice(Seq(days.head)), "ts", "user_id",
+        "value", dims = Seq("event_type")), dims = Seq("event_type"))
+    val rows2 = SketchStore.rollupGate(spark, root, events, "ts",
+      "user_id", "value", dims = Seq("event_type")).collect()
+    rows2.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("rows_ok")),
+        s"re-landed day doubled counts at ${r.get(0)}/${r.get(1)}")
     }
   }
 
