@@ -30,4 +30,30 @@ object LakeSink {
         LakeWriter.writePartitioned(batch, path, partitionCols, keyCol)
       }
       .start()
+
+  /**
+   * APPEND-mode streaming → lake sink — the Delta-shaped "append now,
+   * optimize later" feed: each micro-batch's rows append as new files
+   * in their partition dirs (no per-batch partition rewrite, so a batch
+   * need NOT carry a partition's complete content — raw point feeds
+   * qualify, where [[start]]'s dynamic-overwrite contract wants
+   * watermark-closed aggregates). The cost is layout decay: every
+   * batch adds small, unclustered files, and the operational loop pairs
+   * this sink with [[graft.sources.LakeWriter.refreshStatsIndex]] +
+   * [[graft.sources.LakeWriter.maintainClusteringPartitioned]] so depth
+   * triggers a partition-scoped rewrite of exactly the appended days
+   * (MaintenanceLoopSpec proves the loop end to end).
+   */
+  def startAppend(df: DataFrame, path: String, checkpointDir: String,
+                  partitionCols: Seq[String] = LakeWriter.DefaultPartitionCols)
+      : StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy(partitionCols: _*)
+          .parquet(path)
+        graft.SharedStage.invalidate(path)
+      }
+      .start()
 }
