@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CmsEstimate, DotProduct, GeohashExpression, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashBands, SimHash64}
+import graft.expressions.{CmsEstimate, DotProduct, GeohashExpression, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvSketchAgg, MinHashBands, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -72,6 +72,20 @@ object GraftFunctions {
       "kll_quantile(sketch, q) expects 2 arguments")
   }
 
+  private def kmvSketchBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(h) => KmvSketchAgg(h, 512)
+    case Seq(h, Literal(k: Int, _)) => KmvSketchAgg(h, k)
+    case _ => throw new IllegalArgumentException(
+      "kmv_sketch_agg(md5hash[, k]) expects a hash column and a literal k")
+  }
+
+  private def kmvMergeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sk) => KmvMergeAgg(sk, 512)
+    case Seq(sk, Literal(k: Int, _)) => KmvMergeAgg(sk, k)
+    case _ => throw new IllegalArgumentException(
+      "kmv_merge_agg(sketch[, k]) expects a sketch column and a literal k")
+  }
+
   private def cmsEstimateBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(sk, key) => CmsEstimate(sk, Cast(key, org.apache.spark.sql.types.LongType))
     case _ => throw new IllegalArgumentException(
@@ -108,7 +122,25 @@ object GraftFunctions {
       kllQuantileBuilder _),
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      cmsEstimateBuilder _))
+      cmsEstimateBuilder _),
+    (FunctionIdentifier("kmv_sketch_agg"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch_agg"),
+      kmvSketchBuilder _),
+    (FunctionIdentifier("kmv_merge_agg"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_agg"),
+      kmvMergeBuilder _))
+
+  // The RETRIEVAL stack (bm25*, rrfFuse, maxSim) is deliberately NOT in
+  // this registry: those are multi-row RANKING shapes — tokenize →
+  // grouped tf/df stats → per-(query, doc) aggregate → rank window —
+  // i.e. whole SQL queries, not scalar/aggregate functions a registry
+  // can hold (a scalar "bm25(q, d)" would need the corpus-global df and
+  // avgdl inside the function, which is the index, not an argument).
+  // They are still fully reachable from plain SQL: every building block
+  // (split/explode/log/window + dot_product for the dense side) is a
+  // SQL function, and CatalogSpec's retrieval-parity test issues the
+  // whole BM25 + cosine + RRF hybrid as ONE spark.sql query against the
+  // registered catalog tables, asserted equal to the operator pipeline.
 
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -124,4 +124,111 @@ class CatalogSpec extends SparkSpecBase {
     assert(n2 > n1, s"expected sf0.01 row count > sf0.001 ($n2 vs $n1)")
     Tables.register(spark, sfDir) // restore for other suites
   }
+
+  test("the whole hybrid retrieval stack runs as ONE plain-SQL query") {
+    // BM25 + dense cosine + RRF are ranking SHAPES, not registrable
+    // scalar functions (see GraftFunctions' registry note) — the SQL
+    // surface claim is that the FULL stack is expressible as a single
+    // spark.sql statement over the registered catalog tables, with the
+    // registered dot_product kernel carrying the dense side. Asserted
+    // equal to the operator pipeline (q_rrf_hybrid's exact recipe).
+    Tables.register(spark, sfDir)
+    val viaSql = spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id AS id, explode(split(text, ' ')) AS token
+        |  FROM graft.documents
+        |), tf AS (
+        |  SELECT id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), tf2 AS (
+        |  SELECT *, SUM(tf) OVER (PARTITION BY id) AS dl FROM tf
+        |), dfreq AS (
+        |  SELECT token, COUNT(DISTINCT id) AS df FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+        |  FROM (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1)
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |         explode(split(text, ' ')) AS token
+        |  FROM graft.documents WHERE doc_id < 5
+        |), scored AS (
+        |  SELECT query_id, id,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        |  FROM tf2 JOIN dfreq USING (token) JOIN qt USING (token)
+        |       CROSS JOIN stats
+        |  WHERE query_id <> id
+        |), sparse AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY bm25 DESC, doc_id ASC) AS rank
+        |  FROM (SELECT query_id, id AS doc_id,
+        |          floor(SUM(w)*1000 + 0.5)/1000 AS bm25
+        |        FROM scored GROUP BY 1, 2)
+        |), cosed AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |         dot_product(q.embedding, c.embedding) /
+        |           (sqrt(dot_product(q.embedding, q.embedding)) *
+        |            sqrt(dot_product(c.embedding, c.embedding))) AS cos
+        |  FROM graft.embeddings c JOIN graft.embeddings q
+        |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), dense AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, doc_id ASC) AS rank
+        |  FROM cosed
+        |), unioned AS (
+        |  SELECT * FROM sparse WHERE rank <= 20
+        |  UNION ALL SELECT * FROM dense WHERE rank <= 20
+        |), fused AS (
+        |  SELECT query_id, doc_id, SUM(1.0d/(60 + rank)) AS rrf,
+        |         COUNT(*) AS n_lists
+        |  FROM unioned GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, floor(rrf*1000 + 0.5)/1000 AS rrf,
+        |       n_lists, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+        |WHERE rank <= 10""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val viaOps = CacheScope.scoped {
+      SparkEntry.queries("q_rrf_hybrid")(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(viaSql === viaOps,
+      s"sql-only: ${(viaSql -- viaOps).take(3)}; ops-only: ${(viaOps -- viaSql).take(3)}")
+    assert(viaSql.nonEmpty)
+  }
+
+  test("the sketch-store rollup algebra is reachable from plain SQL (kmv + kll + hll)") {
+    Tables.register(spark, sfDir)
+    // per-day sketch rows built in SQL, then merged to months in SQL —
+    // the registered kmv/kll kernels next to Spark's own hll pair
+    val rolled = spark.sql(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         hll_sketch_agg(user_id, 12) AS hll,
+        |         kll_sketch_agg(value, 200) AS kll,
+        |         kmv_sketch_agg(md5(CAST(user_id AS STRING)), 512) AS kmv
+        |  FROM graft.events_ts GROUP BY 1
+        |)
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |       hll_sketch_estimate(hll_union_agg(hll, false)) AS hll_est,
+        |       kll_quantile(kll_merge_agg(kll, 200), 0.5d) AS p50_est,
+        |       size(kmv_merge_agg(kmv, 512)) AS kmv_size
+        |FROM daily GROUP BY 1""".stripMargin).collect()
+    assert(rolled.nonEmpty)
+    val exact = spark.sql(
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |       COUNT(DISTINCT user_id) AS n,
+        |       percentile(value, 0.45) AS lo, percentile(value, 0.55) AS hi
+        |FROM graft.events_ts GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    rolled.foreach { r =>
+      val (n, lo, hi) = exact(r.getDate(0).toString)
+      assert(math.abs(r.getLong(1) - n) <= math.max(n * 0.05, 1.0),
+        s"hll drifted: $r vs exact $n")
+      assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi,
+        s"kll p50 outside rank band [$lo, $hi]: $r")
+      assert(r.getInt(3) > 0 && r.getInt(3) <= 512, s"kmv size: $r")
+    }
+  }
 }
