@@ -109,6 +109,38 @@ case class KllMergeAgg(child: Expression, k: Int,
 }
 
 /**
+ * Pairwise union of two serialized KLL sketches — the scalar twin of
+ * [[KllMergeAgg]] for MERGE-joins where each output row combines
+ * exactly two sketch columns (state ⟗ delta in the StateStore's
+ * union-merge path). `CodegenFallback` like [[KllQuantile]]: it runs at
+ * merged-state cardinality (one row per (day, dim)), not per data row.
+ */
+case class KllUnionPair(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll_union_pair needs (binary, binary), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    merged.merge(KllDoublesSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    merged.merge(KllDoublesSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    merged.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllUnionPair =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Quantile estimate from a serialized KLL sketch. `CodegenFallback` on
  * purpose (the [[CmsEstimate]] contract): it runs over rollup rows —
  * one per (month, dim) — and each eval deserializes the sketch, which

@@ -65,6 +65,56 @@ object SketchStore {
       replaceCols = SketchCols, overwriteCommitted = overwriteCommitted)
 
   /**
+   * Land ONE micro-batch's sketch rows with UNION semantics — the
+   * streaming path, where a day's rows arrive split across batches and
+   * a replace-landing would clobber the day's earlier partials: HLL
+   * blobs hll_union, KLL blobs pairwise-merge, KMV arrays take the
+   * bottom-k of the union, row counts add. The batch id becomes the
+   * store version, which makes the landing EXACTLY-ONCE under replay:
+   * foreachBatch re-delivers a batch after a crash with the SAME id,
+   * and [[StateStore.merge]] returns without touching a version that
+   * already committed — the sketch algebra never double-counts.
+   */
+  def landBatch(spark: SparkSession, root: String, batchId: Long,
+                batch: DataFrame, tsCol: String, distinctCol: String,
+                valueCol: String, dims: Seq[String] = Nil,
+                lgK: Int = 12, kllK: Int = 200, kmvK: Int = 512): Unit = {
+    import graft.expressions.KllUnionPair
+    val daily = dailySketches(batch, tsCol, distinctCol, valueCol, dims,
+      lgK, kllK, kmvK)
+    val kllPair = (s: org.apache.spark.sql.Column,
+                   d: org.apache.spark.sql.Column) =>
+      GraftBridge.column(KllUnionPair(GraftBridge.expression(s),
+        GraftBridge.expression(d), kllK))
+    StateStore.merge(spark, root, f"b$batchId%012d", daily,
+      keys = "day" +: dims, sumCols = Seq("n_rows"),
+      unionCols = Seq(
+        "hll" -> ((s, d) => hll_union(s, d)),
+        "kll" -> kllPair,
+        "kmv" -> ((s, d) => slice(array_sort(array_union(s, d)), 1, kmvK))))
+  }
+
+  /**
+   * Streaming sketch sink: every micro-batch lands through
+   * [[landBatch]]. The store IS the checkpointable state — a restarted
+   * query replays uncommitted batches and no-ops committed ones, so
+   * [[rollup]] over the store equals the batch computation over
+   * everything the stream has delivered (MaintenanceLoopSpec's sibling
+   * gate in Round10Spec proves it, replay included).
+   */
+  def sink(df: DataFrame, root: String, checkpointDir: String,
+           tsCol: String, distinctCol: String, valueCol: String,
+           dims: Seq[String] = Nil, lgK: Int = 12, kllK: Int = 200,
+           kmvK: Int = 512): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        landBatch(batch.sparkSession, root, id, batch, tsCol, distinctCol,
+          valueCol, dims, lgK, kllK, kmvK)
+      }
+      .start()
+
+  /**
    * Rollup STRICTLY from persisted sketches: no raw-event input at all.
    * `grain` is any date_trunc unit (month, quarter, year). Emits the
    * HLL distinct estimate, KLL quantile estimates, the KMV distinct

@@ -34,7 +34,10 @@ object StateOps {
   def mergeDeltas(state: DataFrame, deltas: DataFrame, keys: Seq[String],
                   sumCols: Seq[String], minCols: Seq[String] = Nil,
                   maxCols: Seq[String] = Nil,
-                  replaceCols: Seq[String] = Nil): DataFrame = {
+                  replaceCols: Seq[String] = Nil,
+                  unionCols: Seq[(String, (org.apache.spark.sql.Column,
+                    org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column)] = Nil): DataFrame = {
     val s = state.alias("s")
     val d = deltas.alias("d")
     val joined = s.join(d, keys, "full_outer")
@@ -51,7 +54,17 @@ object StateOps {
     // delta wins: opaque payloads (sketch blobs, SCD attributes) where a
     // re-landed key REPLACES its prior row rather than accumulating
     val reps = replaceCols.map(c => coalesce(col(s"d.$c"), col(s"s.$c")).as(c))
-    joined.select(keyCols ++ mins ++ maxs ++ sums ++ reps: _*)
+    // semigroup merge: both sides present → the caller's associative
+    // combiner (hll_union, KLL pairwise merge, KMV bottom-k of the
+    // union); one side absent → the other, verbatim. This is what lets
+    // a day's sketch accumulate across partial landings (streaming
+    // micro-batches) instead of replace-clobbering
+    val unions = unionCols.map { case (c, f) =>
+      when(col(s"s.$c").isNull, col(s"d.$c"))
+        .when(col(s"d.$c").isNull, col(s"s.$c"))
+        .otherwise(f(col(s"s.$c"), col(s"d.$c"))).as(c)
+    }
+    joined.select(keyCols ++ mins ++ maxs ++ sums ++ reps ++ unions: _*)
   }
 
   /**

@@ -190,7 +190,10 @@ object StateStore {
             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
             nBuckets: Int = DefaultBuckets,
             overwriteCommitted: Boolean = false,
-            replaceCols: Seq[String] = Nil): Unit = {
+            replaceCols: Seq[String] = Nil,
+            unionCols: Seq[(String, (org.apache.spark.sql.Column,
+              org.apache.spark.sql.Column) =>
+              org.apache.spark.sql.Column)] = Nil): Unit = {
     require(!version.contains("/") && version.nonEmpty, s"bad version: $version")
     val f = fs(spark, root)
     val target = new Path(root, s"v=$version")
@@ -239,12 +242,12 @@ object StateStore {
       val merged = prevTouched match {
         case Some(s) =>
           StateOps.mergeDeltas(s, pinnedDeltas, keys, sumCols, minCols,
-            maxCols, replaceCols)
+            maxCols, replaceCols, unionCols)
         case None =>
           // empty prior: the merge of nothing with deltas normalizes the
           // column set/order exactly like the joined path
           StateOps.mergeDeltas(pinnedDeltas.limit(0), pinnedDeltas,
-            keys, sumCols, minCols, maxCols, replaceCols)
+            keys, sumCols, minCols, maxCols, replaceCols, unionCols)
       }
       merged.withColumn("bucket", bucketOf(keys, buckets))
         .repartition(col("bucket"))

@@ -101,6 +101,47 @@ class Round10Spec extends SparkSpecBase {
     }
   }
 
+  test("streaming sketch landing: union across batches, exactly-once under replay") {
+    import graft.operators.SketchStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("skstream")
+    def ts(day: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:${sec % 60}%02d")
+    // three batches; day 1 and day 2 rows arrive SPLIT across batches —
+    // replace-landing would clobber, union-landing must accumulate
+    val batches = Seq(
+      (1 to 40).map(i => (ts(1, i), i.toLong % 7, i * 1.0)),
+      (1 to 40).map(i => (ts(1, i + 40), (i + 3).toLong % 11, i * 2.0)) ++
+        (1 to 20).map(i => (ts(2, i), i.toLong % 5, i * 3.0)),
+      (1 to 30).map(i => (ts(2, i + 20), (i + 1).toLong % 9, i * 0.5)))
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = SketchStore.sink(input.toDS().toDF("ts", "user_id", "value"),
+      root, tmpDir("skckpt"), "ts", "user_id", "value")
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val all = batches.flatten.toDF("ts", "user_id", "value")
+    val gates = SketchStore.rollupGate(spark, root, all, "ts",
+      "user_id", "value").collect()
+    assert(gates.nonEmpty)
+    gates.foreach { r =>
+      Seq("rows_ok", "hll_ok", "kmv_ok", "p50_ok", "p95_ok").foreach { g =>
+        assert(r.getBoolean(r.fieldIndex(g)), s"$g false: $r")
+      }
+    }
+    // replay: re-deliver batch 1 with the SAME id (crash-recovery shape)
+    // — the committed version no-ops, nothing double-counts
+    val rowsBefore = SketchStore.rollup(spark, root)
+      .agg(sum("n_rows")).head().getLong(0)
+    SketchStore.landBatch(spark, root, 1L,
+      batches(1).toDF("ts", "user_id", "value"), "ts", "user_id", "value")
+    val rowsAfter = SketchStore.rollup(spark, root)
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(rowsAfter === rowsBefore, "replayed batch double-counted")
+  }
+
   test("suffixSpans packability probe rejects ids that would overflow the pack") {
     // ids near Long.MaxValue cannot shift left by posBits — the probe
     // must fall back (not overflow into colliding/negative gids)
