@@ -482,6 +482,14 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 5),
         "doc_id", "text", k = 10, scoreRoundDecimals = Some(3))),
 
+    // --- trigram substring search: index build + posting-intersection
+    // candidates + contains verify; exact vs the full-scan oracle ---
+    "q_trgm_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Text.trigramSearch(docs, Text.trigramIndex(docs, "doc_id", "text"),
+        "doc_id", "text", "merge batch")
+    }),
+
     // --- hybrid retrieval: reciprocal-rank fusion of the sparse (BM25
     // over text) and dense (exact cosine over embeddings) rankings for
     // the same query ids — documents and embeddings share the 0..N id
@@ -2109,6 +2117,10 @@ object SparkEntry {
          |) WHERE rank <= 5""".stripMargin,
 
     "q_bm25" -> bm25Sql(k = 10, cols = "query_id, doc_id, bm25, n_terms, rank"),
+
+    "q_trgm_search" ->
+      """SELECT doc_id, CAST(strpos(text, 'merge batch') AS BIGINT) AS first_pos
+        |FROM documents WHERE contains(text, 'merge batch')""".stripMargin,
 
     "q_rrf_hybrid" ->
       s"""WITH sparse AS (${bm25Sql(k = 20, cols = "query_id, doc_id, rank")}),

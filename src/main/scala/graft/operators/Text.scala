@@ -1094,4 +1094,55 @@ object Text {
       .select(col("query_id"), col("id").as("doc_id"), col("bm25"),
         col("n_terms"), col("rank"))
   }
+
+  /** Distinct character 3-grams of a string column (empty array below
+   * 3 chars). Pure higher-order-function composition — codegen'd, no
+   * UDF: positions 1..len−2 each slice a 3-char substring. */
+  def charTrigrams(c: Column): Column =
+    when(length(c) >= 3,
+      array_distinct(transform(sequence(lit(1), length(c) - 2),
+        i => c.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Character-trigram posting index — the substring-search index shape
+   * (Google Code Search, Cox 2012; PostgreSQL pg_trgm). A literal
+   * `LIKE '%pat%'` over 100 TB of text is a full-corpus scan PER QUERY;
+   * the trigram index is built once (one pass, `(trigram, doc)` pairs,
+   * distinct within each doc) and every search touches only the
+   * pattern's own trigram buckets. Write it bucketed by `tri` and the
+   * probe's `isin` filter prunes to those buckets at the scan.
+   */
+  def trigramIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(charTrigrams(col(textCol))).as("tri"))
+
+  /**
+   * EXACT literal substring search via the [[trigramIndex]]:
+   * candidates = docs whose posting rows cover EVERY trigram of the
+   * pattern (an index-side `isin` filter — |pat|−2 buckets, nothing
+   * else — then a per-doc coverage count), verified with `contains` on
+   * the candidate docs alone. Exact by construction: a doc containing
+   * the pattern contains all of its trigrams, so the intersection is a
+   * superset of the truth and the verify pass removes false positives
+   * (all trigrams present but never adjacent). At scale the candidate
+   * set is tiny → broadcast semi-join prunes the corpus re-read to the
+   * candidates (id-bucketed corpus ⇒ bucket-pruned, not a full pass).
+   *
+   * Returns `(doc_id, first_pos)` — 1-based offset of the first match.
+   */
+  def trigramSearch(docs: DataFrame, index: DataFrame,
+                    idCol: String, textCol: String, pattern: String): DataFrame = {
+    require(pattern.length >= 3,
+      s"trigram search needs a pattern of >= 3 chars, got '$pattern'")
+    val pats = pattern.sliding(3).toSeq.distinct
+    val cand = index.filter(col("tri").isin(pats: _*))
+      .groupBy("id").agg(countDistinct(col("tri")).as("n_tri"))
+      .filter(col("n_tri") === pats.size)
+      .select(col("id"))
+    docs.join(broadcast(cand), docs(idCol) === cand("id"), "left_semi")
+      .filter(col(textCol).contains(pattern))
+      .select(col(idCol).as("doc_id"),
+        instr(col(textCol), pattern).cast("long").as("first_pos"))
+  }
 }

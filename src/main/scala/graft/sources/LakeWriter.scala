@@ -277,7 +277,30 @@ object LakeWriter {
    * strictly older (time travel + the dated-rerun read point).
    */
   def readVersioned(spark: SparkSession, path: String,
-                    before: Option[String] = None): DataFrame = {
+                    before: Option[String] = None): DataFrame =
+    versionedScans(spark, path, before).reduce(_ unionByName _)
+
+  /**
+   * [[readVersioned]] with physical row lineage: each row carries the
+   * file it came from and its position inside that file
+   * (`_metadata.file_path` / `_metadata.row_index`), as
+   * [[DeleteVectors.FileCol]] / [[DeleteVectors.PosCol]]. The metadata
+   * struct must be projected per SCAN branch — it does not propagate
+   * through the version union — which is why this lives here and not at
+   * the call site.
+   */
+  def readVersionedLineage(spark: SparkSession, path: String,
+                           before: Option[String] = None): DataFrame =
+    versionedScans(spark, path, before)
+      .map(_.select(col("*"),
+        col("_metadata.file_path").as(DeleteVectors.FileCol),
+        col("_metadata.row_index").as(DeleteVectors.PosCol)))
+      .reduce(_ unionByName _)
+
+  /** One scan per contributing version of a [[writePartitionedVersioned]]
+   * lake (leaf dirs resolved to their newest committed version). */
+  private def versionedScans(spark: SparkSession, path: String,
+                             before: Option[String]): Seq[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = committedSnapshotVersions(spark, path)
@@ -312,7 +335,7 @@ object LakeWriter {
       val base = s"$path/v=$v"
       spark.read.option("basePath", base)
         .parquet(rels.map { case (rel, _) => s"$base$rel" }: _*)
-    }.reduce(_ unionByName _)
+    }
   }
 
   /**
