@@ -490,6 +490,11 @@ object SparkEntry {
         "doc_id", "text", "merge batch")
     }),
 
+    // --- content-defined chunking: O(len) rolling-hash kernel; the
+    // oracle replays the per-window polynomial fold declaratively ---
+    "q_cdc_chunks" -> ((s, dir) =>
+      Text.cdcChunks(Tables.documents(s, dir), "doc_id", "text")),
+
     // --- hybrid retrieval: reciprocal-rank fusion of the sparse (BM25
     // over text) and dense (exact cosine over embeddings) rankings for
     // the same query ids — documents and embeddings share the 0..N id
@@ -2121,6 +2126,39 @@ object SparkEntry {
     "q_trgm_search" ->
       """SELECT doc_id, CAST(strpos(text, 'merge batch') AS BIGINT) AS first_pos
         |FROM documents WHERE contains(text, 'merge batch')""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL
+        |),
+        |b AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(range(16, n + 1),
+        |      i -> list_reduce(
+        |             list_transform(range(i - 15, i + 1),
+        |                            j -> unicode(substr(text, j, 1))),
+        |             (acc, c) -> (acc * 31 + c) % 1000003) % 64 = 0) AS bnd
+        |  FROM t
+        |),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    list_prepend(1, list_transform(bnd, x -> x + 1)) AS starts,
+        |    list_append(bnd, n) AS ends
+        |  FROM b
+        |),
+        |u AS (
+        |  SELECT doc_id, text,
+        |    generate_subscripts(starts, 1) - 1 AS chunk_idx,
+        |    unnest(starts) AS s, unnest(ends) AS e
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(s AS BIGINT) AS chunk_start,
+        |       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+        |       md5(substr(text, CAST(s AS BIGINT), CAST(e - s + 1 AS BIGINT)))
+        |         AS chunk_md5
+        |FROM u WHERE s <= e""".stripMargin,
 
     "q_rrf_hybrid" ->
       s"""WITH sparse AS (${bm25Sql(k = 20, cols = "query_id, doc_id, rank")}),

@@ -34,4 +34,11 @@ object Hashing {
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a.cast("array<double>")),
       GraftBridge.expression(b.cast("array<double>"))))
+
+  /** Content-defined chunk boundary positions (1-based codepoints) of a
+   * text column — see [[graft.expressions.CdcBoundaries]]. */
+  def cdcBoundaries(text: Column, w: Int, base: Long, prime: Long,
+                    mod: Int): Column =
+    GraftBridge.column(graft.expressions.CdcBoundaries(
+      GraftBridge.expression(text), w, base, prime, mod))
 }

@@ -1145,4 +1145,37 @@ object Text {
       .select(col(idCol).as("doc_id"),
         instr(col(textCol), pattern).cast("long").as("first_pos"))
   }
+
+  /**
+   * Content-defined chunking (LBFS/Rabin rolling-hash split): each
+   * document splits at positions where the rolling hash of the trailing
+   * `w`-codepoint window ≡ 0 mod `mod` — boundaries move WITH the
+   * content, so a one-byte insertion near the front leaves all but one
+   * chunk identical and chunk-md5 dedup catches shifted boilerplate
+   * that whole-doc or fixed-block hashing misses (the training-corpus
+   * cousin of every dedup'ing store's chunker).
+   *
+   * Map-only: the [[graft.expressions.CdcBoundaries]] kernel emits the
+   * boundary list in one O(len) compiled pass, chunk rows are born in
+   * the scan's partition (posexplode, no shuffle), and the md5 runs
+   * over the codepoint-addressed substring. Output:
+   * `(doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5)`.
+   */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 16, mod: Int = 64,
+                base: Long = 31L, prime: Long = 1000003L): DataFrame = {
+    val text = col(textCol)
+    val bnd = graft.functions.Hashing.cdcBoundaries(text, w, base, prime, mod)
+    val starts = concat(array(lit(1)), transform(bnd, b => b + 1))
+    val ends = concat(bnd, array(length(text)))
+    docs.filter(text.isNotNull)
+      .select(col(idCol).as("doc_id"), text.as("_t"),
+        posexplode(arrays_zip(starts.as("s"), ends.as("e"))))
+      .filter(col("col.s") <= col("col.e")) // a boundary AT len ends the doc
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("chunk_start"),
+        (col("col.e") - col("col.s") + 1).cast("long").as("chunk_len"),
+        md5(col("_t").substr(col("col.s"), col("col.e") - col("col.s") + 1)
+          .cast("binary")).as("chunk_md5"))
+  }
 }
