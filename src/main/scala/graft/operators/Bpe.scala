@@ -83,4 +83,77 @@ object Bpe {
     }
     (learned.toSeq.toDF("step", "left", "right", "pair_count"), syms)
   }
+
+  /**
+   * ENCODE a corpus with an already-learned merge table — the tokenizer
+   * APPLICATION half ([[learn]] is training): every production pipeline
+   * trains merges once on a sample and then encodes 100 TB of text with
+   * the frozen rules, so this path must be map-only and rule-count-
+   * independent in plan size.
+   *
+   * The merge table is a MODEL ARTIFACT (bounded: a real tokenizer
+   * learns ~32k rules ≈ a few MB), so it collects once to the driver and
+   * broadcasts — the same scalar/model treatment as PQ codebooks and
+   * k-means centroids, not a data-path collect. Application is
+   * `mapPartitions` BY NECESSITY, argued like the image codec: N rules
+   * as chained Catalyst HOF folds would build an O(N)-deep plan (the
+   * 3^N lineage problem [[learn]] cuts per round), while here one
+   * imperative pass per document applies all rules.
+   *
+   * Per doc the encoder applies rules IN LEARNED ORDER, each
+   * left-to-right non-overlapping — definitionally [[learn]]'s own
+   * application, so encoding the training corpus reproduces `learn`'s
+   * tokenized output EXACTLY (the BpeSpec parity gate). This sequential
+   * order is also equivalent to the lowest-rank-first priority rule HF
+   * tokenizers use: a merge can only create adjacencies involving its
+   * NEW symbol, and a rule whose side equals that symbol string was
+   * necessarily learned later, so applying rule k never creates an
+   * occurrence of rule j < k. A per-doc symbol-presence set skips the
+   * (vast majority of) rules whose parts aren't in the doc in O(1)
+   * without scanning the symbol array.
+   *
+   * Null text encodes like [[learn]] treats it: dropped.
+   */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = merges.select(col("step").cast("int"),
+        col("left").cast("string"), col("right").cast("string"))
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map { case (_, l, r) => (l, r) } // model artifact: bounded, ordered
+    val bRules = spark.sparkContext.broadcast(rules)
+    val in = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+    in.mapPartitions { it =>
+      val rs = bRules.value
+      it.map { case (id, text) =>
+        // split(text, " ") keeps ALL empty strings (java regex, limit -1)
+        var syms = text.split(" ", -1).toIndexedSeq
+        val present = scala.collection.mutable.HashSet.empty[String]
+        syms.foreach(present += _)
+        rs.foreach { case (l, r) =>
+          if (present.contains(l) && present.contains(r)) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var merged = false
+            syms.foreach { t =>
+              if (out.nonEmpty && out.last == l && t == r) {
+                out.remove(out.length - 1)
+                out += (l + " " + r)
+                merged = true
+              } else out += t
+            }
+            if (merged) {
+              syms = out.toIndexedSeq
+              present += (l + " " + r)
+              // l/r may still occur elsewhere; the set is a SUPERSET
+              // filter (false positives cost one scan, never wrongness)
+            }
+          }
+        }
+        (id, syms.toSeq)
+      }
+    }.toDF("id", "syms")
+  }
 }

@@ -1151,6 +1151,57 @@ object Similarity {
       survivors.unionByName(newCodes)))
   }
 
+  /** Remove ids from a [[PqIndex]] without touching any other code row —
+   * the delete half of incremental index maintenance (RTBF erasure and
+   * CDF deletes both land here). Plan: one broadcast anti-join of the
+   * resident codes against the (batch-sized) id set; the raw corpus is
+   * never read. Same lifecycle as [[pqIndexAppend]]: new index returned,
+   * caller releases the superseded one after the swap. */
+  def pqIndexDelete(index: PqIndex, deletedIds: DataFrame,
+                    idCol: String): PqIndex =
+    index.copy(codes = graft.CacheScope.persist(index.codes.join(
+      broadcast(deletedIds.select(col(idCol).as("cand_id")).distinct()),
+      Seq("cand_id"), "left_anti")))
+
+  /**
+   * Maintain a [[PqIndex]] FROM A CHANGE FEED — the composition that
+   * makes the ANN index a MATERIALIZED VIEW of the document store:
+   * [[graft.sources.StateStore.changesBetween]] says exactly which ids
+   * appeared / changed / vanished between two snapshots, and this
+   * applies precisely those — inserts and update post-images encode
+   * with the FROZEN codebooks and upsert ([[pqIndexAppend]] semantics),
+   * deletes drop their code rows ([[pqIndexDelete]]), unchanged ids are
+   * NEVER re-read or re-encoded. At 100 TB this is the difference
+   * between "re-embed and re-index the corpus nightly" and "pay for the
+   * day's delta": the feed is batch-sized, so one broadcast anti-join +
+   * one delta encode is the whole cost.
+   *
+   * One combined pass (not delete-then-append chained) so the resident
+   * codes are anti-joined ONCE against the union of retracted and
+   * re-encoded ids — two chained steps would persist an intermediate
+   * codes frame per feed.
+   *
+   * Result contract (the Round10 spec gate): applying the v1→v2 feed to
+   * an index built over state@v1 yields code rows EQUAL to encoding
+   * state@v2 from scratch with the same codebooks.
+   */
+  def pqIndexApplyChanges(index: PqIndex, feed: DataFrame,
+                          idCol: String, vecCol: String): PqIndex = {
+    val upserts = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(vecCol))
+    val deletes = feed.filter(col("change_type") === "delete")
+      .select(col(idCol).as("cand_id"))
+    val sv = subspaced(upserts, idCol, vecCol, index.m, index.dim)
+    val newCodes = pqAssign(sv, index.codebooks)
+      .select(col("id").as("cand_id"), col("sub"), col("cell").as("code"),
+        col("nrm").as("nrm_c"))
+    val gone = deletes.unionByName(newCodes.select("cand_id")).distinct()
+    index.copy(codes = graft.CacheScope.persist(
+      index.codes.join(broadcast(gone), Seq("cand_id"), "left_anti")
+        .unionByName(newCodes)))
+  }
+
   /**
    * Multi-vector late-interaction retrieval (MaxSim; Khattab & Zaharia
    * 2020, ColBERT): documents and queries are BAGS of vectors (one per
@@ -1217,5 +1268,105 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_doc"), col("cand_doc"), col("maxsim"),
         col("n_qvecs"), col("rank"))
+  }
+
+  /**
+   * MMR diversified rerank (Carbonell & Goldstein, SIGIR'98) — the
+   * last stage of the retrieval stack ([[graft.operators.Text.bm25TopK]]
+   * / [[pqScore]] / [[graft.operators.Analytics.rrfFuse]] produce the
+   * candidate pools this re-orders): greedily pick k candidates
+   * maximizing `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)`, so a pool
+   * full of near-duplicates returns DIVERSE results instead of the same
+   * document k times — for a training-data pipeline, also the
+   * "select informative, non-redundant examples" primitive.
+   *
+   * Scale shape: the pool is ALREADY per-query top-n (bounded by the
+   * upstream retriever and enforced here via `maxCandidates`), so the
+   * greedy runs per query group over ≤ n rows — `mapGroups` by
+   * necessity, argued like the image codec: iterated argmax with
+   * growing selected-set state has no Catalyst form, and k·n² dot
+   * products over a few dozen rows per query is driver-free map work.
+   * Queries process independently — 10⁶ concurrent queries parallelize
+   * across partitions with no shuffle beyond the group-by.
+   *
+   * Contract notes: `rel` and cosine must share a scale for λ to mean
+   * anything (feed it cosine relevance, normalized BM25, or RRF scores
+   * rescaled to [0,1]). Zero-norm vectors contribute similarity 0
+   * (nothing to be redundant WITH). Ties break on cand_id ascending —
+   * deterministic across runs and partitionings. λ=1 degenerates to
+   * plain relevance top-k (the spec's exactness gate).
+   *
+   * Returns `(query_id, cand_id, rel, mmr, rank)` — `mmr` is the score
+   * at selection time (first pick's mmr = λ·rel: the convention that
+   * keeps one formula for every rank instead of special-casing rank 1).
+   */
+  def mmrRerank(cands: DataFrame, queryIdCol: String, candIdCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5, dim: Int = 0,
+                maxCandidates: Int = 1024): DataFrame = {
+    require(k >= 1, s"mmrRerank needs k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val in = cands.select(
+        col(queryIdCol).cast("long").as("query_id"),
+        col(candIdCol).cast("long").as("cand_id"),
+        col(relCol).cast("double").as("rel"),
+        (if (dim > 0) checkedDim(col(vecCol).cast("array<double>"), dim, "mmr")
+         else col(vecCol).cast("array<double>")).as("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    in.groupByKey(_._1).flatMapGroups { (qid, rows) =>
+      val pool = rows.map { case (_, cid, rel, v) => (cid, rel, v.toArray) }
+        .toArray.sortBy(_._1)
+      require(pool.length <= maxCandidates,
+        s"mmrRerank: query $qid pool ${pool.length} > maxCandidates=" +
+          s"$maxCandidates — rerank a RETRIEVED top-n, not a corpus")
+      val nrm = pool.map(p => math.sqrt(p._3.map(x => x * x).sum))
+      def cos(i: Int, j: Int): Double =
+        if (nrm(i) == 0.0 || nrm(j) == 0.0) 0.0
+        else {
+          var s = 0.0; var d = 0
+          val a = pool(i)._3; val b = pool(j)._3
+          val n = math.min(a.length, b.length)
+          while (d < n) { s += a(d) * b(d); d += 1 }
+          s / (nrm(i) * nrm(j))
+        }
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      // true running max cos to the selected set — NegativeInfinity
+      // sentinel, NOT 0: cosine goes negative, and clamping at zero
+      // would silently erase the formula's reward for anti-correlated
+      // candidates (the first pick has no selected set; its penalty is
+      // defined as 0)
+      val maxSim = Array.fill(pool.length)(Double.NegativeInfinity)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double, Int)]()
+      val picked = Array.fill(pool.length)(false)
+      var rank = 1
+      while (rank <= k && selected.length < pool.length) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < pool.length) {
+          if (!picked(i)) {
+            val pen = if (selected.isEmpty) 0.0 else maxSim(i)
+            val score = lambda * pool(i)._2 - (1 - lambda) * pen
+            // strict > keeps the smallest cand_id on ties (pool sorted)
+            if (score > bestScore) { bestScore = score; best = i }
+          }
+          i += 1
+        }
+        picked(best) = true
+        selected += best
+        out += ((qid, pool(best)._1, pool(best)._2, bestScore, rank))
+        var j = 0
+        while (j < pool.length) {
+          if (!picked(j)) {
+            val s = cos(j, best)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        rank += 1
+      }
+      out.iterator
+    }.toDF("query_id", "cand_id", "rel", "mmr", "rank")
   }
 }

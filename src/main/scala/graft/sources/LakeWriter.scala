@@ -195,6 +195,87 @@ object LakeWriter {
   }
 
   /**
+   * OPTIMISTIC-CONCURRENCY publish — Delta's commit-conflict protocol
+   * for the `v=` snapshot layout: CONCURRENT writers each resolve the
+   * next version independently, and exactly one wins each version
+   * number; the loser detects the conflict and retries at the next one,
+   * so both snapshots land (serialized), never clobber, and readers see
+   * a linear version history. [[publishSnapshot]] alone cannot give
+   * this: two writers passing the same version string both see "no
+   * marker", both delete the other's in-flight dir as a "crashed
+   * attempt", and the last marker silently wins over mixed bytes.
+   *
+   * The CAS is an atomic CLAIM-file create (`create(overwrite=false)`
+   * — one winner per path on HDFS; object stores give the same with
+   * if-none-match preconditions), NOT a directory rename: Hadoop's
+   * local rename moves the source INTO an existing destination dir, so
+   * rename-if-absent is not portable as a commit primitive. Version
+   * resolution counts committed versions AND live claims, so a loser
+   * re-resolves PAST the winner even before the winner's marker lands.
+   *
+   * Crash windows: after claim, before marker — the claim goes stale
+   * and [[vacuumSnapshots]] reaps it (with the uncommitted-dir grace),
+   * after which the version number is reused; after marker, before
+   * claim delete — the claim matches a committed version and is inert
+   * (resolution would skip it anyway; vacuum removes it immediately).
+   *
+   * `beforeCommit(resolvedVersion)` is the race-injection seam the spec
+   * uses to publish a competitor between resolution and claim; it runs
+   * once per attempt. Returns the committed version name.
+   */
+  def publishSnapshotOcc(tables: Map[String, DataFrame], root: String,
+                         maxAttempts: Int = 5,
+                         beforeCommit: String => Unit = _ => ()): String = {
+    require(tables.nonEmpty, "publishSnapshotOcc needs at least one table")
+    val spark = tables.head._2.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(rootP)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val listed = f.listStatus(rootP).map(_.getPath.getName).toSeq
+      val committedNums = committedSnapshotVersions(spark, root)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      val claimedNums = listed.filter(_.startsWith(ClaimPrefix))
+        .map(_.stripPrefix(ClaimPrefix))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      val next = ((committedNums ++ claimedNums) :+ 0L).max + 1
+      val v = f"$next%012d"
+      beforeCommit(v)
+      val claim = new org.apache.hadoop.fs.Path(rootP, s"$ClaimPrefix$v")
+      val won =
+        try { f.create(claim, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if f.exists(claim) => false
+        }
+      if (won) {
+        // claim won, but the version may ALREADY be committed: a racer
+        // that published v and deleted its (now-inert) claim leaves the
+        // claim path free while the marker exists — publishSnapshot's
+        // idempotent no-op would silently swallow OUR tables. Committed
+        // check under the claim closes that ABA window.
+        val marker = new org.apache.hadoop.fs.Path(rootP,
+          s"v=$v/${StateStore.CommitMarker}")
+        if (!f.exists(marker)) {
+          publishSnapshot(tables, root, v)
+          f.delete(claim, false) // inert once the marker exists
+          return v
+        }
+        f.delete(claim, false) // stale resolution: treat as a lost race
+      }
+      // lost the claim race: loop re-resolves past the winner
+    }
+    throw new IllegalStateException(
+      s"publishSnapshotOcc: lost $maxAttempts claim races at $root — " +
+        "writer contention exceeds maxAttempts")
+  }
+
+  /** Claim-file prefix for [[publishSnapshotOcc]] CAS entries. */
+  private[graft] val ClaimPrefix = "_claim_v="
+
+  /**
    * Snapshot retention: delete committed versions beyond the newest
    * `keepLast` plus uncommitted leftovers older than the newest commit
    * (crashed attempts). An uncommitted dir must ALSO be stale by
@@ -238,6 +319,16 @@ object LakeWriter {
           if (committed.contains(v)) !keep(v)
           else v < newestCommitted && newestMtime(p, 2) < cutoff
         if (dead) { f.delete(p, true); Some(v) } else None
+      }
+    // OCC claim files: inert once their version committed (reap now);
+    // otherwise a possibly-crashed claim — same grace as uncommitted dirs
+    f.listStatus(rootPath).filter(s => !s.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(ClaimPrefix))
+      .foreach { p =>
+        val v = p.getName.stripPrefix(ClaimPrefix)
+        if (committed.contains(v) ||
+          f.getFileStatus(p).getModificationTime < cutoff)
+          f.delete(p, false)
       }
     deleted.sorted
   }
