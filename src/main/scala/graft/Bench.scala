@@ -108,7 +108,7 @@ object Bench {
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp) = drained {
       CacheScope.scoped {
-        for (q <- Seq("q_dedup_cluster", "q_bm25")) {
+        for (q <- Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")) {
           try SparkEntry.queries(q)(spark, sfDir).count(): Unit
           catch { case NonFatal(e) =>
             System.err.println(s"[bench] shared-stage build ($q) failed: ${e.getMessage}")

@@ -84,4 +84,63 @@ object StateOps {
       .withColumn(outCol, col(endCol) + gapSec < col("_wm"))
       .drop("_wm")
   }
+
+  /**
+   * The aggregate-table form [[ivmAggregate]] maintains: per group,
+   * `n_rows` plus, for each sum column `c`, `sum_c` AND its non-null
+   * value count `nv_c`. The value count is what makes SUM exactly
+   * maintainable under retraction — a group whose last non-null value
+   * is deleted (or updated to null) must return to SUM = NULL, which
+   * the running number alone cannot express (it would report 0).
+   * `sumCols` should be long/double columns (the CDF delta multiplies
+   * by a ±1 sign, which would widen decimal precision).
+   */
+  def aggTable(state: DataFrame, groupCols: Seq[String],
+               sumCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+        count(col(c)).as(s"nv_$c")))
+    state.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * INCREMENTAL VIEW MAINTENANCE of an additive aggregate table from a
+   * row-level change feed — the classic IVM-with-retractions algebra
+   * (Delta CDF shape, [[graft.sources.StateStore.changesBetween]]):
+   * inserts and update post-images contribute +1 / +value, deletes and
+   * update pre-images contribute −1 / −value, so a reporting table over
+   * a 100 TB fact store refreshes at the COST OF THE DAY'S DELTA
+   * instead of a full rescan — the additive-aggregate counterpart of
+   * the sketch-store rollup (which covers the non-additive metrics).
+   *
+   * Shape: UNION + RE-AGGREGATE, not a join — base rows are already
+   * partial aggregates, so one shuffle of (base ∪ batch-sized delta)
+   * on the group keys is the whole cost; a full-outer join of base
+   * against the delta could never broadcast (outer side) and would pay
+   * the same shuffle anyway. Groups whose maintained `n_rows` reaches 0
+   * DROP (a direct aggregate has no row for an absent group); sums
+   * whose `nv_c` reaches 0 return to NULL. Contract (spec + the q_ivm
+   * oracle): `ivmAggregate(aggTable(v1), changes(v1→v2)) ≡ aggTable(v2)`
+   * up to FP summation order.
+   */
+  def ivmAggregate(base: DataFrame, feed: DataFrame, groupCols: Seq[String],
+                   sumCols: Seq[String]): DataFrame = {
+    val sign = when(col("change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val deltaRows = feed.select(
+      groupCols.map(col) ++ Seq(sign.as("n_rows")) ++
+        sumCols.flatMap(c => Seq((col(c) * sign).as(s"sum_$c"),
+          when(col(c).isNotNull, sign).otherwise(lit(0L)).as(s"nv_$c"))): _*)
+    val aggs = sum("n_rows").as("n_rows") +:
+      sumCols.flatMap(c => Seq(sum(s"sum_$c").as(s"sum_$c"),
+        sum(s"nv_$c").as(s"nv_$c")))
+    base.unionByName(deltaRows)
+      .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_rows") > 0)
+      .select(groupCols.map(col) ++ Seq(col("n_rows")) ++
+        sumCols.flatMap(c => Seq(
+          when(col(s"nv_$c") === 0, lit(null)).otherwise(col(s"sum_$c"))
+            .as(s"sum_$c"),
+          col(s"nv_$c"))): _*)
+  }
 }

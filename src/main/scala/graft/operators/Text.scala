@@ -1040,17 +1040,78 @@ object Text {
    * corpus); [[bm25ScoreIndex]] then serves any number of query
    * batches against it without touching the corpus again.
    */
-  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = graft.CacheScope.persist(
-      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token")))
-    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bm25Assemble(bm25Postings(docs, idCol, textCol))
+
+  /**
+   * The DOC-LOCAL half of the BM25 index: one `(id, token, tf, dl)` row
+   * per (document, distinct token) — every value derivable from that
+   * document alone, which is exactly what makes the postings table
+   * incrementally maintainable ([[bm25PostingsApplyChanges]]): a
+   * changed document's rows swap out without touching any other row.
+   * The corpus-global pieces (df, N, avgdl) deliberately do NOT live
+   * here — denormalized per row they would go stale on every commit;
+   * [[bm25Assemble]] re-derives them from the postings (index-sized
+   * aggregation, no text re-read).
+   */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks =
+      docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    val dfreq = toks.select("id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    val stats = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+  }
+
+  /** Derive the scoring view from [[bm25Postings]]: df per token (the
+   * postings are distinct per (id, token), so a count IS the document
+   * frequency), N and avgdl as a broadcast single-row frame. One pass
+   * over the index — never the corpus. */
+  def bm25Assemble(postings: DataFrame): DataFrame = {
+    val p = graft.CacheScope.persist(postings)
+    val dfreq = p.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = p.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    tf.join(dfreq, "token").crossJoin(broadcast(stats))
+    p.join(dfreq, "token").crossJoin(broadcast(stats))
+  }
+
+  /**
+   * Maintain [[bm25Postings]] from a row-level change feed (Delta CDF
+   * shape, [[graft.sources.StateStore.changesBetween]]) — the sparse
+   * index as a MATERIALIZED VIEW of the document store, the text twin
+   * of [[graft.operators.Similarity.pqIndexApplyChanges]]: deletes and
+   * update pre-images retract their doc's rows (one broadcast anti-join
+   * on the batch-sized id set), inserts and update post-images
+   * tokenize ONLY their own text. Unchanged documents are never
+   * re-read; at 100 TB the nightly index refresh costs the day's delta,
+   * not a corpus re-tokenize. Contract (spec):
+   * `bm25Assemble(applyChanges(postings@v1, changes(v1→v2)))` ≡
+   * `bm25Index(state@v2)`.
+   */
+  def bm25PostingsApplyChanges(postings: DataFrame, feed: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val landDocs = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(textCol))
+    val gone = feed.filter(col("change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("id"))
+      .unionByName(landDocs.select(col(idCol).as("id"))).distinct()
+    postings.join(broadcast(gone), Seq("id"), "left_anti")
+      .unionByName(bm25Postings(landDocs, idCol, textCol))
+  }
+
+  /** [[trigramIndex]] maintenance from a change feed — same algebra as
+   * [[bm25PostingsApplyChanges]] (posting rows are doc-local), same
+   * contract: maintained index ≡ `trigramIndex(state@v2)`. */
+  def trigramIndexApplyChanges(index: DataFrame, feed: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val landDocs = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(textCol))
+    val gone = feed.filter(col("change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("id"))
+      .unionByName(landDocs.select(col(idCol).as("id"))).distinct()
+    index.join(broadcast(gone), Seq("id"), "left_anti")
+      .unionByName(trigramIndex(landDocs, idCol, textCol))
   }
 
   /** `scoreRoundDecimals`: rank on the score ROUNDED to that many

@@ -398,6 +398,19 @@ object StateStore {
       .getOrElse(spark.emptyDataFrame)
     require(oldSt.columns.nonEmpty || newSt.columns.nonEmpty,
       s"changesBetween on an empty store: $root")
+    diffStates(oldSt, newSt, keys)
+  }
+
+  /**
+   * The CDF derivation on two arbitrary keyed frames — the engine under
+   * [[changesBetween]] (which binds it to the store's dated snapshots),
+   * public so a feed can be derived between any two versions of a keyed
+   * dataset (e.g. two in-plan constructions, or frames from another
+   * table format). Both sides are aliased before the join, so shared
+   * lineage never degenerates into a trivially-true self-compare.
+   */
+  def diffStates(oldSt: DataFrame, newSt: DataFrame,
+                 keys: Seq[String]): DataFrame = {
     val schema = if (newSt.columns.nonEmpty) newSt else oldSt
     val dataCols = schema.columns.filterNot(keys.contains).toSeq
     def normalized(df: DataFrame): DataFrame =

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{StateOps, Text}
+import graft.sources.StateStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-10 third wave: incremental view maintenance of additive
+ * aggregates from a CDF feed (retractions, null transitions, group
+ * drops), and CDF-driven text-index maintenance (BM25 postings +
+ * trigram postings as materialized views of the document store).
+ */
+class Round10cSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("ivmAggregate ≡ direct aggregate: updates, deletes, inserts, null transitions, group drops") {
+    val v1 = Seq(
+      (1L, "a", Some(5.0)), (2L, "a", Some(3.0)),   // a: update 1→null
+      (3L, "b", Some(7.0)), (4L, "b", None),        // b: update 3: 7→9
+      (5L, "c", Some(2.0)),                         // c: deleted whole
+      (6L, "d", None),                              // d: deleted whole (null row)
+      (8L, "f", Some(1.0))                          // f: last value →null: SUM null
+    ).toDF("id", "grp", "value")
+    val v2 = Seq(
+      (1L, "a", Option.empty[Double]), (2L, "a", Some(3.0)),
+      (3L, "b", Some(9.0)), (4L, "b", None),
+      (7L, "e", Some(4.0)),                         // e: fresh group
+      (8L, "f", Option.empty[Double])
+    ).toDF("id", "grp", "value")
+    val feed = StateStore.diffStates(v1, v2, Seq("id"))
+    val maintained = StateOps.ivmAggregate(
+      StateOps.aggTable(v1, Seq("grp"), Seq("value")),
+      feed, Seq("grp"), Seq("value"))
+    val direct = StateOps.aggTable(v2, Seq("grp"), Seq("value"))
+    assert(sortedRows(maintained) === sortedRows(direct),
+      s"maintained:\n${sortedRows(maintained)}\ndirect:\n${sortedRows(direct)}")
+    // the interesting cells, pinned explicitly: f keeps its row but SUM
+    // returns to NULL (nv=0); c and d DROP (no row, like the direct agg)
+    val byGrp = maintained.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2)), r.getLong(3))))
+      .toMap
+    assert(byGrp("f") === ((1L, None, 0L)), s"f did not return to NULL: $byGrp")
+    assert(!byGrp.contains("c") && !byGrp.contains("d"), s"dropped groups survive: $byGrp")
+    assert(byGrp("a") === ((2L, Some(3.0), 1L)), s"a wrong: $byGrp")
+  }
+
+  test("ivmAggregate from an empty base (all-insert feed) and to empty (all-delete feed)") {
+    val v1 = Seq.empty[(Long, String, Option[Double])].toDF("id", "grp", "value")
+    val v2 = Seq((1L, "a", Some(2.0)), (2L, "b", Some(3.0))).toDF("id", "grp", "value")
+    val up = StateOps.ivmAggregate(StateOps.aggTable(v1, Seq("grp"), Seq("value")),
+      StateStore.diffStates(v1, v2, Seq("id")), Seq("grp"), Seq("value"))
+    assert(sortedRows(up) === sortedRows(StateOps.aggTable(v2, Seq("grp"), Seq("value"))))
+    val down = StateOps.ivmAggregate(StateOps.aggTable(v2, Seq("grp"), Seq("value")),
+      StateStore.diffStates(v2, v1, Seq("id")), Seq("grp"), Seq("value"))
+    assert(down.count() === 0, "full-delete feed left aggregate rows behind")
+  }
+
+  test("CDF-maintained BM25 postings and trigram index equal a rebuild of the new state") {
+    val v1 = Seq(
+      (1L, "the cat sat"), (2L, "dog park dog park trail"),
+      (3L, "red fish blue fish"), (4L, "hello world")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "the cat sat"), (2L, "dog beach"),          // 2 updated
+      (3L, "red fish blue fish"),                      // 4 deleted
+      (5L, "green eggs and ham")).toDF("doc_id", "text") // 5 inserted
+    val feed = StateStore.diffStates(v1, v2, Seq("doc_id"))
+
+    val maintained = Text.bm25PostingsApplyChanges(
+      Text.bm25Postings(v1, "doc_id", "text"), feed, "doc_id", "text")
+    val rebuilt = Text.bm25Postings(v2, "doc_id", "text")
+    assert(sortedRows(maintained) === sortedRows(rebuilt),
+      "maintained postings diverge from a rebuild")
+
+    // the assembled scoring view serves queries identically to a
+    // from-scratch index over the new state (df/N/avgdl re-derived)
+    val qs = Seq((100L, "dog fish"), (101L, "green cat")).toDF("qid", "qtext")
+    val servedM = Text.bm25ScoreIndex(Text.bm25Assemble(maintained), qs,
+      "qid", "qtext", k = 3, scoreRoundDecimals = Some(6))
+    val servedR = Text.bm25TopK(v2, qs, "doc_id", "text", "qid", "qtext",
+      k = 3, scoreRoundDecimals = Some(6))
+    assert(sortedRows(servedM) === sortedRows(servedR),
+      "maintained index scores queries differently from a rebuild")
+
+    val trgM = Text.trigramIndexApplyChanges(
+      Text.trigramIndex(v1, "doc_id", "text"), feed, "doc_id", "text")
+    val trgR = Text.trigramIndex(v2, "doc_id", "text")
+    assert(sortedRows(trgM) === sortedRows(trgR),
+      "maintained trigram postings diverge from a rebuild")
+  }
+}
