@@ -1369,4 +1369,92 @@ object Similarity {
       out.iterator
     }.toDF("query_id", "cand_id", "rel", "mmr", "rank")
   }
+
+  /**
+   * Top principal component of an embedding column via distributed
+   * POWER ITERATION — the direction-finding half of All-but-the-top
+   * (Mu et al., ICLR'18): sentence/document embeddings share a large
+   * "common direction" that inflates every cosine, and removing μ and
+   * the top PC(s) measurably sharpens retrieval and clustering.
+   *
+   * Never materializes the d×d covariance: each iteration is one pass
+   * over the corpus computing `v' = Σᵢ xcᵢ·(xcᵢ·v)` — the projection is
+   * one codegen DotProduct against the current v as plan literals, the
+   * weighted vector sum a posexplode + groupBy(pos) that PARTIAL-AGGS
+   * to d rows per partition before the shuffle (d·n_partitions rows
+   * moved per iteration, not d·n). The centered frame is persisted
+   * once; v (a d-sized model artifact, the k-means-centroid treatment)
+   * lives on the driver between iterations.
+   *
+   * Deterministic: init is the all-equal unit vector, iteration count
+   * is fixed (power iteration converges geometrically in λ₁/λ₂ — 15
+   * rounds is plenty for the dominant-direction use case), and the
+   * returned pc is sign-fixed (largest-|coordinate| positive). A
+   * degenerate corpus (all rows identical → zero centered mass) yields
+   * pc = all-zeros rather than NaN. Null vectors are ignored.
+   *
+   * Returns `(mu, pc)` as driver arrays — inputs to [[removeTopPc]] or
+   * any external consumer.
+   */
+  def topPc(em: DataFrame, vecCol: String, dim: Int,
+            iters: Int = 15): (Array[Double], Array[Double]) = {
+    require(dim >= 1 && iters >= 1, "topPc needs dim >= 1, iters >= 1")
+    val base = graft.CacheScope.persist(
+      em.select(checkedDim(col(vecCol).cast("array<double>"), dim, "topPc")
+          .as("v"))
+        .filter(col("v").isNotNull))
+    val muRow = base
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg("x").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mu = Array.tabulate(dim)(muRow.getOrElse(_, 0.0))
+    val muLit = array(mu.toSeq.map(lit): _*)
+    val centered = graft.CacheScope.persist(
+      base.select(zip_with(col("v"), muLit, (a, b) => a - b).as("xc")))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var degenerate = false
+    for (_ <- 1 to iters if !degenerate) {
+      val vLit = array(v.toSeq.map(lit): _*)
+      val s = centered
+        .select(posexplode(col("xc")).as(Seq("pos", "x")),
+          dot(col("xc"), vLit).as("p"))
+        .groupBy("pos").agg(sum(col("x") * col("p")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val next = Array.tabulate(dim)(s.getOrElse(_, 0.0))
+      val nrm = math.sqrt(next.map(x => x * x).sum)
+      if (nrm == 0.0) { degenerate = true; v = Array.fill(dim)(0.0) }
+      else v = next.map(_ / nrm)
+    }
+    if (!degenerate) {
+      val iMax = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(iMax) < 0) v = v.map(-_)
+    }
+    (mu, v)
+  }
+
+  /**
+   * All-but-the-top post-processing: center on μ and remove the top
+   * principal component — `x → (x−μ) − pc·(pcᵀ(x−μ))`. One map-only
+   * pass (the per-row projection is a codegen DotProduct against the
+   * pc literals; no shuffle, vectors stay in their scan partitions);
+   * the direction comes from [[topPc]] unless the caller passes a
+   * precomputed `(mu, pc)` — the model-artifact pattern: fit on a
+   * sample or yesterday's corpus, apply to 100 TB.
+   */
+  def removeTopPc(em: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  iters: Int = 15,
+                  fitted: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    val (mu, pc) = fitted.getOrElse(topPc(em, vecCol, dim, iters))
+    require(mu.length == dim && pc.length == dim,
+      s"removeTopPc: fitted (mu, pc) lengths (${mu.length}, ${pc.length}) != dim $dim")
+    val muLit = array(mu.toSeq.map(lit): _*)
+    val pcLit = array(pc.toSeq.map(lit): _*)
+    em.select(col(idCol),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "removeTopPc")
+          .as("v"))
+      .withColumn("xc", zip_with(col("v"), muLit, (a, b) => a - b))
+      .withColumn("p", dot(col("xc"), pcLit))
+      .select(col(idCol),
+        zip_with(col("xc"), pcLit, (a, b) => a - b * col("p")).as("v_out"))
+  }
 }

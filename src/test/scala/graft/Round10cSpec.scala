@@ -91,4 +91,60 @@ class Round10cSpec extends SparkSpecBase {
     assert(sortedRows(trgM) === sortedRows(trgR),
       "maintained trigram postings diverge from a rebuild")
   }
+
+  // --- All-but-the-top: power-iteration top PC + removal ---------------------
+
+  private val PcDim = 16
+
+  /** x = s·u + ε: dominant direction u with large spread s, small
+   * deterministic per-dim noise. */
+  private def pcFixture: (org.apache.spark.sql.DataFrame, Array[Double]) = {
+    val raw = Array.tabulate(PcDim)(j => math.sin(j + 1.0))
+    val un = math.sqrt(raw.map(x => x * x).sum)
+    val u = raw.map(_ / un)
+    val rows = Seq.tabulate(2000) { i =>
+      val s = ((i * 2654435761L % 1000) / 100.0 - 5.0) * 10.0
+      val v = Array.tabulate(PcDim)(j =>
+        s * u(j) + ((i * 31 + j * 17) % 7 - 3) * 0.01)
+      (i.toLong, v.toSeq)
+    }
+    (rows.toDF("id", "vec"), u)
+  }
+
+  test("topPc recovers a planted dominant direction; removeTopPc flattens it") {
+    val (df, u) = pcFixture
+    val (mu, pc) = graft.operators.Similarity.topPc(df, "vec", PcDim)
+    val cosUv = math.abs(u.zip(pc).map { case (a, b) => a * b }.sum) /
+      math.sqrt(pc.map(x => x * x).sum)
+    assert(cosUv > 0.99, s"top PC missed the planted direction: |cos|=$cosUv")
+
+    val uLit = array(u.toSeq.map(lit): _*)
+    def varAlongU(frame: org.apache.spark.sql.DataFrame, vc: String): Double =
+      frame.select(graft.operators.Similarity.dot(col(vc).cast("array<double>"),
+          uLit).as("p"))
+        .agg((avg(col("p") * col("p")) - avg("p") * avg("p")).as("v"))
+        .head.getDouble(0)
+    val before = varAlongU(df, "vec")
+    val removed = graft.operators.Similarity.removeTopPc(
+      df, "id", "vec", PcDim, fitted = Some((mu, pc)))
+    val after = varAlongU(removed, "v_out")
+    assert(after < before * 0.01,
+      s"removal left variance along u: $after vs $before")
+    // removal preserves dimensionality and row count
+    assert(removed.select(size(col("v_out"))).distinct().head.getInt(0) === PcDim)
+    assert(removed.count() === 2000)
+  }
+
+  test("topPc on an all-identical corpus is zero (no NaN); removal = centering") {
+    val df = Seq.tabulate(50)(i => (i.toLong, Seq.fill(PcDim)(3.5)))
+      .toDF("id", "vec")
+    val (mu, pc) = graft.operators.Similarity.topPc(df, "vec", PcDim)
+    assert(mu.forall(_ == 3.5), s"mean wrong: ${mu.toSeq}")
+    assert(pc.forall(_ == 0.0), s"degenerate pc not zeroed: ${pc.toSeq}")
+    val removed = graft.operators.Similarity.removeTopPc(
+      df, "id", "vec", PcDim, fitted = Some((mu, pc)))
+    val vals = removed.select(explode(col("v_out"))).distinct()
+      .collect().map(_.getDouble(0))
+    assert(vals.toSeq === Seq(0.0), s"centering wrong: ${vals.toSeq}")
+  }
 }
