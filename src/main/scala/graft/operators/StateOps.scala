@@ -123,14 +123,39 @@ object StateOps {
    * oracle): `ivmAggregate(aggTable(v1), changes(v1→v2)) ≡ aggTable(v2)`
    * up to FP summation order.
    */
-  def ivmAggregate(base: DataFrame, feed: DataFrame, groupCols: Seq[String],
-                   sumCols: Seq[String]): DataFrame = {
+  /** The ±1/±value CDF rows of the IVM algebra — feed rows projected to
+   * aggregate-table schema with retraction signs applied. */
+  private def cdfDeltaRows(feed: DataFrame, groupCols: Seq[String],
+                           sumCols: Seq[String]): DataFrame = {
     val sign = when(col("change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val deltaRows = feed.select(
+    feed.select(
       groupCols.map(col) ++ Seq(sign.as("n_rows")) ++
         sumCols.flatMap(c => Seq((col(c) * sign).as(s"sum_$c"),
           when(col(c).isNotNull, sign).otherwise(lit(0L)).as(s"nv_$c"))): _*)
+  }
+
+  /**
+   * A feed's NET per-group aggregate deltas (batch-sized output, one
+   * shuffle of the feed alone) — the increment a running aggregate
+   * STORE adds per micro-batch ([[graft.streaming.IvmStream]]): n_rows,
+   * sum_c and nv_c are all plain additive numbers, so the store merge
+   * is the existing semigroup sum and the agg table is a pure fold of
+   * delivered feeds. [[ivmAggregate]] is the one-shot (base-in-hand)
+   * form of the same algebra.
+   */
+  def ivmDelta(feed: DataFrame, groupCols: Seq[String],
+               sumCols: Seq[String]): DataFrame = {
+    val aggs = sum("n_rows").as("n_rows") +:
+      sumCols.flatMap(c => Seq(sum(s"sum_$c").as(s"sum_$c"),
+        sum(s"nv_$c").as(s"nv_$c")))
+    cdfDeltaRows(feed, groupCols, sumCols)
+      .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def ivmAggregate(base: DataFrame, feed: DataFrame, groupCols: Seq[String],
+                   sumCols: Seq[String]): DataFrame = {
+    val deltaRows = cdfDeltaRows(feed, groupCols, sumCols)
     val aggs = sum("n_rows").as("n_rows") +:
       sumCols.flatMap(c => Seq(sum(s"sum_$c").as(s"sum_$c"),
         sum(s"nv_$c").as(s"nv_$c")))
