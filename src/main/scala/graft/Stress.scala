@@ -494,6 +494,70 @@ object Stress {
       }
     }
 
+    // --- IVM: refresh cost is feed-sized, a rescan is corpus-sized ---
+    val tIvmRescan = probe(s"ivm RESCAN aggregate ${nEvents / 1000000}M rows") {
+      StateOps.aggTable(
+        events.select(pmod(col("user_id"), lit(100)).as("grp"), col("value")),
+        Seq("grp"), Seq("value")).count()
+    }
+    if ("ivm apply 1% cdf feed".contains(only.toLowerCase)) {
+      // base table and feed are what a refresh HOLDS (the agg store read
+      // + the CDF the producer emitted) — materialized untimed, so the
+      // probe times exactly what a refresh pays
+      val ivmBase = StateOps.aggTable(
+        events.select(pmod(col("user_id"), lit(100)).as("grp"), col("value")),
+        Seq("grp"), Seq("value")).localCheckpoint(true)
+      val ivmFeed = {
+        val touched = events.filter(pmod(col("event_id"), lit(100)) === 0)
+          .select(pmod(col("user_id"), lit(100)).as("grp"), col("value"))
+        touched.withColumn("change_type", lit("update_preimage"))
+          .unionByName(touched.withColumn("value", col("value") * 2)
+            .withColumn("change_type", lit("update_postimage")))
+          .localCheckpoint(true)
+      }
+      val tIvmDelta = probe("ivm apply 1% CDF feed") {
+        StateOps.ivmAggregate(ivmBase, ivmFeed, Seq("grp"), Seq("value")).count()
+      }
+      println(f"[stress] ivm feed-apply/rescan = ${tIvmDelta / tIvmRescan}%.2fx " +
+        "(base read is agg-table-sized; the raw 5M rows are never re-read)")
+    }
+
+    // --- text-index maintenance: 1% delta vs full re-tokenize ---
+    val tBm25Full = probe(s"bm25Postings build ${nDocs / 1000}k docs") {
+      Text.bm25Postings(docs, "doc_id", "text").count()
+    }
+    if (only.isEmpty || "bm25Postings build".toLowerCase.contains(only.toLowerCase)) {
+      val resident = Text.bm25Postings(
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
+      val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      val feed = delta.withColumn("change_type", lit("insert"))
+      val tBm25Delta = probe("bm25 apply 1% CDF feed") {
+        Text.bm25PostingsApplyChanges(resident, feed, "doc_id", "text").count()
+      }
+      println(f"[stress] bm25 feed-apply/rebuild = ${tBm25Delta / tBm25Full}%.2fx " +
+        "(only the delta's text tokenizes; resident postings anti-join once)")
+    }
+
+    // --- All-but-the-top: iters x one-pass power iteration + map-only removal ---
+    probe(s"topPc+remove ${nVecs / 1000}k x 64d (8 iters)") {
+      val (mu, pc) = Similarity.topPc(vecs, "embedding", dim = 64, iters = 8)
+      Similarity.removeTopPc(vecs, "vec_id", "embedding", dim = 64,
+        fitted = Some((mu, pc))).count()
+    }
+
+    // --- MMR rerank: queries parallelize, pools stay bounded ---
+    probe("mmrRerank 2k queries x 100-cand pools") {
+      val pools = spark.range(200000).select(
+        (col("id") / 100).as("query_id"), col("id").as("cand_id"),
+        pmod(xxhash64(col("id")), lit(1000)).cast("double").divide(1000).as("rel"),
+        transform(sequence(lit(0), lit(63)),
+          i => pmod(xxhash64(col("id"), i), lit(1000)).cast("double")
+            .divide(500) - 1).as("v"))
+      Similarity.mmrRerank(pools, "query_id", "cand_id", "rel", "v",
+        k = 10, lambda = 0.5).count()
+    }
+
     spark.stop()
   }
 }
