@@ -227,6 +227,13 @@ object SparkEntry {
     // NOTE: both roll() branches consume the same window subplan; Spark's
     // ReusedExchange already shares the shuffle, so persisting here was
     // measured SLOWER (serialization cost > recompute) — don't cache.
+    // --- last-touch conversion attribution: purchases credit the most
+    // recent prior click/view within 2h, else 'direct' — one user-keyed
+    // window over the shared timeline, no self-join
+    "q_attribution" -> ((s, dir) =>
+      Analytics.lastTouch(ev(s, dir), "user_id", "ts_sec", "event_id",
+        "event_type", Seq("click", "view"), "purchase", lookbackSec = 7200L)),
+
     // --- INCREMENTAL VIEW MAINTENANCE: v1/v2 states carved from events
     // by pure event_id arithmetic (updates double value on id%7, deletes
     // id%11, inserts the id%5==4 slice), CDF derived via diffStates,
@@ -1465,6 +1472,21 @@ object SparkEntry {
          |WHERE (NOT anch AND (mv_a = 1 OR mv_d = 1))
          |   OR (anch AND (an_a = 1 OR an_d = 1))
          |   OR dy_a = 1 OR dy_d = 1""".stripMargin,
+
+    "q_attribution" ->
+      s"""$EvCte, lt AS (
+         |  SELECT event_type, ts_sec,
+         |         last_value(CASE WHEN event_type IN ('click','view')
+         |                    THEN struct_pack(t := ts_sec, y := event_type) END
+         |                    IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+         |  FROM e
+         |)
+         |SELECT CASE WHEN prev.t IS NOT NULL AND ts_sec - prev.t <= 7200
+         |            THEN prev.y ELSE 'direct' END AS channel,
+         |       COUNT(*) AS n_conv
+         |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     "q_ivm" ->
       """WITH v1 AS (

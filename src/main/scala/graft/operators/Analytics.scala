@@ -585,4 +585,40 @@ object Analytics {
       .select(col("query_id"), col("doc_id"), col("rrf"),
         col("n_lists"), col("rank"))
   }
+
+  /**
+   * LAST-TOUCH conversion attribution — the marketing-analytics staple:
+   * each conversion event credits the user's most recent prior touch
+   * event within `lookbackSec`, else the `direct` channel. One
+   * entity-keyed window over the unioned timeline (no self-join, no
+   * state duplication — the as-of-join formulation would shuffle both
+   * event classes separately and join them back; here conversions and
+   * touches ride the SAME single shuffle by user), with `last(...,
+   * ignoreNulls)` over the strictly-preceding frame so a touch at the
+   * conversion's own instant does not credit itself. (event_id breaks
+   * ts ties, so the order — and the attribution — is total and
+   * engine-reproducible.)
+   *
+   * Returns `(channel, n_conv)`.
+   */
+  def lastTouch(events: DataFrame, userCol: String, tsCol: String,
+                idCol: String, typeCol: String, touchTypes: Seq[String],
+                convType: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "lastTouch: touchTypes must be non-empty and exclude convType")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("_lt", last(
+        when(col(typeCol).isin(touchTypes: _*),
+          struct(col(tsCol).as("t"), col(typeCol).as("y"))),
+        ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("channel",
+        when(col("_lt").isNotNull &&
+          col(tsCol) - col("_lt.t") <= lookbackSec, col("_lt.y"))
+          .otherwise(lit("direct")))
+      .groupBy("channel").agg(count(lit(1)).as("n_conv"))
+  }
 }
