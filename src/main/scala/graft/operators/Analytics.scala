@@ -587,6 +587,60 @@ object Analytics {
   }
 
   /**
+   * K-CORE of an undirected graph — iterative peeling: repeatedly drop
+   * every node of degree < k (with its edges) until the survivor set is
+   * stable; what remains is the maximal subgraph where every node keeps
+   * ≥ k neighbors. The standard "dense interaction core" extraction
+   * (community mining, spam/bot rings, co-occurrence backbones) and the
+   * missing sibling of [[pagerank]]/[[triangles]]/Dedup.clusterPairs.
+   *
+   * Scale shape per round: one degree groupBy + two semi-joins of the
+   * edge set against the surviving nodes — everything edge-linear, no
+   * node ever meets a non-neighbor. Peeling CASCADES (removing one node
+   * can push a neighbor below k), so rounds repeat until the edge count
+   * is stable; each round lineage-cuts (the pagerank 3^iters rule). A
+   * graph peels in ≤ n rounds; real graphs take a handful — `maxIters`
+   * is a runaway bound (require-failed if hit, never silent).
+   *
+   * Self-loops and duplicate/reversed edges are normalized away (the
+   * [[triangles]] rule), so degree = distinct-neighbor count. Returns
+   * the surviving `(node, degree)` rows — degrees IN the core, all ≥ k.
+   */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIters: Int = 50,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    var und = graft.CacheScope.persist(edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct())
+    var nEdges = und.count()
+    var stable = nEdges == 0L
+    var round = 0
+    while (!stable) {
+      round += 1
+      require(round <= maxIters,
+        s"kCore did not stabilize in $maxIters rounds ($nEdges edges live)")
+      val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val next = graft.CacheScope.lineageCut(
+        und.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .select("u", "v"),
+        checkpointDir)
+      val nNext = next.count()
+      stable = nNext == nEdges
+      nEdges = nNext
+      und = next
+    }
+    und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+
+  /**
    * LAST-TOUCH conversion attribution — the marketing-analytics staple:
    * each conversion event credits the user's most recent prior touch
    * event within `lookbackSec`, else the `direct` channel. One

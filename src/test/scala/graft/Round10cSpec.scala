@@ -135,6 +135,55 @@ class Round10cSpec extends SparkSpecBase {
     assert(removed.count() === 2000)
   }
 
+  // --- k-core peeling --------------------------------------------------------
+
+  /** Driver reference: literal iterative peeling. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+  }
+
+  test("kCore: K5 survives 4-core, long tail cascades off a cycle, tree empties") {
+    // K5 on 1..5, a tail 5-10-11-12, and a pendant 13 on node 1
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 ++ Seq((5L, 10L), (10L, 11L), (11L, 12L), (1L, 13L)))
+      .toDF("a", "b")
+    val core4 = graft.operators.Analytics.kCore(edges, "a", "b", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4 === (1L to 5L).map(_ -> 4L).toMap, s"4-core wrong: $core4")
+    // k=2: the K5 plus nothing else survives (tail and pendant cascade
+    // off one node at a time — multi-round peeling)
+    val core2 = graft.operators.Analytics.kCore(edges, "a", "b", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 === (1L to 5L).toSet, s"2-core wrong: $core2")
+    // a pure path has no 2-core at all
+    val path = (1L to 20L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    assert(graft.operators.Analytics.kCore(path, "a", "b", k = 2).count() === 0)
+  }
+
+  test("kCore matches the driver reference on a randomized graph (dups/reversed/self-loops)") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("a", "b")
+    for (k <- Seq(2, 3, 5)) {
+      val got = graft.operators.Analytics.kCore(df, "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      val want = refKCore(edges, k)
+      assert(got === want, s"k=$k: got ${got.size} nodes, want ${want.size}")
+    }
+  }
+
   test("topPc on an all-identical corpus is zero (no NaN); removal = centering") {
     val df = Seq.tabulate(50)(i => (i.toLong, Seq.fill(PcDim)(3.5)))
       .toDF("id", "vec")
