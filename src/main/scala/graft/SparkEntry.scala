@@ -511,6 +511,21 @@ object SparkEntry {
           r3(col("recall")).as("recall_at_5"))
     }),
 
+    // measured gate: binary-quantization retrieval (sign-bit hamming
+    // shortlist → exact-cosine rerank) scored against the brute truth;
+    // the oracle replays hamming as the count of sign disagreements —
+    // identical semantics without replicating the packed words
+    "q_ann_binary" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val q = em.filter(col("vec_id") < 10)
+      val bq = Similarity.binaryTopK(em, q, "vec_id", "embedding",
+        k = 5, dim = 64, shortlist = 50)
+      val brute = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(bq, brute, q.select(col("vec_id").as("query_id")), 5)
+        .select(col("query_id"), col("n_retrieved"), col("n_true"),
+          r3(col("recall")).as("recall_at_5"))
+    }),
+
     // --- sparse retrieval: BM25 top-k, query docs retrieving from the
     // corpus; ranked on the parity-rounded score (see bm25TopK scaladoc).
     // The postings-with-stats index materializes ONCE per input dir
@@ -1698,6 +1713,29 @@ object SparkEntry {
          |$BruteTop5Cte,
          |$RecallTailSql""".stripMargin
     },
+
+    "q_ann_binary" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
+         |ham AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id, c.v,
+         |         len(list_filter(range(1, 65),
+         |             i -> (q.vq[i] > 0) <> (c.v[i] > 0))) AS hd
+         |  FROM v c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+         |short AS (
+         |  SELECT query_id, cand_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hd ASC, cand_id ASC) AS hrnk FROM ham
+         |  ) WHERE hrnk <= 50),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT s.query_id, s.cand_id,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY ${cosSql("q.vq", "s.v")} DESC, s.cand_id ASC) AS rnk
+         |    FROM short s JOIN q ON q.query_id = s.query_id
+         |  ) WHERE rnk <= 5),
+         |$BruteTop5Cte,
+         |$RecallTailSql""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1370,6 +1370,76 @@ object Similarity {
     }.toDF("query_id", "cand_id", "rel", "mmr", "rank")
   }
 
+  /** Sign-bit packing for [[binaryTopK]]: bit i of word ⌊i/64⌋ set iff
+   * `vec[i] > 0` — ceil(dim/64) longs per vector, a 32× compression of
+   * float64 arrays. Static bit masks fold into the plan (O(dim)
+   * literals — fine at embedding dims; a 4096-d corpus would want a
+   * codegen kernel, the SimHash64 pattern). */
+  def signBits(vec: Column, dim: Int): Column = {
+    require(dim >= 1, "signBits needs dim >= 1")
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      val lo = w * 64
+      (lo until math.min(dim, lo + 64)).map(i =>
+        when(element_at(vec, i + 1) > 0, lit(1L << (i - lo)))
+          .otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two sign-bit words arrays: xor +
+   * bit_count per word, summed — integer, so rankings are
+   * engine-reproducible with no FP parity care at the shortlist stage. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /**
+   * BINARY-QUANTIZATION ANN — the sign-bit shortlist every vector store
+   * now ships (BQ): the corpus packs once to ceil(dim/64) longs per
+   * vector ([[signBits]]), retrieval ranks by HAMMING distance (bitwise
+   * xor + popcount over longs — codegen'd builtins, ~d/64 word ops
+   * instead of d float multiplies), keeps a per-query `shortlist`, and
+   * reranks ONLY the shortlist with exact cosine. At 100 TB the packed
+   * index is 32× smaller than the float64 corpus (often memory-resident
+   * when the vectors are not) and the expensive exact math touches
+   * shortlist·|queries| rows. Same broadcast-query scan shape as
+   * [[bruteForceTopK]]; quality is a MEASURED recall gate in q_ann_binary
+   * (sign bits keep direction information — on real embeddings hamming
+   * correlates strongly with cosine).
+   *
+   * Returns `(query_id, cand_id, ham, cos, rank)`, rank by exact cosine
+   * within the shortlist (ham integer-exact, cosine the strict-fold
+   * kernel, ties on cand_id — engine-reproducible end to end).
+   */
+  def binaryTopK(em: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, dim: Int,
+                 shortlist: Int = 32): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"binaryTopK needs k >= 1 and shortlist >= k, got k=$k shortlist=$shortlist")
+    val corpus = graft.CacheScope.persist(
+      em.select(col(idCol).as("cand_id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "binaryTopK").as("v"))
+        .withColumn("bits", signBits(col("v"), dim)))
+    val qp = queries.select(col(idCol).as("query_id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "binaryTopK").as("vq"))
+      .withColumn("qbits", signBits(col("vq"), dim))
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("cand_id").asc)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    corpus.crossJoin(broadcast(qp))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("ham", hamming(col("bits"), col("qbits")))
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= shortlist)
+      .withColumn("cos", cosine(col("v"), col("vq")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("ham"), col("cos"),
+        col("rank"))
+  }
+
   /**
    * Top principal component of an embedding column via distributed
    * POWER ITERATION — the direction-finding half of All-but-the-top
