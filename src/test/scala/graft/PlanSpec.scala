@@ -418,5 +418,37 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join") || !p.contains("SortMergeJoin"), p.take(500))
   }
 
+  test("binary ANN: hamming shortlist rank is group-limit pushed, queries broadcast") {
+    val p = plan("q_ann_binary")
+    // without WindowGroupLimit the corpus x queries hamming rows would
+    // ALL shuffle to |queries| partitions for the rank — the pushdown
+    // keeps per-partition partial top-shortlist ahead of the exchange,
+    // which is the entire BQ scale story
+    assert(p.contains("WindowGroupLimit"),
+      "hamming shortlist lost the group-limit pushdown\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side stopped broadcasting\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("attribution plans one data shuffle: the channel agg rides partial-agg on window output") {
+    val p = plan("q_attribution")
+    val exchanges = count(p, "(?<!Reused)Exchange (hash|range)")
+    // one user-keyed exchange for the window; the channel groupBy adds
+    // its own tiny post-window exchange but must partial-agg first
+    assert(exchanges <= 2, s"q_attribution wants <= 2 shuffles, got $exchanges\n" + p.take(2000))
+    assert(p.contains("partial_count"), "channel agg lost map-side combine")
+    assert(!p.contains("Join"), "attribution must not plan a self-join\n" + p.take(1000))
+  }
+
+  test("IVM: the CDF diff is one key-equi full-outer join; delta agg partial-aggs") {
+    val p = plan("q_ivm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "diffStates degraded past an equi-join\n" + p.take(2000))
+    assert(p.contains("FullOuter"), "state diff lost its full-outer key join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "maintained aggregate lost map-side combine")
+  }
+
   private val Similarity = graft.operators.Similarity
 }
