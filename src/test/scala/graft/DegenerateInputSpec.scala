@@ -252,4 +252,65 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(oov.length === 1 && oov.head.getLong(2) === 2L)
     assert(Text.lmCrossScore(ref, noDocs, "doc_id", "text").count() === 0)
   }
+
+  test("round-10 operators stay well-defined on degenerate input") {
+    import graft.sources.StateStore
+
+    // IVM: empty feed leaves the base verbatim; feed against an empty
+    // base builds from scratch (covered in Round10cSpec) — here: a feed
+    // of pure no-op updates (diffStates emits nothing for same-row keys)
+    val st = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "value")
+    val noopFeed = StateStore.diffStates(st, st, Seq("id"))
+    assert(noopFeed.count() === 0, "identical states produced CDF rows")
+    val base = StateOps.aggTable(st, Seq("grp"), Seq("value"))
+    val kept = StateOps.ivmAggregate(base, noopFeed, Seq("grp"), Seq("value"))
+    assert(kept.collect().map(_.mkString("|")).sorted ===
+      base.collect().map(_.mkString("|")).sorted)
+
+    // binary ANN: empty corpus → empty; all-zero vectors (every sign
+    // bit 0 → hamming 0 everywhere, cosine null) rank by cand_id, never
+    // crash on the zero norm
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val q1 = Seq((100L, Seq.fill(8)(1.0))).toDF("vec_id", "embedding")
+    assert(Similarity.binaryTopK(noVecs, q1, "vec_id", "embedding",
+      k = 2, dim = 8, shortlist = 4).count() === 0)
+    val zeros = Seq.tabulate(3)(i => (i.toLong, Seq.fill(8)(0.0)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.binaryTopK(zeros, q1, "vec_id", "embedding",
+      k = 2, dim = 8, shortlist = 4).collect()
+    assert(z.length === 2 && z.forall(_.isNullAt(3)),
+      s"zero-norm rerank must yield null cosine rows: ${z.toSeq}")
+
+    // kCore: empty edges and an all-self-loop graph are empty cores
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Analytics.kCore(noEdges, "a", "b", k = 2).count() === 0)
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Analytics.kCore(loops, "a", "b", k = 1).count() === 0)
+
+    // attribution: no touches at all → every conversion is 'direct';
+    // empty events → empty
+    val evs = Seq((1L, 10L, 100L, "purchase"), (1L, 20L, 101L, "purchase"))
+      .toDF("user_id", "ts_sec", "event_id", "event_type")
+    val att = Analytics.lastTouch(evs, "user_id", "ts_sec", "event_id",
+      "event_type", Seq("click"), "purchase", 3600L).collect()
+    assert(att.length === 1 && att.head.getString(0) === "direct" &&
+      att.head.getLong(1) === 2L)
+    assert(Analytics.lastTouch(
+      Seq.empty[(Long, Long, Long, String)]
+        .toDF("user_id", "ts_sec", "event_id", "event_type"),
+      "user_id", "ts_sec", "event_id", "event_type",
+      Seq("click"), "purchase", 3600L).count() === 0)
+
+    // MMR: single-candidate pool and k > pool size both well-defined
+    val pool = Seq((1L, 10L, 0.9, Seq(1.0, 0.0))).toDF("q", "c", "rel", "v")
+    val m = Similarity.mmrRerank(pool, "q", "c", "rel", "v", k = 5).collect()
+    assert(m.length === 1 && m.head.getInt(4) === 1)
+
+    // topPc: dim-1 corpus (trivial direction) stays finite
+    val d1 = Seq.tabulate(10)(i => (i.toLong, Seq(i.toDouble)))
+      .toDF("id", "vec")
+    val (mu1, pc1) = Similarity.topPc(d1, "vec", dim = 1, iters = 3)
+    assert(mu1.length === 1 && math.abs(pc1.head) === 1.0,
+      s"1-d pc must be ±1: ${pc1.toSeq}")
+  }
 }
