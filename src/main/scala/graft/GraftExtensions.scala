@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CmsEstimate, DotProduct, GeohashExpression, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvSketchAgg, MinHashBands, SimHash64}
+import graft.expressions.{CmsEstimate, DotProduct, GeohashExpression, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvSketchAgg, MinHashBands, NfcNormalize, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -92,6 +92,12 @@ object GraftFunctions {
       "cms_estimate(sketch, key) expects 2 arguments")
   }
 
+  private def nfcBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s) => NfcNormalize(Cast(s, org.apache.spark.sql.types.StringType))
+    case _ => throw new IllegalArgumentException(
+      "nfc_normalize(text) expects 1 argument")
+  }
+
   private def dotBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(a, b) =>
       DotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
@@ -128,7 +134,10 @@ object GraftFunctions {
       kmvSketchBuilder _),
     (FunctionIdentifier("kmv_merge_agg"),
       new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_agg"),
-      kmvMergeBuilder _))
+      kmvMergeBuilder _),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      nfcBuilder _))
 
   // The RETRIEVAL stack (bm25*, rrfFuse, maxSim) is deliberately NOT in
   // this registry: those are multi-row RANKING shapes — tokenize →

@@ -647,6 +647,17 @@ object SparkEntry {
     "q_fertility" -> ((s, dir) =>
       Text.fertility(Tables.documents(s, dir), "lang", "text")),
 
+    // --- canonical text normalization (NFC + casefold + whitespace
+    // collapse) ahead of content hashing; the oracle replays the same
+    // recipe on DuckDB's utf8proc NFC ---
+    "q_normalize_text" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(graft.functions.Strings.normalizeText(col("text")).cast("binary"))
+            .as("norm_md5"),
+          length(graft.functions.Strings.normalizeText(col("text")))
+            .cast("long").as("norm_len"))),
+
     "q_quality" -> ((s, dir) =>
       Text.qualityScore(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
@@ -2414,6 +2425,16 @@ object SparkEntry {
         |  floor(CAST(SUM(re) AS BIGINT)::DOUBLE / CAST(SUM(ws) AS BIGINT)
         |    * 1000 + 0.5)/1000 AS fertility
         |FROM t GROUP BY lang""".stripMargin,
+
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |                               '\s+', ' ', 'g'))) AS norm_md5,
+        |       CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |                                       '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents WHERE text IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL FROM documents WHERE text IS NULL""".stripMargin,
 
     "q_quality" ->
       """WITH q AS (

@@ -135,6 +135,46 @@ class Round10cSpec extends SparkSpecBase {
     assert(removed.count() === 2000)
   }
 
+  // --- Unicode NFC normalization ---------------------------------------------
+
+  test("NFC normalize: composed \u2261 decomposed, ligatures preserved, idempotent, SQL-callable") {
+    import graft.functions.Strings
+    val df = Seq(
+      (1L, "caf\u00e9"),        // e-acute precomposed (already NFC)
+      (2L, "cafe\u0301"),       // e + combining acute (NFD): same bytes after NFC
+      (3L, "ma\u00dfe"),        // eszett must NOT casefold to "ss" (lower, not NFKC)
+      (4L, "\ufb01sh"),         // fi ligature: NFC preserves it (expansion is NFKC)
+      (5L, "  A\t\n B  "),     // whitespace collapse + trim + lower
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Strings.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === out(2L), s"NFC did not unify accent encodings: $out")
+    assert(out(1L) === Some("caf\u00e9"))
+    assert(out(3L) === Some("ma\u00dfe"), "lowercase wrongly NFKC-folded eszett")
+    assert(out(4L).get.contains('\ufb01'), "NFC wrongly expanded the fi ligature")
+    assert(out(5L) === Some("a b"), s"whitespace recipe wrong: ${out(5L)}")
+    assert(out(6L) === None, "null must stay null")
+    // idempotent
+    val twice = df.filter(col("text").isNotNull)
+      .select(Strings.normalizeText(Strings.normalizeText(col("text"))).as("n2"),
+        Strings.normalizeText(col("text")).as("n1"))
+      .filter(not(col("n2") <=> col("n1"))).count()
+    assert(twice === 0, "normalizeText is not idempotent")
+    // the whole point: exact dedup after normalization catches the pair
+    val deduped = graft.operators.Dedup.exactKeepFirst(
+      df.filter(col("text").isNotNull)
+        .select(col("id").as("doc_id"),
+          Strings.normalizeText(col("text")).as("text")),
+      Seq("text"), "doc_id")
+    assert(deduped.count() === 4, "normalized exact dedup missed the NFC pair")
+    // SQL registration
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n")
+      .as[String].head()
+    assert(viaSql === "caf\u00e9", s"SQL surface wrong: $viaSql")
+  }
+
   // --- k-core peeling --------------------------------------------------------
 
   /** Driver reference: literal iterative peeling. */
