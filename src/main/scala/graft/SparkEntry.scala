@@ -227,6 +227,17 @@ object SparkEntry {
     // NOTE: both roll() branches consume the same window subplan; Spark's
     // ReusedExchange already shares the shuffle, so persisting here was
     // measured SLOWER (serialization cost > recompute) — don't cache.
+    // --- declarative CHECK-constraint expectations (Delta/DLT model:
+    // NULL passes; violation = literal FALSE) — per-constraint counts
+    // in one partial-agg'd pass
+    "q_expectations" -> ((s, dir) =>
+      Quality.expectationsReport(Tables.events(s, dir), Seq(
+        "value_nonneg" -> (col("value") >= 0),
+        "type_known" -> col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"),
+        "ts_present" -> col("ts").isNotNull,
+        "user_nonneg" -> (col("user_id") >= 0)))),
+
     // --- last-touch conversion attribution: purchases credit the most
     // recent prior click/view within 2h, else 'direct' — one user-keyed
     // window over the shared timeline, no self-join
@@ -1498,6 +1509,21 @@ object SparkEntry {
          |WHERE (NOT anch AND (mv_a = 1 OR mv_d = 1))
          |   OR (anch AND (an_a = 1 OR an_d = 1))
          |   OR dy_a = 1 OR dy_d = 1""".stripMargin,
+
+    "q_expectations" ->
+      """WITH t AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN NOT coalesce(value >= 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS v_value,
+        |         CAST(SUM(CASE WHEN NOT coalesce(event_type IN
+        |             ('click','view','purchase','signup','error'), TRUE)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+        |         CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+        |         CAST(SUM(CASE WHEN NOT coalesce(user_id >= 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS v_user
+        |  FROM events)
+        |SELECT 'value_nonneg' AS check_name, v_value AS n_violations, n AS n_rows FROM t
+        |UNION ALL SELECT 'type_known', v_type, n FROM t
+        |UNION ALL SELECT 'ts_present', v_ts, n FROM t
+        |UNION ALL SELECT 'user_nonneg', v_user, n FROM t""".stripMargin,
 
     "q_attribution" ->
       s"""$EvCte, lt AS (

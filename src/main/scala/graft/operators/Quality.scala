@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -625,5 +625,50 @@ object Quality {
         greatest(col("n_inter").cast("double") * interTolRel,
           col("n_union").cast("double") / k)).as("inter_ok"),
       (abs(r3(col("jac_raw")) - jacExact) <= jacTolAbs).as("jac_ok"))
+  }
+
+  /**
+   * Declarative CHECK-constraint EXPECTATIONS — the Delta/DLT
+   * constraint model on plain frames: each named check is a boolean
+   * Column, and a row VIOLATES a check only when it evaluates to
+   * literal FALSE (SQL CHECK three-valued logic: NULL passes — "value
+   * >= 0" does not condemn a null value; add an explicit IS NOT NULL
+   * check when null is unacceptable).
+   *
+   * [[expectationsSplit]] routes rows: clean rows keep their schema,
+   * quarantined rows carry a `_violations` name array — the
+   * write-with-expectations pattern (write clean, land quarantine for
+   * triage; compose with any LakeWriter path). One map-only pass, no
+   * shuffle: the checks are row-local expressions.
+   */
+  def expectationsSplit(df: DataFrame, checks: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "expectationsSplit needs at least one check")
+    val viol = array(checks.map { case (name, c) =>
+      when(coalesce(c, lit(true)), lit(null)).otherwise(lit(name))
+    }: _*)
+    val tagged = df.withColumn("_violations", filter(viol, _.isNotNull))
+    (tagged.filter(size(col("_violations")) === 0).drop("_violations"),
+      tagged.filter(size(col("_violations")) > 0))
+  }
+
+  /**
+   * Per-constraint violation report — `(check_name, n_violations,
+   * n_rows)`, one partial-agg'd pass over the data (a 1-row aggregate
+   * unpivoted driver-side into constraint rows; the data is never
+   * scanned per check).
+   */
+  def expectationsReport(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "expectationsReport needs at least one check")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("_n") +: checks.map { case (name, c) =>
+      sum(when(coalesce(c, lit(true)), 0L).otherwise(1L)).as(s"_v_$name")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    checks.zipWithIndex.map { case ((name, _), i) =>
+      (name, Option(row.get(i + 1)).fold(0L)(_.asInstanceOf[Long]), n)
+    }.toDF("check_name", "n_violations", "n_rows")
   }
 }

@@ -135,6 +135,35 @@ class Round10cSpec extends SparkSpecBase {
     assert(removed.count() === 2000)
   }
 
+  // --- CHECK-constraint expectations -----------------------------------------
+
+  test("expectationsSplit: NULL passes, violations carry reasons, clean keeps schema") {
+    import graft.operators.Quality
+    val df = Seq(
+      (1L, Some(5.0), "click"),          // clean
+      (2L, Some(-1.0), "click"),         // value_nonneg
+      (3L, None, "view"),                // null value: CHECK semantics → passes
+      (4L, Some(2.0), "bogus"),          // type_known
+      (5L, Some(-9.0), "bogus")          // both
+    ).toDF("id", "value", "event_type")
+    val checks = Seq(
+      "value_nonneg" -> (col("value") >= 0),
+      "type_known" -> col("event_type").isin("click", "view"))
+    val (clean, quarantined) = Quality.expectationsSplit(df, checks)
+    assert(clean.columns.toSeq === df.columns.toSeq, "clean schema changed")
+    assert(clean.select("id").as[Long].collect().sorted === Array(1L, 3L))
+    val reasons = quarantined
+      .select(col("id"), col("_violations"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(reasons === Map(
+      2L -> Seq("value_nonneg"), 4L -> Seq("type_known"),
+      5L -> Seq("value_nonneg", "type_known")), s"reasons wrong: $reasons")
+    // the report agrees with the split
+    val rep = Quality.expectationsReport(df, checks)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep === Map("value_nonneg" -> ((2L, 5L)), "type_known" -> ((2L, 5L))))
+  }
+
   // --- Unicode NFC normalization ---------------------------------------------
 
   test("NFC normalize: composed \u2261 decomposed, ligatures preserved, idempotent, SQL-callable") {
