@@ -56,4 +56,74 @@ object LakeSink {
         graft.SharedStage.invalidate(path)
       }
       .start()
+
+  /**
+   * IDEMPOTENT append sink — what Delta gets from txn-versioned appends,
+   * on plain parquet: each batch lands under an extra trailing
+   * `_ingest_batch=<batchId>` partition dir, and the write is a DYNAMIC
+   * OVERWRITE — so a checkpoint-replayed batch REWRITES exactly its own
+   * (day, batch) dirs instead of appending duplicates ([[startAppend]]'s
+   * failure mode on recovery). Readers `drop("_ingest_batch")` (it reads
+   * as just another partition column); the maintenance loop's
+   * partition-scoped re-cluster folds the per-batch dirs away when depth
+   * triggers.
+   */
+  def startAppendIdempotent(df: DataFrame, path: String, checkpointDir: String,
+                            partitionCols: Seq[String] = LakeWriter.DefaultPartitionCols)
+      : StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, path, partitionCols)
+      }
+      .start()
+
+  /** One idempotent-append micro-batch (factored for replay tests). */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+                  partitionCols: Seq[String]): Unit = {
+    batch.withColumn("_ingest_batch", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy((partitionCols :+ "_ingest_batch"): _*)
+      .parquet(path)
+    graft.SharedStage.invalidate(path)
+  }
+
+  /**
+   * Streaming EXPECTATIONS sink — the DLT pattern over
+   * [[graft.operators.Quality.expectationsSplit]]: per micro-batch,
+   * rows failing any CHECK route to a quarantine lake WITH their
+   * per-row violation reasons, clean rows land schema-intact; both
+   * sides use the idempotent per-batch append, so checkpoint replay
+   * rewrites rather than duplicates and the clean lake is a pure
+   * function of delivered batches. The split is map-only — the only
+   * added cost over a plain append is evaluating the row-local checks.
+   */
+  def startWithExpectations(df: DataFrame, path: String, quarantinePath: String,
+                            checkpointDir: String,
+                            checks: Seq[(String, org.apache.spark.sql.Column)],
+                            partitionCols: Seq[String] = LakeWriter.DefaultPartitionCols)
+      : StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        expectationsBatch(batch, batchId, path, quarantinePath, checks,
+          partitionCols)
+      }
+      .start()
+
+  /** One expectations micro-batch (factored for replay tests). */
+  def expectationsBatch(batch: DataFrame, batchId: Long, path: String,
+                        quarantinePath: String,
+                        checks: Seq[(String, org.apache.spark.sql.Column)],
+                        partitionCols: Seq[String]): Unit = {
+    val (clean, quarantined) =
+      graft.operators.Quality.expectationsSplit(batch, checks)
+    appendBatch(clean, batchId, path, partitionCols)
+    appendBatch(
+      quarantined.withColumn("_violations",
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.col("_violations"), ",")),
+      batchId, quarantinePath, partitionCols)
+  }
 }

@@ -81,4 +81,41 @@ class IvmStreamSpec extends SparkSpecBase {
       IvmStream.readAggTable(spark, agg, Seq("grp"), Seq("value")))
     assert(after === before, "replayed batch changed the aggregate")
   }
+
+  test("streaming expectations sink: violators quarantined with reasons; replay rewrites, never duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lake = tmpDir("explake")
+    val quar = tmpDir("expquar")
+    val checks = Seq(
+      "value_nonneg" -> (col("value") >= 0),
+      "type_known" -> col("event_type").isin("a", "b"))
+    val batches = Seq(
+      Seq((1, 1L, 5.0, "a"), (1, 2L, -1.0, "a"), (2, 3L, 2.0, "zz")),
+      Seq((2, 4L, 7.0, "b"), (1, 5L, -2.0, "zz")))
+    val input = MemoryStream[(Int, Long, Double, String)]
+    val q = graft.streaming.LakeSink.startWithExpectations(
+      input.toDS().toDF("day", "id", "value", "event_type"),
+      lake, quar, tmpDir("expckpt"), checks, partitionCols = Seq("day"))
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def ids(p: String): Seq[Long] =
+      spark.read.parquet(p).select("id").as[Long].collect().sorted.toSeq
+    assert(ids(lake) === Seq(1L, 4L), s"clean lake wrong: ${ids(lake)}")
+    assert(ids(quar) === Seq(2L, 3L, 5L), s"quarantine wrong: ${ids(quar)}")
+    val reasons = spark.read.parquet(quar)
+      .select(col("id"), col("_violations"))
+      .as[(Long, String)].collect().toMap
+    assert(reasons === Map(2L -> "value_nonneg", 3L -> "type_known",
+      5L -> "value_nonneg,type_known"), s"reasons wrong: $reasons")
+    // crash-recovery shape: re-deliver batch 0 with the same id — the
+    // dynamic per-batch overwrite rewrites its own dirs, row sets stable
+    graft.streaming.LakeSink.expectationsBatch(
+      batches(0).toDF("day", "id", "value", "event_type"), 0L,
+      lake, quar, checks, Seq("day"))
+    assert(ids(lake) === Seq(1L, 4L), "replay duplicated clean rows")
+    assert(ids(quar) === Seq(2L, 3L, 5L), "replay duplicated quarantine rows")
+  }
 }
