@@ -555,6 +555,17 @@ object SparkEntry {
         "doc_id", "text", "merge batch")
     }),
 
+    // --- batch trigram search: a pattern TABLE probes the shared index
+    // as one equi-join on the trigram key (the service shape) ---
+    "q_trgm_multi" -> ((s, dir) => {
+      import s.implicits._
+      val pats = Seq((1L, "merge batch"), (2L, "scan slow"),
+        (3L, "the line sort"), (4L, "window table"))
+        .toDF("pat_id", "pat_text")
+      Text.trigramSearchBatch(Tables.documents(s, dir),
+        trgmSharedIndex(s, dir), "doc_id", "text", pats, "pat_id", "pat_text")
+    }),
+
     // --- content-defined chunking: O(len) rolling-hash kernel; the
     // oracle replays the per-window polynomial fold declaratively ---
     "q_cdc_chunks" -> ((s, dir) =>
@@ -2266,6 +2277,15 @@ object SparkEntry {
          |) WHERE rank <= 5""".stripMargin,
 
     "q_bm25" -> bm25Sql(k = 10, cols = "query_id, doc_id, bm25, n_terms, rank"),
+
+    "q_trgm_multi" ->
+      """WITH pats(pat_id, pat) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'merge batch'), (2, 'scan slow'),
+        |  (3, 'the line sort'), (4, 'window table'))
+        |SELECT p.pat_id, d.doc_id,
+        |       CAST(strpos(d.text, p.pat) AS BIGINT) AS first_pos
+        |FROM documents d CROSS JOIN pats p
+        |WHERE contains(d.text, p.pat)""".stripMargin,
 
     "q_trgm_search" ->
       """SELECT doc_id, CAST(strpos(text, 'merge batch') AS BIGINT) AS first_pos

@@ -546,6 +546,17 @@ object Stress {
         fitted = Some((mu, pc))).count()
     }
 
+    // --- k-core: edge-linear peel rounds on a power-law-ish graph ---
+    probe(s"kCore k=3 over ${nEvents / 1000000}M edges") {
+      // skewed endpoints (pmod of a product) give a dense core plus a
+      // long low-degree fringe — several cascade rounds, never a wall
+      val edges = spark.range(nEvents).select(
+        pmod(xxhash64(col("id")), lit(nUsers / 10)).as("a"),
+        pmod(pmod(xxhash64(col("id"), lit(1)), lit(1000000)) *
+          pmod(col("id"), lit(97)), lit(nUsers)).as("b"))
+      Analytics.kCore(edges, "a", "b", k = 3).count()
+    }
+
     // --- MMR rerank: queries parallelize, pools stay bounded ---
     probe("mmrRerank 2k queries x 100-cand pools") {
       val pools = spark.range(200000).select(

@@ -1208,6 +1208,46 @@ object Text {
   }
 
   /**
+   * BATCH form of [[trigramSearch]] — the service shape: a whole
+   * DataFrame of patterns probes the index in ONE pass. The per-pattern
+   * `isin` becomes an equi-JOIN on the trigram key (patterns explode to
+   * their trigrams, the posting index joins once — with a tri-bucketed
+   * index this prunes to the union of the batch's buckets), coverage is
+   * a per-(pattern, doc) distinct count matched against the pattern's
+   * own trigram count, and the `contains` verify touches only candidate
+   * (pattern, doc) pairs. Exact per pattern, by the same
+   * superset-then-verify argument. Patterns shorter than 3 chars cannot
+   * be indexed and fail LOUDLY (raise_error), not silently.
+   *
+   * Returns `(pat_id, doc_id, first_pos)`.
+   */
+  def trigramSearchBatch(docs: DataFrame, index: DataFrame,
+                         idCol: String, textCol: String,
+                         patterns: DataFrame, pIdCol: String,
+                         pTextCol: String): DataFrame = {
+    val pats = patterns.select(col(pIdCol).as("pat_id"),
+      when(length(col(pTextCol)) >= 3, col(pTextCol))
+        .otherwise(raise_error(concat(lit("trigramSearchBatch: pattern '"),
+          col(pTextCol), lit("' shorter than 3 chars"))))
+        .as("pat"))
+    val qtri = pats
+      .select(col("pat_id"), col("pat"),
+        explode(charTrigrams(col("pat"))).as("tri"))
+    val nTri = qtri.groupBy("pat_id").agg(count(lit(1)).as("n_pat_tri"))
+    val cand = index.join(broadcast(qtri.select("pat_id", "tri")), Seq("tri"))
+      .groupBy("pat_id", "id").agg(countDistinct(col("tri")).as("n_tri"))
+      .join(broadcast(nTri), Seq("pat_id"))
+      .filter(col("n_tri") === col("n_pat_tri"))
+      .select("pat_id", "id")
+    docs.join(broadcast(cand), docs(idCol) === cand("id"), "inner")
+      .join(broadcast(pats), Seq("pat_id"))
+      .filter(col(textCol).contains(col("pat")))
+      // SQL instr: the Scala `instr` helper only takes a literal needle
+      .select(col("pat_id"), col(idCol).as("doc_id"),
+        expr(s"instr($textCol, pat)").cast("long").as("first_pos"))
+  }
+
+  /**
    * Content-defined chunking (LBFS/Rabin rolling-hash split): each
    * document splits at positions where the rolling hash of the trailing
    * `w`-codepoint window ≡ 0 mod `mod` — boundaries move WITH the
