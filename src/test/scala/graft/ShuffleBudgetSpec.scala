@@ -64,6 +64,16 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                      // shuffle + intersection join IS the
                                      // gate harness; the sketch side moves
                                      // ≤ k·partitions hashes
+    // round 10
+    "q_ivm" -> (128L << 10),         // 28 kB: state diff FO join + delta agg
+    "q_attribution" -> (128L << 10), // 26 kB: one user-keyed window pass
+    "q_trgm_search" -> (128L << 10), // 31 kB: pattern-bucket postings only
+    "q_trgm_multi" -> (768L << 10),  // 152 kB: batch posting join + coverage
+    "q_ann_binary" -> (64L << 10),   // 59 B: WindowGroupLimit keeps the
+                                     // corpus×query hamming rows map-side
+    "q_expectations" -> (64L << 10), // 301 B: one 1-row aggregate
+    "q_normalize_text" -> (64L << 10), // map-only normalize + md5
+    "q_cdc_chunks" -> (64L << 10),   // map-only kernel + posexplode
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
