@@ -1370,6 +1370,26 @@ object Similarity {
     }.toDF("query_id", "cand_id", "rel", "mmr", "rank")
   }
 
+  /**
+   * DECOMPRESS a [[PqIndex]] back to approximate vectors — each code
+   * row swaps for its sub-centroid and the m pieces concatenate in
+   * subspace order (standard PQ reconstruction; error is exactly the
+   * quantization error the fidelity gates measure). One broadcast join
+   * against the m·ks centroid table + one cand-keyed assembly shuffle —
+   * index-sized, the raw corpus is never read. This is how a service
+   * gets candidate-vector geometry (e.g. MMR diversification) from the
+   * resident index alone at 100 TB: reconstruct once per index
+   * generation and persist alongside the codes.
+   */
+  def pqReconstruct(index: PqIndex): DataFrame =
+    index.codes
+      .join(broadcast(index.codebooks
+        .select(col("sub"), col("cell").as("code"), col("c"))), Seq("sub", "code"))
+      .groupBy("cand_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("c")))),
+        s => s.getField("c"))).as("vec"))
+
   /** Sign-bit packing for [[binaryTopK]]: bit i of word ⌊i/64⌋ set iff
    * `vec[i] > 0` — ceil(dim/64) longs per vector, a 32× compression of
    * float64 arrays. Static bit masks fold into the plan (O(dim)

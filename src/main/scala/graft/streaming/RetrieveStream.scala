@@ -77,4 +77,64 @@ object RetrieveStream {
         sink(Analytics.rrfFuse(Seq(sparse, dense), k))
       }
       .start()
+
+  /** The resident stack of the DIVERSIFIED service: the hybrid pair
+   * plus the PQ-reconstructed candidate vectors
+   * ([[Similarity.pqReconstruct]] — derived once per index generation,
+   * never per batch), swapped as one unit through one reference. */
+  final case class DiversifiedIndex(bm25: DataFrame, pq: Similarity.PqIndex,
+                                    vecs: DataFrame)
+
+  object DiversifiedIndex {
+    /** Build the resident stack: reconstruct + persist the candidate
+     * vectors from the index itself (no corpus read). */
+    def of(bm25: DataFrame, pq: Similarity.PqIndex): DiversifiedIndex =
+      DiversifiedIndex(bm25, pq,
+        graft.CacheScope.persist(Similarity.pqReconstruct(pq)))
+  }
+
+  /**
+   * The FULL retrieval stack, live: retrieve (BM25 + PQ ADC) → fuse
+   * (RRF) → DIVERSIFY (MMR over the fused pool, geometry from the
+   * PQ-reconstructed vectors — the index is the only data the service
+   * holds). RRF scores are rescaled per query to [0, 1] (max-normalized)
+   * before MMR so `lambda` trades off against cosine on a shared scale.
+   * Pool stays bounded at `poolK` per query, so the MMR group work is
+   * O(poolK²) per query — the [[Similarity.mmrRerank]] contract.
+   */
+  def hybridRetrieveDiversified(queryStream: DataFrame,
+                                ref: java.util.concurrent.atomic.AtomicReference[DiversifiedIndex],
+                                qIdCol: String, qTextCol: String, qVecCol: String,
+                                k: Int, perListK: Int, poolK: Int,
+                                mmrLambda: Double, checkpointDir: String,
+                                scoreRoundDecimals: Option[Int] = Some(3))
+                               (sink: DataFrame => Unit): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(diversifiedBatch(ref.get(), batch, qIdCol, qTextCol, qVecCol,
+          k, perListK, poolK, mmrLambda, scoreRoundDecimals))
+      }
+      .start()
+
+  /** One diversified-retrieval batch — factored so the spec asserts
+   * stream ≡ batch on the same pool. */
+  def diversifiedBatch(idx: DiversifiedIndex, batch: DataFrame,
+                       qIdCol: String, qTextCol: String, qVecCol: String,
+                       k: Int, perListK: Int, poolK: Int, mmrLambda: Double,
+                       scoreRoundDecimals: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max => fmax}
+    val sparse = Text.bm25ScoreIndex(idx.bm25, batch,
+        qIdCol, qTextCol, perListK, scoreRoundDecimals = scoreRoundDecimals)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.pqScore(idx.pq, batch, qIdCol, qVecCol, perListK)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    val pool = Analytics.rrfFuse(Seq(sparse, dense), poolK)
+      .withColumn("rel",
+        col("rrf") / fmax(col("rrf")).over(Window.partitionBy("query_id")))
+      .join(idx.vecs.withColumnRenamed("cand_id", "doc_id"), Seq("doc_id"))
+    Similarity.mmrRerank(pool, "query_id", "doc_id", "rel", "vec",
+      k = k, lambda = mmrLambda, maxCandidates = math.max(poolK, 1024))
+  }
 }

@@ -508,6 +508,59 @@ class StreamParitySpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("RetrieveStream.hybridRetrieveDiversified: stream ≡ batch retrieve→fuse→MMR") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq("spark", "scan", "join", "sort", "agg", "window",
+      "table", "query", "batch", "stream", "merge", "filter")
+    def text(seed: Int): String =
+      (0 until 12).map(i => words((seed * 7 + i * i) % words.length)).mkString(" ")
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val corpusDocs = (0L until 80L).map(i => (i, text(i.toInt)))
+      .toDF("doc_id", "text")
+    val corpusVecs = (0L until 80L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val idx = streaming.RetrieveStream.DiversifiedIndex.of(
+      graft.CacheScope.persist(
+        operators.Text.bm25Index(corpusDocs, "doc_id", "text")),
+      operators.Similarity.pqIndexBuild(corpusVecs, "vec_id", "embedding",
+        dim = 16, m = 4, ks = 16, iters = 2))
+    val ref = new java.util.concurrent.atomic.AtomicReference(idx)
+    val queries = (1000L until 1010L).map(i => (i, text(i.toInt), vec(i * 3)))
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double, Int)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-divhybrid").toString
+    val query = streaming.RetrieveStream.hybridRetrieveDiversified(
+      input.toDF().toDF("query_id", "text", "embedding"),
+      ref, "query_id", "text", "embedding",
+      k = 5, perListK = 10, poolK = 10, mmrLambda = 0.5, ckpt) { out =>
+      got.synchronized {
+        got ++= out.as[(Long, Long, Double, Double, Int)].collect()
+      }
+    }
+    try {
+      val rng = new scala.util.Random(67)
+      rng.shuffle(queries).grouped(4).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val expected = streaming.RetrieveStream.diversifiedBatch(idx,
+          queries.toDF("query_id", "text", "embedding"),
+          "query_id", "text", "embedding",
+          k = 5, perListK = 10, poolK = 10, mmrLambda = 0.5,
+          scoreRoundDecimals = Some(3))
+        .as[(Long, Long, Double, Double, Int)].collect().toSet
+      assert(got.toSet === expected,
+        s"stream-only: ${(got.toSet -- expected).take(5)}; " +
+          s"batch-only: ${(expected -- got.toSet).take(5)}")
+      // diversification is non-vacuous: some later pick paid a real
+      // redundancy penalty (mmr < λ·rel needs a POSITIVE max-cos)
+      assert(got.exists(r => r._5 > 1 && r._4 < 0.5 * r._3 - 1e-12),
+        "no pick ever paid an MMR penalty — pool has no redundancy to resist")
+      // every query got exactly k ranked rows 1..5
+      assert(got.groupBy(_._1).forall(_._2.map(_._5).sorted == (1 to 5)),
+        "rank sequence broken")
+    } finally query.stop()
+  }
+
   test("WindowedCounts.distinctPerWindow stream equals its batch HLL twin, with late drops") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(43)
