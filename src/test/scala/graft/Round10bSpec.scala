@@ -253,4 +253,29 @@ class Round10bSpec extends SparkSpecBase {
     assert(vNext == "000000000002",
       s"reaped claims should free their numbers: $vNext")
   }
+
+  test("pqReconstruct: decompressed vectors stay close to the originals on clustered data") {
+    // clustered fixture (the regime PQ codebooks are FOR): 4 well-
+    // separated centers with small per-dim jitter
+    val rows = (0L until 400L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(8)(j =>
+        c * 10.0 + (if (j % 4 == c) 5.0 else 0.0) +
+          ((i * 31 + j * 17) % 5 - 2) * 0.1))
+    }
+    val em = rows.toDF("id", "vec")
+    val idx = Similarity.pqIndexBuild(em, "id", "vec", dim = 8, m = 4,
+      ks = 8, iters = 3)
+    val recon = Similarity.pqReconstruct(idx)
+    assert(recon.count() === 400, "reconstruction lost rows")
+    val joined = em.select(col("id").as("cand_id"),
+        col("vec").cast("array<double>").as("orig"))
+      .join(recon, "cand_id")
+      .select(Similarity.cosine(col("orig"), col("vec")).as("cos"))
+    val minCos = joined.agg(min("cos")).head.getDouble(0)
+    assert(minCos > 0.99,
+      s"reconstruction fidelity collapsed: min cos = $minCos")
+    // dims intact
+    assert(recon.select(size(col("vec"))).distinct().head.getInt(0) === 8)
+  }
 }
