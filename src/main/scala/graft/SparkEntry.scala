@@ -1196,6 +1196,19 @@ object SparkEntry {
           "event_type", "dow")
         .select(r3(col("chi2")).as("chi2"), col("dof"), col("n_total"))),
 
+    // --- seasonal-baseline anomalies: each event z-scored against its
+    // (event_type, hour-of-day) season instead of a flat baseline ---
+    "q_seasonal" -> ((s, dir) => {
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "season_bucket")
+      Analytics.seasonalAnomaly(ev(s, dir), Seq("event_type"), "ts_sec",
+          "value", periodSec = 86400L, bucketSec = 3600L, zCut = 2.5)
+        .withColumn("n_grp", count(col("value")).over(wc))
+        .filter(col("n_grp") >= 2)
+        .select(col("event_id"), col("season_bucket"),
+          r3(col("season_z")).as("season_z"), col("anomaly"))
+    }),
+
     "q_zscore" -> ((s, dir) => {
       val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
       Analytics.zscore(ev(s, dir), Seq("user_id"), "value")
@@ -3166,6 +3179,27 @@ object SparkEntry {
          |       (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
          |       CAST(MAX(n) AS BIGINT) AS n_total
          |FROM cells""".stripMargin,
+
+    "q_seasonal" ->
+      s"""$EvCte, b AS (
+         |  SELECT event_id, event_type, value,
+         |         CAST(floor(fmod(ts_sec, 86400) / 3600) AS BIGINT) AS season_bucket
+         |  FROM e
+         |), st AS (
+         |  SELECT event_type, season_bucket, COUNT(value) AS n,
+         |         SUM(value) AS s, SUM(value * value) AS sq
+         |  FROM b GROUP BY 1, 2
+         |), z AS (
+         |  SELECT event_id, season_bucket,
+         |         CASE WHEN n < 2 OR sqrt((sq - s * s / n) / (n - 1)) = 0 THEN NULL
+         |              ELSE (value - s / n) / sqrt((sq - s * s / n) / (n - 1))
+         |         END AS zr, n
+         |  FROM b JOIN st USING (event_type, season_bucket)
+         |)
+         |SELECT event_id, season_bucket,
+         |       floor(zr*1000 + 0.5)/1000 AS season_z,
+         |       coalesce(abs(zr) > 2.5, FALSE) AS anomaly
+         |FROM z WHERE n >= 2""".stripMargin,
 
     "q_zscore" ->
       """WITH st AS (

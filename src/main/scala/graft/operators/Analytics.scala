@@ -587,6 +587,31 @@ object Analytics {
   }
 
   /**
+   * SEASONAL-BASELINE anomaly screen — the time-series twin of the
+   * plain per-group [[zscore]]: a metric with a daily/weekly rhythm
+   * makes every rush hour look anomalous against a FLAT per-entity
+   * baseline, so the group key here is (entity keys, time-of-period
+   * bucket) — each observation is z-scored against its OWN season
+   * (e.g. "Tuesdays 9-10am for this feed"). One window shuffle on the
+   * composite key (the zscore machinery verbatim — same explicit-sums
+   * standardization, same singleton/zero-variance null guard); the
+   * flag is null-safe (null z → not anomalous, never a NaN pass).
+   * `periodSec`/`bucketSec` pick the season grid: (86400, 3600) =
+   * hour-of-day, (604800, 86400) = day-of-week.
+   */
+  def seasonalAnomaly(df: DataFrame, keys: Seq[String], tsSecCol: String,
+                      valueCol: String, periodSec: Long, bucketSec: Long,
+                      zCut: Double = 3.0): DataFrame = {
+    require(periodSec > 0 && bucketSec > 0 && periodSec % bucketSec == 0,
+      "seasonalAnomaly needs bucketSec dividing periodSec")
+    val bucketed = df.withColumn("season_bucket",
+      floor(pmod(col(tsSecCol), lit(periodSec)) / lit(bucketSec)).cast("long"))
+    zscore(bucketed, keys :+ "season_bucket", valueCol, outCol = "season_z")
+      .withColumn("anomaly",
+        coalesce(abs(col("season_z")) > zCut, lit(false)))
+  }
+
+  /**
    * K-CORE of an undirected graph — iterative peeling: repeatedly drop
    * every node of degree < k (with its edges) until the survivor set is
    * stable; what remains is the maximal subgraph where every node keeps
