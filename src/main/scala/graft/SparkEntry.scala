@@ -245,6 +245,12 @@ object SparkEntry {
       Analytics.lastTouch(ev(s, dir), "user_id", "ts_sec", "event_id",
         "event_type", Seq("click", "view"), "purchase", lookbackSec = 7200L)),
 
+    // --- first-touch variant: earliest touch in the lookback, via a
+    // time-RANGE window frame (the bound IS the lookback) ---
+    "q_attribution_first" -> ((s, dir) =>
+      Analytics.firstTouch(ev(s, dir), "user_id", "ts_sec", "event_id",
+        "event_type", Seq("click", "view"), "purchase", lookbackSec = 7200L)),
+
     // --- INCREMENTAL VIEW MAINTENANCE: v1/v2 states carved from events
     // by pure event_id arithmetic (updates double value on id%7, deletes
     // id%11, inserts the id%5==4 slice), CDF derived via diffStates,
@@ -1548,6 +1554,18 @@ object SparkEntry {
         |UNION ALL SELECT 'type_known', v_type, n FROM t
         |UNION ALL SELECT 'ts_present', v_ts, n FROM t
         |UNION ALL SELECT 'user_nonneg', v_user, n FROM t""".stripMargin,
+
+    "q_attribution_first" ->
+      s"""$EvCte, ft AS (
+         |  SELECT event_type, min(CASE WHEN event_type IN ('click','view')
+         |                    THEN struct_pack(t := ts_sec, i := event_id,
+         |                                    y := event_type) END)
+         |           OVER (PARTITION BY user_id ORDER BY ts_sec
+         |                 RANGE BETWEEN 7200 PRECEDING AND 1 PRECEDING) AS f
+         |  FROM e
+         |)
+         |SELECT coalesce(f.y, 'direct') AS channel, COUNT(*) AS n_conv
+         |FROM ft WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     "q_attribution" ->
       s"""$EvCte, lt AS (

@@ -680,6 +680,36 @@ object Analytics {
    *
    * Returns `(channel, n_conv)`.
    */
+  /**
+   * FIRST-touch sibling of [[lastTouch]]: each conversion credits the
+   * EARLIEST touch inside the lookback window (campaign-origin
+   * attribution). Implemented as a TIME-RANGE window frame —
+   * `rangeBetween(-lookbackSec, -1)` on the epoch-seconds ordering —
+   * with a min-struct aggregate over the frame, so the window bound IS
+   * the lookback (no post-filter): the other standard attribution
+   * recipe, and the range-frame counterpart to lastTouch's row frame.
+   * Second granularity: a touch in the conversion's own second is
+   * excluded (range bounds are on the ORDER value). Same single
+   * user-keyed shuffle, join-free. Returns `(channel, n_conv)`.
+   */
+  def firstTouch(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, typeCol: String, touchTypes: Seq[String],
+                 convType: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "firstTouch: touchTypes must be non-empty and exclude convType")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-lookbackSec, -1)
+    events
+      .withColumn("_ft", min(
+        when(col(typeCol).isin(touchTypes: _*),
+          struct(col(tsCol).cast("long").as("t"), col(idCol).as("i"),
+            col(typeCol).as("y")))).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("channel", coalesce(col("_ft.y"), lit("direct")))
+      .groupBy("channel").agg(count(lit(1)).as("n_conv"))
+  }
+
   def lastTouch(events: DataFrame, userCol: String, tsCol: String,
                 idCol: String, typeCol: String, touchTypes: Seq[String],
                 convType: String, lookbackSec: Long): DataFrame = {
