@@ -74,6 +74,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_expectations" -> (64L << 10), // 301 B: one 1-row aggregate
     "q_normalize_text" -> (64L << 10), // map-only normalize + md5
     "q_cdc_chunks" -> (64L << 10),   // map-only kernel + posexplode
+    "q_seasonal" -> (64L << 10),     // 13 kB: one composite-key window
+    "q_attribution_first" -> (128L << 10), // 23 kB: one range-frame window
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
