@@ -227,6 +227,13 @@ object SparkEntry {
     // NOTE: both roll() branches consume the same window subplan; Spark's
     // ReusedExchange already shares the shuffle, so persisting here was
     // measured SLOWER (serialization cost > recompute) — don't cache.
+    // --- 7-day rolling distinct users from daily HLL sketches (the
+    // sliding sketch-algebra twin of q_sketch_rollup; exact truth +
+    // tolerance bit ride along) ---
+    "q_rolling_distinct" -> ((s, dir) =>
+      Quality.rollingDistinct(Tables.events(s, dir), "ts", "user_id",
+        windowDays = 7)),
+
     // --- declarative CHECK-constraint expectations (Delta/DLT model:
     // NULL passes; violation = literal FALSE) — per-constraint counts
     // in one partial-agg'd pass
@@ -1539,6 +1546,18 @@ object SparkEntry {
          |WHERE (NOT anch AND (mv_a = 1 OR mv_d = 1))
          |   OR (anch AND (an_a = 1 OR an_d = 1))
          |   OR dy_a = 1 OR dy_d = 1""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |              WHERE ts IS NOT NULL),
+        |ex AS (
+        |  SELECT w.day,
+        |         COUNT(DISTINCT CAST(e.ts AS DATE)) AS n_days,
+        |         COUNT(DISTINCT e.user_id) AS n_exact
+        |  FROM days w JOIN events e
+        |    ON CAST(e.ts AS DATE) BETWEEN w.day - INTERVAL 6 DAY AND w.day
+        |  GROUP BY 1)
+        |SELECT day, n_days, n_exact, TRUE AS approx_ok FROM ex""".stripMargin,
 
     "q_expectations" ->
       """WITH t AS (

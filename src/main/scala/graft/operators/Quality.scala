@@ -628,6 +628,51 @@ object Quality {
   }
 
   /**
+   * ROLLING-window distinct count — the SLIDING twin of [[sketchRollup]]
+   * and the query shape behind every "7-day active users" tile: daily
+   * HLL sketches union-merge over a CALENDAR range frame (rangeBetween
+   * on the epoch-day ordering, so a gap in the data cannot silently
+   * widen the window the way a rows frame would), giving each day its
+   * trailing-window distinct estimate from day-sketch rows alone — raw
+   * events are scanned once for the daily sketches, never per window.
+   * A COUNT DISTINCT cannot do this (distinct state is not mergeable);
+   * the sketch algebra is the entire point. The exact truth side
+   * (events fan out to the ≤ `windowDays` windows covering their day —
+   * a bounded w× expansion, the gate harness) rides along with an
+   * in-tolerance bit, [[sketchRollup]]'s gate convention.
+   *
+   * Output: `(day, n_days, n_exact, approx_ok)` — `n_days` counts the
+   * days PRESENT in the window (head windows are partial).
+   */
+  def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                      windowDays: Int = 7, lgK: Int = 12,
+                      tolerance: Double = 0.05): DataFrame = {
+    require(windowDays >= 1, s"rollingDistinct needs windowDays >= 1")
+    val days = df.filter(col(tsCol).isNotNull)
+      .withColumn("day", to_date(col(tsCol)))
+    val daily = days.groupBy("day")
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day_num")
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    val rolled = daily
+      .withColumn("n_rolling",
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w)))
+      .withColumn("n_days", count(lit(1)).over(w))
+    val spans = days.select(col("day")).distinct().alias("wnd")
+      .join(days.select(col("day").as("eday"), col(keyCol).as("k")).alias("ev"),
+        col("eday").between(date_sub(col("wnd.day"), windowDays - 1),
+          col("wnd.day")))
+      .groupBy(col("wnd.day").as("day"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    rolled.alias("r").join(spans.alias("x"), col("r.day") === col("x.day"))
+      .select(col("r.day").as("day"), col("n_days"), col("n_exact"),
+        (abs(col("n_rolling") - col("n_exact")) <=
+          greatest(col("n_exact").cast("double") * tolerance, lit(1.0)))
+          .as("approx_ok"))
+  }
+
+  /**
    * Declarative CHECK-constraint EXPECTATIONS — the Delta/DLT
    * constraint model on plain frames: each named check is a boolean
    * Column, and a row VIOLATES a check only when it evaluates to
