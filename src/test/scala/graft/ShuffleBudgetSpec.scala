@@ -76,6 +76,7 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_cdc_chunks" -> (64L << 10),   // map-only kernel + posexplode
     "q_seasonal" -> (64L << 10),     // 13 kB: one composite-key window
     "q_attribution_first" -> (128L << 10), // 23 kB: one range-frame window
+    "q_rolling_distinct" -> (64L << 10), // 0.4 kB: day-sketch rows only
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
