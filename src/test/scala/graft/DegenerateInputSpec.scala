@@ -312,5 +312,35 @@ class DegenerateInputSpec extends SparkSpecBase {
     val (mu1, pc1) = Similarity.topPc(d1, "vec", dim = 1, iters = 3)
     assert(mu1.length === 1 && math.abs(pc1.head) === 1.0,
       s"1-d pc must be ±1: ${pc1.toSeq}")
+
+    // seasonal anomaly: a constant-valued season yields null z and a
+    // FALSE flag (never a NaN pass); singleton seasons likewise
+    val se = Seq((1L, 0L, 5.0), (2L, 86400L, 5.0), (3L, 3600L, 9.9))
+      .toDF("id", "ts_sec", "value")
+    val sa = Analytics.seasonalAnomaly(se, Seq.empty, "ts_sec", "value",
+        86400L, 3600L).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(4)), r.getBoolean(5)))).toMap
+    assert(sa.values.forall { case (z, fl) => z.isEmpty && !fl },
+      s"degenerate seasons must be null-z/false: $sa")
+
+    // first touch: touch in the conversion's own second is excluded by
+    // the range bound; empty input → empty
+    val ft = Analytics.firstTouch(
+      Seq((1L, 100L, 1L, "click"), (1L, 100L, 2L, "purchase"))
+        .toDF("user_id", "ts_sec", "event_id", "event_type"),
+      "user_id", "ts_sec", "event_id", "event_type",
+      Seq("click"), "purchase", 3600L).collect()
+    assert(ft.length === 1 && ft.head.getString(0) === "direct",
+      s"same-second touch must not credit: ${ft.toSeq}")
+
+    // rolling distinct: single-day input → window of one, exact match
+    val rd = graft.operators.Quality.rollingDistinct(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L))
+        .toDF("ts", "user_id"), "ts", "user_id", windowDays = 7).collect()
+    assert(rd.length === 1 && rd.head.getLong(1) === 1L &&
+      rd.head.getLong(2) === 2L && rd.head.getBoolean(3),
+      s"single-day rolling distinct wrong: ${rd.toSeq}")
   }
 }
