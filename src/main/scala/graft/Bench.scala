@@ -57,25 +57,31 @@ object Bench {
     // per-query shuffle-write + spill bytes from task metrics: PlanSpec
     // locks plan SHAPE, these catch VOLUME regressions (a join that
     // silently started shuffling 10x, a window that began spilling) as
-    // round-over-round diffable numbers
+    // round-over-round diffable numbers. executorCpuTime (ns→ms) rides the
+    // same listener: on a loaded shared machine wall-clock inflates with
+    // scheduler queueing while task CPU stays flat, so cpu_ms is the
+    // primary cross-round signal and wall is advisory.
     val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
     val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    val cpuAcc = new java.util.concurrent.atomic.AtomicLong
     val metricsListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          cpuAcc.addAndGet(m.executorCpuTime)
         }
       }
     }
     spark.sparkContext.addSparkListener(metricsListener)
-    def drained[T](body: => T): (T, Long, Long) = {
+    def drained[T](body: => T): (T, Long, Long, Long) = {
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
-      val (s0, p0) = (shuffleAcc.get, spillAcc.get)
+      val (s0, p0, c0) = (shuffleAcc.get, spillAcc.get, cpuAcc.get)
       val r = body
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
-      (r, shuffleAcc.get - s0, spillAcc.get - p0)
+      (r, shuffleAcc.get - s0, spillAcc.get - p0,
+        (cpuAcc.get - c0) / 1000000L) // ns → ms
     }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
@@ -106,7 +112,7 @@ object Bench {
     // retrieval index; their own medians below then read the warm cache,
     // which is exactly the pipeline cost model.
     val buildT0 = System.nanoTime()
-    val (_, buildSh, buildSp) = drained {
+    val (_, buildSh, buildSp, buildCpu) = drained {
       CacheScope.scoped {
         for (q <- Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")) {
           try SparkEntry.queries(q)(spark, sfDir).count(): Unit
@@ -117,16 +123,17 @@ object Bench {
       }
     }
     val buildEntry = ("_shared_stage_build",
-      (System.nanoTime() - buildT0) / 1e9, buildSh, buildSp)
+      (System.nanoTime() - buildT0) / 1e9, buildSh, buildSp, buildCpu)
     val results = buildEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val shuffles = scala.collection.mutable.ArrayBuffer[Long]()
       val spills = scala.collection.mutable.ArrayBuffer[Long]()
+      val cpus_ = scala.collection.mutable.ArrayBuffer[Long]()
       var firstFailure = 0.0
       (1 to reps).foreach { _ =>
         if (firstFailure == 0.0) {
           val t0 = System.nanoTime()
-          val (ok, sh, sp) = drained {
+          val (ok, sh, sp, cpu) = drained {
             CacheScope.scoped {
               try { fn(spark, sfDir).count(); true } catch { case NonFatal(e) =>
                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -138,21 +145,24 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           // failures are marked with negative elapsed so they can never be
           // mistaken for a fast success downstream
-          if (ok) { times += dt; shuffles += sh; spills += sp }
+          if (ok) { times += dt; shuffles += sh; spills += sp; cpus_ += cpu }
           else firstFailure = -dt
         }
       }
       (name, if (firstFailure != 0.0) firstFailure else median(times.toSeq),
         if (shuffles.isEmpty) 0L else medianL(shuffles.toSeq),
-        if (spills.isEmpty) 0L else medianL(spills.toSeq))
+        if (spills.isEmpty) 0L else medianL(spills.toSeq),
+        if (cpus_.isEmpty) 0L else medianL(cpus_.toSeq))
     }
     // the bench's accounting must not leak into later session activity
     spark.sparkContext.removeSparkListener(metricsListener)
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val shuffles = results.map { case (k, _, s, _) => s"\"" + k + "\":" + s }
+    val shuffles = results.map { case (k, _, s, _, _) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val spills = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
+    val spills = results.map { case (k, _, _, p, _) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val cpuMs = results.map { case (k, _, _, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // totals and counts bill QUERIES only: the one-time _shared_stage_build
     // row stays in the per-entry maps (it is real pipeline cost) but is
@@ -160,6 +170,7 @@ object Bench {
     // diffs compare query work against query work
     val queryResults = results.filterNot(_._1 == "_shared_stage_build")
     val total = if (queryResults.nonEmpty) queryResults.map(_._2).sum else 0.0
+    val totalCpuSec = queryResults.map(_._5).sum / 1e3
     // minimal JSON string escaping for names/paths we embed verbatim
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -168,7 +179,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""n_queries":${queryResults.size},"n_entries":${results.size},""" +
         s""""build_sec":${buildEntry._2},"build_shuffle_bytes":${buildEntry._3},""" +
-        s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,""" +
+        s""""build_cpu_ms":${buildEntry._5},"cpu_sec":$totalCpuSec,""" +
+        s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,"cpu_ms":$cpuMs,""" +
         s""""failed":$failedJson,"sf":${jstr(sfDir)}}"""
     // Full per-query detail lands in a file; stdout gets a COMPACT line.
     // The harness that collects BENCH_r{N}.json keeps only the last ~2000
@@ -201,7 +213,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val byName = results.map(r => r._1 -> r).toMap
     val headQs = headline.flatMap(k => byName.get(k))
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val shuffleMb = queryResults.map(_._3).sum / 1e6
     val spillMb = queryResults.map(_._4).sum / 1e6
@@ -212,6 +224,7 @@ object Bench {
     val failedCompact = failed.take(8).map(jstr).mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""cpu_sec":${r3(totalCpuSec)},""" +
         s""""sf":${jstr(sfDir)},"n_queries":${queryResults.size},""" +
         s""""n_entries":${results.size},"build_sec":${r3(buildEntry._2)},""" +
         s""""shuffle_mb":${r3(shuffleMb)},"spill_mb":${r3(spillMb)},""" +

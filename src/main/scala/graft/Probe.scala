@@ -2,12 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off perf/plan probe: time one SparkEntry query and print its plan.
-  * Usage: runMain graft.Probe <queryName> [sfDir] [--explain] */
+/** One-off perf/plan probe: time one SparkEntry query and print its plan,
+  * with the SAME per-rep accounting as [[Bench]] (CacheScope per rep,
+  * shuffle/spill/CPU from task metrics) so a probe number is directly
+  * comparable to a bench_out.json entry.
+  * Usage: runMain graft.Probe <queryName> [sfDir] [--explain] [--build] */
 object Probe {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_dedup_jaccard")
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.filterNot(_.startsWith("--")).lift(1)
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,10 +28,44 @@ object Probe {
     // warm scans
     Seq("events", "documents", "embeddings").foreach(t =>
       try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => })
-    for (i <- 1 to 2) {
+
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    val cpuAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          cpuAcc.addAndGet(m.executorCpuTime)
+        }
+      }
+    })
+    def measured(label: String)(body: => Long): Unit = {
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val (s0, p0, c0) = (shuffleAcc.get, spillAcc.get, cpuAcc.get)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      val n = body
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s wall, " +
+        f"${(cpuAcc.get - c0) / 1e9}%.2f s cpu, " +
+        f"${(shuffleAcc.get - s0) / 1e6}%.3f MB shuffle, " +
+        f"${(spillAcc.get - p0) / 1e6}%.3f MB spill, $n rows")
+    }
+    // mirror Bench's _shared_stage_build so per-rep numbers below are the
+    // same amortized steady-state costs the bench reports
+    if (args.contains("--build")) measured("_shared_stage_build") {
+      CacheScope.scoped {
+        for (q <- Seq("q_dedup_cluster", "q_bm25", "q_trgm_search"))
+          try SparkEntry.queries(q)(spark, sfDir).count(): Unit
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[probe] build ($q) failed: ${e.getMessage}") }
+      }
+      0L
+    }
+    for (i <- 1 to 3) measured(s"$name run$i") {
+      CacheScope.scoped { SparkEntry.queries(name)(spark, sfDir).count() }
     }
     spark.stop()
   }

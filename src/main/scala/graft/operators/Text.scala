@@ -1065,13 +1065,27 @@ object Text {
   /** Derive the scoring view from [[bm25Postings]]: df per token (the
    * postings are distinct per (id, token), so a count IS the document
    * frequency), N and avgdl as a broadcast single-row frame. One pass
-   * over the index — never the corpus. */
+   * over the index — never the corpus.
+   *
+   * The result is explicitly DOC-PARTITIONED (`repartition(id)`): with
+   * all of a document's postings colocated, [[bm25ScoreIndex]]'s
+   * `groupBy(query_id, id)` satisfies its clustering straight from the
+   * cached/persisted view — hash(id) clusters any (query_id, id) group
+   * — so a query batch pays NO index-sized exchange, only the top-k
+   * window's rank-pruned rows. Without the pin, Catalyst is free to
+   * leave the assemble join partitioned by `token` (AQE broadcasts
+   * whichever side looks smaller), and every scoring run re-shuffles
+   * all matched postings; measured 160× more shuffle per batch at
+   * sf0.1. The repartition itself is index-sized, one-time, amortized
+   * across batches — and doc-sharding is how a serving index is laid
+   * out anyway. */
   def bm25Assemble(postings: DataFrame): DataFrame = {
     val p = graft.CacheScope.persist(postings)
     val dfreq = p.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = p.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     p.join(dfreq, "token").crossJoin(broadcast(stats))
+      .repartition(col("id"))
   }
 
   /**
