@@ -234,6 +234,15 @@ object SparkEntry {
       Quality.rollingDistinct(Tables.events(s, dir), "ts", "user_id",
         windowDays = 7)),
 
+    // --- the PER-DIMENSION form: 7-day actives per event_type. The
+    // sketch window is partitioned by the dim, so day-sketch rows
+    // shuffle once by dim and each dim's frame merges independently —
+    // the global form's single-ordering window would funnel every
+    // (dim, day) sketch through one task ---
+    "q_rolling_distinct_dim" -> ((s, dir) =>
+      Quality.rollingDistinct(Tables.events(s, dir), "ts", "user_id",
+        windowDays = 7, dims = Seq("event_type"))),
+
     // --- declarative CHECK-constraint expectations (Delta/DLT model:
     // NULL passes; violation = literal FALSE) — per-constraint counts
     // in one partial-agg'd pass
@@ -1558,6 +1567,19 @@ object SparkEntry {
         |    ON CAST(e.ts AS DATE) BETWEEN w.day - INTERVAL 6 DAY AND w.day
         |  GROUP BY 1)
         |SELECT day, n_days, n_exact, TRUE AS approx_ok FROM ex""".stripMargin,
+
+    "q_rolling_distinct_dim" ->
+      """WITH days AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+        |              FROM events WHERE ts IS NOT NULL),
+        |ex AS (
+        |  SELECT w.event_type, w.day,
+        |         COUNT(DISTINCT CAST(e.ts AS DATE)) AS n_days,
+        |         COUNT(DISTINCT e.user_id) AS n_exact
+        |  FROM days w JOIN events e
+        |    ON e.event_type = w.event_type
+        |   AND CAST(e.ts AS DATE) BETWEEN w.day - INTERVAL 6 DAY AND w.day
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, n_days, n_exact, TRUE AS approx_ok FROM ex""".stripMargin,
 
     "q_expectations" ->
       """WITH t AS (

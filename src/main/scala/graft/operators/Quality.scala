@@ -641,35 +641,56 @@ object Quality {
    * a bounded w× expansion, the gate harness) rides along with an
    * in-tolerance bit, [[sketchRollup]]'s gate convention.
    *
-   * Output: `(day, n_days, n_exact, approx_ok)` — `n_days` counts the
-   * days PRESENT in the window (head windows are partial).
+   * Output: `(dims..., day, n_days, n_exact, approx_ok)` — `n_days`
+   * counts the days PRESENT in the window (head windows are partial).
+   *
+   * `dims`: optional dimension keys for PER-DIMENSION rolling actives
+   * ("7-day actives per country/app/plan"). The sketch window is
+   * PARTITIONED BY the dims — without them the frame is a single
+   * global ordering, fine for one sketch row per day but a
+   * single-partition funnel the moment a dimension multiplies the
+   * day rows (the `WindowExec: No Partition Defined` trap). With dims
+   * the window state is (dim)-local: day-sketch rows shuffle once by
+   * dim, each dim's ≤ windowDays-deep frame merges independently, and
+   * the operator scales with the dimension cardinality instead of
+   * serializing on one task.
    */
   def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
                       windowDays: Int = 7, lgK: Int = 12,
-                      tolerance: Double = 0.05): DataFrame = {
+                      tolerance: Double = 0.05,
+                      dims: Seq[String] = Nil): DataFrame = {
     require(windowDays >= 1, s"rollingDistinct needs windowDays >= 1")
+    val dimCols = dims.map(col)
     val days = df.filter(col(tsCol).isNotNull)
       .withColumn("day", to_date(col(tsCol)))
-    val daily = days.groupBy("day")
+    val daily = days.groupBy(dimCols :+ col("day"): _*)
       .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
       .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("day_num")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dimCols: _*).orderBy("day_num")
       .rangeBetween(-(windowDays - 1).toLong, 0)
     val rolled = daily
       .withColumn("n_rolling",
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w)))
       .withColumn("n_days", count(lit(1)).over(w))
-    val spans = days.select(col("day")).distinct().alias("wnd")
-      .join(days.select(col("day").as("eday"), col(keyCol).as("k")).alias("ev"),
-        col("eday").between(date_sub(col("wnd.day"), windowDays - 1),
-          col("wnd.day")))
-      .groupBy(col("wnd.day").as("day"))
+    val wndKeys = dims.map(d => col(d).as(s"_w_$d")) :+ col("day")
+    val evKeys = dims.map(d => col(d).as(s"_e_$d")) :+
+      col("day").as("eday") :+ col(keyCol).as("k")
+    val joinCond = dims.map(d => col(s"wnd._w_$d") === col(s"ev._e_$d"))
+      .foldLeft(col("eday").between(date_sub(col("wnd.day"), windowDays - 1),
+        col("wnd.day")))(_ && _)
+    val spans = days.select(wndKeys: _*).distinct().alias("wnd")
+      .join(days.select(evKeys: _*).alias("ev"), joinCond)
+      .groupBy(dims.map(d => col(s"_w_$d").as(d)) :+ col("wnd.day").as("day"): _*)
       .agg(countDistinct(col("k")).as("n_exact"))
-    rolled.alias("r").join(spans.alias("x"), col("r.day") === col("x.day"))
-      .select(col("r.day").as("day"), col("n_days"), col("n_exact"),
+    val matchCond = dims.map(d => col(s"r.$d") === col(s"x.$d"))
+      .foldLeft(col("r.day") === col("x.day"))(_ && _)
+    rolled.alias("r").join(spans.alias("x"), matchCond)
+      .select(dims.map(d => col(s"r.$d").as(d)) ++ Seq(
+        col("r.day").as("day"), col("n_days"), col("n_exact"),
         (abs(col("n_rolling") - col("n_exact")) <=
           greatest(col("n_exact").cast("double") * tolerance, lit(1.0)))
-          .as("approx_ok"))
+          .as("approx_ok")): _*)
   }
 
   /**

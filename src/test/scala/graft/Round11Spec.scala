@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Round-11 additions: per-dimension rolling distinct, doc-partitioned
+  * BM25 serving view. */
+class Round11Spec extends SparkSpecBase {
+
+  private def windowExecs(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
+    // force AQE final plans so the collected nodes are the executed shape
+    df.count()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("dim-keyed rollingDistinct: every window is partitioned (no global-ordering funnel)") {
+    val df = SparkEntry.queries("q_rolling_distinct_dim")(spark, sfDir)
+    val ws = windowExecs(df)
+    assert(ws.nonEmpty, "expected a WindowExec in the rolling-distinct plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"rolling-distinct window has NO partition keys — at scale every " +
+          s"(dim, day) sketch row funnels through one task:\n$w")
+    }
+  }
+
+  test("dim-keyed rollingDistinct matches per-dim exact distincts on a toy frame") {
+    import spark.implicits._
+    // two dims, overlapping users across days; window = 2 days
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00", 1L), ("a", "2024-01-01 11:00:00", 2L),
+      ("a", "2024-01-02 10:00:00", 2L), ("a", "2024-01-03 10:00:00", 3L),
+      ("b", "2024-01-01 10:00:00", 1L), ("b", "2024-01-03 10:00:00", 1L)
+    ).toDF("event_type", "ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.operators.Quality.rollingDistinct(
+      ev, "ts", "user_id", windowDays = 2, dims = Seq("event_type"))
+      .select("event_type", "day", "n_days", "n_exact", "approx_ok")
+      .as[(String, java.sql.Date, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2.toString, r._3, r._4, r._5)).toSet
+    val want = Set(
+      ("a", "2024-01-01", 1L, 2L, true), // users {1,2}
+      ("a", "2024-01-02", 2L, 2L, true), // users {1,2} ∪ {2}
+      ("a", "2024-01-03", 2L, 2L, true), // users {2} ∪ {3}
+      ("b", "2024-01-01", 1L, 1L, true), // user {1}
+      ("b", "2024-01-03", 1L, 1L, true)) // day 2 absent for b: frame = day 3 alone
+    assert(got === want)
+  }
+
+  test("dims=Nil rollingDistinct output is unchanged by the dims extension") {
+    val base = SparkEntry.queries("q_rolling_distinct")(spark, sfDir)
+    assert(base.columns.toSeq === Seq("day", "n_days", "n_exact", "approx_ok"))
+    assert(base.filter(!col("approx_ok")).count() === 0)
+  }
+
+  test("assembled BM25 view is doc-partitioned: scoring pays no index-sized exchange") {
+    // build the SharedStage view cold (the real q_bm25 path), then
+    // measure a warm batch: its (query_id, id) aggregation must be
+    // satisfied by the view's hash(id) partitioning, no index-sized
+    // exchange
+    SharedStage.clear()
+    CacheScope.scoped { SparkEntry.queries("q_bm25")(spark, sfDir).count() }
+    val scored = SparkEntry.queries("q_bm25")(spark, sfDir)
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val s0 = shuffleAcc.get
+      assert(scored.count() > 0)
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val bytes = shuffleAcc.get - s0
+      // budget: rank-pruned window rows only — far below the matched-
+      // postings volume (~100 KB at sf0.001) a token-partitioned view
+      // would re-shuffle per batch
+      assert(bytes < (48L << 10),
+        s"warm BM25 scoring shuffled $bytes bytes — the assembled view " +
+          "lost its doc partitioning and the per-batch aggregation is " +
+          "re-shuffling matched postings")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+}

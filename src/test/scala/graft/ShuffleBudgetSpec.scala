@@ -77,6 +77,7 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_seasonal" -> (64L << 10),     // 13 kB: one composite-key window
     "q_attribution_first" -> (128L << 10), // 23 kB: one range-frame window
     "q_rolling_distinct" -> (64L << 10), // 0.4 kB: day-sketch rows only
+    "q_rolling_distinct_dim" -> (128L << 10), // (dim, day)-sketch rows only
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
