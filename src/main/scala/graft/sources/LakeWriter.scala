@@ -88,36 +88,69 @@ object LakeWriter {
         min("n_rows").as("min_file_rows"), max("n_rows").as("max_file_rows"))
 
   /**
-   * Compact a lake in place: rewrite every partition down to
+   * Compact a lake: rewrite every partition down to
    * `filesPerPartition` files. Streaming appends and incremental runs
    * accumulate small files (each micro-batch/task writes its own);
    * scan cost then becomes per-FILE overhead — footer reads, scheduler
-   * tasks — not bytes. Same dynamic-overwrite path as
-   * [[writePartitioned]], so an interrupted compaction never loses a
-   * partition it didn't finish.
+   * tasks — not bytes.
+   *
+   * Crash safety is the staged-sibling swap shared with
+   * [[maintainClusteringPartitioned]]: the compacted copy writes to a
+   * hidden `.__compact` sibling while the SOURCE FILES STAY UNTOUCHED,
+   * then each affected partition dir swaps in with two atomic renames.
+   * The previous shape — localCheckpoint then dynamic-overwrite the
+   * same path — left a cluster-mode hazard: checkpoint blocks are
+   * executor-local, so an executor loss after the overwrite began
+   * could force recomputation from a partially-replaced source. Here a
+   * crash at any point leaves every dir individually consistent (old
+   * files, or new files, or old files under the dot-hidden `.__old_*`
+   * sibling that no reader parses as a partition).
    */
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String] = DefaultPartitionCols,
               keyCol: Option[String] = None,
               filesPerPartition: Int = 1,
               partitionFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
-    // Two traps in a self-rewrite:
-    //  1. reading and dynamically overwriting the SAME path in one lazy
-    //     plan is undefined (the write scans files it is replacing) —
-    //     materialize first. At scale, pass `partitionFilter` and compact
-    //     a bounded batch of partitions per call.
-    //  2. partition-column TYPE INFERENCE turns "day=01" into int 1 on
-    //     read; writing back would create day=1 — a DIFFERENT directory —
-    //     and silently DUPLICATE the lake instead of replacing it. Keep
-    //     partition values as raw strings for the round-trip.
+    // Self-rewrite trap that SURVIVES the staged-sibling design:
+    // partition-column TYPE INFERENCE turns "day=01" into int 1 on
+    // read; writing back would create day=1 — a DIFFERENT directory —
+    // and silently DUPLICATE the lake instead of replacing it. Keep
+    // partition values as raw strings for the round-trip. At scale,
+    // pass `partitionFilter` and compact a bounded batch of partitions
+    // per call.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val stagedRoot = new org.apache.hadoop.fs.Path(root.toString + ".__compact")
+    fs.delete(stagedRoot, true)
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.get(inferKey)
     spark.conf.set(inferKey, "false")
-    val staged =
-      try partitionFilter.foldLeft(read(spark, path))(_ filter _).localCheckpoint(true)
-      finally spark.conf.set(inferKey, prev)
-    writePartitioned(staged, path, partitionCols, keyCol, filesPerPartition)
-    staged.unpersist(false)
+    try {
+      val src = partitionFilter.foldLeft(read(spark, path))(_ filter _)
+      writePartitioned(src, stagedRoot.toString, partitionCols, keyCol,
+        filesPerPartition)
+    } finally spark.conf.set(inferKey, prev)
+    // every leaf dir present in the staged tree (exactly the filtered
+    // partitions) swaps into the live tree; untouched partitions keep
+    // their files byte-for-byte
+    def leaves(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory).toSeq
+        .flatMap(s => leaves(s.getPath, depth - 1))
+    leaves(stagedRoot, partitionCols.size).foreach { srcDir =>
+      val d = srcDir.toString.stripPrefix(stagedRoot.toString + "/")
+      val dst = new org.apache.hadoop.fs.Path(root, d)
+      val old = new org.apache.hadoop.fs.Path(dst.getParent, s".__old_${dst.getName}")
+      fs.delete(old, true)
+      if (fs.exists(dst))
+        require(fs.rename(dst, old), s"compact swap failed: $dst -> $old")
+      else fs.mkdirs(dst.getParent)
+      require(fs.rename(srcDir, dst), s"compact swap failed: $srcDir -> $dst")
+      fs.delete(old, true)
+    }
+    fs.delete(stagedRoot, true)
+    graft.SharedStage.invalidate(path)
   }
 
   /**

@@ -91,4 +91,39 @@ class Round11Spec extends SparkSpecBase {
           "re-shuffling matched postings")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("compact: staged-sibling swap, filter-scoped; untouched partitions keep files byte-for-byte") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact11").toFile.getPath
+    val rows = (1 to 100).map(i =>
+      (i.toLong, "2024", "01", if (i % 2 == 0) "01" else "02"))
+      .toDF("id", "year", "month", "day")
+    for (_ <- 1 to 3)
+      rows.repartition(4).write.mode("append")
+        .partitionBy("year", "month", "day").parquet(dir)
+    def filesIn(d: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(new java.io.File(d).toPath).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString.stripPrefix(d) -> p.toFile.length()).toMap
+    }
+    val before = filesIn(dir)
+    assert(before.count(_._1.contains("day=02")) >= 3, "fixture not fragmented")
+    graft.sources.LakeWriter.compact(spark, dir,
+      partitionFilter = Some(col("day") === "01"))
+    val after = filesIn(dir)
+    // day=02 untouched byte-for-byte; day=01 compacted to one file
+    assert(after.filter(_._1.contains("day=02")) ===
+      before.filter(_._1.contains("day=02")))
+    assert(after.count(_._1.contains("day=01")) === 1)
+    // no staged or old siblings left behind
+    assert(!new java.io.File(dir + ".__compact").exists())
+    import scala.jdk.CollectionConverters._
+    assert(!java.nio.file.Files.walk(new java.io.File(dir).toPath)
+      .iterator().asScala.exists(_.getFileName.toString.startsWith(".__old_")))
+    // rows intact on both sides: compaction merges FILES, never rows
+    val got = graft.sources.LakeWriter.read(spark, dir)
+    assert(got.filter(col("day") === "01").count() === 150L)
+    assert(got.filter(col("day") === "02").count() === 150L)
+  }
 }
