@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CmsEstimate, DotProduct, GeohashExpression, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvSketchAgg, MinHashBands, NfcNormalize, SimHash64}
+import graft.expressions.{CdcBoundaries, CmsEstimate, DotProduct, GeohashExpression, HashedShingles, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvSketchAgg, MinHashBands, NfcNormalize, QuantileBucket, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -104,6 +104,59 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException("dot_product(a, b) expects 2 arguments")
   }
 
+  // SQL integer literals are Int; config args declared Long accept both
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(i: Int, _) => Some(i)
+      case Literal(l: Long, _) if l.isValidInt => Some(l.toInt)
+      case _ => None
+    }
+  }
+  private object LongLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(i: Int, _) => Some(i.toLong)
+      case Literal(l: Long, _) => Some(l)
+      case _ => None
+    }
+  }
+
+  private def hashedShinglesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s, IntLit(n)) =>
+      HashedShingles(Cast(s, org.apache.spark.sql.types.StringType), n)
+    case _ => throw new IllegalArgumentException(
+      "hashed_shingles(text, n) expects a text column and a literal shingle size")
+  }
+
+  // defaults mirror ops.Text.cdcChunks (w=16, mod=64, base=31, prime=1000003)
+  private def cdcBoundariesBuilder(args: Seq[Expression]): Expression = {
+    val str = org.apache.spark.sql.types.StringType
+    args match {
+      case Seq(s) => CdcBoundaries(Cast(s, str), 16, 31L, 1000003L, 64)
+      case Seq(s, IntLit(w), IntLit(m)) => CdcBoundaries(Cast(s, str), w, 31L, 1000003L, m)
+      case Seq(s, IntLit(w), LongLit(b), LongLit(p), IntLit(m)) =>
+        CdcBoundaries(Cast(s, str), w, b, p, m)
+      case _ => throw new IllegalArgumentException(
+        "cdc_boundaries(text[, w, mod | , w, base, prime, mod]) expects literal config args")
+    }
+  }
+
+  private def quantileBucketBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, cuts) if cuts.foldable && cuts.dataType.isInstanceOf[ArrayType] =>
+      val at = cuts.dataType.asInstanceOf[ArrayType]
+      val data = cuts.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (data == null) throw new IllegalArgumentException(
+        "quantile_bucket(value, cuts) got a null cuts array")
+      val ds = data.toObjectArray(at.elementType).map {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"quantile_bucket cuts must be numeric, got $other")
+      }
+      QuantileBucket(Cast(v, DoubleType), ds)
+    case _ => throw new IllegalArgumentException(
+      "quantile_bucket(value, cuts) expects a value column and a foldable numeric array")
+  }
+
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("geohash"),
       new ExpressionInfo(classOf[GeohashExpression].getName, "geohash"),
@@ -137,7 +190,16 @@ object GraftFunctions {
       kmvMergeBuilder _),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      nfcBuilder _))
+      nfcBuilder _),
+    (FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "hashed_shingles"),
+      hashedShinglesBuilder _),
+    (FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      cdcBoundariesBuilder _),
+    (FunctionIdentifier("quantile_bucket"),
+      new ExpressionInfo(classOf[QuantileBucket].getName, "quantile_bucket"),
+      quantileBucketBuilder _))
 
   // The RETRIEVAL stack (bm25*, rrfFuse, maxSim) is deliberately NOT in
   // this registry: those are multi-row RANKING shapes — tokenize →

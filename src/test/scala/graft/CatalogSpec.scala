@@ -231,4 +231,31 @@ class CatalogSpec extends SparkSpecBase {
       assert(r.getInt(3) > 0 && r.getInt(3) <= 512, s"kmv size: $r")
     }
   }
+  test("round-11 kernels are SQL-registered: hashed_shingles, cdc_boundaries, quantile_bucket") {
+    // hashed_shingles values ARE xxhash64 of the shingle strings
+    val hs = spark.sql(
+      "SELECT hashed_shingles('a b c d', 3) AS hs, " +
+        "array(xxhash64('a b c'), xxhash64('b c d')) AS want").head()
+    assert(hs.getSeq[Long](0).toSet === hs.getSeq[Long](1).toSet)
+    // SQL name ≡ the Column-API kernel on the same text/config
+    val txt = "the quick brown fox jumps over the lazy dog, twice over"
+    val viaSql = spark.sql(
+      s"SELECT cdc_boundaries('$txt', 4, 8) AS b, " +
+        s"cdc_boundaries('$txt') AS bdef").head()
+    val viaApi = spark.range(1).select(
+      graft.functions.Hashing.cdcBoundaries(
+        org.apache.spark.sql.functions.lit(txt), 4, 31L, 1000003L, 8).as("b"),
+      graft.functions.Hashing.cdcBoundaries(
+        org.apache.spark.sql.functions.lit(txt), 16, 31L, 1000003L, 64).as("bdef")).head()
+    assert(viaSql.getSeq[Int](0) === viaApi.getSeq[Int](0))
+    assert(viaSql.getSeq[Int](1) === viaApi.getSeq[Int](1))
+    // quantile_bucket counts cuts at-or-below the value; NaN → top bucket
+    val qb = spark.sql(
+      "SELECT quantile_bucket(CAST(2.5 AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS b1, " +
+        "quantile_bucket(CAST(0.0 AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS b0, " +
+        "quantile_bucket(CAST('NaN' AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS bn").head()
+    assert(qb.getLong(0) === 2L)
+    assert(qb.getLong(1) === 0L)
+    assert(qb.getLong(2) === 3L)
+  }
 }
