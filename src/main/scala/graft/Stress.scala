@@ -500,7 +500,9 @@ object Stress {
         events.select(pmod(col("user_id"), lit(100)).as("grp"), col("value")),
         Seq("grp"), Seq("value")).count()
     }
-    if ("ivm apply 1% cdf feed".contains(only.toLowerCase)) {
+    // mirror the bm25 guard below: the block only runs when the RESCAN
+    // probe above also ran, so the ratio's denominator is never 0
+    if (only.isEmpty || "ivm rescan aggregate".contains(only.toLowerCase)) {
       // base table and feed are what a refresh HOLDS (the agg store read
       // + the CDF the producer emitted) — materialized untimed, so the
       // probe times exactly what a refresh pays
@@ -518,8 +520,9 @@ object Stress {
       val tIvmDelta = probe("ivm apply 1% CDF feed") {
         StateOps.ivmAggregate(ivmBase, ivmFeed, Seq("grp"), Seq("value")).count()
       }
-      println(f"[stress] ivm feed-apply/rescan = ${tIvmDelta / tIvmRescan}%.2fx " +
-        "(base read is agg-table-sized; the raw 5M rows are never re-read)")
+      if (tIvmRescan > 0.0)
+        println(f"[stress] ivm feed-apply/rescan = ${tIvmDelta / tIvmRescan}%.2fx " +
+          "(base read is agg-table-sized; the raw 5M rows are never re-read)")
     }
 
     // --- text-index maintenance: 1% delta vs full re-tokenize ---

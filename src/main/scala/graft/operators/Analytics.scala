@@ -666,21 +666,6 @@ object Analytics {
   }
 
   /**
-   * LAST-TOUCH conversion attribution — the marketing-analytics staple:
-   * each conversion event credits the user's most recent prior touch
-   * event within `lookbackSec`, else the `direct` channel. One
-   * entity-keyed window over the unioned timeline (no self-join, no
-   * state duplication — the as-of-join formulation would shuffle both
-   * event classes separately and join them back; here conversions and
-   * touches ride the SAME single shuffle by user), with `last(...,
-   * ignoreNulls)` over the strictly-preceding frame so a touch at the
-   * conversion's own instant does not credit itself. (event_id breaks
-   * ts ties, so the order — and the attribution — is total and
-   * engine-reproducible.)
-   *
-   * Returns `(channel, n_conv)`.
-   */
-  /**
    * FIRST-touch sibling of [[lastTouch]]: each conversion credits the
    * EARLIEST touch inside the lookback window (campaign-origin
    * attribution). Implemented as a TIME-RANGE window frame —
@@ -710,6 +695,21 @@ object Analytics {
       .groupBy("channel").agg(count(lit(1)).as("n_conv"))
   }
 
+  /**
+   * LAST-TOUCH conversion attribution — the marketing-analytics staple:
+   * each conversion event credits the user's most recent prior touch
+   * event within `lookbackSec`, else the `direct` channel. One
+   * entity-keyed window over the unioned timeline (no self-join, no
+   * state duplication — the as-of-join formulation would shuffle both
+   * event classes separately and join them back; here conversions and
+   * touches ride the SAME single shuffle by user), with `last(...,
+   * ignoreNulls)` over the strictly-preceding frame so a touch at the
+   * conversion's own instant does not credit itself. (event_id breaks
+   * ts ties, so the order — and the attribution — is total and
+   * engine-reproducible.)
+   *
+   * Returns `(channel, n_conv)`.
+   */
   def lastTouch(events: DataFrame, userCol: String, tsCol: String,
                 idCol: String, typeCol: String, touchTypes: Seq[String],
                 convType: String, lookbackSec: Long): DataFrame = {

@@ -1353,6 +1353,12 @@ object Similarity {
           }
           i += 1
         }
+        // all-NaN scores (e.g. NaN rel across the pool) never beat the
+        // -Inf sentinel under strict '>' — fail with the cause, not an
+        // ArrayIndexOutOfBounds on picked(-1)
+        require(best >= 0,
+          s"mmrRerank: query $qid produced no scorable candidate at rank " +
+            s"$rank — every remaining MMR score is NaN (check $relCol)")
         picked(best) = true
         selected += best
         out += ((qid, pool(best)._1, pool(best)._2, bestScore, rank))

@@ -1239,14 +1239,16 @@ object Text {
                          idCol: String, textCol: String,
                          patterns: DataFrame, pIdCol: String,
                          pTextCol: String): DataFrame = {
+    // internal columns carry a _pat prefix so they can never collide
+    // with a caller's doc columns once joined back onto `docs`
     val pats = patterns.select(col(pIdCol).as("pat_id"),
       when(length(col(pTextCol)) >= 3, col(pTextCol))
         .otherwise(raise_error(concat(lit("trigramSearchBatch: pattern '"),
           col(pTextCol), lit("' shorter than 3 chars"))))
-        .as("pat"))
+        .as("_pat"))
     val qtri = pats
-      .select(col("pat_id"), col("pat"),
-        explode(charTrigrams(col("pat"))).as("tri"))
+      .select(col("pat_id"), col("_pat"),
+        explode(charTrigrams(col("_pat"))).as("tri"))
     val nTri = qtri.groupBy("pat_id").agg(count(lit(1)).as("n_pat_tri"))
     val cand = index.join(broadcast(qtri.select("pat_id", "tri")), Seq("tri"))
       .groupBy("pat_id", "id").agg(countDistinct(col("tri")).as("n_tri"))
@@ -1255,10 +1257,13 @@ object Text {
       .select("pat_id", "id")
     docs.join(broadcast(cand), docs(idCol) === cand("id"), "inner")
       .join(broadcast(pats), Seq("pat_id"))
-      .filter(col(textCol).contains(col("pat")))
-      // SQL instr: the Scala `instr` helper only takes a literal needle
+      .filter(col(textCol).contains(col("_pat")))
+      // call_function, not expr-string interpolation: a column name
+      // needing backticks would break a raw SQL fragment (the Scala
+      // `instr` helper only takes a literal needle)
       .select(col("pat_id"), col(idCol).as("doc_id"),
-        expr(s"instr($textCol, pat)").cast("long").as("first_pos"))
+        call_function("instr", col(textCol), col("_pat"))
+          .cast("long").as("first_pos"))
   }
 
   /**

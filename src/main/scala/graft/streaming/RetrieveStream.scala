@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.{Analytics, Similarity, Text}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, coalesce, col}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
@@ -130,10 +130,16 @@ object RetrieveStream {
       .select(col("query_id"), col("doc_id"), col("rank"))
     val dense = Similarity.pqScore(idx.pq, batch, qIdCol, qVecCol, perListK)
       .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    // LEFT join: a candidate surfaced by the BM25 corpus but absent from
+    // the PQ index (corpora maintained on different cadences) must stay
+    // in the pool, not silently vanish before MMR. Its geometry falls
+    // back to the empty vector — norm 0, similarity 0 in mmrRerank — so
+    // it competes on relevance alone and pays no redundancy penalty.
     val pool = Analytics.rrfFuse(Seq(sparse, dense), poolK)
       .withColumn("rel",
         col("rrf") / fmax(col("rrf")).over(Window.partitionBy("query_id")))
-      .join(idx.vecs.withColumnRenamed("cand_id", "doc_id"), Seq("doc_id"))
+      .join(idx.vecs.withColumnRenamed("cand_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("vec", coalesce(col("vec"), array().cast("array<double>")))
     Similarity.mmrRerank(pool, "query_id", "doc_id", "rel", "vec",
       k = k, lambda = mmrLambda, maxCandidates = math.max(poolK, 1024))
   }

@@ -126,4 +126,31 @@ class Round11Spec extends SparkSpecBase {
     assert(got.filter(col("day") === "01").count() === 150L)
     assert(got.filter(col("day") === "02").count() === 150L)
   }
+
+  test("mmrRerank: all-NaN relevance fails loudly; empty-vector candidates compete on relevance") {
+    import spark.implicits._
+    val nanPool = Seq((1L, 10L, Double.NaN, Seq(1.0, 0.0)),
+      (1L, 11L, Double.NaN, Seq(0.0, 1.0)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.mmrRerank(
+        nanPool, "query_id", "cand_id", "rel", "vec", k = 2).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("no scorable") ||
+        Option(e.getCause).exists(_.getMessage.contains("no scorable"))),
+      s"want the NaN-relevance require, got: $e")
+    // a candidate with NO geometry (PQ-index miss fallback) ranks by
+    // relevance alone — it must not crash or be dropped
+    val pool = Seq((1L, 10L, 1.0, Seq(1.0, 0.0)),
+      (1L, 11L, 0.9, Seq.empty[Double]),
+      (1L, 12L, 0.8, Seq(1.0, 0.0)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val ranked = graft.operators.Similarity.mmrRerank(
+      pool, "query_id", "cand_id", "rel", "vec", k = 3)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    // 10 first (top rel); 11 second (rel 0.9, zero similarity penalty)
+    // beats 12 (rel 0.8 minus its cos=1 penalty to 10)
+    assert(ranked === Seq(10L, 11L, 12L))
+  }
 }
