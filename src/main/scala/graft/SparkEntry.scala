@@ -722,6 +722,37 @@ object SparkEntry {
     // --- dedup clustering (keep-one-per-cluster) ---
     "q_dedup_cluster" -> ((s, dir) => dupClusters(s, dir)),
 
+    // --- fastText-style linear classifier: NB log-odds weights trained
+    // in one aggregation pass (target: english docs), then map-only
+    // inference — broadcast weight array + per-doc feature fold. The
+    // quality-scoring family's trained-model path ---
+    "q_ft_classify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Text.linearClassifierTrain(docs, "text",
+        col("lang") === "en", buckets = 1024)
+      Text.linearClassifierScore(docs, model, "doc_id", "text", buckets = 1024)
+        .select(col("id").as("doc_id"), r3(col("score")).as("score"),
+          col("pred_pos"))
+    }),
+
+    // --- per-domain dedup-rate profile (near-dup-aware via the shared
+    // cluster labels): the crawl-frontier planning table ---
+    "q_domain_profile" -> ((s, dir) =>
+      Dedup.domainDedupProfile(Tables.documents(s, dir), "doc_id", "text",
+        "source", clusters = Some(dupClusters(s, dir)))),
+
+    // --- crawl-frontier caps: profile → budget rule (duplicate-heavy
+    // domains keep less; here cap = max(1, floor(0.6·n_unique))) →
+    // deterministic per-domain keep, counted per domain ---
+    "q_domain_caps" -> ((s, dir) => {
+      val prof = Dedup.domainDedupProfile(Tables.documents(s, dir), "doc_id",
+        "text", "source", clusters = Some(dupClusters(s, dir)))
+      val caps = prof.select(col("source"),
+        greatest(lit(1L), floor(col("n_unique") * 3 / 5.0).cast("long")).as("cap"))
+      Sampling.capPerStratumBy(Tables.documents(s, dir), "doc_id", "source", caps)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    }),
+
     // --- canonical dedup: best-quality survivor per near-dup cluster ---
     "q_dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalDedup(Tables.documents(s, dir), "doc_id",
@@ -2598,6 +2629,72 @@ object SparkEntry {
         |FROM p GROUP BY 1""".stripMargin,
 
     "q_dedup_cluster" -> ClusterSql,
+
+    "q_ft_classify" ->
+      """WITH d AS (SELECT doc_id, lang = 'en' AS pos,
+        |                 string_split(text, ' ') AS l FROM documents),
+        |feats AS (
+        |  SELECT doc_id, pos,
+        |         list_concat(
+        |           list_transform(l, t ->
+        |             CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1024),
+        |           list_transform(range(1, len(l)), i ->
+        |             CAST(concat('0x', substr(md5(l[i] || ' ' || l[i+1]), 1, 8))
+        |                  AS BIGINT) % 1024)) AS fl
+        |  FROM d),
+        |f AS (SELECT doc_id, pos, unnest(fl) AS feat,
+        |             generate_subscripts(fl, 1) AS ord FROM feats),
+        |agg AS (SELECT feat, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tc,
+        |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS rc
+        |        FROM f GROUP BY 1),
+        |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM agg),
+        |w AS (SELECT feat,
+        |             ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+        |             ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE)) AS w
+        |      FROM agg CROSS JOIN tot),
+        |pw AS (SELECT f.doc_id,
+        |              list_reduce(
+        |                list_prepend(CAST(0.0 AS DOUBLE),
+        |                  ARRAY_AGG(w.w ORDER BY f.ord)), (a, b) -> a + b) AS s
+        |       FROM f JOIN w USING (feat) GROUP BY f.doc_id),
+        |prior AS (SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1
+        |                         AS DOUBLE)) -
+        |                 ln(CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1
+        |                         AS DOUBLE)) AS bias FROM d)
+        |SELECT doc_id, floor((s + bias) * 1000 + 0.5) / 1000 AS score,
+        |       (s + bias) > 0 AS pred_pos
+        |FROM pw CROSS JOIN prior""".stripMargin,
+
+    "q_domain_profile" ->
+      s"""WITH RECURSIVE $ClusterCtes, j AS (
+         |  SELECT d.source,
+         |         COALESCE(CAST(cl.cluster_id AS VARCHAR),
+         |                  CAST(d.doc_id AS VARCHAR)) AS grp
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+         |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_unique,
+         |       floor((COUNT(*) - COUNT(DISTINCT grp)) * 1.0 / COUNT(*)
+         |             * 1000 + 0.5) / 1000 AS dup_rate
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "q_domain_caps" ->
+      s"""WITH RECURSIVE $ClusterCtes, j AS (
+         |  SELECT d.source,
+         |         COALESCE(CAST(cl.cluster_id AS VARCHAR),
+         |                  CAST(d.doc_id AS VARCHAR)) AS grp
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+         |prof AS (SELECT source, COUNT(DISTINCT grp) AS n_unique
+         |         FROM j GROUP BY 1),
+         |caps AS (SELECT source,
+         |                GREATEST(1, CAST(FLOOR(n_unique * 3 / 5.0) AS BIGINT)) AS cap
+         |         FROM prof),
+         |ranked AS (
+         |  SELECT d.source, ROW_NUMBER() OVER (
+         |    PARTITION BY d.source
+         |    ORDER BY md5(CAST(d.doc_id AS VARCHAR))) AS rn
+         |  FROM documents d)
+         |SELECT r.source, COUNT(*) AS n_kept
+         |FROM ranked r JOIN caps c ON r.source = c.source
+         |WHERE r.rn <= c.cap GROUP BY 1""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE $ClusterCtes, j AS (

@@ -501,6 +501,40 @@ object Dedup {
   }
 
   /**
+   * Per-DOMAIN dedup-rate profile — the crawl-frontier planning table:
+   * a frontier decides how much more of each domain to fetch, and the
+   * strongest signal is how much of what it already fetched was
+   * duplicate. One row per domain with `(n_docs, n_unique, dup_rate)`,
+   * where uniqueness is NEAR-DUP-AWARE when `clusters` (a
+   * [[clusterPairs]] `(id, cluster_id)` frame) is supplied — docs in
+   * one near-dup cluster count once — and exact-content (md5 of the
+   * text) otherwise. Unclustered docs count as their own group, the
+   * [[dedupProfile]] convention.
+   *
+   * One partial-agg'd shuffle on the domain key (+ a left join against
+   * the cluster labels, which at 100 TB is the already-materialized
+   * dedup stage, not new work). Feed the output through
+   * [[graft.operators.Sampling.capPerStratumBy]] to turn dup rates into
+   * per-domain fetch/keep caps.
+   */
+  def domainDedupProfile(docs: DataFrame, idCol: String, textCol: String,
+                         domainCol: String,
+                         clusters: Option[DataFrame] = None): DataFrame = {
+    val keyed = clusters match {
+      case Some(cl) =>
+        docs.join(cl.withColumnRenamed("id", idCol), Seq(idCol), "left")
+          .withColumn("_grp",
+            coalesce(col("cluster_id").cast("string"), col(idCol).cast("string")))
+      case None => docs.withColumn("_grp", md5(col(textCol)))
+    }
+    keyed.groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("_grp")).as("n_unique"))
+      .withColumn("dup_rate",
+        floor((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs") * 1000 + 0.5) / 1000)
+  }
+
+  /**
    * Edit-distance near-duplicate pairs on a short key (title, URL,
    * normalized name): pairs with `levenshtein(key_a, key_b) <= maxDist`.
    *

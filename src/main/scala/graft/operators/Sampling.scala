@@ -169,6 +169,29 @@ object Sampling {
   }
 
   /**
+   * [[capPerStratum]] with a PER-STRATUM cap table instead of one
+   * constant — the crawl-frontier shape: caps come from a planning
+   * frame (e.g. [[graft.operators.Dedup.domainDedupProfile]] mapped
+   * through a budget rule — duplicate-heavy domains get smaller caps),
+   * not a global knob. Same deterministic md5-of-key order within each
+   * stratum, so a rerun — or the DuckDB oracle — keeps the exact same
+   * rows. `caps` carries `(stratumCol, capCol)` and is
+   * stratum-cardinality-sized → broadcast; strata absent from `caps`
+   * are DROPPED (an unbudgeted domain keeps nothing — the explicit
+   * frontier contract, not a silent default).
+   */
+  def capPerStratumBy(df: DataFrame, keyCol: String, stratumCol: String,
+                      caps: DataFrame, capCol: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(md5(col(keyCol).cast("string")))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(caps.select(col(stratumCol), col(capCol).as("__cap"))),
+        Seq(stratumCol))
+      .filter(col("__rn") <= col("__cap"))
+      .drop("__rn", "__cap")
+  }
+
+  /**
    * Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
    * deterministic): each row gets the key ln(u)/w — a monotone transform
    * of the classic u^(1/w) — with u derived from md5 of the row key

@@ -1298,4 +1298,97 @@ object Text {
         md5(col("_t").substr(col("col.s"), col("col.e") - col("col.s") + 1)
           .cast("binary")).as("chunk_md5"))
   }
+
+  /**
+   * Hashed uni+bigram feature buckets of a text column — the hashing
+   * trick (Weinberger et al. ICML'09) over the whitespace tokens plus
+   * adjacent-pair bigrams, each bucketed with
+   * [[graft.operators.Sampling.hashBucket]] (the repo's md5-prefix
+   * cross-engine hash, so a DuckDB oracle replays the features
+   * exactly). Order is tokens-then-bigrams, each in document order —
+   * scoring folds over this list sequentially, and a DETERMINISTIC
+   * order is what makes the fold's FP sum engine-reproducible.
+   */
+  def hashedNgramBuckets(text: Column, buckets: Int,
+                         bigrams: Boolean = true): Column = {
+    val toks = tokens(text)
+    val uni = transform(toks, t => graft.operators.Sampling.hashBucket(t, buckets))
+    if (!bigrams) uni
+    else {
+      val bi = filter(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => when(b.isNotNull,
+            graft.operators.Sampling.hashBucket(concat(a, lit(" "), b), buckets))),
+        _.isNotNull)
+      concat(uni, bi)
+    }
+  }
+
+  /**
+   * FastText-style LINEAR text classifier, TRAIN half (Joulin et al.
+   * '16 "Bag of Tricks" architecture; weights estimated as naive-Bayes
+   * log-count ratios — the NB-SVM trick, Wang & Manning ACL'12 — so
+   * training is ONE aggregation pass over the hashed features, no
+   * gradient loop, nightly re-trainable at corpus scale). Returns a
+   * single-row MODEL frame `(weights array<double>[buckets], bias)`:
+   * `weights[b] = ln((tc_b+α)/(T⁺+αB)) − ln((rc_b+α)/(T⁻+αB))` with
+   * tc/rc the feature-occurrence counts in positive/negative docs, and
+   * `bias = ln(n⁺+α) − ln(n⁻+α)` the doc-count prior. The dense
+   * bucket-indexed array assembles IN-PLAN (map_from_entries over the
+   * ≤B seen buckets + a sequence fill with the unseen-bucket default)
+   * — model-artifact-sized like the PQ codebooks, no driver collect.
+   */
+  def linearClassifierTrain(docs: DataFrame, textCol: String, posCol: Column,
+                            buckets: Int = 1024, bigrams: Boolean = true,
+                            alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2, "linearClassifierTrain needs >= 2 buckets")
+    val feats = docs.select(posCol.as("_pos"),
+      explode(hashedNgramBuckets(col(textCol), buckets, bigrams)).as("_f"))
+    val perB = feats.groupBy("_f").agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_tc"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("_rc"))
+    val tot = perB.agg(sum("_tc").as("_tt"), sum("_rc").as("_rt"))
+    val prior = docs.agg(
+      (log(sum(when(posCol, 1L).otherwise(0L)) + alpha) -
+        log(sum(when(posCol, 0L).otherwise(1L)) + alpha)).as("bias"))
+    val sparse = perB.crossJoin(broadcast(tot))
+      .withColumn("_w",
+        log((col("_tc") + alpha) / (col("_tt") + alpha * buckets)) -
+          log((col("_rc") + alpha) / (col("_rt") + alpha * buckets)))
+    sparse
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("_f").cast("int"), col("_w"))))
+          .as("_m"),
+        first(col("_tt")).as("_tt"), first(col("_rt")).as("_rt"))
+      .select(
+        transform(sequence(lit(0), lit(buckets - 1)), b =>
+          coalesce(element_at(col("_m"), b),
+            log(lit(alpha) / (col("_tt") + alpha * buckets)) -
+              log(lit(alpha) / (col("_rt") + alpha * buckets))))
+          .as("weights"))
+      .crossJoin(broadcast(prior))
+  }
+
+  /**
+   * FastText-style classifier, INFERENCE half: the 1-row model frame
+   * broadcasts via crossJoin and each document's score is
+   * `bias + fold(features, 0.0, acc + weights[f])` — a sequential
+   * codegen'd fold over the doc's OWN hashed features with element_at
+   * into the broadcast weight array. Map-only: no join, no per-doc
+   * shuffle; 100 TB inference costs exactly the scan. Output
+   * `(id, score, pred_pos)` — score is the raw log-odds (round at the
+   * query edge if hashing cross-engine), pred its sign.
+   */
+  def linearClassifierScore(docs: DataFrame, model: DataFrame,
+                            idCol: String, textCol: String,
+                            buckets: Int = 1024,
+                            bigrams: Boolean = true): DataFrame =
+    docs.crossJoin(broadcast(model))
+      .withColumn("_score",
+        aggregate(hashedNgramBuckets(col(textCol), buckets, bigrams),
+          lit(0.0),
+          (acc, f) => acc + element_at(col("weights"), f.cast("int") + 1))
+          + col("bias"))
+      .select(col(idCol).as("id"), col("_score").as("score"),
+        (col("_score") > 0).as("pred_pos"))
 }

@@ -127,6 +127,62 @@ class Round11Spec extends SparkSpecBase {
     assert(got.filter(col("day") === "02").count() === 150L)
   }
 
+  test("capPerStratumBy: per-stratum caps from a frame; unbudgeted strata dropped") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => (i.toLong, if (i <= 6) "a" else "b"))
+      .toDF("k", "dom")
+    val caps = Seq(("a", 2L)).toDF("dom", "cap") // b unbudgeted
+    val kept = graft.operators.Sampling.capPerStratumBy(rows, "k", "dom", caps)
+    assert(kept.filter(col("dom") === "a").count() === 2L)
+    assert(kept.filter(col("dom") === "b").count() === 0L)
+    // determinism: same caps → exactly the same keys survive
+    val k1 = kept.select("k").as[Long].collect().sorted.toSeq
+    val k2 = graft.operators.Sampling.capPerStratumBy(rows, "k", "dom", caps)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(k1 === k2)
+  }
+
+  test("domainDedupProfile: cluster-aware dup rate; exact-hash fallback without clusters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z", "d1"), (2L, "x y z", "d1"), (3L, "p q r", "d1"),
+      (4L, "u v w", "d2")).toDF("doc_id", "text", "source")
+    // exact-content mode: docs 1,2 collapse
+    val exact = graft.operators.Dedup.domainDedupProfile(
+      docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(exact("d1") === ((3L, 2L, 0.333)))
+    assert(exact("d2") === ((1L, 1L, 0.0)))
+    // cluster-aware mode: label 1 & 3 together instead
+    val cl = Seq((1L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val near = graft.operators.Dedup.domainDedupProfile(
+      docs, "doc_id", "text", "source", clusters = Some(cl))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(near("d1") === ((3L, 2L, 0.333))) // {1,3} cluster + {2}
+  }
+
+  test("linear classifier: NB log-odds separate token-disjoint classes; inference is sign-correct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good fine great good", true), (2L, "good great nice", true),
+      (3L, "bad awful poor bad", false), (4L, "awful poor dire", false),
+      (5L, "good nice fine", true), (6L, "bad dire poor", false)
+    ).toDF("doc_id", "text", "is_pos")
+    val model = graft.operators.Text.linearClassifierTrain(
+      docs, "text", col("is_pos"), buckets = 256)
+    assert(model.count() === 1L)
+    assert(model.head().getSeq[Double](0).length === 256)
+    val scored = graft.operators.Text.linearClassifierScore(
+      docs, model, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (1L to 6L).foreach { id =>
+      assert(scored(id) === (id == 1L || id == 2L || id == 5L),
+        s"doc $id misclassified")
+    }
+  }
+
   test("mmrRerank: all-NaN relevance fails loudly; empty-vector candidates compete on relevance") {
     import spark.implicits._
     val nanPool = Seq((1L, 10L, Double.NaN, Seq(1.0, 0.0)),

@@ -78,6 +78,13 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_attribution_first" -> (128L << 10), // 23 kB: one range-frame window
     "q_rolling_distinct" -> (64L << 10), // 0.4 kB: day-sketch rows only
     "q_rolling_distinct_dim" -> (128L << 10), // (dim, day)-sketch rows only
+    // round 11
+    "q_ft_classify" -> (256L << 10),  // bucket-keyed count rows + 1-row
+                                      // model; inference is map-only
+    "q_domain_profile" -> (4L << 20), // cold = the full pair-join + CC
+                                      // build (shared-stage cleared), same
+                                      // ceiling as q_dedup_cluster
+    "q_domain_caps" -> (4L << 20),    // same build + domain window rows
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
