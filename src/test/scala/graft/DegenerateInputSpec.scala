@@ -343,4 +343,40 @@ class DegenerateInputSpec extends SparkSpecBase {
       rd.head.getLong(2) === 2L && rd.head.getBoolean(3),
       s"single-day rolling distinct wrong: ${rd.toSeq}")
   }
+
+  test("round-11 operators on degenerate input") {
+    // dim-keyed rolling distinct on empty events → empty, not a crash
+    val noTs = Seq.empty[(java.sql.Timestamp, Long, String)]
+      .toDF("ts", "user_id", "event_type")
+    assert(Quality.rollingDistinct(noTs, "ts", "user_id",
+      dims = Seq("event_type")).count() === 0)
+
+    // domain profile on empty docs → empty; on null-text docs the md5
+    // group is null-safe (null text hashes to null; such docs still
+    // count, grouped together per domain)
+    val noDom = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Dedup.domainDedupProfile(noDom, "doc_id", "text", "source").count() === 0)
+
+    // cap table with no overlap → empty keep set, no crash
+    val rows = Seq((1L, "a")).toDF("k", "dom")
+    val caps = Seq(("zzz", 5L)).toDF("dom", "cap")
+    assert(Sampling.capPerStratumBy(rows, "k", "dom", caps).count() === 0)
+
+    // classifier: single-class corpus still trains (log-odds lean one
+    // way; every prediction lands on that class)
+    val oneClass = Seq((1L, "a b c", true), (2L, "c d e", true))
+      .toDF("doc_id", "text", "is_pos")
+    val m = Text.linearClassifierTrain(oneClass, "text", col("is_pos"),
+      buckets = 64)
+    val preds = Text.linearClassifierScore(oneClass, m, "doc_id", "text",
+      buckets = 64).collect()
+    assert(preds.length === 2 && preds.forall(_.getBoolean(2)),
+      s"single-class corpus must predict the one class: ${preds.toSeq}")
+
+    // classifier: empty corpus → empty score frame, no crash
+    val m0 = Text.linearClassifierTrain(noDocs.withColumn("p", lit(true)),
+      "text", col("p"), buckets = 64)
+    assert(Text.linearClassifierScore(noDocs, m0, "doc_id", "text",
+      buckets = 64).count() === 0)
+  }
 }
