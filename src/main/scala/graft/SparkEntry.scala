@@ -735,6 +735,19 @@ object SparkEntry {
           col("pred_pos"))
     }),
 
+    // --- classifier eval rollup: confusion-matrix counts of the NB
+    // model against the training labels (train + score + rollup in one
+    // plan; at scale the label join targets an eval-set-sized frame) ---
+    "q_ft_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Text.linearClassifierTrain(docs, "text",
+        col("lang") === "en", buckets = 1024)
+      Text.linearClassifierScore(docs, model, "doc_id", "text", buckets = 1024)
+        .join(docs.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("is_pos")), Seq("id"))
+        .groupBy("is_pos", "pred_pos").agg(count(lit(1)).as("n"))
+    }),
+
     // --- per-domain dedup-rate profile (near-dup-aware via the shared
     // cluster labels): the crawl-frontier planning table ---
     "q_domain_profile" -> ((s, dir) =>
@@ -2631,39 +2644,17 @@ object SparkEntry {
     "q_dedup_cluster" -> ClusterSql,
 
     "q_ft_classify" ->
-      """WITH d AS (SELECT doc_id, lang = 'en' AS pos,
-        |                 string_split(text, ' ') AS l FROM documents),
-        |feats AS (
-        |  SELECT doc_id, pos,
-        |         list_concat(
-        |           list_transform(l, t ->
-        |             CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1024),
-        |           list_transform(range(1, len(l)), i ->
-        |             CAST(concat('0x', substr(md5(l[i] || ' ' || l[i+1]), 1, 8))
-        |                  AS BIGINT) % 1024)) AS fl
-        |  FROM d),
-        |f AS (SELECT doc_id, pos, unnest(fl) AS feat,
-        |             generate_subscripts(fl, 1) AS ord FROM feats),
-        |agg AS (SELECT feat, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tc,
-        |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS rc
-        |        FROM f GROUP BY 1),
-        |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM agg),
-        |w AS (SELECT feat,
-        |             ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
-        |             ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE)) AS w
-        |      FROM agg CROSS JOIN tot),
-        |pw AS (SELECT f.doc_id,
-        |              list_reduce(
-        |                list_prepend(CAST(0.0 AS DOUBLE),
-        |                  ARRAY_AGG(w.w ORDER BY f.ord)), (a, b) -> a + b) AS s
-        |       FROM f JOIN w USING (feat) GROUP BY f.doc_id),
-        |prior AS (SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1
-        |                         AS DOUBLE)) -
-        |                 ln(CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1
-        |                         AS DOUBLE)) AS bias FROM d)
+      s"""WITH $FtCtes
         |SELECT doc_id, floor((s + bias) * 1000 + 0.5) / 1000 AS score,
         |       (s + bias) > 0 AS pred_pos
         |FROM pw CROSS JOIN prior""".stripMargin,
+
+    "q_ft_eval" ->
+      s"""WITH $FtCtes
+        |SELECT d.pos AS is_pos, (s + bias) > 0 AS pred_pos,
+        |       COUNT(*) AS n
+        |FROM pw JOIN d USING (doc_id) CROSS JOIN prior
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_domain_profile" ->
       s"""WITH RECURSIVE $ClusterCtes, j AS (
@@ -4236,6 +4227,44 @@ object SparkEntry {
   private val ClusterSql =
     s"""WITH RECURSIVE $ClusterCtes
        |SELECT id, cluster_id FROM cl""".stripMargin
+
+  /** DuckDB twin of the linear classifier (train + per-doc ordered
+   * score fold), shared by q_ft_classify and q_ft_eval: same md5-prefix
+   * hashed uni+bigram buckets, same NB log-odds with explicit DOUBLE
+   * casts, and the per-doc score as list_reduce over the weights in
+   * feature order seeded with 0.0 — the exact FP accumulation order of
+   * the Spark fold. */
+  private val FtCtes =
+    """d AS (SELECT doc_id, lang = 'en' AS pos,
+      |             string_split(text, ' ') AS l FROM documents),
+      |feats AS (
+      |  SELECT doc_id, pos,
+      |         list_concat(
+      |           list_transform(l, t ->
+      |             CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1024),
+      |           list_transform(range(1, len(l)), i ->
+      |             CAST(concat('0x', substr(md5(l[i] || ' ' || l[i+1]), 1, 8))
+      |                  AS BIGINT) % 1024)) AS fl
+      |  FROM d),
+      |f AS (SELECT doc_id, pos, unnest(fl) AS feat,
+      |             generate_subscripts(fl, 1) AS ord FROM feats),
+      |agg AS (SELECT feat, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tc,
+      |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS rc
+      |        FROM f GROUP BY 1),
+      |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM agg),
+      |w AS (SELECT feat,
+      |             ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+      |             ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE)) AS w
+      |      FROM agg CROSS JOIN tot),
+      |pw AS (SELECT f.doc_id,
+      |              list_reduce(
+      |                list_prepend(CAST(0.0 AS DOUBLE),
+      |                  ARRAY_AGG(w.w ORDER BY f.ord)), (a, b) -> a + b) AS s
+      |       FROM f JOIN w USING (feat) GROUP BY f.doc_id),
+      |prior AS (SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1
+      |                         AS DOUBLE)) -
+      |                 ln(CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1
+      |                         AS DOUBLE)) AS bias FROM d)""".stripMargin
 
   /** DuckDB PII scrub generated from the SAME pattern list as the Spark
    * operator ([[graft.operators.Text.PiiPatterns]]) — one source of truth. */

@@ -1340,17 +1340,86 @@ object Text {
    */
   def linearClassifierTrain(docs: DataFrame, textCol: String, posCol: Column,
                             buckets: Int = 1024, bigrams: Boolean = true,
-                            alpha: Double = 1.0): DataFrame = {
-    require(buckets >= 2, "linearClassifierTrain needs >= 2 buckets")
+                            alpha: Double = 1.0): DataFrame =
+    classifierAssemble(
+      classifierCounts(docs, textCol, posCol, buckets, bigrams), buckets, alpha)
+
+  /**
+   * The classifier's SUFFICIENT STATISTICS as a maintainable table —
+   * one row per seen feature bucket `(_f >= 0, _tc, _rc)` (feature
+   * occurrences in positive / negative docs) plus the `_f = -1` row
+   * carrying the DOC counts for the prior. NB counts are ADDITIVE, so
+   * this table is to the classifier what the postings are to BM25: the
+   * doc-local, incrementally-maintainable half
+   * ([[classifierCountsApplyChanges]]); [[classifierAssemble]]
+   * re-derives the corpus-global weights from it (count-table-sized
+   * work, no text re-read). `linearClassifierTrain ≡
+   * assemble(counts(docs))` by construction.
+   */
+  def classifierCounts(docs: DataFrame, textCol: String, posCol: Column,
+                       buckets: Int = 1024,
+                       bigrams: Boolean = true): DataFrame = {
+    require(buckets >= 2, "classifierCounts needs >= 2 buckets")
     val feats = docs.select(posCol.as("_pos"),
       explode(hashedNgramBuckets(col(textCol), buckets, bigrams)).as("_f"))
     val perB = feats.groupBy("_f").agg(
       sum(when(col("_pos"), 1L).otherwise(0L)).as("_tc"),
       sum(when(col("_pos"), 0L).otherwise(1L)).as("_rc"))
-    val tot = perB.agg(sum("_tc").as("_tt"), sum("_rc").as("_rt"))
-    val prior = docs.agg(
-      (log(sum(when(posCol, 1L).otherwise(0L)) + alpha) -
-        log(sum(when(posCol, 0L).otherwise(1L)) + alpha)).as("bias"))
+    val docRow = docs.agg(
+      coalesce(sum(when(posCol, 1L).otherwise(0L)), lit(0L)).as("_tc"),
+      coalesce(sum(when(posCol, 0L).otherwise(1L)), lit(0L)).as("_rc"))
+      .select(lit(-1L).as("_f"), col("_tc"), col("_rc"))
+    perB.unionByName(docRow)
+  }
+
+  /**
+   * Maintain [[classifierCounts]] from a row-level change feed (Delta
+   * CDF shape): deletes and update pre-images SUBTRACT their doc's
+   * feature multiset and doc count, inserts and update post-images add
+   * — one delta-sized tokenize + one count-table-sized merge, the
+   * [[bm25PostingsApplyChanges]] algebra on additive statistics.
+   * Buckets whose counts both reach zero drop out, so the contract is
+   * exact: `applyChanges(counts@v1, changes(v1→v2)) ≡
+   * classifierCounts(state@v2)`. At 100 TB the nightly model refresh
+   * costs the day's delta, then [[classifierAssemble]] re-fits the
+   * weights from counts alone.
+   */
+  def classifierCountsApplyChanges(counts: DataFrame, feed: DataFrame,
+                                   textCol: String, posCol: Column,
+                                   buckets: Int = 1024,
+                                   bigrams: Boolean = true): DataFrame = {
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(lit(-1L))
+    val tagged = feed.select(posCol.as("_pos"), sign.as("_sign"), col(textCol))
+    val featDelta = tagged
+      .select(col("_pos"), col("_sign"),
+        explode(hashedNgramBuckets(col(textCol), buckets, bigrams)).as("_f"))
+      .groupBy("_f").agg(
+        sum(when(col("_pos"), col("_sign")).otherwise(0L)).as("_tc"),
+        sum(when(col("_pos"), 0L).otherwise(col("_sign"))).as("_rc"))
+    val docDelta = tagged.agg(
+      coalesce(sum(when(col("_pos"), col("_sign")).otherwise(0L)), lit(0L)).as("_tc"),
+      coalesce(sum(when(col("_pos"), 0L).otherwise(col("_sign"))), lit(0L)).as("_rc"))
+      .select(lit(-1L).as("_f"), col("_tc"), col("_rc"))
+    counts.unionByName(featDelta).unionByName(docDelta)
+      .groupBy("_f").agg(sum("_tc").as("_tc"), sum("_rc").as("_rc"))
+      .filter(col("_f") === -1L || col("_tc") =!= 0L || col("_rc") =!= 0L)
+  }
+
+  /** Fit the `(weights, bias)` model frame from [[classifierCounts]] —
+   * the corpus-global half, re-derived from the count table alone
+   * (never the corpus). Same in-plan dense-array assembly as
+   * [[linearClassifierTrain]]. */
+  def classifierAssemble(counts: DataFrame, buckets: Int,
+                         alpha: Double = 1.0): DataFrame = {
+    val perB = counts.filter(col("_f") >= 0)
+    val docRow = counts.filter(col("_f") === -1L)
+    val tot = perB.agg(
+      coalesce(sum("_tc"), lit(0L)).as("_tt"),
+      coalesce(sum("_rc"), lit(0L)).as("_rt"))
+    val prior = docRow.agg(
+      (log(coalesce(sum("_tc"), lit(0L)) + alpha) -
+        log(coalesce(sum("_rc"), lit(0L)) + alpha)).as("bias"))
     val sparse = perB.crossJoin(broadcast(tot))
       .withColumn("_w",
         log((col("_tc") + alpha) / (col("_tt") + alpha * buckets)) -
@@ -1359,7 +1428,8 @@ object Text {
       .groupBy()
       .agg(map_from_entries(collect_list(struct(col("_f").cast("int"), col("_w"))))
           .as("_m"),
-        first(col("_tt")).as("_tt"), first(col("_rt")).as("_rt"))
+        coalesce(first(col("_tt")), lit(0L)).as("_tt"),
+        coalesce(first(col("_rt")), lit(0L)).as("_rt"))
       .select(
         transform(sequence(lit(0), lit(buckets - 1)), b =>
           coalesce(element_at(col("_m"), b),

@@ -183,6 +183,39 @@ class Round11Spec extends SparkSpecBase {
     }
   }
 
+  test("classifierCounts maintenance: applyChanges(counts@v1, feed) equals counts(state@v2)") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "good fine great", true), (2L, "bad awful poor", false),
+      (3L, "good nice", true), (4L, "poor dire", false))
+      .toDF("doc_id", "text", "is_pos")
+    // v1 -> v2: doc 2 deleted, doc 3 updated (text AND label), doc 5 inserted
+    val feed = Seq(
+      (2L, "bad awful poor", false, "delete"),
+      (3L, "good nice", true, "update_preimage"),
+      (3L, "awful nice", false, "update_postimage"),
+      (5L, "great fine words", true, "insert"))
+      .toDF("doc_id", "text", "is_pos", "change_type")
+    val v2 = Seq(
+      (1L, "good fine great", true), (3L, "awful nice", false),
+      (4L, "poor dire", false), (5L, "great fine words", true))
+      .toDF("doc_id", "text", "is_pos")
+    val B = 128
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val maintained = graft.operators.Text.classifierCountsApplyChanges(
+      graft.operators.Text.classifierCounts(v1, "text", col("is_pos"), B),
+      feed, "text", col("is_pos"), B)
+    val rebuilt = graft.operators.Text.classifierCounts(v2, "text", col("is_pos"), B)
+    assert(asSet(maintained) === asSet(rebuilt),
+      "maintained count table diverged from a full rebuild of state@v2")
+    // and the models assembled from each are identical
+    val mA = graft.operators.Text.classifierAssemble(maintained, B).head()
+    val mB = graft.operators.Text.classifierAssemble(rebuilt, B).head()
+    assert(mA.getSeq[Double](0) === mB.getSeq[Double](0))
+    assert(mA.getDouble(1) === mB.getDouble(1))
+  }
+
   test("mmrRerank: all-NaN relevance fails loudly; empty-vector candidates compete on relevance") {
     import spark.implicits._
     val nanPool = Seq((1L, 10L, Double.NaN, Seq(1.0, 0.0)),

@@ -81,6 +81,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     // round 11
     "q_ft_classify" -> (256L << 10),  // bucket-keyed count rows + 1-row
                                       // model; inference is map-only
+    "q_ft_eval" -> (512L << 10),      // = classify + the label join +
+                                      // a 4-row rollup
     "q_domain_profile" -> (4L << 20), // cold = the full pair-join + CC
                                       // build (shared-stage cleared), same
                                       // ceiling as q_dedup_cluster

@@ -1015,4 +1015,45 @@ class StreamParitySpec extends SparkSpecBase {
       assert(streamed.nonEmpty, "fixture produced no zone occupancy")
     } finally query.stop()
   }
+  test("ClassifyStream equals batch scoring; a model swap takes effect at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus1 = Seq((1L, "good fine great", true), (2L, "bad awful poor", false),
+      (3L, "good nice fine", true), (4L, "awful dire poor", false))
+      .toDF("doc_id", "text", "is_pos")
+    // generation 2 flips the labels — predictions must visibly flip too
+    val corpus2 = corpus1.withColumn("is_pos", !col("is_pos"))
+    val m1 = operators.Text.linearClassifierTrain(corpus1, "text", col("is_pos"), buckets = 128)
+    val m2 = operators.Text.linearClassifierTrain(corpus2, "text", col("is_pos"), buckets = 128)
+    val ref = new java.util.concurrent.atomic.AtomicReference(m1)
+    val docs = Seq((10L, "good fine story"), (11L, "awful poor tale"),
+      (12L, "great nice text"), (13L, "dire bad words"))
+    val (pre, post) = docs.splitAt(2)
+    val input = MemoryStream[(Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(Long, Boolean)]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-clsswap").toString
+    val query = graft.streaming.ClassifyStream.classifySwappable(
+      input.toDF().toDF("doc_id", "text"), ref, "doc_id", "text",
+      buckets = 128, ckpt) { out =>
+      batches.synchronized {
+        batches += out.select("id", "pred_pos").as[(Long, Boolean)].collect().toSet
+      }
+    }
+    try {
+      input.addData(pre); query.processAllAvailable()
+      val nPre = batches.size
+      ref.set(m2)
+      input.addData(post); query.processAllAvailable()
+      def expected(m: org.apache.spark.sql.DataFrame, ds: Seq[(Long, String)]) =
+        operators.Text.linearClassifierScore(ds.toDF("doc_id", "text"), m,
+          "doc_id", "text", buckets = 128)
+          .select("id", "pred_pos").as[(Long, Boolean)].collect().toSet
+      val (preGot, postGot) = batches.toSeq.splitAt(nPre)
+      assert(preGot.flatten.toSet === expected(m1, pre),
+        "pre-swap batch diverged from generation-1 batch scoring")
+      assert(postGot.flatten.toSet === expected(m2, post),
+        "post-swap batch diverged from generation-2 batch scoring")
+      // flipped-label generations disagree: the swap was observable
+      assert(expected(m1, post) != expected(m2, post))
+    } finally query.stop()
+  }
 }
