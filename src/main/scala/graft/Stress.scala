@@ -572,6 +572,43 @@ object Stress {
         k = 10, lambda = 0.5).count()
     }
 
+    // --- linear classifier: train is one agg pass, inference map-only ---
+    val labelled = docs.withColumn("_pos", pmod(col("doc_id"), lit(3)) === 0)
+    val tClsTrain = probe(s"classifier train ${nDocs / 1000}k docs") {
+      Text.linearClassifierTrain(labelled, "text", col("_pos"),
+        buckets = 4096).count()
+    }
+    if (only.isEmpty || "classifier train".contains(only.toLowerCase)) {
+      val model = Text.linearClassifierTrain(labelled, "text", col("_pos"),
+        buckets = 4096).localCheckpoint(true)
+      val tClsScore = probe(s"classifier score ${nDocs / 1000}k docs (resident model)") {
+        Text.linearClassifierScore(docs, model, "doc_id", "text",
+          buckets = 4096).count()
+      }
+      if (tClsTrain > 0.0)
+        println(f"[stress] classifier score/train = ${tClsScore / tClsTrain}%.2fx " +
+          "(inference is the map-only half; at 100 TB you train once and scan)")
+      // CDF maintenance: the 1% delta costs delta work, not a re-train
+      val counts = Text.classifierCounts(labelled, "text", col("_pos"),
+        buckets = 4096).localCheckpoint(true)
+      probe("classifier counts apply 1% CDF feed") {
+        val delta = labelled.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .withColumn("change_type", lit("insert"))
+        Text.classifierCountsApplyChanges(counts, delta, "text", col("_pos"),
+          buckets = 4096).count()
+      }
+    }
+
+    // --- crawl-frontier planning: profile + per-domain caps ---
+    probe(s"domain profile + caps ${nDocs / 1000}k docs x 1k domains") {
+      val domained = docs.withColumn("source",
+        concat(lit("d"), pmod(xxhash64(col("doc_id")), lit(1000))))
+      val prof = Dedup.domainDedupProfile(domained, "doc_id", "text", "source")
+      val caps = prof.select(col("source"),
+        greatest(lit(1L), floor(col("n_unique") * 3 / 5.0).cast("long")).as("cap"))
+      Sampling.capPerStratumBy(domained, "doc_id", "source", caps).count()
+    }
+
     spark.stop()
   }
 }
