@@ -450,5 +450,24 @@ class PlanSpec extends SparkSpecBase {
       "maintained aggregate lost map-side combine")
   }
 
+  test("classifier: train partial-aggs the bucket counts; inference is join-free map work") {
+    val p = plan("q_ft_classify")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "count-table aggregation lost map-side combine\n" + p.take(2000))
+    // the 1-row model rides broadcast nested-loop crossJoins; any
+    // SortMergeJoin/CartesianProduct means the corpus started shuffling
+    // for what must be a broadcast of a model artifact
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "classifier plan degraded past model broadcasts\n" + p.take(2000))
+  }
+
+  test("frontier caps: the cap table broadcasts; one stratum window") {
+    val p = plan("q_domain_caps")
+    assert(p.contains("BroadcastHashJoin"),
+      "cap-table join lost its broadcast\n" + p.take(2000))
+    assert(count(p, "WindowExec|Window\\b") >= 1 &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   private val Similarity = graft.operators.Similarity
 }
