@@ -735,6 +735,27 @@ object SparkEntry {
           col("pred_pos"))
     }),
 
+    // --- URL canonicalization: the crawl-dedup scrub (fragment /
+    // tracking-param / default-port / trailing-slash rewrites shared
+    // with the oracle). URL variants are synthesized per doc with
+    // IDENTICAL logic in both engines (the zone-fixture convention)
+    // since the corpus text carries no URLs; the rollup shows raw
+    // variants collapsing onto canonical resources ---
+    "q_url_canon" -> ((s, dir) => {
+      // case driver mod 3 (coprime to the source/path periods), so one
+      // canonical resource really does arrive in several raw disguises
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com:443/p/"), pmod(col("doc_id"), lit(50)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_source=feed&id=7"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("?id=7&utm_campaign=x"))
+          .otherwise(lit("/#frag")))
+      Tables.documents(s, dir).select(url.as("_u"))
+        .withColumn("canon_url", Text.canonicalizeUrl(col("_u")))
+        .groupBy("canon_url")
+        .agg(countDistinct(col("_u")).as("n_raw_variants"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // --- classifier eval rollup: confusion-matrix counts of the NB
     // model against the training labels (train + score + rollup in one
     // plan; at scale the label join targets an eval-set-sized frame) ---
@@ -2649,6 +2670,19 @@ object SparkEntry {
         |       (s + bias) > 0 AS pred_pos
         |FROM pw CROSS JOIN prior""".stripMargin,
 
+    "q_url_canon" ->
+      s"""WITH u AS (
+         |  SELECT 'https://' || source || '.example.com:443/p/' ||
+         |         CAST(doc_id % 50 AS VARCHAR) ||
+         |         CASE doc_id % 3
+         |           WHEN 0 THEN '?utm_source=feed&id=7'
+         |           WHEN 1 THEN '?id=7&utm_campaign=x'
+         |           ELSE '/#frag' END AS raw
+         |  FROM documents)
+         |SELECT ${urlCanonSql("raw")} AS canon_url,
+         |       COUNT(DISTINCT raw) AS n_raw_variants, COUNT(*) AS n_docs
+         |FROM u GROUP BY 1""".stripMargin,
+
     "q_ft_eval" ->
       s"""WITH $FtCtes
         |SELECT d.pos AS is_pos, (s + bias) > 0 AS pred_pos,
@@ -4274,6 +4308,15 @@ object SparkEntry {
     }
     s"SELECT doc_id, $chain AS redacted FROM documents"
   }
+
+  /** DuckDB twin of [[Text.canonicalizeUrl]], generated from the SAME
+   * pattern list — replacements rewrite Java `$n` group refs to RE2
+   * `\n` (the one dialect difference the shared patterns carry). */
+  private def urlCanonSql(expr: String): String =
+    graft.operators.Text.UrlCanonPatterns.foldLeft(expr) {
+      case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '${repl.replace("$", "\\")}', 'g')"
+    }
 
   /** Cross-engine deterministic sampling bucket: first 32 bits of
    * md5(key) mod 10000 — twin of [[graft.operators.Sampling.hashBucket]]. */

@@ -147,6 +147,34 @@ object Text {
         regexp_extract(col(textCol), UrlDomainRegex, 1))
 
   /**
+   * Ordered URL-canonicalization rewrites — the crawl-dedup scrub that
+   * collapses the cosmetic variants of one resource before URL-keyed
+   * dedup/frontier accounting: fragment strip, tracking-parameter strip
+   * (utm_*, fbclid, gclid) with separator repair, default-port strip,
+   * trailing-slash strip. One source of truth for Spark AND the DuckDB
+   * oracle (the [[PiiPatterns]] convention): patterns avoid
+   * lookaround/backrefs so Java regex and RE2 agree; replacements use
+   * Java `$n` — the oracle generator rewrites them to RE2 `\n`.
+   * Deliberately NOT done: query-param sorting and host lowercasing
+   * (not regex-expressible without risking path-case damage); a
+   * frontier needing those normalizes upstream.
+   */
+  val UrlCanonPatterns: Seq[(String, String)] = Seq(
+    "#.*$" -> "",
+    "([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*" -> "$1",
+    "\\?&" -> "?",
+    "&&+" -> "&",
+    "[?&]+$" -> "",
+    "^(https?://[^/?#:]*):(?:80|443)([/?]|$)" -> "$1$2",
+    "/$" -> "")
+
+  /** Apply [[UrlCanonPatterns]] — a codegen'd `regexp_replace` chain. */
+  def canonicalizeUrl(url: Column): Column =
+    UrlCanonPatterns.foldLeft(url) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+
+  /**
    * Repetition metrics (Gopher-style quality signals): fraction of
    * duplicate word bigrams / trigrams — boilerplate and generated spam
    * repeat n-grams far more than natural text.

@@ -242,4 +242,23 @@ class Round11Spec extends SparkSpecBase {
     // beats 12 (rel 0.8 minus its cos=1 penalty to 10)
     assert(ranked === Seq(10L, 11L, 12L))
   }
+  test("canonicalizeUrl: fragment/tracking/port/slash rewrites on edge forms") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://a.com:443/p/1?utm_source=x&id=2", "https://a.com/p/1?id=2"),
+      ("https://a.com/p/1?id=2&utm_campaign=y",   "https://a.com/p/1?id=2"),
+      ("http://a.com:80/x/",                      "http://a.com/x"),
+      ("https://a.com:8443/x",                    "https://a.com:8443/x"), // non-default port kept
+      ("https://a.com/x#sec-2",                   "https://a.com/x"),
+      ("https://a.com/?fbclid=abc",               "https://a.com"),
+      ("https://a.com/x?gclid=1&utm_a=2",         "https://a.com/x"),
+      ("https://a.com/x?keep=1&gclid=2&keep2=3",  "https://a.com/x?keep=1&keep2=3"),
+      ("https://a.com:443",                       "https://a.com"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.operators.Text.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach { case ((want, g), in) =>
+      assert(g === want, s"canonicalizeUrl('$in')")
+    }
+  }
 }

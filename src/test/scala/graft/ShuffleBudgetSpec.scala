@@ -83,6 +83,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // model; inference is map-only
     "q_ft_eval" -> (512L << 10),      // = classify + the label join +
                                       // a 4-row rollup
+    "q_url_canon" -> (64L << 10),     // map-only rewrites + one canon
+                                      // rollup of domain-sized groups
     "q_domain_profile" -> (4L << 20), // cold = the full pair-join + CC
                                       // build (shared-stage cleared), same
                                       // ceiling as q_dedup_cluster
