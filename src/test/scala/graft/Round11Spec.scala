@@ -5,7 +5,9 @@ import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Round-11 additions: per-dimension rolling distinct, doc-partitioned
-  * BM25 serving view. */
+  * BM25 serving view, staged-sibling compact, crawl-frontier caps,
+  * linear-classifier family (counts maintenance, NaN guard), URL
+  * canonicalization. */
 class Round11Spec extends SparkSpecBase {
 
   private def windowExecs(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
