@@ -450,6 +450,19 @@ class PlanSpec extends SparkSpecBase {
       "maintained aggregate lost map-side combine")
   }
 
+  test("whole surface: no query plans a CartesianProduct") {
+    // 1-row model/stat crossJoins plan as BroadcastNestedLoopJoin, so
+    // any CartesianProduct in ANY of the queries is a real unkeyed
+    // join — the one plan shape that cannot survive 100 TB. Sweeping
+    // lock: plans only, nothing executes.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct planned in: $offenders")
+  }
+
   test("classifier: train partial-aggs the bucket counts; inference is join-free map work") {
     val p = plan("q_ft_classify")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
