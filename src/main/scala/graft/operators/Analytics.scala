@@ -730,4 +730,33 @@ object Analytics {
           .otherwise(lit("direct")))
       .groupBy("channel").agg(count(lit(1)).as("n_conv"))
   }
+
+  /**
+   * DISTRIBUTED global row_number over a total order — the scale path
+   * for FULL ranked artifacts (e.g. a whole ranked vocabulary), where
+   * `row_number().over(Window.orderBy(...))` would funnel every row
+   * through one task and a rank-filter's TakeOrderedAndProject pushdown
+   * does not apply because ALL ranks are wanted. Classic two-phase
+   * scan: range-partition + sort on the order (a distributed total
+   * sort), then `zipWithIndex` assigns global indexes (its internal
+   * second pass collects only ONE count per partition). Ranks are
+   * identical to the window form whenever `order` is a total order —
+   * range boundaries can't matter, only the global sort does; make the
+   * last key a tiebreaker if the leading keys can tie. The one RDD use
+   * this repo allows: genuinely per-partition imperative logic
+   * (index assignment) that no declarative form expresses without the
+   * single-task funnel.
+   */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      outCol: String = "rank"): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs an ordering")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema
+      .add(outCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

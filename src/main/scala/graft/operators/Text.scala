@@ -457,13 +457,38 @@ object Text {
    * map-side-combined per token (high cardinality, balanced), and only
    * the surviving vocabulary — far smaller than the corpus — is sorted.
    */
-  def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("token"))
+  /** Ranked corpus vocabulary `(token, n, rank)`, rank by (count desc,
+   * token asc). Two physical paths, same values:
+   *  - `maxRank = Some(n)` (the top-N consumer shape — [[oovRate]]): a
+   *    rank window + filter, which Catalyst rewrites to
+   *    TakeOrderedAndProject below the window — per-partition top-N +
+   *    an N-row merge, the window never sees more than N rows;
+   *  - `maxRank = None` (the FULL vocabulary artifact): a global
+   *    unpartitioned window would funnel the entire vocabulary through
+   *    one task and no pushdown applies when all ranks are wanted —
+   *    [[Analytics.globalRowNumber]] assigns ranks over a distributed
+   *    range-partitioned sort instead. */
+  def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 2L,
+                 maxRank: Option[Int] = None): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("token").asc)))
+    maxRank match {
+      case Some(k) =>
+        // filter the RAW rank directly above the window (the cast would
+        // hide the rank from the TakeOrderedAndProject rewrite), cast
+        // after so both paths share the long-rank schema
+        counts
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("token").asc)))
+          .filter(col("rank") <= k)
+          .withColumn("rank", col("rank").cast("long"))
+      case None =>
+        Analytics.globalRowNumber(counts,
+          Seq(col("n").desc, col("token").asc))
+    }
+  }
 
   /**
    * Per-document out-of-vocabulary rate against the corpus' own top-N
@@ -477,8 +502,8 @@ object Text {
    */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               topN: Int = 100): DataFrame = {
-    val vocab = vocabulary(docs, textCol, minCount = 1L)
-      .filter(col("rank") <= topN).select(col("token"), lit(1).as("in_vocab"))
+    val vocab = vocabulary(docs, textCol, minCount = 1L, maxRank = Some(topN))
+      .select(col("token"), lit(1).as("in_vocab"))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(idCol).agg(

@@ -450,17 +450,53 @@ class PlanSpec extends SparkSpecBase {
       "maintained aggregate lost map-side combine")
   }
 
-  test("whole surface: no query plans a CartesianProduct") {
-    // 1-row model/stat crossJoins plan as BroadcastNestedLoopJoin, so
-    // any CartesianProduct in ANY of the queries is a real unkeyed
-    // join — the one plan shape that cannot survive 100 TB. Sweeping
-    // lock: plans only, nothing executes.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct")) Some(name) else None
+  test("whole surface: no CartesianProduct; every global window is bounded or justified") {
+    // Sweeping plan-hygiene lock over EVERY query (plans only, nothing
+    // executes). Two 100 TB killers:
+    //  1. CartesianProduct — 1-row model/stat crossJoins plan as
+    //     BroadcastNestedLoopJoin, so any CartesianProduct is a real
+    //     unkeyed join.
+    //  2. An UNPARTITIONED WindowExec over unbounded input — the
+    //     single-task funnel. Allowed when the window's subtree is
+    //     rank/limit-pruned (TakeOrderedAndProject / WindowGroupLimit
+    //     feeds it ≤ N rows), or for the allowlisted queries whose
+    //     window input is bounded BY CONSTRUCTION:
+    //     q_budget_select (≤ nBuckets bucket rows), q_ks_test
+    //     (enforced-cardinality CDF), q_rolling_distinct (one sketch
+    //     row per day; the dim-keyed variant partitions instead),
+    //     q_maxsim (the windowed count IS the in-plan broadcast-batch
+    //     gate, and it runs over the query batch — the side that very
+    //     gate bounds).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val boundedByConstruction =
+      Set("q_budget_select", "q_ks_test", "q_rolling_distinct", "q_maxsim")
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      (p match { case a: AdaptiveSparkPlanExec => expand(a.executedPlan); case x => Seq(x) }) ++
+        p.children.flatMap(expand) ++ p.subqueries.flatMap(expand)
+    def boundedBelow(w: SparkPlan): Boolean = expand(w).exists {
+      case _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+      case _ => false
     }
-    assert(offenders.isEmpty, s"CartesianProduct planned in: $offenders")
+    val cartesians = scala.collection.mutable.ArrayBuffer[String]()
+    val funnels = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val nodes = expand(plan)
+      if (nodes.exists(_.getClass.getSimpleName == "CartesianProductExec"))
+        cartesians += name
+      val unbounded = nodes.exists {
+        case w: WindowExec => w.partitionSpec.isEmpty && !boundedBelow(w)
+        case _ => false
+      }
+      if (unbounded && !boundedByConstruction(name)) funnels += name
+    }
+    assert(cartesians.isEmpty, s"CartesianProduct planned in: $cartesians")
+    assert(funnels.isEmpty,
+      s"unbounded single-task global window planned in: $funnels — " +
+        "partition it, prune it, or justify it on the allowlist")
   }
 
   test("classifier: train partial-aggs the bucket counts; inference is join-free map work") {

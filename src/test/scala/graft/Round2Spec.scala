@@ -131,8 +131,8 @@ class Round2Spec extends SparkSpecBase {
   test("vocabulary ranks tokens by count with deterministic tie-break") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c b x")).toDF("doc_id", "text")
     val out = Text.vocabulary(docs, "text", minCount = 2L)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
-    assert(out.sortBy(_._3) === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._3) === Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
   }
 
   test("packSequences bins consecutive docs by token budget per shard") {
