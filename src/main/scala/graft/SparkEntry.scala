@@ -862,6 +862,37 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Text.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanWords = 10)),
 
+    // --- CCNet-style corpus-frequency boilerplate scrub: EVERY
+    // occurrence of any 3-word span present in >= 4 distinct docs dies ---
+    "q_boilerplate" -> ((s, dir) =>
+      Text.boilerplateScrub(Tables.documents(s, dir), "doc_id", "text",
+        spanWords = 3, maxDocFreq = 4)),
+
+    // --- seeded epoch-shuffle: deterministic global training order,
+    // round-robin dealt into 8 shards ---
+    "q_epoch_order" -> ((s, dir) =>
+      Sampling.epochOrder(Tables.documents(s, dir), "doc_id", epoch = 7,
+          nShards = 8)
+        .select("doc_id", "rank", "shard")),
+
+    // --- N-way source-overlap matrix: per-source word-trigram KMV
+    // sketches (one grouped pass), all 190 pair estimates from the
+    // 256-hash sketches alone ---
+    "q_overlap_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val ws = split(col("text"), " ")
+      val grams = when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - lit(3)),
+          i => array_join(slice(ws, i + lit(1), lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      Quality.overlapMatrix(
+          d.select(col("source"), explode(grams).as("elem")),
+          "source", "elem", k = 256)
+        .select(col("corpus_a"), col("corpus_b"), col("n_sk"),
+          col("union_est"), col("inter_est"),
+          r3(col("jac_raw")).as("jaccard_est"))
+    }),
+
     // --- sliding-window chunking: 16-token windows, stride 8 ---
     "q_chunk" -> ((s, dir) =>
       Text.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
@@ -2858,6 +2889,75 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(g.n_spans_kept, 0) AS n_spans_kept,
         |       coalesce(g.text_dedup, '') AS text_dedup
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c0 AS (SELECT doc_id, toks,
+        |              unnest(range(0, (len(toks)-1)//3 + 1)) AS pos FROM t),
+        |c AS (SELECT doc_id, pos,
+        |             array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS span
+        |      FROM c0),
+        |f AS (SELECT span FROM c GROUP BY span
+        |      HAVING COUNT(DISTINCT doc_id) >= 4),
+        |k AS (SELECT doc_id, pos, span FROM c
+        |      WHERE span NOT IN (SELECT span FROM f)),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+        |             string_agg(span, ' ' ORDER BY pos) AS text_clean
+        |      FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.n_spans_kept, 0) AS n_spans_kept,
+        |       coalesce(g.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    "q_epoch_order" ->
+      """WITH r AS (SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, rank, CAST((rank - 1) % 8 AS INT) AS shard FROM r""".stripMargin,
+
+    "q_overlap_matrix" ->
+      """WITH g AS (
+        |  SELECT source AS corpus,
+        |         CASE WHEN len(string_split(text,' ')) >= 3
+        |           THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+        |                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |           ELSE [] END AS s
+        |  FROM documents WHERE text IS NOT NULL
+        |), el AS (SELECT corpus, md5(unnest(s)) AS h FROM g),
+        |dl AS (SELECT DISTINCT corpus, h FROM el),
+        |sk AS (SELECT corpus, h FROM (
+        |         SELECT corpus, h,
+        |                row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+        |         FROM dl) WHERE rn <= 256),
+        |cs AS (SELECT DISTINCT corpus FROM sk),
+        |pr AS (SELECT a.corpus AS ca, b.corpus AS cb
+        |       FROM cs a JOIN cs b ON a.corpus < b.corpus),
+        |uh AS (SELECT DISTINCT pr.ca, pr.cb, s.h
+        |       FROM pr JOIN sk s ON s.corpus = pr.ca OR s.corpus = pr.cb),
+        |ku AS (SELECT ca, cb, h FROM (
+        |         SELECT ca, cb, h,
+        |                row_number() OVER (PARTITION BY ca, cb ORDER BY h) AS rn
+        |         FROM uh) WHERE rn <= 256),
+        |fl AS (SELECT ku.ca, ku.cb, ku.h,
+        |              sa.h IS NOT NULL AND sb.h IS NOT NULL AS hit
+        |       FROM ku LEFT JOIN sk sa ON sa.corpus = ku.ca AND sa.h = ku.h
+        |               LEFT JOIN sk sb ON sb.corpus = ku.cb AND sb.h = ku.h),
+        |mm AS (SELECT ca AS corpus_a, cb AS corpus_b,
+        |              CAST(COUNT(*) AS INT) AS n_sk, MAX(h) AS kth,
+        |              COUNT(*) FILTER (WHERE hit) AS m
+        |       FROM fl GROUP BY 1, 2),
+        |est AS (SELECT corpus_a, corpus_b, n_sk,
+        |  CASE WHEN n_sk < 256 THEN n_sk::DOUBLE
+        |       ELSE (n_sk - 1)::DOUBLE /
+        |            (('0x' || substr(kth,1,15))::BIGINT / 1152921504606846976.0) END
+        |    AS d_union_raw,
+        |  CASE WHEN n_sk = 0 THEN 0.0 ELSE m::DOUBLE / n_sk::DOUBLE END AS jac_raw
+        |  FROM mm)
+        |SELECT corpus_a, corpus_b, n_sk,
+        |  CAST(floor(d_union_raw + 0.5) AS BIGINT) AS union_est,
+        |  CAST(floor(jac_raw * d_union_raw + 0.5) AS BIGINT) AS inter_est,
+        |  floor(jac_raw*1000 + 0.5)/1000 AS jaccard_est
+        |FROM est""".stripMargin,
 
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

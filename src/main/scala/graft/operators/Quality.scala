@@ -628,6 +628,59 @@ object Quality {
   }
 
   /**
+   * N-WAY corpus overlap MATRIX — [[kmvOverlapEstimate]] generalized
+   * from one snapshot pair to ALL pairs of a corpus-keyed table (the
+   * mixture-design question is never "do A and B overlap" but "which of
+   * my N sources duplicate each other"). One grouped pass builds every
+   * per-corpus bottom-k sketch via the [[graft.expressions.KmvSketchAgg]]
+   * kernel (the raw table is scanned ONCE, partial-agg'd, ≤ k hashes of
+   * state per corpus), then the n·(n−1)/2 pair estimates are pure array
+   * expressions over the k-row sketches — union bottom-k by
+   * array_union + sort + slice, ρ = |ku∩a∩b|/|ku|, D_union = (k−1)/U_(k)
+   * (Beyer et al. '07, the same estimator [[kmvOverlapEstimate]] uses,
+   * exact whenever the union sketch is under-full). The pair join is an
+   * explicit broadcast of the n-row sketch table against itself —
+   * quadratic only in the CORPUS count (tens), never in the data, and
+   * the md5 contract keeps every number engine-replayable.
+   */
+  def overlapMatrix(df: DataFrame, corpusCol: String, elemCol: String,
+                    k: Int = 512): DataFrame = {
+    require(k >= 2, "overlapMatrix needs k >= 2")
+    import graft.expressions.KmvSketchAgg
+    import org.apache.spark.sql.GraftBridge
+    val sk = df
+      .select(col(corpusCol).cast("string").as("corpus"),
+        md5(col(elemCol).cast("string")).as("h"))
+      .filter(col("corpus").isNotNull && col("h").isNotNull)
+      .groupBy("corpus")
+      .agg(GraftBridge.column(
+        KmvSketchAgg(GraftBridge.expression(col("h")), k)
+          .toAggregateExpression()).as("sk"))
+    val pairs = sk.select(col("corpus").as("corpus_a"), col("sk").as("ska"))
+      .join(broadcast(sk.select(col("corpus").as("corpus_b"),
+        col("sk").as("skb"))), col("corpus_a") < col("corpus_b"))
+      .withColumn("ku",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("n_sk", size(col("ku")))
+      .withColumn("m", size(array_intersect(
+        array_intersect(col("ku"), col("ska")), col("skb"))))
+    val frac = conv(substring(element_at(col("ku"), col("n_sk")), 1, 15),
+      16, 10).cast("long") / lit(HashSpace60)
+    pairs
+      .withColumn("d_union_raw",
+        when(col("n_sk") < k, col("n_sk").cast("double"))
+          .otherwise((col("n_sk") - 1).cast("double") / frac))
+      .withColumn("jac_raw",
+        when(col("n_sk") === 0, lit(0.0))
+          .otherwise(col("m").cast("double") / col("n_sk").cast("double")))
+      .select(col("corpus_a"), col("corpus_b"), col("n_sk"),
+        floor(col("d_union_raw") + 0.5).cast("long").as("union_est"),
+        floor(col("jac_raw") * col("d_union_raw") + 0.5).cast("long")
+          .as("inter_est"),
+        col("jac_raw"))
+  }
+
+  /**
    * ROLLING-window distinct count — the SLIDING twin of [[sketchRollup]]
    * and the query shape behind every "7-day active users" tile: daily
    * HLL sketches union-merge over a CALENDAR range frame (rangeBetween

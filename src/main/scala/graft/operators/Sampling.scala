@@ -329,6 +329,31 @@ object Sampling {
   }
 
   /**
+   * Seeded EPOCH-SHUFFLE training order: a deterministic global
+   * permutation of the corpus — "reshuffle the data every epoch" at a
+   * scale where collecting and shuffling is impossible. The permutation
+   * key is md5(epoch:key), engine-portable like every sampling decision
+   * here (a DuckDB/Trino consumer reproduces the exact order), different
+   * per epoch, and uncorrelated with the corpus layout. The global rank
+   * rides [[Analytics.globalRowNumber]] — a range-partitioned
+   * distributed sort with per-partition index assignment, NEVER a
+   * single-task unpartitioned window — and `shard = (rank−1) mod
+   * nShards` deals consecutive ranks round-robin into equal-size output
+   * shards, so EVERY shard is itself an unbiased shuffled sample: a
+   * trainer streaming shard files in any order still sees
+   * epoch-shuffled data. Output: input columns + (rank, shard).
+   */
+  def epochOrder(df: DataFrame, keyCol: String, epoch: Int,
+                 nShards: Int = 32): DataFrame = {
+    require(nShards >= 1, "epochOrder needs nShards >= 1")
+    val h = md5(concat_ws(":", lit(epoch.toString), col(keyCol).cast("string")))
+    Analytics.globalRowNumber(df.withColumn("_eo_h", h),
+        Seq(col("_eo_h"), col(keyCol)), "rank")
+      .withColumn("shard", ((col("rank") - 1) % nShards).cast("int"))
+      .drop("_eo_h")
+  }
+
+  /**
    * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
    * arXiv:2302.03169): pick the `k` raw-pool documents whose hashed
    * token distribution looks most like a target domain. Features are

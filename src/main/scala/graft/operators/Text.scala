@@ -935,6 +935,51 @@ object Text {
   }
 
   /**
+   * Corpus-FREQUENCY boilerplate removal — the CCNet companion rule to
+   * [[spanDedup]]: where spanDedup keeps each duplicated span's FIRST
+   * occurrence (C4's first-wins rule), this drops EVERY occurrence of
+   * any span appearing in at least `maxDocFreq` DISTINCT documents.
+   * Navigation chrome, cookie banners and license footers are text
+   * whose very ubiquity is the signal — their first occurrence is as
+   * worthless as their last — while rare prose survives untouched even
+   * when it repeats within one document.
+   *
+   * Scale shape: one explode, a two-level partial-agg'd groupBy for the
+   * distinct-doc frequency ((span,id) distinct, then span count — never
+   * a corpus-wide window and never countDistinct's per-group state), an
+   * anti join back (the frequent-span set is SMALL by construction —
+   * crossing `maxDocFreq` takes ubiquity, so few distinct values
+   * qualify and AQE broadcasts the build side), one groupBy to
+   * reassemble surviving spans in position order. Docs scrubbed to
+   * nothing still emit a row — the drop is visible, not silent.
+   */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+                       spanWords: Int = 10, maxDocFreq: Int = 3): DataFrame = {
+    require(spanWords >= 1, "boilerplateScrub needs spanWords >= 1")
+    require(maxDocFreq >= 2, "boilerplateScrub needs maxDocFreq >= 2")
+    val toks = tokens(col(textCol))
+    val lastSpan = floor((size(toks) - 1) / lit(spanWords)).cast("int")
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lastSpan),
+          i => concat_ws(" ", slice(toks, i * spanWords + 1, lit(spanWords))))))
+      .withColumnRenamed("col", "span")
+    val frequent = spans.select("span", "id").distinct()
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= maxDocFreq)
+      .select("span")
+    val kept = spans.join(frequent, Seq("span"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span"))).as("text_clean"))
+    df.select(col(idCol).as("id")).join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /**
    * WITHIN-document repeated-span removal — the map-only sibling of
    * [[spanDedup]]: each doc keeps the FIRST occurrence of every distinct
    * `spanWords`-word span OF ITS OWN TEXT (the RefinedWeb/CCNet

@@ -7,7 +7,8 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 /** Round-11 additions: per-dimension rolling distinct, doc-partitioned
   * BM25 serving view, staged-sibling compact, crawl-frontier caps,
   * linear-classifier family (counts maintenance, NaN guard), URL
-  * canonicalization. */
+  * canonicalization, corpus-frequency boilerplate scrub, seeded
+  * epoch-shuffle order, N-way KMV overlap matrix. */
 class Round11Spec extends SparkSpecBase {
 
   private def windowExecs(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
@@ -244,6 +245,73 @@ class Round11Spec extends SparkSpecBase {
     // beats 12 (rel 0.8 minus its cos=1 penalty to 10)
     assert(ranked === Seq(10L, 11L, 12L))
   }
+  test("boilerplateScrub drops EVERY occurrence of corpus-frequent spans; rare repeats survive") {
+    import spark.implicits._
+    // "x y z" appears in 3 distinct docs (>= maxDocFreq 3): all copies die,
+    // INCLUDING the first (the contrast with spanDedup's first-wins rule);
+    // "p q r" repeats twice WITHIN doc 4 only (doc-frequency 1): survives both
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "d e f x y z"),
+      (3L, "x y z g h i"),
+      (4L, "p q r p q r"),
+      (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Text.boilerplateScrub(docs, "doc_id", "text",
+        spanWords = 3, maxDocFreq = 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((1L, "a b c")),
+      2L -> ((1L, "d e f")),
+      3L -> ((1L, "g h i")),
+      4L -> ((2L, "p q r p q r")),
+      5L -> ((0L, ""))))   // scrubbed to nothing, row still visible
+  }
+
+  test("epochOrder: full permutation per epoch, balanced shards, epochs differ, replay identical") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id")
+    val e1 = graft.operators.Sampling.epochOrder(df, "id", epoch = 1, nShards = 8)
+    assert(e1.select("rank").as[Long].collect().sorted.toSeq === (1L to 100L),
+      "ranks must be a permutation of 1..n")
+    val sizes = e1.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length === 8 && sizes.max - sizes.min <= 1,
+      s"round-robin shards must be balanced: ${sizes.toSeq}")
+    val o1 = e1.orderBy("rank").select("id").as[Long].collect().toSeq
+    val o2 = graft.operators.Sampling.epochOrder(df, "id", epoch = 2, nShards = 8)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(o1 !== o2, "different epochs must permute differently")
+    assert(o1 !== (1L to 100L).toSeq, "the order must not be the input order")
+    val o1b = graft.operators.Sampling.epochOrder(df, "id", epoch = 1, nShards = 8)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(o1 === o1b, "an epoch's order is deterministic across reruns")
+  }
+
+  test("overlapMatrix: exact on under-full sketches, estimator in tolerance past k, all pairs") {
+    import spark.implicits._
+    // A == B (jaccard 1), C disjoint — sketches under-full at k=256 → exact
+    val small = (1 to 50).flatMap(i =>
+      Seq(("A", s"e$i"), ("B", s"e$i"), ("C", s"x$i"))).toDF("corpus", "elem")
+    val m = graft.operators.Quality.overlapMatrix(small, "corpus", "elem", k = 256)
+      .collect().map(r => ((r.getAs[String]("corpus_a"), r.getAs[String]("corpus_b")),
+        (r.getAs[Long]("union_est"), r.getAs[Long]("inter_est"),
+          r.getAs[Double]("jac_raw")))).toMap
+    assert(m.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")),
+      "every corpus pair appears exactly once, lexicographically oriented")
+    assert(m(("A", "B")) === ((50L, 50L, 1.0)))
+    assert(m(("A", "C"))._1 === 100L && m(("A", "C"))._3 === 0.0)
+    // estimator path: 5000-element corpora, 2500 shared, k=256 well past full
+    val big = ((1 to 5000).map(i => ("P", s"p$i")) ++
+      (2501 to 7500).map(i => ("Q", s"p$i"))).toDF("corpus", "elem")
+    val est = graft.operators.Quality.overlapMatrix(big, "corpus", "elem", k = 256)
+      .collect().head
+    val union = est.getAs[Long]("union_est").toDouble
+    val inter = est.getAs[Long]("inter_est").toDouble
+    assert(math.abs(union - 7500) <= 7500 * 0.15, s"union_est off: $union vs 7500")
+    assert(math.abs(inter - 2500) <= 2500 * 0.30, s"inter_est off: $inter vs 2500")
+  }
+
   test("canonicalizeUrl: fragment/tracking/port/slash rewrites on edge forms") {
     import spark.implicits._
     val cases = Seq(
