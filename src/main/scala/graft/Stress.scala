@@ -609,6 +609,29 @@ object Stress {
       Sampling.capPerStratumBy(domained, "doc_id", "source", caps).count()
     }
 
+    // --- corpus-frequency boilerplate scrub: the 100-doc replica groups
+    // make EVERY span corpus-frequent at maxDocFreq=50 — worst case for
+    // the anti join (nothing survives, the frequent set is maximal) ---
+    probe(s"boilerplateScrub ${nDocs / 1000}k docs (3-word spans)") {
+      Text.boilerplateScrub(docs, "doc_id", "text", spanWords = 3,
+        maxDocFreq = 50).count()
+    }
+
+    // --- epoch shuffle: one distributed sort, no single-task window ---
+    probe(s"epochOrder ${nEvents / 1000000}M rows -> 1024 shards") {
+      Sampling.epochOrder(spark.range(nEvents).toDF("id"), "id",
+        epoch = 3, nShards = 1024).count()
+    }
+
+    // --- N-way overlap matrix: 50 corpora over 5M element rows — ONE
+    // grouped sketch pass, 1225 pair estimates from k-row arrays ---
+    probe(s"overlapMatrix 50 corpora x ${nEvents / 1000000}M elem rows") {
+      val elems = spark.range(nEvents).select(
+        concat(lit("c"), pmod(col("id"), lit(50))).as("corpus"),
+        concat(lit("e"), pmod(xxhash64(col("id")), lit(100000))).as("elem"))
+      Quality.overlapMatrix(elems, "corpus", "elem", k = 512).count()
+    }
+
     spark.stop()
   }
 }

@@ -89,6 +89,13 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // build (shared-stage cleared), same
                                       // ceiling as q_dedup_cluster
     "q_domain_caps" -> (4L << 20),    // same build + domain window rows
+    "q_boilerplate" -> (64L << 10),   // 59 B at sf0.001: AQE broadcasts
+                                      // the frequent-span set; reassembly
+                                      // combines map-side
+    "q_epoch_order" -> (512L << 10),  // 115 kB: the range-sort exchange IS
+                                      // the operator (every row moves once)
+    "q_overlap_matrix" -> (64L << 10),// 448 B: ≤ k·corpora sketch hashes,
+                                      // raw rows never shuffle
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
