@@ -769,6 +769,38 @@ object SparkEntry {
         .groupBy("is_pos", "pred_pos").agg(count(lit(1)).as("n"))
     }),
 
+    // --- classifier ranking quality per source: rank-sum (Mann–Whitney)
+    // AUC over the parity-rounded scores — ties exact via average ranks ---
+    "q_ft_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Text.linearClassifierTrain(docs, "text",
+        col("lang") === "en", buckets = 1024)
+      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
+          buckets = 1024)
+        .select(col("id").as("doc_id"), r3(col("score")).as("score_r"))
+        .join(docs.select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("is_pos")), Seq("doc_id"))
+      Analytics.groupedAuc(scored, "score_r", "is_pos", Seq("source"))
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          r3(col("auc")).as("auc"))
+    }),
+
+    // --- classifier calibration: 10 equal-width bins over the score
+    // range; per-bin positive rate vs mean score (reliability table) ---
+    "q_ft_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Text.linearClassifierTrain(docs, "text",
+        col("lang") === "en", buckets = 1024)
+      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
+          buckets = 1024)
+        .join(docs.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("is_pos")), Seq("id"))
+      Analytics.calibrationBins(scored, "score", "is_pos", nBins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          r3(col("pos_rate")).as("pos_rate"),
+          r3(col("mean_score")).as("mean_score"))
+    }),
+
     // --- per-domain dedup-rate profile (near-dup-aware via the shared
     // cluster labels): the crawl-frontier planning table ---
     "q_domain_profile" -> ((s, dir) =>
@@ -2720,6 +2752,49 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM pw JOIN d USING (doc_id) CROSS JOIN prior
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ft_auc" ->
+      s"""WITH $FtCtes,
+        |sc AS (SELECT floor((s + bias) * 1000 + 0.5) / 1000 AS score_r,
+        |              d.pos AS is_pos, doc2.source
+        |       FROM pw CROSS JOIN prior
+        |            JOIN d USING (doc_id)
+        |            JOIN documents doc2 USING (doc_id)),
+        |cg AS (SELECT source, score_r, COUNT(*) AS n,
+        |              SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS np
+        |       FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT source, n, np,
+        |              SUM(n) OVER (PARTITION BY source ORDER BY score_r) - n
+        |                AS cum_before
+        |       FROM cg),
+        |ag AS (SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |              CAST(SUM(n - np) AS BIGINT) AS n_neg,
+        |              SUM(np * (cum_before + (n + 1) / 2.0)) AS rpos
+        |       FROM rk GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |            ELSE floor((rpos - n_pos * (n_pos + 1) / 2.0)
+        |                       / (n_pos * n_neg) * 1000 + 0.5) / 1000
+        |       END AS auc
+        |FROM ag""".stripMargin,
+
+    "q_ft_calibration" ->
+      s"""WITH $FtCtes,
+        |sc AS (SELECT floor((s + bias) * 1000 + 0.5) AS si, d.pos AS is_pos
+        |       FROM pw CROSS JOIN prior JOIN d USING (doc_id)),
+        |mm AS (SELECT MIN(si) AS lo, MAX(si) AS hi FROM sc),
+        |b AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+        |               ELSE least(9, floor((si - lo) * 10 / (hi - lo + 1)))
+        |             END AS INT) AS bin,
+        |             si, is_pos
+        |      FROM sc CROSS JOIN mm)
+        |SELECT bin, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       floor(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)::DOUBLE
+        |             / COUNT(*) * 1000 + 0.5) / 1000 AS pos_rate,
+        |       floor(CAST(SUM(si) AS BIGINT)::DOUBLE / 1000.0 / COUNT(*)
+        |             * 1000 + 0.5) / 1000 AS mean_score
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q_domain_profile" ->
       s"""WITH RECURSIVE $ClusterCtes, j AS (

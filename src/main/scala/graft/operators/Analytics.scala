@@ -732,6 +732,91 @@ object Analytics {
   }
 
   /**
+   * Grouped ROC-AUC via the rank-sum (Mann–Whitney) identity: AUC =
+   * (R₊ − n₊(n₊+1)/2) / (n₊·n₋) where R₊ is the sum of the positives'
+   * AVERAGE ranks under the ascending score order — no threshold sweep,
+   * no curve materialization, and ties are exact (average rank), not
+   * order-dependent. The model-eval number the quality-classifier
+   * family reports per slice ("does the filter actually rank spam below
+   * prose IN THIS source/language?").
+   *
+   * Scale shape: one partial-agg'd groupBy onto (group, DISTINCT score)
+   * — the window that assigns cumulative ranks runs over distinct-score
+   * rows, partitioned by the group keys, so its state is bounded by
+   * score cardinality per group, never corpus size; a final rollup
+   * yields one row per group. Rank sums stay in exact floating
+   * arithmetic (integers and halves), so the result is
+   * order-independent and engine-reproducible. Pass a SCORE COLUMN
+   * ROUNDED to the reported precision (e.g. 1e-3): tie groups are then
+   * well-defined across engines instead of hanging on last-ulp sums.
+   * Groups with no positives or no negatives return NULL auc (undefined
+   * — surfaced, not defaulted). `groupCols` must be non-empty: a global
+   * AUC would plan an unpartitioned window; group the slice axis you
+   * report on (or lit-tag a single slice).
+   */
+  def groupedAuc(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupedAuc needs group keys — an ungrouped AUC funnels the rank " +
+        "window through one task; tag a constant group to get one row")
+    val g = groupCols.map(col)
+    val counts = df
+      .groupBy((g :+ col(scoreCol).as("_s")): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counts
+      .withColumn("_avg_rank",
+        coalesce(sum(col("_n")).over(w), lit(0L)) +
+          (col("_n") + 1).cast("double") / 2.0)
+      .groupBy(g: _*)
+      .agg(sum(col("_np")).as("n_pos"),
+        sum(col("_n") - col("_np")).as("n_neg"),
+        sum(col("_np").cast("double") * col("_avg_rank")).as("_rpos"))
+      .withColumn("auc",
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise((col("_rpos") -
+            col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg"))))
+      .drop("_rpos")
+  }
+
+  /**
+   * Calibration table for a probabilistic-ish score: equal-width bins
+   * over the observed [min, max], per-bin count, positive rate and mean
+   * score — the reliability diagram behind "is the quality classifier's
+   * 0.9 actually 90%?". All internal arithmetic rides the MILLI-SCALED
+   * integer score `floor(score·1000 + 0.5)` (exact in doubles, so sums
+   * are order-independent and a DuckDB replay is bit-identical); the
+   * bin edges come from one 1-row min/max aggregate that
+   * crossJoin-broadcasts. One corpus pass + one nBins-row rollup.
+   * Degenerate all-one-score input lands in bin 0 by convention.
+   */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "calibrationBins needs nBins >= 1")
+    val si = floor(col(scoreCol) * 1000 + 0.5)
+    val mm = df.agg(min(si).as("_lo"), max(si).as("_hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(nBins - 1),
+            floor((si - col("_lo")) * nBins / (col("_hi") - col("_lo") + 1))))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(si).cast("long").as("_si_sum"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("mean_score",
+        col("_si_sum").cast("double") / 1000.0 / col("n").cast("double"))
+      .drop("_si_sum")
+  }
+
+  /**
    * DISTRIBUTED global row_number over a total order — the scale path
    * for FULL ranked artifacts (e.g. a whole ranked vocabulary), where
    * `row_number().over(Window.orderBy(...))` would funnel every row

@@ -312,6 +312,53 @@ class Round11Spec extends SparkSpecBase {
     assert(math.abs(inter - 2500) <= 2500 * 0.30, s"inter_est off: $inter vs 2500")
   }
 
+  test("groupedAuc: separation=1, ties average, inversions count, one-class is NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      // group "sep": positives strictly above negatives → AUC 1
+      ("sep", 0.9, true), ("sep", 0.8, true), ("sep", 0.2, false), ("sep", 0.1, false),
+      // group "tie": pos and neg share score 0.5 → that pair contributes 1/2;
+      // ranks asc: 0.1(neg)=1, 0.5(pos,neg)=avg 2.5, 0.9(pos)=4
+      // R+ = 2.5 + 4 = 6.5 → AUC = (6.5 - 3) / (2*2) = 0.875
+      ("tie", 0.9, true), ("tie", 0.5, true), ("tie", 0.5, false), ("tie", 0.1, false),
+      // group "inv": one inversion among 2x2 → AUC = 3/4
+      ("inv", 0.9, true), ("inv", 0.3, true), ("inv", 0.4, false), ("inv", 0.1, false),
+      // group "one": no negatives → undefined, NULL
+      ("one", 0.9, true), ("one", 0.8, true)
+    ).toDF("g", "score", "label")
+    val got = graft.operators.Analytics.groupedAuc(rows, "score", "label", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        Option(r.getAs[java.lang.Double]("auc")).map(_.toDouble)).toMap
+    assert(got("sep") === Some(1.0))
+    assert(got("tie") === Some(0.875))
+    assert(got("inv") === Some(0.75))
+    assert(got("one") === None)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Analytics.groupedAuc(rows, "score", "label", Nil)
+    }
+    assert(e.getMessage.contains("group keys"))
+  }
+
+  test("calibrationBins: known bins, exact pos rates, constant-score degenerate") {
+    import spark.implicits._
+    // scores 0.0 .. 0.9 → si 0..900, lo=0 hi=900, width formula
+    // bin = floor(si * 10 / 901): 0.0-0.9 land in bins 0,1,2,3,4,5,6,7,8,9
+    val rows = (0 until 10).map(i => (i / 1000.0 * 100, i >= 5))
+      .toDF("score", "label")
+    val got = graft.operators.Analytics.calibrationBins(rows, "score", "label", 10)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos")))).toMap
+    assert(got.size === 10 && got.values.forall(_._1 == 1L))
+    assert((0 to 4).forall(b => got(b)._2 == 0L) &&
+      (5 to 9).forall(b => got(b)._2 == 1L))
+    // constant score: everything in bin 0 by convention
+    val const = Seq((0.5, true), (0.5, false)).toDF("score", "label")
+    val g2 = graft.operators.Analytics.calibrationBins(const, "score", "label", 10)
+      .collect()
+    assert(g2.length === 1 && g2.head.getAs[Int]("bin") === 0 &&
+      g2.head.getAs[Long]("n") === 2L)
+  }
+
   test("canonicalizeUrl: fragment/tracking/port/slash rewrites on edge forms") {
     import spark.implicits._
     val cases = Seq(
