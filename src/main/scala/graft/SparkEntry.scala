@@ -769,6 +769,27 @@ object SparkEntry {
         .groupBy("is_pos", "pred_pos").agg(count(lit(1)).as("n"))
     }),
 
+    // --- retrieval eval: BM25 top-10 against near-dup-cluster ground
+    // truth (each cluster's MIN doc queries for its peers) — recall@10
+    // + reciprocal rank per query, the numbers that justify trusting
+    // the retrieval stack ---
+    "q_retrieval_eval" -> ((s, dir) => {
+      val clusters = dupClusters(s, dir)
+      val qsel = clusters.groupBy("cluster_id")
+        .agg(min(col("id")).as("query_id"), count(lit(1)).as("_n"))
+        .filter(col("_n") >= 2)
+      val rel = qsel.join(clusters, Seq("cluster_id"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("rel_id"))
+      val qdocs = Tables.documents(s, dir)
+        .join(qsel.select(col("query_id").as("doc_id")), Seq("doc_id"))
+      val results = Text.bm25ScoreIndex(bm25SharedIndex(s, dir), qdocs,
+        "doc_id", "text", k = 10, scoreRoundDecimals = Some(3))
+      Analytics.retrievalEval(results, rel)
+        .select(col("query_id"), col("n_rel"), col("n_hits"),
+          r3(col("recall")).as("recall_at_10"), r3(col("rr")).as("rr"))
+    }),
+
     // --- classifier ranking quality per source: rank-sum (Mann–Whitney)
     // AUC over the parity-rounded scores — ties exact via average ranks ---
     "q_ft_auc" -> ((s, dir) => {
@@ -2753,6 +2774,27 @@ object SparkEntry {
         |FROM pw JOIN d USING (doc_id) CROSS JOIN prior
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_retrieval_eval" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+        |qsel AS (SELECT cluster_id, MIN(id) AS query_id FROM cl
+        |         GROUP BY 1 HAVING COUNT(*) >= 2),
+        |relv AS (SELECT q.query_id, c.id AS rel_id
+        |         FROM qsel q JOIN cl c USING (cluster_id)
+        |         WHERE c.id <> q.query_id),
+        |${bm25Ctes(10, "doc_id IN (SELECT query_id FROM qsel)")},
+        |hits AS (SELECT r.query_id, COUNT(*) AS n_hits,
+        |                MIN(r.rank) AS first_rank
+        |         FROM ranked r JOIN relv
+        |           ON relv.query_id = r.query_id AND relv.rel_id = r.doc_id
+        |         GROUP BY 1),
+        |base AS (SELECT query_id, COUNT(*) AS n_rel FROM relv GROUP BY 1)
+        |SELECT b.query_id, b.n_rel, COALESCE(h.n_hits, 0) AS n_hits,
+        |       floor(COALESCE(h.n_hits, 0)::DOUBLE / b.n_rel * 1000 + 0.5)
+        |         / 1000 AS recall_at_10,
+        |       floor(COALESCE(1.0 / h.first_rank, 0.0) * 1000 + 0.5)
+        |         / 1000 AS rr
+        |FROM base b LEFT JOIN hits h USING (query_id)""".stripMargin,
+
     "q_ft_auc" ->
       s"""WITH $FtCtes,
         |sc AS (SELECT floor((s + bias) * 1000 + 0.5) / 1000 AS score_r,
@@ -4151,8 +4193,12 @@ object SparkEntry {
    * (k1 + 1.0) constant interpolated from the Scala double so both
    * engines divide by the bit-identical value). Shared by q_bm25 and
    * q_rrf_hybrid's sparse branch. */
-  private def bm25Sql(k: Int, cols: String): String =
-    s"""WITH toks AS (
+  /** The BM25 CTE chain ending in `ranked` (top-`k` per query) — the
+   * query set is a SQL predicate over documents so eval harnesses can
+   * retrieve for a derived query population (q_retrieval_eval) while
+   * q_bm25/q_rrf_hybrid keep the fixed probe set. */
+  private def bm25Ctes(k: Int, queryFilter: String = "doc_id < 5"): String =
+    s"""toks AS (
        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
        |  FROM documents
        |), tf AS (
@@ -4167,7 +4213,7 @@ object SparkEntry {
        |), qt AS (
        |  SELECT DISTINCT doc_id AS query_id,
        |         unnest(string_split(text, ' ')) AS token
-       |  FROM documents WHERE doc_id < 5
+       |  FROM documents WHERE $queryFilter
        |), scored AS (
        |  SELECT query_id, id,
        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${1.2 + 1.0}
@@ -4179,11 +4225,16 @@ object SparkEntry {
        |  SELECT query_id, id AS doc_id,
        |         floor(SUM(w)*1000 + 0.5)/1000 AS bm25, COUNT(*) AS n_terms
        |  FROM scored GROUP BY 1, 2
-       |)
-       |SELECT $cols FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg
-       |) WHERE rank <= $k""".stripMargin
+       |), ranked AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg
+       |  ) WHERE rank <= $k
+       |)""".stripMargin
+
+  private def bm25Sql(k: Int, cols: String): String =
+    s"""WITH ${bm25Ctes(k)}
+       |SELECT $cols FROM ranked""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_transform($a, (x,i) -> x * $b[i]), (x,y) -> x + y)

@@ -817,6 +817,38 @@ object Analytics {
   }
 
   /**
+   * Retrieval-quality eval: per-query recall@k and reciprocal rank of a
+   * ranked result list against a relevance ground truth — the numbers a
+   * retrieval stack (BM25 / hybrid / ANN) reports before anyone trusts
+   * it. `results` carries (query, doc, rank) for the top-k already cut;
+   * `truth` carries (query, relevant doc) pairs. Queries with NO
+   * retrieved relevant doc emit (0 hits, recall 0, rr 0) — visible,
+   * not dropped.
+   *
+   * Scale shape: one equi-join on (query, doc) — the results side is
+   * already k-bounded per query so the join is eval-set-sized — and two
+   * partial-agg'd rollups; nothing scales with the corpus.
+   */
+  def retrievalEval(results: DataFrame, truth: DataFrame,
+                    queryCol: String = "query_id", docCol: String = "doc_id",
+                    rankCol: String = "rank",
+                    relCol: String = "rel_id"): DataFrame = {
+    val hits = results.alias("r")
+      .join(truth.alias("t"),
+        col(s"r.$queryCol") === col(s"t.$queryCol") &&
+          col(s"r.$docCol") === col(s"t.$relCol"))
+      .groupBy(col(s"r.$queryCol").as(queryCol))
+      .agg(count(lit(1)).as("n_hits"), min(col(rankCol)).as("_first"))
+    truth.groupBy(queryCol).agg(count(lit(1)).as("n_rel"))
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall"),
+        coalesce(lit(1.0) / col("_first"), lit(0.0)).as("rr"))
+  }
+
+  /**
    * DISTRIBUTED global row_number over a total order — the scale path
    * for FULL ranked artifacts (e.g. a whole ranked vocabulary), where
    * `row_number().over(Window.orderBy(...))` would funnel every row

@@ -359,6 +359,27 @@ class Round11Spec extends SparkSpecBase {
       g2.head.getAs[Long]("n") === 2L)
   }
 
+  test("retrievalEval: hit counts, first-relevant reciprocal rank, zero-hit visibility") {
+    import spark.implicits._
+    val results = Seq( // (query, doc, rank): q1 top-3, q2 top-3, q3 top-2
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2)
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq( // q1: rel {11,12,99} → 2 hits, first at rank 2
+      (1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 21L),            // q2: 1 hit at rank 2 → rr 0.5, recall 1
+      (3L, 77L), (3L, 88L)) // q3: nothing retrieved → zeros, row present
+      .toDF("query_id", "rel_id")
+    val got = graft.operators.Analytics.retrievalEval(results, truth)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"), r.getAs[Double]("rr")))).toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0, 0.5)))
+    assert(got(2L) === ((1L, 1L, 1.0, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0, 0.0)))
+  }
+
   test("canonicalizeUrl: fragment/tracking/port/slash rewrites on edge forms") {
     import spark.implicits._
     val cases = Seq(
