@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
  *   source key), so key cardinality ×factor while per-key history
  *   (sessions, trajectories, order line counts) stays constant —
  *   the realistic growth mode for an event/corpus lake.
- * - Document text maps each whitespace token t → t + "r<i>" per
- *   replica: a BIJECTION on the token alphabet, so every intra-replica
- *   tf/df/shingle/Jaccard relation is preserved EXACTLY, while
- *   cross-replica token and shingle overlap drops to zero — duplicate
- *   GROUPS scale ×factor instead of group SIZES scaling ×factor (which
- *   would blow candidate-pair counts up quadratically and measure a
- *   different workload, not a bigger one). n_chars is recomputed.
+ * - Document text passes through a per-replica Caesar shift of [a-z]
+ *   (whitespace untouched): a LENGTH-PRESERVING character bijection,
+ *   so every intra-replica tf/df/shingle/Jaccard/edit-distance
+ *   relation is preserved EXACTLY (n_chars included), while
+ *   cross-replica token, shingle and substring overlap is
+ *   structurally zero — duplicate GROUPS scale ×factor instead of
+ *   group SIZES scaling ×factor (which would blow candidate- and
+ *   true-pair counts up quadratically and measure a denser workload,
+ *   not a bigger one).
  * - Embeddings transform by a per-replica signed rotation (cyclic
  *   dimension shift + deterministic sign flips — an ORTHOGONAL map):
  *   intra-replica cosines/norms are preserved to the bit, while
@@ -80,10 +82,31 @@ object ScaleData {
       .withColumn("event_id", shift("event_id", i))
       .withColumn("user_id", shift("user_id", i))
       .withColumn("value", col("value") + lit(2.0 * i)))
+    // Replica text decoration: per-replica CAESAR SHIFT of [a-z]
+    // (whitespace untouched). A LENGTH-PRESERVING character bijection,
+    // so every intra-replica relation — token counts, lengths, tf/df,
+    // shingles, Jaccard, n_chars, and crucially which 30-char heads
+    // collide — is preserved BIT-IDENTICALLY per replica, while any
+    // two replicas sit a nonzero relative shift apart: cross-replica
+    // heads differ in every alphabetic character (edit distance ~
+    // head length >> any near-dup bound). Two earlier schemes failed
+    // the edit-distance family: "r<i>" suffixes left cross-replica
+    // heads 1 edit apart PER TOKEN (q_editdist true pairs 260 at
+    // sf0.1 -> 59,516 at sf1 — quadratic in the factor), and longer
+    // suffixes inflated token lengths so 30-char heads held fewer
+    // tokens and intra-replica pairs densified instead. Chance
+    // cross-replica SINGLE-token coincidences (shift_i(vocab) meeting
+    // shift_j(vocab)) merge a little df mass but cannot manufacture
+    // near-dup pairs: every pair family needs many shared tokens /
+    // consecutive n-grams / low Hamming, all of which stay
+    // replica-disjoint by construction.
+    require(factor <= 26, s"Caesar decoration supports <= 26 replicas " +
+      s"(relative shift must stay nonzero mod 26), got $factor")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     stacked("documents", 16)((t, i) =>
       (if (i == 0) t
-       else t.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1r" + i))
-         .withColumn("n_chars", length(col("text")).cast("long")))
+       else t.withColumn("text",
+         translate(col("text"), alpha, alpha.drop(i) + alpha.take(i))))
         .withColumn("doc_id", shift("doc_id", i)))
     stacked("embeddings", 8)((t, i) =>
       (if (i == 0) t
