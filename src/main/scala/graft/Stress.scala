@@ -86,8 +86,9 @@ object Stress {
         concat(lit("n"), col("id")).as("name"))
       Skew.saltedJoin(skewed, dim, "user_id", saltFactor = 8).count()
     }
-    println(f"[stress] skew/uniform ratio: sessionize ${tSessSkew / tSessUniform}%.2fx, " +
-      f"sessionSummary ${tSummSkew / tSummUniform}%.2fx (target: within ~3x)")
+    if (tSessUniform > 0 && tSummUniform > 0)
+      println(f"[stress] skew/uniform ratio: sessionize ${tSessSkew / tSessUniform}%.2fx, " +
+        f"sessionSummary ${tSummSkew / tSummUniform}%.2fx (target: within ~3x)")
     probe("asof join (10% state side)") {
       val state = events.filter(col("event_id") % 10 === 0)
         .groupBy("user_id", "ts_sec")
@@ -134,8 +135,9 @@ object Stress {
       Dedup.dedupAgainstIndex(delta, idx, archive, "doc_id", "text",
         threshold = 0.7).count()
     }
-    println(f"[stress] delta-probe/full-re-pair ratio ${tDelta / tFullPair}%.2fx " +
-      "(a daily ingest pays probe + matched-candidate verify, never the archive re-pair)")
+    if (tFullPair > 0 && tDelta > 0)
+      println(f"[stress] delta-probe/full-re-pair ratio ${tDelta / tFullPair}%.2fx " +
+        "(a daily ingest pays probe + matched-candidate verify, never the archive re-pair)")
     probe("tfidf") { Text.tfidf(docs, "doc_id", "text").count() }
     probe(s"contaminationLarge ${nDocs / 1000}k docs vs 2k probes (bloom)") {
       // probe set = 1% of the corpus → ~real shingle overlap density;
@@ -211,7 +213,8 @@ object Stress {
         "vec_id", "embedding", posThreshold = 0.9, nNegatives = 3,
         candidateK = 50, nCells = 16, nProbe = 4).count()
     }
-    println(f"[stress] triplet ann/exhaustive = ${tMineAnn / tMineFull}%.2fx")
+    if (tMineFull > 0 && tMineAnn > 0)
+      println(f"[stress] triplet ann/exhaustive = ${tMineAnn / tMineFull}%.2fx")
     probe(s"budgetSelect ${nEvents / 1000000}M docs, ~10% budget") {
       // threshold+boundary selection: the full-bucket path moves ~10% of
       // rows with no ordering; only the one cutoff bucket (~1/1000 of
@@ -230,6 +233,28 @@ object Stress {
     probe(s"simhash banded ${nDocs / 1000}k docs") {
       Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3).count()
     }
+
+    // --- edit-distance PassJoin: 200k short keys, one planted 1-edit
+    // pair per even/odd id couple (output exactly nDocs/2 — linear by
+    // construction); unrelated keys are 24 random hex chars apart.
+    // Probed in BOTH join regimes: index-broadcast (single-node/bench
+    // shape) and the forced shuffled-hash fallback (the 1000-executor
+    // shape) — the two must cost the same order and return equal counts ---
+    val edKeys = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat(
+        substring(md5(concat(lit("ed"),
+          ((col("id") / 2).cast("long") * 2).cast("string"))), 1, 24),
+        when(pmod(col("id"), lit(2)) === 1, lit("x")).otherwise(lit(""))).as("key"))
+    val tEdBroadcast = probe(s"editDistance bcast ${nDocs / 1000}k keys") {
+      Dedup.editDistancePairs(edKeys, "doc_id", "key", maxDist = 3).count()
+    }
+    val tEdShuffle = probe(s"editDistance shuffle ${nDocs / 1000}k keys") {
+      Dedup.editDistancePairs(edKeys, "doc_id", "key", maxDist = 3,
+        broadcastIndexMaxRows = 0L).count()
+    }
+    if (tEdBroadcast > 0 && tEdShuffle > 0)
+      println(f"[stress] editdist shuffle/bcast = ${tEdShuffle / tEdBroadcast}%.2fx")
 
     // --- state store: 2M-key bootstrap, then a 50-key incremental merge
     // (the touched-only contract: the small merge reads/writes ~50/512
@@ -350,8 +375,9 @@ object Stress {
         maxKm = 50.0, maxGapSec = 1800L, hotPairBudget = Long.MaxValue).count()
       nUnsalted
     }
-    println(f"[stress] anchorage salted/unsalted = ${tSalt / tNoSalt}%.2fx" +
-      s" (counts equal: ${nSalted == nUnsalted})")
+    if (tNoSalt > 0 && tSalt > 0)
+      println(f"[stress] anchorage salted/unsalted = ${tSalt / tNoSalt}%.2fx" +
+        s" (counts equal: ${nSalted == nUnsalted})")
     assert(nSalted == nUnsalted, "salting changed the encounter count")
     probe(s"bloomJoin 5M fact vs 1k-key dim") {
       // selective-join shape: the dim holds 1% of the fact's keys, so the

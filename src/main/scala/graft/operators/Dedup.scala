@@ -558,12 +558,28 @@ object Dedup {
    * still generated.
    */
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int,
+                        broadcastIndexMaxRows: Long = 1000000L): DataFrame = {
     val k = maxDist + 1 // number of segments
     val keyed = graft.CacheScope.persist(
       df.select(col(idCol).as("id"), col(keyCol).as("k"))
         .withColumn("l", length(col("k"))))
     val minLong = 2 * k // each segment >= 2 chars → selective join keys
+    // Join-side choice needs the TRUE index cardinality: the probe side
+    // below explodes ~(2·maxDist+1)²·k rows per string, invisible to
+    // Catalyst's Generate stats, so left to its own estimates Spark
+    // broadcast-builds the 196×-fanned probe side — a driver-side
+    // single-threaded hash build measured at 33 s wall / 29 s cpu on
+    // 500k keys where the whole query is otherwise sub-second. The
+    // index side is k rows per string — 49× smaller. Up to the rows
+    // cap (~60 MB of (len, seg, substring, id, key) entries) broadcast
+    // the INDEX and stream the exploded probe map-side with ZERO
+    // shuffle; past it, fall back to a shuffled hash join on the
+    // segment key — the 1000-executor shape, where both sides
+    // partition by (l_b, i, sub) and the fan-out never converges on
+    // one node. The count is one pass over the already-persisted
+    // 3-column frame that every downstream branch re-reads anyway.
+    val nKeys = keyed.count()
 
     // candidates carry both keys, so the verify is a projection — no
     // fetch-back joins after candidate generation. The thresholded
@@ -611,7 +627,10 @@ object Dedup {
       .withColumn("sub", col("k").substr(col("p") + 1, col("slen")))
       .select(col("id_a"), col("k").as("k_a"), col("l_a"), col("l_b"),
         col("i"), col("sub"))
-    val candLong = probe.join(idx, Seq("l_b", "i", "sub"))
+    val idxSided =
+      if (nKeys * k <= broadcastIndexMaxRows) broadcast(idx)
+      else idx.hint("SHUFFLE_HASH")
+    val candLong = probe.join(idxSided, Seq("l_b", "i", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "k_a", "k_b")
 

@@ -380,6 +380,29 @@ class Round11Spec extends SparkSpecBase {
     assert(got(3L) === ((2L, 0L, 0.0, 0.0)))
   }
 
+  test("editDistancePairs: shuffle-hash fallback past the broadcast cap matches the broadcast path") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("head", substring(col("text"), 1, 30))
+    def run(cap: Long) = CacheScope.scoped {
+      graft.operators.Dedup.editDistancePairs(
+        docs, "doc_id", "head", maxDist = 3, broadcastIndexMaxRows = cap)
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L) // force the cluster-scale join side
+    assert(viaShuffle === viaBroadcast)
+    assert(viaBroadcast.nonEmpty, "fixture produced no near-dup pairs")
+    // the fallback's SEGMENT join must be a shuffled hash join (the
+    // short-pool banding join may still broadcast — it is tiny)
+    val shuffled = graft.operators.Dedup.editDistancePairs(
+      docs, "doc_id", "head", maxDist = 3, broadcastIndexMaxRows = 0L)
+    shuffled.count()
+    val p = shuffled.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the segment join to be a shuffled hash join:\n${p.take(2000)}")
+  }
+
   test("canonicalizeUrl: fragment/tracking/port/slash rewrites on edge forms") {
     import spark.implicits._
     val cases = Seq(
