@@ -96,6 +96,12 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // the operator (every row moves once)
     "q_overlap_matrix" -> (64L << 10),// 448 B: ≤ k·corpora sketch hashes,
                                       // raw rows never shuffle
+    // round 11b: the two rewritten pair generators
+    "q_dedup_simhash_pairs" -> (64L << 10), // 3 kB: blocked C(m,3)
+                                      // candidate join + invariant aggs
+    "q_editdist" -> (64L << 10),      // 3 kB: index side broadcasts, the
+                                      // exploded probe never shuffles;
+                                      // only verified pairs move
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
