@@ -62,13 +62,28 @@ object ScaleData {
       println(s"[scale] $name x$factor written")
     }
     def shift(c: String, i: Int) = col(c) + lit(i.toLong * S)
+    // shared Caesar-decoration alphabet (documents.text, customer.c_name)
+    require(factor <= 26, s"Caesar decoration supports <= 26 replicas " +
+      s"(relative shift must stay nonzero mod 26), got $factor")
+    val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
     // fixed dimension domains: copy
     for (n <- Seq("region", "nation"))
       Tables.table(spark, src, n).write.mode("overwrite")
         .parquet(s"$out/$n.parquet")
 
-    stacked("customer", 4)((t, i) => t.withColumn("c_custkey", shift("c_custkey", i)))
+    // c_name gets the same per-replica Caesar decoration as document
+    // text: intra-replica name similarity — the entity-
+    // resolution family's levenshtein structure and its name-prefix
+    // blocking keys — is preserved exactly (digits/# untouched, [a-z]
+    // bijected), while cross-replica names never share a block. Without
+    // it, replicas carry IDENTICAL name sets and any fixed-cardinality
+    // block key would densify quadratically instead of scaling out.
+    stacked("customer", 4)((t, i) => t
+      .withColumn("c_custkey", shift("c_custkey", i))
+      .withColumn("c_name",
+        if (i == 0) col("c_name")
+        else translate(col("c_name"), Alpha, Alpha.drop(i) + Alpha.take(i))))
     stacked("supplier", 2)((t, i) => t.withColumn("s_suppkey", shift("s_suppkey", i)))
     stacked("part", 4)((t, i) => t.withColumn("p_partkey", shift("p_partkey", i)))
     stacked("orders", 8)((t, i) => t
@@ -100,13 +115,10 @@ object ScaleData {
     // near-dup pairs: every pair family needs many shared tokens /
     // consecutive n-grams / low Hamming, all of which stay
     // replica-disjoint by construction.
-    require(factor <= 26, s"Caesar decoration supports <= 26 replicas " +
-      s"(relative shift must stay nonzero mod 26), got $factor")
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
     stacked("documents", 16)((t, i) =>
       (if (i == 0) t
        else t.withColumn("text",
-         translate(col("text"), alpha, alpha.drop(i) + alpha.take(i))))
+         translate(col("text"), Alpha, Alpha.drop(i) + Alpha.take(i))))
         .withColumn("doc_id", shift("doc_id", i)))
     stacked("embeddings", 8)((t, i) =>
       (if (i == 0) t

@@ -99,6 +99,97 @@ object SparkEntry {
     SharedStage.get(dir, "dup_clusters:documents:n=3:t=0.7")(
       Dedup.clusterPairs(jaccardPairs(s, dir), "id_a", "id_b"))
 
+  // --- entity resolution over customer: weights/threshold shared between
+  // the Spark queries and their oracle SQL. The total weight is the
+  // EXACT Scala double (0.5+0.2+0.3 is 0.9999999999999999, not 1.0 —
+  // interpolating anything else would shift every score by an ulp and
+  // flip threshold-boundary pairs between engines).
+  private val ErWName = 0.5
+  private val ErWSeg = 0.2
+  private val ErWBal = 0.3
+  private val ErBalScale = 1000.0
+  private val ErTotW = ErWName + ErWSeg + ErWBal
+  private val ErThreshold = 0.85
+  private val ErMaxBlock = 500
+
+  /** customer + the name-prefix blocking key (first 14 chars ≈
+   * "Customer#0000x" — a zip-code-like key whose cardinality grows with
+   * the data, the regime where blocking stays linear). */
+  private def erRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("name_blk", substring(col("c_name"), 1, 14))
+
+  private val ErBlockCols = Seq("c_nationkey", "c_mktsegment", "name_blk")
+
+  /** Blocked ER candidate pairs, materialized once per input dir: three
+   * queries consume this frame (candidates / matches / entities). */
+  private def erCandidates(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, s"er_candidates:customer:nation,seg,name14:max=$ErMaxBlock")(
+      EntityResolution.blockCandidates(erRecords(s, dir), "c_custkey",
+        ErBlockCols, maxBlock = ErMaxBlock))
+
+  /** Scored ER match pairs (shared by q_er_matches / q_er_entities). */
+  private def erMatchPairs(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, s"er_matches:customer:t=$ErThreshold")(
+      EntityResolution.matches(erRecords(s, dir), erCandidates(s, dir),
+        "c_custkey", ErThreshold,
+        stringCols = Seq("c_name" -> ErWName),
+        exactCols = Seq("c_mktsegment" -> ErWSeg),
+        numericCols = Seq(("c_acctbal", ErWBal, ErBalScale))))
+
+  /** DuckDB twin of [[erCandidates]]: blocked pairs `p` with both sides'
+   * scored fields attached (the oracle of the candidate join itself). */
+  private val ErCandCtes =
+    s"""c AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+       |         substring(c_name, 1, 14) AS name_blk
+       |  FROM customer
+       |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+       |    AND c_name IS NOT NULL
+       |), okblk AS (
+       |  SELECT c_nationkey, c_mktsegment, name_blk FROM c
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2 AND COUNT(*) <= $ErMaxBlock
+       |), p AS (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |         a.c_nationkey, a.c_mktsegment, a.name_blk,
+       |         a.c_name AS name_a, b.c_name AS name_b,
+       |         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+       |         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+       |  FROM c a
+       |  JOIN c b ON a.c_nationkey = b.c_nationkey
+       |          AND a.c_mktsegment = b.c_mktsegment
+       |          AND a.name_blk = b.name_blk
+       |          AND a.c_custkey < b.c_custkey
+       |  JOIN okblk ok ON ok.c_nationkey = a.c_nationkey
+       |               AND ok.c_mktsegment = a.c_mktsegment
+       |               AND ok.name_blk = a.name_blk
+       |)""".stripMargin
+
+  /** DuckDB twin of [[erMatchPairs]] minus the threshold filter: per-field
+   * sims + score, the exact IEEE fold order of
+   * [[EntityResolution.scorePairs]]. */
+  private val ErScoreCtes =
+    s"""$ErCandCtes, sc AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN name_a IS NULL AND name_b IS NULL THEN 1.0
+       |         WHEN name_a IS NULL OR name_b IS NULL THEN 0.0
+       |         WHEN greatest(length(name_a), length(name_b)) = 0 THEN 1.0
+       |         ELSE 1.0 - CAST(levenshtein(name_a, name_b) AS DOUBLE)
+       |                    / greatest(length(name_a), length(name_b)) END
+       |      AS sim_c_name,
+       |    CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN 1.0 ELSE 0.0 END
+       |      AS eq_c_mktsegment,
+       |    CASE WHEN bal_a IS NULL AND bal_b IS NULL THEN 1.0
+       |         WHEN bal_a IS NULL OR bal_b IS NULL THEN 0.0
+       |         ELSE greatest(0.0, 1.0 - abs(bal_a - bal_b) / $ErBalScale) END
+       |      AS num_c_acctbal
+       |  FROM p
+       |), scored AS (
+       |  SELECT *, (sim_c_name * $ErWName + eq_c_mktsegment * $ErWSeg
+       |             + num_c_acctbal * $ErWBal) / $ErTotW AS score
+       |  FROM sc
+       |)""".stripMargin
+
   /** DuckDB twin of [[sessions]]: e + session_id. */
   private val SessCte = EvCte +
     """, g AS (
@@ -859,6 +950,77 @@ object SparkEntry {
         greatest(lit(1L), floor(col("n_unique") * 3 / 5.0).cast("long")).as("cap"))
       Sampling.capPerStratumBy(Tables.documents(s, dir), "doc_id", "source", caps)
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    }),
+
+    // --- entity resolution: block-size planning profile (the query an
+    // ER run starts with — predicted candidate volume + the skip list) ---
+    "q_er_blocks" -> ((s, dir) =>
+      EntityResolution.blockProfile(erRecords(s, dir), "c_custkey",
+        ErBlockCols, maxBlock = ErMaxBlock)),
+
+    // --- entity resolution: blocked candidate pairs (shared stage) ---
+    "q_er_candidates" -> ((s, dir) => erCandidates(s, dir)),
+
+    // --- entity resolution: sorted-neighborhood candidates — the
+    // LINEAR (n·(w−1)) generator for when no block key is trustworthy ---
+    "q_er_snm" -> ((s, dir) =>
+      EntityResolution.snmCandidates(Tables.customer(s, dir), "c_custkey",
+        Seq("c_name", "c_custkey"), window = 5)),
+
+    // --- entity resolution: Fellegi–Sunter-style scored matches ---
+    "q_er_matches" -> ((s, dir) =>
+      erMatchPairs(s, dir).select(col("id_a"), col("id_b"),
+        r3(col("sim_c_name")).as("sim_c_name"),
+        col("eq_c_mktsegment"),
+        r3(col("num_c_acctbal")).as("num_c_acctbal"),
+        r3(col("score")).as("score"))),
+
+    // --- entity resolution: transitive entity-size profile (matches →
+    // connected components → collapse report) ---
+    "q_er_entities" -> ((s, dir) =>
+      EntityResolution.entityProfile(Tables.customer(s, dir),
+        erMatchPairs(s, dir), "c_custkey")),
+
+    // --- two-window mean-shift changepoint screen over per-user series ---
+    "q_changepoint" -> ((s, dir) =>
+      Analytics.meanShift(ev(s, dir), Seq("user_id"), "ts_sec", "value",
+          window = 8, threshold = 60.0, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          r3(col("trail_mean")).as("trail_mean"),
+          r3(col("lead_mean")).as("lead_mean"),
+          r3(col("shift")).as("shift"))),
+
+    // --- entity resolution: Fellegi–Sunter EM weight estimation over
+    // the unlabeled candidate pairs (fields that VARY within blocks:
+    // name agreement at sim ≥ 0.9, balance agreement at num ≥ 0.5 —
+    // segment agreement is a block key, constant 1, and would send its
+    // disagreement odds to log(0/0)) ---
+    "q_er_em" -> ((s, dir) => {
+      val sc = EntityResolution.scorePairs(erRecords(s, dir),
+        erCandidates(s, dir), "c_custkey",
+        stringCols = Seq("c_name" -> ErWName),
+        exactCols = Seq("c_mktsegment" -> ErWSeg),
+        numericCols = Seq(("c_acctbal", ErWBal, ErBalScale)))
+      val agr = sc.select(
+        (col("sim_c_name") >= 0.9).as("a_name"),
+        (col("num_c_acctbal") >= 0.5).as("a_bal"))
+      EntityResolution.emWeights(agr, Seq("a_name", "a_bal"), iters = 2)
+        .select(col("field"), r3(col("m")).as("m"), r3(col("u")).as("u"),
+          r3(col("w_agree")).as("w_agree"),
+          r3(col("w_disagree")).as("w_disagree"),
+          r3(col("prior")).as("prior"))
+    }),
+
+    // --- SEMANTIC benchmark decontamination: embedding-space twin of
+    // the n-gram q_contamination (catches paraphrase-level leakage) ---
+    "q_decontam_semantic" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+          em.filter(col("vec_id") % 19 =!= 0),
+          em.filter(col("vec_id") % 19 === 0),
+          "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id"), col("n_bench_hits"),
+          r3(col("max_cos")).as("max_cos"))
     }),
 
     // --- canonical dedup: best-quality survivor per near-dup cluster ---
@@ -2893,6 +3055,163 @@ object SparkEntry {
          |SELECT r.source, COUNT(*) AS n_kept
          |FROM ranked r JOIN caps c ON r.source = c.source
          |WHERE r.rn <= c.cap GROUP BY 1""".stripMargin,
+
+    "q_er_blocks" ->
+      s"""SELECT c_nationkey, c_mktsegment, substring(c_name, 1, 14) AS name_blk,
+         |       COUNT(*) AS n,
+         |       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs,
+         |       COUNT(*) > $ErMaxBlock AS skipped
+         |FROM customer
+         |WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+         |  AND c_name IS NOT NULL
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_er_candidates" ->
+      s"""WITH $ErCandCtes
+         |SELECT id_a, id_b, c_nationkey, c_mktsegment, name_blk
+         |FROM p""".stripMargin,
+
+    "q_er_snm" ->
+      s"""WITH r AS (
+         |  SELECT c_custkey,
+         |         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+         |  FROM customer)
+         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |       b.rn - a.rn AS rank_dist
+         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4""".stripMargin,
+
+    "q_er_matches" ->
+      s"""WITH $ErScoreCtes
+         |SELECT id_a, id_b,
+         |       floor(sim_c_name * 1000 + 0.5) / 1000 AS sim_c_name,
+         |       eq_c_mktsegment,
+         |       floor(num_c_acctbal * 1000 + 0.5) / 1000 AS num_c_acctbal,
+         |       floor(score * 1000 + 0.5) / 1000 AS score
+         |FROM scored WHERE score >= $ErThreshold""".stripMargin,
+
+    "q_er_entities" ->
+      s"""WITH RECURSIVE $ErScoreCtes, m AS (
+         |  SELECT id_a, id_b FROM scored WHERE score >= $ErThreshold
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM m
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM m
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), cl AS (
+         |  SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), ent AS (
+         |  SELECT c.c_custkey,
+         |         COALESCE(cl.cluster_id, c.c_custkey) AS entity_id
+         |  FROM customer c LEFT JOIN cl ON c.c_custkey = cl.id
+         |), sz AS (
+         |  SELECT entity_id, COUNT(*) AS entity_size FROM ent GROUP BY 1
+         |)
+         |SELECT entity_size, COUNT(*) AS n_entities,
+         |       CAST(SUM(entity_size) AS BIGINT) AS n_records
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    "q_er_em" -> {
+      // iteration-1 complements as the EXACT Scala doubles the Spark plan
+      // embeds (1.0-0.9 is 0.09999999999999998, not 0.1)
+      val m0 = 0.9; val u0 = 0.1; val p0 = 0.1
+      def pm(m: String, mc: String) =
+        s"((CASE WHEN a_name THEN $m ELSE $mc END) * " +
+          s"(CASE WHEN a_bal THEN $m ELSE $mc END))"
+      def pm2(m1: String, m2: String) =
+        s"((CASE WHEN a_name THEN $m1 ELSE 1.0 - $m1 END) * " +
+          s"(CASE WHEN a_bal THEN $m2 ELSE 1.0 - $m2 END))"
+      val pm1m = pm(m0.toString, (1.0 - m0).toString)
+      val pm1u = pm(u0.toString, (1.0 - u0).toString)
+      s"""WITH $ErScoreCtes, g AS (
+         |  SELECT sim_c_name >= 0.9 AS a_name, num_c_acctbal >= 0.5 AS a_bal
+         |  FROM sc
+         |), e1 AS (
+         |  SELECT a_name, a_bal,
+         |         ($p0 * $pm1m)
+         |         / (($p0 * $pm1m) + (${1.0 - p0} * $pm1u)) AS w
+         |  FROM g
+         |), s1 AS (
+         |  SELECT SUM(w) AS sw, COUNT(*) AS n,
+         |         SUM(CASE WHEN a_name THEN w ELSE 0.0 END) AS ma1,
+         |         SUM(CASE WHEN a_name THEN 1.0 - w ELSE 0.0 END) AS ua1,
+         |         SUM(CASE WHEN a_bal THEN w ELSE 0.0 END) AS ma2,
+         |         SUM(CASE WHEN a_bal THEN 1.0 - w ELSE 0.0 END) AS ua2
+         |  FROM e1
+         |), p1 AS (
+         |  SELECT ma1 / sw AS m1, ma2 / sw AS m2,
+         |         ua1 / (n - sw) AS u1, ua2 / (n - sw) AS u2,
+         |         sw / n AS pp
+         |  FROM s1
+         |), e2 AS (
+         |  SELECT a_name, a_bal,
+         |         (pp * ${pm2("m1", "m2")})
+         |         / ((pp * ${pm2("m1", "m2")})
+         |            + ((1.0 - pp) * ${pm2("u1", "u2")})) AS w
+         |  FROM g CROSS JOIN p1
+         |), s2 AS (
+         |  SELECT SUM(w) AS sw, COUNT(*) AS n,
+         |         SUM(CASE WHEN a_name THEN w ELSE 0.0 END) AS ma1,
+         |         SUM(CASE WHEN a_name THEN 1.0 - w ELSE 0.0 END) AS ua1,
+         |         SUM(CASE WHEN a_bal THEN w ELSE 0.0 END) AS ma2,
+         |         SUM(CASE WHEN a_bal THEN 1.0 - w ELSE 0.0 END) AS ua2
+         |  FROM e2
+         |), p2 AS (
+         |  SELECT ma1 / sw AS m1, ma2 / sw AS m2,
+         |         ua1 / (n - sw) AS u1, ua2 / (n - sw) AS u2,
+         |         sw / n AS pp
+         |  FROM s2
+         |)
+         |SELECT 'a_name' AS field,
+         |       floor(m1 * 1000 + 0.5) / 1000 AS m,
+         |       floor(u1 * 1000 + 0.5) / 1000 AS u,
+         |       floor(ln(m1 / u1) / ln(2.0) * 1000 + 0.5) / 1000 AS w_agree,
+         |       floor(ln((1.0 - m1) / (1.0 - u1)) / ln(2.0) * 1000 + 0.5) / 1000
+         |         AS w_disagree,
+         |       floor(pp * 1000 + 0.5) / 1000 AS prior
+         |FROM p2
+         |UNION ALL
+         |SELECT 'a_bal',
+         |       floor(m2 * 1000 + 0.5) / 1000,
+         |       floor(u2 * 1000 + 0.5) / 1000,
+         |       floor(ln(m2 / u2) / ln(2.0) * 1000 + 0.5) / 1000,
+         |       floor(ln((1.0 - m2) / (1.0 - u2)) / ln(2.0) * 1000 + 0.5) / 1000,
+         |       floor(pp * 1000 + 0.5) / 1000
+         |FROM p2""".stripMargin
+    },
+
+    "q_changepoint" ->
+      s"""$EvCte, w AS (
+         |  SELECT user_id, event_id, ts_sec,
+         |         AVG(value) OVER tw AS trail_mean,
+         |         COUNT(value) OVER tw AS nt,
+         |         AVG(value) OVER lw AS lead_mean,
+         |         COUNT(value) OVER lw AS nl
+         |  FROM e
+         |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+         |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+         |         lw AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+         |                ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING))
+         |SELECT user_id, event_id, ts_sec,
+         |       floor(trail_mean * 1000 + 0.5) / 1000 AS trail_mean,
+         |       floor(lead_mean * 1000 + 0.5) / 1000 AS lead_mean,
+         |       floor((lead_mean - trail_mean) * 1000 + 0.5) / 1000 AS shift
+         |FROM w
+         |WHERE nt = 8 AND nl = 8
+         |  AND abs(lead_mean - trail_mean) >= 60.0""".stripMargin,
+
+    "q_decontam_semantic" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT v AS bv FROM v WHERE vec_id % 19 = 0),
+         |c AS (SELECT vec_id, v FROM v WHERE vec_id % 19 <> 0),
+         |p AS (SELECT c.vec_id, ${cosSql("c.v", "b.bv")} AS cs
+         |      FROM c CROSS JOIN b)
+         |SELECT vec_id, COUNT(*) AS n_bench_hits,
+         |       floor(MAX(cs) * 1000 + 0.5) / 1000 AS max_cos
+         |FROM p WHERE cs >= 0.3 GROUP BY 1""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE $ClusterCtes, j AS (

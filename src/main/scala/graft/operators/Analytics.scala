@@ -348,6 +348,42 @@ object Analytics {
   }
 
   /**
+   * Two-window mean-shift changepoint screen: at each row, compare the
+   * mean of the trailing `window` rows (inclusive) against the mean of
+   * the leading `window` rows; flag where |lead − trail| ≥ `threshold`.
+   * The windowed form of CUSUM-style level-shift detection that stays
+   * expressible as plain frame aggregates — no recursion, so it runs as
+   * one per-entity window sort in Spark and replays exactly in an
+   * external SQL engine ([[ewma]] covers the recency-weighted variant;
+   * this one answers "WHERE did the level jump").
+   *
+   * Only FULL windows report (count == `window` on both sides): edge
+   * rows see truncated frames whose means are noise, and a production
+   * changepoint feed must not fire on every series' first and last
+   * `window` rows. One (key, ts) window sort — the same shuffle the
+   * session/rolling family already pays; both frames and both counts
+   * ride one WindowExec.
+   */
+  def meanShift(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                valueCol: String, window: Int, threshold: Double,
+                tieBreak: Seq[String] = Nil): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val base = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val trail = base.rowsBetween(-(window - 1), Window.currentRow)
+    val lead = base.rowsBetween(1, window)
+    df.withColumn("trail_mean", avg(col(valueCol)).over(trail))
+      .withColumn("lead_mean", avg(col(valueCol)).over(lead))
+      .withColumn("_nt", count(col(valueCol)).over(trail))
+      .withColumn("_nl", count(col(valueCol)).over(lead))
+      .filter(col("_nt") === window && col("_nl") === window)
+      .withColumn("shift", col("lead_mean") - col("trail_mean"))
+      .filter(abs(col("shift")) >= threshold)
+      .drop("_nt", "_nl")
+  }
+
+  /**
    * Exponentially weighted moving average over the last `window` rows
    * per entity — the recency-biased smoother behind drift/anomaly
    * screens (a rolling mean lags level shifts; EWMA tracks them at the

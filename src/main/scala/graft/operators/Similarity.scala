@@ -77,6 +77,41 @@ object Similarity {
   }
 
   /**
+   * SEMANTIC benchmark decontamination: flag corpus embeddings whose
+   * cosine to ANY benchmark embedding reaches `threshold` — the
+   * embedding-space twin of the n-gram contamination screens in
+   * [[Text.contamination]] (n-gram catches verbatim leakage; this
+   * catches paraphrased leakage that shares no 8-gram).
+   *
+   * Scale shape: the benchmark side is an EVAL SET — thousands of rows
+   * against a corpus of billions — so it travels as an explicit
+   * broadcast and the whole screen is map-side (corpus × bench inside
+   * each task, partial-agg'd max/count per corpus row, one corpus-id-
+   * sized shuffle of ALREADY-AGGREGATED rows). No corpus self-join,
+   * no index build: at |bench| ≪ |corpus| brute force IS the right
+   * plan, same reasoning as [[bruteForceTopK]].
+   *
+   * Output: one row per CONTAMINATED corpus id — `(id, n_bench_hits,
+   * max_cos)`. Zero-norm vectors on either side cosine to NULL and
+   * fail the threshold (the [[cosine]] rule).
+   */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+    val b = benchmark.select(col(vecCol).cast("array<double>").as("_bv"))
+      .withColumn("_bnrm", sqrt(dot(col("_bv"), col("_bv"))))
+    c.crossJoin(broadcast(b))
+      .withColumn("_cos", cosOver(dot(col("_v"), col("_bv")),
+        col("_nrm") * col("_bnrm")))
+      .filter(col("_cos") >= threshold)
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bench_hits"),
+        max(col("_cos")).as("max_cos"))
+  }
+
+  /**
    * Scalar int8 quantization of an embedding column: global [lo, hi]
    * over all dimensions (one agg, broadcast), 255 levels, midpoint
    * dequantization. 4× less memory and shuffle than float32 — the

@@ -379,4 +379,40 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Text.linearClassifierScore(noDocs, m0, "doc_id", "text",
       buckets = 64).count() === 0)
   }
+
+  test("round-11b entity-resolution/changepoint/decontam on degenerate input") {
+    import graft.operators.{Analytics, EntityResolution, Similarity}
+    val noRecs = Seq.empty[(Long, String, Double)].toDF("id", "name", "bal")
+    // empty records → no candidates, no profile rows
+    assert(EntityResolution.blockCandidates(noRecs, "id", Seq("name")).count() === 0)
+    assert(EntityResolution.blockProfile(noRecs, "id", Seq("name")).count() === 0)
+    assert(EntityResolution.snmCandidates(noRecs, "id", Seq("name", "id"), 3)
+      .count() === 0)
+    // a single record can neither block-pair nor neighbor
+    val one = Seq((1L, "solo", 1.0)).toDF("id", "name", "bal")
+    assert(EntityResolution.blockCandidates(one, "id", Seq("name")).count() === 0)
+    assert(EntityResolution.snmCandidates(one, "id", Seq("name", "id"), 3)
+      .count() === 0)
+    // empty candidate frame → empty scores; empty matches → every record
+    // is its own entity (profile = all singletons)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(EntityResolution.scorePairs(one, noPairs, "id",
+      stringCols = Seq("name" -> 1.0)).count() === 0)
+    val prof = EntityResolution.entityProfile(one, noPairs, "id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prof === Set((1L, 1L, 1L)))
+    // changepoint on empty / constant series → nothing fires
+    val noEv = Seq.empty[(String, Long, Double)].toDF("k", "t", "v")
+    assert(Analytics.meanShift(noEv, Seq("k"), "t", "v", 3, 1.0).count() === 0)
+    val flat = (1 to 10).map(i => ("u", i.toLong, 7.0)).toDF("k", "t", "v")
+    assert(Analytics.meanShift(flat, Seq("k"), "t", "v", 3, 0.001).count() === 0)
+    // decontam: empty benchmark → nothing can be contaminated
+    val corp = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noBench = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDecontaminate(corp, noBench,
+      "vec_id", "embedding", 0.5).count() === 0)
+    // decontam: empty corpus against a real benchmark → empty
+    assert(Similarity.semanticDecontaminate(noBench, corp,
+      "vec_id", "embedding", 0.5).count() === 0)
+  }
 }

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, EntityResolution, Similarity}
+
+/** Round-11 second wave: the entity-resolution family (equi-blocking +
+  * planning profile, sorted-neighborhood candidates, Fellegi–Sunter
+  * scoring, transitive entities), the two-window mean-shift changepoint
+  * screen, and semantic benchmark decontamination. */
+class Round11bSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // A small dirty-records fixture: 1/2/3 are the same "person" under
+  // typos, 4 matches nobody, 5/6 share a block but differ hard, and
+  // 7 has a NULL block key.
+  private def people = Seq(
+    (1L, "jon smith", "NY", 100.0),
+    (2L, "john smith", "NY", 105.0),
+    (3L, "john smyth", "NY", 110.0),
+    (4L, "maria gonzalez", "CA", 500.0),
+    (5L, "bob lee", "NY", 10.0),
+    (6L, "zzz unrelated", "NY", 9000.0),
+    (7L, "ghost entry", null.asInstanceOf[String], 1.0)
+  ).toDF("id", "name", "state", "bal")
+
+  // --- blocking -------------------------------------------------------------
+
+  test("blockCandidates: pairs only within blocks, null keys generate nothing") {
+    val got = EntityResolution.blockCandidates(people, "id", Seq("state"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // NY block = {1,2,3,5,6} → C(5,2) = 10 pairs; CA block is a singleton;
+    // the null-state row pairs with nothing
+    assert(got.size === 10)
+    assert(got.forall { case (a, b) => a < b })
+    assert(!got.exists { case (a, b) => a == 7L || b == 7L })
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("blockCandidates: an oversized block is skipped entirely") {
+    val got = EntityResolution.blockCandidates(people, "id", Seq("state"),
+      maxBlock = 4).select("id_a", "id_b").collect()
+    assert(got.isEmpty, "the 5-row NY block must be skipped at maxBlock=4")
+  }
+
+  test("blockProfile reports the would-be pair volume and the skip verdict") {
+    val prof = EntityResolution.blockProfile(people, "id", Seq("state"),
+      maxBlock = 4)
+      .select("state", "n", "n_pairs", "skipped")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(prof("NY") === ((5L, 10L, true)))
+    assert(prof("CA") === ((1L, 0L, false)))
+    assert(!prof.contains(null), "null block keys must not profile")
+  }
+
+  // --- sorted neighborhood --------------------------------------------------
+
+  test("snmCandidates: exactly the rank-window pairs, each pair once") {
+    // sort by name: ghost(7) < john smith(2) < john smyth(3) < jon smith(1)
+    // < maria(4) < bob?  ... use explicit ordering on (name, id)
+    val pairs = EntityResolution.snmCandidates(people, "id",
+      Seq("name", "id"), window = 2)
+      .select("id_a", "id_b", "rank_dist")
+      .as[(Long, Long, Long)].collect()
+    // window=2 → adjacent ranks only → exactly n-1 = 6 pairs, all dist 1
+    assert(pairs.length === 6)
+    assert(pairs.forall(_._3 == 1L))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === 6, "meet-once")
+    // name order: bob lee, ghost entry, john smith, john smyth, jon smith,
+    // maria gonzalez, zzz unrelated → the typo cluster {2,3,1} is chained
+    // by adjacency even though a state-typo would have broken blocking
+    val set = pairs.map(p => (p._1, p._2)).toSet
+    assert(set.contains((2L, 3L)) && set.contains((3L, 1L)))
+  }
+
+  test("snmCandidates window=4 pair count is exact (n·(w−1) − edge terms)") {
+    val n = 7
+    val w = 4
+    val got = EntityResolution.snmCandidates(people, "id",
+      Seq("name", "id"), window = w).count()
+    // Σ over rank r of min(w-1, n-r) = (n-w+1)(w-1) + (w-1)(w-2)/2
+    val expect = (n - w + 1) * (w - 1) + (w - 1) * (w - 2) / 2
+    assert(got === expect)
+  }
+
+  // --- scoring --------------------------------------------------------------
+
+  test("scorePairs: per-field sims and the weighted fold are exact") {
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val row = EntityResolution.scorePairs(people, cands, "id",
+      stringCols = Seq("name" -> 0.5),
+      exactCols = Seq("state" -> 0.2),
+      numericCols = Seq(("bal", 0.3, 100.0)))
+      .select("sim_name", "eq_state", "num_bal", "score")
+      .as[(Double, Double, Double, Double)].head()
+    // lev("jon smith","john smith") = 1, maxlen = 10 → 0.9
+    assert(row._1 === 0.9)
+    assert(row._2 === 1.0)
+    // |100-105|/100 = 0.05 → 0.95
+    assert(row._3 === 0.95)
+    val expect = (0.9 * 0.5 + 1.0 * 0.2 + 0.95 * 0.3) / (0.5 + 0.2 + 0.3)
+    assert(row._4 === expect)
+  }
+
+  test("scorePairs null rules: both-null agrees, one-null is evidence against") {
+    val recs = Seq(
+      (1L, null.asInstanceOf[String], 1.0),
+      (2L, null.asInstanceOf[String], 1.0),
+      (3L, "x", 1.0)).toDF("id", "name", "bal")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = EntityResolution.scorePairs(recs, cands, "id",
+      stringCols = Seq("name" -> 1.0))
+      .select("id_b", "sim_name").as[(Long, Double)].collect().toMap
+    assert(got(2L) === 1.0, "null vs null = vacuous agreement")
+    assert(got(3L) === 0.0, "null vs value = evidence against")
+  }
+
+  test("matches → entities: transitive closure collapses the typo chain") {
+    val cands = EntityResolution.blockCandidates(people, "id", Seq("state"))
+    val m = EntityResolution.matches(people, cands, "id", threshold = 0.75,
+      stringCols = Seq("name" -> 0.7),
+      numericCols = Seq(("bal", 0.3, 100.0)))
+    val ids = EntityResolution.entities(people, m, "id")
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    // the typo chain 1~2~3 collapses into one entity
+    assert(ids(1L) === ids(2L) && ids(2L) === ids(3L))
+    assert(ids(1L) === 1L, "min-label entity id")
+    assert(Seq(4L, 5L, 6L, 7L).forall(i => ids(i) === i), "unmatched = own id")
+    val prof = EntityResolution.entityProfile(people, m, "id")
+      .select("entity_size", "n_entities", "n_records")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prof === Set((3L, 1L, 3L), (1L, 4L, 4L)))
+  }
+
+  // --- Fellegi–Sunter EM ------------------------------------------------------
+
+  /** Plain-Scala EM reference: the same fold [[EntityResolution.emWeights]]
+    * distributes, run sequentially on a local Seq. */
+  private def emRef(rows: Seq[(Boolean, Boolean)], iters: Int)
+      : (Seq[Double], Seq[Double], Double) = {
+    var m = Seq(0.9, 0.9); var u = Seq(0.1, 0.1); var p = 0.1
+    for (_ <- 1 to iters) {
+      val ws = rows.map { case (a, b) =>
+        val gam = Seq(a, b)
+        val pm = gam.zip(m).map { case (g, x) => if (g) x else 1.0 - x }.product
+        val pu = gam.zip(u).map { case (g, x) => if (g) x else 1.0 - x }.product
+        (gam, p * pm / (p * pm + (1.0 - p) * pu))
+      }
+      val sw = ws.map(_._2).sum
+      val n = rows.size
+      m = Seq(0, 1).map(i => ws.filter(_._1(i)).map(_._2).sum / sw)
+      u = Seq(0, 1).map(i => ws.filter(_._1(i)).map(w => 1.0 - w._2).sum / (n - sw))
+      p = sw / n
+    }
+    (m, u, p)
+  }
+
+  test("emWeights matches the sequential EM reference to float tolerance") {
+    // 100 clean non-matches (nothing agrees), 10 true dups (both agree),
+    // 20 coincidental balance-agreements
+    val rows: Seq[(Boolean, Boolean)] =
+      Seq.fill(100)((false, false)) ++ Seq.fill(10)((true, true)) ++
+        Seq.fill(20)((false, true))
+    val got = EntityResolution.emWeights(
+      rows.toDF("a_name", "a_bal"), Seq("a_name", "a_bal"), iters = 2)
+      .select("field", "m", "u", "prior")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (m, u, p) = emRef(rows, 2)
+    // distributed double sums reorder vs the sequential fold → tolerance,
+    // not equality (the oracle gate compares at r3 for the same reason)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(close(got("a_name")._2, m(0)) && close(got("a_bal")._2, m(1)))
+    assert(close(got("a_name")._3, u(0)) && close(got("a_bal")._3, u(1)))
+    assert(close(got("a_name")._4, p))
+    // the discriminating field earns a positive agreement weight and the
+    // prior lands near the true dup fraction
+    val wAgree = EntityResolution.emWeights(
+      rows.toDF("a_name", "a_bal"), Seq("a_name", "a_bal"), iters = 2)
+      .filter($"field" === "a_name").select("w_agree").as[Double].head()
+    assert(wAgree > 0, s"agreement on the clean field must be evidence FOR: $wAgree")
+    assert(p > 0.03 && p < 0.3, s"prior should approach the planted 10/130: $p")
+  }
+
+  test("emWeights on empty input returns the init parameters, not NaN") {
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("a_name", "a_bal")
+    val got = EntityResolution.emWeights(empty, Seq("a_name", "a_bal"))
+      .select("field", "m", "u", "prior")
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r._2 == 0.9 && r._3 == 0.1 && r._4 == 0.1))
+  }
+
+  // --- changepoint ----------------------------------------------------------
+
+  test("meanShift flags exactly the planted level shift, full windows only") {
+    // one entity, 12 points: 6 at level 10, then 6 at level 50, w=3
+    val rows = (1 to 6).map(i => ("u", i.toLong, 10.0)) ++
+      (7 to 12).map(i => ("u", i.toLong, 50.0))
+    val df = rows.toDF("k", "t", "v")
+    val got = Analytics.meanShift(df, Seq("k"), "t", "v",
+      window = 3, threshold = 20.0)
+      .select("t", "shift").as[(Long, Double)].collect().toMap
+    // full both-side windows exist for t in [3, 9]; lead-trail means:
+    // t=5: trail {10,10,10}=10, lead {10,50,50}... wait lead at 5 = rows
+    // 6,7,8 = {10,50,50} → 36.67-10 = 26.67 ≥ 20 → flagged
+    // t=6: lead {50,50,50}=50, trail {10,10,10}=10 → 40 → flagged (the cut)
+    // t=7: trail {10,10,50}=23.3, lead 50 → 26.67 → flagged
+    assert(got.keySet === Set(5L, 6L, 7L))
+    assert(got(6L) === 40.0, "the exact cut point carries the full shift")
+    assert(!got.contains(1L) && !got.contains(12L), "edges never fire")
+  }
+
+  test("meanShift: series shorter than 2w produces nothing") {
+    val df = (1 to 5).map(i => ("u", i.toLong, if (i > 2) 100.0 else 0.0))
+      .toDF("k", "t", "v")
+    assert(Analytics.meanShift(df, Seq("k"), "t", "v", 3, 1.0).count() === 0)
+  }
+
+  // --- semantic decontamination ----------------------------------------------
+
+  test("semanticDecontaminate flags the planted paraphrase, not the orthogonal") {
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // near-copy of the bench row
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(0.0f, 0.0f, 0.0f))    // zero-norm → null cosine → dropped
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id", "n_bench_hits").as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === 1L)
+  }
+
+  test("semanticDecontaminate plans the benchmark side as a broadcast") {
+    val em = Tables.embeddings(spark, sfDir)
+    val df = Similarity.semanticDecontaminate(
+      em.filter(col("vec_id") % 19 =!= 0), em.filter(col("vec_id") % 19 === 0),
+      "vec_id", "embedding", 0.3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast (map-side screen), got:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus × bench must never plan a shuffled cartesian")
+  }
+}

@@ -102,6 +102,22 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_editdist" -> (64L << 10),      // 3 kB: index side broadcasts, the
                                       // exploded probe never shuffles;
                                       // only verified pairs move
+    // round 11b: the entity-resolution family + changepoint + decontam
+    "q_er_candidates" -> (16L << 10), // 1.9 kB: block-keyed self-join of
+                                      // slimmed records; sizes partial-agg'd
+    "q_er_matches" -> (16L << 10),    // 1.9 kB: = candidates; scoring is
+                                      // map-only after the id joins
+    "q_er_entities" -> (32L << 10),   // 4.9 kB: + CC label rounds over the
+                                      // tiny match-pair edge set
+    "q_er_snm" -> (32L << 10),        // 6.5 kB: the global range sort + one
+                                      // bucket-keyed neighborhood join
+    "q_changepoint" -> (128L << 10),  // 18 kB: ONE user-keyed window pass
+                                      // (both frames, both counts)
+    "q_er_em" -> (32L << 10),         // two 1-row aggregations over the
+                                      // blocked candidates; posterior is
+                                      // map-side
+    "q_decontam_semantic" -> (8L << 10), // 1.0 kB: bench broadcasts; only
+                                      // per-id aggregated hits shuffle
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
