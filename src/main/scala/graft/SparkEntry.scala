@@ -121,12 +121,15 @@ object SparkEntry {
 
   private val ErBlockCols = Seq("c_nationkey", "c_mktsegment", "name_blk")
 
-  /** Blocked ER candidate pairs, materialized once per input dir: three
-   * queries consume this frame (candidates / matches / entities). */
+  /** Blocked ER candidate pairs. Deliberately NOT a SharedStage: the
+   * pair frame is the one ER intermediate that scales as Σ b² (5M rows
+   * at sf1) and pinning it in cache is resident memory spent to save a
+   * cheap block-keyed self-join — the sf1 drive OOM'd exactly there.
+   * The expensive shared artifact is the SCORED-and-thresholded match
+   * set ([[erMatchPairs]]), which is small by construction. */
   private def erCandidates(s: SparkSession, dir: String): DataFrame =
-    SharedStage.get(dir, s"er_candidates:customer:nation,seg,name14:max=$ErMaxBlock")(
-      EntityResolution.blockCandidates(erRecords(s, dir), "c_custkey",
-        ErBlockCols, maxBlock = ErMaxBlock))
+    EntityResolution.blockCandidates(erRecords(s, dir), "c_custkey",
+      ErBlockCols, maxBlock = ErMaxBlock)
 
   /** Scored ER match pairs (shared by q_er_matches / q_er_entities). */
   private def erMatchPairs(s: SparkSession, dir: String): DataFrame =
@@ -980,6 +983,18 @@ object SparkEntry {
     "q_er_entities" -> ((s, dir) =>
       EntityResolution.entityProfile(Tables.customer(s, dir),
         erMatchPairs(s, dir), "c_custkey")),
+
+    // --- leave-one-out target encoding of event_type against value ---
+    "q_target_encode" -> ((s, dir) =>
+      Analytics.targetEncode(ev(s, dir), "event_type", "value",
+          smoothing = 20.0)
+        .select(col("event_id"), col("event_type"), r3(col("enc")).as("enc"))),
+
+    // --- Duffield priority sample over documents weighted by length ---
+    "q_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySample(Tables.documents(s, dir), "doc_id", "n_chars",
+          k = 100)
+        .select(col("doc_id"), col("n_chars"), r3(col("w_hat")).as("w_hat"))),
 
     // --- two-window mean-shift changepoint screen over per-user series ---
     "q_changepoint" -> ((s, dir) =>
@@ -3182,6 +3197,33 @@ object SparkEntry {
          |       floor(pp * 1000 + 0.5) / 1000
          |FROM p2""".stripMargin
     },
+
+    "q_target_encode" ->
+      s"""$EvCte, gm AS (SELECT AVG(value) AS g FROM e),
+         |st AS (SELECT event_type, SUM(value) AS s, COUNT(value) AS n
+         |       FROM e GROUP BY 1)
+         |SELECT event_id, e.event_type,
+         |       floor((CASE WHEN e.value IS NOT NULL
+         |              THEN (s - e.value + 20.0 * g) / (n - 1 + 20.0)
+         |              ELSE (COALESCE(s, 0.0) + 20.0 * g) / (n + 20.0) END)
+         |             * 1000 + 0.5) / 1000 AS enc
+         |FROM e JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type
+         |CROSS JOIN gm""".stripMargin,
+
+    "q_priority_sample" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(n_chars AS DOUBLE)
+         |         / ((${bucketSql("doc_id")} + 0.5) / 10000.0) AS pq
+         |  FROM documents WHERE n_chars > 0
+         |), top AS (SELECT * FROM q ORDER BY pq DESC, doc_id LIMIT 101),
+         |tau AS (SELECT CASE WHEN COUNT(*) < 101 THEN 0.0
+         |               ELSE MIN(pq) END AS t FROM top),
+         |pick AS (SELECT * FROM top ORDER BY pq DESC, doc_id LIMIT 100)
+         |SELECT doc_id, n_chars,
+         |       floor(greatest(CAST(n_chars AS DOUBLE), t) * 1000 + 0.5)
+         |         / 1000 AS w_hat
+         |FROM pick CROSS JOIN tau""".stripMargin,
 
     "q_changepoint" ->
       s"""$EvCte, w AS (

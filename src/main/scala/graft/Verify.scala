@@ -30,6 +30,11 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // top frames only: enough to localize without drowning the log
+          e.getStackTrace.take(12).foreach(f =>
+            System.err.println(s"[verify]     at $f"))
+          Option(e.getCause).foreach(c =>
+            System.err.println(s"[verify]   caused by: $c"))
         }
       }
     }

@@ -348,6 +348,47 @@ object Analytics {
   }
 
   /**
+   * Leave-one-out TARGET ENCODING with prior smoothing — the standard
+   * high-cardinality categorical feature for tabular models: each row's
+   * category is encoded as the mean label of its OTHER members, shrunk
+   * toward the global mean by `smoothing` pseudo-counts
+   * (enc = (Σ_cat − own + s·gm) / (n_cat − 1 + s)). Leaving the row's
+   * own label out is the leakage guard (with it, the feature memorizes
+   * the label and validation lies); the shrinkage handles rare
+   * categories (n = 1 → exactly the global mean).
+   *
+   * Scale shape: per-category sums via ONE partial-agg'd groupBy (never
+   * a category-partitioned window — a hot category would funnel its
+   * whole partition through one task), joined back broadcast (category
+   * tables are small next to the fact side; pass
+   * `broadcastStats = false` when cardinality is fact-sized and let the
+   * join shuffle), the global mean a 1-row broadcast; the encode itself
+   * is map-side arithmetic. NULL categories form their own group
+   * (null-safe join); rows with a NULL label get the full-category
+   * posterior (nothing to leave out).
+   */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+                   smoothing: Double, outCol: String = "enc",
+                   broadcastStats: Boolean = true): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val gm = df.agg(avg(col(labelCol)).as("__gm"))
+    val stats = df.groupBy(col(catCol).as("__cat"))
+      .agg(sum(col(labelCol)).as("__s"), count(col(labelCol)).as("__n"))
+    val statsSide = if (broadcastStats) broadcast(stats) else stats
+    val lbl = col(labelCol).cast("double")
+    df.join(statsSide, col(catCol) <=> col("__cat"), "left")
+      .crossJoin(broadcast(gm))
+      .withColumn(outCol,
+        when(lbl.isNotNull,
+          (col("__s") - lbl + lit(smoothing) * col("__gm"))
+            / (col("__n") - 1 + smoothing))
+          .otherwise((coalesce(col("__s"), lit(0.0))
+            + lit(smoothing) * col("__gm"))
+            / (col("__n") + smoothing)))
+      .drop("__cat", "__s", "__n", "__gm")
+  }
+
+  /**
    * Two-window mean-shift changepoint screen: at each row, compare the
    * mean of the trailing `window` rows (inclusive) against the mean of
    * the leading `window` rows; flag where |lead − trail| ≥ `threshold`.

@@ -408,13 +408,15 @@ object Dedup {
       // a union + one partial-agg groupBy (no per-round left join)
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      // with a checkpointDir the round is cut to RELIABLE storage
-      // (executor loss mid-loop replays from files, not from the whole
-      // label lineage); default keeps the in-memory persist
+      // EVERY round cuts lineage (localCheckpoint, or reliable files when
+      // checkpointDir is given — executor loss then replays from storage):
+      // nextRound references `labels` TWICE (union + prop), so a plain
+      // persist leaves a 2^rounds logical plan — harmless physically but
+      // the final action's plan STRING alone OOMs the driver once the
+      // loop runs long (hit at the sf1 tier by long ER match chains; the
+      // pagerank 3^iters rule, same medicine)
       val nextRound = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
-      val updated =
-        if (checkpointDir.isDefined) graft.CacheScope.lineageCut(nextRound, checkpointDir)
-        else graft.CacheScope.persist(nextRound)
+      val updated = graft.CacheScope.lineageCut(nextRound, checkpointDir)
       converged = if (sumSafe) {
         val newSum = labelSum(updated) // also materializes the cache
         val c = (newSum, prevSum) match {

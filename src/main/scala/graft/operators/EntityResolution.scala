@@ -223,8 +223,12 @@ object EntityResolution {
    * which at scale is the already-materialized match stage.
    */
   def entities(records: DataFrame, matchPairs: DataFrame,
-               idCol: String): DataFrame = {
-    val labels = Dedup.clusterPairs(matchPairs, "id_a", "id_b")
+               idCol: String, maxIter: Int = 50): DataFrame = {
+    // min-label propagation needs DIAMETER rounds, and ER match graphs
+    // chain (consecutive near-identical records each matching the next)
+    // far longer than near-dup document clusters do — hence a higher
+    // ceiling than the document family's default 20
+    val labels = Dedup.clusterPairs(matchPairs, "id_a", "id_b", maxIter)
       .withColumnRenamed("id", idCol)
     records.join(labels, Seq(idCol), "left")
       .withColumn("entity_id", coalesce(col("cluster_id"), col(idCol)))
@@ -235,8 +239,8 @@ object EntityResolution {
    * the one-page answer to "how much identity collapse did ER find".
    * Two partial-agg'd shuffles over id-sized rows. */
   def entityProfile(records: DataFrame, matchPairs: DataFrame,
-                    idCol: String): DataFrame =
-    entities(records, matchPairs, idCol)
+                    idCol: String, maxIter: Int = 50): DataFrame =
+    entities(records, matchPairs, idCol, maxIter)
       .groupBy("entity_id").agg(count(lit(1)).as("entity_size"))
       .groupBy("entity_size").agg(
         count(lit(1)).as("n_entities"),

@@ -225,6 +225,48 @@ object Sampling {
   }
 
   /**
+   * PRIORITY SAMPLING (Duffield–Lund–Thorup 2007): a k-row sample that
+   * gives an UNBIASED estimate of ANY subset's weight sum — the sketch
+   * you keep when tomorrow's question ("how many tokens from domain X
+   * in language Y?") is not known when the sample is drawn. Each row
+   * gets priority q = w / u with u an md5-derived uniform in (0,1)
+   * (the engine-portable sampling contract — a rerun or an external
+   * engine draws the same sample); the k highest priorities win, the
+   * threshold τ is the (k+1)-th priority, and each sampled row carries
+   * the estimator weight ŵ = max(w, τ). For any subset S,
+   * E[Σ_{i∈S∩sample} ŵ_i] = Σ_{i∈S} w_i — sum ŵ over the matching
+   * sample rows and the expectation is exact; no other k-row scheme
+   * has lower variance for subset sums (within a factor of the
+   * optimum).
+   *
+   * Plan shape: one TakeOrderedAndProject for the top k+1 (per-partition
+   * top-k then a (k+1)-row merge — no global sort, no single-task
+   * window); τ and the final k-row cut are array math over those ≤ k+1
+   * rows. Fewer than k+1 positive-weight rows → the whole input is the
+   * sample and τ = 0 (ŵ = w exactly, zero estimation error —
+   * census, not sample). Rows with weight ≤ 0 are excluded (they can
+   * never carry estimator mass).
+   */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, buckets: Int = DefaultBuckets): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashBucket(col(keyCol), buckets) + 0.5) / buckets
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("__q", col(weightCol).cast("double") / u)
+    // ONE top-(k+1) pass; everything after is ≤ k+1 rows
+    val top = graft.CacheScope.persist(
+      keyed.orderBy(desc("__q"), col(keyCol)).limit(k + 1))
+    val tau = top.agg(
+      when(count(lit(1)) < k + 1, lit(0.0))
+        .otherwise(min(col("__q"))).as("__tau"))
+    top.orderBy(desc("__q"), col(keyCol)).limit(k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__q", "__tau")
+  }
+
+  /**
    * Data-mixing plan: the per-stratum keep fractions that turn the
    * corpus into the target mixture at the LARGEST achievable size —
    * T = min_d(n_d / w_d) rows total, stratum d keeping w_d·T of its n_d

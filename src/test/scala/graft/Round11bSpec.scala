@@ -217,6 +217,79 @@ class Round11bSpec extends SparkSpecBase {
     assert(Analytics.meanShift(df, Seq("k"), "t", "v", 3, 1.0).count() === 0)
   }
 
+  // --- target encoding --------------------------------------------------------
+
+  test("targetEncode: LOO formula exact; singleton → global mean; null rules") {
+    import graft.operators.Analytics
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0),                       // singleton category
+      (5L, null.asInstanceOf[String], 40.0),  // null category
+      (6L, null.asInstanceOf[String], 60.0)
+    ).toDF("id", "cat", "y")
+    val s = 2.0
+    val gm = (10.0 + 20.0 + 30.0 + 100.0 + 40.0 + 60.0) / 6
+    val got = Analytics.targetEncode(df, "cat", "y", smoothing = s)
+      .select("id", "enc").as[(Long, Double)].collect().toMap
+    def loo(sum: Double, own: Double, n: Int) = (sum - own + s * gm) / (n - 1 + s)
+    assert(math.abs(got(1L) - loo(60.0, 10.0, 3)) < 1e-12)
+    assert(math.abs(got(4L) - gm) < 1e-12, "singleton encodes to the global mean")
+    assert(math.abs(got(5L) - loo(100.0, 40.0, 2)) < 1e-12,
+      "null categories form their own group")
+  }
+
+  test("targetEncode: null label gets the full-category posterior") {
+    import graft.operators.Analytics
+    val df = Seq((1L, "a", Some(10.0)), (2L, "a", Some(20.0)),
+      (3L, "a", None)).toDF("id", "cat", "y")
+    val got = Analytics.targetEncode(df, "cat", "y", smoothing = 2.0)
+      .filter($"id" === 3L).select("enc").as[Double].head()
+    val gm = 15.0
+    assert(math.abs(got - (30.0 + 2.0 * gm) / (2 + 2.0)) < 1e-12)
+  }
+
+  // --- priority sampling -------------------------------------------------------
+
+  test("prioritySample: census when k >= n (tau = 0, w_hat = w exactly)") {
+    import graft.operators.Sampling
+    val df = Seq((1L, 5.0), (2L, 3.0), (3L, 7.0), (4L, -1.0), (5L, 0.0))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", k = 10)
+      .select("id", "w", "w_hat").as[(Long, Double, Double)].collect()
+    assert(got.length === 3, "non-positive weights can carry no mass")
+    assert(got.forall(r => r._3 === r._2), "census: zero estimation error")
+  }
+
+  test("prioritySample matches an independent reference of the DLT estimator") {
+    import graft.operators.Sampling
+    val df = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "w")
+    val k = 10
+    // reference: same md5 uniforms (via the shared hashBucket contract),
+    // priorities sorted in plain Scala
+    val qs = df.withColumn("u",
+        (Sampling.hashBucket(col("id")) + 0.5) / Sampling.DefaultBuckets)
+      .withColumn("q", col("w") / col("u"))
+      .select("id", "w", "q").as[(Long, Double, Double)].collect()
+      .sortBy(r => (-r._3, r._1))
+    val tau = qs(k)._3
+    val want = qs.take(k).map(r => (r._1, math.max(r._2, tau))).toMap
+    val got = Sampling.prioritySample(df, "id", "w", k)
+      .select("id", "w_hat").as[(Long, Double)].collect().toMap
+    assert(got === want)
+    // ... and it is a deterministic draw
+    val again = Sampling.prioritySample(df, "id", "w", k)
+      .select("id", "w_hat").as[(Long, Double)].collect().toMap
+    assert(again === got)
+  }
+
+  test("prioritySample plans one TakeOrderedAndProject, no global sort") {
+    import graft.operators.Sampling
+    val df = Tables.documents(spark, sfDir)
+    val plan = Sampling.prioritySample(df, "doc_id", "n_chars", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   // --- semantic decontamination ----------------------------------------------
 
   test("semanticDecontaminate flags the planted paraphrase, not the orthogonal") {

@@ -116,6 +116,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_er_em" -> (32L << 10),         // two 1-row aggregations over the
                                       // blocked candidates; posterior is
                                       // map-side
+    "q_target_encode" -> (64L << 10), // partial-agg'd category sums +
+                                      // broadcast join; encode map-side
+    "q_priority_sample" -> (64L << 10), // one TakeOrdered (k+1)-row merge
     "q_decontam_semantic" -> (8L << 10), // 1.0 kB: bench broadcasts; only
                                       // per-id aggregated hits shuffle
   )
