@@ -416,7 +416,20 @@ object Dedup {
       // loop runs long (hit at the sf1 tier by long ER match chains; the
       // pagerank 3^iters rule, same medicine)
       val nextRound = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
-      val updated = graft.CacheScope.lineageCut(nextRound, checkpointDir)
+      // POINTER SHORTCUT (path halving): also adopt the label OF the
+      // label — lbl is itself a node id in this table, and min-labels
+      // only point downward, so label(label(u)) is reachable from u by
+      // transitivity. Neighbor propagation alone walks ONE hop per
+      // round (O(diameter) rounds — an 80-long ER match chain pays 80
+      // rounds); with the shortcut chains halve every round and the
+      // loop converges in O(log diameter). Same monotone descent, same
+      // fixpoint, one extra id-sized equi-join per round.
+      val parent = nextRound
+        .select(col("id").as("lbl"), col("lbl").as("plbl"))
+      val shortcut = nextRound.join(parent, Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+      val updated = graft.CacheScope.lineageCut(shortcut, checkpointDir)
       converged = if (sumSafe) {
         val newSum = labelSum(updated) // also materializes the cache
         val c = (newSum, prevSum) match {

@@ -132,6 +132,23 @@ class Round11bSpec extends SparkSpecBase {
     assert(prof === Set((3L, 1L, 3L), (1L, 4L, 4L)))
   }
 
+  // --- CC pointer shortcutting -------------------------------------------------
+
+  test("clusterPairs converges on a 500-long chain in O(log d) rounds") {
+    // a path graph 1-2-3-...-500: neighbor propagation alone moves the
+    // min ONE hop per round (500 rounds — far past maxIter, silently
+    // wrong); the label-of-label shortcut halves chains every round, so
+    // the default iteration budget is ample. ER match graphs really look
+    // like this (consecutive near-identical records each matching the
+    // next), which is how the sf1 tier exposed it.
+    import graft.operators.Dedup
+    val chain = (1L until 500L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(chain, "id_a", "id_b", maxIter = 20)
+      .select("cluster_id").distinct().as[Long].collect()
+    assert(labels.toSeq === Seq(1L),
+      "the whole chain must collapse to the min label within the budget")
+  }
+
   // --- Fellegi–Sunter EM ------------------------------------------------------
 
   /** Plain-Scala EM reference: the same fold [[EntityResolution.emWeights]]
