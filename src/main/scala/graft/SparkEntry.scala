@@ -1527,6 +1527,21 @@ object SparkEntry {
         .select(col("node"),
           (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))),
 
+    // --- personalized PageRank: random walk with restart from the
+    // lexicographically-early event types (proximity to the seed set,
+    // not global centrality) ---
+    "q_ppr" -> ((s, dir) => {
+      val tr = Analytics.transitions(ev(s, dir), Seq("user_id"), "ts_sec",
+        "event_type", tieBreak = Seq("event_id"))
+      val seeds = tr.select(col("prev_cat").as("node"))
+        .union(tr.select(col("next_cat")))
+        .filter(col("node") < "m").distinct()
+      Analytics.personalizedPagerank(tr, "prev_cat", "next_cat",
+          seeds, "node", weightCol = Some("n"), damping = 0.85, iters = 10)
+        .select(col("node"),
+          (floor(col("pr") * 1000000 + 0.5) / 1000000).as("pr"))
+    }),
+
     // --- triangle count on a deterministic synthetic graph over the
     // event entities (same modular-arithmetic edge recipe both sides) ---
     "q_triangles" -> ((s, dir) =>
@@ -3890,6 +3905,8 @@ object SparkEntry {
 
     "q_pagerank" -> pagerankSql(iters = 10, damping = 0.85),
 
+    "q_ppr" -> pprSql(iters = 10, damping = 0.85),
+
     "q_triangles" ->
       s"""$EvCte, ed AS (
          |  SELECT DISTINCT least(user_id % 97, (user_id * 31 + 7) % 97) AS u,
@@ -4653,6 +4670,53 @@ object SparkEntry {
    * arithmetic. Integer edge weights make the per-src normalizing sums
    * EXACT in double, and the per-dst mass sums are ≤|nodes| terms, so
    * 10 iterations stay bit-stable far below the 1e-6 round. */
+  /** Personalized-PageRank oracle: the [[pagerankSql]] chain with the
+   * uniform teleport replaced by the seed vector t (1/|S∩V| on seeds,
+   * 0 elsewhere); r0 = t, each step pr = (1−d)·t + d·(in + dangling·t).
+   * Same MATERIALIZED discipline — every round reads the previous 2–3
+   * times. */
+  private def pprSql(iters: Int, damping: Double): String = {
+    val d = damping.toString
+    val omd = (1.0 - damping).toString
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT tl.node,
+         |         $omd*tl.t + $d*(coalesce(c.m, 0) + dg.dm*tl.t) AS pr
+         |  FROM tele tl
+         |  LEFT JOIN (SELECT ed.dst, SUM($p.pr * ed.wn) AS m
+         |             FROM $p JOIN ed ON $p.node = ed.src GROUP BY ed.dst) c
+         |    ON c.dst = tl.node
+         |  CROSS JOIN (SELECT coalesce(SUM(pr), 0) AS dm FROM $p
+         |              WHERE node NOT IN (SELECT src FROM ed)) dg)""".stripMargin
+    }.mkString(",\n")
+    s"""$EvCte, l AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts_sec, event_id) AS prev_cat
+       |  FROM e
+       |), tr AS (
+       |  SELECT prev_cat AS src, event_type AS dst, COUNT(*) AS nw
+       |  FROM l WHERE prev_cat IS NOT NULL GROUP BY 1, 2
+       |), ed AS MATERIALIZED (
+       |  SELECT src, dst, CAST(nw AS DOUBLE) /
+       |         SUM(CAST(nw AS DOUBLE)) OVER (PARTITION BY src) AS wn
+       |  FROM tr
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |sd AS (SELECT node FROM nodes WHERE node < 'm'),
+       |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd),
+       |tele AS MATERIALIZED (
+       |  SELECT nodes.node,
+       |         CASE WHEN nodes.node IN (SELECT node FROM sd)
+       |              THEN 1.0/ns.n ELSE 0.0 END AS t
+       |  FROM nodes CROSS JOIN ns),
+       |r0 AS MATERIALIZED (SELECT node, t AS pr FROM tele),
+       |$steps
+       |SELECT node, floor(r$iters.pr*1000000 + 0.5)/1000000 AS pr
+       |FROM r$iters""".stripMargin
+  }
+
   private def pagerankSql(iters: Int, damping: Double): String = {
     val d = damping.toString
     val omd = (1.0 - damping).toString

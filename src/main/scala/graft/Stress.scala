@@ -658,6 +658,67 @@ object Stress {
       Quality.overlapMatrix(elems, "corpus", "elem", k = 512).count()
     }
 
+    // --- entity resolution at 1M records: ~100k blocks of ~10, typo'd
+    // names (digits bijected per replica-of-10), scored + matched +
+    // transitive entities. Blocking bounds pairs at Σ b² ≈ 45·100k ---
+    val erRecs = CacheScope.persist(spark.range(1000000L * scale).select(
+      col("id"),
+      concat(lit("person-"), (col("id") / 10).cast("string"),
+        lit("-x"), pmod(xxhash64(col("id")), lit(10)).cast("string")).as("name"),
+      pmod(col("id"), lit(100000L * scale)).cast("string").as("blk"),
+      pmod(xxhash64(col("id"), lit(2)), lit(10000)).cast("double").as("bal")))
+    val tErCand = probe(s"ER blockCandidates 1M recs, 100k blocks") {
+      EntityResolution.blockCandidates(erRecs, "id", Seq("blk"),
+        maxBlock = 100).count()
+    }
+    probe(s"ER score+match+entities 1M recs") {
+      val cands = EntityResolution.blockCandidates(erRecs, "id", Seq("blk"),
+        maxBlock = 100)
+      val m = EntityResolution.matches(erRecs, cands, "id", threshold = 0.8,
+        stringCols = Seq("name" -> 0.7),
+        numericCols = Seq(("bal", 0.3, 1000.0)))
+      EntityResolution.entities(erRecs, m.select("id_a", "id_b"), "id").count()
+    }
+    probe(s"ER snmCandidates 1M recs, w=10") {
+      EntityResolution.snmCandidates(erRecs, "id", Seq("name", "id"),
+        window = 10).count()
+    }
+    if (tErCand > 0) erRecs.unpersist(false)
+
+    // --- CC on a pathological 200k-long CHAIN: pointer shortcutting
+    // makes this O(log d) rounds; neighbor-only propagation would need
+    // 200k rounds (i.e. never finish) ---
+    probe("clusterPairs 200k-long chain") {
+      val chain = spark.range(1, 200000L).select(
+        col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      Dedup.clusterPairs(chain, "id_a", "id_b", maxIter = 40)
+        .select(countDistinct(col("cluster_id")).as("n"))
+        .as[Long].head()
+    }
+
+    // --- priority sampling: one TakeOrdered pass over 5M weighted rows ---
+    probe(s"prioritySample k=1000 over ${nEvents / 1000000}M") {
+      Sampling.prioritySample(
+        spark.range(nEvents).select(col("id"),
+          pmod(xxhash64(col("id")), lit(1000)).cast("double").as("w")),
+        "id", "w", k = 1000).count()
+    }
+
+    // --- changepoint screen: one window pass over the 5M-event table ---
+    probe(s"meanShift ${nEvents / 1000000}M x ${nUsers / 1000}k users") {
+      Analytics.meanShift(events, Seq("user_id"), "ts_sec", "value",
+        window = 8, threshold = 30.0, tieBreak = Seq("event_id")).count()
+    }
+
+    // --- target encoding: 1M rows, 100k categories, broadcast stats ---
+    probe("targetEncode 5M rows x 100k cats") {
+      Analytics.targetEncode(
+        spark.range(nEvents).select(col("id"),
+          pmod(col("id"), lit(100000)).cast("string").as("cat"),
+          pmod(xxhash64(col("id")), lit(1000)).cast("double").as("y")),
+        "cat", "y", smoothing = 20.0).count()
+    }
+
     spark.stop()
   }
 }

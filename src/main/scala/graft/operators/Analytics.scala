@@ -122,6 +122,72 @@ object Analytics {
   }
 
   /**
+   * PERSONALIZED PageRank (random walk with restart): [[pagerank]] with
+   * the uniform teleport replaced by a SEED distribution — restarts land
+   * uniformly on the seed set, so ranks measure proximity TO the seeds
+   * instead of global centrality (the similarity-search / "more like
+   * these" / influence-from-here primitive on graphs). Dangling mass
+   * redistributes to the seeds too (the walk restarts wherever it
+   * stalls): pr' = (1−d)·t + d·(in_mass + dangling·t), with t = 1/|S∩V|
+   * on seeds present in the graph and 0 elsewhere. Seeds outside the
+   * graph carry no mass and are ignored; Σpr ≡ 1 every round.
+   *
+   * Same plan discipline as [[pagerank]]: edges normalized and
+   * repartitioned once, each round one src-keyed join + one partial-agg
+   * groupBy + a 1-row dangling broadcast, rounds lineage-cut (the
+   * 3^iters rule).
+   */
+  def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           weightCol: Option[String] = None,
+                           damping: Double = 0.85, iters: Int = 10,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      "personalizedPagerank needs iters >= 1 and damping in (0,1)")
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+    val eNorm = graft.CacheScope.persist(
+      e0.filter(col("w") > 0)
+        .withColumn("wn", col("w") / sum("w").over(Window.partitionBy("src")))
+        .select("src", "dst", "wn")
+        .repartition(col("src")))
+    val nodes = graft.CacheScope.persist(
+      e0.select(col("src").as("node")).union(e0.select(col("dst"))).distinct())
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    // teleport vector over GRAPH nodes only; 1/|S∩V| mass per live seed
+    val tele = graft.CacheScope.persist {
+      val inGraph = nodes.join(seedSet, Seq("node"), "left_semi")
+      val nS = inGraph.agg(count(lit(1)).cast("double").as("n_seeds"))
+      nodes.join(inGraph.withColumn("_isSeed", lit(true)), Seq("node"), "left")
+        .crossJoin(broadcast(nS))
+        .select(col("node"),
+          when(col("_isSeed"), lit(1.0) / col("n_seeds"))
+            .otherwise(lit(0.0)).as("t"))
+    }
+    require(!tele.filter(col("t") > 0).isEmpty,
+      "personalizedPagerank: no seed appears in the graph")
+    val dangling = graft.CacheScope.persist(
+      nodes.join(eNorm.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
+    var ranks = tele.select(col("node"), col("t").as("pr"))
+    for (_ <- 1 to iters) {
+      val r = graft.CacheScope.lineageCut(ranks, checkpointDir)
+      val inMass = r.join(eNorm, r("node") === eNorm("src"))
+        .groupBy("dst").agg(sum(col("pr") * col("wn")).as("in_mass"))
+      val dangMass = r.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("d_mass"))
+      ranks = tele
+        .join(inMass, tele("node") === inMass("dst"), "left")
+        .crossJoin(broadcast(dangMass))
+        .select(tele("node"),
+          (lit(1.0 - damping) * col("t") + lit(damping) *
+            (coalesce(col("in_mass"), lit(0.0)) + col("d_mass") * col("t")))
+            .as("pr"))
+    }
+    ranks
+  }
+
+  /**
    * Triangle count of an undirected graph — the clustering/cohesion
    * scalar behind community screens (vessel rendezvous cliques, near-dup
    * link graphs). Degree-ordered wedge counting (the MapReduce-classic

@@ -132,6 +132,54 @@ class Round11bSpec extends SparkSpecBase {
     assert(prof === Set((3L, 1L, 3L), (1L, 4L, 4L)))
   }
 
+  // --- personalized PageRank ----------------------------------------------------
+
+  test("personalizedPagerank: mass conserved, matches the reference fold, unreachable = 0") {
+    import graft.operators.Analytics
+    // directed chain a→b→c plus an isolated pair x→y; seed = {a}
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("s", "d")
+    val seeds = Seq("a").toDF("node")
+    val iters = 10
+    val pr = Analytics.personalizedPagerank(edges, "s", "d", seeds, "node",
+      iters = iters).as[(String, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, "Σpr must stay 1")
+    assert(pr("x") === 0.0 && pr("y") === 0.0,
+      "nodes unreachable from the seeds carry NO mass under restart")
+    // sequential reference of the same iteration (note: at 10 rounds the
+    // restart pulse is NOT yet at the fixpoint — the reference replays
+    // the trajectory, not the limit)
+    val d = 0.85
+    var ref = Map("a" -> 1.0, "b" -> 0.0, "c" -> 0.0, "x" -> 0.0, "y" -> 0.0)
+    for (_ <- 1 to iters) {
+      val dm = ref("c") + ref("y") // dangling nodes
+      def t(n: String) = if (n == "a") 1.0 else 0.0
+      def in(n: String) = n match {
+        case "b" => ref("a"); case "c" => ref("b"); case "y" => ref("x")
+        case _ => 0.0
+      }
+      ref = ref.keys.map(n =>
+        n -> ((1.0 - d) * t(n) + d * (in(n) + dm * t(n)))).toMap
+    }
+    ref.foreach { case (n, v) =>
+      assert(math.abs(pr(n) - v) < 1e-12, s"node $n: got ${pr(n)}, want $v")
+    }
+    // the fixpoint DOES order the chain by seed proximity — check it at
+    // a depth where the pulse has damped out
+    val deep = Analytics.personalizedPagerank(edges, "s", "d", seeds, "node",
+      iters = 50).as[(String, Double)].collect().toMap
+    assert(deep("a") > deep("b") && deep("b") > deep("c"),
+      s"converged ranks must order the chain by proximity: $deep")
+  }
+
+  test("personalizedPagerank refuses a seed set absent from the graph") {
+    import graft.operators.Analytics
+    val edges = Seq(("a", "b")).toDF("s", "d")
+    val seeds = Seq("zzz").toDF("node")
+    intercept[IllegalArgumentException] {
+      Analytics.personalizedPagerank(edges, "s", "d", seeds, "node", iters = 2)
+    }
+  }
+
   // --- CC pointer shortcutting -------------------------------------------------
 
   test("clusterPairs converges on a 500-long chain in O(log d) rounds") {
