@@ -696,6 +696,14 @@ object Stress {
         .as[Long].head()
     }
 
+    // --- LPA communities: 5 synchronous rounds over 5M random edges ---
+    probe(s"lpaCommunities ${nEvents / 1000000}M edges, 5 rounds") {
+      val e = spark.range(nEvents).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("b"))
+      Analytics.lpaCommunities(e, "a", "b", iters = 5).count()
+    }
+
     // --- priority sampling: one TakeOrdered pass over 5M weighted rows ---
     probe(s"prioritySample k=1000 over ${nEvents / 1000000}M") {
       Sampling.prioritySample(

@@ -188,6 +188,55 @@ object Analytics {
   }
 
   /**
+   * Label-propagation COMMUNITY detection (LPA, Raghavan et al. 2007) —
+   * the cheap community miner for when connected components are too
+   * coarse (CC merges everything touching; LPA splits a graph into
+   * densely-linked groups): each node repeatedly adopts the most common
+   * label among its neighbors. This implementation is SYNCHRONOUS with
+   * two determinism rules — every node casts a SELF-vote (dampens the
+   * classic bipartite oscillation) and ties break to the SMALLEST label
+   * — plus a FIXED iteration count, so the result is a pure function of
+   * the graph (rerun- and engine-reproducible), not of visit order.
+   * Labels are seed node ids; a community's label is therefore one of
+   * its member ids (usually the min of its dense core).
+   *
+   * Per round: one neighbor-label join against the symmetric edge table
+   * (repartitioned by node ONCE for the loop) + two partial-agg'd
+   * groupBys (vote counts on (node, label), argmax per node via min_by
+   * over (−count, label)); rounds lineage-cut (the 3^iters rule). Edge
+   * normalization matches [[triangles]]: self-loops and duplicate /
+   * reversed edges collapse first, so each neighbor votes exactly once.
+   */
+  def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
+                     iters: Int = 10,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"lpaCommunities needs iters >= 1, got $iters")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val sym = graft.CacheScope.persist(
+      und.union(und.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")))
+    val nodes = graft.CacheScope.persist(
+      sym.select(col("u").as("node")).distinct())
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val l = graft.CacheScope.lineageCut(labels, checkpointDir)
+      val nbrVotes = sym
+        .join(l.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("lbl"))
+      labels = nbrVotes.union(l.select(col("node"), col("lbl")))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min_by(col("lbl"),
+          struct((-col("cnt")).as("nc"), col("lbl"))).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /**
    * Triangle count of an undirected graph — the clustering/cohesion
    * scalar behind community screens (vessel rendezvous cliques, near-dup
    * link graphs). Degree-ordered wedge counting (the MapReduce-classic

@@ -132,6 +132,22 @@ class Round11bSpec extends SparkSpecBase {
     assert(prof === Set((3L, 1L, 3L), (1L, 4L, 4L)))
   }
 
+  test("phonetic blocking: soundex keys catch what prefix blocking misses") {
+    // blockCandidates composes with ANY derived key — Spark's builtin
+    // soundex makes it phonetic: smith/smyth/smithe all collapse to S530,
+    // while a name-prefix key separates smy... from smi...
+    val recs = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "smithe"), (4L, "jones")
+    ).toDF("id", "name").withColumn("snd", soundex(col("name")))
+      .withColumn("pfx", substring(col("name"), 1, 3))
+    val phonetic = EntityResolution.blockCandidates(recs, "id", Seq("snd"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(phonetic === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val prefix = EntityResolution.blockCandidates(recs, "id", Seq("pfx"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(prefix === Set((1L, 3L)), "prefix blocking loses the smyth typo")
+  }
+
   // --- personalized PageRank ----------------------------------------------------
 
   test("personalizedPagerank: mass conserved, matches the reference fold, unreachable = 0") {
@@ -178,6 +194,50 @@ class Round11bSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Analytics.personalizedPagerank(edges, "s", "d", seeds, "node", iters = 2)
     }
+  }
+
+  // --- LPA communities -----------------------------------------------------------
+
+  /** Sequential reference of the same synchronous LPA (self-vote,
+    * min-label ties, fixed rounds). */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).map {
+      case (n, es) => n -> es.map(_._2)
+    }
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = nbrs.map { case (n, ns) =>
+        val votes = (ns.map(lbl) :+ lbl(n)).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("lpaCommunities: two cliques with a bridge split into two communities") {
+    import graft.operators.Analytics
+    // K4 {1..4} — bridge 4–5 — K4 {5..8}; CC would merge everything
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("a", "b")
+    val got = Analytics.lpaCommunities(edges, "a", "b", iters = 10)
+      .as[(Long, Long)].collect().toMap
+    val comms = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(comms === Set(Set(1L, 2L, 3L, 4L), Set(5L, 6L, 7L, 8L)),
+      s"the bridge must NOT merge the cliques (CC would): $got")
+  }
+
+  test("lpaCommunities matches the sequential reference on a random graph") {
+    import graft.operators.Analytics
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Analytics.lpaCommunities(edges.toDF("a", "b"), "a", "b",
+      iters = 7).as[(Long, Long)].collect().toMap
+    assert(got === lpaRef(edges, 7))
   }
 
   // --- CC pointer shortcutting -------------------------------------------------
