@@ -984,6 +984,29 @@ object SparkEntry {
       EntityResolution.entityProfile(Tables.customer(s, dir),
         erMatchPairs(s, dir), "c_custkey")),
 
+    // --- entity resolution: pairwise agreement between the two candidate
+    // strategies (blocking vs sorted-neighborhood), scored with the same
+    // rule — the eval-harness shape (prediction vs gold runs identically)
+    // at O(n) cost via the contingency identity ---
+    "q_er_agreement" -> ((s, dir) => {
+      val recs = Tables.customer(s, dir)
+      val snmMatches = EntityResolution.matches(recs,
+        EntityResolution.snmCandidates(recs, "c_custkey",
+          Seq("c_name", "c_custkey"), window = 5),
+        "c_custkey", ErThreshold,
+        stringCols = Seq("c_name" -> ErWName),
+        exactCols = Seq("c_mktsegment" -> ErWSeg),
+        numericCols = Seq(("c_acctbal", ErWBal, ErBalScale)))
+      val blockEnt = EntityResolution.entities(recs,
+        erMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey")
+      val snmEnt = EntityResolution.entities(recs,
+        snmMatches.select("id_a", "id_b"), "c_custkey")
+      EntityResolution.clusterAgreement(blockEnt, snmEnt, "c_custkey")
+        .select(col("n_ids"), col("shared_pairs"), col("a_pairs"),
+          col("b_pairs"), r3(col("precision")).as("precision"),
+          r3(col("recall")).as("recall"), r3(col("f1")).as("f1"))
+    }),
+
     // --- leave-one-out target encoding of event_type against value ---
     "q_target_encode" -> ((s, dir) =>
       Analytics.targetEncode(ev(s, dir), "event_type", "value",
@@ -3212,6 +3235,100 @@ object SparkEntry {
          |       floor(pp * 1000 + 0.5) / 1000
          |FROM p2""".stripMargin
     },
+
+    "q_er_agreement" ->
+      s"""WITH RECURSIVE $ErScoreCtes, m AS (
+         |  SELECT id_a, id_b FROM scored WHERE score >= $ErThreshold
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM m
+         |  UNION SELECT id_b, id_a FROM m
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), cl AS (
+         |  SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), pe AS (
+         |  SELECT c.c_custkey, COALESCE(cl.cluster_id, c.c_custkey) AS ea
+         |  FROM customer c LEFT JOIN cl ON c.c_custkey = cl.id
+         |), rn AS (
+         |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         |         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+         |  FROM customer
+         |), sp AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |         a.c_name AS name_a, b.c_name AS name_b,
+         |         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+         |         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+         |  FROM rn a JOIN rn b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+         |), ssc AS (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN name_a IS NULL AND name_b IS NULL THEN 1.0
+         |         WHEN name_a IS NULL OR name_b IS NULL THEN 0.0
+         |         WHEN greatest(length(name_a), length(name_b)) = 0 THEN 1.0
+         |         ELSE 1.0 - CAST(levenshtein(name_a, name_b) AS DOUBLE)
+         |                    / greatest(length(name_a), length(name_b)) END
+         |      AS sim_c_name,
+         |    CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN 1.0 ELSE 0.0 END
+         |      AS eq_c_mktsegment,
+         |    CASE WHEN bal_a IS NULL AND bal_b IS NULL THEN 1.0
+         |         WHEN bal_a IS NULL OR bal_b IS NULL THEN 0.0
+         |         ELSE greatest(0.0, 1.0 - abs(bal_a - bal_b) / $ErBalScale) END
+         |      AS num_c_acctbal
+         |  FROM sp
+         |), sm AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |           (sim_c_name * $ErWName + eq_c_mktsegment * $ErWSeg
+         |            + num_c_acctbal * $ErWBal) / $ErTotW AS score
+         |    FROM ssc) WHERE score >= $ErThreshold
+         |), sedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM sm
+         |  UNION SELECT id_b, id_a FROM sm
+         |), sreach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM sreach r JOIN sedges e ON r.dst = e.src
+         |), scl AS (
+         |  SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+         |  FROM sreach GROUP BY src
+         |), se AS (
+         |  SELECT c.c_custkey, COALESCE(scl.cluster_id, c.c_custkey) AS eb
+         |  FROM customer c LEFT JOIN scl ON c.c_custkey = scl.id
+         |), ct AS (
+         |  SELECT pe.ea, se.eb, COUNT(*) AS n
+         |  FROM pe JOIN se ON pe.c_custkey = se.c_custkey GROUP BY 1, 2
+         |), tp AS (
+         |  SELECT CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT)
+         |           AS shared_pairs,
+         |         CAST(SUM(n) AS BIGINT) AS n_ids
+         |  FROM ct
+         |), apg AS (
+         |  SELECT CAST(SUM(CAST(sn * (sn - 1) / 2 AS BIGINT)) AS BIGINT)
+         |           AS a_pairs
+         |  FROM (SELECT SUM(n) AS sn FROM ct GROUP BY ea)
+         |), bpg AS (
+         |  SELECT CAST(SUM(CAST(sn * (sn - 1) / 2 AS BIGINT)) AS BIGINT)
+         |           AS b_pairs
+         |  FROM (SELECT SUM(n) AS sn FROM ct GROUP BY eb)
+         |)
+         |SELECT n_ids, shared_pairs, a_pairs, b_pairs,
+         |  floor(CASE WHEN a_pairs > 0
+         |        THEN CAST(shared_pairs AS DOUBLE) / a_pairs END
+         |        * 1000 + 0.5) / 1000 AS precision,
+         |  floor(CASE WHEN b_pairs > 0
+         |        THEN CAST(shared_pairs AS DOUBLE) / b_pairs END
+         |        * 1000 + 0.5) / 1000 AS recall,
+         |  floor(CASE WHEN a_pairs > 0 AND b_pairs > 0
+         |          AND CAST(shared_pairs AS DOUBLE) / a_pairs
+         |            + CAST(shared_pairs AS DOUBLE) / b_pairs > 0
+         |        THEN 2.0 * (CAST(shared_pairs AS DOUBLE) / a_pairs)
+         |             * (CAST(shared_pairs AS DOUBLE) / b_pairs)
+         |             / ((CAST(shared_pairs AS DOUBLE) / a_pairs)
+         |                + (CAST(shared_pairs AS DOUBLE) / b_pairs)) END
+         |        * 1000 + 0.5) / 1000 AS f1
+         |FROM tp CROSS JOIN apg CROSS JOIN bpg""".stripMargin,
 
     "q_target_encode" ->
       s"""$EvCte, gm AS (SELECT AVG(value) AS g FROM e),

@@ -247,6 +247,50 @@ object EntityResolution {
         sum("entity_size").as("n_records"))
 
   /**
+   * Pairwise CLUSTER-AGREEMENT metrics between two labelings of the
+   * same records — the ER evaluation harness (predicted entities vs a
+   * gold standard, or two candidate-generation strategies against each
+   * other), and a general clustering comparator (dedup clusters vs
+   * truth works identically). Uses the contingency identity so NO pair
+   * set is ever materialized: with n_ij = |A_i ∩ B_j|,
+   * shared pairs = Σ_ij C(n_ij, 2), A's pairs = Σ_i C(|A_i|, 2),
+   * B's = Σ_j C(|B_j|, 2); precision = shared/A, recall = shared/B
+   * (reading A as prediction and B as truth), F1 harmonic. One id-equi
+   * join + one partial-agg'd contingency groupBy + 1-row rollups —
+   * the pair-level numbers of an O(n²) comparison at O(n) cost, which
+   * is the only way to score ER output at 100 TB.
+   *
+   * Records missing from either labeling drop (inner join — evaluate
+   * on the common id set); zero-pair sides yield NULL ratios rather
+   * than a divide-by-zero.
+   */
+  def clusterAgreement(a: DataFrame, b: DataFrame, idCol: String,
+                       aLblCol: String = "entity_id",
+                       bLblCol: String = "entity_id"): DataFrame = {
+    val j = a.select(col(idCol), col(aLblCol).as("_la"))
+      .join(b.select(col(idCol), col(bLblCol).as("_lb")), idCol)
+    val cont = j.groupBy("_la", "_lb").agg(count(lit(1)).as("n"))
+    def c2(c: Column): Column = (c * (c - 1) / 2).cast("long")
+    val tp = cont.agg(sum(c2(col("n"))).as("shared_pairs"),
+      sum(col("n")).as("n_ids"))
+    val ap = cont.groupBy("_la").agg(sum("n").as("n"))
+      .agg(sum(c2(col("n"))).as("a_pairs"))
+    val bp = cont.groupBy("_lb").agg(sum("n").as("n"))
+      .agg(sum(c2(col("n"))).as("b_pairs"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(null))
+    tp.crossJoin(ap).crossJoin(bp)
+      .withColumn("precision", ratio(col("shared_pairs"), col("a_pairs")))
+      .withColumn("recall", ratio(col("shared_pairs"), col("b_pairs")))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall")))
+          .otherwise(lit(null)))
+  }
+
+  /**
    * Fellegi–Sunter EM weight ESTIMATION — the principled way to set the
    * [[scorePairs]] weights instead of guessing them: from UNLABELED
    * candidate pairs with per-field boolean agreement columns, estimate

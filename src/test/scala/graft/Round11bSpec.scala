@@ -196,6 +196,36 @@ class Round11bSpec extends SparkSpecBase {
     }
   }
 
+  // --- cluster agreement ----------------------------------------------------------
+
+  test("clusterAgreement: hand-computed contingency on a 6-record fixture") {
+    import graft.operators.EntityResolution
+    // A: {1,2,3}{4,5}{6}  B: {1,2}{3,4,5}{6}
+    val a = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L,
+      6L -> 30L).toDF("id", "entity_id")
+    val b = Seq(1L -> 100L, 2L -> 100L, 3L -> 200L, 4L -> 200L, 5L -> 200L,
+      6L -> 300L).toDF("id", "entity_id")
+    val r = EntityResolution.clusterAgreement(a, b, "id")
+      .select("n_ids", "shared_pairs", "a_pairs", "b_pairs",
+        "precision", "recall", "f1")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    // contingency: (10,100)=2 (10,200)=1 (20,200)=2 (30,300)=1
+    // shared = C(2,2)+C(2,2) = 2;  A pairs = 3+1 = 4;  B pairs = 1+3 = 4
+    assert(r._1 === 6L && r._2 === 2L && r._3 === 4L && r._4 === 4L)
+    assert(r._5 === 0.5 && r._6 === 0.5 && r._7 === 0.5)
+  }
+
+  test("clusterAgreement: all-singletons sides yield NULL ratios, not errors") {
+    import graft.operators.EntityResolution
+    val a = Seq(1L -> 1L, 2L -> 2L).toDF("id", "entity_id")
+    val r = EntityResolution.clusterAgreement(a, a, "id")
+      .select("shared_pairs", "a_pairs").as[(Long, Long)].head()
+    assert(r === ((0L, 0L)))
+    val nulls = EntityResolution.clusterAgreement(a, a, "id")
+      .select("precision", "recall", "f1").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
   // --- LPA communities -----------------------------------------------------------
 
   /** Sequential reference of the same synchronous LPA (self-vote,

@@ -121,6 +121,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_priority_sample" -> (64L << 10), // one TakeOrdered (k+1)-row merge
     "q_ppr" -> (512L << 10),          // per-round contribution shuffle,
                                       // the q_pagerank ceiling
+    "q_er_agreement" -> (128L << 10), // two match pipelines + CC label
+                                      // rounds + the contingency groupBy
     "q_decontam_semantic" -> (8L << 10), // 1.0 kB: bench broadcasts; only
                                       // per-id aggregated hits shuffle
   )
