@@ -322,6 +322,13 @@ object EntityResolution {
     require(initM > 0 && initM < 1 && initU > 0 && initU < 1 &&
       initP > 0 && initP < 1, "init parameters must lie strictly in (0,1)")
     val spark = agreements.sparkSession
+    // each EM iteration runs ONE aggregation over the agreement frame —
+    // which upstream is typically a full scorePairs over millions of
+    // candidates (levenshtein et al.). Persist the boolean projection
+    // once (F bits per pair) so the expensive scoring is paid once, not
+    // once per iteration (q_er_em at the sf1 tier: 2 scoring passes → 1).
+    val agr = graft.CacheScope.persist(
+      agreements.select(fieldCols.map(col): _*))
     var m = fieldCols.map(_ => initM)
     var u = fieldCols.map(_ => initU)
     var p = initP
@@ -336,7 +343,7 @@ object EntityResolution {
           fieldCols.flatMap(f => Seq(
             sum(when(col(f), w).otherwise(lit(0.0))).as(s"ma_$f"),
             sum(when(col(f), lit(1.0) - w).otherwise(lit(0.0))).as(s"ua_$f")))
-      val r = agreements.agg(aggs.head, aggs.tail: _*).head()
+      val r = agr.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getAs[Long]("n")
       if (n > 0) {
         val sw = r.getAs[Double]("sw")
