@@ -1049,6 +1049,18 @@ object SparkEntry {
           r3(col("prior")).as("prior"))
     }),
 
+    // --- margin-based bitext mining between two embedding corpora
+    // (mutual best under the Artetxe–Schwenk ratio margin) ---
+    "q_bitext" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.bitextMine(
+          em.filter(col("vec_id") % 19 === 1),
+          em.filter(col("vec_id") % 19 === 2),
+          "vec_id", "embedding", k = 4, threshold = 1.2)
+        .select(col("id_a"), col("id_b"), r3(col("cos")).as("cos"),
+          r3(col("margin")).as("margin"))
+    }),
+
     // --- SEMANTIC benchmark decontamination: embedding-space twin of
     // the n-gram q_contamination (catches paraphrase-level leakage) ---
     "q_decontam_semantic" -> ((s, dir) => {
@@ -3376,6 +3388,42 @@ object SparkEntry {
          |FROM w
          |WHERE nt = 8 AND nl = 8
          |  AND abs(lead_mean - trail_mean) >= 60.0""".stripMargin,
+
+    "q_bitext" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |a AS (SELECT vec_id AS ia, v AS va FROM v WHERE vec_id % 19 = 1),
+         |b AS (SELECT vec_id AS ib, v AS vb FROM v WHERE vec_id % 19 = 2),
+         |pp AS (
+         |  SELECT ia, ib, ${cosSql("va", "vb")} AS c
+         |  FROM a CROSS JOIN b
+         |  WHERE ${cosSql("va", "vb")} IS NOT NULL
+         |), ta AS (
+         |  SELECT ia,
+         |         list_reduce(list_sort(list(c), 'DESC'), (x, y) -> x + y) AS sa,
+         |         COUNT(*) AS ka
+         |  FROM (SELECT ia, c, ROW_NUMBER() OVER (
+         |          PARTITION BY ia ORDER BY c DESC, ib) AS rk FROM pp)
+         |  WHERE rk <= 4 GROUP BY ia
+         |), tb AS (
+         |  SELECT ib,
+         |         list_reduce(list_sort(list(c), 'DESC'), (x, y) -> x + y) AS sb,
+         |         COUNT(*) AS kb
+         |  FROM (SELECT ib, c, ROW_NUMBER() OVER (
+         |          PARTITION BY ib ORDER BY c DESC, ia) AS rk FROM pp)
+         |  WHERE rk <= 4 GROUP BY ib
+         |), sc AS (
+         |  SELECT ia, ib, c,
+         |         c / (sa / (2.0 * ka) + sb / (2.0 * kb)) AS m
+         |  FROM pp JOIN ta USING (ia) JOIN tb USING (ib)
+         |), rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY ia ORDER BY m DESC, ib) AS rka,
+         |    ROW_NUMBER() OVER (PARTITION BY ib ORDER BY m DESC, ia) AS rkb
+         |  FROM sc)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       floor(c * 1000 + 0.5) / 1000 AS cos,
+         |       floor(m * 1000 + 0.5) / 1000 AS margin
+         |FROM rk WHERE rka = 1 AND rkb = 1 AND m >= 1.2""".stripMargin,
 
     "q_decontam_semantic" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

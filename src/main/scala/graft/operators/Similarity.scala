@@ -112,6 +112,69 @@ object Similarity {
   }
 
   /**
+   * Margin-based BITEXT MINING (Artetxe–Schwenk 2019): mine aligned
+   * pairs between two embedding corpora — the parallel-corpus miner
+   * behind every large-scale translation dataset (CCMatrix/LASER
+   * lineage), and equally the cross-SOURCE alignment primitive (same
+   * story in two feeds, caption↔image-description, …). Raw cosine
+   * over-selects hubs (vectors close to everything); the RATIO MARGIN
+   * normalizes each pair's cosine by the mean of both endpoints'
+   * k-NN neighborhoods:
+   *
+   *   margin(x, y) = cos(x, y) / ( Σ_{z∈NNk(x)} cos/2k + Σ_{z∈NNk(y)} cos/2k )
+   *
+   * and a pair is mined when it is the MUTUAL best (x's argmax is y
+   * AND y's argmax is x — forward-backward intersection) with margin ≥
+   * `threshold`.
+   *
+   * Determinism/parity: neighborhood sums fold over the DESC-sorted
+   * top-k cosine list (strict order — an external engine replays the
+   * same fold), argmax ties break to the smaller opposite id, zero-norm
+   * vectors cosine to NULL and drop. This implementation scores the
+   * full a × broadcast(b) pair grid — right when the mined sides are
+   * selections (eval slices, one domain vs another); at corpus × corpus
+   * scale generate the pair candidates with the IVFADC shortlist
+   * ([[ivfPqTopK]]) instead and feed the same margin/mutual machinery.
+   */
+  def bitextMine(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                 k: Int = 4, threshold: Double = 1.2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def side(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"_v$id"))
+        .withColumn(s"_n$id", sqrt(dot(col(s"_v$id"), col(s"_v$id"))))
+    val pairs = graft.CacheScope.persist(
+      side(a, "id_a").crossJoin(broadcast(side(b, "id_b")))
+        .withColumn("cos", cosOver(dot(col("_vid_a"), col("_vid_b")),
+          col("_nid_a") * col("_nid_b")))
+        .filter(col("cos").isNotNull)
+        .select("id_a", "id_b", "cos"))
+    def nnSums(keyCol: String, otherCol: String, sumName: String,
+               kName: String) = {
+      val w = Window.partitionBy(keyCol).orderBy(desc("cos"), col(otherCol))
+      pairs.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+        .groupBy(keyCol)
+        .agg(sort_array(collect_list(col("cos")), asc = false).as("_cs"))
+        .select(col(keyCol),
+          aggregate(col("_cs"), lit(0.0), (acc, x) => acc + x).as(sumName),
+          size(col("_cs")).as(kName))
+    }
+    val scored = pairs
+      .join(nnSums("id_a", "id_b", "sumA", "kA"), "id_a")
+      .join(nnSums("id_b", "id_a", "sumB", "kB"), "id_b")
+      .withColumn("margin", col("cos") /
+        (col("sumA") / (lit(2.0) * col("kA"))
+          + col("sumB") / (lit(2.0) * col("kB"))))
+    val wA = Window.partitionBy("id_a").orderBy(desc("margin"), col("id_b"))
+    val wB = Window.partitionBy("id_b").orderBy(desc("margin"), col("id_a"))
+    scored
+      .withColumn("_rka", row_number().over(wA))
+      .withColumn("_rkb", row_number().over(wB))
+      .filter(col("_rka") === 1 && col("_rkb") === 1 &&
+        col("margin") >= threshold)
+      .select("id_a", "id_b", "cos", "margin")
+  }
+
+  /**
    * Scalar int8 quantization of an embedding column: global [lo, hi]
    * over all dimensions (one agg, broadcast), 255 levels, midpoint
    * dequantization. 4× less memory and shuffle than float32 — the

@@ -196,6 +196,45 @@ class Round11bSpec extends SparkSpecBase {
     }
   }
 
+  // --- bitext mining --------------------------------------------------------------
+
+  test("bitextMine: planted translation pair wins; hub vector is margin-punished") {
+    import graft.operators.Similarity
+    // a1/b1 are a planted aligned pair; b9 is a HUB (high cosine to
+    // everything on the a side) that raw-cosine mining would pick twice,
+    // but the margin normalizes its inflated neighborhood away
+    val aSide = Seq(
+      (1L, Array(1.0f, 0.05f, 0.62f)),
+      (2L, Array(0.0f, 1.0f, 0.55f)),
+      (3L, Array(0.3f, -0.9f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val bSide = Seq(
+      (101L, Array(0.98f, 0.1f, 0.6f)),   // ≈ a1
+      (102L, Array(0.05f, 0.97f, 0.58f)), // ≈ a2
+      (109L, Array(0.5f, 0.5f, 0.7f))     // the hub
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(aSide, bSide, "vec_id", "embedding",
+      k = 2, threshold = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 101L)) && got.contains((2L, 102L)),
+      s"planted pairs must be mined: $got")
+    assert(!got.exists(_._2 == 109L),
+      s"the hub must not be mined as anyone's pair: $got")
+    // mutual-best means each side appears at most once
+    assert(got.map(_._1).size === got.size && got.map(_._2).size === got.size)
+  }
+
+  test("bitextMine: zero-norm vectors drop instead of poisoning cosines") {
+    import graft.operators.Similarity
+    val aSide = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val bSide = Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(aSide, bSide, "vec_id", "embedding",
+      k = 2, threshold = 0.0)
+      .select("id_a").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
   // --- cluster agreement ----------------------------------------------------------
 
   test("clusterAgreement: hand-computed contingency on a 6-record fixture") {

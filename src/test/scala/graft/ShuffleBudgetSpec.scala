@@ -123,6 +123,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // the q_pagerank ceiling
     "q_er_agreement" -> (128L << 10), // two match pipelines + CC label
                                       // rounds + the contingency groupBy
+    "q_bitext" -> (64L << 10),        // b broadcasts; only per-source
+                                      // windows over the slim pair rows
     "q_decontam_semantic" -> (8L << 10), // 1.0 kB: bench broadcasts; only
                                       // per-id aggregated hits shuffle
   )
