@@ -1049,6 +1049,13 @@ object SparkEntry {
           r3(col("prior")).as("prior"))
     }),
 
+    // --- k-center greedy coreset: 5 diverse picks over the embedding
+    // corpus (farthest-point selection; dist2 = coverage radius) ---
+    "q_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 5)
+        .select(col("round"), col("vec_id"), r3(col("dist2")).as("dist2"))),
+
     // --- margin-based bitext mining between two embedding corpora
     // (mutual best under the Artetxe–Schwenk ratio margin) ---
     "q_bitext" -> ((s, dir) => {
@@ -3389,6 +3396,8 @@ object SparkEntry {
          |WHERE nt = 8 AND nl = 8
          |  AND abs(lead_mean - trail_mean) >= 60.0""".stripMargin,
 
+    "q_kcenter" -> kCenterSql(k = 5),
+
     "q_bitext" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |a AS (SELECT vec_id AS ia, v AS va FROM v WHERE vec_id % 19 = 1),
@@ -4835,6 +4844,40 @@ object SparkEntry {
    * arithmetic. Integer edge weights make the per-src normalizing sums
    * EXACT in double, and the per-dst mass sums are ≤|nodes| terms, so
    * 10 iterations stay bit-stable far below the 1e-6 round. */
+  /** k-center greedy oracle: seed = md5-min id, then k−1 rounds of
+   * farthest-point selection — round r's min distance is LEAST over the
+   * r−1 picked vectors of the SAME (v2 − 2·v·c + c2) left-fold form the
+   * Spark side runs on the DotProduct kernel; argmax ties to vec_id. */
+  private def kCenterSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val dists = (1 until r).map { j =>
+        s"(p.v2 - 2.0 * ${dotSql("p.v", s"s$j.v")} " +
+          s"+ ${dotSql(s"s$j.v", s"s$j.v")})"
+      }.mkString(", ")
+      val joins = (1 until r).map(j => s"CROSS JOIN s$j").mkString(" ")
+      s"""d$r AS (
+         |  SELECT p.vec_id, p.v, LEAST($dists) AS mind
+         |  FROM pool p $joins
+         |), s$r AS (
+         |  SELECT vec_id, v, mind FROM d$r
+         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val outs = (2 to k).map(r =>
+      s"""UNION ALL SELECT $r AS round, vec_id,
+         |floor(mind * 1000 + 0.5) / 1000 AS dist2 FROM s$r"""
+        .stripMargin.replace("\n", " ")).mkString("\n")
+    s"""WITH pool AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS v2
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |), s1 AS (
+       |  SELECT vec_id, v FROM pool
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+       |),
+       |$rounds
+       |SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM s1
+       |$outs""".stripMargin
+  }
+
   /** Personalized-PageRank oracle: the [[pagerankSql]] chain with the
    * uniform teleport replaced by the seed vector t (1/|S∩V| on seeds,
    * 0 elsewhere); r0 = t, each step pr = (1−d)·t + d·(in + dangling·t).

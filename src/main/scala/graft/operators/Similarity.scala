@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /**
  * Embedding similarity: exact cosine near-duplicate join, brute-force
@@ -109,6 +110,84 @@ object Similarity {
       .groupBy(idCol).agg(
         count(lit(1)).as("n_bench_hits"),
         max(col("_cos")).as("max_cos"))
+  }
+
+  /**
+   * K-CENTER GREEDY coreset selection (Gonzalez '85; Sener–Savarese '18
+   * as the active-learning coreset): pick k points such that every
+   * point is close to some pick — the DIVERSE-subset selector for
+   * labeling budgets, finetuning subsets and eval-slice construction
+   * (a random sample over-draws dense regions; k-center covers the
+   * space, with a 2-approximation guarantee for the k-center
+   * objective). Greedy: seed = the md5-min id (the kmeans init
+   * contract), then k−1 rounds of "farthest point from the current
+   * picks" under squared euclidean d = v·v − 2·v·c + c·c (every term
+   * on the codegen DotProduct kernel).
+   *
+   * Each round is ONE broadcast of the ≤k picked vectors + a partial-
+   * agg'd min + a TakeOrdered(1) argmax — k driver rows total (the
+   * model-artifact collect discipline); ties break to the smaller id,
+   * so selection is a pure function of the data and an external engine
+   * replays it round for round. Output: one row per pick —
+   * `(round, id, dist2)` where `dist2` is the squared distance to the
+   * previously-picked set at selection time (NULL for the seed; these
+   * are the coverage radii, monotonically non-increasing — read them
+   * to choose k).
+   */
+  def kCenterSelect(em: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = em.sparkSession
+    val base = graft.CacheScope.persist(
+      em.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("v2", dot(col("v"), col("v"))))
+    val seed = base.withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h", "id").limit(1).select("id", "v").collect()
+    require(seed.nonEmpty, "kCenterSelect needs a non-empty input")
+    var picked = Vector((seed(0).getAs[Any]("id"),
+      seed(0).getAs[scala.collection.Seq[Double]]("v").toVector, null.asInstanceOf[java.lang.Double]))
+    while (picked.size < k) {
+      // centers ride as LITERAL arrays (≤ k·dim doubles — the JL
+      // sign-matrix precedent): the round is then pure map-side codegen
+      // (one distance expression per center, `least` chain for the min)
+      // + a TakeOrdered(1) — NO shuffle of the corpus, ever. c² is the
+      // same seeded left fold the DotProduct kernel runs, computed once
+      // driver-side.
+      val dists = picked.map { case (_, c, _) =>
+        val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        col("v2") - lit(2.0) * dot(col("v"), typedLit(c)) + lit(c2)
+      }
+      val next = base
+        .withColumn("mind", dists.reduce(least(_, _)))
+        .orderBy(desc("mind"), col("id")).limit(1)
+        .select("id", "v", "mind").collect()
+      if (next.isEmpty) return toFrame(spark, em, idCol, picked) // empty pool
+      val r = next(0)
+      // coverage radius hit zero: every remaining point coincides with a
+      // center (k ≥ distinct points, or exact duplicates) — further picks
+      // add no coverage, so stop instead of emitting repeats
+      if (r.getAs[Double]("mind") <= 0.0)
+        return toFrame(spark, em, idCol, picked)
+      picked :+= ((r.getAs[Any]("id"), r.getAs[scala.collection.Seq[Double]]("v").toVector,
+        java.lang.Double.valueOf(r.getAs[Double]("mind"))))
+    }
+    toFrame(spark, em, idCol, picked)
+  }
+
+  private def toFrame(spark: SparkSession, em: DataFrame, idCol: String,
+                      picked: Vector[(Any, Seq[Double], java.lang.Double)])
+      : DataFrame = {
+    val idType = em.schema(idCol).dataType
+    val rows = picked.zipWithIndex.map { case ((id, _, d), i) =>
+      org.apache.spark.sql.Row(i + 1, id, d)
+    }
+    spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("dist2",
+          org.apache.spark.sql.types.DoubleType))))
   }
 
   /**

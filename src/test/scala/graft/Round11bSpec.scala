@@ -196,6 +196,43 @@ class Round11bSpec extends SparkSpecBase {
     }
   }
 
+  // --- k-center coreset -----------------------------------------------------------
+
+  test("kCenterSelect: farthest-point picks cover the planted clusters") {
+    import graft.operators.Similarity
+    // three tight clusters far apart; k=3 must pick one point from EACH
+    // (a random draw of 3 from these 9 misses a cluster ~30% of the time)
+    def pt(cx: Double, cy: Double, j: Int) =
+      Array((cx + j * 0.01).toFloat, (cy + j * 0.01).toFloat)
+    val em = (
+      (0 until 3).map(j => (10L + j, pt(0, 0, j))) ++
+      (0 until 3).map(j => (20L + j, pt(100, 0, j))) ++
+      (0 until 3).map(j => (30L + j, pt(0, 100, j)))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(em, "vec_id", "embedding", k = 3)
+      .select("round", "vec_id", "dist2")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.length === 3)
+    assert(got.map(_._2 / 10).toSet === Set(1L, 2L, 3L),
+      s"one pick per planted cluster: ${got.toSeq}")
+    assert(got.head._3.isEmpty, "the seed has no distance")
+    // coverage radii never increase
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("kCenterSelect: k past n returns every point once") {
+    import graft.operators.Similarity
+    val em = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(em, "vec_id", "embedding", k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    // greedy keeps picking the farthest point; once every point is a
+    // center the max min-distance is 0 and re-picks add nothing new
+    assert(got === Set(1L, 2L) || got.size <= 5)
+    assert(got.contains(1L) && got.contains(2L))
+  }
+
   // --- bitext mining --------------------------------------------------------------
 
   test("bitextMine: planted translation pair wins; hub vector is margin-punished") {

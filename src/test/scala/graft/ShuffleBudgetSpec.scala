@@ -125,6 +125,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // rounds + the contingency groupBy
     "q_bitext" -> (64L << 10),        // b broadcasts; only per-source
                                       // windows over the slim pair rows
+    "q_kcenter" -> (64L << 10),       // k rounds of broadcast + 1-row
+                                      // TakeOrdered; base never re-shuffles
     "q_decontam_semantic" -> (8L << 10), // 1.0 kB: bench broadcasts; only
                                       // per-id aggregated hits shuffle
   )
