@@ -1856,7 +1856,83 @@ object SparkEntry {
       Analytics.autocorr(ev(s, dir), Seq("user_id"), "ts_sec", "value",
           lagK = 1, tieBreak = Seq("event_id"))
         .select(col("user_id"), r3(col("autocorr")).as("autocorr"),
-          col("n_pairs")))
+          col("n_pairs"))),
+
+    // --- Kaplan–Meier retention: per-user lifetime in days (first→last
+    // event), censored when the user is still active inside the final
+    // 7 days of the stream; cohort = the user's first event type ---
+    "q_survival" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val life = e.groupBy("user_id").agg(
+        floor((max(col("ts_sec")) - min(col("ts_sec"))) / 86400.0)
+          .cast("long").as("duration"),
+        max(col("ts_sec")).as("_last"),
+        min_by(col("event_type"),
+          struct(col("ts_sec"), col("event_id"))).as("cohort"))
+      val hz = e.agg(max(col("ts_sec")).as("_hz"))
+      val obs = life.crossJoin(broadcast(hz))
+        .withColumn("event", col("_last") < col("_hz") - 604800L)
+      Analytics.kaplanMeier(obs, Seq("cohort"), "duration", "event")
+        .select(col("cohort"), col("t"), col("n_risk"), col("n_event"),
+          col("n_censor"), r3(col("survival")).as("survival"))
+    }),
+
+    // --- Spearman rank-correlation matrix over the discrete lineitem
+    // metrics (bounded value cardinality — the fractionalRank contract) ---
+    "q_spearman" -> ((s, dir) =>
+      Analytics.spearmanMatrix(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_discount", "l_tax"))
+        .select(col("col_x"), col("col_y"), r3(col("rho")).as("rho"))),
+
+    // --- categorical association screen: segment × nation (MI, chi2,
+    // Cramér's V in one pass) ---
+    "q_assoc" -> ((s, dir) =>
+      Analytics.association(Tables.customer(s, dir),
+          "c_mktsegment", "c_nationkey")
+        .select(col("n_total"), r3(col("mi")).as("mi"),
+          r3(col("chi2")).as("chi2"),
+          r3(col("cramers_v")).as("cramers_v"))),
+
+    // --- per-event-type Gini of user activity (is traffic dominated
+    // by a few heavy users?) ---
+    "q_gini" -> ((s, dir) => {
+      val act = ev(s, dir).groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_ev"))
+      Analytics.gini(act, Seq("event_type"), "n_ev", Seq("user_id"))
+        .select(col("event_type"), col("n"), r3(col("gini")).as("gini"))
+    }),
+
+    // --- Clauset MLE power-law exponent of the user-activity tail ---
+    "q_powerlaw" -> ((s, dir) => {
+      val degs = ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("deg"))
+      Analytics.powerlawAlpha(degs, "deg", xmin = 5L)
+        .select(col("n"), col("xmin"), r3(col("alpha")).as("alpha"),
+          r3(col("alpha_se")).as("alpha_se"))
+    }),
+
+    // --- local clustering coefficient per node on the q_triangles
+    // synthetic graph (degree-ordered wedge plan, per-node resolution) ---
+    "q_clustering_coef" -> ((s, dir) =>
+      Analytics.clusteringCoefficient(
+          ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+            pmod(col("user_id") * 31 + 7, lit(97)).as("b")), "a", "b")
+        .select(col("node"), col("degree"), col("n_tri"),
+          r3(col("coef")).as("coef"))),
+
+    // --- Benford first-digit conformance of order totals per priority ---
+    "q_benford" -> ((s, dir) =>
+      Quality.benford(Tables.orders(s, dir), Seq("o_orderpriority"),
+          "o_totalprice")
+        .select(col("o_orderpriority"), col("n"), r3(col("chi2")).as("chi2"),
+          r3(col("mad")).as("mad"))),
+
+    // --- k-anonymity / l-diversity risk profile over the customer
+    // quasi-identifiers (nation × segment), acctbal as the sensitive
+    // attribute ---
+    "q_kanon" -> ((s, dir) =>
+      Quality.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 5,
+        sensitiveCol = Some("c_acctbal"), l = 3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4732,7 +4808,192 @@ object SparkEntry {
          |)
          |SELECT user_id, floor(corr(value, lagv)*1000 + 0.5)/1000 AS autocorr,
          |       COUNT(lagv) AS n_pairs
-         |FROM l GROUP BY 1""".stripMargin
+         |FROM l GROUP BY 1""".stripMargin,
+
+    "q_survival" ->
+      s"""$EvCte, hz AS (SELECT MAX(ts_sec) AS h FROM e),
+         |life AS (
+         |  SELECT user_id,
+         |         CAST(floor((MAX(ts_sec) - MIN(ts_sec)) / 86400.0) AS BIGINT)
+         |           AS duration,
+         |         MAX(ts_sec) AS last_ts,
+         |         first(event_type ORDER BY ts_sec, event_id) AS cohort
+         |  FROM e GROUP BY user_id
+         |), obs AS (
+         |  SELECT cohort, duration AS t,
+         |         CASE WHEN last_ts < h - 604800 THEN 1 ELSE 0 END AS ev
+         |  FROM life CROSS JOIN hz
+         |), byt AS (
+         |  SELECT cohort, t, SUM(ev) AS d, COUNT(*) AS m FROM obs GROUP BY 1, 2
+         |), w AS (
+         |  SELECT cohort, t, d, m,
+         |         SUM(m) OVER (PARTITION BY cohort ORDER BY t
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+         |  FROM byt
+         |), f AS (
+         |  SELECT *, CAST(n_risk - d AS DOUBLE) / n_risk AS fac FROM w
+         |), s AS (
+         |  SELECT *,
+         |         MAX(CASE WHEN fac = 0 THEN 1 ELSE 0 END) OVER cw AS hit0,
+         |         SUM(CASE WHEN fac > 0 THEN ln(fac) END) OVER cw AS sl
+         |  FROM f WINDOW cw AS (PARTITION BY cohort ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk,
+         |       CAST(d AS BIGINT) AS n_event,
+         |       CAST(m - d AS BIGINT) AS n_censor,
+         |       CASE WHEN hit0 = 1 THEN 0.0
+         |            ELSE floor(exp(sl)*1000 + 0.5)/1000 END AS survival
+         |FROM s""".stripMargin,
+
+    "q_spearman" -> {
+      val cols = Seq("l_quantity", "l_discount", "l_tax")
+      val rks = cols.map(c =>
+        s"""rank() OVER (ORDER BY $c)
+           |           + (COUNT(*) OVER (PARTITION BY $c) - 1) / 2.0 AS rk_$c"""
+          .stripMargin)
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val branches = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |       floor(corr(rk_$a, rk_$b)*1000 + 0.5)/1000 AS rho FROM r"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH r AS (
+         |  SELECT ${rks.mkString(",\n         ")}
+         |  FROM lineitem
+         |  WHERE ${cols.map(_ + " IS NOT NULL").mkString(" AND ")}
+         |)
+         |$branches""".stripMargin
+    },
+
+    "q_assoc" ->
+      """WITH obs AS (
+        |  SELECT c_mktsegment AS a, c_nationkey AS b, COUNT(*) AS n_ab
+        |  FROM customer GROUP BY 1, 2
+        |), ma AS (SELECT a, SUM(n_ab) AS n_a FROM obs GROUP BY 1),
+        |mb AS (SELECT b, SUM(n_ab) AS n_b FROM obs GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS n FROM obs),
+        |cells AS (
+        |  SELECT ma.a, mb.b,
+        |         coalesce(CAST(obs.n_ab AS DOUBLE), 0) AS o,
+        |         CAST(ma.n_a AS DOUBLE) * mb.n_b / t.n AS ex,
+        |         CAST(ma.n_a AS DOUBLE) AS n_a, CAST(mb.n_b AS DOUBLE) AS n_b,
+        |         t.n
+        |  FROM ma CROSS JOIN mb
+        |  LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b
+        |  CROSS JOIN t
+        |)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+        |       floor(SUM(CASE WHEN o > 0
+        |               THEN (o/n) * ln(o*n/(n_a*n_b)) ELSE 0 END)
+        |             *1000 + 0.5)/1000 AS mi,
+        |       floor(SUM((o-ex)*(o-ex)/ex)*1000 + 0.5)/1000 AS chi2,
+        |       CASE WHEN LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) <= 1
+        |            THEN NULL
+        |            ELSE floor(sqrt(SUM((o-ex)*(o-ex)/ex)
+        |                   / (MAX(n) * (LEAST(COUNT(DISTINCT a),
+        |                                      COUNT(DISTINCT b)) - 1)))
+        |                 *1000 + 0.5)/1000 END AS cramers_v
+        |FROM cells""".stripMargin,
+
+    "q_gini" ->
+      s"""$EvCte, act AS (
+         |  SELECT event_type, user_id, COUNT(*) AS n_ev FROM e GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT event_type, n_ev,
+         |         ROW_NUMBER() OVER (PARTITION BY event_type
+         |           ORDER BY n_ev, user_id) AS i
+         |  FROM act
+         |)
+         |SELECT event_type, COUNT(*) AS n,
+         |       floor((2.0*SUM(i*n_ev) - (COUNT(*)+1)*SUM(n_ev))
+         |             / (COUNT(*)*SUM(n_ev)) *1000 + 0.5)/1000 AS gini
+         |FROM rk GROUP BY 1""".stripMargin,
+
+    "q_powerlaw" ->
+      s"""$EvCte, d AS (SELECT user_id, COUNT(*) AS deg FROM e GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n, SUM(ln(deg / 4.5)) AS sl
+         |      FROM d WHERE deg >= 5)
+         |SELECT n, CAST(5 AS BIGINT) AS xmin,
+         |       CASE WHEN n = 0 OR sl <= 0 THEN NULL
+         |            ELSE floor((1.0 + n/sl)*1000 + 0.5)/1000 END AS alpha,
+         |       CASE WHEN n = 0 OR sl <= 0 THEN NULL
+         |            ELSE floor((n/sl)/sqrt(n)*1000 + 0.5)/1000 END AS alpha_se
+         |FROM t""".stripMargin,
+
+    "q_clustering_coef" ->
+      s"""$EvCte, ed AS (
+         |  SELECT DISTINCT least(user_id % 97, (user_id * 31 + 7) % 97) AS u,
+         |         greatest(user_id % 97, (user_id * 31 + 7) % 97) AS v
+         |  FROM e
+         |  WHERE user_id % 97 <> (user_id * 31 + 7) % 97
+         |), tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+         |), tn AS (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |), tc AS (SELECT node, COUNT(*) AS n_tri FROM tn GROUP BY 1),
+         |dg AS (
+         |  SELECT n AS node, COUNT(*) AS degree
+         |  FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed)
+         |  GROUP BY 1
+         |)
+         |SELECT dg.node, dg.degree,
+         |       coalesce(tc.n_tri, 0) AS n_tri,
+         |       CASE WHEN dg.degree >= 2
+         |            THEN floor(coalesce(tc.n_tri, 0)*2.0
+         |                   / (dg.degree*(dg.degree-1)) *1000 + 0.5)/1000
+         |       END AS coef
+         |FROM dg LEFT JOIN tc ON tc.node = dg.node""".stripMargin,
+
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS x
+        |  FROM orders WHERE o_totalprice > 0
+        |), dd AS (
+        |  SELECT g, CASE WHEN floor(x / pow(10, floor(log10(x)))) = 10 THEN 1
+        |            ELSE CAST(floor(x / pow(10, floor(log10(x)))) AS INT)
+        |            END AS d
+        |  FROM v
+        |), cnt AS (SELECT g, d, COUNT(*) AS nd FROM dd GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(nd) AS n FROM cnt GROUP BY 1),
+        |digits AS (SELECT UNNEST(range(1, 10)) AS d),
+        |cells AS (
+        |  SELECT tot.g, digits.d, tot.n,
+        |         coalesce(CAST(cnt.nd AS DOUBLE), 0) AS o,
+        |         log10(1.0 + 1.0/digits.d) * tot.n AS e,
+        |         log10(1.0 + 1.0/digits.d) AS ed
+        |  FROM tot CROSS JOIN digits
+        |  LEFT JOIN cnt ON cnt.g = tot.g AND cnt.d = digits.d
+        |)
+        |SELECT g AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |       floor(SUM((o-e)*(o-e)/e)*1000 + 0.5)/1000 AS chi2,
+        |       floor(SUM(abs(o/n - ed))/9.0*1000 + 0.5)/1000 AS mad
+        |FROM cells GROUP BY 1""".stripMargin,
+
+    "q_kanon" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+        |         COUNT(DISTINCT c_acctbal) AS ls
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT 5 AS k,
+        |       CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |       COUNT(*) AS n_classes,
+        |       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS risky_classes,
+        |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |         AS risky_rows,
+        |       MIN(sz) AS min_class_size,
+        |       CAST(SUM(CASE WHEN ls < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS low_diversity_classes
+        |FROM cls""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

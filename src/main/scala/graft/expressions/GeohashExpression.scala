@@ -37,13 +37,16 @@ case class GeohashExpression(left: Expression, right: Expression, precision: Int
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = GeohashExpression.getClass.getName.stripSuffix("$")
+    // freshName: a fixed local would collide when two geohash calls fuse
+    // into one codegen function (same failure mode as DotProduct's dotr)
+    val gh = ctx.freshName("gh")
     nullSafeCodeGen(ctx, ev, (lat, lon) => {
       s"""
-         |String gh = $cls.encode($lat, $lon, $precision);
-         |if (gh == null) {
+         |String $gh = $cls.encode($lat, $lon, $precision);
+         |if ($gh == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = UTF8String.fromString(gh);
+         |  ${ev.value} = UTF8String.fromString($gh);
          |}
        """.stripMargin
     })

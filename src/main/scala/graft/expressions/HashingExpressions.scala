@@ -266,13 +266,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DotProduct.getClass.getName.stripSuffix("$")
+    // freshName: two DotProducts fused into one codegen function (e.g. the
+    // k-center distance form v·v − 2·v·c + c·c) would otherwise redefine
+    // the local and throw the whole stage back to interpreted mode
+    val dotr = ctx.freshName("dotr")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |java.lang.Double dotr = $cls.compute($a, $b);
-         |if (dotr == null) {
+         |java.lang.Double $dotr = $cls.compute($a, $b);
+         |if ($dotr == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dotr.doubleValue();
+         |  ${ev.value} = $dotr.doubleValue();
          |}
        """.stripMargin)
   }

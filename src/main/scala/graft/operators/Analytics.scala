@@ -1068,4 +1068,266 @@ object Analytics {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /**
+   * Kaplan–Meier survival estimator per cohort — "how long do users
+   * stay / sessions last / voyages run", answered honestly under RIGHT
+   * CENSORING (an entity still active when the observation window
+   * closes tells you its lifetime EXCEEDS the observed duration; a naive
+   * mean-of-durations silently treats it as dead and biases every
+   * retention number low). At each distinct observed duration t:
+   * at-risk n_t = entities with duration ≥ t, events d_t = observed
+   * (uncensored) endings at t, and S(t) = Π_{u ≤ t} (1 − d_u/n_u) — the
+   * product-limit estimator.
+   *
+   * Scale shape: one partial-agg'd groupBy onto (cohort, DISTINCT
+   * duration) — the windows that accumulate at-risk counts and the
+   * product run over distinct-duration rows PARTITIONED BY the cohort,
+   * so window state is bounded by duration cardinality per cohort,
+   * never entity count. The product is exp(Σ ln factor) with an
+   * explicit zero-factor flag (the final duration where d = n sends
+   * S to exactly 0; ln(0) is null in Spark but −inf in IEEE engines —
+   * the flag makes both emit exact 0.0). `eventCol` is boolean: true =
+   * the ending was OBSERVED, false = censored. Censor-only durations
+   * still emit a row (factor 1 — the at-risk set shrinks, S holds).
+   * `cohortCols` must be non-empty (lit-tag a single cohort) — a global
+   * KM would plan an unpartitioned window.
+   */
+  def kaplanMeier(df: DataFrame, cohortCols: Seq[String],
+                  durationCol: String, eventCol: String): DataFrame = {
+    require(cohortCols.nonEmpty, "kaplanMeier needs cohort keys (lit-tag one)")
+    val cks = cohortCols.map(col)
+    val byT = df
+      .filter(col(durationCol).isNotNull)
+      .groupBy(cks :+ col(durationCol).as("t"): _*)
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("m"))
+    val wAll = Window.partitionBy(cks: _*)
+    val wAsc = wAll.orderBy(col("t"))
+    // at-risk at t = everyone whose duration is >= t: reverse cum sum
+    val nAt = sum(col("m")).over(
+      wAsc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val cum = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", nAt)
+      .withColumn("_f",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      .withColumn("_hit0", max(when(col("_f") === 0.0, 1).otherwise(0)).over(cum))
+      .withColumn("survival",
+        when(col("_hit0") === 1, lit(0.0))
+          .otherwise(exp(sum(log(col("_f"))).over(cum))))
+      .select(cks ++ Seq(col("t"), col("n_risk"), col("d").as("n_event"),
+        (col("m") - col("d")).as("n_censor"), col("survival")): _*)
+  }
+
+  /**
+   * Tie-averaged (fractional) ranks of one numeric column — the rank
+   * transform behind Spearman correlation and rank-based tests, built
+   * for scale: NEVER a global `rank().over(Window.orderBy(v))` (a
+   * single-task funnel over the corpus). Instead one partial-agg'd
+   * groupBy onto DISTINCT values, a cumulative window over the
+   * distinct-value rows (state bounded by value cardinality — the
+   * groupedAuc discipline), and an equi-join back on the value. The
+   * average rank of a tie group of size n starting after c earlier rows
+   * is c + (n+1)/2 — exact half-integer floating arithmetic, order-
+   * independent, engine-reproducible. Null values get null ranks.
+   *
+   * Contract (the groupedAuc / ksTest discipline): pass DISCRETE or
+   * parity-ROUNDED values — the cumulative window runs unpartitioned
+   * over the distinct-value frame, so its size must be value
+   * cardinality, not corpus size. A raw continuous double column
+   * (every value distinct) would rebuild the global-row funnel this
+   * operator exists to avoid; round it first.
+   */
+  def fractionalRank(df: DataFrame, valueCol: String,
+                     outCol: String): DataFrame = {
+    val dv = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("_n"))
+    val wc = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the window runs over DISTINCT-value rows only — bounded state; the
+    // "no partition" plan here is |distinct values| rows, not the corpus
+    val ranked = dv.withColumn("_c", coalesce(sum(col("_n")).over(wc), lit(0L)))
+      .select(col(valueCol),
+        (col("_c") + (col("_n") + 1) / lit(2.0)).as(outCol))
+    df.join(ranked, Seq(valueCol), "left")
+  }
+
+  /**
+   * Spearman rank-correlation matrix over numeric columns — the
+   * monotonic-association screen that survives outliers and nonlinear
+   * scales where Pearson lies (a single 10⁹ outlier pins Pearson to ~1;
+   * ranks cap its leverage at n). Defined over COMPLETE rows (listwise:
+   * a row with any null drops — the pairwise-complete variant would
+   * rank each pair against a different subset and the matrix stops
+   * being a correlation matrix), then Spearman ρ = Pearson over
+   * tie-averaged ranks, all pairs in ONE aggregation pass via the
+   * corrMatrix machinery. Rank assignment per column is the
+   * [[fractionalRank]] distinct-value join — |cols| bounded-state
+   * windows + equi-joins, never a global row funnel.
+   */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs at least two columns")
+    val complete = df.select(cols.map(col): _*)
+      .na.drop("any", cols)
+    val ranked = cols.foldLeft(complete) { (acc, c) =>
+      fractionalRank(acc, c, s"__rk_$c")
+    }
+    corrMatrix(ranked, cols.map(c => s"__rk_$c"))
+      .select(
+        expr(s"substring(col_x, ${"__rk_".length + 1})").as("col_x"),
+        expr(s"substring(col_y, ${"__rk_".length + 1})").as("col_y"),
+        col("r").as("rho"))
+  }
+
+  /**
+   * Categorical-association screen between two columns: mutual
+   * information, chi-square, and Cramér's V in one pass — the "is this
+   * metadata column informative about that one" question asked before a
+   * stratification or leakage decision (MI in nats answers "how much";
+   * V ∈ [0,1] answers "how strongly, normalized for table size" —
+   * comparable ACROSS column pairs where raw χ² is not). Contingency
+   * counts via one partial-agg'd groupBy; marginals and N are
+   * margin-sized rollups broadcast back; zero-observed cells contribute
+   * their expected mass to χ² (margins cross-join) but nothing to MI
+   * (0·ln 0 = 0 by continuity). V's denominator min(r,c)−1 guards to
+   * null when either column is constant (association undefined, not 0).
+   */
+  def association(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val margA = obs.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val margB = obs.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val total = obs.agg(sum("n_ab").cast("double").as("n"))
+    val cells = margA.crossJoin(broadcast(margB))
+      .join(obs, Seq("a", "b"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("exp_", col("n_a").cast("double") * col("n_b") / col("n"))
+      .withColumn("o", coalesce(col("n_ab").cast("double"), lit(0.0)))
+    cells.agg(
+      max(col("n")).cast("long").as("n_total"),
+      sum(when(col("o") > 0,
+        (col("o") / col("n")) *
+          log(col("o") * col("n") / (col("n_a") * col("n_b"))))
+        .otherwise(0.0)).as("mi"),
+      sum((col("o") - col("exp_")) * (col("o") - col("exp_")) / col("exp_"))
+        .as("chi2"),
+      countDistinct("a").as("_ra"), countDistinct("b").as("_rb"))
+      .withColumn("cramers_v",
+        when(least(col("_ra"), col("_rb")) <= 1, lit(null))
+          .otherwise(sqrt(col("chi2") /
+            (col("n_total") * (least(col("_ra"), col("_rb")) - 1)))))
+      .drop("_ra", "_rb")
+  }
+
+  /**
+   * Per-group Gini coefficient — the inequality number for "is this
+   * corpus/traffic dominated by a few heavy entities" (0 = perfectly
+   * even, →1 = one entity holds everything); the concentration screen a
+   * mixture design runs on per-source token mass before trusting a
+   * uniform-ish sampling assumption. Rank-based identity over the
+   * ASCENDING sort: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — one window
+   * rank per group (partitioned: the shuffle is balanced by the group
+   * key) + one partial-agg'd rollup. Permuting equal values cannot
+   * change Σ i·xᵢ (the x's are equal), so ties need no special
+   * handling and the number is engine-exact given a deterministic
+   * tie-break on the rank. Values must be non-negative (G is undefined
+   * below 0 — nulls drop, a negative value fails loudly via require on
+   * the caller's contract being documented); zero-sum groups emit null.
+   */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String,
+           tieBreak: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "gini needs group keys (lit-tag one)")
+    val gks = groupCols.map(col)
+    val w = Window.partitionBy(gks: _*)
+      .orderBy(col(valueCol) +: tieBreak.map(col): _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("_i", row_number().over(w))
+      .groupBy(gks: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("double")).as("_sx"),
+        sum(col("_i") * col(valueCol).cast("double")).as("_six"))
+      .withColumn("gini",
+        when(col("_sx") <= 0.0, lit(null))
+          .otherwise((lit(2.0) * col("_six") - (col("n") + 1) * col("_sx")) /
+            (col("n") * col("_sx"))))
+      .drop("_sx", "_six")
+  }
+
+  /**
+   * Discrete power-law exponent by maximum likelihood (Clauset–Shalizi–
+   * Newman '09, eq. 3.7 approximation): α̂ = 1 + n / Σ ln(xᵢ/(xmin−½))
+   * over the tail x ≥ xmin — the one-number answer to "how heavy-tailed
+   * is this degree/frequency distribution", which decides skew strategy
+   * (salting, caps) before a join is written. One filtered scan with a
+   * partial-agg'd 1-row rollup; the standard error α̂−1/√n rides along.
+   * Fails loudly when the tail is empty or xmin < 1 (the discrete
+   * approximation needs xmin ≥ 1).
+   */
+  def powerlawAlpha(df: DataFrame, valueCol: String, xmin: Long): DataFrame = {
+    require(xmin >= 1, s"powerlawAlpha needs xmin >= 1, got $xmin")
+    val tail = df.filter(col(valueCol) >= xmin)
+    tail.agg(count(lit(1)).as("n"),
+        sum(log(col(valueCol).cast("double") / (xmin - 0.5))).as("_sl"))
+      .select(col("n"), lit(xmin).as("xmin"),
+        when(col("n") === 0 || col("_sl") <= 0.0, lit(null))
+          .otherwise(lit(1.0) + col("n") / col("_sl")).as("alpha"),
+        when(col("n") === 0 || col("_sl") <= 0.0, lit(null))
+          .otherwise((col("n") / col("_sl")) / sqrt(col("n")))
+          .as("alpha_se"))
+  }
+
+  /**
+   * LOCAL clustering coefficient per node — row 149's triangle count
+   * resolved to each vertex: c(v) = triangles through v / C(deg v, 2),
+   * the "how clique-like is this node's neighborhood" number (near-dup
+   * link graphs: high c(v) = a coherent duplicate cluster, low c(v) at
+   * high degree = a hub/template false-positive magnet worth auditing).
+   * Same degree-ordered wedge plan as [[triangles]] — orientation
+   * bounds wedge candidates at O(m^1.5) total regardless of hubs — but
+   * the closing join keeps the triangle rows and EXPLODES each into its
+   * three member nodes for one partial-agg'd per-node count (3 rows per
+   * triangle, never a neighborhood materialization). Nodes with degree
+   * < 2 emit null coefficient (undefined, not 0 — a degree-1 node has
+   * no possible wedge).
+   */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.CacheScope.persist(withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg")))
+    val e1 = oriented.select(col("src").as("c"), col("dst").as("x"),
+      col("ddeg").as("dx"))
+    val e2 = oriented.select(col("src").as("c"), col("dst").as("y"),
+      col("ddeg").as("dy"))
+    val wedges = e1.join(e2.hint("shuffle_hash"), Seq("c"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("c"), col("x").as("src"), col("y").as("dst"))
+    val tris = wedges.join(oriented.select("src", "dst").hint("shuffle_hash"),
+      Seq("src", "dst"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("c"), col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("n").as("node"), col("d").as("degree"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") < 2, lit(null))
+          .otherwise(coalesce(col("n_tri"), lit(0L)).cast("double") * 2.0 /
+            (col("degree") * (col("degree") - 1))).as("coef"))
+  }
 }

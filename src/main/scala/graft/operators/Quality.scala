@@ -790,4 +790,98 @@ object Quality {
       (name, Option(row.get(i + 1)).fold(0L)(_.asInstanceOf[Long]), n)
     }.toDF("check_name", "n_violations", "n_rows")
   }
+
+  /**
+   * Benford first-digit conformance screen per group — the fabricated-
+   * data / broken-feed detector for naturally-spanning positive metrics
+   * (transaction amounts, file sizes, durations): organic multi-scale
+   * data leads with digit d at probability log₁₀(1+1/d), while
+   * hand-entered, capped, or unit-confused feeds don't. Emits per
+   * group the sample size, χ² against the Benford expectation (all 9
+   * digit cells, zero-observed included), and Nigrini's MAD (mean
+   * |observed − expected| proportion — size-independent where χ² flags
+   * everything at large n; audit folklore: MAD > 0.015 = nonconformity
+   * for first digits).
+   *
+   * First digit = ⌊x / 10^⌊log₁₀ x⌋⌋ with the =10 wraparound clamped to
+   * 1 — ⌊log₁₀ 1000⌋ evaluates to 2 in IEEE (log10 returns
+   * 2.9999999999999996), making the quotient 10; the true leading digit
+   * in exactly that case IS 1. Non-positive and null values drop (Benford
+   * is undefined there; a feed full of zeros should fail a different
+   * check). One partial-agg'd groupBy onto (group, digit) then a 9-cell
+   * per-group rollup — nothing downstream scales with the data.
+   */
+  def benford(df: DataFrame, groupCols: Seq[String],
+              valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "benford needs group keys (lit-tag one)")
+    val gks = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val rawD = floor(x / pow(lit(10.0), floor(log10(x))))
+    val digits = df.filter(x > 0.0)
+      .withColumn("_d", when(rawD === 10, lit(1)).otherwise(rawD).cast("int"))
+      .groupBy(gks :+ col("_d"): _*).agg(count(lit(1)).as("_nd"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(gks: _*)
+    // expected proportion per digit; zero-observed digits never appear in
+    // the grouped frame, so fold their expected mass analytically:
+    // chi2 = n·Σ_d (p_d − e_d)²/e_d where missing d contributes n·e_d,
+    // i.e. chi2 = Σ_observed (n_d − n·e_d)²/(n·e_d) + n·Σ_missing e_d.
+    // Rather than reconstruct missing digits, cross-join the 9-digit
+    // frame per group — 9 rows per group, margin-sized.
+    val n = sum(col("_nd")).over(wg)
+    val obs = digits.withColumn("_n", n)
+    val allDigits = obs.select((gks :+ col("_n")): _*).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(1, 10).select(col("id").cast("int").as("_d"))))
+    val eD = log(10.0, lit(1.0) + lit(1.0) / col("_d"))
+    allDigits.join(digits, groupCols :+ "_d", "left")
+      .withColumn("_o", coalesce(col("_nd").cast("double"), lit(0.0)))
+      .withColumn("_e", eD * col("_n"))
+      .groupBy(gks: _*)
+      .agg(max(col("_n")).as("n"),
+        sum((col("_o") - col("_e")) * (col("_o") - col("_e")) / col("_e"))
+          .as("chi2"),
+        (sum(abs(col("_o") / col("_n") - eD)) / 9.0).as("mad"))
+  }
+
+  /**
+   * k-anonymity risk profile over quasi-identifier columns — the
+   * re-identification screen a training-data release runs BEFORE the
+   * PII regexes are trusted (row 47 scrubs direct identifiers; this
+   * measures whether the INDIRECT ones — zip × birth-year × segment —
+   * still single people out): every row must share its full QI
+   * combination with ≥ k−1 others or it is linkable. One partial-agg'd
+   * groupBy onto the QI equivalence classes, then a class-frame rollup
+   * (class-count-sized, never row-sized): rows at risk, classes at
+   * risk, the minimum class size (the dataset's actual k), and — when a
+   * sensitive column is supplied — the count of classes failing
+   * l-diversity (a k-anonymous class with ONE sensitive value still
+   * leaks it to anyone who can place a person in the class). NULL QI
+   * values form their own class (null is a visible value to a linker).
+   */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int,
+                 sensitiveCol: Option[String] = None,
+                 l: Int = 2): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"kAnonymity needs k >= 2, got $k")
+    val base = sensitiveCol match {
+      case Some(sc) =>
+        df.groupBy(qiCols.map(col): _*)
+          .agg(count(lit(1)).as("_sz"),
+            countDistinct(col(sc)).as("_ls"))
+      case None =>
+        df.groupBy(qiCols.map(col): _*)
+          .agg(count(lit(1)).as("_sz"), lit(null).cast("long").as("_ls"))
+    }
+    base.agg(
+      lit(k).as("k"),
+      sum(col("_sz")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("_sz") < k, 1L).otherwise(0L)).as("risky_classes"),
+      sum(when(col("_sz") < k, col("_sz")).otherwise(0L)).as("risky_rows"),
+      min(col("_sz")).as("min_class_size"),
+      (sensitiveCol match {
+        case Some(_) => sum(when(col("_ls") < l, 1L).otherwise(0L))
+        case None => lit(null).cast("long")
+      }).as("low_diversity_classes"))
+  }
 }

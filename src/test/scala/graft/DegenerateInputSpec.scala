@@ -415,4 +415,49 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Similarity.semanticDecontaminate(noBench, corp,
       "vec_id", "embedding", 0.5).count() === 0)
   }
+
+  test("round-11c statistics family survives empty and singleton input") {
+    val noLife = Seq.empty[(String, Long, Boolean)].toDF("c", "dur", "ev")
+    assert(Analytics.kaplanMeier(noLife, Seq("c"), "dur", "ev").count() === 0)
+    // a single entity: one duration row, S = 0 (event) — no window blowup
+    val one = Seq(("c", 4L, true)).toDF("c", "dur", "ev")
+    val km = Analytics.kaplanMeier(one, Seq("c"), "dur", "ev")
+      .select("n_risk", "survival").as[(Long, Double)].collect()
+    assert(km.toSeq === Seq((1L, 0.0)))
+
+    val noNum = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(Analytics.spearmanMatrix(noNum, Seq("x", "y")).count() === 1)
+    // constant column → null rho (zero rank variance), never NaN
+    val const = (1 to 5).map(i => (i.toDouble, 3.0)).toDF("x", "y")
+    val rho = Analytics.spearmanMatrix(const, Seq("x", "y"))
+      .select(col("rho")).collect().head
+    assert(rho.isNullAt(0))
+
+    val noCat = Seq.empty[(String, String)].toDF("a", "b")
+    val as = Analytics.association(noCat, "a", "b")
+      .select(col("cramers_v")).collect()
+    assert(as.length === 1 && as.head.isNullAt(0))
+
+    val noVal = Seq.empty[(String, Double, Long)].toDF("g", "x", "id")
+    assert(Analytics.gini(noVal, Seq("g"), "x", Seq("id")).count() === 0)
+    val singleton = Seq(("g", 5.0, 1L)).toDF("g", "x", "id")
+    val g1 = Analytics.gini(singleton, Seq("g"), "x", Seq("id"))
+      .select("gini").as[Double].head()
+    assert(g1 === 0.0, "a singleton group is perfectly equal")
+
+    val noEdge = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Analytics.clusteringCoefficient(noEdge, "a", "b").count() === 0)
+    // self-loops only → normalized away entirely
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Analytics.clusteringCoefficient(loops, "a", "b").count() === 0)
+
+    val noPos = Seq(("g", 0.0), ("g", -5.0)).toDF("g", "x")
+    assert(Quality.benford(noPos, Seq("g"), "x").count() === 0,
+      "non-positive values are outside Benford's domain")
+
+    val noRows = Seq.empty[(Int, String)].toDF("q1", "q2")
+    val ka = Quality.kAnonymity(noRows, Seq("q1", "q2"), k = 2)
+      .select("n_classes").as[Long].collect()
+    assert(ka.toSeq === Seq(0L))
+  }
 }

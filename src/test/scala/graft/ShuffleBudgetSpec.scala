@@ -129,6 +129,22 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // TakeOrdered; base never re-shuffles
     "q_decontam_semantic" -> (8L << 10), // 1.0 kB: bench broadcasts; only
                                       // per-id aggregated hits shuffle
+    // round 11c: the statistics family
+    "q_survival" -> (8L << 10),       // 1.2 kB: per-user lifetime groupBy
+                                      // + cohort-partitioned distinct-
+                                      // duration windows
+    "q_spearman" -> (16L << 10),      // 2.2 kB: 3 distinct-value rank
+                                      // frames joined back + 1-row corr
+    "q_assoc" -> (4L << 10),          // 0.7 kB: contingency groupBy;
+                                      // margins broadcast
+    "q_gini" -> (4L << 10),           // 0.3 kB: activity groupBy + one
+                                      // group-partitioned rank window
+    "q_powerlaw" -> (4L << 10),       // 0.4 kB: degree groupBy + 1-row MLE
+    "q_clustering_coef" -> (8L << 10),// 1.1 kB: 97-node wedge joins +
+                                      // per-node triangle counts
+    "q_benford" -> (8L << 10),        // 1.8 kB: (group, digit) groupBy;
+                                      // 9-digit frame broadcast
+    "q_kanon" -> (4L << 10),          // 46 B: QI-class groupBy + 1-row
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
