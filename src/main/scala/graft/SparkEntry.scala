@@ -1932,7 +1932,49 @@ object SparkEntry {
     "q_kanon" -> ((s, dir) =>
       Quality.kAnonymity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"), k = 5,
-        sensitiveCol = Some("c_acctbal"), l = 3))
+        sensitiveCol = Some("c_acctbal"), l = 3)),
+
+    // --- Kneser-Ney smoothed bigram fluency (interpolated, D=0.75) ---
+    "q_kn_bigram" -> ((s, dir) =>
+      Text.knBigramScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), col("n_bigrams"),
+          r3(col("kn_logprob")).as("kn_logprob"))),
+
+    // --- Mann-Whitney rank-sum location test: doc length, en vs de
+    // (the location-shift companion to q_ks_test on the same axis) ---
+    "q_mannwhitney" -> ((s, dir) =>
+      Quality.mannWhitneyU(
+          Tables.documents(s, dir).withColumn("n_chars",
+            length(col("text")).cast("double")),
+          "n_chars", "lang", "en", "de")
+        .select(r3(col("u")).as("u"), col("n_a"), col("n_b"),
+          r3(col("z")).as("z"))),
+
+    // --- Jensen-Shannon divergence of the source mix, en vs de ---
+    "q_jsd" -> ((s, dir) =>
+      Quality.jsDivergence(Tables.documents(s, dir), "source", "lang",
+          "en", "de")
+        .select(col("n_a"), col("n_b"), r3(col("jsd")).as("jsd"),
+          r3(col("jsd_bits")).as("jsd_bits"))),
+
+    // --- Theil-Sen robust per-user trend over DAILY means: the series
+    // length is the stream's day span, so the pairwise join stays
+    // bounded at every scale factor (rows per day grow, days don't) ---
+    "q_theilsen" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), floor(col("ts_sec") / 86400).as("day"))
+        .agg(avg(col("value")).as("v"))
+      Analytics.theilSen(daily, Seq("user_id"), "day", "v")
+        .select(col("user_id"), col("n_pairs"), r3(col("slope")).as("slope"))
+    }),
+
+    // --- deterministic random-walk corpus over the q_triangles graph
+    // (1 walk per node, 3 steps, hash-argmin neighbor choice) ---
+    "q_walks" -> ((s, dir) =>
+      Analytics.randomWalks(
+          ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+            pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
+          "a", "b", walksPerNode = 1, walkLen = 3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4993,7 +5035,126 @@ object SparkEntry {
         |       MIN(sz) AS min_class_size,
         |       CAST(SUM(CASE WHEN ls < 3 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS low_diversity_classes
-        |FROM cls""".stripMargin
+        |FROM cls""".stripMargin,
+
+    "q_kn_bigram" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT id, unnest(range(1, len(toks))) AS i, toks
+        |      FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM b GROUP BY 1, 2),
+        |cx AS (SELECT w1, SUM(n_xy) AS c_ctx, COUNT(*) AS n1p_fwd
+        |       FROM bc GROUP BY 1),
+        |cn AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bc GROUP BY 1),
+        |ty AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc),
+        |sc AS (SELECT id, COUNT(*) AS n_bigrams,
+        |              AVG(ln((greatest(n_xy - 0.75, 0.0)
+        |                      + 0.75 * n1p_fwd * (n1p_bwd / n_types))
+        |                     / c_ctx)) AS kn_logprob
+        |       FROM b JOIN bc USING (w1, w2) JOIN cx USING (w1)
+        |            JOIN cn USING (w2) CROSS JOIN ty
+        |       GROUP BY id)
+        |SELECT t.id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |       floor(sc.kn_logprob*1000 + 0.5)/1000 AS kn_logprob
+        |FROM t LEFT JOIN sc USING (id)""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH f AS (
+        |  SELECT CAST(length(text) AS DOUBLE) AS v,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
+        |  FROM documents WHERE lang IN ('en', 'de')
+        |), c AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM f GROUP BY v),
+        |r AS (
+        |  SELECT *, coalesce(SUM(ca + cb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + (ca + cb + 1) / 2.0 AS rk
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+        |         CAST(SUM(cb) AS DOUBLE) AS nb,
+        |         SUM(ca * rk) AS ra,
+        |         CAST(SUM((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)) AS DOUBLE) AS ties
+        |  FROM r
+        |)
+        |SELECT floor((ra - na*(na+1)/2)*1000 + 0.5)/1000 AS u,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CASE WHEN na = 0 OR nb = 0
+        |              OR na*nb/12.0*((na+nb+1) - ties/((na+nb)*(na+nb-1))) <= 0
+        |            THEN NULL
+        |            ELSE floor((ra - na*(na+1)/2 - na*nb/2)
+        |                   / sqrt(na*nb/12.0*((na+nb+1)
+        |                          - ties/((na+nb)*(na+nb-1))))
+        |                 *1000 + 0.5)/1000 END AS z
+        |FROM t""".stripMargin,
+
+    "q_jsd" ->
+      """WITH c AS (
+        |  SELECT source AS k,
+        |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+        |         SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+        |  FROM documents WHERE lang IN ('en', 'de') GROUP BY 1
+        |), t AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+        |                CAST(SUM(cb) AS DOUBLE) AS nb FROM c),
+        |d AS (
+        |  SELECT ca / na AS p, cb / nb AS q, (ca/na + cb/nb) / 2 AS m,
+        |         na, nb
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |       floor((SUM(CASE WHEN p > 0 THEN p * ln(p/m) ELSE 0 END) / 2
+        |              + SUM(CASE WHEN q > 0 THEN q * ln(q/m) ELSE 0 END) / 2)
+        |             *1000 + 0.5)/1000 AS jsd,
+        |       floor((SUM(CASE WHEN p > 0 THEN p * ln(p/m) ELSE 0 END) / 2
+        |              + SUM(CASE WHEN q > 0 THEN q * ln(q/m) ELSE 0 END) / 2)
+        |             / ln(2.0) *1000 + 0.5)/1000 AS jsd_bits
+        |FROM d""".stripMargin,
+
+    "q_theilsen" ->
+      s"""$EvCte, p AS (
+         |  SELECT user_id, CAST(floor(ts_sec / 86400) AS DOUBLE) AS x,
+         |         AVG(value) AS y
+         |  FROM e GROUP BY user_id, floor(ts_sec / 86400)
+         |), s AS (
+         |  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS sl
+         |  FROM p a JOIN p b ON a.user_id = b.user_id AND a.x < b.x
+         |), r AS (
+         |  SELECT user_id, sl,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sl) AS rn,
+         |         COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM s
+         |)
+         |SELECT user_id, MAX(n) AS n_pairs,
+         |       floor(AVG(CASE WHEN rn = CAST(floor((n+1)/2.0) AS BIGINT)
+         |                        OR rn = CAST(floor(n/2.0) AS BIGINT) + 1
+         |                      THEN sl END)*1000 + 0.5)/1000 AS slope
+         |FROM r GROUP BY user_id""".stripMargin,
+
+    "q_walks" -> {
+      def stepCte(s: Int, prev: String): String =
+        s"""s$s AS (
+           |  SELECT walk_id,
+           |         arg_min(dst, md5('w0:' || walk_id || ':$s:' || dst)) AS cur
+           |  FROM $prev JOIN sym ON sym.src = $prev.cur GROUP BY walk_id
+           |)""".stripMargin
+      s"""$EvCte, p0 AS (
+         |  SELECT user_id % 97 AS src, (user_id * 31 + 7) % 97 AS dst FROM e
+         |  WHERE user_id % 97 <> (user_id * 31 + 7) % 97
+         |), sym AS (
+         |  SELECT src, dst FROM p0
+         |  UNION
+         |  SELECT dst, src FROM p0
+         |), w0 AS (
+         |  SELECT DISTINCT src || ':0' AS walk_id, src AS cur FROM sym
+         |),
+         |${stepCte(1, "w0")},
+         |${stepCte(2, "s1")},
+         |${stepCte(3, "s2")}
+         |SELECT walk_id, 0 AS step, cur AS node FROM w0
+         |UNION ALL SELECT walk_id, 1, cur FROM s1
+         |UNION ALL SELECT walk_id, 2, cur FROM s2
+         |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
+    }
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

@@ -727,6 +727,72 @@ object Stress {
         "cat", "y", smoothing = 20.0).count()
     }
 
+    // --- Kaplan-Meier: 1M lifetimes, 5 cohorts, day-bucketed durations
+    // (the windows run over DISTINCT durations per cohort — ~2k rows) ---
+    probe("kaplanMeier 1M lifetimes x 5 cohorts") {
+      val life = spark.range(1000000L * scale).select(
+        pmod(col("id"), lit(5)).cast("string").as("cohort"),
+        pmod(xxhash64(col("id")), lit(2000)).as("dur"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(10)) < 7).as("ev"))
+      Analytics.kaplanMeier(life, Seq("cohort"), "dur", "ev").count()
+    }
+
+    // --- Spearman: 5M rows, 3 columns, value cardinality 1000 (the
+    // fractionalRank bounded-distinct contract) ---
+    probe(s"spearmanMatrix ${nEvents / 1000000}M x 3 cols (1k distinct)") {
+      val m = spark.range(nEvents).select(
+        pmod(xxhash64(col("id")), lit(1000)).cast("double").as("a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double").as("b"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("double").as("c"))
+      Analytics.spearmanMatrix(m, Seq("a", "b", "c")).count()
+    }
+
+    // --- Boruvka MST: 1M random edges on 100k nodes (O(log V) rounds,
+    // each edge-linear; the merge CC runs on the picked forest only) ---
+    probe("minimumSpanningForest 1M edges x 100k nodes") {
+      val e = spark.range(1000000L * scale).select(
+        pmod(xxhash64(col("id")), lit(100000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(3)), lit(100000L)).as("b"),
+        pmod(xxhash64(col("id"), lit(4)), lit(100000L)).cast("double").as("w"))
+      Analytics.minimumSpanningForest(e, "a", "b", "w").count()
+    }
+
+    // --- Douglas-Peucker: 2M points x 20k trajectories (level-
+    // synchronous split rounds; split frames are segment-sized) ---
+    probe("dpSimplify 2M pts x 20k trajs") {
+      val pts = spark.range(2000000L * scale).select(
+        (col("id") % 20000L).as("traj"),
+        (col("id") / 20000L).as("seq"),
+        (col("id") / 20000L).cast("double").as("x"),
+        pmod(xxhash64(col("id")), lit(100)).cast("double").as("y"))
+      Trajectory.simplify(pts, Seq("traj"), "seq", "x", "y",
+        epsilon = 30.0, maxIter = 60).count()
+    }
+
+    // --- Kneser-Ney: the 200k-doc corpus through the full model-table
+    // build + per-doc scoring ---
+    probe(s"knBigramScore ${nDocs / 1000}k docs") {
+      Text.knBigramScore(docs, "doc_id", "text").count()
+    }
+
+    // --- local clustering coefficient: 1M edges (degree-ordered wedges
+    // keep candidates O(m^1.5) even with hubs) ---
+    probe("clusteringCoefficient 1M edges") {
+      val e = spark.range(1000000L * scale).select(
+        pmod(xxhash64(col("id")), lit(50000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(3)), lit(50000L)).as("b"))
+      Analytics.clusteringCoefficient(e, "a", "b").count()
+    }
+
+    // --- random-walk corpus: 100k nodes x 2 walks x 4 steps over 1M
+    // edges (per step one frontier join + one argmin groupBy) ---
+    probe("randomWalks 1M edges x 100k nodes x 2x4") {
+      val e = spark.range(1000000L * scale).select(
+        pmod(xxhash64(col("id")), lit(100000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(3)), lit(100000L)).as("b"))
+      Analytics.randomWalks(e, "a", "b", walksPerNode = 2, walkLen = 4).count()
+    }
+
     spark.stop()
   }
 }

@@ -1330,4 +1330,187 @@ object Analytics {
           .otherwise(coalesce(col("n_tri"), lit(0L)).cast("double") * 2.0 /
             (col("degree") * (col("degree") - 1))).as("coef"))
   }
+
+  /**
+   * Minimum spanning FOREST by distributed Borůvka — the graph-sparsifier
+   * behind single-link clustering and network-cost backbones (e.g. the
+   * similarity graph a dedup family emits: the MST is exactly the
+   * single-linkage dendrogram's edge set, so cutting it at a threshold
+   * IS hierarchical clustering at scale). Borůvka and not Kruskal/Prim
+   * because it is the one MST algorithm with no sequential spine: every
+   * round EACH component picks its cheapest incident cross edge in one
+   * partial-agg'd groupBy, the picked edges merge components via the
+   * shared min-label machinery ([[graft.operators.Dedup.clusterPairs]]
+   * — one CC implementation, three families), and the component count
+   * at least HALVES, so the loop is O(log V) rounds of edge-linear work.
+   *
+   * Ties: edges order lexicographically by (w, u, v) — the classic
+   * perturbation argument, equivalent to distinct weights, which keeps
+   * the greedy cycle-free and the output deterministic in any engine.
+   * Parallel edges collapse to their minimum weight up front; self-loops
+   * and nulls drop. Disconnected input yields the spanning forest (one
+   * tree per component). `maxIter` is a loud runaway bound — components
+   * halve per round, so 30 covers a billion components; hitting it
+   * throws instead of silently returning a partial forest.
+   */
+  def minimumSpanningForest(edges: DataFrame, aCol: String, bCol: String,
+                            wCol: String, maxIter: Int = 30,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    // normalize: undirected, self-loop-free, parallel edges → min weight
+    // (deterministic under the same (w,u,v) order the rounds use)
+    val und = graft.CacheScope.persist(edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull && col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min("w").as("w")))
+    var labels = graft.CacheScope.persist(
+      und.select(col("u").as("node")).union(und.select(col("v")))
+        .distinct().withColumn("comp", col("node")))
+    // schema-inheriting empty accumulator (node ids keep their input type)
+    var picked: DataFrame = und.filter(lit(false))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val cu = labels.select(col("node").as("u"), col("comp").as("cu"))
+      val cv = labels.select(col("node").as("v"), col("comp").as("cv"))
+      val cross = graft.CacheScope.persist(
+        und.join(cu, "u").join(cv, "v").filter(col("cu") =!= col("cv")))
+      if (cross.isEmpty) { done = true }
+      else {
+        // each component's lexicographic-min incident cross edge; min of
+        // a struct orders by (w, u, v) — the tie perturbation
+        val e = struct(col("w"), col("u"), col("v"))
+        val minE = cross
+          .select(col("cu").as("comp"), e.as("e"))
+          .union(cross.select(col("cv").as("comp"), e.as("e")))
+          .groupBy("comp").agg(min("e").as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+          .distinct() // both endpoints' components may pick the same edge
+        val pickedRound = graft.CacheScope.persist(minE)
+        picked = graft.CacheScope.lineageCut(
+          picked.union(pickedRound), checkpointDir)
+        // merge: CC over the picked edges' component pairs (a forest on
+        // the component graph — tiny), then relabel every node
+        val compPairs = pickedRound
+          .join(cu, "u").join(cv, "v").select("cu", "cv")
+        val merged = graft.operators.Dedup.clusterPairs(
+          compPairs, "cu", "cv", checkpointDir = checkpointDir)
+          .select(col("id").as("comp"), col("cluster_id"))
+        labels = graft.CacheScope.lineageCut(
+          labels.join(merged, Seq("comp"), "left")
+            .select(col("node"),
+              coalesce(col("cluster_id"), col("comp")).as("comp")),
+          checkpointDir)
+      }
+      iter += 1
+    }
+    require(done || {
+      val cu = labels.select(col("node").as("u"), col("comp").as("cu"))
+      val cv = labels.select(col("node").as("v"), col("comp").as("cv"))
+      und.join(cu, "u").join(cv, "v").filter(col("cu") =!= col("cv")).isEmpty
+    }, s"minimumSpanningForest did not converge in $maxIter rounds — " +
+      "components halve per round, so this is a runaway, not a big graph")
+    picked
+  }
+
+  /**
+   * Theil–Sen robust slope per group — the median of all pairwise
+   * slopes (y_j−y_i)/(x_j−x_i), the trend estimator with a 29.3%
+   * breakdown point where [[linearFit]]'s OLS slope is dragged
+   * arbitrarily far by ONE bad row (exactly the rows a drift screen
+   * exists to survive). Pairs come from a group-keyed self-join —
+   * deliberately QUADRATIC in the group size, which is why the group
+   * contract is ENFORCED like ksTest's cardinality gate: one cheap
+   * max-group-size action refuses past `maxGroup` instead of silently
+   * planning a Σn² explosion (this estimator is for per-entity /
+   * per-day series of bounded length; for corpus-scale trends use
+   * linearFit). Equal-x pairs contribute no slope (vertical); the
+   * median is the average of the two middle order statistics on even
+   * counts — engine-exact. Groups with no valid pair surface null.
+   */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String, maxGroup: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen needs group keys (lit-tag one)")
+    require(maxGroup > 1, s"maxGroup must be > 1, got $maxGroup")
+    val gks = groupCols.map(col)
+    val pts = df.select(gks ++ Seq(col(xCol).cast("double").as("_x"),
+      col(yCol).cast("double").as("_y")): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val biggest = pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    require(biggest <= maxGroup,
+      s"theilSen: a group holds $biggest rows > maxGroup=$maxGroup — the " +
+        "pairwise self-join would be quadratic in it; pre-aggregate the " +
+        "series or raise the ceiling deliberately")
+    val a = pts.alias("a")
+    val b = pts.select(gks ++ Seq(col("_x").as("_x2"),
+      col("_y").as("_y2")): _*).alias("b")
+    val slopes = a.join(b, groupCols).filter(col("_x") < col("_x2"))
+      .select(gks :+ ((col("_y2") - col("_y")) /
+        (col("_x2") - col("_x"))).as("_s"): _*)
+    val w = Window.partitionBy(gks: _*).orderBy(col("_s"))
+    val wAll = Window.partitionBy(gks: _*)
+    slopes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(gks: _*)
+      .agg(max(col("_n")).as("n_pairs"),
+        // Spark `/` is floating division — floor to the two middle order
+        // statistics (odd n selects the same row twice, avg is exact)
+        avg(when(col("_rn") === floor((col("_n") + 1) / 2.0) ||
+          col("_rn") === floor(col("_n") / 2.0) + 1, col("_s"))).as("slope"))
+  }
+
+  /**
+   * DETERMINISTIC random-walk corpus (DeepWalk / node2vec p=q=1 shape,
+   * Perozzi '14) — the graph-to-sequence exporter feeding skip-gram
+   * embedding training: `walksPerNode` walks of `walkLen` steps from
+   * every node, each step moving to the neighbor that MINIMIZES
+   * md5(seed:walk:step:neighbor) — the repo's engine-portable sampling
+   * contract, so a rerun (or an external engine) regenerates the exact
+   * corpus; "random" here means hash-uniform over the neighbor set,
+   * which is what reproducible distributed sampling IS. Per step: one
+   * join of the frontier against the once-repartitioned symmetric edge
+   * table + one partial-agg'd min_by per walk — walkLen rounds, each
+   * edge-linear, frontier rows lineage-cut. Emits (walk_id, step, node);
+   * isolated nodes never start a walk (no edges), dead ends cannot
+   * occur on symmetric edges.
+   */
+  def randomWalks(edges: DataFrame, aCol: String, bCol: String,
+                  walksPerNode: Int = 2, walkLen: Int = 4,
+                  seed: String = "w0",
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(walksPerNode >= 1 && walkLen >= 1,
+      "randomWalks needs walksPerNode >= 1 and walkLen >= 1")
+    val und = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = graft.CacheScope.persist(
+      und.union(und.select(col("dst"), col("src"))).distinct()
+        .repartition(col("src")))
+    val starts = sym.select(col("src").as("cur")).distinct()
+      .crossJoin(broadcast(
+        edges.sparkSession.range(0, walksPerNode).select(col("id").as("_w"))))
+      .select(concat_ws(":", col("cur"), col("_w")).as("walk_id"),
+        col("cur"))
+    var frontier = graft.CacheScope.persist(starts)
+    var out = starts.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (s <- 1 to walkLen) {
+      val nxt = frontier
+        .join(sym, col("cur") === col("src"))
+        .groupBy("walk_id")
+        .agg(min_by(col("dst"),
+          md5(concat_ws(":", lit(seed), col("walk_id"), lit(s), col("dst"))))
+          .as("cur"))
+      frontier = graft.CacheScope.lineageCut(nxt, checkpointDir)
+      out = out.union(
+        frontier.select(col("walk_id"), lit(s).as("step"),
+          col("cur").as("node")))
+    }
+    out
+  }
 }

@@ -274,6 +274,107 @@ object Quality {
   }
 
   /**
+   * Mann–Whitney U (Wilcoxon rank-sum) two-sample test with the normal
+   * approximation and EXACT tie correction — the location-shift
+   * companion to [[ksTest]] (KS asks "are the distributions different
+   * anywhere"; U asks the release-gate question "did the metric
+   * systematically SHIFT between control and treatment / yesterday and
+   * today", robustly, with no normality assumption). U = R_a −
+   * n_a(n_a+1)/2 from tie-AVERAGED ranks; z = (U − n_a·n_b/2)/σ with
+   * σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))) over tie-group sizes t.
+   *
+   * Same plan discipline and the same ENFORCED cardinality gate as
+   * ksTest: one partial-agg'd groupBy onto distinct values (per-group
+   * counts ride along), the rank window runs over distinct-value rows
+   * only, everything downstream is a 1-row rollup. All-tied input
+   * (σ = 0) and empty groups surface null z — undefined, not 0.
+   */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   groupA: String, groupB: String,
+                   maxDistinct: Long = 2000000L,
+                   quantizeStep: Option[Double] = None): DataFrame = {
+    require(maxDistinct > 0, "mannWhitneyU needs a positive maxDistinct")
+    quantizeStep.foreach(s => require(s > 0, "quantizeStep must be > 0"))
+    val v = quantizeStep
+      .map(s => floor(col(valueCol).cast("double") / s + 0.5) * s)
+      .getOrElse(col(valueCol))
+    val inScope = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull)
+    val approxN = inScope.agg(
+      approx_count_distinct(v, 0.02).as("n")).head.getLong(0)
+    require(approxN <= maxDistinct + maxDistinct / 10,
+      s"mannWhitneyU: ~$approxN distinct values of '$valueCol' exceeds " +
+        s"maxDistinct=$maxDistinct — pass quantizeStep or raise the " +
+        "ceiling deliberately.")
+    val counts = inScope
+      .groupBy(v.as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val ranked = counts
+      .withColumn("_cum", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("_rk", col("_cum") + (t + 1) / lit(2.0))
+    ranked.agg(
+        sum(col("ca")).cast("double").as("na"),
+        sum(col("cb")).cast("double").as("nb"),
+        sum(col("ca") * col("_rk")).as("ra"),
+        sum(t * t * t - t).cast("double").as("ties"))
+      .select(
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(col("ra") - col("na") * (col("na") + 1) / 2).as("u"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        when(col("na") === 0 || col("nb") === 0, lit(null)).otherwise({
+          val n = col("na") + col("nb")
+          val varU = col("na") * col("nb") / 12.0 *
+            ((n + 1) - col("ties") / (n * (n - 1)))
+          when(varU <= 0, lit(null))
+            .otherwise((col("ra") - col("na") * (col("na") + 1) / 2 -
+              col("na") * col("nb") / 2) / sqrt(varU))
+        }).as("z"))
+  }
+
+  /**
+   * Jensen–Shannon divergence between two categorical distributions —
+   * the bounded, symmetric drift number for DISCRETE mixes (event
+   * types, languages, sources) where [[psiDrift]]'s binning and
+   * smoothing don't apply: JSD = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2,
+   * always finite (a category present on one side only contributes
+   * ½p·ln2, never infinity — the property KL itself lacks), 0 =
+   * identical, ln 2 = disjoint support. Emitted in nats with the
+   * bits twin riding along (mixture-design papers quote bits).
+   * One partial-agg'd groupBy onto categories with per-side counts,
+   * margin-sized rollups after; empty sides surface null.
+   */
+  def jsDivergence(df: DataFrame, keyCol: String, groupCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(keyCol).as("k"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"))
+    counts.crossJoin(broadcast(tot))
+      // ANSI guard: an empty side would divide by zero here; the final
+      // aggregate nulls the divergence in that case anyway
+      .withColumn("p", when(col("na") > 0, col("ca") / col("na")))
+      .withColumn("q", when(col("nb") > 0, col("cb") / col("nb")))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(
+        max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"),
+        when(max(col("na")) === 0 || max(col("nb")) === 0, lit(null))
+          .otherwise(
+            sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+              .otherwise(0.0)) / 2 +
+              sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))
+                .otherwise(0.0)) / 2).as("jsd"))
+      .withColumn("jsd_bits", col("jsd") / math.log(2.0))
+  }
+
+  /**
    * Keyed reconciliation diff between two table snapshots: row counts by
    * status — `only_left` / `only_right` / `changed` / `same` — via ONE
    * full-outer join on the key with null-safe payload comparison (the

@@ -596,6 +596,62 @@ object Text {
   }
 
   /**
+   * Interpolated Kneser–Ney bigram fluency score — the smoothing that
+   * actually wins LM evaluations (Chen & Goodman '98), completing the
+   * fluency family (add-k unigram row 97, add-k bigram row 129, CCNet
+   * cross-corpus row 200): absolute discount D off every seen bigram,
+   * the reclaimed mass interpolated against the CONTINUATION unigram
+   * P_cont(w2) = N1+(·w2)/|bigram types| — "how many contexts does w2
+   * follow", not "how often does w2 occur", which is what stops
+   * high-count-but-one-context tokens ("Francisco") from inflating
+   * unseen transitions. P(w2|w1) = (max(c(w1w2)−D, 0) +
+   * D·N1+(w1·)·P_cont(w2)) / c(w1·); per-doc score = mean ln P over
+   * adjacent pairs.
+   *
+   * All model tables derive from ONE bigram groupBy (context totals and
+   * forward type counts by w1, continuation counts by w2, the type
+   * total a 1-row broadcast) — margin-sized, partial-agg'd. Self-scored
+   * docs always find their bigrams in the table, so P > 0 with no
+   * unseen-pair fallback; docs under 2 tokens surface n_bigrams = 0
+   * with a null score.
+   */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toked = graft.CacheScope.persist(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
+    val toks = col("t")
+    val pairs = toked.select(col("id"), explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = graft.CacheScope.persist(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy")))
+    val ctx = big.groupBy("w1")
+      .agg(sum("n_xy").as("c_ctx"), count(lit(1)).as("n1p_fwd"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val types = big.agg(count(lit(1)).cast("double").as("n_types"))
+    val d = lit(discount)
+    val scored = pairs
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(log(
+          (greatest(col("n_xy") - d, lit(0.0)) +
+            d * col("n1p_fwd") * (col("n1p_bwd") / col("n_types"))) /
+            col("c_ctx"))).as("kn_logprob"))
+    toked.select("id").join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_logprob"))
+  }
+
+  /**
    * Corpus novelty rate: the fraction of a document's DISTINCT word
    * n-grams that the document OWNS — whose globally-first occurrence
    * (minimum doc id over the corpus) is this document. Boilerplate and

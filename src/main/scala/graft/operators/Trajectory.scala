@@ -374,4 +374,102 @@ object Trajectory {
       .agg(count(lit(1)).as("n_points"),
         countDistinct(col(entityCol)).as("n_entities"),
         min(tsSecCol).as("first_sec"), max(tsSecCol).as("last_sec"))
+
+  /**
+   * Douglas–Peucker trajectory simplification — the SHAPE-preserving
+   * alternative to row 16's every-Nth downsampling (which happily
+   * deletes the one point where the vessel actually turned): keep a
+   * point iff dropping it moves the polyline by more than `epsilon`.
+   * The recursive textbook form splits at the max-deviation point per
+   * segment; here the recursion is LEVEL-SYNCHRONOUS so all
+   * trajectories and all segments advance together: every round, each
+   * surviving segment finds its max-deviation interior point in ONE
+   * partial-agg'd groupBy over (keys, segment), over-epsilon splits
+   * broadcast back (split decisions are ≤ one row per segment — kept-
+   * point-sized, never point-sized), and each point map-side adopts its
+   * new half. Rounds needed = depth of the split TREE (≤ log n for
+   * real tracks, worst O(n) on adversarial monotone spirals — `maxIter`
+   * is the loud bound, throwing rather than returning an unsimplified
+   * segment silently).
+   *
+   * Geometry is planar on the supplied (x, y) — for lon/lat tracks at
+   * ship scale the equirectangular error is far below any useful
+   * epsilon; pass projected coordinates when it is not. Deviation from
+   * a ZERO-LENGTH chord (a loop: segment endpoints at identical coords)
+   * degrades to point distance from the endpoint — the standard DP
+   * degenerate-case treatment. Duplicate order values are a caller
+   * error (require a total per-trajectory order, e.g. a timestamp with
+   * a tiebreak already folded in). Output: the kept points, original
+   * columns preserved.
+   */
+  def simplify(df: DataFrame, keyCols: Seq[String], orderCol: String,
+               xCol: String, yCol: String, epsilon: Double,
+               maxIter: Int = 40,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "simplify needs trajectory keys")
+    require(epsilon >= 0, s"epsilon must be >= 0, got $epsilon")
+    val kc = keyCols.map(col)
+    val w = Window.partitionBy(kc: _*)
+    val o = col(orderCol)
+    // init: one segment per trajectory, spanning first..last point
+    var pts = graft.CacheScope.persist(df
+      .withColumn("_so", min(o).over(w))
+      .withColumn("_eo", max(o).over(w))
+      .withColumn("_sx", min(struct(o, col(xCol))).over(w).getField(xCol))
+      .withColumn("_sy", min(struct(o, col(yCol))).over(w).getField(yCol))
+      .withColumn("_ex", max(struct(o, col(xCol))).over(w).getField(xCol))
+      .withColumn("_ey", max(struct(o, col(yCol))).over(w).getField(yCol))
+      .withColumn("_kept", o === col("_so") || o === col("_eo")))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val x = col(xCol); val y = col(yCol)
+      val dx = col("_ex") - col("_sx"); val dy = col("_ey") - col("_sy")
+      val chord = sqrt(dx * dx + dy * dy)
+      val dev = when(chord === 0.0,
+        sqrt((x - col("_sx")) * (x - col("_sx")) +
+          (y - col("_sy")) * (y - col("_sy"))))
+        .otherwise(abs(dx * (col("_sy") - y) - (col("_sx") - x) * dy) / chord)
+      // per segment: the max-deviation interior point (ties → lowest order)
+      val splits = pts.filter(!col("_kept"))
+        .withColumn("_dev", dev)
+        .filter(col("_dev") > epsilon)
+        .groupBy(kc :+ col("_so").as("_so"): _*)
+        .agg(max(struct(col("_dev"), (-o).as("_no"), o.as("_o"),
+          x.as("_x"), y.as("_y"))).as("_m"))
+        .select(kc ++ Seq(col("_so"), col("_m._o").as("_po"),
+          col("_m._x").as("_px"), col("_m._y").as("_py")): _*)
+      if (splits.isEmpty) { done = true }
+      else {
+        // split decisions are segment-sized (≤ kept points) — an equi-join
+        // on (keys, _so); AQE picks broadcast when the frame is small.
+        // Each point adopts its half map-side: left of the split keeps
+        // (s → p), right takes (p → e), the split point itself is kept.
+        pts = graft.CacheScope.lineageCut(
+          pts.join(splits, keyCols :+ "_so", "left")
+            .select((df.columns.map(col) ++ Seq(
+              when(col("_po").isNotNull && o > col("_po"), col("_po"))
+                .otherwise(col("_so")).as("_so"),
+              when(col("_po").isNotNull && o < col("_po"), col("_po"))
+                .otherwise(col("_eo")).as("_eo"),
+              when(col("_po").isNotNull && o > col("_po"), col("_px"))
+                .otherwise(col("_sx")).as("_sx"),
+              when(col("_po").isNotNull && o > col("_po"), col("_py"))
+                .otherwise(col("_sy")).as("_sy"),
+              when(col("_po").isNotNull && o < col("_po"), col("_px"))
+                .otherwise(col("_ex")).as("_ex"),
+              when(col("_po").isNotNull && o < col("_po"), col("_py"))
+                .otherwise(col("_ey")).as("_ey"),
+              (col("_kept") || (col("_po").isNotNull && o === col("_po")))
+                .as("_kept"))): _*),
+          checkpointDir)
+      }
+      iter += 1
+    }
+    require(done, s"simplify did not converge in $maxIter rounds — " +
+      "split-tree depth exceeded the bound (adversarial ordering?); " +
+      "raise maxIter explicitly if the trajectory really is that deep")
+    pts.filter(col("_kept"))
+      .select(df.columns.map(col): _*)
+  }
 }

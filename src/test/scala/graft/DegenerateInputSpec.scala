@@ -459,5 +459,46 @@ class DegenerateInputSpec extends SparkSpecBase {
     val ka = Quality.kAnonymity(noRows, Seq("q1", "q2"), k = 2)
       .select("n_classes").as[Long].collect()
     assert(ka.toSeq === Seq(0L))
+
+    // MST: empty edges → empty forest; all-self-loop input normalizes away
+    val noWEdges = Seq.empty[(Long, Long, Double)].toDF("a", "b", "w")
+    assert(Analytics.minimumSpanningForest(noWEdges, "a", "b", "w")
+      .count() === 0)
+    val selfLoops = Seq((1L, 1L, 1.0), (2L, 2L, 2.0)).toDF("a", "b", "w")
+    assert(Analytics.minimumSpanningForest(selfLoops, "a", "b", "w")
+      .count() === 0)
+
+    // Douglas-Peucker: empty / single-point / two-point trajectories
+    val noPts = Seq.empty[(String, Long, Double, Double)]
+      .toDF("traj", "seq", "x", "y")
+    assert(Trajectory.simplify(noPts, Seq("traj"), "seq", "x", "y", 1.0)
+      .count() === 0)
+    val tiny = Seq(("a", 1L, 0.0, 0.0), ("b", 1L, 5.0, 5.0), ("b", 2L, 6.0, 6.0))
+      .toDF("traj", "seq", "x", "y")
+    assert(Trajectory.simplify(tiny, Seq("traj"), "seq", "x", "y", 1.0)
+      .count() === 3, "≤2-point trajectories pass through whole")
+
+    // Kneser-Ney on an empty corpus → empty result, no model blowup
+    val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.knBigramScore(noDocs2, "doc_id", "text").count() === 0)
+
+    // Mann-Whitney / JSD with a missing side → null stats, 1 row
+    val oneSide = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val mw = Quality.mannWhitneyU(oneSide, "v", "g", "a", "b")
+      .select(col("u"), col("z")).collect().head
+    assert(mw.isNullAt(0) && mw.isNullAt(1))
+    val jd = Quality.jsDivergence(oneSide.withColumnRenamed("v", "k"),
+      "k", "g", "a", "b").select(col("jsd")).collect().head
+    assert(jd.isNullAt(0))
+
+    // Theil-Sen: single point / all-equal x → no pairs, group drops
+    val onePt = Seq(("g", 1.0, 1.0), ("h", 2.0, 1.0), ("h", 2.0, 9.0))
+      .toDF("g", "x", "y")
+    assert(Analytics.theilSen(onePt, Seq("g"), "x", "y").count() === 0,
+      "no valid pair anywhere -> empty result")
+
+    // random walks on empty edges → empty corpus
+    val noE = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Analytics.randomWalks(noE, "a", "b", 1, 2).count() === 0)
   }
 }

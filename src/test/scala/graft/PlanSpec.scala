@@ -466,13 +466,17 @@ class PlanSpec extends SparkSpecBase {
     //     row per day; the dim-keyed variant partitions instead),
     //     q_maxsim (the windowed count IS the in-plan broadcast-batch
     //     gate, and it runs over the query batch — the side that very
-    //     gate bounds).
+    //     gate bounds), q_spearman / q_mannwhitney (fractionalRank /
+    //     rank-sum cumulative windows over DISTINCT-value rows — the
+    //     documented bounded-cardinality contract; mannWhitneyU also
+    //     enforces it with the ksTest approx-distinct gate).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val boundedByConstruction =
-      Set("q_budget_select", "q_ks_test", "q_rolling_distinct", "q_maxsim")
+      Set("q_budget_select", "q_ks_test", "q_rolling_distinct", "q_maxsim",
+        "q_spearman", "q_mannwhitney")
     def expand(p: SparkPlan): Seq[SparkPlan] =
       (p match { case a: AdaptiveSparkPlanExec => expand(a.executedPlan); case x => Seq(x) }) ++
         p.children.flatMap(expand) ++ p.subqueries.flatMap(expand)

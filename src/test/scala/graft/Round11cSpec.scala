@@ -1,12 +1,14 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Quality}
+import graft.operators.{Analytics, Quality, Text, Trajectory}
 
 /** Round-11 third wave: the statistics family — Kaplan–Meier survival,
   * fractional ranks / Spearman, categorical association (MI + Cramér's
   * V), Gini concentration, power-law MLE, local clustering coefficient,
-  * Benford screen, k-anonymity profile. */
+  * Benford screen, k-anonymity profile — plus the Borůvka minimum
+  * spanning forest, Douglas–Peucker trajectory simplification, and
+  * interpolated Kneser–Ney bigram scoring. */
 class Round11cSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -257,5 +259,293 @@ class Round11cSpec extends SparkSpecBase {
     val row = Quality.kAnonymity(df, Seq("q1", "q2"), k = 2)
       .select(col("low_diversity_classes")).collect().head
     assert(row.isNullAt(0))
+  }
+
+  // --- Borůvka minimum spanning forest -----------------------------------------
+
+  test("minimumSpanningForest: hand-checked MST on a weighted graph") {
+    //   1-2 w1, 2-3 w2, 1-3 w10 (cycle: the w10 edge must lose),
+    //   3-4 w3; parallel 1-2 w5 collapses; self-loop 4-4 drops
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 10.0),
+      (3L, 4L, 3.0), (2L, 1L, 5.0), (4L, 4L, 0.1)).toDF("a", "b", "w")
+    val got = Analytics.minimumSpanningForest(edges, "a", "b", "w")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 4L, 3.0)))
+  }
+
+  test("minimumSpanningForest matches driver-side Kruskal on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val raw = (1 to 400).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (a, b, rnd.nextInt(1000).toDouble)
+    }.filter(e => e._1 != e._2)
+    val got = Analytics.minimumSpanningForest(
+      raw.toDF("a", "b", "w"), "a", "b", "w")
+      .as[(Long, Long, Double)].collect()
+    // driver Kruskal with the SAME (w, u, v) tie order
+    val norm = raw.map { case (a, b, w) =>
+      (math.min(a, b), math.max(a, b), w)
+    }.groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = norm.sortBy(e => (e._3, e._1, e._2)).filter { case (u, v, _) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) false else { parent(ru) = rv; true }
+    }
+    assert(got.length === kruskal.length, "forest edge count (V - components)")
+    assert(math.abs(got.map(_._3).sum - kruskal.map(_._3).sum) < 1e-9,
+      "total forest weight must equal Kruskal's")
+  }
+
+  test("minimumSpanningForest: disconnected input yields one tree per component") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), // component A: 3 nodes
+      (10L, 11L, 1.0)) // component B: 2 nodes
+      .toDF("a", "b", "w")
+    val got = Analytics.minimumSpanningForest(edges, "a", "b", "w").collect()
+    assert(got.length === 3, "(3-1) + (2-1) forest edges")
+  }
+
+  // --- Douglas–Peucker simplification ------------------------------------------
+
+  test("simplify: collinear interior points vanish, a real corner survives") {
+    // y = 0 along x = 0..4 except a spike at x=2
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (2.0, 5.0), (3.0, 0.0), (4.0, 0.0))
+      .zipWithIndex.map { case ((x, y), i) => ("t1", i.toLong, x, y) }
+      .toDF("traj", "seq", "x", "y")
+    val kept = Trajectory.simplify(pts, Seq("traj"), "seq", "x", "y",
+      epsilon = 1.0).select("seq").as[Long].collect().sorted
+    // endpoints + the spike + its shoulders (they deviate > 1 from the
+    // post-split chords (0,0)->(2,5) and (2,5)->(4,0))
+    assert(kept.contains(2L), "the spike must survive")
+    assert(kept.head === 0L && kept.last === 4L, "endpoints always survive")
+    val keptFlat = Trajectory.simplify(pts, Seq("traj"), "seq", "x", "y",
+      epsilon = 100.0).select("seq").as[Long].collect().sorted
+    assert(keptFlat.toSeq === Seq(0L, 4L), "epsilon above the spike keeps endpoints only")
+  }
+
+  test("simplify matches a driver-side recursive Douglas-Peucker") {
+    val rnd = new scala.util.Random(29)
+    val trajs = (1 to 5).map { t =>
+      val n = 30 + rnd.nextInt(20)
+      (s"t$t", (0 until n).map(i =>
+        (i.toLong, i.toDouble, rnd.nextDouble() * 10)))
+    }
+    val df = trajs.flatMap { case (t, ps) =>
+      ps.map(p => (t, p._1, p._2, p._3))
+    }.toDF("traj", "seq", "x", "y")
+    val eps = 2.0
+    val got = Trajectory.simplify(df, Seq("traj"), "seq", "x", "y", eps)
+      .select("traj", "seq").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toSet }
+    def dp(ps: Vector[(Long, Double, Double)]): Set[Long] = {
+      if (ps.length <= 2) ps.map(_._1).toSet
+      else {
+        val (s, e) = (ps.head, ps.last)
+        val (dx, dy) = (e._2 - s._2, e._3 - s._3)
+        val chord = math.sqrt(dx * dx + dy * dy)
+        val devs = ps.tail.init.map { p =>
+          val d = if (chord == 0)
+            math.sqrt((p._2 - s._2) * (p._2 - s._2) +
+              (p._3 - s._3) * (p._3 - s._3))
+          else math.abs(dx * (s._3 - p._3) - (s._2 - p._2) * dy) / chord
+          (p, d)
+        }
+        val (mp, md) = devs.maxBy { case (p, d) => (d, -p._1) }
+        if (md <= eps) Set(s._1, e._1)
+        else {
+          val i = ps.indexWhere(_._1 == mp._1)
+          dp(ps.take(i + 1)) ++ dp(ps.drop(i))
+        }
+      }
+    }
+    trajs.foreach { case (t, ps) =>
+      assert(got(t) === dp(ps.toVector), s"trajectory $t diverged")
+    }
+  }
+
+  test("simplify: epsilon 0 keeps every point of a strictly convex track") {
+    // y = x² — no three points collinear, so nothing is droppable at ε=0
+    val pts = (0 until 10).map(i => ("z", i.toLong, i.toDouble,
+      (i * i).toDouble)).toDF("traj", "seq", "x", "y")
+    val kept = Trajectory.simplify(pts, Seq("traj"), "seq", "x", "y", 0.0)
+      .count()
+    assert(kept === 10L)
+  }
+
+  // --- Kneser-Ney --------------------------------------------------------------
+
+  test("knBigramScore: discounted probabilities sum to 1 per context") {
+    // model property: Σ_w2 P_KN(w2 | w1) = 1 for every seen context —
+    // verify by replaying the model tables driver-side on a tiny corpus
+    val docs = Seq((1L, "a b a b c"), (2L, "a c a b")).toDF("doc_id", "text")
+    val toks = Seq("a b a b c", "a c a b").flatMap(_.split(" ").sliding(2)
+      .map(p => (p(0), p(1))))
+    val big = toks.groupBy(identity).map { case (k, g) => k -> g.size.toDouble }
+    val ctx = big.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> (m.values.sum, m.size) }
+    val cont = big.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val types = big.size.toDouble
+    val d = 0.75
+    val vocab = big.keys.map(_._2).toSet ++ big.keys.map(_._1).toSet
+    ctx.keys.foreach { w1 =>
+      val (cSum, _) = ctx(w1)
+      val mass = vocab.toSeq.map { w2 =>
+        val c = big.getOrElse((w1, w2), 0.0)
+        val n1pF = ctx(w1)._2
+        val pCont = cont.getOrElse(w2, 0) / types
+        (math.max(c - d, 0.0) + d * n1pF * pCont) / cSum
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context $w1 mass $mass")
+    }
+    // and the Spark side scores every doc with a finite negative mean ln P
+    val got = Text.knBigramScore(docs, "doc_id", "text")
+      .select("kn_logprob").as[Double].collect()
+    assert(got.forall(v => v < 0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("knBigramScore ranks a repeated-transition doc above word salad") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "mat the on cat sat mat on the sat cat the")
+    ).toDF("doc_id", "text")
+    // corpus context: many docs sharing doc-1's transitions
+    val corpus = (3L to 12L).map(i =>
+      (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val got = Text.knBigramScore(docs.union(corpus), "doc_id", "text")
+      .select("id", "kn_logprob").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L),
+      "fluent transitions must outscore the same tokens shuffled")
+  }
+
+  test("knBigramScore: sub-2-token docs surface null score, not a crash") {
+    val docs = Seq((1L, "single"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Text.knBigramScore(docs, "doc_id", "text")
+      .select("id", "n_bigrams").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 0L)
+    assert(got(2L) === 1L)
+  }
+
+  // --- Mann-Whitney U ------------------------------------------------------------
+
+  test("mannWhitneyU matches the hand-worked rank-sum with ties") {
+    // A = {1, 2, 2}, B = {2, 3}: ranks 1, 3, 3, 3, 5 (tie group of 3 at v=2)
+    // R_a = 1 + 3 + 3 = 7; U = 7 - 3·4/2 = 1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val got = Quality.mannWhitneyU(df, "v", "g", "a", "b")
+      .select("u", "n_a", "n_b", "z").as[(Double, Long, Long, Double)].head()
+    assert(got._1 === 1.0)
+    assert((got._2, got._3) === ((3L, 2L)))
+    // z: mu = 3, var = (6/12)·(6 − (27−3)/(5·4)) = 0.5·4.8 = 2.4
+    val expectedZ = (1.0 - 3.0) / math.sqrt(2.4)
+    assert(math.abs(got._4 - expectedZ) < 1e-12)
+  }
+
+  test("mannWhitneyU: a clean shift scores strongly negative z") {
+    val df = ((1 to 50).map(i => ("lo", i.toDouble)) ++
+      (1 to 50).map(i => ("hi", i + 100.0))).toDF("g", "v")
+    val z = Quality.mannWhitneyU(df, "v", "g", "lo", "hi")
+      .select("z").as[Double].head()
+    assert(z < -8.0, s"complete separation must give extreme z, got $z")
+  }
+
+  test("mannWhitneyU: all-tied input surfaces null z") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val row = Quality.mannWhitneyU(df, "v", "g", "a", "b")
+      .select(col("z")).collect().head
+    assert(row.isNullAt(0))
+  }
+
+  // --- Jensen-Shannon ------------------------------------------------------------
+
+  test("jsDivergence: identical mixes 0, disjoint supports ln 2") {
+    val same = Seq(("k1", "a"), ("k2", "a"), ("k1", "b"), ("k2", "b"))
+      .toDF("k", "g")
+    val js0 = Quality.jsDivergence(same, "k", "g", "a", "b")
+      .select("jsd").as[Double].head()
+    assert(math.abs(js0) < 1e-12)
+    val disjoint = Seq(("k1", "a"), ("k2", "a"), ("k3", "b"), ("k4", "b"))
+      .toDF("k", "g")
+    val gotD = Quality.jsDivergence(disjoint, "k", "g", "a", "b")
+      .select("jsd", "jsd_bits").as[(Double, Double)].head()
+    assert(math.abs(gotD._1 - math.log(2.0)) < 1e-12)
+    assert(math.abs(gotD._2 - 1.0) < 1e-12)
+  }
+
+  test("jsDivergence matches a driver-side replay on an uneven mix") {
+    val rows = Seq.fill(30)(("x", "a")) ++ Seq.fill(10)(("y", "a")) ++
+      Seq.fill(10)(("x", "b")) ++ Seq.fill(30)(("y", "b"))
+    val got = Quality.jsDivergence(rows.toDF("k", "g"), "k", "g", "a", "b")
+      .select("jsd").as[Double].head()
+    val p = Map("x" -> 0.75, "y" -> 0.25); val q = Map("x" -> 0.25, "y" -> 0.75)
+    val expected = Seq("x", "y").map { k =>
+      val m = (p(k) + q(k)) / 2
+      p(k) * math.log(p(k) / m) / 2 + q(k) * math.log(q(k) / m) / 2
+    }.sum
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  // --- Theil-Sen -------------------------------------------------------------------
+
+  test("theilSen recovers the clean slope through one wild outlier") {
+    // y = 3x except one corrupted point; OLS would bend, the median won't
+    val pts = (1 to 11).map(i =>
+      ("u", i.toDouble, if (i == 6) 1000.0 else 3.0 * i))
+      .toDF("g", "x", "y")
+    val got = Analytics.theilSen(pts, Seq("g"), "x", "y")
+      .select("slope").as[Double].head()
+    assert(math.abs(got - 3.0) < 1e-12,
+      s"median slope must ignore the outlier, got $got")
+  }
+
+  test("theilSen: even pair count averages the two middle slopes") {
+    // 3 points, all x distinct -> 3 pairs (odd); use 4 points -> 6 pairs
+    val pts = Seq(("g", 0.0, 0.0), ("g", 1.0, 1.0), ("g", 2.0, 4.0),
+      ("g", 3.0, 9.0)).toDF("g", "x", "y")
+    val got = Analytics.theilSen(pts, Seq("g"), "x", "y")
+      .select("n_pairs", "slope").as[(Long, Double)].head()
+    // slopes: 1, 2, 3 | 3, 4 | 5 -> sorted 1,2,3,3,4,5 -> median (3+3)/2 = 3
+    assert(got === ((6L, 3.0)))
+  }
+
+  test("theilSen: the max-group gate refuses a quadratic blowup loudly") {
+    val big = (1 to 100).map(i => ("g", i.toDouble, i.toDouble))
+      .toDF("g", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.theilSen(big, Seq("g"), "x", "y", maxGroup = 50).collect()
+    }
+    assert(e.getMessage.contains("maxGroup"))
+  }
+
+  // --- random walks ----------------------------------------------------------------
+
+  test("randomWalks: every transition follows an edge, walks have full length") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val walks = Analytics.randomWalks(edges, "a", "b",
+      walksPerNode = 2, walkLen = 3)
+      .select("walk_id", "step", "node").as[(String, Int, Long)].collect()
+    val byWalk = walks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    assert(byWalk.size === 8, "4 nodes x 2 walks")
+    val adj = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    byWalk.foreach { case (id, path) =>
+      assert(path.length === 4, s"walk $id must have walkLen+1 nodes")
+      path.sliding(2).foreach { s =>
+        assert(adj.contains((s(0), s(1))), s"walk $id jumped $s off-graph")
+      }
+    }
+  }
+
+  test("randomWalks: a rerun regenerates the identical corpus") {
+    val edges = (1 to 200)
+      .map(i => ((i * 7 % 17).toLong, (i * 13 % 17).toLong))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+    def run() = Analytics.randomWalks(edges, "a", "b", 1, 4)
+      .select("walk_id", "step", "node").as[(String, Int, Long)]
+      .collect().toSet
+    assert(run() === run(), "hash-argmin walks must be deterministic")
   }
 }

@@ -145,6 +145,15 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_benford" -> (8L << 10),        // 1.8 kB: (group, digit) groupBy;
                                       // 9-digit frame broadcast
     "q_kanon" -> (4L << 10),          // 46 B: QI-class groupBy + 1-row
+    "q_kn_bigram" -> (768L << 10),    // pair/model-table groupBys + the
+                                      // pair-model joins (the q_bigram_lp
+                                      // shape + two margin tables)
+    "q_mannwhitney" -> (8L << 10),    // distinct-value counts + 1-row
+    "q_jsd" -> (4L << 10),            // category counts + 1-row rollup
+    "q_theilsen" -> (64L << 10),      // daily-mean groupBy + the bounded
+                                      // pair join + per-group median
+    "q_walks" -> (64L << 10),         // walkLen frontier joins + argmin
+                                      // groupBys over the 97-node graph
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
