@@ -1974,7 +1974,21 @@ object SparkEntry {
       Analytics.randomWalks(
           ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
             pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
-          "a", "b", walksPerNode = 1, walkLen = 3))
+          "a", "b", walksPerNode = 1, walkLen = 3)),
+
+    // --- additive weekly decomposition of per-type daily volume ---
+    "q_seasonal_decompose" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts_sec") / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      Analytics.seasonalDecompose(daily, Seq("event_type"), "day", "n",
+          period = 7)
+        .select(col("event_type"), col("day"), col("y"),
+          r3(col("trend")).as("trend"),
+          r3(col("seasonal")).as("seasonal"),
+          r3(col("residual")).as("residual"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5154,7 +5168,32 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 1, cur FROM s1
          |UNION ALL SELECT walk_id, 2, cur FROM s2
          |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
-    }
+    },
+
+    "q_seasonal_decompose" ->
+      s"""$EvCte, d AS (
+         |  SELECT event_type, CAST(floor(ts_sec / 86400) AS BIGINT) AS day,
+         |         CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM e GROUP BY 1, 2
+         |), t AS (
+         |  SELECT *, AVG(n) OVER wf AS trend, COUNT(n) OVER wf AS nw
+         |  FROM d WINDOW wf AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), tr AS (
+         |  SELECT *, day % 7 AS phase, n - trend AS detr FROM t WHERE nw = 7
+         |), se AS (
+         |  SELECT event_type, phase, AVG(detr) AS smean FROM tr GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT event_type, phase,
+         |         smean - AVG(smean) OVER (PARTITION BY event_type) AS seasonal
+         |  FROM se
+         |)
+         |SELECT tr.event_type, tr.day, tr.n AS y,
+         |       floor(trend*1000 + 0.5)/1000 AS trend,
+         |       floor(seasonal*1000 + 0.5)/1000 AS seasonal,
+         |       floor((tr.n - trend - seasonal)*1000 + 0.5)/1000 AS residual
+         |FROM tr JOIN sc ON sc.event_type = tr.event_type
+         |  AND sc.phase = tr.phase""".stripMargin
   )
 
   /** DuckDB left-fold cosine between two DOUBLE[] expressions — same

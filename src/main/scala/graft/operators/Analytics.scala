@@ -1464,6 +1464,126 @@ object Analytics {
   }
 
   /**
+   * Single-source shortest paths by synchronous Bellman–Ford — the
+   * reachability-with-cost primitive (hop-weighted influence radius,
+   * cheapest multi-leg route, "how far is every record from the seed
+   * set" on an ER/similarity graph). Per round ONE relax join (current
+   * distances against the once-repartitioned symmetric edge table) +
+   * one partial-agg'd min groupBy; distances only decrease, so
+   * convergence = an unchanged round, checked with the same
+   * sum-monotone trick as clusterPairs (one cheap aggregate action per
+   * round); rounds needed = the shortest-path DIAMETER in hops, with
+   * `maxIter` the loud runaway bound. Multiple sources are one run
+   * (distance to the NEAREST source — the multi-seed form a
+   * decontamination or influence screen wants). Negative weights are
+   * refused (Bellman–Ford tolerates them but a distributed run cannot
+   * detect negative cycles cheaply; every use case here is a metric).
+   * Unreachable nodes are absent from the output — visible by omission
+   * against the node set, never a fake infinity.
+   */
+  def shortestPaths(edges: DataFrame, aCol: String, bCol: String,
+                    wCol: String, sources: Seq[Long],
+                    maxIter: Int = 50,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(sources.nonEmpty, "shortestPaths needs at least one source")
+    val und = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("src") =!= col("dst"))
+    val negatives = und.filter(col("w") < 0).isEmpty
+    require(negatives, "shortestPaths: negative edge weights refused")
+    val sym = graft.CacheScope.persist(
+      und.union(und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+        .repartition(col("src")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = sources.distinct.map(s => (s, 0.0)).toDF("node", "dist")
+    var iter = 0
+    var converged = false
+    // Σdist + count: distances only DECREASE and the frontier only GROWS,
+    // so (count, sum) unchanged ⇔ fixpoint — one action per round
+    def state(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), sum("dist")).head
+      (r.getLong(0), Option(r.get(1)).fold(0.0)(_.asInstanceOf[Double]))
+    }
+    var prev = state(dist)
+    while (!converged && iter < maxIter) {
+      val relaxed = dist
+        .join(sym, dist("node") === sym("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = graft.CacheScope.lineageCut(
+        dist.union(relaxed).groupBy("node").agg(min("dist").as("dist")),
+        checkpointDir)
+      val cur = state(next)
+      converged = cur == prev
+      prev = cur
+      dist = next
+      iter += 1
+    }
+    require(converged,
+      s"shortestPaths did not converge in $maxIter rounds — raise maxIter " +
+        "if the graph's hop diameter really exceeds it")
+    dist
+  }
+
+  /**
+   * Additive seasonal decomposition (STL-lite): y = trend + seasonal +
+   * residual per group — the screen that separates "the metric is
+   * drifting" from "it's Tuesday" before an anomaly rule fires (row
+   * 246 z-scores against a season; this DECOMPOSES, so the residual
+   * feeds ANY downstream rule and the trend is directly reportable).
+   * Trend = centered moving average over one full period (the classic
+   * MA-p; even periods use the half-weight endpoint convention),
+   * seasonal = per-(group, phase) mean of the detrended series re-
+   * centered to sum 0 per group, residual = the rest. Emits only rows
+   * with a FULL trend window (edges are not estimable — a decomposition
+   * that fabricates them lies to the anomaly rule downstream).
+   *
+   * One per-group window sort (both MA frames ride it) + one
+   * partial-agg'd (group, phase) groupBy joined back + a group-mean
+   * broadcast — the zscore/seasonal plan discipline; `tCol` must be a
+   * gap-free integer bucket index per group (resample first — row 90 —
+   * if the series has holes; with gaps the phase arithmetic silently
+   * misaligns, so the contract is documented, not guessed around).
+   */
+  def seasonalDecompose(df: DataFrame, groupCols: Seq[String], tCol: String,
+                        yCol: String, period: Int): DataFrame = {
+    require(groupCols.nonEmpty, "seasonalDecompose needs group keys")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val gks = groupCols.map(col)
+    val w = Window.partitionBy(gks: _*).orderBy(col(tCol))
+    val half = period / 2
+    val y = col(yCol).cast("double")
+    val f = w.rowsBetween(-half, half)
+    // odd period: plain centered MA over p rows. Even period: the
+    // classic 2×p MA — p+1 rows with the two endpoints half-weighted.
+    val frameSize = if (period % 2 == 1) period else period + 1
+    val trend =
+      if (period % 2 == 1) avg(y).over(f)
+      else (sum(y).over(f) -
+        (first(y).over(f) + last(y).over(f)) / 2) / period
+    val trended = df
+      .withColumn("_trend", trend)
+      .withColumn("_nw", count(y).over(f))
+      .filter(col("_nw") === frameSize)
+      .withColumn("_phase", pmod(col(tCol), lit(period)))
+      .withColumn("_detr", y - col("_trend"))
+    val sea = trended.groupBy(gks :+ col("_phase"): _*)
+      .agg(avg(col("_detr")).as("_smean"))
+    val seaCentered = sea
+      .withColumn("_gmean",
+        avg(col("_smean")).over(Window.partitionBy(gks: _*)))
+      .select(gks ++ Seq(col("_phase"),
+        (col("_smean") - col("_gmean")).as("_seasonal")): _*)
+    trended.join(seaCentered, groupCols :+ "_phase")
+      .select(gks ++ Seq(col(tCol), y.as("y"), col("_trend").as("trend"),
+        col("_seasonal").as("seasonal"),
+        (y - col("_trend") - col("_seasonal")).as("residual")): _*)
+  }
+
+  /**
    * DETERMINISTIC random-walk corpus (DeepWalk / node2vec p=q=1 shape,
    * Perozzi '14) — the graph-to-sequence exporter feeding skip-gram
    * embedding training: `walksPerNode` walks of `walkLen` steps from

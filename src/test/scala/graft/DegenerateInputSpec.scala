@@ -500,5 +500,16 @@ class DegenerateInputSpec extends SparkSpecBase {
     // random walks on empty edges → empty corpus
     val noE = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Analytics.randomWalks(noE, "a", "b", 1, 2).count() === 0)
+
+    // shortest paths: seeds only (no edges) → just the seeds at 0
+    val noWE = Seq.empty[(Long, Long, Double)].toDF("a", "b", "w")
+    val sp = Analytics.shortestPaths(noWE, "a", "b", "w", Seq(7L))
+      .as[(Long, Double)].collect().toSeq
+    assert(sp === Seq((7L, 0.0)))
+
+    // seasonal decomposition: series shorter than one period → empty
+    val short = (0 until 3).map(i => ("g", i.toLong, 1.0)).toDF("g", "t", "y")
+    assert(Analytics.seasonalDecompose(short, Seq("g"), "t", "y", 7)
+      .count() === 0)
   }
 }

@@ -548,4 +548,104 @@ class Round11cSpec extends SparkSpecBase {
       .collect().toSet
     assert(run() === run(), "hash-argmin walks must be deterministic")
   }
+
+  // --- shortest paths -------------------------------------------------------------
+
+  test("shortestPaths matches driver-side Dijkstra on a random weighted graph") {
+    val rnd = new scala.util.Random(41)
+    val raw = (1 to 300).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        (rnd.nextInt(20) + 1).toDouble)
+    }.filter(e => e._1 != e._2)
+    val got = Analytics.shortestPaths(raw.toDF("a", "b", "w"), "a", "b", "w",
+      sources = Seq(0L))
+      .as[(Long, Double)].collect().toMap
+    // driver Dijkstra over the symmetric min-weight graph
+    val adj = raw.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), g) =>
+        (a, b, g.map(_._3).min) }
+      .groupBy(_._1).map { case (a, g) => a -> g.map(e => (e._2, e._3)) }
+    val distRef = scala.collection.mutable.Map(0L -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, 0L))(
+      Ordering.by(-_._1))
+    val doneSet = scala.collection.mutable.Set[Long]()
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (!doneSet(u)) {
+        doneSet += u
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (d + w < distRef.getOrElse(v, Double.MaxValue)) {
+            distRef(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+      }
+    }
+    assert(got.keySet === distRef.keySet, "reachable sets must agree")
+    distRef.foreach { case (n, d) =>
+      assert(math.abs(got(n) - d) < 1e-9, s"node $n: ${got(n)} vs $d")
+    }
+  }
+
+  test("shortestPaths: multi-source gives distance to the NEAREST seed") {
+    // path graph 1-2-3-4-5 with unit weights, seeds {1, 5}
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (4L, 5L, 1.0)).toDF("a", "b", "w")
+    val got = Analytics.shortestPaths(edges, "a", "b", "w", Seq(1L, 5L))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0))
+  }
+
+  test("shortestPaths: unreachable nodes are absent; negative weights refused") {
+    val edges = Seq((1L, 2L, 1.0), (10L, 11L, 1.0)).toDF("a", "b", "w")
+    val got = Analytics.shortestPaths(edges, "a", "b", "w", Seq(1L))
+      .select("node").as[Long].collect().toSet
+    assert(got === Set(1L, 2L), "the 10-11 island must be absent, not inf")
+    val neg = Seq((1L, 2L, -1.0)).toDF("a", "b", "w")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.shortestPaths(neg, "a", "b", "w", Seq(1L)).collect()
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
+  // --- seasonal decomposition -------------------------------------------------------
+
+  test("seasonalDecompose: planted weekly pattern is recovered exactly") {
+    // y = linear trend + exact period-7 seasonal, no noise
+    val seasonal = Array(5.0, -3.0, 0.0, 2.0, -1.0, -4.0, 1.0) // sums to 0
+    val pts = (0 until 70).map(i =>
+      ("m", i.toLong, 100.0 + 0.0 * i + seasonal(i % 7)))
+      .toDF("g", "t", "y")
+    val got = Analytics.seasonalDecompose(pts, Seq("g"), "t", "y", period = 7)
+      .select("t", "trend", "seasonal", "residual")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length === 70 - 6, "edge rows without a full window drop")
+    got.foreach { case (t, trend, sea, resid) =>
+      assert(math.abs(trend - 100.0) < 1e-9, s"flat trend at t=$t: $trend")
+      assert(math.abs(sea - seasonal((t % 7).toInt)) < 1e-9)
+      assert(math.abs(resid) < 1e-9, s"noiseless series → zero residual")
+    }
+  }
+
+  test("seasonalDecompose: components reconstruct y exactly, even period works") {
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 48).map(i =>
+      ("g", i.toLong, 10.0 + rnd.nextDouble() * 5))
+      .toDF("g", "t", "y")
+    val got = Analytics.seasonalDecompose(pts, Seq("g"), "t", "y", period = 4)
+      .select("y", "trend", "seasonal", "residual")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (y, tr, se, re) =>
+      assert(math.abs(y - (tr + se + re)) < 1e-9, "additive identity")
+    }
+    // even-period trend: MA-2x4 of a LINEAR series is exact
+    val lin = (0 until 20).map(i => ("l", i.toLong, 2.0 * i))
+      .toDF("g", "t", "y")
+    val linGot = Analytics.seasonalDecompose(lin, Seq("g"), "t", "y", 4)
+      .select("t", "trend").as[(Long, Double)].collect()
+    linGot.foreach { case (t, tr) =>
+      assert(math.abs(tr - 2.0 * t) < 1e-9,
+        s"2x4 MA must reproduce a linear trend exactly at t=$t")
+    }
+  }
 }

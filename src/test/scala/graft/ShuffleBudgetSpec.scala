@@ -154,6 +154,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // pair join + per-group median
     "q_walks" -> (64L << 10),         // walkLen frontier joins + argmin
                                       // groupBys over the 97-node graph
+    "q_seasonal_decompose" -> (16L << 10), // daily groupBy + one group
+                                      // window + phase-mean join-back
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
