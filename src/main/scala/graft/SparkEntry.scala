@@ -1959,11 +1959,15 @@ object SparkEntry {
 
     // --- Theil-Sen robust per-user trend over DAILY means: the series
     // length is the stream's day span, so the pairwise join stays
-    // bounded at every scale factor (rows per day grow, days don't) ---
+    // bounded at every scale factor (rows per day grow, days don't).
+    // Means on MILLI-SCALED INTEGER sums (the calibrationBins parity
+    // discipline): a floating AVG accumulates in engine-specific order
+    // and the median slope lands on .xxx5 rounding boundaries at sf1 ---
     "q_theilsen" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), floor(col("ts_sec") / 86400).as("day"))
-        .agg(avg(col("value")).as("v"))
+        .agg((sum(floor(col("value") * 1000 + 0.5)) /
+          (lit(1000.0) * count(lit(1)))).as("v"))
       Analytics.theilSen(daily, Seq("user_id"), "day", "v")
         .select(col("user_id"), col("n_pairs"), r3(col("slope")).as("slope"))
     }),
@@ -1975,6 +1979,17 @@ object SparkEntry {
           ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
             pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
           "a", "b", walksPerNode = 1, walkLen = 3)),
+
+    // --- Welch's t-test: doc length, en vs de (the parametric twin
+    // of q_mannwhitney on the same axis) ---
+    "q_ttest" -> ((s, dir) =>
+      Quality.welchTTest(
+          Tables.documents(s, dir).withColumn("n_chars",
+            length(col("text")).cast("double")),
+          "n_chars", "lang", "en", "de")
+        .select(col("n_a"), col("n_b"), r3(col("mean_a")).as("mean_a"),
+          r3(col("mean_b")).as("mean_b"), r3(col("t")).as("t"),
+          r3(col("dof")).as("dof"))),
 
     // --- additive weekly decomposition of per-type daily volume ---
     "q_seasonal_decompose" -> ((s, dir) => {
@@ -5127,7 +5142,8 @@ object SparkEntry {
     "q_theilsen" ->
       s"""$EvCte, p AS (
          |  SELECT user_id, CAST(floor(ts_sec / 86400) AS DOUBLE) AS x,
-         |         AVG(value) AS y
+         |         SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+         |           / (1000.0 * COUNT(*)) AS y
          |  FROM e GROUP BY user_id, floor(ts_sec / 86400)
          |), s AS (
          |  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS sl
@@ -5169,6 +5185,38 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 2, cur FROM s2
          |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
     },
+
+    "q_ttest" ->
+      """WITH f AS (
+        |  SELECT CAST(length(text) AS DOUBLE) AS v,
+        |         lang = 'en' AS ia
+        |  FROM documents WHERE lang IN ('en', 'de')
+        |), m AS (
+        |  SELECT SUM(CASE WHEN ia THEN v END) AS sa,
+        |         SUM(CASE WHEN ia THEN v*v END) AS qa,
+        |         CAST(COUNT(CASE WHEN ia THEN v END) AS DOUBLE) AS na,
+        |         SUM(CASE WHEN NOT ia THEN v END) AS sb,
+        |         SUM(CASE WHEN NOT ia THEN v*v END) AS qb,
+        |         CAST(COUNT(CASE WHEN NOT ia THEN v END) AS DOUBLE) AS nb
+        |  FROM f
+        |), d AS (
+        |  SELECT *,
+        |         (qa - sa*sa/na) / (na - 1) / na AS sea,
+        |         (qb - sb*sb/nb) / (nb - 1) / nb AS seb
+        |  FROM m
+        |)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       floor(sa/na*1000 + 0.5)/1000 AS mean_a,
+        |       floor(sb/nb*1000 + 0.5)/1000 AS mean_b,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0
+        |            THEN floor((sa/na - sb/nb) / sqrt(sea + seb)*1000 + 0.5)
+        |                 /1000 END AS t,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0
+        |              AND sea*sea/(na-1) + seb*seb/(nb-1) > 0
+        |            THEN floor((sea + seb)*(sea + seb)
+        |                   / (sea*sea/(na-1) + seb*seb/(nb-1))*1000 + 0.5)
+        |                 /1000 END AS dof
+        |FROM d""".stripMargin,
 
     "q_seasonal_decompose" ->
       s"""$EvCte, d AS (

@@ -337,6 +337,49 @@ object Quality {
   }
 
   /**
+   * Welch's t-test between two groups of a numeric metric — the
+   * parametric companion to [[mannWhitneyU]] (U detects any location
+   * shift; Welch's t quantifies the MEAN difference in its own units
+   * with unequal variances allowed — the form that is safe when the
+   * two sides have different spread, which control/treatment and
+   * yesterday/today almost always do). t = (x̄_a − x̄_b)/√(s²_a/n_a +
+   * s²_b/n_b), with the Welch–Satterthwaite effective degrees of
+   * freedom riding along. Moments come from ONE partial-agg'd pass of
+   * explicit sums (the zscore discipline: sum / sum-of-squares / count
+   * reproduce identical doubles in any engine; engine-native variance
+   * does not). Undefined cases surface null: a side with n < 2, or
+   * both variances exactly 0.
+   */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val isA = col(groupCol) === groupA
+    val m = df.filter(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .agg(
+        sum(when(isA, v)).as("sa"), sum(when(isA, v * v)).as("qa"),
+        count(when(isA, v)).cast("double").as("na"),
+        sum(when(!isA, v)).as("sb"), sum(when(!isA, v * v)).as("qb"),
+        count(when(!isA, v)).cast("double").as("nb"))
+    val va = (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    val defined = col("na") >= 2 && col("nb") >= 2
+    m.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(col("na") > 0, col("sa") / col("na")).as("mean_a"),
+      when(col("nb") > 0, col("sb") / col("nb")).as("mean_b"),
+      when(defined && (sea + seb) > 0,
+        (col("sa") / col("na") - col("sb") / col("nb")) / sqrt(sea + seb))
+        .as("t"),
+      when(defined && sea + seb > 0 &&
+        (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)) > 0,
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)))
+        .as("dof"))
+  }
+
+  /**
    * Jensen–Shannon divergence between two categorical distributions —
    * the bounded, symmetric drift number for DISCRETE mixes (event
    * types, languages, sources) where [[psiDrift]]'s binning and

@@ -459,6 +459,42 @@ class Round11cSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  // --- Welch's t -------------------------------------------------------------------
+
+  test("welchTTest matches a driver-side computation with unequal variances") {
+    val a = Seq(10.0, 12.0, 9.0, 11.0, 13.0)
+    val b = Seq(20.0, 30.0, 10.0, 40.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val got = Quality.welchTTest(df, "v", "g", "a", "b")
+      .select("n_a", "n_b", "mean_a", "mean_b", "t", "dof")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    def stats(x: Seq[Double]) = {
+      val n = x.size.toDouble; val m = x.sum / n
+      (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+    val se = va / na + vb / nb
+    val tRef = (ma - mb) / math.sqrt(se)
+    val dofRef = se * se /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert((got._1, got._2) === ((5L, 4L)))
+    assert(math.abs(got._3 - ma) < 1e-12 && math.abs(got._4 - mb) < 1e-12)
+    assert(math.abs(got._5 - tRef) < 1e-9, s"t ${got._5} vs $tRef")
+    assert(math.abs(got._6 - dofRef) < 1e-6, s"dof ${got._6} vs $dofRef")
+  }
+
+  test("welchTTest: singleton side and zero-variance pair surface null t") {
+    val single = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r1 = Quality.welchTTest(single, "v", "g", "a", "b")
+      .select(col("t")).collect().head
+    assert(r1.isNullAt(0), "n_a = 1 has no variance estimate")
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val r2 = Quality.welchTTest(flat, "v", "g", "a", "b")
+      .select(col("t")).collect().head
+    assert(r2.isNullAt(0), "zero pooled variance is undefined, not inf")
+  }
+
   // --- Jensen-Shannon ------------------------------------------------------------
 
   test("jsDivergence: identical mixes 0, disjoint supports ln 2") {

@@ -156,6 +156,7 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // groupBys over the 97-node graph
     "q_seasonal_decompose" -> (16L << 10), // daily groupBy + one group
                                       // window + phase-mean join-back
+    "q_ttest" -> (4L << 10),          // one 1-row moments aggregate
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
