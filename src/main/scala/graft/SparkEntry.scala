@@ -1980,6 +1980,12 @@ object SparkEntry {
             pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
           "a", "b", walksPerNode = 1, walkLen = 3)),
 
+    // --- one-step Huber robust mean of value per user ---
+    "q_huber" -> ((s, dir) =>
+      Quality.huberMean(ev(s, dir), Seq("user_id"), "value")
+        .select(col("user_id"), col("n"), r3(col("median")).as("median"),
+          r3(col("mad")).as("mad"), r3(col("huber_mean")).as("huber_mean"))),
+
     // --- Welch's t-test: doc length, en vs de (the parametric twin
     // of q_mannwhitney on the same axis) ---
     "q_ttest" -> ((s, dir) =>
@@ -5185,6 +5191,46 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 2, cur FROM s2
          |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
     },
+
+    "q_huber" ->
+      s"""$EvCte, r AS (
+         |  SELECT user_id, value,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value)
+         |           AS rn,
+         |         COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM e
+         |), m AS (
+         |  SELECT user_id,
+         |         AVG(CASE WHEN rn = CAST(floor((n+1)/2.0) AS BIGINT)
+         |                    OR rn = CAST(floor(n/2.0) AS BIGINT) + 1
+         |                  THEN value END) AS med
+         |  FROM r GROUP BY 1
+         |), r2 AS (
+         |  SELECT e.user_id, e.value, m.med,
+         |         ROW_NUMBER() OVER (PARTITION BY e.user_id
+         |           ORDER BY abs(e.value - m.med)) AS rn,
+         |         COUNT(*) OVER (PARTITION BY e.user_id) AS n
+         |  FROM e JOIN m USING (user_id)
+         |), md AS (
+         |  SELECT user_id,
+         |         AVG(CASE WHEN rn = CAST(floor((n+1)/2.0) AS BIGINT)
+         |                    OR rn = CAST(floor(n/2.0) AS BIGINT) + 1
+         |                  THEN abs(value - med) END) AS mad
+         |  FROM r2 GROUP BY 1
+         |), w AS (
+         |  SELECT e.user_id, e.value, m.med, md.mad,
+         |         CASE WHEN md.mad = 0 OR abs(e.value - m.med) = 0 THEN 1.0
+         |              ELSE least(1.0,
+         |                1.345 * md.mad / abs(e.value - m.med)) END AS w
+         |  FROM e JOIN m USING (user_id) JOIN md USING (user_id)
+         |)
+         |SELECT user_id, COUNT(*) AS n,
+         |       floor(MAX(med)*1000 + 0.5)/1000 AS median,
+         |       floor(MAX(mad)*1000 + 0.5)/1000 AS mad,
+         |       CASE WHEN MAX(mad) = 0 THEN floor(MAX(med)*1000 + 0.5)/1000
+         |            ELSE floor(SUM(w*value)/SUM(w)*1000 + 0.5)/1000
+         |       END AS huber_mean
+         |FROM w GROUP BY 1""".stripMargin,
 
     "q_ttest" ->
       """WITH f AS (

@@ -337,6 +337,126 @@ object Quality {
   }
 
   /**
+   * Isotonic regression per group by pool-adjacent-violators — the
+   * monotone calibration-curve fit (a classifier's score→probability
+   * map must be nondecreasing or a threshold means nothing; the
+   * binned reliability table of calibrationBins DESCRIBES miscalibration,
+   * this FIXES it). Points with equal x pool to their weighted mean
+   * first (one partial-agg'd groupBy — PAV's required tie treatment),
+   * then PAV runs per group via `mapGroups` — like mmrRerank, by
+   * necessity: a stack of merging blocks has no Catalyst form, and
+   * groups parallelize independently with no shuffle beyond the
+   * group-by. The per-group contract is ENFORCED: distinct-x count per
+   * group refuses past `maxGroup` (score-cardinality-sized in the
+   * calibration use; pass parity-rounded scores). Output: one row per
+   * (group, distinct x) with the pooled mean and the fitted
+   * nondecreasing value.
+   */
+  def isotonicFit(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, maxGroup: Long = 1000000L): DataFrame = {
+    require(maxGroup > 0, "isotonicFit needs a positive maxGroup")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pooled = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol), col(xCol).cast("double").as("_x"))
+      .agg(sum(col(yCol).cast("double")).as("_sy"), count(lit(1)).as("_n"))
+    val biggest = pooled.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.get(0)
+    val biggestN = Option(biggest).fold(0L)(_.asInstanceOf[Long])
+    require(biggestN <= maxGroup,
+      s"isotonicFit: a group holds $biggestN distinct x values > " +
+        s"maxGroup=$maxGroup — round the x axis (calibration passes " +
+        "parity-rounded scores) or raise the ceiling deliberately")
+    val fit = pooled
+      .select(col(groupCol).cast("string").as("_g"), col("_x"),
+        col("_sy"), col("_n"))
+      .as[(String, Double, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        // PAV stack: blocks of (weight, ysum, span); merge while the top
+        // block's mean undercuts its predecessor's
+        val w = new scala.collection.mutable.ArrayBuffer[Double]
+        val s = new scala.collection.mutable.ArrayBuffer[Double]
+        val span = new scala.collection.mutable.ArrayBuffer[Int]
+        pts.foreach { case (_, _, sy, n) =>
+          w += n.toDouble; s += sy; span += 1
+          while (w.length >= 2 &&
+            s(s.length - 1) / w(w.length - 1) <
+              s(s.length - 2) / w(w.length - 2)) {
+            val i = w.length - 2
+            w(i) += w.remove(i + 1); s(i) += s.remove(i + 1)
+            span(i) += span.remove(i + 1)
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(String, Double, Double)]
+        var idx = 0
+        for (b <- w.indices; _ <- 0 until span(b)) {
+          out += ((g, pts(idx)._2, s(b) / w(b)))
+          idx += 1
+        }
+        out
+      }
+      .toDF("_g", "_x", "y_fit")
+    pooled
+      .withColumn("_g", col(groupCol).cast("string"))
+      .join(fit, Seq("_g", "_x"))
+      .select(col(groupCol), col("_x").as(xCol),
+        col("_n").as("n"), (col("_sy") / col("_n")).as("y_mean"),
+        col("y_fit"))
+  }
+
+  /**
+   * One-step HUBER robust mean per group (W-estimator from the median):
+   * the location number that survives the corrupted rows a plain mean
+   * cannot and keeps the efficiency a plain median throws away. Start
+   * at the group median, scale by the MAD, downweight each point by the
+   * Huber ψ — w = min(1, k·MAD/|v − med|) — and report the weighted
+   * mean (one reweighting step: deterministic, engine-replayable, and
+   * already 90%+ of the full IRLS estimator's benefit). Median and MAD
+   * are positional (average of the two middle order statistics — the
+   * theilSen convention) over group-partitioned windows; a zero-MAD
+   * group (≥half the points identical) returns the median itself.
+   * Two window passes + one partial-agg'd rollup, all partitioned by
+   * the group keys.
+   */
+  def huberMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Double = 1.345): DataFrame = {
+    require(groupCols.nonEmpty, "huberMean needs group keys (lit-tag one)")
+    require(k > 0, s"huberMean needs k > 0, got $k")
+    val gks = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    def positionalMedian(in: DataFrame, c: Column, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(gks: _*).orderBy(c)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(gks: _*)
+      in.withColumn("_mrn", row_number().over(w))
+        .withColumn("_mn", count(c).over(wAll))
+        .withColumn(out,
+          avg(when(col("_mrn") === floor((col("_mn") + 1) / 2.0) ||
+            col("_mrn") === floor(col("_mn") / 2.0) + 1, c)).over(wAll))
+        .drop("_mrn", "_mn")
+    }
+    val withMed = positionalMedian(df.filter(v.isNotNull), v, "_med")
+    val withMad = positionalMedian(withMed, abs(v - col("_med")), "_mad")
+    withMad
+      .withColumn("_w",
+        // ANSI guards: a point AT the median gets full weight (its
+        // residual is 0 — the k·MAD/0 division must never evaluate)
+        when(col("_mad") === 0.0 || abs(v - col("_med")) === 0.0, lit(1.0))
+          .otherwise(least(lit(1.0),
+            lit(k) * col("_mad") / abs(v - col("_med")))))
+      .groupBy(gks: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("_med")).as("median"),
+        max(col("_mad")).as("mad"),
+        when(max(col("_mad")) === 0.0, max(col("_med")))
+          .otherwise(sum(col("_w") * v) / sum(col("_w"))).as("huber_mean"))
+  }
+
+  /**
    * Welch's t-test between two groups of a numeric metric — the
    * parametric companion to [[mannWhitneyU]] (U detects any location
    * shift; Welch's t quantifies the MEAN difference in its own units

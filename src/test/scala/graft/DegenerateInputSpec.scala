@@ -511,5 +511,15 @@ class DegenerateInputSpec extends SparkSpecBase {
     val short = (0 until 3).map(i => ("g", i.toLong, 1.0)).toDF("g", "t", "y")
     assert(Analytics.seasonalDecompose(short, Seq("g"), "t", "y", 7)
       .count() === 0)
+
+    // isotonic / Huber on empty input → empty, no gate blowup
+    val noXY = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(Quality.isotonicFit(noXY, "g", "x", "y").count() === 0)
+    val noGV = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Quality.huberMean(noGV, Seq("g"), "v").count() === 0)
+    // Welch on a single-row side → null t (no variance estimate)
+    val tiny2 = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    assert(Quality.welchTTest(tiny2, "v", "g", "a", "b")
+      .select(col("t")).collect().head.isNullAt(0))
   }
 }

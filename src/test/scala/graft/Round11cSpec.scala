@@ -459,6 +459,93 @@ class Round11cSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  // --- isotonic regression ---------------------------------------------------------
+
+  test("isotonicFit matches a driver-side PAV on random data") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 200).map(i =>
+      ("g", (i % 40).toDouble, rnd.nextDouble() * 10))
+    val got = Quality.isotonicFit(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .select("x", "y_fit").as[(Double, Double)].collect().toMap
+    // driver PAV over x-pooled means
+    val pooled = pts.groupBy(_._2).toSeq.sortBy(_._1).map { case (x, g) =>
+      (x, g.map(_._3).sum, g.size.toDouble)
+    }
+    val w = scala.collection.mutable.ArrayBuffer[Double]()
+    val s = scala.collection.mutable.ArrayBuffer[Double]()
+    val span = scala.collection.mutable.ArrayBuffer[Int]()
+    pooled.foreach { case (_, sy, n) =>
+      w += n; s += sy; span += 1
+      while (w.length >= 2 &&
+        s(s.length - 1) / w(w.length - 1) < s(s.length - 2) / w(w.length - 2)) {
+        val i = w.length - 2
+        w(i) += w.remove(i + 1); s(i) += s.remove(i + 1)
+        span(i) += span.remove(i + 1)
+      }
+    }
+    val ref = scala.collection.mutable.Map[Double, Double]()
+    var idx = 0
+    for (b <- w.indices; _ <- 0 until span(b)) {
+      ref(pooled(idx)._1) = s(b) / w(b); idx += 1
+    }
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (x, f) =>
+      assert(math.abs(f - ref(x)) < 1e-9, s"x=$x: $f vs ${ref(x)}")
+    }
+    // and the fit is nondecreasing in x
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    sorted.sliding(2).foreach(p =>
+      assert(p(0) <= p(1) + 1e-12, "isotonic fit must be nondecreasing"))
+  }
+
+  test("isotonicFit: already-monotone means pass through untouched") {
+    val pts = Seq(("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 7.0))
+      .toDF("g", "x", "y")
+    val got = Quality.isotonicFit(pts, "g", "x", "y")
+      .select("x", "y_fit").as[(Double, Double)].collect().toMap
+    assert(got === Map(1.0 -> 1.0, 2.0 -> 3.0, 3.0 -> 7.0))
+  }
+
+  // --- Huber robust mean -------------------------------------------------------------
+
+  test("huberMean shrugs off an outlier that drags the plain mean") {
+    val clean = (1 to 20).map(i => ("u", 10.0 + (i % 5)))
+    val df = (clean :+ (("u", 100000.0))).toDF("g", "v")
+    val got = Quality.huberMean(df, Seq("g"), "v")
+      .select("huber_mean").as[Double].head()
+    val mean = (clean.map(_._2).sum + 100000.0) / 21
+    assert(got < 15.0, s"huber mean $got must stay near the clean data")
+    assert(mean > 4000, "the plain mean is wrecked (sanity)")
+  }
+
+  test("huberMean matches a driver-side one-step W-estimator replay") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 100.0, 5.0, 2.5)
+    val got = Quality.huberMean(vals.map(("g", _)).toDF("g", "v"), Seq("g"), "v")
+      .select("median", "mad", "huber_mean")
+      .as[(Double, Double, Double)].head()
+    def posMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      (s(((n + 1) / 2) - 1) + s(n / 2)) / 2.0
+    }
+    val med = posMedian(vals)
+    val mad = posMedian(vals.map(v => math.abs(v - med)))
+    val ws = vals.map { v =>
+      val r = math.abs(v - med)
+      if (mad == 0 || r == 0) 1.0 else math.min(1.0, 1.345 * mad / r)
+    }
+    val ref = ws.zip(vals).map { case (w, v) => w * v }.sum / ws.sum
+    assert(math.abs(got._1 - med) < 1e-12)
+    assert(math.abs(got._2 - mad) < 1e-12)
+    assert(math.abs(got._3 - ref) < 1e-9, s"${got._3} vs $ref")
+  }
+
+  test("huberMean: an all-identical group returns the median, not NaN") {
+    val df = Seq(("z", 7.0), ("z", 7.0), ("z", 7.0)).toDF("g", "v")
+    val got = Quality.huberMean(df, Seq("g"), "v")
+      .select("mad", "huber_mean").as[(Double, Double)].head()
+    assert(got === ((0.0, 7.0)))
+  }
+
   // --- Welch's t -------------------------------------------------------------------
 
   test("welchTTest matches a driver-side computation with unequal variances") {

@@ -157,6 +157,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_seasonal_decompose" -> (16L << 10), // daily groupBy + one group
                                       // window + phase-mean join-back
     "q_ttest" -> (4L << 10),          // one 1-row moments aggregate
+    "q_huber" -> (512L << 10),        // two user-partitioned window
+                                      // passes over the event table
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
