@@ -1980,6 +1980,45 @@ object SparkEntry {
             pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
           "a", "b", walksPerNode = 1, walkLen = 3)),
 
+    // --- CUPED variance reduction: per-user post-period value total
+    // adjusted by the pre-period total (variant = user_id parity);
+    // unit metrics on centi-scaled integers (the theilSen parity
+    // lesson applied up front — sums stay exact in both engines) ---
+    "q_cuped" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(
+        floor((min(col("ts_sec")) + max(col("ts_sec"))) / 2.0).as("_mid"))
+      val cv = floor(col("value") * 100 + 0.5).cast("long")
+      val units = e.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).as("variant"))
+        .agg(sum(when(col("ts_sec") >= col("_mid"), cv).otherwise(0L)).as("y"),
+          sum(when(col("ts_sec") < col("_mid"), cv).otherwise(0L)).as("x"))
+      Analytics.cuped(units, "variant", "y", "x")
+        .select(col("variant"), col("n"), r3(col("theta")).as("theta"),
+          r3(col("mean_raw")).as("mean_raw"),
+          r3(col("mean_cuped")).as("mean_cuped"),
+          r3(col("var_raw")).as("var_raw"),
+          r3(col("var_cuped")).as("var_cuped"))
+    }),
+
+    // --- difference-in-differences: user-parity "rollout", pre/post
+    // split at the stream midpoint, centi-scaled row metrics ---
+    "q_did" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(
+        floor((min(col("ts_sec")) + max(col("ts_sec"))) / 2.0).as("_mid"))
+      val f = e.crossJoin(broadcast(mid))
+        .select(pmod(col("user_id"), lit(2)).cast("string").as("variant"),
+          when(col("ts_sec") >= col("_mid"), "post").otherwise("pre")
+            .as("period"),
+          floor(col("value") * 100 + 0.5).as("v"))
+      Analytics.diffInDiff(f, "variant", "1", "period", "post", "v")
+        .select(col("n_t_post"), col("n_t_pre"), col("n_c_post"),
+          col("n_c_pre"), r3(col("t_post")).as("t_post"),
+          r3(col("t_pre")).as("t_pre"), r3(col("c_post")).as("c_post"),
+          r3(col("c_pre")).as("c_pre"), r3(col("did")).as("did"))
+    }),
+
     // --- one-step Huber robust mean of value per user ---
     "q_huber" -> ((s, dir) =>
       Quality.huberMean(ev(s, dir), Seq("user_id"), "value")
@@ -5191,6 +5230,83 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 2, cur FROM s2
          |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
     },
+
+    "q_cuped" ->
+      s"""$EvCte, mid AS (
+         |  SELECT CAST(floor((MIN(ts_sec) + MAX(ts_sec)) / 2.0) AS BIGINT)
+         |    AS m FROM e
+         |), u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |         SUM(CASE WHEN ts_sec >= m
+         |             THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+         |             ELSE 0 END) AS y,
+         |         SUM(CASE WHEN ts_sec < m
+         |             THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+         |             ELSE 0 END) AS x
+         |  FROM e CROSS JOIN mid GROUP BY 1, 2
+         |), pooled AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |         SUM(CAST(x AS DOUBLE)) AS sx,
+         |         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+         |         SUM(CAST(y AS DOUBLE)) AS sy,
+         |         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS sxy
+         |  FROM u
+         |), th AS (
+         |  SELECT CASE WHEN n < 2 OR sxx - sx*sx/n <= 0 THEN 0.0
+         |              ELSE (sxy - sx*sy/n) / (sxx - sx*sx/n) END AS theta,
+         |         sx / n AS xbar
+         |  FROM pooled
+         |), adj AS (
+         |  SELECT variant, theta, CAST(y AS DOUBLE) AS y,
+         |         CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar) AS a
+         |  FROM u CROSS JOIN th
+         |)
+         |SELECT variant, COUNT(*) AS n,
+         |       floor(MAX(theta)*1000 + 0.5)/1000 AS theta,
+         |       floor(SUM(y)/COUNT(*)*1000 + 0.5)/1000 AS mean_raw,
+         |       floor(SUM(a)/COUNT(*)*1000 + 0.5)/1000 AS mean_cuped,
+         |       CASE WHEN COUNT(*) < 2 THEN NULL
+         |            ELSE floor((SUM(y*y) - SUM(y)*SUM(y)/COUNT(*))
+         |                   / (COUNT(*) - 1)*1000 + 0.5)/1000 END AS var_raw,
+         |       CASE WHEN COUNT(*) < 2 THEN NULL
+         |            ELSE floor((SUM(a*a) - SUM(a)*SUM(a)/COUNT(*))
+         |                   / (COUNT(*) - 1)*1000 + 0.5)/1000 END AS var_cuped
+         |FROM adj GROUP BY 1""".stripMargin,
+
+    "q_did" ->
+      s"""$EvCte, mid AS (
+         |  SELECT CAST(floor((MIN(ts_sec) + MAX(ts_sec)) / 2.0) AS BIGINT)
+         |    AS m FROM e
+         |), f AS (
+         |  SELECT user_id % 2 = 1 AS t, ts_sec >= m AS post,
+         |         floor(value*100 + 0.5) AS v
+         |  FROM e CROSS JOIN mid
+         |), c AS (
+         |  SELECT
+         |    SUM(CASE WHEN t AND post THEN v END)
+         |      / COUNT(CASE WHEN t AND post THEN v END) AS t_post,
+         |    COUNT(CASE WHEN t AND post THEN v END) AS n_t_post,
+         |    SUM(CASE WHEN t AND NOT post THEN v END)
+         |      / COUNT(CASE WHEN t AND NOT post THEN v END) AS t_pre,
+         |    COUNT(CASE WHEN t AND NOT post THEN v END) AS n_t_pre,
+         |    SUM(CASE WHEN NOT t AND post THEN v END)
+         |      / COUNT(CASE WHEN NOT t AND post THEN v END) AS c_post,
+         |    COUNT(CASE WHEN NOT t AND post THEN v END) AS n_c_post,
+         |    SUM(CASE WHEN NOT t AND NOT post THEN v END)
+         |      / COUNT(CASE WHEN NOT t AND NOT post THEN v END) AS c_pre,
+         |    COUNT(CASE WHEN NOT t AND NOT post THEN v END) AS n_c_pre
+         |  FROM f
+         |)
+         |SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
+         |       floor(t_post*1000 + 0.5)/1000 AS t_post,
+         |       floor(t_pre*1000 + 0.5)/1000 AS t_pre,
+         |       floor(c_post*1000 + 0.5)/1000 AS c_post,
+         |       floor(c_pre*1000 + 0.5)/1000 AS c_pre,
+         |       CASE WHEN n_t_post = 0 OR n_t_pre = 0 OR n_c_post = 0
+         |              OR n_c_pre = 0 THEN NULL
+         |            ELSE floor(((t_post - t_pre) - (c_post - c_pre))
+         |                   *1000 + 0.5)/1000 END AS did
+         |FROM c""".stripMargin,
 
     "q_huber" ->
       s"""$EvCte, r AS (

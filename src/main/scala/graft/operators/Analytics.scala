@@ -1584,6 +1584,84 @@ object Analytics {
   }
 
   /**
+   * CUPED variance reduction (Deng et al. WSDM'13) — the experimentation
+   * -platform adjustment that makes A/B metrics converge weeks sooner:
+   * each unit's metric is debiased by its OWN pre-period behavior,
+   * y′ = y − θ(x − x̄), θ = cov(x, y)/var(x) POOLED across variants
+   * (computing θ per variant would re-introduce the treatment effect
+   * into the adjustment and bias the lift). Unbiased because E[x] is
+   * independent of assignment; variance drops by the squared x–y
+   * correlation. One pass of explicit pooled sums (the zscore
+   * discipline — engine-identical doubles) broadcast back, adjustment
+   * map-side, then a per-variant rollup with raw and adjusted means and
+   * the measured per-variant variance of both (the reduction is the
+   * point — report it, don't assert it). Zero pooled var(x) (constant
+   * covariate) surfaces θ = 0: the adjustment degrades to a no-op,
+   * never a blowup.
+   */
+  def cuped(df: DataFrame, variantCol: String, metricCol: String,
+            covariateCol: String): DataFrame = {
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val base = df.filter(y.isNotNull && x.isNotNull)
+    val pooled = base.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(x).as("_sx"), sum(x * x).as("_sxx"),
+      sum(y).as("_sy"), sum(x * y).as("_sxy"))
+    val varX = col("_sxx") - col("_sx") * col("_sx") / col("_n")
+    val covXY = col("_sxy") - col("_sx") * col("_sy") / col("_n")
+    val theta = pooled.select(
+      when(col("_n") < 2 || varX <= 0, lit(0.0))
+        .otherwise(covXY / varX).as("_theta"),
+      (col("_sx") / col("_n")).as("_xbar"))
+    base.crossJoin(broadcast(theta))
+      .withColumn("_adj", y - col("_theta") * (x - col("_xbar")))
+      .groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("_theta")).as("theta"),
+        (sum(y) / count(lit(1))).as("mean_raw"),
+        (sum(col("_adj")) / count(lit(1))).as("mean_cuped"),
+        // singleton variants have no sample variance — null, not 0/0
+        when(count(lit(1)) < 2, lit(null))
+          .otherwise((sum(y * y) - sum(y) * sum(y) / count(lit(1))) /
+            (count(lit(1)) - 1)).as("var_raw"),
+        when(count(lit(1)) < 2, lit(null))
+          .otherwise((sum(col("_adj") * col("_adj")) -
+            sum(col("_adj")) * sum(col("_adj")) / count(lit(1))) /
+            (count(lit(1)) - 1)).as("var_cuped"))
+  }
+
+  /**
+   * Difference-in-differences — the quasi-experimental lift estimate
+   * when assignment wasn't randomized (a rollout hit one segment/region
+   * first): Δ = (treated.post − treated.pre) − (control.post −
+   * control.pre), which cancels both the group's standing offset and
+   * the period's common shock, leaving the treatment effect under the
+   * parallel-trends assumption (state it in the report; the math can't
+   * check it). One partial-agg'd pass over the 2×2 cells; any empty
+   * cell nulls the estimate loudly rather than defaulting a mean to 0.
+   */
+  def diffInDiff(df: DataFrame, variantCol: String, treatedValue: String,
+                 periodCol: String, postValue: String,
+                 metricCol: String): DataFrame = {
+    val y = col(metricCol).cast("double")
+    val isT = col(variantCol) === treatedValue
+    val isPost = col(periodCol) === postValue
+    def cell(c: Column) = sum(when(c, y)) / count(when(c, y))
+    def nOf(c: Column) = count(when(c, y))
+    val m = df.filter(y.isNotNull).agg(
+      cell(isT && isPost).as("t_post"), nOf(isT && isPost).as("n_t_post"),
+      cell(isT && !isPost).as("t_pre"), nOf(isT && !isPost).as("n_t_pre"),
+      cell(!isT && isPost).as("c_post"), nOf(!isT && isPost).as("n_c_post"),
+      cell(!isT && !isPost).as("c_pre"), nOf(!isT && !isPost).as("n_c_pre"))
+    m.withColumn("did",
+      when(col("n_t_post") === 0 || col("n_t_pre") === 0 ||
+        col("n_c_post") === 0 || col("n_c_pre") === 0, lit(null))
+        .otherwise((col("t_post") - col("t_pre")) -
+          (col("c_post") - col("c_pre"))))
+  }
+
+  /**
    * DETERMINISTIC random-walk corpus (DeepWalk / node2vec p=q=1 shape,
    * Perozzi '14) — the graph-to-sequence exporter feeding skip-gram
    * embedding training: `walksPerNode` walks of `walkLen` steps from

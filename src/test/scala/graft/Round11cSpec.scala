@@ -459,6 +459,64 @@ class Round11cSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  // --- CUPED / diff-in-diff ----------------------------------------------------------
+
+  test("cuped: a metric predicted by its covariate collapses variance; lift survives") {
+    val rnd = new scala.util.Random(5)
+    // y = x + small noise + a +10 lift for variant 1
+    val units = (1 to 400).map { i =>
+      val x = rnd.nextDouble() * 100
+      val v = i % 2
+      (v.toLong, x + rnd.nextDouble() * 2 + (if (v == 1) 10.0 else 0.0), x)
+    }.toDF("variant", "y", "x")
+    val got = Analytics.cuped(units, "variant", "y", "x")
+      .select("variant", "mean_raw", "mean_cuped", "var_raw", "var_cuped")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // variance must collapse by ~corr² (here corr ≈ 1 → >50× reduction)
+    got.values.foreach { r =>
+      assert(r._5 < r._4 / 50,
+        s"variant ${r._1}: var ${r._4} -> ${r._5} is not a real reduction")
+    }
+    // the lift is preserved by the adjustment (same theta both variants)
+    val liftRaw = got(1L)._2 - got(0L)._2
+    val liftAdj = got(1L)._3 - got(0L)._3
+    assert(math.abs(liftAdj - 10.0) < 1.0, s"adjusted lift $liftAdj")
+    assert(math.abs(liftRaw - liftAdj) < 5.0, "adjustment must not destroy the effect")
+  }
+
+  test("cuped: constant covariate degrades to a no-op, not a blowup") {
+    val units = Seq((0L, 5.0, 1.0), (1L, 7.0, 1.0), (0L, 6.0, 1.0),
+      (1L, 8.0, 1.0)).toDF("variant", "y", "x")
+    val got = Analytics.cuped(units, "variant", "y", "x")
+      .select("theta", "mean_raw", "mean_cuped")
+      .as[(Double, Double, Double)].collect()
+    got.foreach { r =>
+      assert(r._1 === 0.0)
+      assert(r._2 === r._3, "theta 0 → adjusted ≡ raw")
+    }
+  }
+
+  test("diffInDiff cancels group offsets and period shocks exactly") {
+    // control: pre 10, post 13 (shock +3); treated: pre 20, post 28
+    // (offset +10, shock +3, effect +5) → did = 5
+    val rows =
+      Seq.fill(30)(("0", "pre", 10.0)) ++ Seq.fill(30)(("0", "post", 13.0)) ++
+      Seq.fill(30)(("1", "pre", 20.0)) ++ Seq.fill(30)(("1", "post", 28.0))
+    val got = Analytics.diffInDiff(rows.toDF("variant", "period", "v"),
+        "variant", "1", "period", "post", "v")
+      .select("did").as[Double].head()
+    assert(math.abs(got - 5.0) < 1e-12)
+  }
+
+  test("diffInDiff: an empty cell nulls the estimate loudly") {
+    val rows = Seq(("0", "pre", 1.0), ("0", "post", 2.0), ("1", "post", 9.0))
+    val r = Analytics.diffInDiff(rows.toDF("variant", "period", "v"),
+      "variant", "1", "period", "post", "v")
+      .select(col("did")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   // --- isotonic regression ---------------------------------------------------------
 
   test("isotonicFit matches a driver-side PAV on random data") {

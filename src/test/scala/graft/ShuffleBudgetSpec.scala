@@ -159,6 +159,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_ttest" -> (4L << 10),          // one 1-row moments aggregate
     "q_huber" -> (512L << 10),        // two user-partitioned window
                                       // passes over the event table
+    "q_cuped" -> (64L << 10),         // per-unit groupBy + 1-row theta
+                                      // broadcast + variant rollup
+    "q_did" -> (4L << 10),            // one 2x2-cell aggregate
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
