@@ -1980,6 +1980,19 @@ object SparkEntry {
             pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
           "a", "b", walksPerNode = 1, walkLen = 3)),
 
+    // --- deterministic word2vec-style negative sampling: 3 negatives
+    // per (user, event_type) positive, drawn from freq^0.75 over an
+    // exact-integer cumulative table ---
+    "q_negsample" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val pos = e.filter(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("event_type")).distinct()
+      val freqs = e.groupBy(col("event_type").as("item"))
+        .agg(count(lit(1)).as("freq"))
+      Sampling.negativeSample(pos, "user_id", "event_type",
+        freqs, "item", "freq", k = 3)
+    }),
+
     // --- CUPED variance reduction: per-user post-period value total
     // adjusted by the pre-period total (variant = user_id parity);
     // unit metrics on centi-scaled integers (the theilSen parity
@@ -5230,6 +5243,33 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 2, cur FROM s2
          |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
     },
+
+    "q_negsample" ->
+      s"""$EvCte, pos AS (
+         |  SELECT DISTINCT user_id, event_type FROM e WHERE user_id % 100 = 0
+         |), fr AS (SELECT event_type AS item, COUNT(*) AS freq FROM e GROUP BY 1),
+         |sl AS (
+         |  SELECT item AS neg, w,
+         |         coalesce(SUM(w) OVER (ORDER BY item
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS slot_from
+         |  FROM (SELECT item,
+         |               CAST(floor(pow(CAST(freq AS DOUBLE), 0.75)*1000 + 0.5)
+         |                 AS BIGINT) AS w
+         |        FROM fr WHERE freq > 0)
+         |  WHERE w > 0
+         |), sl2 AS (SELECT neg, slot_from, slot_from + w AS slot_to FROM sl),
+         |tot AS (SELECT MAX(slot_to) AS total FROM sl2),
+         |dr AS (
+         |  SELECT user_id, event_type, j,
+         |         CAST(concat('0x', substr(md5(user_id || ':' || event_type
+         |             || ':' || j), 1, 15)) AS BIGINT) % total AS u
+         |  FROM pos CROSS JOIN (SELECT UNNEST(range(1, 4)) AS j)
+         |  CROSS JOIN tot
+         |)
+         |SELECT dr.user_id, dr.event_type, j AS draw, neg AS negative,
+         |       neg = dr.event_type AS accidental_hit
+         |FROM dr JOIN sl2 ON u >= slot_from AND u < slot_to""".stripMargin,
 
     "q_cuped" ->
       s"""$EvCte, mid AS (

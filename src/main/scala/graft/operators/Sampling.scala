@@ -440,4 +440,58 @@ object Sampling {
       .orderBy(desc("_gk"), col("_id")).limit(k)
       .select(col("_id").as(idCol), col("logw"))
   }
+
+  /**
+   * DETERMINISTIC negative sampling from the smoothed unigram
+   * distribution (word2vec's freq^0.75 — Mikolov '13) — the
+   * contrastive-training data op: every positive (anchor, item) pair
+   * gets `k` negatives drawn ∝ freq^α, deterministic via the
+   * md5 sampling contract so a rerun or an external engine regenerates
+   * the exact training set. Draw machinery is EXACT-INTEGER end to
+   * end: item weights are milli-scaled ⌊freq^α·1000+½⌋ longs, the
+   * cumulative table assigns each item a [from, to) slot, and draw j
+   * for a pair targets md5(anchor:item:j) mod total — a range join
+   * against the cumulative table whose engine parity cannot drift
+   * (floating cum-sums would put slot BOUNDARIES at ulp mercy).
+   *
+   * Scale shape: the vocabulary table (item, weight, cum) is
+   * vocab-sized and BROADCASTS into the range join; the cum-sum window
+   * runs over distinct items only (the groupedAuc bounded-cardinality
+   * discipline — a vocab is bounded by construction). Accidental hits
+   * (negative == the pair's positive item) are kept — the standard
+   * word2vec treatment (dropping them skews the draw; at realistic
+   * vocab sizes they are rare) — but FLAGGED so a caller can filter.
+   */
+  def negativeSample(pairs: DataFrame, anchorCol: String, itemCol: String,
+                     freqs: DataFrame, freqItemCol: String,
+                     freqCol: String, k: Int,
+                     alpha: Double = 0.75): DataFrame = {
+    require(k >= 1, s"negativeSample needs k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(freqItemCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val slots = freqs
+      .filter(col(freqCol) > 0)
+      .withColumn("_w",
+        floor(pow(col(freqCol).cast("double"), alpha) * 1000 + 0.5)
+          .cast("long"))
+      .filter(col("_w") > 0)
+      .withColumn("_from", coalesce(sum(col("_w")).over(w), lit(0L)))
+      .select(col(freqItemCol).as("_neg"), col("_from"),
+        (col("_from") + col("_w")).as("_to"))
+    val total = slots.agg(max(col("_to")).as("_total"))
+    val draws = pairs
+      .select(col(anchorCol).as("_a"), col(itemCol).as("_i"))
+      .crossJoin(broadcast(
+        pairs.sparkSession.range(1, k + 1).select(col("id").as("_j"))))
+      .crossJoin(broadcast(total))
+      .withColumn("_u",
+        pmod(conv(substring(md5(concat_ws(":", col("_a"), col("_i"),
+          col("_j"))), 1, 15), 16, 10).cast("long"), col("_total")))
+    draws.join(broadcast(slots),
+        col("_u") >= col("_from") && col("_u") < col("_to"))
+      .select(col("_a").as(anchorCol), col("_i").as(itemCol),
+        col("_j").as("draw"), col("_neg").as("negative"),
+        (col("_neg") === col("_i")).as("accidental_hit"))
+  }
 }

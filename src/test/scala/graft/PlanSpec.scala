@@ -469,14 +469,17 @@ class PlanSpec extends SparkSpecBase {
     //     gate bounds), q_spearman / q_mannwhitney (fractionalRank /
     //     rank-sum cumulative windows over DISTINCT-value rows — the
     //     documented bounded-cardinality contract; mannWhitneyU also
-    //     enforces it with the ksTest approx-distinct gate).
+    //     enforces it with the ksTest approx-distinct gate),
+    //     q_negsample (the cumulative-slot window runs over the
+    //     VOCABULARY table — vocab-sized by construction, it then
+    //     broadcasts into the range join).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val boundedByConstruction =
       Set("q_budget_select", "q_ks_test", "q_rolling_distinct", "q_maxsim",
-        "q_spearman", "q_mannwhitney")
+        "q_spearman", "q_mannwhitney", "q_negsample")
     def expand(p: SparkPlan): Seq[SparkPlan] =
       (p match { case a: AdaptiveSparkPlanExec => expand(a.executedPlan); case x => Seq(x) }) ++
         p.children.flatMap(expand) ++ p.subqueries.flatMap(expand)

@@ -459,6 +459,39 @@ class Round11cSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  // --- negative sampling ---------------------------------------------------------------
+
+  test("negativeSample: k draws per pair, frequency-proportional, deterministic") {
+    val pairs = (1 to 50).map(i => (i.toLong, s"it${i % 3}"))
+      .toDF("anchor", "item").distinct()
+    val freqs = Seq(("it0", 1000L), ("it1", 100L), ("it2", 10L), ("dead", 0L))
+      .toDF("item", "freq")
+    def run() = graft.operators.Sampling.negativeSample(
+      pairs, "anchor", "item", freqs, "item", "freq", k = 4)
+    val got = run().collect()
+    assert(got.length === pairs.count() * 4, "exactly k rows per pair")
+    // zero-frequency items can never be drawn
+    assert(!got.exists(_.getAs[String]("negative") == "dead"))
+    // heavier items draw more often (freq^0.75 ordering preserved)
+    val byNeg = got.groupBy(_.getAs[String]("negative")).view.mapValues(_.length)
+    assert(byNeg.getOrElse("it0", 0) > byNeg.getOrElse("it1", 0))
+    assert(byNeg.getOrElse("it1", 0) > byNeg.getOrElse("it2", 0))
+    // deterministic rerun
+    assert(run().collect().map(_.toString).sorted.toSeq ===
+      got.map(_.toString).sorted.toSeq)
+  }
+
+  test("negativeSample: accidental hits are kept and flagged") {
+    val pairs = Seq((1L, "only")).toDF("anchor", "item")
+    val freqs = Seq(("only", 5L)).toDF("item", "freq")
+    val got = graft.operators.Sampling.negativeSample(
+      pairs, "anchor", "item", freqs, "item", "freq", k = 2)
+      .select("negative", "accidental_hit").as[(String, Boolean)].collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r._1 == "only" && r._2),
+      "a 1-item vocab can only ever hit the positive — flagged, not dropped")
+  }
+
   // --- CUPED / diff-in-diff ----------------------------------------------------------
 
   test("cuped: a metric predicted by its covariate collapses variance; lift survives") {

@@ -162,6 +162,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_cuped" -> (64L << 10),         // per-unit groupBy + 1-row theta
                                       // broadcast + variant rollup
     "q_did" -> (4L << 10),            // one 2x2-cell aggregate
+    "q_negsample" -> (16L << 10),     // distinct-pair groupBy; the slot
+                                      // table broadcasts into the
+                                      // range join
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
