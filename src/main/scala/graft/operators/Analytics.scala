@@ -1150,7 +1150,13 @@ object Analytics {
     val ranked = dv.withColumn("_c", coalesce(sum(col("_n")).over(wc), lit(0L)))
       .select(col(valueCol),
         (col("_c") + (col("_n") + 1) / lit(2.0)).as(outCol))
-    df.join(ranked, Seq(valueCol), "left")
+    // explicit broadcast: the rank table is distinct-value-sized by the
+    // operator's contract, but the planner can't see that through the
+    // window + aggregate (no stats) — at the sf1 tier it fell back to a
+    // sort-merge join that re-shuffled the whole corpus BY VALUE per
+    // ranked column (measured: 4 kB → 50 MB, the only real superlinear
+    // slope in the r11d wave)
+    df.join(broadcast(ranked), Seq(valueCol), "left")
   }
 
   /**
