@@ -1980,6 +1980,19 @@ object SparkEntry {
             pmod(col("user_id") * 31 + 7, lit(97)).as("b")),
           "a", "b", walksPerNode = 1, walkLen = 3)),
 
+    // --- 1-hop SGC feature propagation over a deterministic +7 ring
+    // graph on the embedding corpus (output exploded to (id, pos, x)
+    // cells for exact cross-engine comparison) ---
+    "q_feat_prop" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val edges = em.select(col("vec_id").as("a"), (col("vec_id") + 7).as("b"))
+        .join(em.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+      Similarity.featurePropagate(edges, "a", "b", em, "vec_id", "embedding",
+          hops = 1)
+        .select(col("vec_id"), posexplode(col("v_out")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"), r3(col("x")).as("x"))
+    }),
+
     // --- deterministic word2vec-style negative sampling: 3 negatives
     // per (user, event_type) positive, drawn from freq^0.75 over an
     // exact-integer cumulative table ---
@@ -5243,6 +5256,26 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 2, cur FROM s2
          |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin
     },
+
+    "q_feat_prop" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ed0 AS (
+        |  SELECT a.vec_id AS ea, a.vec_id + 7 AS eb
+        |  FROM v a
+        |  WHERE EXISTS (SELECT 1 FROM v x WHERE x.vec_id = a.vec_id + 7)
+        |), sym AS (
+        |  SELECT ea, eb FROM ed0 UNION SELECT eb, ea FROM ed0
+        |), ex AS (
+        |  SELECT sym.ea AS id, i - 1 AS pos, emb[i] AS x
+        |  FROM sym JOIN v ON v.vec_id = sym.eb
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i)
+        |), nm AS (SELECT id, pos, AVG(x) AS m FROM ex GROUP BY 1, 2)
+        |SELECT v.vec_id, i - 1 AS pos,
+        |       floor((CASE WHEN nm.m IS NULL THEN emb[i]
+        |              ELSE 0.5 * emb[i] + 0.5 * nm.m END)*1000 + 0.5)/1000
+        |         AS x
+        |FROM v CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i)
+        |LEFT JOIN nm ON nm.id = v.vec_id AND nm.pos = i - 1""".stripMargin,
 
     "q_negsample" ->
       s"""$EvCte, pos AS (

@@ -1730,4 +1730,60 @@ object Similarity {
       .select(col(idCol),
         zip_with(col("xc"), pcLit, (a, b) => a - b * col("p")).as("v_out"))
   }
+
+  /**
+   * K-hop neighbor FEATURE PROPAGATION (SGC / LightGCN shape — Wu '19):
+   * the graph-ML data-prep pass that smooths node embeddings over the
+   * edge structure BEFORE a linear model or an ANN index sees them —
+   * each hop replaces every node's vector with selfWeight·own +
+   * (1−selfWeight)·mean-of-neighbors, so after K hops a node carries
+   * its K-hop neighborhood's signal (the entire "convolution" of the
+   * simplified GCN — no weights, no nonlinearity, just propagation,
+   * which is why it belongs in the DATA pipeline, precomputed once).
+   *
+   * Scale shape per hop: one edge join against the current features +
+   * posexplode and a partial-agg'd (node, dim) mean — the topPc
+   * discipline: NEVER a collect_list of neighbor vectors (a hub's
+   * group state would be degree × dim), always scalar cells; vectors
+   * rebuild via a sorted struct collect bounded at dim elements per
+   * node. Isolated nodes keep their own vector (the mean-side left
+   * join). Hops are lineage-cut. Symmetric edges derive from the
+   * input (undirected; self-loops drop).
+   */
+  def featurePropagate(edges: DataFrame, aCol: String, bCol: String,
+                       feats: DataFrame, idCol: String, vecCol: String,
+                       hops: Int = 2, selfWeight: Double = 0.5,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(hops >= 1, s"featurePropagate needs hops >= 1, got $hops")
+    require(selfWeight >= 0 && selfWeight <= 1,
+      s"selfWeight in [0,1], got $selfWeight")
+    val und = edges
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    val sym = graft.CacheScope.persist(
+      und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
+        .distinct().repartition(col("_a")))
+    var cur = feats.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    for (_ <- 1 to hops) {
+      // neighbor cells: edge (dst=_a receives from src=_b)
+      val nbr = sym
+        .join(cur.select(col("_id").as("_b"), col("_v").as("_nv")), "_b")
+        .select(col("_a").as("_id"), posexplode(col("_nv")).as(Seq("_p", "_x")))
+        .groupBy("_id", "_p").agg(avg(col("_x")).as("_m"))
+        .groupBy("_id")
+        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+          s => s.getField("_m")).as("_nbr"))
+      cur = graft.CacheScope.lineageCut(
+        cur.join(nbr, Seq("_id"), "left")
+          .select(col("_id"),
+            when(col("_nbr").isNull, col("_v"))
+              .otherwise(zip_with(col("_v"), col("_nbr"),
+                (o, n) => lit(selfWeight) * o + lit(1 - selfWeight) * n))
+              .as("_v")),
+        checkpointDir)
+    }
+    cur.select(col("_id").as(idCol), col("_v").as("v_out"))
+  }
 }

@@ -459,6 +459,51 @@ class Round11cSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  // --- feature propagation ---------------------------------------------------------------
+
+  test("featurePropagate matches a driver-side multi-hop reference") {
+    import graft.operators.Similarity
+    // path graph 1-2-3 plus isolated 4
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val feats = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (3L, Array(1.0, 1.0)), (4L, Array(5.0, 5.0)))
+    val got = Similarity.featurePropagate(edges, "a", "b",
+        feats.toDF("id", "v"), "id", "v", hops = 2, selfWeight = 0.5)
+      .select("id", "v_out").as[(Long, Array[Double])].collect().toMap
+    // driver reference
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var cur = feats.toMap
+    for (_ <- 1 to 2) {
+      cur = cur.map { case (id, v) =>
+        adj.get(id) match {
+          case Some(ns) =>
+            val m = ns.map(cur).transpose.map(c => c.sum / c.size)
+            id -> v.zip(m).map { case (o, n) => 0.5 * o + 0.5 * n }
+          case None => id -> v
+        }
+      }
+    }
+    got.foreach { case (id, v) =>
+      v.zip(cur(id)).foreach { case (g, r) =>
+        assert(math.abs(g - r) < 1e-12, s"node $id: ${v.toSeq} vs ${cur(id).toSeq}")
+      }
+    }
+    assert(got(4L).toSeq === Seq(5.0, 5.0), "isolated node unchanged")
+  }
+
+  test("featurePropagate: a star hub averages all spokes, dim order preserved") {
+    import graft.operators.Similarity
+    val edges = (2L to 21L).map((1L, _)).toDF("a", "b")
+    val feats = ((1L, Array(0.0, 0.0)) +:
+      (2L to 21L).map(i => (i, Array(i.toDouble, -i.toDouble))))
+      .toDF("id", "v")
+    val got = Similarity.featurePropagate(edges, "a", "b", feats, "id", "v",
+        hops = 1, selfWeight = 0.0)
+      .filter(col("id") === 1L).select("v_out").as[Array[Double]].head()
+    val m = (2L to 21L).map(_.toDouble).sum / 20
+    assert(math.abs(got(0) - m) < 1e-12 && math.abs(got(1) + m) < 1e-12)
+  }
+
   // --- negative sampling ---------------------------------------------------------------
 
   test("negativeSample: k draws per pair, frequency-proportional, deterministic") {

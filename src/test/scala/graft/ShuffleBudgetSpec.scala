@@ -165,6 +165,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_negsample" -> (16L << 10),     // distinct-pair groupBy; the slot
                                       // table broadcasts into the
                                       // range join
+    "q_feat_prop" -> (512L << 10),    // one edge join + (node, dim)
+                                      // cell means + dim-bounded rebuild
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
