@@ -5410,7 +5410,8 @@ object SparkEntry {
          |  SELECT e.user_id, e.value, m.med, md.mad,
          |         CASE WHEN md.mad = 0 OR abs(e.value - m.med) = 0 THEN 1.0
          |              ELSE least(1.0,
-         |                1.345 * md.mad / abs(e.value - m.med)) END AS w
+         |                1.345 * (md.mad / 0.6745) / abs(e.value - m.med))
+         |              END AS w
          |  FROM e JOIN m USING (user_id) JOIN md USING (user_id)
          |)
          |SELECT user_id, COUNT(*) AS n,

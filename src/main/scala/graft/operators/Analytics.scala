@@ -1135,12 +1135,23 @@ object Analytics {
    * Contract (the groupedAuc / ksTest discipline): pass DISCRETE or
    * parity-ROUNDED values — the cumulative window runs unpartitioned
    * over the distinct-value frame, so its size must be value
-   * cardinality, not corpus size. A raw continuous double column
-   * (every value distinct) would rebuild the global-row funnel this
-   * operator exists to avoid; round it first.
+   * cardinality, not corpus size, and the rank table is BROADCAST back.
+   * The contract is ENFORCED like ksTest's: one cheap approx-distinct
+   * action refuses past `maxDistinct` instead of silently broadcasting
+   * a corpus-sized rank table into a driver OOM (a raw continuous
+   * double column makes every value distinct); round it first.
    */
   def fractionalRank(df: DataFrame, valueCol: String,
-                     outCol: String): DataFrame = {
+                     outCol: String, maxDistinct: Long = 2000000L): DataFrame = {
+    require(maxDistinct > 0, "fractionalRank needs a positive maxDistinct")
+    // ±~2% estimator, same margin convention as ksTest/mannWhitneyU
+    val approxN = df.agg(
+      approx_count_distinct(col(valueCol), 0.02).as("n")).head.getLong(0)
+    require(approxN <= maxDistinct + maxDistinct / 10,
+      s"fractionalRank: ~$approxN distinct values of '$valueCol' exceeds " +
+        s"maxDistinct=$maxDistinct — the distinct-value window would run " +
+        "in one task and the rank table would broadcast at corpus size. " +
+        "Round/quantize the column first, or raise the ceiling deliberately.")
     val dv = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1)).as("_n"))
     val wc = Window.orderBy(col(valueCol))
@@ -1170,14 +1181,16 @@ object Analytics {
    * tie-averaged ranks, all pairs in ONE aggregation pass via the
    * corrMatrix machinery. Rank assignment per column is the
    * [[fractionalRank]] distinct-value join — |cols| bounded-state
-   * windows + equi-joins, never a global row funnel.
+   * windows + equi-joins, never a global row funnel (and it inherits
+   * fractionalRank's enforced `maxDistinct` cardinality gate).
    */
-  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def spearmanMatrix(df: DataFrame, cols: Seq[String],
+                     maxDistinct: Long = 2000000L): DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least two columns")
     val complete = df.select(cols.map(col): _*)
       .na.drop("any", cols)
     val ranked = cols.foldLeft(complete) { (acc, c) =>
-      fractionalRank(acc, c, s"__rk_$c")
+      fractionalRank(acc, c, s"__rk_$c", maxDistinct)
     }
     corrMatrix(ranked, cols.map(c => s"__rk_$c"))
       .select(
@@ -1238,8 +1251,10 @@ object Analytics {
    * change Σ i·xᵢ (the x's are equal), so ties need no special
    * handling and the number is engine-exact given a deterministic
    * tie-break on the rank. Values must be non-negative (G is undefined
-   * below 0 — nulls drop, a negative value fails loudly via require on
-   * the caller's contract being documented); zero-sum groups emit null.
+   * below 0): nulls drop, and a negative value fails loudly — enforced
+   * IN-PLAN via a raise_error branch on the group min (rides the
+   * existing rollup, no extra scan or driver action); zero-sum groups
+   * emit null.
    */
   def gini(df: DataFrame, groupCols: Seq[String], valueCol: String,
            tieBreak: Seq[String]): DataFrame = {
@@ -1251,13 +1266,17 @@ object Analytics {
       .withColumn("_i", row_number().over(w))
       .groupBy(gks: _*)
       .agg(count(lit(1)).as("n"),
+        min(col(valueCol).cast("double")).as("_minx"),
         sum(col(valueCol).cast("double")).as("_sx"),
         sum(col("_i") * col(valueCol).cast("double")).as("_six"))
       .withColumn("gini",
-        when(col("_sx") <= 0.0, lit(null))
+        when(col("_minx") < 0.0, raise_error(concat(
+          lit(s"gini: negative '$valueCol' value (group min "),
+          col("_minx"), lit(") — G is undefined below 0; filter or shift first"))))
+          .when(col("_sx") <= 0.0, lit(null))
           .otherwise((lit(2.0) * col("_six") - (col("n") + 1) * col("_sx")) /
             (col("n") * col("_sx"))))
-      .drop("_sx", "_six")
+      .drop("_minx", "_sx", "_six")
   }
 
   /**
@@ -1444,8 +1463,11 @@ object Analytics {
     val pts = df.select(gks ++ Seq(col(xCol).cast("double").as("_x"),
       col(yCol).cast("double").as("_y")): _*)
       .filter(col("_x").isNotNull && col("_y").isNotNull)
-    val biggest = pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
-      .agg(max("n")).head.getLong(0)
+    // empty/all-null input: max over zero groups is null — treat as 0
+    // (the isotonicFit convention) so the operator returns an empty
+    // frame instead of NPE-ing on the gate read
+    val biggest = Option(pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     require(biggest <= maxGroup,
       s"theilSen: a group holds $biggest rows > maxGroup=$maxGroup — the " +
         "pairwise self-join would be quadratic in it; pre-aggregate the " +
@@ -1475,11 +1497,15 @@ object Analytics {
    * cheapest multi-leg route, "how far is every record from the seed
    * set" on an ER/similarity graph). Per round ONE relax join (current
    * distances against the once-repartitioned symmetric edge table) +
-   * one partial-agg'd min groupBy; distances only decrease, so
-   * convergence = an unchanged round, checked with the same
-   * sum-monotone trick as clusterPairs (one cheap aggregate action per
-   * round); rounds needed = the shortest-path DIAMETER in hops, with
-   * `maxIter` the loud runaway bound. Multiple sources are one run
+   * one partial-agg'd min groupBy; distances only decrease and the
+   * frontier only grows, so convergence = "no node appeared or
+   * improved this round" — checked EXACTLY with one changed-row
+   * anti-test per round (a float Σdist signal is unsound here: a relax
+   * smaller than the sum's ulp would be absorbed and exit with
+   * non-optimal distances, and ulp jitter could block convergence —
+   * the same reason clusterPairs refuses float sums); rounds needed =
+   * the shortest-path DIAMETER in hops, with `maxIter` the loud
+   * runaway bound. Multiple sources are one run
    * (distance to the NEAREST source — the multi-seed form a
    * decontamination or influence screen wants). Negative weights are
    * refused (Bellman–Ford tolerates them but a distributed run cannot
@@ -1508,13 +1534,6 @@ object Analytics {
     var dist = sources.distinct.map(s => (s, 0.0)).toDF("node", "dist")
     var iter = 0
     var converged = false
-    // Σdist + count: distances only DECREASE and the frontier only GROWS,
-    // so (count, sum) unchanged ⇔ fixpoint — one action per round
-    def state(df: DataFrame): (Long, Double) = {
-      val r = df.agg(count(lit(1)), sum("dist")).head
-      (r.getLong(0), Option(r.get(1)).fold(0.0)(_.asInstanceOf[Double]))
-    }
-    var prev = state(dist)
     while (!converged && iter < maxIter) {
       val relaxed = dist
         .join(sym, dist("node") === sym("src"))
@@ -1522,9 +1541,14 @@ object Analytics {
       val next = graft.CacheScope.lineageCut(
         dist.union(relaxed).groupBy("node").agg(min("dist").as("dist")),
         checkpointDir)
-      val cur = state(next)
-      converged = cur == prev
-      prev = cur
+      // exact fixpoint test: a changed row is a NEW node (left-anti on the
+      // previous frontier) or a strictly smaller distance — distances are
+      // compared as the doubles they are, never summed, so a sub-ulp
+      // improvement can neither be absorbed nor invented
+      converged = next.alias("n")
+        .join(dist.select(col("node"), col("dist").as("_pd")), Seq("node"), "left")
+        .filter(col("_pd").isNull || col("dist") < col("_pd"))
+        .isEmpty
       dist = next
       iter += 1
     }

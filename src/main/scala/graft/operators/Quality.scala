@@ -411,9 +411,12 @@ object Quality {
    * One-step HUBER robust mean per group (W-estimator from the median):
    * the location number that survives the corrupted rows a plain mean
    * cannot and keeps the efficiency a plain median throws away. Start
-   * at the group median, scale by the MAD, downweight each point by the
-   * Huber ψ — w = min(1, k·MAD/|v − med|) — and report the weighted
-   * mean (one reweighting step: deterministic, engine-replayable, and
+   * at the group median, scale by the NORMALIZED MAD — σ̂ = MAD/0.6745,
+   * the consistent Gaussian σ estimate, which is the unit the default
+   * k = 1.345 (the 95%-efficiency Huber constant) is calibrated in (raw
+   * MAD would downweight ~48% more aggressively than the cited
+   * estimator) — downweight each point by the Huber ψ —
+   * w = min(1, k·σ̂/|v − med|) — and report the weighted mean (one reweighting step: deterministic, engine-replayable, and
    * already 90%+ of the full IRLS estimator's benefit). Median and MAD
    * are positional (average of the two middle order statistics — the
    * theilSen convention) over group-partitioned windows; a zero-MAD
@@ -447,7 +450,7 @@ object Quality {
         // residual is 0 — the k·MAD/0 division must never evaluate)
         when(col("_mad") === 0.0 || abs(v - col("_med")) === 0.0, lit(1.0))
           .otherwise(least(lit(1.0),
-            lit(k) * col("_mad") / abs(v - col("_med")))))
+            lit(k) * (col("_mad") / lit(0.6745)) / abs(v - col("_med")))))
       .groupBy(gks: _*)
       .agg(count(lit(1)).as("n"),
         max(col("_med")).as("median"),

@@ -497,6 +497,14 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Analytics.theilSen(onePt, Seq("g"), "x", "y").count() === 0,
       "no valid pair anywhere -> empty result")
 
+    // Theil-Sen on EMPTY input: the max-group gate reads a null max —
+    // must fold to 0 and return empty, not NPE (the isotonicFit pattern)
+    val noTS = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(Analytics.theilSen(noTS, Seq("g"), "x", "y").count() === 0)
+    val allNullTS = Seq(("g", null.asInstanceOf[java.lang.Double], 1.0))
+      .toDF("g", "x", "y")
+    assert(Analytics.theilSen(allNullTS, Seq("g"), "x", "y").count() === 0)
+
     // random walks on empty edges → empty corpus
     val noE = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Analytics.randomWalks(noE, "a", "b", 1, 2).count() === 0)

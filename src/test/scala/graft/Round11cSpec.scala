@@ -151,6 +151,24 @@ class Round11cSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  test("gini: a negative value fails loudly in-plan, never a silent out-of-range G") {
+    val df = Seq(("n", 5.0, 1L), ("n", -1.0, 2L)).toDF("g", "x", "id")
+    val e = intercept[Exception] {
+      Analytics.gini(df, Seq("g"), "x", Seq("id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("undefined below 0")), msgs(e).mkString(" | "))
+  }
+
+  test("fractionalRank: the maxDistinct gate refuses a corpus-sized broadcast") {
+    val cont = (1 to 5000).map(_.toDouble + 0.123).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.fractionalRank(cont, "v", "rk", maxDistinct = 100L).collect()
+    }
+    assert(e.getMessage.contains("maxDistinct"))
+  }
+
   // --- power-law MLE -------------------------------------------------------------
 
   test("powerlawAlpha matches the hand-computed Clauset estimator") {
@@ -667,7 +685,8 @@ class Round11cSpec extends SparkSpecBase {
     val mad = posMedian(vals.map(v => math.abs(v - med)))
     val ws = vals.map { v =>
       val r = math.abs(v - med)
-      if (mad == 0 || r == 0) 1.0 else math.min(1.0, 1.345 * mad / r)
+      // k is calibrated in sigma units: scale = MAD/0.6745 (matches the op)
+      if (mad == 0 || r == 0) 1.0 else math.min(1.0, 1.345 * (mad / 0.6745) / r)
     }
     val ref = ws.zip(vals).map { case (w, v) => w * v }.sum / ws.sum
     assert(math.abs(got._1 - med) < 1e-12)
