@@ -472,6 +472,19 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.packFrames(Tables.documents(s, dir), "doc_id"), stride = 2)),
 
+    // --- image near-dup: real PNG decode → dHash → banded Hamming
+    // pairs. The fixture hash is id-predictable (md5 of the content
+    // class, member bit flipped — see Multimodal.referenceDHash), so the
+    // oracle replays the hash analytically and the full decode→resize→
+    // gradient-sign→banded-join path is content-verified. The oracle's
+    // pair join keys on the content class (ground-truth construction);
+    // cross-class md5 hashes sit at Hamming ~30, P(≤3) ≈ 2.4e-15/pair ---
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDup(
+        Multimodal.dHash(
+          Multimodal.packDHashImages(Tables.documents(s, dir), "doc_id")),
+        "doc_id", maxHamming = 3)),
+
     "q_spatial_grid" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("grid_lat", Geo.gridCell(col("lat"), 5.0))
@@ -829,6 +842,27 @@ object SparkEntry {
       Text.languageId(Tables.documents(s, dir), "text")
         .groupBy("lang_id").agg(count(lit(1)).as("n"))),
 
+    // --- n-way scored language ID (CLD-lite): per-doc argmax over the
+    // 5-language pattern profiles with a confidence margin — exact
+    // integer scores, oracle replays the profile constants ---
+    "q_lang_id_n" -> ((s, dir) =>
+      Text.languageIdScored(Tables.documents(s, dir), "text")
+        .select("doc_id", "lang_pred", "score_milli", "margin_milli")),
+
+    // --- mixture-planner integration: low-confidence predictions
+    // (margin below 200 milli) quarantine to 'und' before the
+    // temperature-mixture weights are computed over PREDICTED language
+    // — the q_mixture_temp shape driven by the classifier instead of
+    // the (unavailable-at-crawl-time) label column ---
+    "q_lang_mixture" -> ((s, dir) => {
+      val pred = Text.languageIdScored(Tables.documents(s, dir), "text")
+        .withColumn("lang_bucket",
+          when(col("margin_milli") >= 200, col("lang_pred")).otherwise("und"))
+      Sampling.temperatureMixture(pred, "lang_bucket", alpha = 0.7)
+        .select(col("lang_bucket"), col("n_docs"), r3(col("p_raw")).as("p_raw"),
+          r3(col("p_temp")).as("p_temp"), r3(col("boost")).as("boost"))
+    }),
+
     // measured gate: winnowing soundness + count bounds + content-
     // determinism, all oracle-derivable without replicating the hash
     "q_fingerprint" -> ((s, dir) =>
@@ -869,6 +903,30 @@ object SparkEntry {
         .groupBy("canon_url")
         .agg(countDistinct(col("_u")).as("n_raw_variants"),
           count(lit(1)).as("n_docs"))
+    }),
+
+    // --- classifier-in-the-loop curation: train the NB linear model on
+    // a SEED-labeled slice (sources src0–src3 — the "human-labeled
+    // sample" a production pipeline actually has), score the FULL
+    // corpus map-only, and keep docs passing BOTH the classifier
+    // (pred_pos) and the heuristic quality floor — the
+    // quality-classifier curation shape of every production
+    // training-data pipeline (CCNet/LLaMA-style). Seed-trained scoring
+    // exercises the unseen-bucket default-weight path the
+    // train==score queries never hit ---
+    "q_curate_scored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seed = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+      val model = Text.linearClassifierTrain(seed, "text",
+        col("lang") === "en", buckets = 1024)
+      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
+        buckets = 1024)
+      val qual = Text.qualityScore(docs, "text")
+        .select(col("doc_id").as("id"), col("quality_score"))
+      scored.join(qual, Seq("id"))
+        .filter(col("pred_pos") && col("quality_score") >= 0.3)
+        .select(col("id").as("doc_id"), r3(col("score")).as("score"),
+          r3(col("quality_score")).as("quality_score"))
     }),
 
     // --- classifier eval rollup: confusion-matrix counts of the NB
@@ -1752,11 +1810,41 @@ object SparkEntry {
       Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
         .select(col("id"), r3(col("entropy")).as("entropy"))),
 
-    // --- fuzzy (edit-distance) near-dup on the text head ---
+    // --- fuzzy (edit-distance) near-dup on the text head. Certified on
+    // the md5-lowest 10k doc_ids (the simhashParitySampled convention):
+    // the DuckDB ground truth is an O(n²) levenshtein cross join, so the
+    // oracle needs a deterministic subsample past ~10k docs — the cap is
+    // non-binding at sf0.01/sf0.1 (≤5k docs) and keeps the row certifiable
+    // at every tier (sf1: 50k docs would be >1e9 oracle pairs). The FULL-
+    // input production path is exercised by q_editdist_pairs below. ---
     "q_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(
-        Tables.documents(s, dir).withColumn("head", substring(col("text"), 1, 30)),
+        Tables.documents(s, dir)
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .limit(10000)
+          .withColumn("head", substring(col("text"), 1, 30)),
         "doc_id", "head", maxDist = 3)),
+
+    // --- the PRODUCTION edit-distance path at full corpus scale (PassJoin
+    // length-banded candidates, never all-pairs): emits invariant booleans
+    // the oracle asserts without replicating the engine — every emitted
+    // pair strictly id-ordered, duplicate-free, within the distance bound
+    // (each pair IS levenshtein-verified in the operator) — plus the full
+    // doc count, so the row certifies the full input ran at every tier ---
+    "q_editdist_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.CacheScope.persist(
+        Dedup.editDistancePairs(
+          docs.withColumn("head", substring(col("text"), 1, 30)),
+          "doc_id", "head", maxDist = 3))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(pairs.agg(
+          coalesce(min(col("dist") <= 3 && col("id_a") < col("id_b")),
+            lit(true)).as("within_bound")))
+        .crossJoin(
+          pairs.select("id_a", "id_b").groupBy("id_a", "id_b").count()
+            .agg(coalesce(min(col("count") === 1), lit(true)).as("pairs_distinct")))
+    }),
 
     // --- packed-sequence materialization ---
     "q_pack_concat" -> ((s, dir) =>
@@ -2374,6 +2462,20 @@ object SparkEntry {
         |      GROUP BY f.doc_id)
         |SELECT f.doc_id, f.n_frames, s.n_sampled, s.sampled_sum
         |FROM f JOIN s USING (doc_id)""".stripMargin,
+
+    "q_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         xor(CAST(concat('0x',
+        |               substr(md5(CAST(doc_id // 8 AS VARCHAR)), 1, 15))
+        |             AS BIGINT),
+        |             CAST(1 AS BIGINT) << CAST(doc_id % 8 AS INTEGER)) AS h
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b
+        |  ON a.doc_id // 8 = b.doc_id // 8 AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
 
     "q_spatial_grid" ->
       s"""$EvCte
@@ -3223,6 +3325,24 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM p GROUP BY 1""".stripMargin,
 
+    "q_lang_id_n" ->
+      s"""WITH $LangNCtes
+         |SELECT doc_id, lang_pred, score_milli, margin_milli FROM ln""".stripMargin,
+
+    "q_lang_mixture" ->
+      s"""WITH $LangNCtes,
+         |lb AS (SELECT CASE WHEN margin_milli >= 200 THEN lang_pred
+         |              ELSE 'und' END AS lang_bucket FROM ln),
+         |c AS (SELECT lang_bucket, COUNT(*) AS n_docs FROM lb GROUP BY 1),
+         |t AS (SELECT SUM(n_docs) AS n_total,
+         |             SUM(pow(n_docs::DOUBLE, 0.7)) AS z FROM c)
+         |SELECT lang_bucket, n_docs,
+         |       floor(n_docs::DOUBLE / n_total * 1000 + 0.5)/1000 AS p_raw,
+         |       floor(pow(n_docs::DOUBLE, 0.7) / z * 1000 + 0.5)/1000 AS p_temp,
+         |       floor((pow(n_docs::DOUBLE, 0.7) / z)
+         |             / (n_docs::DOUBLE / n_total) * 1000 + 0.5)/1000 AS boost
+         |FROM c, t""".stripMargin,
+
     "q_dedup_cluster" -> ClusterSql,
 
     "q_ft_classify" ->
@@ -3243,6 +3363,27 @@ object SparkEntry {
          |SELECT ${urlCanonSql("raw")} AS canon_url,
          |       COUNT(DISTINCT raw) AS n_raw_variants, COUNT(*) AS n_docs
          |FROM u GROUP BY 1""".stripMargin,
+
+    "q_curate_scored" ->
+      s"""WITH $FtSeedCtes,
+        |q AS (
+        |  SELECT doc_id,
+        |         least(1.0::DOUBLE,
+        |           len(string_split(text, ' '))::DOUBLE / 32.0::DOUBLE) * 0.5
+        |         + least(1.0::DOUBLE,
+        |             len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('the','a','and','of','to','in','is')))::DOUBLE
+        |             / len(string_split(text, ' ')) * 4) * 0.3
+        |         + (1.0::DOUBLE - least(1.0::DOUBLE,
+        |             CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+        |                       / length(text) END * 4)) * 0.2 AS quality_score
+        |  FROM documents)
+        |SELECT pw.doc_id,
+        |       floor((s + bias) * 1000 + 0.5) / 1000 AS score,
+        |       floor(quality_score * 1000 + 0.5) / 1000 AS quality_score
+        |FROM pw CROSS JOIN prior JOIN q USING (doc_id)
+        |WHERE (s + bias) > 0 AND quality_score >= 0.3""".stripMargin,
 
     "q_ft_eval" ->
       s"""WITH $FtCtes
@@ -4754,14 +4895,21 @@ object SparkEntry {
         |FROM c2 GROUP BY id""".stripMargin,
 
     "q_editdist" ->
-      """WITH k AS (
+      """WITH s AS (
+        |  SELECT doc_id, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 10000
+        |), k AS (
         |  SELECT doc_id AS id, substr(text, 1, 30) AS key,
         |         length(substr(text, 1, 30)) AS l
-        |  FROM documents
+        |  FROM s
         |)
         |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.key, b.key) AS dist
         |FROM k a JOIN k b ON a.id < b.id AND abs(a.l - b.l) <= 3
         |WHERE levenshtein(a.key, b.key) <= 3""".stripMargin,
+
+    "q_editdist_pairs" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |       TRUE AS within_bound, TRUE AS pairs_distinct""".stripMargin,
 
     "q_pack_concat" ->
       """WITH p AS (
@@ -5891,6 +6039,45 @@ object SparkEntry {
     s"""WITH RECURSIVE $ClusterCtes
        |SELECT id, cluster_id FROM cl""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Text.languageIdScored]], generated
+   * from the SAME profile constants (one source of truth): per-language
+   * exact-integer scores via replace-and-measure substring counts over
+   * the space-padded text, then argmax/margin in profile order. */
+  private val LangNCtes = {
+    val profiles = graft.operators.Text.LangProfiles
+    def scoreSql(pats: Seq[(String, Int)]): String =
+      pats.map { case (p, w) =>
+        val esc = p.replace("'", "''")
+        s"((length(pt) - length(replace(pt, '$esc', ''))) // ${p.length}) * $w"
+      }.mkString(" + ")
+    val langs = profiles.map(_._1)
+    val scoreCols = profiles
+      .map { case (l, ps) => s"CAST(${scoreSql(ps)} AS BIGINT) AS s_$l" }
+      .mkString(",\n         ")
+    val sList = langs.map(l => s"s_$l").mkString(", ")
+    val pickCases = langs.init
+      .map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    val secondArgs = langs
+      .map(l => s"CASE WHEN '$l' = pick THEN NULL ELSE s_$l END")
+      .mkString(", ")
+    s"""pt AS (SELECT doc_id, ' ' || coalesce(text, '') || ' ' AS pt
+       |       FROM documents),
+       |sc AS (SELECT doc_id,
+       |         $scoreCols
+       |       FROM pt),
+       |bx AS (SELECT doc_id, greatest($sList) AS best, $sList FROM sc),
+       |pk AS (SELECT doc_id, best, $sList,
+       |         CASE WHEN best <= 0 THEN 'und' $pickCases
+       |              ELSE '${langs.last}' END AS pick
+       |       FROM bx),
+       |ln AS (SELECT doc_id, pick AS lang_pred,
+       |         CASE WHEN best > 0 THEN best ELSE 0 END AS score_milli,
+       |         CASE WHEN best > 0 THEN best -
+       |           greatest(coalesce(greatest($secondArgs), 0), 0)
+       |         ELSE 0 END AS margin_milli
+       |       FROM pk)""".stripMargin
+  }
+
   /** DuckDB twin of the linear classifier (train + per-doc ordered
    * score fold), shared by q_ft_classify and q_ft_eval: same md5-prefix
    * hashed uni+bigram buckets, same NB log-odds with explicit DOUBLE
@@ -5928,6 +6115,50 @@ object SparkEntry {
       |                         AS DOUBLE)) -
       |                 ln(CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1
       |                         AS DOUBLE)) AS bias FROM d)""".stripMargin
+
+  /** DuckDB twin of the SEED-trained classifier scoring the FULL corpus
+   * (q_curate_scored): weights fit on the seed slice only; buckets the
+   * seed never saw fall back to the Spark default weight
+   * ln(α/(tt+αB)) − ln(α/(rt+αB)) via the LEFT-join coalesce. Same
+   * md5-prefix hashing and ordered list_reduce fold as [[FtCtes]]. */
+  private val FtSeedCtes =
+    """dall AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |dtr AS (SELECT doc_id, lang = 'en' AS pos FROM documents
+      |        WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |featsall AS (
+      |  SELECT doc_id,
+      |         list_concat(
+      |           list_transform(l, t ->
+      |             CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1024),
+      |           list_transform(range(1, len(l)), i ->
+      |             CAST(concat('0x', substr(md5(l[i] || ' ' || l[i+1]), 1, 8))
+      |                  AS BIGINT) % 1024)) AS fl
+      |  FROM dall),
+      |fall AS (SELECT doc_id, unnest(fl) AS feat,
+      |                generate_subscripts(fl, 1) AS ord FROM featsall),
+      |ftr AS (SELECT f.doc_id, d.pos, f.feat FROM fall f
+      |        JOIN dtr d USING (doc_id)),
+      |agg AS (SELECT feat, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tc,
+      |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS rc
+      |        FROM ftr GROUP BY 1),
+      |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM agg),
+      |w AS (SELECT feat,
+      |             ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+      |             ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE)) AS w
+      |      FROM agg CROSS JOIN tot),
+      |pw AS (SELECT f.doc_id,
+      |              list_reduce(
+      |                list_prepend(CAST(0.0 AS DOUBLE),
+      |                  ARRAY_AGG(coalesce(w.w,
+      |                    ln(CAST(1 AS DOUBLE) / CAST(t.tt + 1024 AS DOUBLE)) -
+      |                    ln(CAST(1 AS DOUBLE) / CAST(t.rt + 1024 AS DOUBLE)))
+      |                    ORDER BY f.ord)), (a, b) -> a + b) AS s
+      |       FROM fall f LEFT JOIN w USING (feat) CROSS JOIN tot t
+      |       GROUP BY f.doc_id),
+      |prior AS (SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1
+      |                         AS DOUBLE)) -
+      |                 ln(CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1
+      |                         AS DOUBLE)) AS bias FROM dtr)""".stripMargin
 
   /** DuckDB PII scrub generated from the SAME pattern list as the Spark
    * operator ([[graft.operators.Text.PiiPatterns]]) — one source of truth. */

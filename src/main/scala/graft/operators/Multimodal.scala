@@ -302,6 +302,136 @@ object Multimodal {
     }(encoder)
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual hashing (image near-dup)
+  // ---------------------------------------------------------------------
+
+  /** Output schema of [[dHash]]. */
+  val DHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dhash", LongType)))
+
+  /**
+   * Perceptual difference-hash (dHash) over the decoded pixel grid —
+   * the standard 64-bit image fingerprint for near-duplicate detection:
+   * decode, nearest-neighbor resize to a (gridW+1)×gridH luma grid (the
+   * [[imageFeatures]] resize kernel), and set bit `y·gridW + x` when the
+   * right pixel is brighter than its left neighbor. Horizontal GRADIENT
+   * signs survive exactly the transforms that defeat byte-level dedup —
+   * re-encode, resize, brightness/contrast shift — which is why a
+   * crawl-scale image pipeline dedups on this hash, not on content
+   * bytes. Map-only (`mapPartitions`, decode cost scales with the scan);
+   * null/undecodable media yields a null hash instead of killing a
+   * 100 TB pass. Near-dup = small Hamming distance: feed the output to
+   * [[imageNearDup]].
+   */
+  def dHash(packed: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      s"dHash grid ${gridW}x$gridH must fit 64 bits")
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(DHashSchema)
+    packed.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(id, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          // nearest-neighbor sample of the (gridW+1) x gridH luma grid
+          // (identity when the image is already that size)
+          def px(gx: Int, gy: Int): Int =
+            img.getRGB(gx * w / (gridW + 1), gy * h / gridH) & 0xFF
+          var hash = 0L
+          var gy = 0
+          while (gy < gridH) {
+            var gx = 0
+            while (gx < gridW) {
+              if (px(gx + 1, gy) > px(gx, gy))
+                hash |= 1L << (gy * gridW + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }(encoder)
+  }
+
+  /**
+   * Image near-duplicate pairs: banded Hamming self-join over
+   * [[dHash]] fingerprints, reusing [[Dedup.simhashPairs]]' Manku-style
+   * blocked candidate scheme (≤ maxHamming differing bits must leave
+   * some 3 of maxHamming+3 blocks untouched — lossless, linear
+   * candidates, never all-pairs). Null-hash rows (undecodable media)
+   * are excluded: they can match nothing.
+   */
+  def imageNearDup(hashed: DataFrame, idCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      hashed.filter(col("dhash").isNotNull)
+        .select(col(idCol), col("dhash").as("simhash")),
+      idCol, maxHamming)
+
+  /** Reference 60-bit content hash of the near-dup image fixture for
+   * `docId`: md5 of the CONTENT CLASS (docId/8 — eight consecutive ids
+   * share a base image, so duplicate GROUPS scale with the corpus while
+   * group SIZES stay fixed, the ScaleData growth axis), with bit
+   * (docId%8) flipped per member — intra-class pairs land at Hamming 2,
+   * cross-class pairs at ~30 (md5-random). 15 hex chars = 60 bits keeps
+   * the value inside a signed long for both engines' hex casts. */
+  def referenceDHash(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((docId / 8).toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) ^ (1L << (docId % 8).toInt)
+  }
+
+  /** Render the fixture image whose [[dHash]] is exactly
+   * [[referenceDHash]]: a 9×8 PNG where each row is a ±1 luma random
+   * walk from 128 — step up where the hash bit is set, down where it
+   * isn't — so the horizontal gradient SIGNS encode the hash and the
+   * real decode→resize→compare path recovers it bit-for-bit (bits ≥ 60
+   * are 0: the walk steps down). Real bytes through the real PNG codec,
+   * id-predictable content — the q_multimodal oracle convention. */
+  def renderDHashPng(docId: Long): Array[Byte] = {
+    val hash = referenceDHash(docId)
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      var x = 0
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      while (x < 8) {
+        v += (if ((hash >>> (y * 8 + x) & 1L) == 1L) 1 else -1)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One near-dup fixture PNG per row, packed as the opaque media
+   * column (the [[packImages]] shape; rendering is distributed). */
+  def packDHashImages(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, renderDHashPng(id))))
+      .toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        lit("image/png").as("kind"),
+        octet_length(col("media")).as("n_bytes"),
+        lit("png").as("codec")))
+  }
+
   /** Output schema of [[patchify]]. */
   val PatchSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -110,6 +110,72 @@ object Text {
       .drop(tokCol +: langs.map(l => s"score_$l"): _*)
   }
 
+  /**
+   * CLD-lite per-language profiles: space-padded marker words and
+   * character n-grams with MILLI-INTEGER weights (one table drives the
+   * Spark operator AND, as literal constants, the SQL oracle — the
+   * [[PiiPatterns]] one-source-of-truth convention). Pattern hits are
+   * substring counts over the padded text, so a profile row can be a
+   * whole word (" the ") or an affix n-gram ("sch") with one mechanism;
+   * weights are positive integers, so scores are EXACT integers and the
+   * argmax/margin are engine-reproducible with no float compare.
+   */
+  val LangProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq(" the " -> 1000, " a " -> 600, " and " -> 1000, " of " -> 800,
+      " is " -> 700, "th" -> 150, "ing " -> 300),
+    "de" -> Seq(" der " -> 1000, " die " -> 1000, " und " -> 1000,
+      " ist " -> 800, "sch" -> 300, "ei" -> 120, "en " -> 100),
+    "fr" -> Seq(" le " -> 1000, " la " -> 900, " et " -> 900, " les " -> 900,
+      " est " -> 700, "ou" -> 120, "eau" -> 300),
+    "es" -> Seq(" el " -> 1000, " los " -> 900, " que " -> 800, " y " -> 900,
+      " es " -> 700, "ci" -> 120, "ar " -> 150),
+    "zh" -> Seq("的" -> 1000, "是" -> 900, "了" -> 900, "在" -> 800,
+      "和" -> 800))
+
+  /**
+   * N-way scored language ID (CLD-lite): per-language log-odds-style
+   * score = Σ substring-count(pattern) × weight over [[LangProfiles]],
+   * argmax with a CONFIDENCE MARGIN — the number a corpus mixture
+   * planner thresholds on where [[languageId]]'s bare argmax cannot
+   * distinguish "clearly English" from "barely more English than
+   * French". Output per doc: `lang_pred` (profile-order tie-break,
+   * "und" when no profile fires), `score_milli` (winner's score),
+   * `margin_milli` (winner − runner-up; 0 for "und").
+   *
+   * Each pattern count is the classic replace-and-measure substring
+   * count — (len(padded) − len(replace(padded, p, ''))) / len(p) —
+   * a codegen'd scalar chain: map-only, no UDF, no shuffle; 100 TB
+   * costs exactly the scan. Profile size is bounded (≈35 patterns), so
+   * the per-row work is a constant ~35 substring scans of the text.
+   */
+  def languageIdScored(df: DataFrame, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), coalesce(col(textCol), lit("")), lit(" "))
+    def count(p: String): Column =
+      ((length(padded) - length(replace(padded, lit(p)))) / p.length).cast("long")
+    val scored = LangProfiles.foldLeft(df) { case (acc, (lang, pats)) =>
+      acc.withColumn(s"__s_$lang",
+        pats.map { case (p, w) => count(p) * w }.reduce(_ + _))
+    }
+    val langs = LangProfiles.map(_._1)
+    val scores = langs.map(l => col(s"__s_$l"))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    val pick = langs.foldRight(lit("und"): Column) { (l, els) =>
+      when(col(s"__s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    // runner-up: max over each language of (its score unless it IS the
+    // picked one) — ties give runner-up == best, margin 0, which is the
+    // honest confidence for a tie
+    val second = langs.map(l =>
+      when(lit(l) === pick, lit(Long.MinValue)).otherwise(col(s"__s_$l")))
+      .reduce((a, b) => greatest(a, b))
+    scored
+      .withColumn("lang_pred", pick)
+      .withColumn("score_milli", when(best > 0, best).otherwise(lit(0L)))
+      .withColumn("margin_milli",
+        when(best > 0, best - greatest(second, lit(0L))).otherwise(lit(0L)))
+      .drop(langs.map(l => s"__s_$l"): _*)
+  }
+
   /** PII patterns shared by the Spark operator and the SQL oracle —
    * explicit character classes only (no \d/\w) so Java regex and RE2
    * tokenize identically. Applied in list order. */
