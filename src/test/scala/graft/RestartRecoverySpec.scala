@@ -408,4 +408,172 @@ class RestartRecoverySpec extends SparkSpecBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  // --- service streams (stateless scoring over a resident model/index):
+  // restart recovery = source offsets survive, the restarted query scores
+  // new batches against the (deterministically rebuilt) resident artifact
+  // IDENTICALLY to batch, and a redelivered batch reproduces identical
+  // rows — the idempotent-sink contract those streams document -----------------
+
+  test("ClassifyStream survives stop + restart; a redelivered batch re-scores identically") {
+    val inputDir = tmp("graft-cls-in")
+    val ckpt = tmp("graft-cls-ckpt")
+    val seed = Seq((1L, "good fine great", true), (2L, "bad awful poor", false),
+      (3L, "good nice fine", true), (4L, "awful dire poor", false))
+      .toDF("doc_id", "text", "is_pos")
+    // the "resident model": rebuilt after the restart exactly as a
+    // restarted service would re-fit it — training is deterministic, so
+    // both query incarnations hold the same generation
+    def model() = graft.operators.Text.linearClassifierTrain(
+      seed, "text", col("is_pos"), buckets = 128)
+    def addFile(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]()
+    def run() = graft.streaming.ClassifyStream.classify(
+      spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(inputDir),
+      model(), "doc_id", "text", buckets = 128, ckpt) { out =>
+      got.synchronized {
+        got ++= out.select("id", "score", "pred_pos")
+          .as[(Long, Double, Boolean)].collect()
+      }
+    }
+
+    addFile((10L, "good fine story"), (11L, "awful poor tale"))
+    addFile((12L, "great nice text"))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // crash window: drop the newest commit marker so the restart genuinely
+    // REDELIVERS that batch — the stateless scorer must reproduce it
+    // byte-identically (the documented idempotent-sink contract)
+    val commits = Paths.get(ckpt, "commits").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete()
+
+    addFile((13L, "dire bad words"), (14L, "fine good poem"))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // every docs scored at least once; the redelivered doc exactly twice
+    val byId = got.groupBy(_._1)
+    assert(byId.keySet === Set(10L, 11L, 12L, 13L, 14L))
+    assert(byId(12L).size === 2, "commit-less batch was not redelivered")
+    assert(byId.values.forall(_.distinct.size === 1),
+      "a redelivered batch scored differently across the restart")
+    // post-restart scores equal batch scoring against the same model
+    val expected = graft.operators.Text.linearClassifierScore(
+        spark.read.parquet(inputDir), model(), "doc_id", "text", buckets = 128)
+      .select("id", "score", "pred_pos")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got.toSet === expected,
+      s"stream-only: ${got.toSet -- expected}; batch-only: ${expected -- got.toSet}")
+  }
+
+  test("AnnStream.pqRetrieve survives stop + restart against a rebuilt resident index") {
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // index rebuild is deterministic (md5 init), so the restarted service
+    // holds the same generation — post-restart scores must be byte-equal
+    def index() = graft.operators.Similarity.pqIndexBuild(
+      corpus, "vec_id", "embedding", dim = 16, m = 4, ks = 16, iters = 2)
+    val inputDir = tmp("graft-annr-in")
+    val ckpt = tmp("graft-annr-ckpt")
+    def addFile(rows: (Long, Seq[Double])*): Unit =
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    def run() = graft.streaming.AnnStream.pqRetrieve(
+      spark.readStream.schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", "1").parquet(inputDir),
+      index(), "vec_id", "embedding", k = 5, ckpt) { out =>
+      got.synchronized {
+        got ++= out.select("query_id", "cand_id", "rank")
+          .as[(Long, Long, Int)].collect()
+      }
+    }
+
+    val queries = (1000L until 1012L).map(i => (i, vec(i * 7)))
+    val (pre, post) = queries.splitAt(7)
+    addFile(pre: _*)
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    addFile(post: _*)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val expected = graft.operators.Similarity.pqScore(index(),
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.toSet === expected,
+      s"stream-only: ${(got.toSet -- expected).take(5)}; " +
+        s"batch-only: ${(expected -- got.toSet).take(5)}")
+    // exactly-once: the committed pre-restart batch was NOT redelivered
+    assert(got.size === queries.size * 5,
+      s"expected ${queries.size * 5} rows (each query once), got ${got.size}")
+  }
+
+  test("RetrieveStream.hybridRetrieveDiversified survives stop + restart (full stack)") {
+    val words = Seq("spark", "scan", "join", "sort", "agg", "window",
+      "table", "query", "batch", "stream", "merge", "filter")
+    def text(seed: Int): String =
+      (0 until 12).map(i => words((seed * 7 + i * i) % words.length)).mkString(" ")
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 19) - 9).toDouble)
+    val corpusDocs = (0L until 80L).map(i => (i, text(i.toInt)))
+      .toDF("doc_id", "text")
+    val corpusVecs = (0L until 80L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def index() = graft.streaming.RetrieveStream.DiversifiedIndex.of(
+      graft.CacheScope.persist(
+        graft.operators.Text.bm25Index(corpusDocs, "doc_id", "text")),
+      graft.operators.Similarity.pqIndexBuild(corpusVecs, "vec_id", "embedding",
+        dim = 16, m = 4, ks = 16, iters = 2))
+    val inputDir = tmp("graft-divr-in")
+    val ckpt = tmp("graft-divr-ckpt")
+    def addFile(rows: (Long, String, Seq[Double])*): Unit =
+      rows.toDF("query_id", "text", "embedding")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double, Int)]()
+    def run() = graft.streaming.RetrieveStream.hybridRetrieveDiversified(
+      spark.readStream.schema(StructType(Seq(
+          StructField("query_id", LongType), StructField("text", StringType),
+          StructField("embedding", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", "1").parquet(inputDir),
+      new java.util.concurrent.atomic.AtomicReference(index()),
+      "query_id", "text", "embedding",
+      k = 5, perListK = 10, poolK = 10, mmrLambda = 0.5, ckpt) { out =>
+      got.synchronized {
+        got ++= out.as[(Long, Long, Double, Double, Int)].collect()
+      }
+    }
+
+    val queries = (1000L until 1010L).map(i => (i, text(i.toInt), vec(i * 3)))
+    val (pre, post) = queries.splitAt(6)
+    addFile(pre: _*)
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    addFile(post: _*)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val expected = graft.streaming.RetrieveStream.diversifiedBatch(index(),
+        queries.toDF("query_id", "text", "embedding"),
+        "query_id", "text", "embedding",
+        k = 5, perListK = 10, poolK = 10, mmrLambda = 0.5,
+        scoreRoundDecimals = Some(3))
+      .as[(Long, Long, Double, Double, Int)].collect().toSet
+    assert(got.toSet === expected,
+      s"stream-only: ${(got.toSet -- expected).take(5)}; " +
+        s"batch-only: ${(expected -- got.toSet).take(5)}")
+    assert(got.size === queries.size * 5,
+      s"expected ${queries.size * 5} rows (each query once), got ${got.size}")
+  }
 }
