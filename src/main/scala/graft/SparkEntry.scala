@@ -1820,9 +1820,11 @@ object SparkEntry {
     "q_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(
         Tables.documents(s, dir)
+          // project to the 30-char head BEFORE the top-k: the subsample's
+          // TakeOrdered exchange then carries (id, head), not whole docs
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("head"))
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-          .limit(10000)
-          .withColumn("head", substring(col("text"), 1, 30)),
+          .limit(10000),
         "doc_id", "head", maxDist = 3)),
 
     // --- the PRODUCTION edit-distance path at full corpus scale (PassJoin

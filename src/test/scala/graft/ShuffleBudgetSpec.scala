@@ -99,9 +99,12 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     // round 11b: the two rewritten pair generators
     "q_dedup_simhash_pairs" -> (64L << 10), // 3 kB: blocked C(m,3)
                                       // candidate join + invariant aggs
-    "q_editdist" -> (64L << 10),      // 3 kB: index side broadcasts, the
+    "q_editdist" -> (64L << 10),      // index side broadcasts, the
                                       // exploded probe never shuffles;
-                                      // only verified pairs move
+                                      // only verified pairs move, plus the
+                                      // r12 md5 top-k subsample exchange
+                                      // carrying (id, 30-char head) rows —
+                                      // bounded by the 10k cap, not the corpus
     // round 11b: the entity-resolution family + changepoint + decontam
     "q_er_candidates" -> (16L << 10), // 1.9 kB: block-keyed self-join of
                                       // slimmed records; sizes partial-agg'd
@@ -167,6 +170,17 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // range join
     "q_feat_prop" -> (512L << 10),    // one edge join + (node, dim)
                                       // cell means + dim-bounded rebuild
+    // round 12
+    "q_editdist_pairs" -> (64L << 10),// full-input PassJoin + three 1-row
+                                      // invariant aggregates
+    "q_image_neardup" -> (256L << 10),// banded C(m,3) Hamming candidate
+                                      // join over (id, hash) rows only —
+                                      // pixels never shuffle
+    "q_lang_id_n" -> (8L << 10),      // map-only profile scoring; the
+                                      // coalesce(1) write is the only move
+    "q_lang_mixture" -> (8L << 10),   // map-only scoring + n-bucket rollup
+    "q_curate_scored" -> (512L << 10),// seed-trained bucket counts + the
+                                      // quality join; inference map-only
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
