@@ -1136,24 +1136,29 @@ object Analytics {
    * parity-ROUNDED values — the cumulative window runs unpartitioned
    * over the distinct-value frame, so its size must be value
    * cardinality, not corpus size, and the rank table is BROADCAST back.
-   * The contract is ENFORCED like ksTest's: one cheap approx-distinct
-   * action refuses past `maxDistinct` instead of silently broadcasting
-   * a corpus-sized rank table into a driver OOM (a raw continuous
-   * double column makes every value distinct); round it first.
+   * The contract is ENFORCED: an EXACT count of the (persisted anyway)
+   * distinct-value frame refuses past `maxDistinct` instead of silently
+   * broadcasting a corpus-sized rank table into a driver OOM (a raw
+   * continuous double column makes every value distinct); round it
+   * first. The gate rides the dv build — no extra corpus scan.
    */
   def fractionalRank(df: DataFrame, valueCol: String,
                      outCol: String, maxDistinct: Long = 2000000L): DataFrame = {
     require(maxDistinct > 0, "fractionalRank needs a positive maxDistinct")
-    // ±~2% estimator, same margin convention as ksTest/mannWhitneyU
-    val approxN = df.agg(
-      approx_count_distinct(col(valueCol), 0.02).as("n")).head.getLong(0)
-    require(approxN <= maxDistinct + maxDistinct / 10,
-      s"fractionalRank: ~$approxN distinct values of '$valueCol' exceeds " +
+    // Gate ON the distinct-value frame itself: dv is computed (and
+    // persisted) anyway, so the EXACT ceiling check is one count over the
+    // cached bounded frame — no second corpus scan (the r12 cpu gate
+    // flagged an approx-distinct pre-pass at 3x query cpu). A violating
+    // corpus materializes dv once at disk-spillable persist safety and
+    // refuses BEFORE the single-task window or the broadcast is planned.
+    val dv = graft.CacheScope.persist(df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("_n")))
+    val nDistinct = dv.count()
+    require(nDistinct <= maxDistinct,
+      s"fractionalRank: $nDistinct distinct values of '$valueCol' exceeds " +
         s"maxDistinct=$maxDistinct — the distinct-value window would run " +
         "in one task and the rank table would broadcast at corpus size. " +
         "Round/quantize the column first, or raise the ceiling deliberately.")
-    val dv = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol)).agg(count(lit(1)).as("_n"))
     val wc = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     // the window runs over DISTINCT-value rows only — bounded state; the
