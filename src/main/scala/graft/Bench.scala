@@ -9,6 +9,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated query subset (scale-tier probes of the
+    // shuffle leaders); empty = the full workload, the driver's mode
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    require(only.forall(SparkEntry.queries.contains),
+      s"SPARK_GRAFT_ONLY names unknown queries: " +
+        (only -- SparkEntry.queries.keySet).mkString(","))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +50,9 @@ object Bench {
     // NonFatal only: an OOM or interrupt during warmup must abort the
     // bench, not be swallowed and mis-measured
     import scala.util.control.NonFatal
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1).foreach { case (name, fn) =>
       CacheScope.scoped {
         try fn(spark, warmDir).count() catch { case NonFatal(e) =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -114,7 +124,8 @@ object Bench {
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp, buildCpu) = drained {
       CacheScope.scoped {
-        for (q <- Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")) {
+        for (q <- Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")
+               if only.isEmpty || only(q)) {
           try SparkEntry.queries(q)(spark, sfDir).count(): Unit
           catch { case NonFatal(e) =>
             System.err.println(s"[bench] shared-stage build ($q) failed: ${e.getMessage}")
@@ -124,7 +135,9 @@ object Bench {
     }
     val buildEntry = ("_shared_stage_build",
       (System.nanoTime() - buildT0) / 1e9, buildSh, buildSp, buildCpu)
-    val results = buildEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = buildEntry +: SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val shuffles = scala.collection.mutable.ArrayBuffer[Long]()
       val spills = scala.collection.mutable.ArrayBuffer[Long]()

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
  *   source key), so key cardinality ×factor while per-key history
  *   (sessions, trajectories, order line counts) stays constant —
  *   the realistic growth mode for an event/corpus lake.
- * - Document text passes through a per-replica Caesar shift of [a-z]
- *   (whitespace untouched): a LENGTH-PRESERVING character bijection,
+ * - Document text passes through a per-replica affine bijection of
+ *   [a-z] (a Caesar shift for replicas < 26; whitespace untouched):
+ *   a LENGTH-PRESERVING character bijection,
  *   so every intra-replica tf/df/shingle/Jaccard/edit-distance
  *   relation is preserved EXACTLY (n_chars included), while
  *   cross-replica token, shingle and substring overlap is
@@ -62,10 +63,27 @@ object ScaleData {
       println(s"[scale] $name x$factor written")
     }
     def shift(c: String, i: Int) = col(c) + lit(i.toLong * S)
-    // shared Caesar-decoration alphabet (documents.text, customer.c_name)
-    require(factor <= 26, s"Caesar decoration supports <= 26 replicas " +
-      s"(relative shift must stay nonzero mod 26), got $factor")
+    // Shared text-decoration family (documents.text, customer.c_name):
+    // per-replica AFFINE bijection of [a-z], x -> a*x + b (mod 26) with
+    // `a` a unit mod 26. Replica i uses a = Units(i/26), b = i%26 — for
+    // i < 26 this degenerates to the historical Caesar shift (a = 1),
+    // so every tier with factor <= 26 is BIT-IDENTICAL to the r11
+    // artifacts; beyond 26 the twelve units extend the family to 312
+    // distinct bijections. Two distinct affine maps agree on at most
+    // gcd(a1-a2, 26) = 2 characters (exactly 0 when a1 == a2, since
+    // b1 != b2 shifts every letter): >= 24/26 alphabet positions differ
+    // between ANY two replicas, which preserves the axis the Caesar
+    // scheme established — cross-replica heads stay edit-distance-far,
+    // shingles/tokens stay replica-disjoint, duplicate GROUPS scale with
+    // the factor while group SIZES do not.
+    val Units = Vector(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(factor <= 26 * Units.size, s"affine decoration supports <= " +
+      s"${26 * Units.size} replicas, got $factor")
     val Alpha = "abcdefghijklmnopqrstuvwxyz"
+    def permuted(i: Int): String = {
+      val a = Units(i / 26); val b = i % 26
+      (0 until 26).map(x => Alpha((a * x + b) % 26)).mkString
+    }
 
     // fixed dimension domains: copy
     for (n <- Seq("region", "nation"))
@@ -83,7 +101,7 @@ object ScaleData {
       .withColumn("c_custkey", shift("c_custkey", i))
       .withColumn("c_name",
         if (i == 0) col("c_name")
-        else translate(col("c_name"), Alpha, Alpha.drop(i) + Alpha.take(i))))
+        else translate(col("c_name"), Alpha, permuted(i))))
     stacked("supplier", 2)((t, i) => t.withColumn("s_suppkey", shift("s_suppkey", i)))
     stacked("part", 4)((t, i) => t.withColumn("p_partkey", shift("p_partkey", i)))
     stacked("orders", 8)((t, i) => t
@@ -97,8 +115,9 @@ object ScaleData {
       .withColumn("event_id", shift("event_id", i))
       .withColumn("user_id", shift("user_id", i))
       .withColumn("value", col("value") + lit(2.0 * i)))
-    // Replica text decoration: per-replica CAESAR SHIFT of [a-z]
-    // (whitespace untouched). A LENGTH-PRESERVING character bijection,
+    // Replica text decoration: per-replica AFFINE BIJECTION of [a-z]
+    // (a Caesar shift for i < 26; whitespace untouched). A
+    // LENGTH-PRESERVING character bijection,
     // so every intra-replica relation — token counts, lengths, tf/df,
     // shingles, Jaccard, n_chars, and crucially which 30-char heads
     // collide — is preserved BIT-IDENTICALLY per replica, while any
@@ -118,7 +137,7 @@ object ScaleData {
     stacked("documents", 16)((t, i) =>
       (if (i == 0) t
        else t.withColumn("text",
-         translate(col("text"), Alpha, Alpha.drop(i) + Alpha.take(i))))
+         translate(col("text"), Alpha, permuted(i))))
         .withColumn("doc_id", shift("doc_id", i)))
     stacked("embeddings", 8)((t, i) =>
       (if (i == 0) t

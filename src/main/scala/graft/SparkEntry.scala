@@ -929,6 +929,55 @@ object SparkEntry {
           r3(col("quality_score")).as("quality_score"))
     }),
 
+    // --- half-life-decayed engagement features per user (feature-store
+    // aggregate; asOf = corpus max ts, deterministic — never now()). The
+    // mergeability contract (state@T1 folds into a T2 refresh with one
+    // multiply) is spec-locked in Round12Spec ---
+    "q_decay_agg" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // one scalar max over the persisted-anyway events frame: the asOf
+      // instant must be an explicit value for replayability, not a plan
+      val asOf = e.agg(max(col("ts_sec"))).head.getLong(0)
+      Analytics.decayedAgg(e, Seq("user_id"), "ts_sec", "value",
+          asOfSec = asOf, halfLifeSec = 7L * 86400)
+        .select(col("user_id"), r3(col("decayed_sum")).as("decayed_sum"),
+          r3(col("decayed_weight")).as("decayed_weight"), col("n"))
+    }),
+
+    // --- CCNet perplexity bucketing: per-language head/middle/tail
+    // terciles of the unigram-LM score (bucket 1 = head) — the band
+    // assignment CCNet keeps/weights by WITHIN each language ---
+    "q_ppl_buckets" -> ((s, dir) =>
+      Text.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text",
+        "lang", nBuckets = 3)),
+
+    // --- multi-source BFS hop rings over a deterministic synthetic
+    // 2-out-regular graph on the event entities (same modular edge
+    // recipe both sides); the oracle replays it as a depth-capped
+    // recursive CTE — a true cross-engine traversal fixpoint ---
+    "q_bfs_hops" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val seeds = edges.select(col("a").as("node"))
+        .filter(col("node") < 5).distinct()
+      Analytics.bfsHops(edges, "a", "b", seeds, "node", maxHops = 8)
+    }),
+
+    // --- embedding-space QA: pairwise-cosine histogram over the
+    // md5-lowest-100 sample (constant work at every tier) ---
+    "q_dist_profile" -> ((s, dir) =>
+      Similarity.distanceProfile(Tables.embeddings(s, dir), "vec_id",
+        "embedding", sampleN = 100, bins = 20)),
+
+    // --- audio modality: PCM16 decode -> 64-sample frames -> integer
+    // energy/peak/silence (VAD front end); fixture samples are pure
+    // functions of doc_id so the oracle certifies the decode path ---
+    "q_audio_energy" -> ((s, dir) =>
+      Multimodal.audioFrames(
+        Multimodal.packPcm(Tables.documents(s, dir), "doc_id"))),
+
     // --- classifier eval rollup: confusion-matrix counts of the NB
     // model against the training labels (train + score + rollup in one
     // plan; at scale the label join targets an eval-set-sized frame) ---
@@ -3386,6 +3435,83 @@ object SparkEntry {
         |       floor(quality_score * 1000 + 0.5) / 1000 AS quality_score
         |FROM pw CROSS JOIN prior JOIN q USING (doc_id)
         |WHERE (s + bias) > 0 AND quality_score >= 0.3""".stripMargin,
+
+    "q_decay_agg" ->
+      s"""$EvCte,
+        |m AS (SELECT MAX(ts_sec) AS t_max FROM e)
+        |SELECT user_id,
+        |       floor(SUM(value * pow(0.5, (t_max - ts_sec) / 604800.0))
+        |             * 1000 + 0.5) / 1000 AS decayed_sum,
+        |       floor(SUM(pow(0.5, (t_max - ts_sec) / 604800.0))
+        |             * 1000 + 0.5) / 1000 AS decayed_weight,
+        |       COUNT(*) AS n
+        |FROM e CROSS JOIN m
+        |GROUP BY user_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total FROM c),
+        |lp AS (
+        |  SELECT id, floor(AVG(ln(cnt::DOUBLE / total))*1000 + 0.5)/1000 AS _lp
+        |  FROM t JOIN c USING (token) CROSS JOIN tot GROUP BY id
+        |), b AS (
+        |  SELECT d.lang, lp._lp,
+        |         ntile(3) OVER (PARTITION BY d.lang
+        |                        ORDER BY lp._lp DESC, lp.id) AS bucket
+        |  FROM lp JOIN documents d ON d.doc_id = lp.id)
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |       MIN(_lp) AS min_lp, MAX(_lp) AS max_lp
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_bfs_hops" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+        |    UNION ALL
+        |    SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events)
+        |  WHERE a <> b
+        |), seeds AS (
+        |  SELECT DISTINCT user_id % 97 AS node FROM events
+        |  WHERE user_id % 97 < 5
+        |), r(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT ed.b, r.d + 1 FROM r JOIN ed ON ed.a = r.node WHERE r.d < 8
+        |)
+        |SELECT node, MIN(d) AS hops FROM r GROUP BY 1""".stripMargin,
+
+    "q_dist_profile" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id AS id, v FROM v
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 100),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+        |  FROM s a JOIN s b ON a.id < b.id
+        |), h AS (
+        |  SELECT LEAST(CAST(floor((cos + 1.0) / 2.0 * 20) AS INT), 19) AS bin,
+        |         cos
+        |  FROM p)
+        |SELECT bin, COUNT(*) AS n_pairs, MIN(cos) AS min_cos,
+        |       MAX(cos) AS max_cos, -1.0 + bin * (2.0 / 20) AS lo
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "q_audio_energy" ->
+      """WITH d AS (SELECT doc_id, 192 + doc_id % 192 AS n FROM documents),
+        |k AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d),
+        |s AS (
+        |  SELECT doc_id, CAST(k // 64 AS INT) AS frame,
+        |         CASE WHEN doc_id % 8 = 0
+        |              THEN (doc_id * 7 + k * k) % 64 - 32
+        |              ELSE (doc_id * 7 + k * k) % 4096 - 2048 END AS smp
+        |  FROM k)
+        |SELECT doc_id, frame, CAST(COUNT(*) AS INT) AS n_samples,
+        |       CAST(SUM(smp * smp) AS BIGINT) AS energy,
+        |       CAST(MAX(ABS(smp)) AS INT) AS peak,
+        |       SUM(smp * smp) < COUNT(*) * 10000 AS silent
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_ft_eval" ->
       s"""WITH $FtCtes

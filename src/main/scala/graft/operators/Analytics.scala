@@ -1746,4 +1746,84 @@ object Analytics {
     }
     out
   }
+
+  /**
+   * Multi-source breadth-first hop distance — the unweighted
+   * reachability primitive ("how many hops from the seed set":
+   * influence rings, contamination blast radius on an ER/similarity
+   * graph, sampling-neighborhood cutoffs) and the first traversal whose
+   * certification is a true cross-engine graph FIXPOINT: the external
+   * oracle replays it as a depth-capped recursive CTE over (node,
+   * depth) pairs with MIN(depth) at the end, not an unrolled analytic
+   * formula. Frontier-style: per ring ONE equi-join of the NEW frontier
+   * (never the full visited set) against the once-repartitioned edge
+   * table plus one anti-join against visited — O(E) work per ring,
+   * min(diameter, maxHops) rings, lineage-cut per ring (the 2^rounds
+   * plan-string lesson from clusterPairs). BFS first-discovery depth IS
+   * the min-hop distance, so no re-relaxation is ever needed — the
+   * weighted variant that does need it is [[shortestPaths]]. Edges are
+   * directed as given (pass a symmetrized table for undirected
+   * semantics); nodes unreachable within `maxHops` are absent from the
+   * output, visible by omission against the node set, never a fake
+   * infinity.
+   */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "bfsHops needs maxHops >= 0")
+    val e = graft.CacheScope.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+        .repartition(col("src")))
+    var visited = graft.CacheScope.lineageCut(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("hops", lit(0)), checkpointDir)
+    var frontier = visited.select("node")
+    var h = 0
+    // the per-ring emptiness probe is a driver action over the (node-
+    // sized, persisted) frontier — bounded by maxHops, never the corpus
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val nxt = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      frontier = graft.CacheScope.lineageCut(nxt, checkpointDir)
+      visited = graft.CacheScope.lineageCut(
+        visited.unionByName(frontier.withColumn("hops", lit(h))),
+        checkpointDir)
+    }
+    visited
+  }
+
+  /**
+   * Half-life-decayed aggregates per key — the feature-store summary
+   * ("engagement at half-life H, as of T") whose point at lake scale is
+   * MERGEABILITY: exponential decay composes, so a state computed as of
+   * T1 folds into an as-of-T2 refresh with ONE multiply
+   * (sum·2^(−(T2−T1)/H)) plus the delta events' own decayed sum — the
+   * incremental refresh touches the delta partition only, never the
+   * history (spec-locked: merge ≡ full recompute). Execution is one
+   * partial-agg'd groupBy with the weight computed MAP-SIDE from the
+   * event time — the shuffle carries (key, weighted partials), nothing
+   * row-sized survives the exchange. `asOfSec` is an explicit instant,
+   * never now(): deterministic and replayable by construction. Events
+   * after `asOfSec` are excluded (a decayed feature must not see the
+   * future it will be joined against — the same leakage rule as the
+   * as-of join family).
+   */
+  def decayedAgg(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                 valueCol: String, asOfSec: Long,
+                 halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, "decayedAgg needs a positive half-life")
+    val w = pow(lit(0.5),
+      (lit(asOfSec) - col(tsSecCol)).cast("double") / lit(halfLifeSec.toDouble))
+    df.filter(col(tsSecCol).isNotNull && col(tsSecCol) <= asOfSec)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(w * col(valueCol)).as("decayed_sum"),
+        sum(w).as("decayed_weight"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -486,4 +486,116 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  // ---------------------------------------------------------------------
+  // Audio (PCM16): frame energy / peak / silence gating
+  // ---------------------------------------------------------------------
+
+  /** Sample count of the synthetic clip for `docId` (SQL-derivable);
+   * NOT a multiple of [[AudioFrameLen]], so partial tail frames exist
+   * and the framer's short-frame path is always exercised. */
+  def referenceSampleCount(docId: Long): Int = (192 + docId % 192).toInt
+
+  /** PCM sample k of the synthetic clip for `docId` — shared by the
+   * renderer, the decode verifier, and (in SQL form) the external
+   * oracle. Docs with id ≡ 0 (mod 8) are QUIET (amplitude 32: every
+   * frame lands under the silence gate); the rest are loud (amplitude
+   * 2048). Pure modular arithmetic — no division, whose toward-zero
+   * (Java) vs floor (SQL) semantics differ on negatives. */
+  def referenceSample(docId: Long, k: Int): Int = {
+    val base = docId * 7 + k.toLong * k
+    if (docId % 8 == 0) (base % 64 - 32).toInt
+    else (base % 4096 - 2048).toInt
+  }
+
+  /** Samples per analysis frame. */
+  val AudioFrameLen = 64
+
+  /** Silence gate: a frame is silent when mean square < 100² (RMS below
+   * 100 full-scale-int16 units) — integer-exact as energy < n·10⁴. */
+  val SilenceMeanSquare = 10000L
+
+  /** One synthetic PCM16 little-endian clip per row, packed as the
+   * opaque binary media column. Rendering runs distributed in
+   * `mapPartitions` — the driver never sees a sample. */
+  def packPcm(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = referenceSampleCount(id)
+        val bytes = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val s = referenceSample(id, k)
+          bytes(2 * k) = (s & 0xFF).toByte
+          bytes(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+          k += 1
+        }
+        (id, bytes)
+      })
+      .toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        lit("audio/pcm").as("kind"),
+        octet_length(col("media")).as("n_bytes"),
+        lit("pcm_s16le").as("codec")))
+  }
+
+  /** Output schema of [[audioFrames]]. */
+  val AudioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy", LongType),
+    StructField("peak", IntegerType),
+    StructField("silent", BooleanType)))
+
+  /**
+   * Audio feature extraction over the packed PCM16 payload: decode the
+   * little-endian samples, window into [[AudioFrameLen]]-sample frames
+   * (the tail frame keeps its true short length), and emit per-frame
+   * energy (Σs², exact long), peak (max |s|) and a silence flag
+   * (mean square under [[SilenceMeanSquare]]) — the VAD-style front end
+   * a speech-data pipeline runs before anything expensive, and the
+   * audio leg of the multimodal family: every output is INTEGER
+   * arithmetic over decoded bytes, so the external oracle certifies the
+   * full decode→frame→aggregate path analytically with zero float
+   * tolerance. `mapPartitions` like the image codec (per-partition
+   * decoder setup amortizes; one corrupt/odd-length payload yields a
+   * null-features row, never a failed 100 TB pass).
+   */
+  def audioFrames(packed: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(AudioSchema)
+    packed.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.length % 2 != 0)
+          Iterator(Row(id, null, null, null, null, null))
+        else {
+          val n = bytes.length / 2
+          val nFrames = (n + AudioFrameLen - 1) / AudioFrameLen
+          Iterator.tabulate(nFrames) { f =>
+            val from = f * AudioFrameLen
+            val until = math.min(n, from + AudioFrameLen)
+            var energy = 0L
+            var peak = 0
+            var k = from
+            while (k < until) {
+              // PCM16LE: low byte unsigned, high byte signed
+              val s = ((bytes(2 * k) & 0xFF) | (bytes(2 * k + 1) << 8)).toShort.toInt
+              energy += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              k += 1
+            }
+            val len = until - from
+            Row(id, f, len, energy, peak,
+              energy < len * SilenceMeanSquare)
+          }
+        }
+      }
+    }(encoder)
+  }
 }

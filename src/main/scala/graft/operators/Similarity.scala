@@ -1786,4 +1786,45 @@ object Similarity {
     }
     cur.select(col("_id").as(idCol), col("_v").as("v_out"))
   }
+
+  /**
+   * Embedding-space distance profile — the QA histogram run before
+   * trusting a vector corpus to near-dup/ANN thresholds: the pairwise-
+   * cosine distribution over a deterministic md5-lowest-`sampleN`
+   * sample answers "where do thresholds bite" (a semdedup cutoff at
+   * 0.95 means nothing until you see whether mass sits at 0.3 or 0.9)
+   * and catches collapsed/degenerate embedding batches (everything
+   * cosine≈1) at profile cost. CONSTANT work at every tier by
+   * construction: the sample is fixed-size (TakeOrdered on the md5
+   * key — a distributed partial top-k, never a global sort), the
+   * C(sampleN,2) pair frame is a broadcast self-join, and only the
+   * `bins`-row histogram leaves the executor. Cosines are left-fold
+   * double dots in array order (bit-reproducible cross-engine), so the
+   * bin edges are exact — no tolerance anywhere.
+   */
+  def distanceProfile(em: DataFrame, idCol: String, vecCol: String,
+                      sampleN: Int = 100, bins: Int = 20): DataFrame = {
+    require(sampleN >= 2 && bins >= 1, "distanceProfile needs sampleN>=2, bins>=1")
+    val sample = em
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = sample.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = sample.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosOver(dot(col("v_a"), col("v_b")), col("nrm_a") * col("nrm_b")))
+      // bin = floor((cos+1)/2 · bins), cos = 1.0 clamped into the last bin
+      .withColumn("bin",
+        least(floor((col("cos") + 1.0) / 2.0 * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .withColumn("lo", lit(-1.0) + col("bin") * (2.0 / bins))
+  }
 }

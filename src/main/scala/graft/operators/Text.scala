@@ -1681,4 +1681,35 @@ object Text {
           + col("bias"))
       .select(col(idCol).as("id"), col("_score").as("score"),
         (col("_score") > 0).as("pred_pos"))
+
+  /**
+   * CCNet-style perplexity bucketing: per-language head/middle/tail
+   * terciles (bucket 1 = most fluent) of the unigram-LM score — the
+   * step between [[unigramLogProb]]'s scoring (row 97) and a mixture
+   * plan, because CCNet's recipe keeps/weights by LM-score band WITHIN
+   * each language, never across (a "fluent" Spanish score and a
+   * "fluent" English score are not comparable numbers). The score is
+   * ROUNDED (1e-3) BEFORE the ntile ordering so both engines order the
+   * exact same keys — the raw double differs in the last ulps across
+   * engines and an ordering that reads it would make the boundary doc
+   * engine-dependent; ties inside a rounded score break by id. The
+   * ntile window partitions by language: per-partition state is one
+   * language's corpus slice — the pct_rank/percentileRank discipline,
+   * scale-bounded by the largest single language, with the groupBy
+   * rollup keeping the output mixture-planner-sized.
+   */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "perplexityBuckets needs nBuckets >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("_lp").desc, col("id"))
+    docs.select(col(idCol).as("id"), col(langCol).as("lang"))
+      .join(unigramLogProb(docs, idCol, textCol), "id")
+      .withColumn("_lp", floor(col("logprob") * 1000 + 0.5) / 1000)
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_lp")).as("min_lp"),
+        max(col("_lp")).as("max_lp"))
+  }
 }

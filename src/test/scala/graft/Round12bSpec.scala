@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Multimodal, Similarity, Text}
+
+/** Round-12 second wave: decayed feature mergeability, BFS hop rings vs a
+  * driver reference, CCNet perplexity buckets, the embedding distance
+  * profile, and the audio (PCM16) modality. */
+class Round12bSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- decayedAgg --------------------------------------------------------------
+
+  private val H = 3600L // 1h half-life for the tests
+
+  test("decayedAgg: T1 state folds into a T2 refresh with one multiply (merge ≡ full recompute)") {
+    val events = Seq(
+      (1L, 1000L, 10.0), (1L, 3000L, 6.0), (1L, 7000L, 4.0),
+      (2L, 500L, 1.0), (2L, 9000L, 2.0),
+      (3L, 200L, 5.0) // no delta events for key 3: pure decay of old state
+    ).toDF("k", "ts_sec", "v")
+    val t1 = 4000L
+    val t2 = 9500L
+    val state1 = Analytics.decayedAgg(
+      events.filter(col("ts_sec") <= t1), Seq("k"), "ts_sec", "v", t1, H)
+    val delta = Analytics.decayedAgg(
+      events.filter(col("ts_sec") > t1), Seq("k"), "ts_sec", "v", t2, H)
+    val full = Analytics.decayedAgg(events, Seq("k"), "ts_sec", "v", t2, H)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val fade = math.pow(0.5, (t2 - t1).toDouble / H)
+    val merged = state1.select(col("k"),
+        (col("decayed_sum") * fade).as("s1"),
+        (col("decayed_weight") * fade).as("w1"), col("n").as("n1"))
+      .join(delta.select(col("k"), col("decayed_sum").as("s2"),
+        col("decayed_weight").as("w2"), col("n").as("n2")), Seq("k"), "full")
+      .select(col("k"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))).as("s"),
+        (coalesce(col("w1"), lit(0.0)) + coalesce(col("w2"), lit(0.0))).as("w"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(merged.keySet === full.keySet)
+    merged.foreach { case (k, (s, w, n)) =>
+      val (fs, fw, fn) = full(k)
+      assert(math.abs(s - fs) < 1e-9 && math.abs(w - fw) < 1e-9 && n === fn,
+        s"merge drifted from full recompute for key $k: ($s,$w,$n) vs ($fs,$fw,$fn)")
+    }
+  }
+
+  test("decayedAgg: events after asOf are excluded (no future leakage), weight halves per half-life") {
+    val events = Seq((1L, 0L, 8.0), (1L, H, 8.0), (1L, 3 * H, 99.0)).toDF("k", "ts_sec", "v")
+    val r = Analytics.decayedAgg(events, Seq("k"), "ts_sec", "v", asOfSec = H, halfLifeSec = H)
+      .collect().head
+    // at asOf=H: event@0 weighs 0.5, event@H weighs 1.0, event@3H excluded
+    assert(r.getLong(3) === 2L)
+    assert(math.abs(r.getDouble(1) - (8.0 * 0.5 + 8.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.5) < 1e-12)
+  }
+
+  // --- bfsHops -----------------------------------------------------------------
+
+  test("bfsHops matches a driver BFS on a branching graph (min-hop, cap, unreachable absent)") {
+    // deterministic pseudo-random directed graph on 40 nodes, out-degree 2
+    val edges = (0 until 40).flatMap(u =>
+      Seq((u.toLong, ((u * 17 + 3) % 40).toLong), (u.toLong, ((u * 29 + 11) % 40).toLong)))
+    val maxHops = 4
+    val seedSet = Seq(0L, 7L)
+    // driver reference BFS
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var dist = seedSet.map(_ -> 0).toMap
+    var frontier = seedSet.toSet
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist = dist ++ nxt.map(_ -> h)
+      frontier = nxt
+    }
+    val got = Analytics.bfsHops(edges.toDF("a", "b"),
+        "a", "b", seedSet.toDF("node"), "node", maxHops)
+      .as[(Long, Int)].collect().toMap
+    assert(got === dist.map { case (k, v) => k -> v },
+      "distributed frontier BFS must equal the driver reference exactly")
+  }
+
+  test("bfsHops: maxHops=0 returns the seed rings only") {
+    val got = Analytics.bfsHops(Seq((1L, 2L)).toDF("a", "b"),
+      "a", "b", Seq(1L).toDF("node"), "node", maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0))
+  }
+
+  // --- perplexityBuckets -------------------------------------------------------
+
+  test("perplexityBuckets: ntile balance and head-to-tail monotone score bands per language") {
+    val docs = Tables.documents(spark, sfDir)
+    val b = Text.perplexityBuckets(docs, "doc_id", "text", "lang", nBuckets = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val langs = b.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val sizes = (1 to 3).map(i => b((l, i))._1)
+      assert(sizes.max - sizes.min <= 1, s"ntile buckets must balance within 1 for $l: $sizes")
+      // bucket 1 = head (most fluent): its score band sits at or above bucket 2's, etc.
+      (1 to 2).foreach { i =>
+        assert(b((l, i))._2 >= b((l, i + 1))._3,
+          s"bucket $i min_lp must be >= bucket ${i + 1} max_lp for $l")
+      }
+    }
+  }
+
+  // --- distanceProfile ---------------------------------------------------------
+
+  test("distanceProfile: bins partition C(sampleN,2) pairs and band edges hold") {
+    val em = Tables.embeddings(spark, sfDir)
+    val n = math.min(100L, em.count()).toInt
+    val prof = Similarity.distanceProfile(em, "vec_id", "embedding",
+      sampleN = 100, bins = 20).collect()
+    assert(prof.map(_.getLong(1)).sum === n.toLong * (n - 1) / 2)
+    prof.foreach { r =>
+      val (bin, lo) = (r.getInt(0), r.getDouble(4))
+      val (mn, mx) = (r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin < 20)
+      assert(mn >= lo - 1e-12 && mx <= lo + 0.1 + 1e-12 || bin == 19 && mx <= 1.0 + 1e-12,
+        s"bin $bin holds cosines outside [$lo, ${lo + 0.1}]: [$mn, $mx]")
+      assert(mn <= mx)
+    }
+  }
+
+  // --- audioFrames -------------------------------------------------------------
+
+  test("audioFrames: decode->frame->energy matches the analytic reference exactly") {
+    val ids = Seq(0L, 1L, 8L, 63L, 191L)
+    val got = Multimodal.audioFrames(Multimodal.packPcm(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4), r.getBoolean(5))).toMap
+    ids.foreach { id =>
+      val n = Multimodal.referenceSampleCount(id)
+      val frames = (n + Multimodal.AudioFrameLen - 1) / Multimodal.AudioFrameLen
+      (0 until frames).foreach { f =>
+        val ks = f * Multimodal.AudioFrameLen until math.min(n, (f + 1) * Multimodal.AudioFrameLen)
+        val ss = ks.map(Multimodal.referenceSample(id, _))
+        val energy = ss.map(s => s.toLong * s).sum
+        val expect = (ks.size, energy, ss.map(math.abs).max,
+          energy < ks.size * Multimodal.SilenceMeanSquare)
+        assert(got((id, f)) === expect, s"frame ($id, $f) drifted from the reference")
+      }
+      // tail frame carries its true short length when n is not a multiple
+      if (n % Multimodal.AudioFrameLen != 0)
+        assert(got((id, frames - 1))._1 === n % Multimodal.AudioFrameLen)
+    }
+    // quiet fixture docs (id ≡ 0 mod 8) are silent in EVERY frame
+    assert(got.filter(_._1._1 % 8 == 0).values.forall(_._4),
+      "amplitude-32 docs must land under the silence gate in every frame")
+    assert(got.filter(_._1._1 % 8 != 0).values.forall(!_._4),
+      "amplitude-2048 docs must never read as silent")
+  }
+
+  test("audioFrames: null and odd-length payloads yield null rows, not a dead job") {
+    val packed = Seq(
+      (1L, Array[Byte](0, 1, 0, 1)),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val rows = Multimodal.audioFrames(packed).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!rows(1L) && rows(2L) && rows(3L))
+  }
+}

@@ -181,6 +181,17 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_lang_mixture" -> (8L << 10),   // map-only scoring + n-bucket rollup
     "q_curate_scored" -> (512L << 10),// seed-trained bucket counts + the
                                       // quality join; inference map-only
+    // round 12, second wave (measured at sf0.001)
+    "q_decay_agg" -> (4L << 10),      // 433 B: one partial-agg'd groupBy —
+                                      // weights computed map-side
+    "q_ppl_buckets" -> (80L << 10),   // 16.1 kB: token-df join + per-lang
+                                      // ntile over rounded scores
+    "q_bfs_hops" -> (16L << 10),      // 3.5 kB: per-ring frontier joins,
+                                      // node-sized frames only
+    "q_dist_profile" -> (8L << 10),   // 0 B measured: TakeOrdered sample +
+                                      // broadcast self-join — zero exchange
+    "q_audio_energy" -> (4L << 10),   // 59 B: render + frame map-only;
+                                      // samples never shuffle
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
