@@ -64,6 +64,26 @@ object SparkEntry {
       |  FROM events
       |)""".stripMargin
 
+  /** DuckDB twin of the PCM fixture → [[graft.operators.Multimodal.audioFrames]]
+   * path, shared by the audio oracle rows: exposes
+   * `af(doc_id, frame, n_samples, energy, peak, silent)` — integer-exact
+   * analytic replay of decode→frame→aggregate. */
+  private val AudioFrameCte =
+    """d AS (SELECT doc_id, 192 + doc_id % 192 AS n FROM documents),
+      |k AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d),
+      |s AS (
+      |  SELECT doc_id, CAST(k // 64 AS INT) AS frame,
+      |         CASE WHEN doc_id % 8 = 0 OR (doc_id + k // 64) % 4 = 0
+      |              THEN (doc_id * 7 + k * k) % 64 - 32
+      |              ELSE (doc_id * 7 + k * k) % 4096 - 2048 END AS smp
+      |  FROM k),
+      |af AS (
+      |  SELECT doc_id, frame, CAST(COUNT(*) AS INT) AS n_samples,
+      |         CAST(SUM(smp * smp) AS BIGINT) AS energy,
+      |         CAST(MAX(ABS(smp)) AS INT) AS peak,
+      |         SUM(smp * smp) < COUNT(*) * 10000 AS silent
+      |  FROM s GROUP BY 1, 2)""".stripMargin
+
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize(ev(s, dir), "user_id", "ts_sec", GapSec, tieBreak = Seq("event_id"))
 
@@ -977,6 +997,31 @@ object SparkEntry {
     "q_audio_energy" -> ((s, dir) =>
       Multimodal.audioFrames(
         Multimodal.packPcm(Tables.documents(s, dir), "doc_id"))),
+
+    // --- silence-trimmed voiced segments (islands of consecutive
+    // non-silent frames): what actually ships to transcription ---
+    "q_audio_segments" -> ((s, dir) =>
+      Multimodal.speechSegments(
+        Multimodal.audioFrames(
+          Multimodal.packPcm(Tables.documents(s, dir), "doc_id")))),
+
+    // --- landmark harmonic centrality: origin-tagged BFS from three
+    // fixed landmarks, h = sum of 1/hops over reaching landmarks (the
+    // Eppstein-Wang sampled stand-in for all-pairs centrality) ---
+    "q_closeness" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val seeds = Seq((0L, 0L), (1L, 1L), (2L, 2L))
+      import s.implicits._
+      Analytics.landmarkHops(edges, "a", "b",
+          seeds.toDF("origin", "node"), "origin", "node", maxHops = 8)
+        .filter(col("hops") > 0)
+        .groupBy("node")
+        .agg(r3(sum(lit(1.0) / col("hops"))).as("h_score"),
+          count(lit(1)).as("n_origins"))
+    }),
 
     // --- classifier eval rollup: confusion-matrix counts of the NB
     // model against the training labels (train + score + rollup in one
@@ -3483,6 +3528,27 @@ object SparkEntry {
         |)
         |SELECT node, MIN(d) AS hops FROM r GROUP BY 1""".stripMargin,
 
+    "q_closeness" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+        |    UNION ALL
+        |    SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events)
+        |  WHERE a <> b
+        |), seeds(origin, node) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 1, 1 UNION ALL SELECT 2, 2
+        |), r(origin, node, d) AS (
+        |  SELECT origin, node, 0 FROM seeds
+        |  UNION
+        |  SELECT r.origin, ed.b, r.d + 1
+        |  FROM r JOIN ed ON ed.a = r.node WHERE r.d < 8
+        |), m AS (
+        |  SELECT origin, node, MIN(d) AS d FROM r GROUP BY 1, 2)
+        |SELECT node, floor(SUM(1.0::DOUBLE / d) * 1000 + 0.5) / 1000 AS h_score,
+        |       COUNT(*) AS n_origins
+        |FROM m WHERE d > 0 GROUP BY node""".stripMargin,
+
     "q_dist_profile" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id AS id, v FROM v
@@ -3499,19 +3565,22 @@ object SparkEntry {
         |FROM h GROUP BY 1""".stripMargin,
 
     "q_audio_energy" ->
-      """WITH d AS (SELECT doc_id, 192 + doc_id % 192 AS n FROM documents),
-        |k AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d),
-        |s AS (
-        |  SELECT doc_id, CAST(k // 64 AS INT) AS frame,
-        |         CASE WHEN doc_id % 8 = 0
-        |              THEN (doc_id * 7 + k * k) % 64 - 32
-        |              ELSE (doc_id * 7 + k * k) % 4096 - 2048 END AS smp
-        |  FROM k)
-        |SELECT doc_id, frame, CAST(COUNT(*) AS INT) AS n_samples,
-        |       CAST(SUM(smp * smp) AS BIGINT) AS energy,
-        |       CAST(MAX(ABS(smp)) AS INT) AS peak,
-        |       SUM(smp * smp) < COUNT(*) * 10000 AS silent
-        |FROM s GROUP BY 1, 2""".stripMargin,
+      s"""WITH $AudioFrameCte
+        |SELECT doc_id, frame, n_samples, energy, peak, silent
+        |FROM af""".stripMargin,
+
+    "q_audio_segments" ->
+      s"""WITH $AudioFrameCte,
+        |voiced AS (
+        |  SELECT doc_id, frame,
+        |         frame - row_number() OVER (PARTITION BY doc_id
+        |                                    ORDER BY frame) AS grp,
+        |         energy
+        |  FROM af WHERE NOT silent)
+        |SELECT doc_id, MIN(frame) AS seg_start,
+        |       CAST(COUNT(*) AS INT) AS n_frames,
+        |       CAST(SUM(energy) AS BIGINT) AS energy
+        |FROM voiced GROUP BY doc_id, grp""".stripMargin,
 
     "q_ft_eval" ->
       s"""WITH $FtCtes

@@ -1798,6 +1798,47 @@ object Analytics {
   }
 
   /**
+   * Origin-tagged multi-landmark BFS — [[bfsHops]] generalized to keep
+   * each seed's ring structure separate: state is (origin, node, hops),
+   * so one run answers "how far is every node from EACH landmark", the
+   * input to landmark-based centrality estimates (harmonic/closeness à
+   * la Eppstein–Wang: k sampled landmarks stand in for all-pairs BFS,
+   * which no 100 TB graph ever gets). Same frontier discipline — per
+   * ring one equi-join of the new frontier against the
+   * once-repartitioned edge table + one anti-join on (origin, node),
+   * lineage-cut per ring; cost is O(k·E) per ring worst case, the
+   * deliberate price of k independent ring systems in one plan.
+   */
+  def landmarkHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, originCol: String, nodeCol: String,
+                   maxHops: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "landmarkHops needs maxHops >= 0")
+    val e = graft.CacheScope.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+        .repartition(col("src")))
+    var visited = graft.CacheScope.lineageCut(
+      seeds.select(col(originCol).as("origin"), col(nodeCol).as("node"))
+        .distinct().withColumn("hops", lit(0)), checkpointDir)
+    var frontier = visited.select("origin", "node")
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val nxt = frontier.join(e, frontier("node") === e("src"))
+        .select(col("origin"), col("dst").as("node")).distinct()
+        .join(visited.select("origin", "node"), Seq("origin", "node"), "left_anti")
+      frontier = graft.CacheScope.lineageCut(nxt, checkpointDir)
+      visited = graft.CacheScope.lineageCut(
+        visited.unionByName(frontier.withColumn("hops", lit(h))),
+        checkpointDir)
+    }
+    visited
+  }
+
+  /**
    * Half-life-decayed aggregates per key — the feature-store summary
    * ("engagement at half-life H, as of T") whose point at lake scale is
    * MERGEABILITY: exponential decay composes, so a state computed as of

@@ -722,7 +722,15 @@ object Dedup {
    * at the sf2 tier). 32-bit keys keep random collisions negligible to
    * ~10⁸ docs per partition key-space; candidates stay ≈ true pairs.
    */
-  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  /** Manku-style blocked band rows for a 64-bit fingerprint frame:
+   * (band, bh, id, simhash), one row per C(maxHamming+3, 3) block
+   * combination — a pair within `maxHamming` differing bits must agree
+   * on ≥ 3 of the maxHamming+3 blocks, so equality on SOME (band, bh)
+   * is a lossless candidate filter. Exposed separately from
+   * [[simhashPairs]] so a streaming consumer can PERSIST the band rows
+   * as the probe index of everything kept so far (the NearDupStream
+   * shape) instead of re-banding the archive per micro-batch. */
+  def simhashBands(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val m = maxHamming + 3 // blocks; any qualifying pair agrees on >= 3
     val base = 64 / m; val rem = 64 % m
@@ -734,12 +742,16 @@ object Dedup {
       else ((1L << sizes(j)) - 1L) << starts(j)
     val combos = (0 until m).combinations(3).map(_.foldLeft(0L)((acc, j) =>
       acc | blockMask(j))).toArray
-    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+    sh.select(col(idCol).as("id"), col("simhash"),
         explode(array(combos.zipWithIndex.map { case (mask, c) =>
           struct(lit(c).as("band"),
             col("simhash").bitwiseAND(lit(mask)).as("bh"))
         }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = simhashBands(sh, idCol, maxHamming)
     banded.select(col("band"), col("bh"), col("id").as("id_a"), col("simhash").as("sh_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b"), col("simhash").as("sh_b")),
         Seq("band", "bh"))
@@ -819,5 +831,46 @@ object Dedup {
     simhashParity(gate, idCol, textCol, maxHamming, maxDocs = certifyCap.max(nDocs))
       .withColumn("n_docs", lit(nDocs))
       .select("n_docs", "n_missed", "n_extra")
+  }
+
+  /**
+   * Sequential-greedy resolution of verified near-dup pairs: process
+   * ids ascending, drop an id iff a DIRECTLY verified pair links it to
+   * an already-kept member — the fold a one-at-a-time arrival order
+   * implies, and deliberately NOT connected-component collapse (in a
+   * chain a–b–c with no a–c pair, greedy drops b and keeps c; CC would
+   * drop both). Components are near-dup clusters, so they are tiny: the
+   * per-component fold is a `flatMap` over collected member/pair lists —
+   * distributed ACROSS components, sequential only inside one. Input
+   * pairs must be id-ordered (`aCol` < `bCol`); returns the dropped ids
+   * as a single `id` column. Shared by the streaming dedup services
+   * (text MinHash and image dHash), whose intra-batch semantics must
+   * agree with the archive-probe fold.
+   */
+  def sequentialGreedyDrop(pairs: DataFrame, aCol: String, bCol: String,
+                           maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val comps = clusterPairs(pairs, aCol, bCol, maxIter)
+    val members = comps.groupBy("cluster_id")
+      .agg(sort_array(collect_list(col("id").cast("long"))).as("members"))
+    val compPairs = pairs
+      .join(comps.withColumnRenamed("id", aCol), aCol)
+      .groupBy("cluster_id")
+      .agg(collect_list(struct(col(aCol).cast("long").as("_1"),
+        col(bCol).cast("long").as("_2"))).as("pairs"))
+    members.join(compPairs, "cluster_id")
+      .select(col("members"), col("pairs"))
+      .as[(Seq[Long], Seq[(Long, Long)])]
+      .flatMap { case (ms, ps) =>
+        val pairSet = ps.toSet
+        val kept = scala.collection.mutable.ArrayBuffer[Long]()
+        val dropped = scala.collection.mutable.ArrayBuffer[Long]()
+        ms.foreach { m =>
+          if (kept.exists(k => pairSet((k, m)) || pairSet((m, k)))) dropped += m
+          else kept += m
+        }
+        dropped
+      }.toDF("id")
   }
 }

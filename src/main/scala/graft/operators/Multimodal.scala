@@ -498,13 +498,17 @@ object Multimodal {
 
   /** PCM sample k of the synthetic clip for `docId` — shared by the
    * renderer, the decode verifier, and (in SQL form) the external
-   * oracle. Docs with id ≡ 0 (mod 8) are QUIET (amplitude 32: every
-   * frame lands under the silence gate); the rest are loud (amplitude
-   * 2048). Pure modular arithmetic — no division, whose toward-zero
-   * (Java) vs floor (SQL) semantics differ on negatives. */
+   * oracle. Two silence axes: docs with id ≡ 0 (mod 8) are QUIET
+   * throughout (amplitude 32 — every frame lands under the gate), and
+   * every doc goes quiet on frames where (id + frame) ≡ 0 (mod 4) — so
+   * clips interleave voiced RUNS with silent gaps and the segment
+   * extractor has real islands to find. Arithmetic is modular plus one
+   * NONNEGATIVE integer division (k/frameLen, where floor == trunc —
+   * negative operands, where the two conventions split, never occur). */
   def referenceSample(docId: Long, k: Int): Int = {
     val base = docId * 7 + k.toLong * k
-    if (docId % 8 == 0) (base % 64 - 32).toInt
+    val frame = k / AudioFrameLen
+    if (docId % 8 == 0 || (docId + frame) % 4 == 0) (base % 64 - 32).toInt
     else (base % 4096 - 2048).toInt
   }
 
@@ -597,5 +601,30 @@ object Multimodal {
         }
       }
     }(encoder)
+  }
+
+  /**
+   * Silence-trimmed voiced segments: maximal runs of consecutive
+   * NON-silent frames per clip — what a speech pipeline actually
+   * forwards to transcription/embedding (the silence between utterances
+   * is cost, not content). Consumes [[audioFrames]] output; the run
+   * grouping is the classic islands transform (frame − row_number over
+   * voiced frames is constant within a run), one window partitioned by
+   * clip — per-partition state is a clip's frame count — plus one
+   * groupBy. Per segment: first frame, frame count, summed exact
+   * energy. Null-feature rows (undecodable payloads) drop here: no
+   * frames, no segments.
+   */
+  def speechSegments(frames: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("frame"))
+    frames
+      .filter(col("silent") === false)
+      .withColumn("_grp", col("frame") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("frame")).as("seg_start"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("energy")).as("energy"))
+      .drop("_grp")
   }
 }

@@ -101,27 +101,10 @@ object NearDupStream {
 
     // per-component sequential-greedy resolution: keep ids ascending
     // unless a verified pair links to an already-kept member
-    val comps = Dedup.clusterPairs(newPairs, "new_id", "dup_id", maxIter)
-    val members = comps.groupBy("cluster_id")
-      .agg(sort_array(collect_list(col("id").cast("long"))).as("members"))
-    val compPairs = newPairs
-      .join(comps.withColumnRenamed("id", "new_id"), "new_id")
-      .groupBy("cluster_id")
-      .agg(collect_list(struct(col("new_id").cast("long").as("_1"),
-        col("dup_id").cast("long").as("_2"))).as("pairs"))
-    val intraDropped = members.join(compPairs, "cluster_id")
-      .select(col("members"), col("pairs"))
-      .as[(Seq[Long], Seq[(Long, Long)])]
-      .flatMap { case (ms, ps) =>
-        val pairSet = ps.toSet
-        val kept = scala.collection.mutable.ArrayBuffer[Long]()
-        val dropped = scala.collection.mutable.ArrayBuffer[Long]()
-        ms.foreach { m =>
-          if (kept.exists(k => pairSet((k, m)) || pairSet((m, k)))) dropped += m
-          else kept += m
-        }
-        dropped
-      }.toDF("new_id")
+    // (shared fold — Dedup.sequentialGreedyDrop)
+    val intraDropped = Dedup
+      .sequentialGreedyDrop(newPairs, "new_id", "dup_id", maxIter)
+      .withColumnRenamed("id", "new_id")
 
     val dropAll = archDropped.select(col("new_id").cast("long"))
       .unionByName(intraDropped).distinct()

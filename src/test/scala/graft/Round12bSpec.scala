@@ -146,11 +146,49 @@ class Round12bSpec extends SparkSpecBase {
       if (n % Multimodal.AudioFrameLen != 0)
         assert(got((id, frames - 1))._1 === n % Multimodal.AudioFrameLen)
     }
-    // quiet fixture docs (id ≡ 0 mod 8) are silent in EVERY frame
+    // quiet fixture docs (id ≡ 0 mod 8) are silent in EVERY frame; the
+    // rest go quiet exactly on the (id + frame) ≡ 0 (mod 4) gap frames
     assert(got.filter(_._1._1 % 8 == 0).values.forall(_._4),
       "amplitude-32 docs must land under the silence gate in every frame")
-    assert(got.filter(_._1._1 % 8 != 0).values.forall(!_._4),
-      "amplitude-2048 docs must never read as silent")
+    got.filter(_._1._1 % 8 != 0).foreach { case ((id, f), (_, _, _, silent)) =>
+      assert(silent === ((id + f) % 4 == 0),
+        s"doc $id frame $f: silence must follow the fixture's gap pattern")
+    }
+  }
+
+  test("speechSegments: islands of consecutive voiced frames, driver-checked") {
+    val ids = Seq(1L, 2L, 3L, 8L, 190L)
+    val frames = Multimodal.audioFrames(Multimodal.packPcm(ids.toDF("doc_id"), "doc_id"))
+    val got = Multimodal.speechSegments(frames)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // driver reference: fold the analytic frames into runs
+    val expect = scala.collection.mutable.Map[(Long, Int), (Int, Long)]()
+    ids.foreach { id =>
+      val n = Multimodal.referenceSampleCount(id)
+      val nf = (n + Multimodal.AudioFrameLen - 1) / Multimodal.AudioFrameLen
+      var runStart = -1; var runLen = 0; var runEnergy = 0L
+      def flush(): Unit = if (runLen > 0) {
+        expect((id, runStart)) = (runLen, runEnergy); runStart = -1; runLen = 0; runEnergy = 0L
+      }
+      (0 until nf).foreach { f =>
+        val ks = f * Multimodal.AudioFrameLen until math.min(n, (f + 1) * Multimodal.AudioFrameLen)
+        val ss = ks.map(Multimodal.referenceSample(id, _))
+        val energy = ss.map(s => s.toLong * s).sum
+        if (energy < ks.size * Multimodal.SilenceMeanSquare) flush()
+        else {
+          if (runLen == 0) runStart = f
+          runLen += 1; runEnergy += energy
+        }
+      }
+      flush()
+    }
+    assert(got === expect.toMap,
+      "segment extraction must equal the driver islands fold")
+    // quiet docs contribute no segments at all
+    assert(!got.keys.exists(_._1 == 8L))
+    // a long voiced doc has >= 2 segments (the mod-4 gap splits it)
+    assert(got.keys.count(_._1 == 190L) >= 2)
   }
 
   test("audioFrames: null and odd-length payloads yield null rows, not a dead job") {

@@ -192,6 +192,10 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // broadcast self-join — zero exchange
     "q_audio_energy" -> (4L << 10),   // 59 B: render + frame map-only;
                                       // samples never shuffle
+    "q_audio_segments" -> (64L << 10),// 12.6 kB: per-clip islands window
+                                      // + run rollup on frame rows only
+    "q_closeness" -> (16L << 10),     // 3.1 kB: origin-tagged frontier
+                                      // rings, node-sized frames
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
