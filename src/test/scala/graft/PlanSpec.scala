@@ -506,6 +506,29 @@ class PlanSpec extends SparkSpecBase {
         "partition it, prune it, or justify it on the allowlist")
   }
 
+  test("distance profile: fixed sample broadcast self-join, zero shuffle exchanges") {
+    val p = plan("q_dist_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(count(p, "(?<!Reused)Exchange (hash|range)") === 0,
+      "the constant-work QA profile grew a shuffle")
+  }
+
+  test("decayed features: weights fold map-side — one partial-agg'd shuffle") {
+    val p = plan("q_decay_agg")
+    assert(count(p, "(?<!Reused)Exchange (hash|range)") === 1,
+      s"decayedAgg wants 1 shuffle\n${p.take(2000)}")
+    assert(p.contains("partial_sum") || p.contains("partial"), p.take(2000))
+  }
+
+  test("voiced segments: run rollup rides the per-clip window partitioning — one shuffle") {
+    // groupBy (doc_id, _grp) keys a superset of the window's doc_id
+    // partitioning, so the window exchange satisfies the aggregation
+    val p = plan("q_audio_segments")
+    assert(count(p, "(?<!Reused)Exchange (hash|range)") === 1,
+      s"speechSegments wants 1 shuffle\n${p.take(2000)}")
+  }
+
   test("classifier: train partial-aggs the bucket counts; inference is join-free map work") {
     val p = plan("q_ft_classify")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
