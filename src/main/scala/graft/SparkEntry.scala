@@ -1005,6 +1005,19 @@ object SparkEntry {
         Multimodal.audioFrames(
           Multimodal.packPcm(Tables.documents(s, dir), "doc_id")))),
 
+    // --- rank-biased overlap: rank-list AGREEMENT between the exact
+    // cosine top-5 and the binary-quantized top-5 — the
+    // position-sensitive fidelity number recall@k cannot give ---
+    "q_rbo" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val q = em.filter(col("vec_id") < 10)
+      val a = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 5)
+      val b = Similarity.binaryTopK(em, q, "vec_id", "embedding",
+        k = 5, dim = 64, shortlist = 50)
+      Analytics.rankBiasedOverlap(a, b, "query_id", "cand_id", "rank", k = 5)
+        .select(col("query_id"), r3(col("rbo")).as("rbo"), col("n_common"))
+    }),
+
     // --- landmark harmonic centrality: origin-tagged BFS from three
     // fixed landmarks, h = sum of 1/hops over reaching landmarks (the
     // Eppstein-Wang sampled stand-in for all-pairs centrality) ---
@@ -2204,11 +2217,17 @@ object SparkEntry {
         .agg(sum(when(col("ts_sec") >= col("_mid"), cv).otherwise(0L)).as("y"),
           sum(when(col("ts_sec") < col("_mid"), cv).otherwise(0L)).as("x"))
       Analytics.cuped(units, "variant", "y", "x")
+        // the var columns are ~1e9-magnitude second-moment sums: an
+        // ABSOLUTE 1e-3 rounding needs ~3e-13 relative cross-engine
+        // agreement, which double summation cannot promise (the sf2
+        // drive caught the last digit flipping). The DIMENSIONLESS
+        // variance ratio — the number CUPED is actually about — is
+        // O(1) and rounds safely at every tier.
         .select(col("variant"), col("n"), r3(col("theta")).as("theta"),
           r3(col("mean_raw")).as("mean_raw"),
           r3(col("mean_cuped")).as("mean_cuped"),
-          r3(col("var_raw")).as("var_raw"),
-          r3(col("var_cuped")).as("var_cuped"))
+          r3(when(col("var_raw") > 0, col("var_cuped") / col("var_raw")))
+            .as("var_ratio"))
     }),
 
     // --- difference-in-differences: user-parity "rollout", pre/post
@@ -3527,6 +3546,46 @@ object SparkEntry {
         |  SELECT ed.b, r.d + 1 FROM r JOIN ed ON ed.a = r.node WHERE r.d < 8
         |)
         |SELECT node, MIN(d) AS hops FROM r GROUP BY 1""".stripMargin,
+
+    "q_rbo" -> {
+      // w(m) = (1-p)·Σ_{d=m..k} p^{d-1}/d, written as the SAME
+      // left-to-right chain the Scala side folds, so the doubles agree
+      // to the ulp before the r3 rounding
+      def wSql(m: Int): String = "(1.0::DOUBLE - 0.9) * (" +
+        (m to 5).map(d => s"pow(0.9::DOUBLE, ${d - 1}) / $d").mkString(" + ") + ")"
+      val caseArms = (1 to 5).map(m => s"WHEN $m THEN ${wSql(m)}").mkString(" ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT query_id, c.vec_id AS cand_id, ${cosSql("q.vq", "c.v")} AS cos
+         |  FROM v c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+         |a AS (SELECT query_id, cand_id, rnk AS ra FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc) WHERE rnk <= 5),
+         |ham AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id, c.v,
+         |         len(list_filter(range(1, 65),
+         |             i -> (q.vq[i] > 0) <> (c.v[i] > 0))) AS hd
+         |  FROM v c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+         |short AS (SELECT query_id, cand_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hd ASC, cand_id ASC) AS hrnk FROM ham) WHERE hrnk <= 50),
+         |b AS (SELECT query_id, cand_id, rnk AS rb FROM (
+         |    SELECT s.query_id, s.cand_id,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY ${cosSql("q.vq", "s.v")} DESC, s.cand_id ASC) AS rnk
+         |    FROM short s JOIN q ON q.query_id = s.query_id) WHERE rnk <= 5),
+         |cm AS (
+         |  SELECT a.query_id, CASE GREATEST(a.ra, b.rb) $caseArms END AS w
+         |  FROM a JOIN b USING (query_id, cand_id)),
+         |rq AS (SELECT query_id, SUM(w) AS rbo_raw, COUNT(*) AS n_common
+         |       FROM cm GROUP BY 1)
+         |SELECT query_id,
+         |       floor(coalesce(rbo_raw, 0) * 1000 + 0.5) / 1000 AS rbo,
+         |       coalesce(n_common, 0) AS n_common
+         |FROM (SELECT DISTINCT query_id FROM a) LEFT JOIN rq USING (query_id)"""
+        .stripMargin
+    },
 
     "q_closeness" ->
       """WITH RECURSIVE ed AS (
@@ -5683,12 +5742,11 @@ object SparkEntry {
          |       floor(MAX(theta)*1000 + 0.5)/1000 AS theta,
          |       floor(SUM(y)/COUNT(*)*1000 + 0.5)/1000 AS mean_raw,
          |       floor(SUM(a)/COUNT(*)*1000 + 0.5)/1000 AS mean_cuped,
-         |       CASE WHEN COUNT(*) < 2 THEN NULL
-         |            ELSE floor((SUM(y*y) - SUM(y)*SUM(y)/COUNT(*))
-         |                   / (COUNT(*) - 1)*1000 + 0.5)/1000 END AS var_raw,
-         |       CASE WHEN COUNT(*) < 2 THEN NULL
+         |       CASE WHEN COUNT(*) < 2
+         |                  OR SUM(y*y) - SUM(y)*SUM(y)/COUNT(*) <= 0 THEN NULL
          |            ELSE floor((SUM(a*a) - SUM(a)*SUM(a)/COUNT(*))
-         |                   / (COUNT(*) - 1)*1000 + 0.5)/1000 END AS var_cuped
+         |                   / (SUM(y*y) - SUM(y)*SUM(y)/COUNT(*))
+         |                   * 1000 + 0.5)/1000 END AS var_ratio
          |FROM adj GROUP BY 1""".stripMargin,
 
     "q_did" ->

@@ -1798,6 +1798,50 @@ object Analytics {
   }
 
   /**
+   * Rank-biased overlap (Webber, Moffat & Zobel '10), truncated-prefix
+   * form — rank-list AGREEMENT between two top-k retrievals, the eval
+   * recall@k cannot give: recall treats a list as a set, so a
+   * quantized index that returns the right 5 items in scrambled order
+   * scores perfect recall while every position-sensitive consumer
+   * (rerankers, MMR, position-weighted click models) sees a different
+   * ranking. RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A₁..d ∩ B₁..d|/d weights
+   * shallow prefixes geometrically — the top-1 disagreement costs most.
+   * Computed without materializing prefixes: a common item first enters
+   * the intersection at depth m = max(rank_A, rank_B), so it
+   * contributes w(m) = (1−p)·Σ_{d=m..k} p^{d−1}/d — a k-entry constant
+   * lookup folded into the (query, item) equi-join; one partial-agg'd
+   * groupBy per query. Queries with disjoint prefixes emit rbo = 0
+   * explicitly (absence would read as "not evaluated").
+   */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+                        itemCol: String, rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0.0 && p < 1.0,
+      s"rankBiasedOverlap needs k >= 1 and 0 < p < 1, got k=$k p=$p")
+    // left-to-right partial sums: the oracle writes the same chain, so
+    // the doubles agree to the ulp before any rounding
+    val w: Map[Int, Double] = (1 to k).map(m =>
+      m -> (1 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum).toMap
+    val ra = a.select(col(queryCol).as("_q"), col(itemCol).as("_i"),
+      col(rankCol).as("_ra"))
+    val rb = b.select(col(queryCol).as("_q"), col(itemCol).as("_i"),
+      col(rankCol).as("_rb"))
+    val depth = greatest(col("_ra"), col("_rb"))
+    val wCol = (1 to k).foldLeft(lit(0.0)) { (acc, m) =>
+      when(depth === m, lit(w(m))).otherwise(acc)
+    }
+    val perQuery = ra.join(rb, Seq("_q", "_i"))
+      .select(col("_q"), wCol.as("_w"))
+      .groupBy("_q")
+      .agg(sum(col("_w")).as("_rbo"), count(lit(1)).as("_n"))
+    ra.select(col("_q")).distinct()
+      .join(perQuery, Seq("_q"), "left")
+      .select(col("_q").as(queryCol),
+        coalesce(col("_rbo"), lit(0.0)).as("rbo"),
+        coalesce(col("_n"), lit(0L)).as("n_common"))
+  }
+
+  /**
    * Origin-tagged multi-landmark BFS — [[bfsHops]] generalized to keep
    * each seed's ring structure separate: state is (origin, node, hops),
    * so one run answers "how far is every node from EACH landmark", the

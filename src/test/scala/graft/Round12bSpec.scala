@@ -106,6 +106,30 @@ class Round12bSpec extends SparkSpecBase {
     }
   }
 
+  // --- rankBiasedOverlap -------------------------------------------------------
+
+  test("rankBiasedOverlap: identical lists score the closed-form max, disjoint score 0, order matters") {
+    val k = 5; val p = 0.9
+    val ids = (1 to k).map(_.toLong)
+    def ranking(q: Long, items: Seq[Long]) =
+      items.zipWithIndex.map { case (i, r) => (q, i, r + 1) }
+    val a = (ranking(1L, ids) ++ ranking(2L, ids) ++ ranking(3L, ids))
+      .toDF("q", "item", "rank")
+    val b = (ranking(1L, ids) ++                       // identical
+        ranking(2L, ids.map(_ + 100)) ++               // disjoint
+        ranking(3L, ids.reverse))                      // same set, reversed
+      .toDF("q", "item", "rank")
+    val got = Analytics.rankBiasedOverlap(a, b, "q", "item", "rank", k, p)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val maxRbo = (1 - p) * (1 to k).map(d => math.pow(p, d - 1)).sum
+    assert(math.abs(got(1L)._1 - maxRbo) < 1e-12 && got(1L)._2 === k.toLong,
+      s"identical lists must score (1-p)*sum p^(d-1) = $maxRbo, got ${got(1L)}")
+    assert(got(2L) === ((0.0, 0L)), "disjoint lists must emit an explicit 0")
+    assert(got(3L)._1 > 0 && got(3L)._1 < maxRbo - 1e-9,
+      s"a reversed ranking must score strictly between 0 and $maxRbo: ${got(3L)}")
+    assert(got(3L)._2 === k.toLong, "reversed list still shares all k items")
+  }
+
   // --- distanceProfile ---------------------------------------------------------
 
   test("distanceProfile: bins partition C(sampleN,2) pairs and band edges hold") {

@@ -196,6 +196,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // + run rollup on frame rows only
     "q_closeness" -> (16L << 10),     // 3.1 kB: origin-tagged frontier
                                       // rings, node-sized frames
+    "q_rbo" -> (8L << 10),            // 982 B: two broadcast top-k scans;
+                                      // only (query, rank) rows shuffle
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
