@@ -1005,6 +1005,21 @@ object SparkEntry {
         Multimodal.audioFrames(
           Multimodal.packPcm(Tables.documents(s, dir), "doc_id")))),
 
+    // --- expected calibration error of the classifier's sigmoid
+    // probabilities: the trust measure behind any p-threshold gate ---
+    "q_ft_ece" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Text.linearClassifierTrain(docs, "text",
+        col("lang") === "en", buckets = 1024)
+      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
+          buckets = 1024)
+        .join(docs.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("is_pos")), Seq("id"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+      Analytics.expectedCalibrationError(scored, "p", "is_pos", nBins = 10)
+        .select(r3(col("ece")).as("ece"), col("n_bins_used"), col("n"))
+    }),
+
     // --- rank-biased overlap: rank-list AGREEMENT between the exact
     // cosine top-5 and the binary-quantized top-5 — the
     // position-sensitive fidelity number recall@k cannot give ---
@@ -3546,6 +3561,24 @@ object SparkEntry {
         |  SELECT ed.b, r.d + 1 FROM r JOIN ed ON ed.a = r.node WHERE r.d < 8
         |)
         |SELECT node, MIN(d) AS hops FROM r GROUP BY 1""".stripMargin,
+
+    "q_ft_ece" ->
+      s"""WITH $FtCtes,
+        |sc AS (SELECT 1.0::DOUBLE / (1.0::DOUBLE + exp(-(s + bias))) AS p,
+        |              d.pos AS is_pos
+        |       FROM pw CROSS JOIN prior JOIN d USING (doc_id)),
+        |b AS (SELECT CAST(LEAST(floor(p * 10), 9) AS INT) AS bin, p, is_pos
+        |      FROM sc),
+        |g AS (SELECT bin, COUNT(*) AS n, AVG(p) AS conf,
+        |             AVG(CASE WHEN is_pos THEN 1.0::DOUBLE
+        |                      ELSE 0.0::DOUBLE END) AS acc
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM g)
+        |SELECT floor(SUM(n::DOUBLE / total * ABS(acc - conf)) * 1000 + 0.5)
+        |         / 1000 AS ece,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+        |       CAST(MAX(total) AS BIGINT) AS n
+        |FROM g CROSS JOIN t""".stripMargin,
 
     "q_rbo" -> {
       // w(m) = (1-p)·Σ_{d=m..k} p^{d-1}/d, written as the SAME

@@ -1798,6 +1798,37 @@ object Analytics {
   }
 
   /**
+   * Expected calibration error (Naeini '15 binning form) — the single
+   * number that says whether a classifier's probabilities MEAN
+   * anything: bin predictions into fixed [0,1] probability bands,
+   * ECE = Σ_b (n_b/N)·|accuracy_b − confidence_b|. The quality-gate
+   * companion to [[calibrationBins]] (which reports the reliability
+   * curve itself): a curation pipeline thresholding on p ≥ 0.8 is
+   * implicitly trusting ECE ≈ 0 — this measures that trust. Fixed
+   * probability bins (not score-range bins): ECE's contract is about
+   * stated probabilities, so the binning must not adapt to the
+   * observed score range. One groupBy over nBins rows, then a
+   * broadcast total — profile cost at any corpus size.
+   */
+  def expectedCalibrationError(df: DataFrame, probCol: String,
+                               labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "expectedCalibrationError needs nBins >= 1")
+    val g = df
+      .withColumn("_bin",
+        least(floor(col(probCol) * nBins), lit(nBins - 1)).cast("int"))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("_n"), avg(col(probCol)).as("_conf"),
+        avg(when(col(labelCol), 1.0).otherwise(0.0)).as("_acc"))
+    val t = g.agg(sum("_n").as("_total"))
+    g.crossJoin(broadcast(t))
+      .agg(
+        sum(col("_n").cast("double") / col("_total")
+          * abs(col("_acc") - col("_conf"))).as("ece"),
+        count(lit(1)).as("n_bins_used"),
+        max(col("_total")).as("n"))
+  }
+
+  /**
    * Rank-biased overlap (Webber, Moffat & Zobel '10), truncated-prefix
    * form — rank-list AGREEMENT between two top-k retrievals, the eval
    * recall@k cannot give: recall treats a list as a set, so a

@@ -198,6 +198,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // rings, node-sized frames
     "q_rbo" -> (8L << 10),            // 982 B: two broadcast top-k scans;
                                       // only (query, rank) rows shuffle
+    "q_ft_ece" -> (128L << 10),       // 22 kB: classifier train bucket
+                                      // counts + the nBins-row rollup
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
