@@ -2184,6 +2184,18 @@ object SparkEntry {
         .select(col("user_id"), col("n_pairs"), r3(col("slope")).as("slope"))
     }),
 
+    // --- Mann-Kendall trend significance on the same daily frame the
+    // Theil-Sen slope reads: S, tie-corrected variance, z ---
+    "q_mannkendall" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), floor(col("ts_sec") / 86400).as("day"))
+        .agg((sum(floor(col("value") * 1000 + 0.5)) /
+          (lit(1000.0) * count(lit(1)))).as("v"))
+      Analytics.mannKendall(daily, Seq("user_id"), "day", "v")
+        .select(col("user_id"), col("n"), col("s"),
+          r3(col("var_s")).as("var_s"), r3(col("z")).as("z"))
+    }),
+
     // --- deterministic random-walk corpus over the q_triangles graph
     // (1 walk per node, 3 steps, hash-argmin neighbor choice) ---
     "q_walks" -> ((s, dir) =>
@@ -5667,6 +5679,37 @@ object SparkEntry {
          |                        OR rn = CAST(floor(n/2.0) AS BIGINT) + 1
          |                      THEN sl END)*1000 + 0.5)/1000 AS slope
          |FROM r GROUP BY user_id""".stripMargin,
+
+    "q_mannkendall" ->
+      s"""$EvCte, p AS (
+         |  SELECT user_id, CAST(floor(ts_sec / 86400) AS DOUBLE) AS x,
+         |         SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+         |           / (1000.0 * COUNT(*)) AS y
+         |  FROM e GROUP BY user_id, floor(ts_sec / 86400)
+         |), st AS (
+         |  SELECT a.user_id,
+         |         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+         |                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM p a JOIN p b ON a.user_id = b.user_id AND a.x < b.x
+         |  GROUP BY 1
+         |), nt AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY 1),
+         |tt AS (
+         |  SELECT user_id,
+         |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties
+         |  FROM (SELECT user_id, COUNT(*) AS t FROM p GROUP BY user_id, y)
+         |  GROUP BY 1
+         |), v AS (
+         |  SELECT nt.user_id, nt.n, st.s,
+         |         (nt.n * (nt.n - 1) * (2 * nt.n + 5) - tt.ties)::DOUBLE / 18.0
+         |           AS var_s
+         |  FROM nt JOIN st USING (user_id) JOIN tt USING (user_id)
+         |)
+         |SELECT user_id, n, s, floor(var_s * 1000 + 0.5) / 1000 AS var_s,
+         |       floor(CASE WHEN var_s <= 0.0 THEN NULL
+         |                  WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(var_s)
+         |                  WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(var_s)
+         |                  ELSE 0.0 END * 1000 + 0.5) / 1000 AS z
+         |FROM v""".stripMargin,
 
     "q_walks" -> {
       def stepCte(s: Int, prev: String): String =

@@ -1798,6 +1798,61 @@ object Analytics {
   }
 
   /**
+   * Mann–Kendall trend test per group — the SIGNIFICANCE companion to
+   * [[theilSen]]: the robust slope says how steep, S = Σ_{i<j}
+   * sign(y_j − y_i) over time-ordered pairs says whether the monotone
+   * trend is real (z against the tie-corrected null variance
+   * [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, ±1 continuity correction).
+   * Same pairwise frame and the same ENFORCED `maxGroup` ceiling as
+   * theilSen — the self-join is quadratic in the largest group, so the
+   * gate refuses loudly instead of planning it; S, n, and the tie sum
+   * are exact integers end to end (sign sums, never float folds), the
+   * variance is one integer-over-18 division, so cross-engine parity
+   * holds to the z-score's last rounding. Pairs with equal x are
+   * skipped and the variance uses the no-x-ties form — the
+   * distinct-time-points convention of the standard test; aggregate
+   * per time point first (the q_theilsen daily frame) to satisfy it.
+   * A constant series (every y tied) has Var = 0 and yields a null z.
+   */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  yCol: String, maxGroup: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "mannKendall needs group keys (lit-tag one)")
+    require(maxGroup > 1, s"maxGroup must be > 1, got $maxGroup")
+    val gks = groupCols.map(col)
+    val pts = df.select(gks ++ Seq(col(xCol).cast("double").as("_x"),
+      col(yCol).cast("double").as("_y")): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val biggest = Option(pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    require(biggest <= maxGroup,
+      s"mannKendall: a group holds $biggest rows > maxGroup=$maxGroup — the " +
+        "pairwise self-join would be quadratic in it; pre-aggregate the " +
+        "series or raise the ceiling deliberately")
+    val a = pts.alias("a")
+    val b = pts.select(gks ++ Seq(col("_x").as("_x2"),
+      col("_y").as("_y2")): _*).alias("b")
+    val sTab = a.join(b, groupCols).filter(col("_x") < col("_x2"))
+      .groupBy(gks: _*)
+      .agg(sum(when(col("_y2") > col("_y"), 1L)
+        .when(col("_y2") < col("_y"), -1L).otherwise(0L)).as("s"))
+    val nTab = pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
+    val tieTab = pts.groupBy(gks :+ col("_y"): _*)
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(gks: _*)
+      .agg(sum(col("_t") * (col("_t") - 1) * (col("_t") * 2 + 5)).as("_ties"))
+    val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("_ties"))
+      .cast("double") / 18.0
+    nTab.join(sTab, groupCols).join(tieTab, groupCols)
+      .withColumn("var_s", varS)
+      .withColumn("z",
+        when(col("var_s") <= 0.0, lit(null).cast("double"))
+          .when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(0.0))
+      .select(gks ++ Seq(col("n"), col("s"), col("var_s"), col("z")): _*)
+  }
+
+  /**
    * Expected calibration error (Naeini '15 binning form) — the single
    * number that says whether a classifier's probabilities MEAN
    * anything: bin predictions into fixed [0,1] probability bands,

@@ -106,6 +106,40 @@ class Round12bSpec extends SparkSpecBase {
     }
   }
 
+  // --- mannKendall -------------------------------------------------------------
+
+  test("mannKendall: monotone series saturates S, constant series nulls z, ties correct the variance") {
+    val rows =
+      (1 to 10).map(i => ("up", i.toDouble, i.toDouble)) ++          // strictly increasing
+      (1 to 10).map(i => ("down", i.toDouble, -i.toDouble)) ++       // strictly decreasing
+      (1 to 10).map(i => ("flat", i.toDouble, 7.0)) ++               // constant: Var = 0
+      (1 to 10).map(i => ("tied", i.toDouble, (i / 2).toDouble))     // tie pairs
+    val got = Analytics.mannKendall(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val maxS = 10L * 9 / 2
+    val varNoTies = 10.0 * 9 * 25 / 18
+    assert(got("up") === ((10L, maxS, varNoTies, Some((maxS - 1) / math.sqrt(varNoTies)))))
+    assert(got("down")._2 === -maxS && got("down")._4.get < 0)
+    assert(got("flat")._2 === 0L && got("flat")._3 === 0.0 && got("flat")._4.isEmpty,
+      "a constant series must have Var 0 and a null z, not a division blowup")
+    // tied: y = floor(i/2) gives 5 tie-pairs of size 2 (t=2 each)
+    // and one of size... i=1..10 -> y in {0,1,1,2,2,3,3,4,4,5}: four t=2 groups
+    val tieSum = 4L * (2 * 1 * 9) // t(t-1)(2t+5) = 2*1*9 per t=2 group
+    assert(got("tied")._3 === (10.0 * 9 * 25 - tieSum) / 18,
+      s"tie correction drifted: ${got("tied")._3}")
+    assert(got("tied")._2 > 0 && got("tied")._2 < maxS)
+  }
+
+  test("mannKendall refuses an over-ceiling group loudly") {
+    val big = (1 to 50).map(i => ("g", i.toDouble, i.toDouble)).toDF("g", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.mannKendall(big, Seq("g"), "x", "y", maxGroup = 10)
+    }
+    assert(e.getMessage.contains("maxGroup"))
+  }
+
   // --- rankBiasedOverlap -------------------------------------------------------
 
   test("rankBiasedOverlap: identical lists score the closed-form max, disjoint score 0, order matters") {

@@ -200,6 +200,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // only (query, rank) rows shuffle
     "q_ft_ece" -> (128L << 10),       // 22 kB: classifier train bucket
                                       // counts + the nBins-row rollup
+    "q_mannkendall" -> (80L << 10),   // 15 kB: daily rollup + gated
+                                      // per-group pair join + 3 keyed aggs
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
