@@ -1033,6 +1033,21 @@ object SparkEntry {
         .select(col("query_id"), r3(col("rbo")).as("rbo"), col("n_common"))
     }),
 
+    // --- modularity of the node%5 partition over the 2-out synthetic
+    // graph: the quality number for a given community assignment ---
+    "q_modularity" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b"))).distinct()
+      val memb = nodes.withColumn("comm", pmod(col("node"), lit(5)))
+      Analytics.modularity(edges, "a", "b", memb, "node", "comm")
+        .select(col("comm"), col("n_nodes"), col("e_intra"), col("d_total"),
+          r3(col("q_contrib")).as("q_contrib"))
+    }),
+
     // --- landmark harmonic centrality: origin-tagged BFS from three
     // fixed landmarks, h = sum of 1/hops over reaching landmarks (the
     // Eppstein-Wang sampled stand-in for all-pairs centrality) ---
@@ -3631,6 +3646,34 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM a) LEFT JOIN rq USING (query_id)"""
         .stripMargin
     },
+
+    "q_modularity" ->
+      """WITH ed0 AS (
+        |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+        |  UNION ALL
+        |  SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events
+        |), g AS (
+        |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM ed0 WHERE a <> b
+        |), m AS (SELECT COUNT(*) AS me FROM g),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM g UNION ALL SELECT v FROM g)
+        |  GROUP BY 1
+        |), dt AS (
+        |  SELECT node % 5 AS comm, COUNT(*) AS n_nodes, SUM(d) AS d_total
+        |  FROM deg GROUP BY 1
+        |), it AS (
+        |  SELECT u % 5 AS comm, COUNT(*) AS e_intra
+        |  FROM g WHERE u % 5 = v % 5 GROUP BY 1)
+        |SELECT dt.comm, dt.n_nodes,
+        |       CAST(COALESCE(it.e_intra, 0) AS BIGINT) AS e_intra,
+        |       CAST(dt.d_total AS BIGINT) AS d_total,
+        |       floor((COALESCE(it.e_intra, 0)::DOUBLE / me
+        |              - (dt.d_total::DOUBLE / (me * 2))
+        |                * (dt.d_total::DOUBLE / (me * 2))) * 1000 + 0.5) / 1000
+        |         AS q_contrib
+        |FROM dt LEFT JOIN it USING (comm) CROSS JOIN m""".stripMargin,
 
     "q_closeness" ->
       """WITH RECURSIVE ed AS (

@@ -1798,6 +1798,58 @@ object Analytics {
   }
 
   /**
+   * Modularity of a GIVEN partition (Newman–Girvan Q, per-community
+   * contributions) — the quality number for any community/cluster
+   * assignment over a graph (LPA communities, near-dup components, a
+   * blocking scheme): Q = Σ_c (e_c/m − (d_c/2m)²), where e_c counts
+   * intra-community edges and d_c sums community degrees. Measures a
+   * partition, does not compute one — the evaluation half the
+   * LPA/clusterPairs family needs to say "this community structure is
+   * real". The graph is canonicalized to simple undirected form
+   * (self-loops dropped, both orientations collapsed); e_c, d_c, m are
+   * EXACT integers — the only floats are the two final divisions, so
+   * cross-engine parity survives any graph. Per-community rows (nodes,
+   * intra-edges, degree mass, contribution); unassigned nodes are
+   * refused loudly — a silent null community would quietly deflate Q.
+   */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 membership: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val memb = membership.select(col(nodeCol).as("node"),
+      col(commCol).as("comm")).distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val tagged = deg.join(memb, Seq("node"), "left")
+    val unassigned = tagged.filter(col("comm").isNull)
+    require(unassigned.isEmpty,
+      "modularity: graph nodes missing from the membership frame — " +
+        "assign every node (a silent null community would deflate Q)")
+    val dTab = tagged.groupBy("comm")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_total"))
+    val intra = e
+      .join(memb.select(col("node").as("u"), col("comm").as("_cu")), Seq("u"))
+      .join(memb.select(col("node").as("v"), col("comm").as("_cv")), Seq("v"))
+      .filter(col("_cu") === col("_cv"))
+      .groupBy(col("_cu").as("comm")).agg(count(lit(1)).as("e_intra"))
+    val m = e.agg(count(lit(1)).as("_m"))
+    dTab.join(intra, Seq("comm"), "left")
+      .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib",
+        col("e_intra").cast("double") / col("_m")
+          - (col("d_total").cast("double") / (col("_m") * 2))
+            * (col("d_total").cast("double") / (col("_m") * 2)))
+      .select(col("comm"), col("n_nodes"), col("e_intra"), col("d_total"),
+        col("q_contrib"))
+  }
+
+  /**
    * Mann–Kendall trend test per group — the SIGNIFICANCE companion to
    * [[theilSen]]: the robust slope says how steep, S = Σ_{i<j}
    * sign(y_j − y_i) over time-ordered pairs says whether the monotone

@@ -168,7 +168,16 @@ object SketchStore {
                  tsCol: String, distinctCol: String, valueCol: String,
                  dims: Seq[String] = Nil,
                  qs: Seq[Double] = Seq(0.5, 0.95),
-                 distinctTol: Double = 0.05, rankEps: Double = 0.05): DataFrame = {
+                 distinctTol: Double = 0.05, rankEps: Double = 0.05,
+                 kmvK: Int = 512): DataFrame = {
+    // The KMV gate must be sized to the SKETCH, not to a wish: the
+    // bottom-k estimator's relative standard error is ~1/sqrt(k-2)
+    // (4.4% at k=512), so a flat 5% band is a 1.13-sigma gate that
+    // flaps on ~a quarter of healthy cells — the sf2 (20x) drive
+    // caught exactly that (3 of 5 cells out). A 3-sigma k-derived
+    // band still catches what the gate exists for (broken merge
+    // logic is order-of-magnitude wrong), and never flaps.
+    val kmvTol = math.max(distinctTol, 3.0 / math.sqrt(kmvK - 2.0))
     val rolled = rollup(spark, root, dims, qs = qs)
     val exactAggs =
       Seq(countDistinct(col(distinctCol)).as("n_exact"),
@@ -193,7 +202,7 @@ object SketchStore {
           greatest(col("n_exact").cast("double") * distinctTol, lit(1.0)))
           .as("hll_ok"),
         (abs(col("kmv_distinct_est") - col("n_exact")) <=
-          greatest(col("n_exact").cast("double") * distinctTol, lit(1.0)))
+          greatest(col("n_exact").cast("double") * kmvTol, lit(1.0)))
           .as("kmv_ok")) ++
         qs.map { q =>
           val p = math.round(q * 100)

@@ -106,6 +106,34 @@ class Round12bSpec extends SparkSpecBase {
     }
   }
 
+  // --- modularity --------------------------------------------------------------
+
+  test("modularity: separated cliques score 0.5, the trivial partition scores 0, unassigned nodes refuse") {
+    // two disjoint K4s: 6 intra edges each, m = 12, degree mass 12 per side
+    val clique = (base: Long) => for {
+      i <- 0 to 3; j <- (i + 1) to 3
+    } yield (base + i, base + j)
+    val edges = (clique(0L) ++ clique(100L)).toDF("a", "b")
+    val goodMemb = (0L to 3L).map((_, 0L)).++((100L to 103L).map((_, 1L)))
+      .toDF("node", "comm")
+    val good = Analytics.modularity(edges, "a", "b", goodMemb, "node", "comm")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(good(0L) === ((4L, 6L, 12L, 6.0 / 12 - 0.25)))
+    assert(good(1L) === ((4L, 6L, 12L, 6.0 / 12 - 0.25)))
+    assert(good.values.map(_._4).sum === 0.5, "clean split must score Q = 0.5")
+
+    val oneMemb = ((0L to 3L) ++ (100L to 103L)).map((_, 0L)).toDF("node", "comm")
+    val one = Analytics.modularity(edges, "a", "b", oneMemb, "node", "comm")
+      .collect().map(_.getDouble(4)).sum
+    assert(one === 0.0, "the everything-in-one-community partition must score exactly 0")
+
+    val partial = (0L to 3L).map((_, 0L)).toDF("node", "comm")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.modularity(edges, "a", "b", partial, "node", "comm")
+    }
+    assert(e.getMessage.contains("membership"))
+  }
+
   // --- mannKendall -------------------------------------------------------------
 
   test("mannKendall: monotone series saturates S, constant series nulls z, ties correct the variance") {

@@ -202,6 +202,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // counts + the nBins-row rollup
     "q_mannkendall" -> (80L << 10),   // 15 kB: daily rollup + gated
                                       // per-group pair join + 3 keyed aggs
+    "q_modularity" -> (32L << 10),    // 5.6 kB: canonical edge distinct +
+                                      // degree/intra rollups, node-sized
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
