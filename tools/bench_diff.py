@@ -31,7 +31,7 @@ def load(path):
     return json.load(open(path))
 
 
-def cpu_series(paths, ratio):
+def cpu_series(paths, ratio, normalize=False):
     arts = [(p, load(p)) for p in paths]
     missing = [p for p, a in arts if "cpu_ms" not in a]
     if missing:
@@ -44,14 +44,28 @@ def cpu_series(paths, ratio):
         for q, c in a["cpu_ms"].items():
             if c > 0 and (q not in best or c < best[q][0]):
                 best[q] = (c, p)
+    # --normalize: even executor CPU is not host-immune — hypervisor
+    # steal / frequency scaling inflates EVERY query's on-CPU cost by a
+    # near-uniform factor (measured in round 12: identical code + data
+    # re-benched 1.5-1.7x across the board, reproduced under both sbt
+    # and bare-java JVMs). The uniform shift is the host; a REGRESSION
+    # is a query that moved relative to the rest. Divide each ratio by
+    # the median ratio over common queries before applying the gate.
+    shift = 1.0
+    if normalize:
+        rs = sorted(c / best[q][0] for q, c in b["cpu_ms"].items()
+                    if q in best and c >= MIN_CPU_MS and best[q][0] > 0)
+        if rs:
+            shift = rs[len(rs) // 2]
     offenders = []
     for q, c in sorted(b["cpu_ms"].items()):
         if q in best and c >= MIN_CPU_MS and best[q][0] > 0:
-            r = c / best[q][0]
+            r = c / best[q][0] / shift
             if r >= ratio:
                 offenders.append((r, q, best[q], c))
     print(f"cpu gate: {bp} vs best-of {len(hist)} earlier artifact(s); "
-          f"ratio >= {ratio}, floor {MIN_CPU_MS}ms")
+          f"ratio >= {ratio}, floor {MIN_CPU_MS}ms"
+          + (f", host-shift normalization /{shift:.2f}" if normalize else ""))
     new = sorted(set(b["cpu_ms"]) - set(best))
     if new:
         print(f"new queries (no history): {', '.join(new)}")
@@ -95,11 +109,15 @@ def main():
     if args and args[0] == "--cpu":
         args = args[1:]
         ratio = 1.5
+        normalize = False
+        if "--normalize" in args:
+            normalize = True
+            args.remove("--normalize")
         if "--ratio" in args:
             i = args.index("--ratio")
             ratio = float(args[i + 1])
             args = args[:i] + args[i + 2:]
-        cpu_series(args, ratio)
+        cpu_series(args, ratio, normalize)
     else:
         a_path, b_path = args[0], args[1]
         min_delta = float(args[2]) if len(args) > 2 else 0.3
