@@ -106,6 +106,36 @@ class Round12bSpec extends SparkSpecBase {
     }
   }
 
+  // --- sequentialGreedyDrop (shared by NearDupStream + ImageDedupStream) -------
+
+  test("sequentialGreedyDrop equals the driver greedy fold on randomized pair graphs") {
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val n = 6 + rng.nextInt(20)
+      val ids = (0 until n).map(_.toLong)
+      // random verified-pair graph, id-ordered, ~20% density
+      val pairs = (for {
+        i <- ids; j <- ids if i < j && rng.nextInt(5) == 0
+      } yield (i, j)).toSeq
+      if (pairs.nonEmpty) {
+        // driver reference: ascending ids, drop iff a pair links to a kept id
+        val pairSet = pairs.toSet
+        val kept = scala.collection.mutable.ArrayBuffer[Long]()
+        val droppedRef = scala.collection.mutable.Set[Long]()
+        val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        members.foreach { m =>
+          if (kept.exists(k => pairSet((k, m)) || pairSet((m, k)))) droppedRef += m
+          else kept += m
+        }
+        val got = Dedup.sequentialGreedyDrop(pairs.toDF("id_a", "id_b"),
+          "id_a", "id_b").as[Long].collect().toSet
+        assert(got === droppedRef.toSet,
+          s"trial $trial (n=$n, ${pairs.size} pairs): got $got, want $droppedRef")
+      }
+    }
+  }
+
   // --- modularity --------------------------------------------------------------
 
   test("modularity: separated cliques score 0.5, the trivial partition scores 0, unassigned nodes refuse") {
