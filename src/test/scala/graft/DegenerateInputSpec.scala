@@ -530,4 +530,51 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Quality.welchTTest(tiny2, "v", "g", "a", "b")
       .select(col("t")).collect().head.isNullAt(0))
   }
+
+  test("round-12 operators on empty/pathological input return empty, never crash") {
+    // decayed features: empty events, and a frame where every event is
+    // in the excluded future
+    assert(Analytics.decayedAgg(noEvents, Seq("user_id"), "ts_sec", "value",
+      asOfSec = 100L, halfLifeSec = 60L).count() === 0)
+    val future = Seq((1L, 500L, 2.0)).toDF("user_id", "ts_sec", "value")
+    assert(Analytics.decayedAgg(future, Seq("user_id"), "ts_sec", "value",
+      asOfSec = 100L, halfLifeSec = 60L).count() === 0)
+    // BFS: empty edge table, empty seed set
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Analytics.bfsHops(noEdges, "a", "b",
+      Seq(1L).toDF("node"), "node", 4).count() === 1) // the seed ring alone
+    assert(Analytics.bfsHops(Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+      Seq.empty[Long].toDF("node"), "node", 4).count() === 0)
+    // distance profile: a 1-vector corpus has no pairs
+    val oneVec = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.distanceProfile(oneVec, "vec_id", "embedding",
+      sampleN = 100, bins = 20).count() === 0)
+    // RBO: empty rankings yield an empty frame (no fake zero rows)
+    val noRank = Seq.empty[(Long, Long, Int)].toDF("q", "item", "rank")
+    assert(Analytics.rankBiasedOverlap(noRank, noRank, "q", "item", "rank",
+      k = 5).count() === 0)
+    // Mann-Kendall: empty input and single-point groups both yield empty
+    val noXY2 = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(Analytics.mannKendall(noXY2, Seq("g"), "x", "y").count() === 0)
+    assert(Analytics.mannKendall(Seq(("g", 1.0, 1.0)).toDF("g", "x", "y"),
+      Seq("g"), "x", "y").count() === 0)
+    // modularity: an all-self-loop graph canonicalizes to zero edges —
+    // empty result, and critically no 0/0 division is ever planned
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    val memb2 = Seq((1L, 0L), (2L, 0L)).toDF("node", "comm")
+    assert(Analytics.modularity(loops, "a", "b", memb2, "node", "comm")
+      .count() === 0)
+    // ECE is a GLOBAL aggregate: SQL semantics give one row even on
+    // empty input — assert the well-defined degenerate shape (null ece,
+    // zero bins) rather than a crash or a fake 0.0 score
+    val noProbs = Seq.empty[(Double, Boolean)].toDF("p", "pos")
+    val eceRow = Analytics.expectedCalibrationError(noProbs, "p", "pos")
+      .collect()
+    assert(eceRow.length === 1 && eceRow.head.isNullAt(0) &&
+      eceRow.head.getLong(1) === 0L)
+    // audio: empty doc set flows through pack -> frames -> segments
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    assert(Multimodal.speechSegments(
+      Multimodal.audioFrames(Multimodal.packPcm(noIds, "doc_id"))).count() === 0)
+  }
 }
