@@ -162,11 +162,16 @@ class Round11cSpec extends SparkSpecBase {
   }
 
   test("fractionalRank: the maxDistinct gate refuses a corpus-sized broadcast") {
+    // the gate is IN-PLAN (raise_error riding the rank window), so the
+    // refusal surfaces as a runtime SparkException chain, not a submit-
+    // time require — walk the causes for the contract message
     val cont = (1 to 5000).map(_.toDouble + 0.123).toDF("v")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Analytics.fractionalRank(cont, "v", "rk", maxDistinct = 100L).collect()
     }
-    assert(e.getMessage.contains("maxDistinct"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxDistinct")), msgs(e).mkString(" | "))
   }
 
   // --- power-law MLE -------------------------------------------------------------
