@@ -121,11 +121,12 @@ object Bench {
     // q_dedup_cluster cold materializes the dedup stages and q_bm25 the
     // retrieval index; their own medians below then read the warm cache,
     // which is exactly the pipeline cost model.
+    val buildQs = Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")
+      .filter(q => only.isEmpty || only(q))
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp, buildCpu) = drained {
       CacheScope.scoped {
-        for (q <- Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")
-               if only.isEmpty || only(q)) {
+        for (q <- buildQs) {
           try SparkEntry.queries(q)(spark, sfDir).count(): Unit
           catch { case NonFatal(e) =>
             System.err.println(s"[bench] shared-stage build ($q) failed: ${e.getMessage}")
@@ -135,7 +136,12 @@ object Bench {
     }
     val buildEntry = ("_shared_stage_build",
       (System.nanoTime() - buildT0) / 1e9, buildSh, buildSp, buildCpu)
-    val results = buildEntry +: SparkEntry.queries.toSeq
+    // a subset run that excludes every build query must NOT emit the
+    // build row: its near-zero value would poison any best-of cpu
+    // history it is (mistakenly) fed into, flagging every future full
+    // run's real build as a regression
+    val buildEntries = if (buildQs.nonEmpty) Seq(buildEntry) else Seq.empty
+    val results = buildEntries ++ SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
@@ -188,8 +194,13 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failedJson = failed.map(jstr).mkString("[", ",", "]")
+    // subset runs are tagged so bench_diff --cpu refuses to mix them
+    // into a best-of history (their per-query numbers are real, but the
+    // artifact is not a full-workload peer)
+    val onlyJson = if (only.isEmpty) ""
+      else s""""only":${only.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"queries":$qs,""" +
         s""""n_queries":${queryResults.size},"n_entries":${results.size},""" +
         s""""build_sec":${buildEntry._2},"build_shuffle_bytes":${buildEntry._3},""" +
         s""""build_cpu_ms":${buildEntry._5},"cpu_sec":$totalCpuSec,""" +

@@ -1140,13 +1140,30 @@ object Analytics {
    * distinct-value frame refuses past `maxDistinct` instead of silently
    * broadcasting a corpus-sized rank table into a driver OOM (a raw
    * continuous double column makes every value distinct); round it
-   * first. The gate rides the dv build — no extra corpus scan.
+   * first. The gate rides the dv build — no extra corpus scan — and is
+   * anchored to the JOIN KEY so no downstream projection can prune it.
+   * The in-plan form does let a VIOLATING corpus pay the distinct-frame
+   * sort before erroring (the error fires at row maxDistinct+1 of the
+   * window, after the sort); when the input is adversarial rather than
+   * merely mistaken, set `strictGate=true` to pay one cheap parallel
+   * count() up front and refuse before any single-task work begins.
    */
   def fractionalRank(df: DataFrame, valueCol: String,
-                     outCol: String, maxDistinct: Long = 2000000L): DataFrame = {
+                     outCol: String, maxDistinct: Long = 2000000L,
+                     strictGate: Boolean = false): DataFrame = {
     require(maxDistinct > 0, "fractionalRank needs a positive maxDistinct")
     val dv = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1)).as("_n"))
+    if (strictGate) {
+      // opt-in pre-gate: an extra corpus scan (measured ~2x query cpu in
+      // the r12 bench), bought deliberately to refuse BEFORE the
+      // violating distinct frame's single-task window sort
+      val n = dv.count()
+      require(n <= maxDistinct,
+        s"fractionalRank: $n distinct values of '$valueCol' > " +
+          s"maxDistinct=$maxDistinct — round/quantize the column first, " +
+          "or raise the ceiling deliberately")
+    }
     val wc = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     // the window runs over DISTINCT-value rows only — bounded state; the
@@ -1159,17 +1176,26 @@ object Analytics {
     // approx-distinct pre-pass read 3x query cpu, an exact count() over
     // a persisted dv ~2x (both measured by the r12 bench gate); this
     // form adds zero actions, zero persists, zero extra scans.
+    // The gate ANCHORS to the JOIN KEY, not the rank column: Catalyst
+    // column pruning may legally drop the outCol projection when a
+    // caller joins the result but never consumes the rank, and a gate
+    // riding only outCol would silently vanish while the oversized
+    // broadcast it guards against still executes. The join key cannot
+    // be pruned — the join needs it — so the refusal survives every
+    // downstream projection.
+    val gateMsg = lit(
+      s"fractionalRank: more than maxDistinct=$maxDistinct distinct " +
+        s"values of '$valueCol' — the distinct-value window would run " +
+        "in one task and the rank table would broadcast at corpus " +
+        "size. Round/quantize the column first, or raise the ceiling " +
+        "deliberately.")
     val ranked = dv
       .withColumn("_c", coalesce(sum(col("_n")).over(wc), lit(0L)))
       .withColumn("_rn", row_number().over(Window.orderBy(col(valueCol))))
-      .select(col(valueCol),
-        when(col("_rn") > maxDistinct, raise_error(lit(
-          s"fractionalRank: more than maxDistinct=$maxDistinct distinct " +
-            s"values of '$valueCol' — the distinct-value window would run " +
-            "in one task and the rank table would broadcast at corpus " +
-            "size. Round/quantize the column first, or raise the ceiling " +
-            "deliberately.")))
-          .otherwise(col("_c") + (col("_n") + 1) / lit(2.0)).as(outCol))
+      .select(
+        when(col("_rn") > maxDistinct, raise_error(gateMsg))
+          .otherwise(col(valueCol)).as(valueCol),
+        (col("_c") + (col("_n") + 1) / lit(2.0)).as(outCol))
     // explicit broadcast: the rank table is distinct-value-sized by the
     // operator's contract, but the planner can't see that through the
     // window + aggregate (no stats) — at the sf1 tier it fell back to a
@@ -1456,14 +1482,43 @@ object Analytics {
    * arbitrarily far by ONE bad row (exactly the rows a drift screen
    * exists to survive). Pairs come from a group-keyed self-join —
    * deliberately QUADRATIC in the group size, which is why the group
-   * contract is ENFORCED like ksTest's cardinality gate: one cheap
-   * max-group-size action refuses past `maxGroup` instead of silently
-   * planning a Σn² explosion (this estimator is for per-entity /
+   * contract is ENFORCED IN-PLAN (the fractionalRank raise_error
+   * discipline): a count-over-group window rides the self-join's own
+   * shuffle-by-group (same exchange, same sort order — zero extra
+   * passes) and refuses past `maxGroup` on the executors BEFORE the
+   * Σn² pair product is enumerated (this estimator is for per-entity /
    * per-day series of bounded length; for corpus-scale trends use
    * linearFit). Equal-x pairs contribute no slope (vertical); the
    * median is the average of the two middle order statistics on even
    * counts — engine-exact. Groups with no valid pair surface null.
    */
+  /**
+   * In-plan group-size ceiling shared by the pairwise-quadratic
+   * estimators ([[theilSen]], [[mannKendall]]) — the fractionalRank
+   * raise_error discipline applied to group cardinality: a
+   * count-over-group window wraps `wrapCol` with a refusal past
+   * `maxGroup`. The window shuffles and sorts by the SAME keys the
+   * downstream group-keyed self-join needs, so the exchange is reused
+   * (zero extra actions, scans, or persists — the count()-based gate
+   * this replaces paid a full extra aggregation action per call); the
+   * wrapped column feeds the join, so no projection can prune the gate;
+   * and the error fires on the executors before the quadratic pair
+   * product of the violating group is enumerated.
+   */
+  private def gateGroupSize(pts: DataFrame, gks: Seq[Column], maxGroup: Int,
+                            opName: String, wrapCol: String): DataFrame = {
+    val wg = Window.partitionBy(gks: _*)
+    pts.withColumn("_gn", count(lit(1)).over(wg))
+      .withColumn(wrapCol,
+        when(col("_gn") > maxGroup, raise_error(concat(
+          lit(s"$opName: a group holds "), col("_gn").cast("string"),
+          lit(s" rows > maxGroup=$maxGroup — the pairwise self-join " +
+            "would be quadratic in it; pre-aggregate the series or " +
+            "raise the ceiling deliberately"))))
+          .otherwise(col(wrapCol)))
+      .drop("_gn")
+  }
+
   def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
                yCol: String, maxGroup: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "theilSen needs group keys (lit-tag one)")
@@ -1472,16 +1527,11 @@ object Analytics {
     val pts = df.select(gks ++ Seq(col(xCol).cast("double").as("_x"),
       col(yCol).cast("double").as("_y")): _*)
       .filter(col("_x").isNotNull && col("_y").isNotNull)
-    // empty/all-null input: max over zero groups is null — treat as 0
-    // (the isotonicFit convention) so the operator returns an empty
-    // frame instead of NPE-ing on the gate read
-    val biggest = Option(pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
-      .agg(max("n")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
-    require(biggest <= maxGroup,
-      s"theilSen: a group holds $biggest rows > maxGroup=$maxGroup — the " +
-        "pairwise self-join would be quadratic in it; pre-aggregate the " +
-        "series or raise the ceiling deliberately")
-    val a = pts.alias("a")
+    // in-plan maxGroup gate: the count window shuffles/sorts by the same
+    // group keys the self-join needs, so the exchange is REUSED — a
+    // violating group errors on the executors before its quadratic pair
+    // product exists; the healthy path pays no extra action or scan
+    val a = gateGroupSize(pts, gks, maxGroup, "theilSen", "_x").alias("a")
     val b = pts.select(gks ++ Seq(col("_x").as("_x2"),
       col("_y").as("_y2")): _*).alias("b")
     val slopes = a.join(b, groupCols).filter(col("_x") < col("_x2"))
@@ -1829,12 +1879,20 @@ object Analytics {
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+    // the every-node-assigned contract is enforced IN-PLAN (the gini /
+    // fractionalRank raise_error discipline): the refusal rides the
+    // grouping key of the degree-mass aggregate the plan already pays
+    // for — an unassigned node errors on the executors with zero extra
+    // scans (the former submit-time require() ran a full graph
+    // aggregation at plan-BUILD time and then recomputed deg from
+    // scratch, scanning the graph twice)
     val tagged = deg.join(memb, Seq("node"), "left")
-    val unassigned = tagged.filter(col("comm").isNull)
-    require(unassigned.isEmpty,
-      "modularity: graph nodes missing from the membership frame — " +
-        "assign every node (a silent null community would deflate Q)")
-    val dTab = tagged.groupBy("comm")
+    val dTab = tagged.groupBy(
+        when(col("comm").isNull, raise_error(concat(
+          lit("modularity: graph node "), col("node").cast("string"),
+          lit(" is missing from the membership frame — assign every " +
+            "node (a silent null community would deflate Q)"))))
+          .otherwise(col("comm")).as("comm"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_total"))
     val intra = e
       .join(memb.select(col("node").as("u"), col("comm").as("_cu")), Seq("u"))
@@ -1878,13 +1936,9 @@ object Analytics {
     val pts = df.select(gks ++ Seq(col(xCol).cast("double").as("_x"),
       col(yCol).cast("double").as("_y")): _*)
       .filter(col("_x").isNotNull && col("_y").isNotNull)
-    val biggest = Option(pts.groupBy(gks: _*).agg(count(lit(1)).as("n"))
-      .agg(max("n")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
-    require(biggest <= maxGroup,
-      s"mannKendall: a group holds $biggest rows > maxGroup=$maxGroup — the " +
-        "pairwise self-join would be quadratic in it; pre-aggregate the " +
-        "series or raise the ceiling deliberately")
-    val a = pts.alias("a")
+    // in-plan maxGroup gate riding the self-join's own shuffle-by-group
+    // (see gateGroupSize) — same contract as theilSen, zero extra passes
+    val a = gateGroupSize(pts, gks, maxGroup, "mannKendall", "_x").alias("a")
     val b = pts.select(gks ++ Seq(col("_x").as("_x2"),
       col("_y").as("_y2")): _*).alias("b")
     val sTab = a.join(b, groupCols).filter(col("_x") < col("_x2"))

@@ -73,7 +73,13 @@ object DecayStream {
     val prevDir = committedDirs(spark, root).lastOption
     val prevAsOf = prevDir.map(d =>
       readAsOf(f, new org.apache.hadoop.fs.Path(d))).getOrElse(Long.MinValue)
-    val batchMax = batch.agg(max(col(tsSecCol))).head.getLong(0)
+    // a non-empty batch whose timestamps are ALL null aggregates max(ts)
+    // to null — decayedAgg would drop every row anyway, so treat it like
+    // an empty batch (return WITHOUT committing: the batchId replays as
+    // a no-op) instead of NPE-ing on the null read and killing the query
+    val maxRow = batch.agg(max(col(tsSecCol))).head
+    if (maxRow.isNullAt(0)) return
+    val batchMax = maxRow.getLong(0)
     val asOf = math.max(prevAsOf, batchMax)
 
     val delta = Analytics.decayedAgg(batch, Seq(keyCol), tsSecCol, valueCol,
@@ -101,6 +107,17 @@ object DecayStream {
     val out = f.create(new org.apache.hadoop.fs.Path(bdir, "_asof"))
     out.write(asOf.toString.getBytes("UTF-8")); out.close()
     f.create(marker).close() // marker LAST: atomic visibility
+    // retention: each commit wrote a FULL key-cardinality snapshot but
+    // only the latest is ever read (currentState / the next batch's
+    // merge) — without pruning, storage grows O(batches x keys) in fully
+    // redundant copies. Keep the new snapshot plus one predecessor (a
+    // recovery point if the latest dir is lost to a partial filesystem
+    // failure) and delete everything older; deletion happens AFTER the
+    // new marker lands, so a crash mid-prune leaves only extra-committed
+    // dirs behind — replay-safe, never a missing-state window.
+    committedDirs(spark, root).dropRight(2).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(old), true)
+    }
   }
 
   private def readAsOf(f: org.apache.hadoop.fs.FileSystem,

@@ -84,4 +84,30 @@ class DecayStreamSpec extends SparkSpecBase {
     assert(a2b === a2)
     assertClose(s2b, s2)
   }
+
+  test("all-null-ts batches commit nothing; retention keeps only the latest two snapshots") {
+    val root = tmp("ret")
+    def commit(id: Long, rows: (Long, Long, Double)*): Unit =
+      DecayStream.processBatch(rows.toDF("k", "ts_sec", "v"), id, root,
+        "k", "ts_sec", "v", H)
+    val delivered = Seq((1L, 1000L, 1.0), (1L, 2000L, 2.0), (2L, 3000L, 4.0))
+    delivered.zipWithIndex.foreach { case (r, i) => commit(i.toLong, r) }
+    // retention: each commit wrote a full snapshot, only the latest is
+    // read — after three commits b=0 must be pruned, b=1 + b=2 kept
+    def dirs() = new java.io.File(root).listFiles
+      .filter(_.getName.startsWith("b=")).map(_.getName).sorted.toSeq
+    assert(dirs() === Seq("b=000000000001", "b=000000000002"), dirs())
+    val (s2, a2) = stateMap(root)
+    assertClose(s2, truth(delivered, 3000L))
+
+    // a non-empty batch whose timestamps are ALL null is a no-op: no
+    // b=3 dir, no state/asOf movement, and no NPE killing the query
+    DecayStream.processBatch(
+      Seq((9L, Option.empty[Long], 99.0)).toDF("k", "ts_sec", "v"), 3L,
+      root, "k", "ts_sec", "v", H)
+    assert(dirs() === Seq("b=000000000001", "b=000000000002"))
+    val (s3, a3) = stateMap(root)
+    assert(a3 === a2)
+    assertClose(s3, s2)
+  }
 }

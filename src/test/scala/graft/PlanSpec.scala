@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
  */
 class PlanSpec extends SparkSpecBase {
 
-  private def plan(name: String): String =
+  // plan BUILD runs inside a CacheScope: operators persist fan-out
+  // intermediates at construction time, and without a scope those
+  // registrations leak into the session cache manager — a later suite
+  // building the SAME sub-plan (ShuffleBudgetSpec measuring q_feat_prop)
+  // then silently reads/materializes the leaked cache and measures a
+  // different plan than it would standalone
+  private def plan(name: String): String = CacheScope.scoped {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   private def count(hay: String, needle: String): Int =
     needle.r.findAllMatchIn(hay).size

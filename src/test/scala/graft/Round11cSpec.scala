@@ -795,12 +795,17 @@ class Round11cSpec extends SparkSpecBase {
   }
 
   test("theilSen: the max-group gate refuses a quadratic blowup loudly") {
+    // the gate is IN-PLAN (raise_error riding the self-join's own
+    // shuffle-by-group), so the refusal surfaces as a runtime
+    // SparkException chain, not a submit-time require
     val big = (1 to 100).map(i => ("g", i.toDouble, i.toDouble))
       .toDF("g", "x", "y")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Analytics.theilSen(big, Seq("g"), "x", "y", maxGroup = 50).collect()
     }
-    assert(e.getMessage.contains("maxGroup"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxGroup")), msgs(e).mkString(" | "))
   }
 
   // --- random walks ----------------------------------------------------------------

@@ -157,11 +157,15 @@ class Round12bSpec extends SparkSpecBase {
       .collect().map(_.getDouble(4)).sum
     assert(one === 0.0, "the everything-in-one-community partition must score exactly 0")
 
+    // in-plan gate (raise_error on the degree-agg grouping key): fires
+    // at execution, walk the SparkException chain
     val partial = (0L to 3L).map((_, 0L)).toDF("node", "comm")
-    val e = intercept[IllegalArgumentException] {
-      Analytics.modularity(edges, "a", "b", partial, "node", "comm")
+    val e = intercept[Throwable] {
+      Analytics.modularity(edges, "a", "b", partial, "node", "comm").collect()
     }
-    assert(e.getMessage.contains("membership"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("membership")), msgs(e).mkString(" | "))
   }
 
   // --- mannKendall -------------------------------------------------------------
@@ -191,11 +195,14 @@ class Round12bSpec extends SparkSpecBase {
   }
 
   test("mannKendall refuses an over-ceiling group loudly") {
+    // in-plan gate: fires at execution, walk the SparkException chain
     val big = (1 to 50).map(i => ("g", i.toDouble, i.toDouble)).toDF("g", "x", "y")
-    val e = intercept[IllegalArgumentException] {
-      Analytics.mannKendall(big, Seq("g"), "x", "y", maxGroup = 10)
+    val e = intercept[Throwable] {
+      Analytics.mannKendall(big, Seq("g"), "x", "y", maxGroup = 10).collect()
     }
-    assert(e.getMessage.contains("maxGroup"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxGroup")), msgs(e).mkString(" | "))
   }
 
   // --- rankBiasedOverlap -------------------------------------------------------

@@ -230,8 +230,13 @@ class ShuffleBudgetSpec extends SparkSpecBase {
       val fn = SparkEntry.queries(name)
       // shared stages (pair joins, cluster labels) make later family
       // members measure ~0 — clear so every query pays its OWN full cost
-      // and the budget is order-independent
+      // and the budget is order-independent. clearCache() additionally
+      // drops any cache-manager entry LEAKED by an earlier suite's
+      // plan-build (a leaked persist of an identical sub-plan swaps a
+      // parquet scan for an InMemoryRelation materialization and the
+      // measured volume stops being this query's own plan)
       SharedStage.clear()
+      spark.catalog.clearCache()
       val got = shuffleBytesOf {
         CacheScope.scoped { fn(spark, sfDir).count(): Unit }
       }

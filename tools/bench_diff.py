@@ -36,6 +36,14 @@ def cpu_series(paths, ratio, normalize=False):
     missing = [p for p, a in arts if "cpu_ms" not in a]
     if missing:
         sys.exit(f"no cpu_ms in: {missing} (pre-r11 artifact?)")
+    # subset artifacts (SPARK_GRAFT_ONLY runs — the leaders_* scale
+    # probes) carry an "only" tag: their _shared_stage_build row and
+    # amortization profile are not full-workload peers, so mixing one
+    # into a best-of history would poison the baseline. Refuse loudly.
+    subset = [p for p, a in arts if a.get("only")]
+    if subset:
+        sys.exit(f"subset artifacts (tagged \"only\") cannot join a --cpu "
+                 f"history: {subset}")
     *hist, (bp, b) = arts
     if not hist:
         sys.exit("--cpu needs at least two artifacts")
