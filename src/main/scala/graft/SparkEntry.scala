@@ -1048,6 +1048,18 @@ object SparkEntry {
           r3(col("q_contrib")).as("q_contrib"))
     }),
 
+    // --- Louvain modularity OPTIMIZATION over the same 2-out synthetic
+    // graph: deterministic parity-alternated local moves + one
+    // coarsening level, exact-integer ΔQ scores — the oracle replays
+    // every round as a chained CTE with identical BIGINT arithmetic ---
+    "q_louvain" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      Analytics.louvainCommunities(edges, "a", "b", moveRounds = 4)
+    }),
+
     // --- landmark harmonic centrality: origin-tagged BFS from three
     // fixed landmarks, h = sum of 1/hops over reaching landmarks (the
     // Eppstein-Wang sampled stand-in for all-pairs centrality) ---
@@ -3675,6 +3687,8 @@ object SparkEntry {
         |         AS q_contrib
         |FROM dt LEFT JOIN it USING (comm) CROSS JOIN m""".stripMargin,
 
+    "q_louvain" -> louvainSql(moveRounds = 4),
+
     "q_closeness" ->
       """WITH RECURSIVE ed AS (
         |  SELECT DISTINCT a, b FROM (
@@ -6190,6 +6204,95 @@ object SparkEntry {
        |$steps
        |SELECT node, floor(r$iters.pr*1000000 + 0.5)/1000000 AS pr
        |FROM r$iters""".stripMargin
+  }
+
+  /** q_louvain oracle: both Louvain phases unrolled as chained CTEs.
+   * Every quantity the algorithm compares is BIGINT (DuckDB widens the
+   * SUMs to HUGEINT — still exact), the candidate argmax is a
+   * row_number window ordered (score DESC, cand ASC) — the same
+   * (−score, cand) min_by struct the Spark side runs — and the
+   * parity-alternated move gate replays the md5 first-nibble test
+   * verbatim (md5 hex is identical across engines), so the replay is
+   * bit-for-bit with NO tolerance anywhere. */
+  private def louvainSql(moveRounds: Int): String = {
+    // move gate for round i: nodes whose md5 first hex nibble has
+    // parity i%2 adopt their best candidate, the rest hold
+    def moveCond(i: Int, node: String): String = {
+      val digits = if (i % 2 == 1) "13579bdf" else "02468ace"
+      s"strpos('$digits', substr(md5(CAST($node AS VARCHAR)), 1, 1)) > 0"
+    }
+    def rounds(tag: String, sym: String, deg: String, w2: String): String =
+      (1 to moveRounds).map { i =>
+        val prev = s"$tag${i - 1}"
+        s"""$tag$i AS MATERIALIZED (
+           |  SELECT l.node,
+           |         CASE WHEN ${moveCond(i, "l.node")}
+           |              THEN p.best ELSE l.comm END AS comm
+           |  FROM $prev l
+           |  JOIN (
+           |    SELECT node, cand AS best FROM (
+           |      SELECT sc.node, sc.cand,
+           |             row_number() OVER (PARTITION BY sc.node
+           |               ORDER BY sc.score DESC, sc.cand ASC) AS rnk
+           |      FROM (
+           |        SELECT c.node, c.cand,
+           |               w.w2 * c.k - d.d *
+           |                 (dc.dcm - CASE WHEN c.cand = l2.comm
+           |                                THEN d.d ELSE 0 END) AS score
+           |        FROM (
+           |          SELECT node, cand, SUM(w) AS k FROM (
+           |            SELECT sy.u AS node, l3.comm AS cand, sy.w
+           |            FROM $sym sy JOIN $prev l3 ON sy.v = l3.node
+           |            UNION ALL
+           |            SELECT node, comm AS cand, 0 FROM $prev
+           |          ) GROUP BY 1, 2) c
+           |        JOIN (SELECT l4.comm, SUM(d4.d) AS dcm
+           |              FROM $prev l4 JOIN $deg d4 ON d4.node = l4.node
+           |              GROUP BY 1) dc ON dc.comm = c.cand
+           |        JOIN $prev l2 ON l2.node = c.node
+           |        JOIN $deg d ON d.node = c.node
+           |        CROSS JOIN $w2 w
+           |      ) sc
+           |    ) WHERE rnk = 1
+           |  ) p ON p.node = l.node)""".stripMargin
+      }.mkString(",\n")
+    val r = moveRounds
+    s"""WITH ed0 AS (
+       |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+       |  UNION ALL
+       |  SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events
+       |), g AS (
+       |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+       |  FROM ed0 WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL
+       |), sym1 AS MATERIALIZED (
+       |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM g
+       |  UNION ALL SELECT v, u, CAST(1 AS BIGINT) FROM g
+       |), deg1 AS MATERIALIZED (
+       |  SELECT u AS node, SUM(w) AS d FROM sym1 GROUP BY 1
+       |), w21 AS MATERIALIZED (SELECT SUM(d) AS w2 FROM deg1),
+       |p1r0 AS MATERIALIZED (SELECT node, node AS comm FROM deg1),
+       |${rounds("p1r", "sym1", "deg1", "w21")},
+       |tg AS MATERIALIZED (
+       |  SELECT cu.comm AS cu, cv.comm AS cv, sy.w
+       |  FROM sym1 sy JOIN p1r$r cu ON sy.u = cu.node
+       |               JOIN p1r$r cv ON sy.v = cv.node
+       |), sym2 AS MATERIALIZED (
+       |  SELECT cu AS u, cv AS v, SUM(w) AS w FROM tg
+       |  WHERE cu <> cv GROUP BY 1, 2
+       |), self2 AS MATERIALIZED (
+       |  SELECT cu AS node, SUM(w) // 2 AS sw FROM tg
+       |  WHERE cu = cv GROUP BY 1
+       |), deg2 AS MATERIALIZED (
+       |  SELECT COALESCE(nb.node, sf.node) AS node,
+       |         COALESCE(nb.dn, 0) + 2 * COALESCE(sf.sw, 0) AS d
+       |  FROM (SELECT u AS node, SUM(w) AS dn FROM sym2 GROUP BY 1) nb
+       |  FULL JOIN self2 sf ON nb.node = sf.node
+       |), w22 AS MATERIALIZED (SELECT SUM(d) AS w2 FROM deg2),
+       |p2r0 AS MATERIALIZED (SELECT node, node AS comm FROM deg2),
+       |${rounds("p2r", "sym2", "deg2", "w22")}
+       |SELECT CAST(c1.node AS BIGINT) AS node,
+       |       CAST(COALESCE(c2.comm, c1.comm) AS BIGINT) AS community
+       |FROM p1r$r c1 LEFT JOIN p2r$r c2 ON c2.node = c1.comm""".stripMargin
   }
 
   private def pagerankSql(iters: Int, damping: Double): String = {

@@ -178,6 +178,10 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // pixels never shuffle
     "q_lang_id_n" -> (8L << 10),      // map-only profile scoring; the
                                       // coalesce(1) write is the only move
+    // round 13
+    "q_louvain" -> (512L << 10),      // 67 kB: 16 label-frame rounds +
+                                      // coarsen — every frame node- or
+                                      // community-sized, never edges×labels
     "q_lang_mixture" -> (8L << 10),   // map-only scoring + n-bucket rollup
     "q_curate_scored" -> (512L << 10),// seed-trained bucket counts + the
                                       // quality join; inference map-only
