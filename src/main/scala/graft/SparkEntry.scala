@@ -1671,6 +1671,26 @@ object SparkEntry {
           r3(col("recall")).as("recall_at_5"))
     }),
 
+    // --- OPQ-rotated PQ-ADC ANN: the q_ann_pq pipeline behind a SEEDED
+    // orthogonal rotation (rotationMatrix literals — the JL precedent),
+    // recall measured against brute truth in the ORIGINAL basis; the
+    // LEARNED-rotation variant (pqCodebooksOpq, alternating Procrustes)
+    // is spec-gated like topPc — its rotation is data-dependent ---
+    "q_ann_opq" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val rot = Similarity.rotationMatrix(dim = 64, seed = 13L)
+      val emR = Similarity.rotate(
+        em.select(col("vec_id"), col("embedding")), "embedding", rot, 64)
+      val q = emR.filter(col("vec_id") < 10)
+      val pq = Similarity.pqTopK(emR, q, "vec_id", "embedding", k = 5,
+        dim = 64, m = 8, ks = 64, iters = 2)
+      val brute = Similarity.bruteForceTopK(em,
+        em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(pq, brute, q.select(col("vec_id").as("query_id")), 5)
+        .select(col("query_id"), col("n_retrieved"), col("n_true"),
+          r3(col("recall")).as("recall_at_5"))
+    }),
+
     // --- IVF-PQ ANN (IVFADC): coarse cells + shared residual codebooks +
     // ADC over probed cells only; measured recall gate at nProbe < nCells;
     // the oracle replays coarse assign, residual Lloyd, codes, and the
@@ -2995,6 +3015,70 @@ object SparkEntry {
          |         v[s.sub*8 + 1 : s.sub*8 + 8] AS vs,
          |         sqrt(${dotSql("v", "v")}) AS nrm
          |  FROM v, unnest(generate_series(0, 7)) AS s(sub)),
+         |picked AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1
+         |           AS cell
+         |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT 64),
+         |c0 AS MATERIALIZED (
+         |  SELECT b.sub, p.cell, b.vs AS c FROM sv b JOIN picked p ON b.id = p.id),
+         |a1 AS MATERIALIZED (${assign("c0")}),
+         |c1 AS MATERIALIZED (${refit("a1")}),
+         |a2 AS MATERIALIZED (${assign("c1")}),
+         |c2 AS MATERIALIZED (${refit("a2")}),
+         |codes AS MATERIALIZED (
+         |  SELECT id AS cand_id, sub, cell AS code, nrm AS nrm_c
+         |  FROM (${assign("c2")})),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, v AS vq FROM v WHERE vec_id < 10),
+         |lut AS MATERIALIZED (
+         |  SELECT b.id AS query_id, b.sub, c.cell, ${dotSql("b.vs", "c.c")} AS dp,
+         |         b.nrm AS nrm_q
+         |  FROM sv b JOIN c2 c ON c.sub = b.sub WHERE b.id < 10),
+         |scored AS MATERIALIZED (
+         |  SELECT l.query_id, k.cand_id, SUM(l.dp) AS dsum,
+         |         ANY_VALUE(k.nrm_c) AS nrm_c, ANY_VALUE(l.nrm_q) AS nrm_q
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cell = k.code
+         |  GROUP BY 1, 2),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY dsum / NULLIF(nrm_q * nrm_c, 0) DESC, cand_id ASC)
+         |             AS rnk
+         |    FROM scored WHERE query_id <> cand_id
+         |  ) WHERE rnk <= 5),
+         |$BruteTop5Cte,
+         |$RecallTailSql""".stripMargin
+    },
+
+    "q_ann_opq" -> {
+      // the q_ann_pq replay with ONE extra CTE: every vector is rotated
+      // by the literal orthogonal matrix before the subspace split (the
+      // same Scala rotationMatrix call renders the literals — bit-for-
+      // bit); brute truth stays in the ORIGINAL basis
+      def assign(cents: String) =
+        s"""SELECT id, sub, vs, nrm, cell FROM (
+           |    SELECT b.id, b.sub, b.vs, b.nrm, c.cell,
+           |           row_number() OVER (PARTITION BY b.id, b.sub
+           |             ORDER BY (${dotSql("c.c", "c.c")}
+           |               - 2.0 * ${dotSql("b.vs", "c.c")}) ASC, c.cell ASC) AS rn
+           |    FROM sv b JOIN $cents c ON c.sub = b.sub) WHERE rn = 1""".stripMargin
+      def refit(asg: String) =
+        s"""SELECT sub, cell, list_transform(
+           |    list_sort(list({'d': dim, 'm': m})), r -> r.m) AS c FROM (
+           |    SELECT sub, cell, t.i AS dim, AVG(u.vs[t.i]) AS m
+           |    FROM $asg u, unnest(generate_series(1, len(u.vs))) AS t(i)
+           |    GROUP BY 1, 2, 3) GROUP BY sub, cell""".stripMargin
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vr AS MATERIALIZED (
+         |  SELECT vec_id, ${rotSql("v")} AS v FROM v),
+         |sv AS MATERIALIZED (
+         |  SELECT vec_id AS id, s.sub AS sub,
+         |         v[s.sub*8 + 1 : s.sub*8 + 8] AS vs,
+         |         sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM vr, unnest(generate_series(0, 7)) AS s(sub)),
          |picked AS MATERIALIZED (
          |  SELECT vec_id AS id,
          |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1
@@ -6334,6 +6418,16 @@ object SparkEntry {
        |SELECT node, floor(r$iters.pr*1000000 + 0.5)/1000000 AS pr
        |FROM r$iters""".stripMargin
   }
+
+  /** The q_ann_opq rotation, rendered as a DuckDB list of left-fold dot
+   * products against the SAME literal orthogonal rows
+   * rotationMatrix(dim=64, seed=13) uses — the oracle replays the
+   * rotation bit-for-bit (the JL literal-matrix precedent, upgraded
+   * from ±1 signs to a full rotation). */
+  private def rotSql(v: String): String =
+    operators.Similarity.rotationMatrix(dim = 64, seed = 13L)
+      .map(r => dotSql(v, r.map(_.toString).mkString("([", ",", "])")))
+      .mkString("[", ",\n", "]")
 
   /** The q_rand_proj projection, rendered as a DuckDB list of left-fold
    * dot products against the SAME literal ±1/√16 sign rows

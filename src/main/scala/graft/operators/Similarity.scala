@@ -1070,6 +1070,224 @@ object Similarity {
       .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean"))
   }
 
+  /** Deterministic random ORTHOGONAL matrix (seeded Gaussian rows +
+   * modified Gram–Schmidt, pure driver-side double arithmetic). Rows
+   * are orthonormal to machine precision; the SAME Scala call renders
+   * the oracle's literal lists (Double.toString round-trips), so an
+   * external engine replays the rotation bit-for-bit — the signMatrix
+   * precedent, upgraded from ±1 signs to a full rotation. */
+  def rotationMatrix(dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val rows = Array.fill(dim)(Array.fill(dim)(rng.nextGaussian()))
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val p = (0 until dim).foldLeft(0.0)((s, k) => s + rows(i)(k) * rows(j)(k))
+        for (k <- 0 until dim) rows(i)(k) -= p * rows(j)(k)
+      }
+      val n = math.sqrt(rows(i).map(x => x * x).sum)
+      require(n > 1e-12, "rotationMatrix: degenerate draw (reseed)")
+      for (k <- 0 until dim) rows(i)(k) /= n
+    }
+    rows.toSeq
+  }
+
+  /** Rotate an embedding column by a literal matrix: y_j = dot(x, R_j),
+   * one codegen DotProduct per output coordinate (the randomProject
+   * plan shape; dim² literals — fine at 64×64, switch to the broadcast
+   * matrix-join twin past ~10⁶ literals). All other columns pass
+   * through, so the rotated frame drops into any vector operator. */
+  def rotate(em: DataFrame, vecCol: String, mat: Seq[Array[Double]],
+             dim: Int): DataFrame = {
+    require(mat.size == dim && mat.forall(_.length == dim),
+      s"rotate: matrix must be $dim×$dim")
+    val v = checkedDim(col(vecCol).cast("array<double>"), dim, "rotate")
+    em.withColumn(vecCol,
+      when(v.isNull, lit(null).cast("array<double>"))
+        .otherwise(array(mat.map(r =>
+          dot(v, array(r.toSeq.map(lit): _*))): _*)))
+  }
+
+  /**
+   * OPQ codebook training (Ge et al. 2013, "Optimized product
+   * quantization", non-parametric variant): plain PQ quantizes in the
+   * RAW basis, so correlated/anisotropic dimensions concentrate error
+   * in a few subspaces; OPQ learns one orthogonal rotation R that
+   * redistributes variance before the split — the reason Faiss ships
+   * OPQ in front of IVFADC (typically ~half the ADC error on real
+   * embeddings).
+   *
+   * Alternating optimization, `opqRounds` rounds: (1) rotate the
+   * training sample by the current R and run the subspace Lloyd
+   * ([[pqCodebooks]]' shared-pass machinery); (2) reconstruct each
+   * sample vector from its codes and solve the orthogonal Procrustes
+   * problem min_R Σ‖Rx − x̂‖² — maximize tr(R·M), M = Σ x·x̂ᵀ — whose
+   * closed form is R = V·Uᵀ from M = U·S·Vᵀ. M is a dim×dim MODEL
+   * ARTIFACT aggregated distributively (one posexplode² partial-agg
+   * groupBy over the sample); the SVD runs driver-side via a cyclic
+   * Jacobi eigensolver on MᵀM — 64×64, microseconds, the topPc
+   * collect discipline. Rotation learning rides an md5-lowest-`sampleN`
+   * sample (the Faiss practice — the rotation is a 64×64 statistic, a
+   * bounded sample saturates it), then the FINAL codebooks train on
+   * the FULL rotated corpus. Returns (R rows, row-form codebooks);
+   * compose with [[rotate]] + the verbatim PQ code/LUT paths.
+   *
+   * Spec-gated (the topPc/fitted-IVF discipline): the learned R is
+   * data-dependent, so the oracle-backed query (q_ann_opq) instead
+   * drives the SAME rotate→PQ→ADC pipeline under a SEEDED
+   * [[rotationMatrix]] replayed as SQL literals; the spec certifies
+   * the learner — R orthogonal, quantization error monotonically
+   * ≤ plain PQ's, recall@5 beating plain PQ on a planted anisotropic
+   * corpus.
+   */
+  def pqCodebooksOpq(em: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ks: Int, iters: Int, dim: Int,
+                     opqRounds: Int = 3, sampleN: Int = 2000,
+                     checkpointDir: Option[String] = None)
+      : (Seq[Array[Double]], DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"pqCodebooksOpq: dim $dim not divisible by m $m")
+    require(opqRounds >= 1 && sampleN >= ks,
+      "pqCodebooksOpq needs opqRounds >= 1, sampleN >= ks")
+    val base = em.select(col(idCol).as("id"),
+        checkedDim(col(vecCol).cast("array<double>"), dim, "pqCodebooksOpq")
+          .as("v"))
+      .filter(col("v").isNotNull)
+    // md5-lowest sample: deterministic, engine-portable, bounded — the
+    // rotation is a dim×dim statistic, the sample saturates it
+    val sample = graft.CacheScope.persist(
+      base.orderBy(md5(col("id").cast("string")), col("id")).limit(sampleN))
+    var r = Seq.tabulate(dim)(i =>
+      Array.tabulate(dim)(j => if (i == j) 1.0 else 0.0))
+    for (_ <- 1 to opqRounds) {
+      val rotated = rotate(sample, "v", r, dim)
+      val sv = graft.CacheScope.persist(subspaced(rotated, "id", "v", m, dim))
+      val cent = pqTrain(sv, ks, iters, checkpointDir)
+      // reconstruct x̂ (full-dim, subspace slices in order) per sample id
+      val recon = pqAssign(sv, cent)
+        .join(cent.select(col("sub"), col("cell"), col("c")), Seq("sub", "cell"))
+        .groupBy("id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("sub"), col("c")))),
+          s => s.getField("c"))).as("xhat"))
+      // M = Σ x·x̂ᵀ — dim² cells, a model artifact (topPc discipline)
+      val mCells = sample.join(recon, Seq("id"))
+        .select(posexplode(col("v")).as(Seq("i", "xi")), col("xhat"))
+        .select(col("i"), col("xi"), posexplode(col("xhat")).as(Seq("j", "yj")))
+        .groupBy("i", "j").agg(sum(col("xi") * col("yj")).as("s"))
+        .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2))
+        .toMap
+      val mMat = Array.tabulate(dim, dim)((i, j) => mCells.getOrElse((i, j), 0.0))
+      r = LinAlg.procrustesRotation(mMat)
+    }
+    val codebooks = pqCodebooks(rotate(base, "v", r, dim), "id", "v",
+      m, ks, iters, dim, checkpointDir)
+    (r, codebooks)
+  }
+
+  /** Driver-side dense linear algebra for dim×dim MODEL ARTIFACTS (64×64
+   * at the shipped shapes — microseconds; never touched by row-scale
+   * data). Pure double arithmetic, deterministic. */
+  private[graft] object LinAlg {
+
+    /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+     * (eigenvalues, eigenvectors as COLUMNS), both in descending
+     * eigenvalue order. Sweeps until off-diagonal mass < 1e-14·‖A‖. */
+    def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+      val n = a0.length
+      val a = a0.map(_.clone())
+      val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      val norm = math.sqrt(a.map(_.map(x => x * x).sum).sum)
+      var sweep = 0
+      var off = Double.MaxValue
+      while (off > 1e-14 * math.max(norm, 1e-300) && sweep < 60) {
+        sweep += 1
+        for (p <- 0 until n; q <- (p + 1) until n if a(p)(q) != 0.0) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          // theta == 0 -> 45° rotation; |theta| huge (near-zero
+          // off-diagonal vs diag gap) -> t underflows to ~0, a no-op
+          // rotation — NOT 45°, which would destroy converged entries
+          val t = if (theta == 0.0) 1.0
+            else if (theta.isInfinity || theta.isNaN) 0.0
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+        off = math.sqrt((for (i <- 0 until n; j <- 0 until n if i != j)
+          yield a(i)(j) * a(i)(j)).sum)
+      }
+      val order = (0 until n).sortBy(i => -a(i)(i))
+      (order.map(i => a(i)(i)).toArray,
+        Array.tabulate(n, n)((i, j) => v(i)(order(j))))
+    }
+
+    /** Orthogonal Procrustes: the R maximizing tr(R·M) — R = V·Uᵀ from
+     * M = U·S·Vᵀ. V via jacobiEig of MᵀM, U recovered as
+     * u_j = M·v_j/s_j — which on an ILL-CONDITIONED M inherits
+     * O(ε·s_max/s_j) cross-talk from the eigensolve (measured: 1e-2
+     * RRᵀ deviation at κ≈1e7, exactly the anisotropic-embedding shape
+     * OPQ exists for) — so U is re-orthonormalized by modified
+     * Gram–Schmidt in descending-singular-value order; near-zero or
+     * collapsed columns re-seed from identity axes (any orthonormal
+     * completion is optimal there — they contribute ~0 to tr(R·M)).
+     * The returned R is orthogonal to machine precision regardless of
+     * M's conditioning. */
+    def procrustesRotation(mIn: Array[Array[Double]]): Seq[Array[Double]] = {
+      val n = mIn.length
+      val mtm = Array.tabulate(n, n)((i, j) =>
+        (0 until n).foldLeft(0.0)((s, k) => s + mIn(k)(i) * mIn(k)(j)))
+      val (ev, vcols) = jacobiEig(mtm)
+      val smax = math.sqrt(math.max(ev(0), 0.0))
+      val u = Array.ofDim[Double](n, n)
+      for (j <- 0 until n) {
+        val s = math.sqrt(math.max(ev(j), 0.0))
+        if (s > 1e-10 * math.max(smax, 1e-300))
+          for (i <- 0 until n)
+            u(i)(j) = (0 until n).foldLeft(0.0)(
+              (acc, k) => acc + mIn(i)(k) * vcols(k)(j)) / s
+      }
+      var seedE = 0
+      for (j <- 0 until n) {
+        var ok = false
+        var attempts = 0
+        while (!ok && attempts <= n) {
+          if (attempts > 0) { // collapsed/zero column: identity re-seed
+            for (i <- 0 until n) u(i)(j) = if (i == seedE % n) 1.0 else 0.0
+            seedE += 1
+          }
+          for (jj <- 0 until j) {
+            val p = (0 until n).foldLeft(0.0)((s, k) => s + u(k)(j) * u(k)(jj))
+            for (k <- 0 until n) u(k)(j) -= p * u(k)(jj)
+          }
+          val nrm = math.sqrt((0 until n).map(k => u(k)(j) * u(k)(j)).sum)
+          if (nrm > 1e-6) {
+            for (k <- 0 until n) u(k)(j) /= nrm
+            ok = true
+          }
+          attempts += 1
+        }
+        require(ok, "procrustesRotation: orthonormal completion failed")
+      }
+      // R = V·Uᵀ: R(i)(j) = Σ_k V(i,k)·U(j,k)
+      Seq.tabulate(n)(i => Array.tabulate(n)(j =>
+        (0 until n).foldLeft(0.0)((s, k) => s + vcols(i)(k) * u(j)(k))))
+    }
+  }
+
   /** Lloyd loop over a (PERSISTED) subspaced frame; returns the array-form
    * centroid frame (sub, cell, c, c2). */
   private def pqTrain(sv: DataFrame, ks: Int, iters: Int,

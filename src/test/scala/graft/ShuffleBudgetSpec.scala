@@ -182,6 +182,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_louvain" -> (512L << 10),      // 67 kB: 16 label-frame rounds +
                                       // coarsen — every frame node- or
                                       // community-sized, never edges×labels
+    "q_ann_opq" -> (4L << 20),        // the q_ann_pq budget: rotation is
+                                      // map-only (literal dot products),
+                                      // codebook passes are identical
     "q_lang_mixture" -> (8L << 10),   // map-only scoring + n-bucket rollup
     "q_curate_scored" -> (512L << 10),// seed-trained bucket counts + the
                                       // quality join; inference map-only
