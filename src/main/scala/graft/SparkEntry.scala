@@ -570,6 +570,14 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numPerms = 128, bands = 32, threshold = 0.7)),
 
+    // --- WEIGHTED (tf-multiset) near-dup: ICWS weighted MinHash
+    // candidates + exact Σmin verification; the oracle is the exact
+    // weighted-Jaccard join (the q_dedup_minhash pattern — verified
+    // candidates make the libm-based signature irrelevant to parity) ---
+    "q_dedup_wminhash" -> ((s, dir) =>
+      Dedup.minhashLshWeighted(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numPerms = 128, bands = 32, threshold = 0.7)),
+
     // --- incremental dedup: a 10% delta probed against the archive's
     // banded index; archive text re-hashed only for candidates ---
     "q_dedup_delta" -> ((s, dir) => {
@@ -2831,6 +2839,32 @@ object SparkEntry {
     // MinHash+LSH at t=0.7 has recall ≈ 1-1e-4 and exact-verifies every
     // candidate, so its output equals the exact Jaccard join.
     "q_dedup_minhash" -> JaccardSql,
+
+    // exact tf-weighted 3-gram multiset Jaccard at t >= 0.7: tf tables
+    // per (id, gram), Σmin over common grams, Σmax = tot_a + tot_b − Σmin
+    "q_dedup_wminhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3
+        |), tf AS (
+        |  SELECT id, g, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT id, SUM(c) AS tot FROM tf GROUP BY 1
+        |), co AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, SUM(LEAST(a.c, b.c)) AS common
+        |  FROM tf a JOIN tf b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT id_a, id_b, common, sa.tot AS tot_a, sb.tot AS tot_b
+        |  FROM co JOIN sz sa ON sa.id = co.id_a JOIN sz sb ON sb.id = co.id_b
+        |)
+        |SELECT id_a, id_b,
+        |       common::DOUBLE / (tot_a + tot_b - common) AS jaccard_w
+        |FROM p WHERE common::DOUBLE / (tot_a + tot_b - common) >= 0.7"""
+        .stripMargin,
 
     // incremental dedup ≡ the exact Jaccard join restricted to pairs with
     // a new (doc_id % 10 = 0) left side; new-new pairs emitted once

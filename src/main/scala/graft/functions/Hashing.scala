@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{DotProduct, HashedShingles, IntersectionSize, MinHashBands, SimHash64}
+import graft.expressions.{DotProduct, HashedShingleCounts, HashedShingles, IcwsBands, IntersectionSize, MinHashBands, SimHash64, WeightedIntersection, WeightedTotal}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 
@@ -28,6 +28,29 @@ object Hashing {
   def intersectionSize(a: Column, b: Column): Column =
     GraftBridge.column(IntersectionSize(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Word n-gram shingles WITH term frequencies: interleaved sorted
+   * (hash, count) array<bigint> — the multiset input of the weighted
+   * MinHash family. */
+  def hashedShingleCounts(text: Column, n: Int): Column =
+    GraftBridge.column(HashedShingleCounts(GraftBridge.expression(text), n))
+
+  /** ICWS weighted-MinHash LSH band hashes over an interleaved
+   * (hash, count) multiset — see [[graft.expressions.IcwsBands]]. */
+  def icwsBands(shingleCounts: Column, numPerms: Int, bands: Int,
+                seed: Long = 42L): Column =
+    GraftBridge.column(IcwsBands(
+      GraftBridge.expression(shingleCounts), numPerms, bands, seed))
+
+  /** Σ min(count) over the common hashes of two interleaved multiset
+   * arrays — the weighted-Jaccard numerator. */
+  def weightedIntersection(a: Column, b: Column): Column =
+    GraftBridge.column(WeightedIntersection(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Σ count of an interleaved multiset array. */
+  def weightedTotal(a: Column): Column =
+    GraftBridge.column(WeightedTotal(GraftBridge.expression(a)))
 
   /** Strict left-fold dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =

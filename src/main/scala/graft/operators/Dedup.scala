@@ -265,6 +265,68 @@ object Dedup {
   }
 
   /**
+   * WEIGHTED MinHash + LSH near-duplicate join (Ioffe 2010 ICWS) — the
+   * MULTISET upgrade of [[minhashLsh]]: plain MinHash scores "spam"
+   * and "spam spam spam spam" as identical because it sees shingle
+   * SETS; this one weights every shingle by its term frequency and
+   * targets the weighted Jaccard J_w = Σ min(tf)/Σ max(tf), the measure
+   * corpus curation actually wants for repetitive web text (idf or any
+   * other weighting rides the same kernels by pre-scaling counts).
+   *
+   * Same four-stage shape as the set version, with the weighted kernels
+   * swapped in: (1) one codegen pass builds the interleaved (hash, tf)
+   * multiset per doc; (2) ICWS draws `numPerms` consistent samples —
+   * collision probability EXACTLY J_w — banded into `bands` band
+   * hashes inside the same kernel; (3) bucket equi-join over (band,
+   * hash) with the identical map-side-combined skew guard; (4)
+   * candidates verified with the EXACT Σmin merge, so false positives
+   * vanish and the output matches the exact weighted join wherever
+   * recall holds (P[miss] ≈ (1−t^r)^b, ~1e-4 at t=0.7 with 128/32 —
+   * and MEASURED against the exact join in the round-13 spec).
+   *
+   * The ICWS variates go through libm transcendentals, so unlike the
+   * set version's pure integer mixing the SIGNATURE is not
+   * oracle-replayable — but the OUTPUT is: candidates are verified
+   * exactly, so the oracle is the exact weighted-Jaccard join (the
+   * q_dedup_minhash pattern).
+   */
+  def minhashLshWeighted(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.7,
+                         maxBucketSize: Long = 10000L): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val sets = graft.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+          graft.functions.Hashing.hashedShingleCounts(col(textCol), n).as("shc"))
+        .withColumn("tot", graft.functions.Hashing.weightedTotal(col("shc"))))
+
+    // zero-mass docs are excluded from banding (the empty-doc rule of
+    // the set version — they'd all collide in one degenerate bucket)
+    val banded = sets.filter(col("tot") > 0)
+      .select(col("id"),
+        posexplode(graft.functions.Hashing.icwsBands(col("shc"), numPerms, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+
+    val big = banded.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize).select("band", "bh")
+    val kept = banded.join(broadcast(big), Seq("band", "bh"), "left_anti")
+    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shc").as("sc_a"), col("tot").as("t_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shc").as("sc_b"), col("tot").as("t_b")), "id_b")
+      .withColumn("common",
+        graft.functions.Hashing.weightedIntersection(col("sc_a"), col("sc_b")))
+      .withColumn("jaccard_w", col("common").cast("double") /
+        (col("t_a") + col("t_b") - col("common")))
+      .filter(col("jaccard_w") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_w"))
+  }
+
+  /**
    * Persistable banded-minhash index of a corpus: one row per
    * `(id, band, bh)`, built in one pass with the codegen signature
    * kernel. Write it partitioned/bucketed by `band, bh` and every future

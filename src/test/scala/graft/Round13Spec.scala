@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -214,5 +214,105 @@ class Round13Spec extends SparkSpecBase {
     val (rPq, rOpq) = (recall(corpus), recall(rotated))
     info(s"recall@5: raw-basis PQ $rPq, OPQ $rOpq")
     assert(rOpq > rPq, s"OPQ recall must beat plain PQ: $rOpq vs $rPq")
+  }
+
+  // --- weighted MinHash (ICWS) -------------------------------------------------
+
+  /** Exact tf-weighted 3-gram multiset Jaccard of two texts — the
+    * sequential truth the kernels must reproduce. */
+  private def wJaccard(a: String, b: String): Double = {
+    def tf(t: String): Map[String, Int] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Map.empty
+      else w.sliding(3).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (g, xs) => g -> xs.size }
+    }
+    val (ta, tb) = (tf(a), tf(b))
+    val keys = ta.keySet ++ tb.keySet
+    val mn = keys.toSeq.map(k => math.min(ta.getOrElse(k, 0), tb.getOrElse(k, 0))).sum
+    val mx = keys.toSeq.map(k => math.max(ta.getOrElse(k, 0), tb.getOrElse(k, 0))).sum
+    if (mx == 0) 0.0 else mn.toDouble / mx
+  }
+
+  test("hashedShingleCounts / weightedIntersection / weightedTotal reproduce exact tf math") {
+    val a = "x y z x y z w q"   // 3-grams incl. a repeated "x y z ..." run
+    val b = "x y z x y w"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.Hashing.hashedShingleCounts(col("text"), 3).as("shc"))
+      .withColumn("tot", graft.functions.Hashing.weightedTotal(col("shc")))
+    val tot = df.select("id", "tot").as[(Long, Long)].collect().toMap
+    assert(tot(1L) === 6L && tot(2L) === 4L) // nTokens − 2
+    val common = df.filter(col("id") === 1).select(col("shc").as("a"))
+      .crossJoin(df.filter(col("id") === 2).select(col("shc").as("b")))
+      .select(graft.functions.Hashing.weightedIntersection(col("a"), col("b")))
+      .as[Long].head()
+    val want = wJaccard(a, b)
+    assert(common.toDouble / (6 + 4 - common) === want,
+      s"kernel jaccard vs reference: common=$common want=$want")
+    // short text: fewer than 3 tokens -> empty multiset, zero mass
+    val short = Seq((9L, "one two")).toDF("id", "text")
+      .select(graft.functions.Hashing.weightedTotal(
+        graft.functions.Hashing.hashedShingleCounts(col("text"), 3))).as[Long].head()
+    assert(short === 0L)
+  }
+
+  test("ICWS collision probability estimates the weighted Jaccard") {
+    // two multisets with hand-computable J_w: overlap run + disjoint
+    // tails, repeated tokens making the WEIGHTED measure differ from
+    // the set one. bands = numPerms (r = 1) so each band hash IS one
+    // sample — collision rate across 512 samples estimates J_w
+    val a = (Seq.fill(8)("c o r e").mkString(" ")) + " a b d e f g"
+    val b = (Seq.fill(4)("c o r e").mkString(" ")) + " p q r s t u"
+    val jw = wJaccard(a, b)
+    val perms = 512
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select(col("id"), graft.functions.Hashing.icwsBands(
+        graft.functions.Hashing.hashedShingleCounts(col("text"), 3),
+        perms, perms).as("bh"))
+    val rows = df.as[(Long, Seq[Long])].collect().toMap
+    val hits = rows(1L).zip(rows(2L)).count { case (x, y) => x == y }
+    val est = hits.toDouble / perms
+    val sigma = math.sqrt(jw * (1 - jw) / perms)
+    info(s"J_w = $jw, ICWS estimate = $est over $perms samples (σ=$sigma)")
+    assert(math.abs(est - jw) < 4 * sigma + 1e-9,
+      s"ICWS collision rate $est drifted from J_w $jw past 4σ")
+  }
+
+  test("minhashLshWeighted matches the exact weighted join and discriminates repetition") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = sentence(30)
+    val nearDup = {              // two word substitutions: J_w stays high
+      val w = base.split(" "); w(5) = "XX"; w(20) = "YY"; w.mkString(" ")
+    }
+    val spam = (base + " ") * 5 + base // 6x repetition of the same text
+    val noise = (1 to 40).map(i => (100L + i, sentence(25)))
+    val docs = (Seq((1L, base), (2L, nearDup), (3L, spam)) ++ noise)
+      .toDF("id", "text")
+    val got = Dedup.minhashLshWeighted(docs, "id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // exact truth over all pairs
+    val all = (Seq((1L, base), (2L, nearDup), (3L, spam)) ++ noise)
+    val exact = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      j = wJaccard(ta, tb) if j >= 0.5
+    } yield (ia, ib) -> j).toMap
+    info(s"exact pairs: ${exact.keySet}; LSH found: ${got.keySet}")
+    assert(got.keySet === exact.keySet,
+      s"weighted LSH must recover the exact weighted join here")
+    exact.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-12, s"pair $k: ${got(k)} vs $j") }
+    // the discrimination claim: (base, nearDup) is a weighted near-dup,
+    // (base, spam) is NOT (J_w ≈ 1/6 despite near-identical shingle
+    // SETS — the set-based minhashLsh DOES pair them)
+    assert(got.contains((1L, 2L)) && !got.contains((1L, 3L)))
+    val setPairs = Dedup.minhashLsh(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(setPairs.contains((1L, 3L)),
+      "fixture sanity: the SET version must pair base with its spam blowup")
   }
 }

@@ -185,6 +185,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_ann_opq" -> (4L << 20),        // the q_ann_pq budget: rotation is
                                       // map-only (literal dot products),
                                       // codebook passes are identical
+    "q_dedup_wminhash" -> (2L << 20), // the q_dedup_minhash budget: same
+                                      // band/bucket join with (h,tf)
+                                      // multisets instead of sets
     "q_lang_mixture" -> (8L << 10),   // map-only scoring + n-bucket rollup
     "q_curate_scored" -> (512L << 10),// seed-trained bucket counts + the
                                       // quality join; inference map-only
