@@ -114,6 +114,202 @@ object Bpe {
    *
    * Null text encodes like [[learn]] treats it: dropped.
    */
+  /** Viterbi-best segmentation of a token sequence under piece
+   * log-probs: dp over positions with `maxLen` lookback, transitions
+   * scored dp(j) + logp(piece). STRICT improvement keeps the smallest
+   * j — the LONGEST piece — on exact score ties, so the segmentation
+   * is a pure function of (tokens, table). Unknown SINGLE tokens score
+   * `unkLogp` (encode-time fallback; during training every single is
+   * in the vocabulary); unknown longer spans are not pieces. Shared by
+   * the distributed E-step, the encoder, and the spec's sequential
+   * reference — one definition, zero drift. */
+  def viterbiSegment(tokens: IndexedSeq[String],
+                     logp: scala.collection.Map[String, Double],
+                     maxLen: Int, unkLogp: Double): Seq[String] = {
+    val n = tokens.length
+    if (n == 0) return Seq.empty
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    val bp = new Array[String](n + 1)
+    dp(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (dp(j) > Double.NegativeInfinity) {
+          val piece = tokens.slice(j, i).mkString(" ")
+          val lp = logp.get(piece) match {
+            case Some(x) => x
+            case None => if (i - j == 1) unkLogp else Double.NegativeInfinity
+          }
+          val cand = dp(j) + lp
+          if (cand > dp(i)) { dp(i) = cand; back(i) = j; bp(i) = piece }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var pos = n
+    while (pos > 0) { out += bp(pos); pos = back(pos) }
+    out.reverse.toSeq
+  }
+
+  /**
+   * Unigram-LM tokenizer training (Kudo, ACL'18 — the SentencePiece
+   * algorithm actually shipped by the T5/LLaMA-family pipelines, where
+   * [[learn]] is the GPT-2-family BPE): pieces carry PROBABILITIES and
+   * a text's tokenization is the Viterbi-most-probable segmentation,
+   * not a replay of greedy merges. Word-level formulation like the BPE
+   * half: "characters" are whitespace tokens, pieces are token n-grams.
+   *
+   * The [[learn]] discipline throughout — bounded rounds, partial-agg
+   * counts, model-artifact collects:
+   *  1. SEED: every token n-gram of length ≤ `maxPieceLen` with
+   *     count ≥ `minCount`, plus ALL single tokens (segmentability
+   *     guarantee) — one explode + partial-agg'd groupBy, top-`maxSeed`
+   *     halves by (count desc, piece asc) collected as the initial
+   *     model;
+   *  2. EM (hard/Viterbi variant, deterministic): E-step re-segments
+   *     the corpus under the current log-probs — map-only with the
+   *     broadcast table — and partial-aggs piece counts (vocab-bounded
+   *     collect); M-step recomputes logp = ln c − ln Σc on the driver,
+   *     folding the total in lexicographic piece order (one defined
+   *     summation order = one reproducible double). Single tokens
+   *     Viterbi may orphan (always covered by longer pieces) smooth to
+   *     count 0.5 — they must survive as fallbacks, never at −∞;
+   *  3. PRUNE schedule: after each `emRounds` block, drop the
+   *     lowest-expected-count non-single pieces — min(⌈pruneFrac·|V|⌉,
+   *     |V|−targetVocab) of them, ties (count asc, piece asc) — until
+   *     the vocabulary fits `targetVocab`, then one final EM block.
+   *
+   * Returns (pieces = (piece, cnt, logp) in lexicographic order,
+   * tokenized = (id, syms) — the corpus under the final Viterbi).
+   * Every tie anywhere breaks lexicographically, so the result is a
+   * pure function of the corpus (the BpeSpec/driver-reference gate).
+   */
+  def learnUnigram(docs: DataFrame, idCol: String, textCol: String,
+                   targetVocab: Int, maxPieceLen: Int = 4,
+                   emRounds: Int = 2, pruneFrac: Double = 0.2,
+                   minCount: Long = 2L, maxSeed: Int = 1 << 20)
+      : (DataFrame, DataFrame) = {
+    require(targetVocab >= 1 && maxPieceLen >= 1 && emRounds >= 1,
+      "learnUnigram needs targetVocab/maxPieceLen/emRounds >= 1")
+    require(pruneFrac > 0 && pruneFrac < 1, "pruneFrac in (0,1)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.CacheScope.persist(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          Text.tokens(col(textCol)).as("syms")))
+
+    // seed n-gram counts, one pass: (piece, len) exploded per doc
+    val gramCounts = toks.select(explode(flatten(
+        transform(sequence(lit(1), lit(maxPieceLen)), len =>
+          when(size(col("syms")) >= len,
+            transform(sequence(lit(1), size(col("syms")) - len + 1),
+              i => struct(array_join(slice(col("syms"), i, len), " ").as("p"),
+                len.as("len"))))
+            .otherwise(array().cast("array<struct<p:string,len:int>>"))))).as("g"))
+      .groupBy(col("g.p").as("piece"), col("g.len").as("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val singles = gramCounts.filter(col("len") === 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(maxSeed / 2)
+      .select("piece", "cnt").as[(String, Long)].collect()
+    val multis = gramCounts.filter(col("len") > 1 && col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(maxSeed / 2)
+      .select("piece", "cnt").as[(String, Long)].collect()
+    val singleSet = singles.map(_._1).toSet
+    var counts = scala.collection.immutable.SortedMap[String, Long]() ++
+      singles ++ multis
+
+    // M-step: logp from counts, singles smoothed to 0.5 when orphaned;
+    // the total folds in the SortedMap's lexicographic order
+    def logProbs(c: scala.collection.immutable.SortedMap[String, Long])
+        : Map[String, Double] = {
+      val smoothed = c.map { case (p, n) =>
+        p -> (if (n == 0 && singleSet(p)) 0.5 else n.toDouble)
+      }
+      val total = smoothed.values.foldLeft(0.0)(_ + _)
+      smoothed.map { case (p, x) =>
+        p -> (if (x == 0.0) Double.NegativeInfinity
+              else math.log(x) - math.log(total))
+      }.toMap
+    }
+
+    def emBlock(): Unit = {
+      for (_ <- 1 to emRounds) {
+        val bV = spark.sparkContext.broadcast(logProbs(counts))
+        val seg = toks.as[(Long, Seq[String])].mapPartitions { it =>
+          val lp = bV.value
+          it.flatMap { case (_, syms) =>
+            // finite UNK floor: singles past the maxSeed cap must still
+            // segment (their counts fall outside the model and are
+            // simply not collected); −∞ would leave dp unreachable
+            viterbiSegment(syms.toIndexedSeq, lp, maxPieceLen, -1e9) }
+        }.toDF("piece").groupBy("piece").agg(count(lit(1)).as("cnt"))
+          .as[(String, Long)].collect().toMap
+        counts = counts.map { case (p, _) => p -> seg.getOrElse(p, 0L) }
+      }
+    }
+
+    var guard = 0
+    while (counts.size > targetVocab && guard < 1000) {
+      guard += 1
+      emBlock()
+      val nDrop = math.min(
+        math.ceil(counts.size * pruneFrac).toInt,
+        counts.size - targetVocab)
+      val doomed = counts.toSeq.filterNot { case (p, _) => singleSet(p) }
+        .sortBy { case (p, n) => (n, p) }.take(nDrop).map(_._1)
+      counts = counts -- doomed
+      // all multis gone but still above target: singles are never
+      // pruned (segmentability), so the loop must stop
+      if (doomed.isEmpty) guard = 1000
+    }
+    emBlock()
+
+    val finalLp = logProbs(counts)
+    val pieces = counts.toSeq.map { case (p, n) => (p, n, finalLp(p)) }
+      .toDF("piece", "cnt", "logp")
+    (pieces, encodeUnigram(docs, idCol, textCol, pieces))
+  }
+
+  /**
+   * ENCODE with a frozen unigram-LM piece table — [[encode]]'s twin for
+   * [[learnUnigram]]: the table is a model artifact (collect +
+   * broadcast), application is one map-only Viterbi per document, plan
+   * size independent of vocabulary. Tokens outside the vocabulary fall
+   * back to an UNK score of (min finite logp − 10) — any segmentation
+   * avoiding them wins, but coverage gaps still segment
+   * deterministically. Encoding the training corpus reproduces
+   * [[learnUnigram]]'s own tokenized output exactly (same Viterbi, same
+   * table).
+   */
+  def encodeUnigram(docs: DataFrame, idCol: String, textCol: String,
+                    pieces: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = pieces.select(col("piece").cast("string"),
+        col("logp").cast("double"))
+      .as[(String, Double)].collect().toMap // model artifact: bounded
+    val maxLen = if (table.isEmpty) 1
+      else table.keysIterator.map(_.count(_ == ' ') + 1).max
+    val finite = table.valuesIterator.filter(_ > Double.NegativeInfinity)
+    val unk = if (finite.isEmpty) -1e9 else finite.min - 10.0
+    val bV = spark.sparkContext.broadcast(table)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val lp = bV.value
+        it.map { case (id, text) =>
+          (id, viterbiSegment(text.split(" ", -1).toIndexedSeq, lp,
+            maxLen, unk))
+        }
+      }.toDF("id", "syms")
+  }
+
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: DataFrame): DataFrame = {
     val spark = docs.sparkSession
