@@ -576,4 +576,190 @@ class RestartRecoverySpec extends SparkSpecBase {
     assert(got.size === queries.size * 5,
       s"expected ${queries.size * 5} rows (each query once), got ${got.size}")
   }
+
+  // --- RocksDB provider legs for the round-12 stateful streams --------------
+  // SessionStream already proves the provider end to end (incl. the 10^7-
+  // entity spill run in StressSpec); these run each NEWER stateful stream
+  // on RocksDB with a mid-stream stop/restart — provider-specific state
+  // (de)serialization bugs only surface on the provider itself.
+
+  /** Run `body` with the RocksDB state-store provider, restoring the
+    * previous provider afterwards; asserts RocksDB artifacts actually
+    * landed under `ckpt` and prints their state size. */
+  private def withRocksDB(ckpt: String)(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      body
+      val stateRoot = Paths.get(ckpt, "state")
+      val files = Files.walk(stateRoot).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isRegularFile(p))
+      val rocks = files.filter(p => p.toString.contains("rocksdb") ||
+        p.getFileName.toString.endsWith(".zip") ||
+        p.getFileName.toString.endsWith(".sst"))
+      assert(rocks.nonEmpty, "no RocksDB artifacts under the checkpoint state dir")
+      info(f"RocksDB state under $ckpt: ${rocks.length} files, " +
+        f"${rocks.map(Files.size).sum / 1024.0}%.1f KiB")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("WindowedCounts.quantilePerWindow on RocksDB: sketch state survives stop + restart") {
+    val inputDir = tmp("graft-rqw-in")
+    val outDir = tmp("graft-rqw-out")
+    val ckpt = tmp("graft-rqw-ckpt")
+    withRocksDB(ckpt) {
+      def addFile(rows: (Long, Double)*): Unit =
+        rows.map { case (sec, v) => (ts(sec), v) }.toDF("ts", "value")
+          .coalesce(1).write.mode("append").parquet(inputDir)
+      def run() = graft.streaming.WindowedCounts.quantilePerWindow(
+          spark.readStream.schema(StructType(Seq(
+              StructField("ts", TimestampType), StructField("value", DoubleType))))
+            .option("maxFilesPerTrigger", "1").parquet(inputDir),
+          "ts", "value", qs = Seq(0.5), windowLen = "600 seconds",
+          watermarkDelay = "2 hours")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      // window [600,1200) gets values 1..4 pre-restart and 5..9 after:
+      // the serialized KLL buffer must round-trip through RocksDB
+      addFile((700L, 1.0), (800L, 2.0), (850L, 3.0), (900L, 4.0))
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      addFile((950L, 5.0), (1000L, 6.0), (1050L, 7.0), (1100L, 8.0), (1150L, 9.0))
+      addFile((10000000L, 0.0))
+      addFile((20000000L, 0.0))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .filter(col("window_start").cast("long") === 600L)
+        .select(col("n_events"), col("est_p50")).as[(Long, Double)].collect()
+      assert(got.length === 1 && got.head._1 === 9L,
+        s"window fragmented or lost rows across restart: ${got.toSeq}")
+      // 9 values < the k=200 KLL buffer: the sketch is still EXACT here
+      assert(got.head._2 === 5.0, s"median over 1..9 must be 5: ${got.head}")
+    }
+  }
+
+  test("Scd2Stream.versions on RocksDB: a version spanning stop + restart closes whole") {
+    import graft.streaming.{Scd2Fix, Scd2Stream}
+    val inputDir = tmp("graft-rscd-in")
+    val outDir = tmp("graft-rscd-out")
+    val ckpt = tmp("graft-rscd-ckpt")
+    withRocksDB(ckpt) {
+      def addFile(rows: (Long, Long, String, Long)*): Unit =
+        rows.map { case (u, sec, a, e) => Scd2Fix(u, ts(sec), a, e) }
+          .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+      def run() = Scd2Stream.versions(
+          spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Scd2Fix]].schema)
+            .option("maxFilesPerTrigger", "1").parquet(inputDir).as[Scd2Fix],
+          watermarkDelay = "30 minutes")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      addFile((1L, 1000L, "A", 1L), (1L, 1400L, "A", 2L))
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      addFile((1L, 1800L, "A", 3L), (1L, 2200L, "B", 4L))
+      addFile((1L, 2200L + 1800L + 600L, "B", 5L))
+      addFile((1L, 2200L + 2 * (1800L + 600L), "B", 6L))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .select("userId", "attr", "effStart", "effEnd", "nRows")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, "A", 1000L, 2200L, 3L)),
+        s"restart fragmented the version on RocksDB: $got")
+    }
+  }
+
+  test("AnomalyStream.flags on RocksDB: history + pending state survive stop + restart") {
+    import graft.streaming.{AnomalyStream, MetricFix}
+    val inputDir = tmp("graft-ranm-in")
+    val outDir = tmp("graft-ranm-out")
+    val ckpt = tmp("graft-ranm-ckpt")
+    withRocksDB(ckpt) {
+      val pre = (0 until 8).map(i => (1L, 86400L + i * 60L, 10.0 + (i % 3)))
+      val post = (8 until 14).map(i =>
+        (1L, 86400L + i * 60L, if (i == 11) 500.0 else 10.0 + (i % 3)))
+      def addFile(rows: (Long, Long, Double)*): Unit =
+        rows.map { case (u, sec, v) => MetricFix(u, ts(sec), v) }
+          .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+      def run() = AnomalyStream.flags(
+          spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[MetricFix]].schema)
+            .option("maxFilesPerTrigger", "1").parquet(inputDir).as[MetricFix],
+          alpha = 0.3, window = 5, k = 3.0, watermarkDelay = "10 minutes")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      addFile(pre: _*)
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      addFile(post: _*)
+      addFile((99L, 10000000L, 0.0))
+      addFile((99L, 20000000L, 0.0))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
+      val streamed = spark.read.parquet(outDir).filter(col("userId") =!= 99L)
+        .select("userId", "tsSec", "residual", "anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getAs[Any]("residual")).map(d => r3(d.asInstanceOf[Double])),
+          Option(r.getAs[Any]("anomaly")))).toSet
+      val expected = graft.operators.Analytics.anomalyFlags(
+          (pre ++ post).toDF("user_id", "ts_sec", "value"),
+          Seq("user_id"), "ts_sec", "value", alpha = 0.3, window = 5, k = 3.0)
+        .select("user_id", "ts_sec", "residual", "anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getAs[Any]("residual")).map(d => r3(d.asInstanceOf[Double])),
+          Option(r.getAs[Any]("anomaly")))).toSet
+      assert(streamed === expected,
+        s"stream-only: ${(streamed -- expected).take(4)}; " +
+          s"batch-only: ${(expected -- streamed).take(4)}")
+      assert(streamed.exists(_._4.contains(true)),
+        "the planted post-restart spike must flag (history crossed the restart)")
+    }
+  }
+
+  test("TrajectoryStream.stayPoints on RocksDB: a dwell spanning stop + restart emits whole") {
+    import graft.streaming.{StayFix, TrajectoryStream}
+    val inputDir = tmp("graft-rstay-in")
+    val outDir = tmp("graft-rstay-out")
+    val ckpt = tmp("graft-rstay-ckpt")
+    withRocksDB(ckpt) {
+      def addFile(rows: (Long, Long, Double, Double, Double)*): Unit =
+        rows.map { case (u, sec, s, la, lo) => StayFix(u, ts(sec), s, la, lo) }
+          .toDF().coalesce(1).write.mode("append").parquet(inputDir)
+      def run() = TrajectoryStream.stayPoints(
+          spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[StayFix]].schema)
+            .option("maxFilesPerTrigger", "1").parquet(inputDir).as[StayFix],
+          speedThreshold = 1.0, minDurationSec = 300L, watermarkDelay = "30 minutes")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      addFile((1L, 1000L, 0.2, 10.0, 20.0), (1L, 1300L, 0.4, 10.2, 20.2),
+        (1L, 1600L, 0.1, 10.4, 20.4))
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      addFile((1L, 1900L, 0.3, 10.6, 20.6), (1L, 2200L, 0.5, 10.8, 20.8))
+      addFile((1L, 2500L, 9.9, 11.0, 21.0))
+      addFile((1L, 2500L + 1800L + 600L, 9.9, 0.0, 0.0))
+      addFile((1L, 2500L + 2 * (1800L + 600L), 9.9, 0.0, 0.0))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .select("userId", "startSec", "endSec", "nPoints")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 1000L, 2200L, 5L)),
+        s"restart fragmented or dropped the dwell on RocksDB: $got")
+    }
+  }
 }
