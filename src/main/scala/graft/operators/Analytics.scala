@@ -154,18 +154,23 @@ object Analytics {
     val nodes = graft.CacheScope.persist(
       e0.select(col("src").as("node")).union(e0.select(col("dst"))).distinct())
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
-    // teleport vector over GRAPH nodes only; 1/|S∩V| mass per live seed
+    // teleport vector over GRAPH nodes only; 1/|S∩V| mass per live seed.
+    // The no-live-seed refusal is IN-PLAN (the gini/modularity
+    // raise_error discipline): n_seeds rides the 1-row broadcast the
+    // teleport already pays for, and t feeds every round's pr — the
+    // gate cannot be pruned and costs zero extra actions (the former
+    // submit-time require ran a full teleport scan at plan-build time)
     val tele = graft.CacheScope.persist {
       val inGraph = nodes.join(seedSet, Seq("node"), "left_semi")
       val nS = inGraph.agg(count(lit(1)).cast("double").as("n_seeds"))
       nodes.join(inGraph.withColumn("_isSeed", lit(true)), Seq("node"), "left")
         .crossJoin(broadcast(nS))
         .select(col("node"),
-          when(col("_isSeed"), lit(1.0) / col("n_seeds"))
-            .otherwise(lit(0.0)).as("t"))
+          when(col("n_seeds") === 0.0, raise_error(lit(
+            "personalizedPagerank: no seed appears in the graph")))
+            .otherwise(when(col("_isSeed"), lit(1.0) / col("n_seeds"))
+              .otherwise(lit(0.0))).as("t"))
     }
-    require(!tele.filter(col("t") > 0).isEmpty,
-      "personalizedPagerank: no seed appears in the graph")
     val dangling = graft.CacheScope.persist(
       nodes.join(eNorm.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti"))

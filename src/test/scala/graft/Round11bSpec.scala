@@ -189,11 +189,17 @@ class Round11bSpec extends SparkSpecBase {
 
   test("personalizedPagerank refuses a seed set absent from the graph") {
     import graft.operators.Analytics
+    // in-plan gate (raise_error riding the teleport's 1-row n_seeds
+    // broadcast): fires at execution, walk the SparkException chain
     val edges = Seq(("a", "b")).toDF("s", "d")
     val seeds = Seq("zzz").toDF("node")
-    intercept[IllegalArgumentException] {
-      Analytics.personalizedPagerank(edges, "s", "d", seeds, "node", iters = 2)
+    val e = intercept[Throwable] {
+      Analytics.personalizedPagerank(edges, "s", "d", seeds, "node",
+        iters = 2).collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no seed appears")), msgs(e).mkString(" | "))
   }
 
   // --- k-center coreset -----------------------------------------------------------
