@@ -1056,6 +1056,20 @@ object SparkEntry {
           r3(col("q_contrib")).as("q_contrib"))
     }),
 
+    // --- Leiden-style refinement of the node%5 partition: split every
+    // community into its connected components (CC over intra-community
+    // edges) — never lowers Q, certifies the well-connectedness repair ---
+    "q_refine" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b"))).distinct()
+      val memb = nodes.withColumn("comm", pmod(col("node"), lit(5)))
+      Analytics.refineCommunities(edges, "a", "b", memb, "node", "comm")
+    }),
+
     // --- Louvain modularity OPTIMIZATION over the same 2-out synthetic
     // graph: deterministic parity-alternated local moves + one
     // coarsening level, exact-integer ΔQ scores — the oracle replays
@@ -3806,6 +3820,38 @@ object SparkEntry {
         |FROM dt LEFT JOIN it USING (comm) CROSS JOIN m""".stripMargin,
 
     "q_louvain" -> louvainSql(moveRounds = 4),
+
+    // CC over intra-community (node%5) edges by recursive min-label
+    // reachability (the ClusterCtes pattern); no-intra-edge nodes stay
+    // singletons under their own id
+    "q_refine" ->
+      """WITH RECURSIVE ed0 AS (
+        |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+        |  UNION ALL
+        |  SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events
+        |), g AS (
+        |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM ed0 WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL
+        |), memb AS (
+        |  SELECT DISTINCT node, node % 5 AS comm FROM (
+        |    SELECT u AS node FROM g UNION SELECT v FROM g)
+        |), intra AS (
+        |  SELECT u, v FROM g WHERE u % 5 = v % 5
+        |), edges AS (
+        |  SELECT u AS src, v AS dst FROM intra
+        |  UNION
+        |  SELECT v AS src, u AS dst FROM intra
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), cl AS (
+        |  SELECT src AS node, least(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT CAST(m.node AS BIGINT) AS node,
+        |       CAST(COALESCE(cl.cluster_id, m.node) AS BIGINT) AS community
+        |FROM memb m LEFT JOIN cl ON cl.node = m.node""".stripMargin,
 
     "q_closeness" ->
       """WITH RECURSIVE ed AS (

@@ -278,6 +278,11 @@ object Analytics {
    * A "round" therefore updates half the nodes; size `moveRounds`
    * as 2x the desired full sweeps (default 4 = two sweeps per level).
    *
+   * Like every greedy modularity optimizer, the output can contain
+   * internally disconnected communities on adversarial graphs — compose
+   * with [[refineCommunities]] (the Leiden repair: never lowers Q) when
+   * downstream consumers assume connectedness.
+   *
    * Scale shape (the lpa/pagerank discipline): per round ONE
    * neighbor-label join against the symmetric edge table + three
    * partial-agg'd groupBys (community degree mass, per-(node,candidate)
@@ -321,6 +326,52 @@ object Analytics {
     c1.join(c2, c1("comm") === col("_c1"), "left")
       .select(col("node"),
         coalesce(col("_cfinal"), col("comm")).as("community"))
+  }
+
+  /**
+   * Leiden-style community REFINEMENT (Traag et al. 2019's headline
+   * repair, factored as its own operator): any modularity-greedy or
+   * label-propagation partition can emit communities that are
+   * internally DISCONNECTED — Louvain famously does — and a
+   * disconnected "community" is a modeling artifact, not structure.
+   * Refinement splits every community into its CONNECTED components,
+   * which never lowers Q: the intra-edge mass e_c is preserved exactly
+   * (no inter-component edges exist to lose, by definition) while the
+   * degree-mass penalty strictly shrinks (Σ d_i² over parts < (Σ d_i)²
+   * whole), so Q(refined) ≥ Q(input) with equality iff every community
+   * was already connected — which also makes the operator IDEMPOTENT.
+   *
+   * One composition, no new machinery: the intra-community edge set
+   * (two membership joins + an equality filter — components cannot
+   * cross communities because only same-community edges survive) feeds
+   * [[graft.operators.Dedup.clusterPairs]]' log-round
+   * pointer-shortcutting CC; nodes with no intra edge become
+   * singletons. Labels are component-min node ids — distinct across
+   * communities by construction. Compose after [[louvainCommunities]]
+   * or [[lpaCommunities]] for the Leiden well-connectedness guarantee.
+   */
+  def refineCommunities(edges: DataFrame, aCol: String, bCol: String,
+                        membership: DataFrame, nodeCol: String,
+                        commCol: String,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val memb = membership.select(col(nodeCol).as("node"),
+      col(commCol).as("comm")).distinct()
+    val intra = e
+      .join(memb.select(col("node").as("u"), col("comm").as("_cu")), "u")
+      .join(memb.select(col("node").as("v"), col("comm").as("_cv")), "v")
+      .filter(col("_cu") === col("_cv"))
+      .select("u", "v")
+    val cc = graft.operators.Dedup.clusterPairs(intra, "u", "v",
+      checkpointDir = checkpointDir)
+    memb.join(cc.select(col("id").as("node"), col("cluster_id")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("community"))
   }
 
   /** One synchronous local-move phase for [[louvainCommunities]] over a

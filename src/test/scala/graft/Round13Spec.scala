@@ -129,6 +129,40 @@ class Round13Spec extends SparkSpecBase {
       "fixture sanity: LPA must actually collapse (else pick a denser ladder)")
   }
 
+  // --- Leiden-style refinement ---------------------------------------------------
+
+  test("refineCommunities splits disconnected communities, raises Q, and is idempotent") {
+    // two K4s share ONE community label but have no connecting edge —
+    // the disconnected-community artifact Louvain can emit
+    val clique = (b: Long) => for { i <- 0 to 3; j <- (i + 1) to 3 } yield (b + i, b + j)
+    val edges = (clique(0L) ++ clique(100L)).toDF("a", "b")
+    val badMemb = ((0L to 3L) ++ (100L to 103L)).map((_, 7L)).toDF("node", "comm")
+    val refined = Analytics.refineCommunities(edges, "a", "b",
+      badMemb, "node", "comm").as[(Long, Long)].collect().toMap
+    assert(refined.groupBy(_._2).values.map(_.keys.toSet).toSet ===
+      Set((0L to 3L).toSet, (100L to 103L).toSet), refined)
+    def q(m: Map[Long, Long]): Double =
+      Analytics.modularity(edges, "a", "b", m.toSeq.toDF("node", "comm"),
+        "node", "comm").agg(sum("q_contrib")).head.getDouble(0)
+    val (qBad, qRef) = (
+      Analytics.modularity(edges, "a", "b", badMemb, "node", "comm")
+        .agg(sum("q_contrib")).head.getDouble(0), q(refined))
+    assert(qRef > qBad, s"splitting a disconnected community must raise Q: $qRef vs $qBad")
+    assert(math.abs(qRef - 0.5) < 1e-12)
+    // idempotent: already-connected communities pass through (labels
+    // renumber to component minima, the grouping is identical)
+    val again = Analytics.refineCommunities(edges, "a", "b",
+        refined.toSeq.toDF("node", "comm"), "node", "comm")
+      .as[(Long, Long)].collect().toMap
+    assert(again === refined)
+    // membership nodes with no intra edge become singletons under
+    // their own id (never silently dropped)
+    val withIso = badMemb.union(Seq((999L, 7L)).toDF("node", "comm"))
+    val iso = Analytics.refineCommunities(edges, "a", "b",
+      withIso, "node", "comm").as[(Long, Long)].collect().toMap
+    assert(iso(999L) === 999L && iso.size === 9)
+  }
+
   // --- OPQ ---------------------------------------------------------------------
 
   private def assertOrthogonal(r: Seq[Array[Double]], tol: Double): Unit = {

@@ -188,6 +188,8 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_dedup_wminhash" -> (2L << 20), // the q_dedup_minhash budget: same
                                       // band/bucket join with (h,tf)
                                       // multisets instead of sets
+    "q_refine" -> (256L << 10),       // intra-edge filter + log-round CC
+                                      // over a 97-node fixture graph
     "q_lang_mixture" -> (8L << 10),   // map-only scoring + n-bucket rollup
     "q_curate_scored" -> (512L << 10),// seed-trained bucket counts + the
                                       // quality join; inference map-only
