@@ -199,11 +199,19 @@ object Bench {
     // artifact is not a full-workload peer)
     val onlyJson = if (only.isEmpty) ""
       else s""""only":${only.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"""
+    // subset runs that exclude every build query drop the row above —
+    // mirror that in the top-level fields: null, not the bogus ~0-cost
+    // buildEntry, so tooling reading build_* directly can't mistake a
+    // build-free artifact for a free build
+    val (buildSec, buildShB, buildCpuMs) =
+      if (buildQs.nonEmpty)
+        (buildEntry._2.toString, buildEntry._3.toString, buildEntry._5.toString)
+      else ("null", "null", "null")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"queries":$qs,""" +
         s""""n_queries":${queryResults.size},"n_entries":${results.size},""" +
-        s""""build_sec":${buildEntry._2},"build_shuffle_bytes":${buildEntry._3},""" +
-        s""""build_cpu_ms":${buildEntry._5},"cpu_sec":$totalCpuSec,""" +
+        s""""build_sec":$buildSec,"build_shuffle_bytes":$buildShB,""" +
+        s""""build_cpu_ms":$buildCpuMs,"cpu_sec":$totalCpuSec,""" +
         s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,"cpu_ms":$cpuMs,""" +
         s""""failed":$failedJson,"sf":${jstr(sfDir)}}"""
     // Full per-query detail lands in a file; stdout gets a COMPACT line.

@@ -160,16 +160,26 @@ object Analytics {
     // teleport already pays for, and t feeds every round's pr — the
     // gate cannot be pruned and costs zero extra actions (the former
     // submit-time require ran a full teleport scan at plan-build time)
+    // the refusal rides the 1-row aggregate ITSELF, not the per-node
+    // projection: an agg without groupBy yields exactly one row even
+    // over an EMPTY graph (a per-node when() never evaluates on zero
+    // rows and would silently return an empty result instead of the
+    // refusal). AQE's empty-relation propagation can still drop the
+    // broadcast before it builds when the per-node side is empty, so
+    // the gate ALSO rides a zero-row union branch on the output (below)
+    // whose filter must evaluate n_seeds on the aggregate's single row.
+    val inGraph = nodes.join(seedSet, Seq("node"), "left_semi")
+    val nS = inGraph.agg(count(lit(1)).cast("double").as("_n"))
+      .select(
+        when(col("_n") === 0.0, raise_error(lit(
+          "personalizedPagerank: no seed appears in the graph")))
+          .otherwise(col("_n")).as("n_seeds"))
     val tele = graft.CacheScope.persist {
-      val inGraph = nodes.join(seedSet, Seq("node"), "left_semi")
-      val nS = inGraph.agg(count(lit(1)).cast("double").as("n_seeds"))
       nodes.join(inGraph.withColumn("_isSeed", lit(true)), Seq("node"), "left")
         .crossJoin(broadcast(nS))
         .select(col("node"),
-          when(col("n_seeds") === 0.0, raise_error(lit(
-            "personalizedPagerank: no seed appears in the graph")))
-            .otherwise(when(col("_isSeed"), lit(1.0) / col("n_seeds"))
-              .otherwise(lit(0.0))).as("t"))
+          when(col("_isSeed"), lit(1.0) / col("n_seeds"))
+            .otherwise(lit(0.0)).as("t"))
     }
     val dangling = graft.CacheScope.persist(
       nodes.join(eNorm.select(col("src").as("node")).distinct(),
@@ -189,7 +199,13 @@ object Analytics {
             (coalesce(col("in_mass"), lit(0.0)) + col("d_mass") * col("t")))
             .as("pr"))
     }
-    ranks
+    // zero-row gate branch: the filter predicate evaluates n_seeds on
+    // the aggregate's one row (raising on 0 live seeds) and then keeps
+    // nothing — output rows are unchanged, but an empty graph now hits
+    // the refusal instead of returning an empty frame
+    ranks.unionByName(nS.filter(col("n_seeds") < 0.0)
+      .select(lit(null).cast(tele.schema("node").dataType).as("node"),
+        lit(0.0).as("pr")))
   }
 
   /**
@@ -393,8 +409,20 @@ object Analytics {
             (coalesce(col("_dn"), lit(0L)) +
               lit(2L) * coalesce(col("sw"), lit(0L))).as("d"))
     })
-    // 2m as a 1-row broadcast (never a driver action): Σ d_i
-    val w2 = deg.agg(sum("d").as("_w2"))
+    // 2m as a 1-row broadcast (never a driver action): Σ d_i. The ΔQ
+    // score is BIGINT arithmetic bounded by |score| ≤ 2m·max(d) (both
+    // terms non-negative: _w2·_k ≤ 2m·d and d·_dc ≤ d·2m), and Spark's
+    // non-ANSI LongType silently WRAPS past 2^63 where the DuckDB
+    // oracle widens to HUGEINT — so the documented bound is ENFORCED
+    // in-plan on the same 1-row agg (checked in double: 53-bit mantissa
+    // is exact to ~9e15 and the threshold comparison needs no more)
+    val w2 = deg.agg(sum("d").as("_w2"), max("d").as("_dmax"))
+      .select(
+        when(col("_w2").cast("double") * col("_dmax").cast("double")
+            >= 9.2e18,
+          raise_error(lit("louvainMoves: 2m * max(d) >= 2^63 — " +
+            "BIGINT dQ scores would wrap; coarsen or reweight first")))
+          .otherwise(col("_w2")).as("_w2"))
     // md5-nibble parity: engine-reproducible, structure-independent
     val parity = conv(substring(md5(col("node").cast("string")), 1, 1),
       16, 10).cast("int") % 2

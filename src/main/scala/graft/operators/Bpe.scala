@@ -245,8 +245,13 @@ object Bpe {
           it.flatMap { case (_, syms) =>
             // finite UNK floor: singles past the maxSeed cap must still
             // segment (their counts fall outside the model and are
-            // simply not collected); −∞ would leave dp unreachable
-            viterbiSegment(syms.toIndexedSeq, lp, maxPieceLen, -1e9) }
+            // simply not collected); −∞ would leave dp unreachable.
+            // lp's key set IS the model vocabulary, so the map-side
+            // semi-filter bounds the groupBy/collect by |V| (UNK
+            // singles Viterbi emits past the maxSeed cap never reach
+            // the driver — counts.getOrElse discarded them anyway)
+            viterbiSegment(syms.toIndexedSeq, lp, maxPieceLen, -1e9)
+              .filter(lp.contains) }
         }.toDF("piece").groupBy("piece").agg(count(lit(1)).as("cnt"))
           .as[(String, Long)].collect().toMap
         counts = counts.map { case (p, _) => p -> seg.getOrElse(p, 0L) }

@@ -200,6 +200,17 @@ class Round11bSpec extends SparkSpecBase {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("no seed appears")), msgs(e).mkString(" | "))
+    // an EMPTY graph must raise the same refusal, not return an empty
+    // frame: the gate rides the 1-row n_seeds aggregate itself (an agg
+    // without groupBy yields one row over zero input), never a per-node
+    // projection that zero rows would skip
+    val empty = intercept[Throwable] {
+      Analytics.personalizedPagerank(
+        edges.filter(lit(false)), "s", "d", seeds, "node",
+        iters = 2).collect()
+    }
+    assert(msgs(empty).exists(_.contains("no seed appears")),
+      msgs(empty).mkString(" | "))
   }
 
   // --- k-center coreset -----------------------------------------------------------
