@@ -89,6 +89,58 @@ object Multimodal {
   // Real image codec (javax.imageio, JDK-standard)
   // ---------------------------------------------------------------------
 
+  /**
+   * Per-THREAD PNG codec arena — the buffer-reuse pass the sf5 scale
+   * audit asked for: `ImageIO.read`/`ImageIO.write` per row pays a
+   * plugin-registry scan, a fresh Image(In|Out)putStream whose default
+   * cache is a TEMP FILE (disk I/O per row!), and a discarded reader/
+   * writer instance — at 2.5× the image count that churn GC'd the codec
+   * family ~3.4× harder instead of 2.5×. The arena pins one PNG
+   * reader + writer + output buffer per executor THREAD (ImageReader/
+   * Writer are not thread-safe; task threads are long-lived on real
+   * executors and in local mode, so reuse amortizes across every task a
+   * thread runs) and uses memory-cached streams throughout.
+   *
+   * decode() returns null on ANY undecodable payload — including a
+   * truncated PNG body, which `ImageIO.read` used to THROW on — which
+   * is the behavior every caller documents ("one corrupt file must not
+   * fail a 100 TB pass"). encode() produces byte-identical output to
+   * `ImageIO.write(img, "png", out)`: same PNGImageWriter, same default
+   * write param, only the stream buffering differs.
+   */
+  private final class PngArena {
+    javax.imageio.ImageIO.setUseCache(false) // static + idempotent
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val buf = new java.io.ByteArrayOutputStream(8 << 10)
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes == null) return null
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+        reader.read(0)
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally iis.close()
+    }
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      buf.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+      try { writer.setOutput(ios); writer.write(img) }
+      finally { ios.close(); writer.setOutput(null) }
+      buf.toByteArray
+    }
+  }
+  private val pngArena = new ThreadLocal[PngArena] {
+    override def initialValue(): PngArena = new PngArena
+  }
+  private def decodePng(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    pngArena.get().decode(bytes)
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
+    pngArena.get().encode(img)
+
   /** Grayscale value of pixel (x, y) of the synthetic image for `docId` —
    * shared by the renderer, the decode verifier, and (in SQL form) the
    * external oracle: every row y is the constant (docId + y) mod 256. */
@@ -115,9 +167,7 @@ object Multimodal {
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** One synthetic PNG per row, packed as the opaque binary media column
@@ -168,7 +218,7 @@ object Multimodal {
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val img =
           if (bytes == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else decodePng(bytes)
         if (img == null) Row(id, null, null, null, null, false, null)
         else {
           val w = img.getWidth
@@ -215,9 +265,7 @@ object Multimodal {
     val rgb = (g << 16) | (g << 8) | g
     var y = 0
     while (y < 4) { var x = 0; while (x < 4) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** Length-prefixed concatenation: [int32 len][png bytes] per frame —
@@ -284,7 +332,7 @@ object Multimodal {
             if (f % stride == 0) {
               val b = new Array[Byte](len)
               in.readFully(b)
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+              val img = decodePng(b)
               if (img == null)
                 throw new java.io.IOException(s"undecodable frame $f")
               sum += (img.getRGB(0, 0) & 0xFF)
@@ -336,7 +384,7 @@ object Multimodal {
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val img =
           if (bytes == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else decodePng(bytes)
         if (img == null) Row(id, null)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -413,9 +461,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** One near-dup fixture PNG per row, packed as the opaque media
@@ -461,7 +507,7 @@ object Multimodal {
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val img =
           if (bytes == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else decodePng(bytes)
         if (img == null) Iterator.empty
         else {
           val nx = img.getWidth / patchW
