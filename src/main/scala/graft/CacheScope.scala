@@ -58,6 +58,29 @@ object CacheScope {
     case None => df.localCheckpoint(true)
   }
 
+  /**
+   * LAZY twin of [[lineageCut]] for fixed-round loops whose per-round
+   * frames are small (label/rank frames): the LOGICAL plan is truncated
+   * identically at build time (the returned frame is a LogicalRDD scan
+   * either way — the k^rounds tree blowup is cut the same), but
+   * materialization rides the caller's next action instead of paying one
+   * eager job PER ROUND — the per-round fixed job cost is the measured
+   * wall floor of the tiny-graph Louvain/Leiden fixtures. The RDD DAG
+   * stays linear (each round references the previous round's RDD node,
+   * not its tree), so one final action runs all rounds as one job chain.
+   * Use the eager cut when a loop's round count is DATA-DEPENDENT (the
+   * driver must observe per-round state) or when `dir`-reliable blocks
+   * are wanted for executor-loss recovery.
+   */
+  def lineageCutLazy(df: DataFrame, dir: Option[String] = None): DataFrame =
+    dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+        df.checkpoint(false)
+      case None => df.localCheckpoint(false)
+    }
+
   /** Run `body` (typically: build a query plan and run its action), then
    * unpersist every frame persisted inside it. */
   def scoped[T](body: => T): T = {

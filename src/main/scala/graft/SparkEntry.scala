@@ -1082,6 +1082,41 @@ object SparkEntry {
       Analytics.louvainCommunities(edges, "a", "b", moveRounds = 4)
     }),
 
+    // --- FULL Leiden loop over the same graph: moves → refine →
+    // aggregate-on-the-REFINED-partition → moves-from-parent →
+    // final connectivity repair — the oracle replays every stage
+    // (BIGINT moves bit-for-bit, refinement as recursive min-label CC) ---
+    "q_leiden" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      Analytics.leidenCommunities(edges, "a", "b", moveRounds = 4,
+        maxLevels = 2)
+    }),
+
+    // --- single-linkage clustering cut of the minimum spanning forest:
+    // the oracle certifies the MST↔single-link equivalence itself — it
+    // thresholds the ORIGINAL graph and takes connected components,
+    // the query thresholds the Borůvka FOREST; identical clusters ---
+    "q_single_link" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val und = edges.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v")).distinct()
+      val wed = und.withColumn("w", pmod(col("u") * 7 + col("v") * 13, lit(20)))
+      val msf = Analytics.minimumSpanningForest(wed, "u", "v", "w")
+      val cut = Analytics.singleLinkCut(msf, "u", "v", "w", threshold = 7.0)
+      cut.select(col("node"), col("cluster"))
+        .join(cut.groupBy("cluster").agg(count(lit(1)).as("n_nodes")),
+          Seq("cluster"))
+        .select(col("node"), col("cluster"), col("n_nodes"))
+    }),
+
     // --- landmark harmonic centrality: origin-tagged BFS from three
     // fixed landmarks, h = sum of 1/hops over reaching landmarks (the
     // Eppstein-Wang sampled stand-in for all-pairs centrality) ---
@@ -3821,6 +3856,51 @@ object SparkEntry {
 
     "q_louvain" -> louvainSql(moveRounds = 4),
 
+    "q_leiden" -> leidenSql(moveRounds = 4),
+
+    // single-link cut: clusters of the w<=7-thresholded ORIGINAL graph
+    // by recursive min-label reachability — equal to the query's
+    // thresholded-MSF components by the classic MST/single-linkage
+    // equivalence (each non-forest edge <= t closes a cycle whose
+    // forest path is already <= t edge-wise)
+    "q_single_link" ->
+      """WITH RECURSIVE ed0 AS (
+        |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+        |  UNION ALL
+        |  SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events
+        |), g AS (
+        |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM ed0 WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL
+        |), we AS (
+        |  SELECT u, v, (u * 7 + v * 13) % 20 AS w FROM g
+        |), kept AS (
+        |  SELECT u, v FROM we WHERE w <= 7
+        |), edges AS (
+        |  SELECT u AS src, v AS dst FROM kept
+        |  UNION
+        |  SELECT v, u FROM kept
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), cl AS (
+        |  SELECT src AS node, least(src, MIN(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |), nodes AS (
+        |  -- DISTINCT-over-UNION-ALL, not UNION: inside a WITH RECURSIVE
+        |  -- list DuckDB parses ANY top-level UNION as a seed/step pair
+        |  -- and skips the set-union dedup when the step never
+        |  -- self-references (380 rows instead of 97 here)
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM we UNION ALL SELECT v FROM we)
+        |), asg AS (
+        |  SELECT n.node, COALESCE(cl.cluster, n.node) AS cluster
+        |  FROM nodes n LEFT JOIN cl ON cl.node = n.node
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(cluster AS BIGINT) AS cluster,
+        |       COUNT(*) OVER (PARTITION BY cluster) AS n_nodes
+        |FROM asg""".stripMargin,
+
     // CC over intra-community (node%5) edges by recursive min-label
     // reachability (the ClusterCtes pattern); no-intra-edge nodes stay
     // singletons under their own id
@@ -6378,15 +6458,19 @@ object SparkEntry {
    * parity-alternated move gate replays the md5 first-nibble test
    * verbatim (md5 hex is identical across engines), so the replay is
    * bit-for-bit with NO tolerance anywhere. */
-  private def louvainSql(moveRounds: Int): String = {
+  /** Louvain move-round CTE chain, shared by [[louvainSql]] and
+   * [[leidenSql]]: `tag`0 must already exist as the starting partition
+   * CTE; emits `tag`1..`tag`moveRounds with the bit-for-bit BIGINT ΔQ
+   * replay and the md5-nibble parity move gate. */
+  private def louvainRoundsSql(moveRounds: Int, tag: String, sym: String,
+                               deg: String, w2: String): String = {
     // move gate for round i: nodes whose md5 first hex nibble has
     // parity i%2 adopt their best candidate, the rest hold
     def moveCond(i: Int, node: String): String = {
       val digits = if (i % 2 == 1) "13579bdf" else "02468ace"
       s"strpos('$digits', substr(md5(CAST($node AS VARCHAR)), 1, 1)) > 0"
     }
-    def rounds(tag: String, sym: String, deg: String, w2: String): String =
-      (1 to moveRounds).map { i =>
+    (1 to moveRounds).map { i =>
         val prev = s"$tag${i - 1}"
         s"""$tag$i AS MATERIALIZED (
            |  SELECT l.node,
@@ -6420,6 +6504,11 @@ object SparkEntry {
            |    ) WHERE rnk = 1
            |  ) p ON p.node = l.node)""".stripMargin
       }.mkString(",\n")
+  }
+
+  private def louvainSql(moveRounds: Int): String = {
+    def rounds(tag: String, sym: String, deg: String, w2: String): String =
+      louvainRoundsSql(moveRounds, tag, sym, deg, w2)
     val r = moveRounds
     s"""WITH ed0 AS (
        |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
@@ -6457,6 +6546,97 @@ object SparkEntry {
        |SELECT CAST(c1.node AS BIGINT) AS node,
        |       CAST(COALESCE(c2.comm, c1.comm) AS BIGINT) AS community
        |FROM p1r$r c1 LEFT JOIN p2r$r c2 ON c2.node = c1.comm""".stripMargin
+  }
+
+  /** q_leiden oracle: the FULL Leiden loop unrolled — level-1 moves
+   * (the bit-for-bit BIGINT [[louvainRoundsSql]] replay), REFINEMENT as
+   * recursive min-label CC over intra-community edges, aggregation on
+   * the REFINED partition, level-2 moves STARTING from the parent
+   * partition (Leiden's other difference from Louvain), projection back
+   * through the refinement mapping, and the final well-connectedness
+   * repair on the original graph. Same zero-tolerance replay discipline
+   * as q_louvain: the only non-integer machinery is md5 parity, which
+   * is identical across engines. */
+  private def leidenSql(moveRounds: Int): String = {
+    val r = moveRounds
+    s"""WITH RECURSIVE ed0 AS (
+       |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+       |  UNION ALL
+       |  SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events
+       |), g AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+       |  FROM ed0 WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL
+       |), sym1 AS MATERIALIZED (
+       |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM g
+       |  UNION ALL SELECT v, u, CAST(1 AS BIGINT) FROM g
+       |), deg1 AS MATERIALIZED (
+       |  SELECT u AS node, SUM(w) AS d FROM sym1 GROUP BY 1
+       |), w21 AS MATERIALIZED (SELECT SUM(d) AS w2 FROM deg1),
+       |p1r0 AS MATERIALIZED (SELECT node, node AS comm FROM deg1),
+       |${louvainRoundsSql(r, "p1r", "sym1", "deg1", "w21")},
+       |intra1 AS MATERIALIZED (
+       |  SELECT g.u, g.v FROM g
+       |  JOIN p1r$r cu ON g.u = cu.node
+       |  JOIN p1r$r cv ON g.v = cv.node
+       |  WHERE cu.comm = cv.comm
+       |), redges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM intra1
+       |  UNION
+       |  SELECT v, u FROM intra1
+       |), rreach(src, dst) AS (
+       |  SELECT src, dst FROM redges
+       |  UNION
+       |  SELECT rr.src, e.dst FROM rreach rr JOIN redges e ON rr.dst = e.src
+       |), rf AS MATERIALIZED (
+       |  SELECT p.node, p.comm, COALESCE(rc.ref, p.node) AS ref
+       |  FROM p1r$r p LEFT JOIN (
+       |    SELECT src AS node, least(src, MIN(dst)) AS ref
+       |    FROM rreach GROUP BY src) rc ON rc.node = p.node
+       |), tg AS MATERIALIZED (
+       |  SELECT ru.ref AS cu, rv.ref AS cv, sy.w
+       |  FROM sym1 sy JOIN rf ru ON sy.u = ru.node
+       |               JOIN rf rv ON sy.v = rv.node
+       |), sym2 AS MATERIALIZED (
+       |  SELECT cu AS u, cv AS v, SUM(w) AS w FROM tg
+       |  WHERE cu <> cv GROUP BY 1, 2
+       |), self2 AS MATERIALIZED (
+       |  SELECT cu AS node, SUM(w) // 2 AS sw FROM tg
+       |  WHERE cu = cv GROUP BY 1
+       |), deg2 AS MATERIALIZED (
+       |  SELECT COALESCE(nb.node, sf.node) AS node,
+       |         COALESCE(nb.dn, 0) + 2 * COALESCE(sf.sw, 0) AS d
+       |  FROM (SELECT u AS node, SUM(w) AS dn FROM sym2 GROUP BY 1) nb
+       |  FULL JOIN self2 sf ON nb.node = sf.node
+       |), w22 AS MATERIALIZED (SELECT SUM(d) AS w2 FROM deg2),
+       |p2r0 AS MATERIALIZED (
+       |  SELECT d2.node, COALESCE(ini.comm, d2.node) AS comm
+       |  FROM deg2 d2 LEFT JOIN (
+       |    SELECT DISTINCT ref AS node, comm FROM rf) ini
+       |    ON ini.node = d2.node
+       |),
+       |${louvainRoundsSql(r, "p2r", "sym2", "deg2", "w22")},
+       |memb AS MATERIALIZED (
+       |  SELECT rf.node, p2.comm
+       |  FROM rf JOIN p2r$r p2 ON p2.node = rf.ref
+       |), fintra AS MATERIALIZED (
+       |  SELECT g.u, g.v FROM g
+       |  JOIN memb mu ON g.u = mu.node
+       |  JOIN memb mv ON g.v = mv.node
+       |  WHERE mu.comm = mv.comm
+       |), fedges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM fintra
+       |  UNION
+       |  SELECT v, u FROM fintra
+       |), freach(src, dst) AS (
+       |  SELECT src, dst FROM fedges
+       |  UNION
+       |  SELECT fr.src, e.dst FROM freach fr JOIN fedges e ON fr.dst = e.src
+       |)
+       |SELECT CAST(m.node AS BIGINT) AS node,
+       |       CAST(COALESCE(fc.cluster_id, m.node) AS BIGINT) AS community
+       |FROM memb m LEFT JOIN (
+       |  SELECT src AS node, least(src, MIN(dst)) AS cluster_id
+       |  FROM freach GROUP BY src) fc ON fc.node = m.node""".stripMargin
   }
 
   private def pagerankSql(iters: Int, damping: Double): String = {

@@ -390,14 +390,160 @@ object Analytics {
         coalesce(col("cluster_id"), col("node")).as("community"))
   }
 
-  /** One synchronous local-move phase for [[louvainCommunities]] over a
-   * weighted graph: `sym` holds BOTH orientations of every inter-node
-   * edge (u, v, w), `selfW` the per-node self-loop weight accumulated by
-   * coarsening (None at level 1). Labels start at the node's own id and
-   * the returned frame is (node, comm) after `rounds` rounds. */
+  /**
+   * Full Leiden community-detection loop (Traag, Waltman & van Eck 2019,
+   * "From Louvain to Leiden") — the move → REFINE → aggregate-on-the-
+   * REFINED-partition hierarchy that repairs Louvain's disconnected-
+   * community defect at every level instead of once at the end:
+   *
+   *  1. local moves on the level graph ([[louvainMoves]] — the same
+   *     parity-alternated exact-BIGINT ΔQ greedy [[louvainCommunities]]
+   *     runs, so single-level results are mutually replayable);
+   *  2. refinement: each move community splits into its CONNECTED
+   *     components over the level graph (the [[refineCommunities]]
+   *     repair, applied mid-hierarchy — Q never decreases, see there);
+   *  3. aggregation on the REFINED partition — Leiden's key difference
+   *     from Louvain, which aggregates on the move partition: refined
+   *     communities become nodes, inter-community weights sum,
+   *     intra-community mass and carried self-loops become self-loops;
+   *  4. the next level's moves START from the PARENT partition (every
+   *     refined community inherits its move community — well-defined
+   *     because refinement only splits within communities), so the
+   *     hierarchy resumes where the moves left off rather than
+   *     re-discovering the partition from singletons.
+   *
+   * After the last level the membership projects back through the
+   * refinement mappings and gets one final [[refineCommunities]] pass on
+   * the ORIGINAL graph, so every emitted community is connected — the
+   * paper's headline guarantee, which holds inductively: an aggregate
+   * node is a connected refined community, and a connected community of
+   * connected super-nodes is connected in the base graph.
+   *
+   * `maxLevels` is FIXED (no data-dependent early stop): a converged
+   * level is a no-op for moves, refinement and aggregation alike, and a
+   * fixed level count keeps the whole hierarchy replayable as a chained
+   * CTE in another engine (the q_louvain oracle precedent, one more
+   * level deep). Labels are component-min node ids at every stage —
+   * deterministic, engine-portable. Scale shape: every phase is the
+   * edge-linear join/partial-agg machinery of its standalone operator;
+   * nothing new materializes beyond the per-level aggregate graphs,
+   * which only shrink.
+   */
+  def leidenCommunities(edges: DataFrame, aCol: String, bCol: String,
+                        moveRounds: Int = 4, maxLevels: Int = 2,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(moveRounds >= 1 && maxLevels >= 1,
+      "leidenCommunities needs moveRounds >= 1 and maxLevels >= 1")
+    val und = graft.CacheScope.persist(edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct())
+    var sym = graft.CacheScope.persist(
+      und.union(und.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u"), col("v"), lit(1L).as("w"))
+        .repartition(col("u")))
+    var selfW: Option[DataFrame] = None
+    var init: Option[DataFrame] = None
+    // orig → current-level node; refinement labels compose into it
+    var mapping = graft.CacheScope.persist(
+      und.select(col("u").as("orig")).union(und.select(col("v")))
+        .distinct().select(col("orig"), col("orig").as("node")))
+    var part: DataFrame = null
+    for (level <- 1 to maxLevels) {
+      // lineage-cut EVERY level boundary (the per-round rule one level
+      // up): a level references the previous level's partition, graph
+      // and refinement maps several times each, and the NESTED
+      // composition (moves inside aggregation inside moves) otherwise
+      // multiplies the logical tree past what plan stringification can
+      // hold — the same 3^iters fan-out the move rounds already cut
+      part = graft.CacheScope.lineageCut(
+        louvainMoves(sym, selfW, moveRounds, checkpointDir, init),
+        checkpointDir)
+      if (level < maxLevels) {
+        // refine THIS level's partition into connected components over
+        // the level graph (one orientation of sym = each edge once)
+        val pu = part.select(col("node").as("u"), col("comm").as("_cu"))
+        val pv = part.select(col("node").as("v"), col("comm").as("_cv"))
+        val intra = sym.filter(col("u") < col("v"))
+          .join(pu, "u").join(pv, "v")
+          .filter(col("_cu") === col("_cv"))
+          .select("u", "v")
+        val cc = graft.operators.Dedup.clusterPairs(intra, "u", "v",
+          checkpointDir = checkpointDir)
+        val refined = graft.CacheScope.lineageCut(
+          part.join(cc.select(col("id").as("node"), col("cluster_id")),
+              Seq("node"), "left")
+            .select(col("node"), col("comm"),
+              coalesce(col("cluster_id"), col("node")).as("ref")),
+          checkpointDir)
+        // aggregate on the REFINED partition
+        val ru = refined.select(col("node").as("u"), col("ref").as("_ru"))
+        val rv = refined.select(col("node").as("v"), col("ref").as("_rv"))
+        val tagged = sym.join(ru, "u").join(rv, "v")
+        val symNext = graft.CacheScope.lineageCut(
+          tagged.filter(col("_ru") =!= col("_rv"))
+            .groupBy(col("_ru").as("u"), col("_rv").as("v"))
+            .agg(sum("w").as("w"))
+            .repartition(col("u")),
+          checkpointDir)
+        // self-loops: intra-refined edge mass (sym carries both
+        // orientations → /2) plus members' carried self-loops
+        val selfEdges = tagged.filter(col("_ru") === col("_rv"))
+          .groupBy(col("_ru").as("node"))
+          .agg((sum("w") / 2).cast("long").as("_se"))
+        val selfNext = selfW match {
+          case None => selfEdges.select(col("node"), col("_se").as("sw"))
+          case Some(sw0) =>
+            val carried = refined.join(sw0, Seq("node"))
+              .groupBy(col("ref").as("node")).agg(sum("sw").as("_sc"))
+            selfEdges.join(carried, Seq("node"), "full")
+              .select(col("node"),
+                (coalesce(col("_se"), lit(0L)) +
+                  coalesce(col("_sc"), lit(0L))).as("sw"))
+        }
+        // next level resumes from the PARENT partition: every refined
+        // community keeps its move community (distinct is exact — all
+        // members of a refined community share one comm by construction)
+        init = Some(graft.CacheScope.lineageCut(
+          refined.select(col("ref").as("node"), col("comm")).distinct(),
+          checkpointDir))
+        sym = symNext
+        selfW = Some(graft.CacheScope.lineageCut(selfNext, checkpointDir))
+        mapping = graft.CacheScope.lineageCut(
+          mapping.join(refined.select(col("node"), col("ref")), Seq("node"))
+            .select(col("orig"), col("ref").as("node")),
+          checkpointDir)
+      }
+    }
+    // project the last level's partition back to original nodes, then
+    // the final well-connectedness repair on the ORIGINAL graph
+    val memb = mapping.join(part, Seq("node"))
+      .select(col("orig").as("node"), col("comm"))
+    refineCommunities(und, "u", "v", memb, "node", "comm", checkpointDir)
+  }
+
+  /** One synchronous local-move phase for [[louvainCommunities]] /
+   * [[leidenCommunities]] over a weighted graph: `sym` holds BOTH
+   * orientations of every inter-node edge (u, v, w), `selfW` the
+   * per-node self-loop weight accumulated by coarsening (None at level
+   * 1), `init` an optional starting partition (node, comm) — Leiden's
+   * aggregate levels resume from the parent partition; None starts every
+   * node in its own community. Returns (node, comm) after `rounds`
+   * rounds.
+   *
+   * Per-round plan is THREE partial-agg groupBys + ONE keyed join + a
+   * 1-row broadcast: the loop-invariant degree d rides the label frame
+   * and the scoring side of `sym` (joined once, outside the loop), and
+   * the own-community candidate carries an _own flag through the
+   * candidate agg, so no round joins back to `deg` or re-joins the
+   * label frame for the current community — same BIGINT arithmetic and
+   * (−score, cand) tie-break as before, bit-for-bit with the oracle
+   * replay, at ~2/3 the per-round stage count. */
   private def louvainMoves(sym: DataFrame, selfW: Option[DataFrame],
                            rounds: Int,
-                           checkpointDir: Option[String]): DataFrame = {
+                           checkpointDir: Option[String],
+                           init: Option[DataFrame] = None): DataFrame = {
     // d_i = Σ incident inter-edge weight (sym has both orientations, so
     // grouping on u counts each neighbor edge once) + 2·self-loop
     val nbrDeg = sym.groupBy(col("u").as("node")).agg(sum("w").as("_dn"))
@@ -426,49 +572,65 @@ object Analytics {
     // md5-nibble parity: engine-reproducible, structure-independent
     val parity = conv(substring(md5(col("node").cast("string")), 1, 1),
       16, 10).cast("int") % 2
-    var labels = deg.select(col("node"), col("node").as("comm"))
+    // the scoring endpoint's degree attached ONCE (loop-invariant): the
+    // per-round candidate build then never joins deg
+    val symD = graft.CacheScope.persist(
+      sym.join(deg.select(col("node").as("u"), col("d")), Seq("u")))
+    // the label frame carries d for the same reason
+    var labels = init match {
+      case None => deg.select(col("node"), col("node").as("comm"), col("d"))
+      case Some(p0) =>
+        deg.join(p0.select(col("node"), col("comm")), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("comm"), col("node")).as("comm"), col("d"))
+    }
     for (i <- 1 to rounds) {
       // lineage-cut EVERY round: a round references the label frame ~4
       // times, so skipping even one cut quadruples the replanned tree
       // (measured: every-2nd-round cutting took wall from 14 s to 120 s
-      // at sf0.001 — the uncut reference fan-out dominates, not the
-      // eager materialization job)
-      val l = graft.CacheScope.lineageCut(labels, checkpointDir)
-      val commDeg = l.join(deg, "node")
-        .groupBy("comm").agg(sum("d").as("_dc"))
+      // at sf0.001 — the uncut reference fan-out dominates). LAZY cut:
+      // the plan truncates identically, but the rounds' label frames
+      // materialize with the caller's action instead of one eager job
+      // per round — the fixed cost that dominated the tiny-graph wall
+      // (measured at sf0.1: 9.2 s → ~6 s with the round count fixed)
+      val l = graft.CacheScope.lineageCutLazy(labels, checkpointDir)
+      val commDeg = l.groupBy("comm").agg(sum("d").as("_dc"))
       // k_{i→c}: edge mass from each node to each neighbor community,
       // plus the own-community candidate at k=0 (sum-merged if the node
-      // also has neighbors there)
-      val nbrMass = sym
+      // also has neighbors there — _own's max survives the merge)
+      val nbrMass = symD
         .join(l.select(col("node").as("v"), col("comm").as("_cand")), "v")
-        .select(col("u").as("node"), col("_cand"), col("w"))
+        .select(col("u").as("node"), col("_cand"), col("w"), col("d"),
+          lit(0L).as("_own"))
       val cands = nbrMass
         .unionByName(l.select(col("node"), col("comm").as("_cand"),
-          lit(0L).as("w")))
-        .groupBy("node", "_cand").agg(sum("w").as("_k"))
-      // the current community rides the scored frame (max over a
-      // per-node-constant), so the parity-gated adoption needs no
-      // second join back against the label frame
+          lit(0L).as("w"), col("d"), lit(1L).as("_own")))
+        .groupBy("node", "_cand").agg(sum("w").as("_k"),
+          max("d").as("_d"), max("_own").as("_own"))
+      // the current community rides the scored frame (the _own
+      // candidate IS it), so the parity-gated adoption needs no second
+      // join back against the label frame
       labels = cands
         .join(commDeg.withColumnRenamed("comm", "_cand"), Seq("_cand"))
-        .join(l, Seq("node"))
-        .join(deg, Seq("node"))
         .crossJoin(broadcast(w2))
         .select(col("node"),
           col("_cand"),
-          col("comm"),
-          (col("_w2") * col("_k") - col("d") *
-            (col("_dc") - when(col("_cand") === col("comm"), col("d"))
+          col("_own"),
+          col("_d"),
+          (col("_w2") * col("_k") - col("_d") *
+            (col("_dc") - when(col("_own") === 1L, col("_d"))
               .otherwise(lit(0L)))).as("_score"))
         .groupBy("node")
         .agg(min_by(col("_cand"),
           struct((-col("_score")).as("ns"), col("_cand"))).as("_best"),
-          max(col("comm")).as("_cur"))
+          max(when(col("_own") === 1L, col("_cand"))).as("_cur"),
+          max(col("_d")).as("d"))
         // parity-alternated adoption: only one parity class moves per
         // round (see the oscillation note in the public scaladoc)
         .select(col("node"),
           when(parity === lit(i % 2), col("_best"))
-            .otherwise(col("_cur")).as("comm"))
+            .otherwise(col("_cur")).as("comm"),
+          col("d"))
     }
     labels.select(col("node"), col("comm"))
   }
@@ -1710,6 +1872,54 @@ object Analytics {
     }, s"minimumSpanningForest did not converge in $maxIter rounds — " +
       "components halve per round, so this is a runaway, not a big graph")
     picked
+  }
+
+  /**
+   * Single-linkage clustering CUT of a minimum spanning forest — the
+   * operator [[minimumSpanningForest]]'s scaladoc promises: the MST is
+   * the single-linkage dendrogram's edge set (classic equivalence:
+   * single-link clusters at distance t are exactly the connected
+   * components of the t-thresholded graph, and thresholding the MST
+   * yields the same components — every dropped non-MST edge ≤ t closes
+   * a cycle whose MST path is already ≤ t edge-wise), so cutting the
+   * forest at `threshold` IS hierarchical clustering at scale: O(V)
+   * forest edges instead of the O(V²) similarity matrix a driver-side
+   * dendrogram would need.
+   *
+   * Emits one row per FOREST node: (node, cluster, merge_dist) where
+   * cluster is the component-min node id over kept (w ≤ threshold)
+   * edges — the shared [[graft.operators.Dedup.clusterPairs]] CC, one
+   * implementation, four families — and merge_dist is the largest kept
+   * edge in the node's cluster (the dendrogram height at which the
+   * cluster finished forming; NULL for singletons, which never merged).
+   * Pass the SAME forest with a ladder of thresholds to read the full
+   * dendrogram: the forest is computed once, each cut is one CC pass.
+   */
+  def singleLinkCut(msf: DataFrame, uCol: String, vCol: String,
+                    wCol: String, threshold: Double,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val e = graft.CacheScope.persist(msf
+      .select(col(uCol).as("u"), col(vCol).as("v"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull))
+    val nodes = e.select(col("u").as("node")).union(e.select(col("v")))
+      .distinct()
+    val kept = graft.CacheScope.persist(e.filter(col("w") <= threshold))
+    val cc = graft.operators.Dedup.clusterPairs(kept, "u", "v",
+      checkpointDir = checkpointDir)
+    // merge height per cluster: a kept edge's endpoints share its
+    // cluster by construction, so tagging by u suffices
+    val height = kept
+      .join(cc.select(col("id").as("u"), col("cluster_id")), "u")
+      .groupBy("cluster_id").agg(max("w").as("merge_dist"))
+    nodes
+      .join(cc.select(col("id").as("node"), col("cluster_id")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("cluster"))
+      .join(height.withColumnRenamed("cluster_id", "cluster"),
+        Seq("cluster"), "left")
+      .select(col("node"), col("cluster"), col("merge_dist"))
   }
 
   /**

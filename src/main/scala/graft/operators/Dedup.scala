@@ -403,6 +403,81 @@ object Dedup {
   }
 
   /**
+   * Persistable banded WEIGHTED-minhash index — [[minhashIndex]]'s ICWS
+   * twin for [[minhashLshWeighted]]'s tf-weighted Jaccard: one
+   * `(id, band, bh)` row per non-zero-mass doc, band hashes drawn by
+   * the ICWS kernel so collision probability is exactly J_w. Same
+   * storage contract as the set index (bucket by `(band, bh)`; deltas
+   * probe with an equi-join).
+   */
+  def wminhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    docs.select(col(idCol).as("id"),
+        graft.functions.Hashing.hashedShingleCounts(col(textCol), n).as("shc"))
+      .filter(graft.functions.Hashing.weightedTotal(col("shc")) > 0)
+      .select(col("id"),
+        posexplode(graft.functions.Hashing.icwsBands(col("shc"), numPerms, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+      .select("id", "band", "bh")
+  }
+
+  /**
+   * INCREMENTAL WEIGHTED near-dup dedup — [[dedupAgainstIndex]]'s ICWS
+   * twin: a delta of new documents probes a [[wminhashIndex]] of the
+   * kept archive, candidates verify with the EXACT Σmin/Σmax weighted
+   * Jaccard (the [[minhashLshWeighted]] tail — false positives vanish,
+   * repetition discriminates where the set version cannot). Same cost
+   * model: delta signed once, archive text re-hashed ONLY for candidate
+   * ids, nothing touches non-colliding archive rows. Returns
+   * `(new_id, dup_id, jaccard_w, dup_src)` — 'old' archive hits, 'new'
+   * intra-delta pairs (new_id < dup_id).
+   */
+  def dedupAgainstIndexWeighted(newDocs: DataFrame, index: DataFrame,
+                                corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int = 3, numPerms: Int = 128,
+                                bands: Int = 32,
+                                threshold: Double = 0.7): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    def counted(df: DataFrame) = df.select(col(idCol).as("id"),
+        graft.functions.Hashing.hashedShingleCounts(col(textCol), n).as("shc"))
+      .withColumn("tot", graft.functions.Hashing.weightedTotal(col("shc")))
+    val newSets = graft.CacheScope.persist(counted(newDocs))
+    val newBanded = graft.CacheScope.persist(
+      newSets.filter(col("tot") > 0)
+        .select(col("id"),
+          posexplode(graft.functions.Hashing.icwsBands(col("shc"), numPerms, bands)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh")))
+    val candOld = newBanded
+      .join(index.select(col("id").as("dup_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("id").as("new_id"), col("dup_id")).distinct()
+    val candNew = newBanded.select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(newBanded.select(col("band"), col("bh"), col("id").as("dup_id")),
+        Seq("band", "bh"))
+      .filter(col("new_id") < col("dup_id"))
+      .select("new_id", "dup_id").distinct()
+    // archive text re-counted ONLY for candidate ids (semi-join-pruned)
+    val touched = corpus.join(
+      candOld.select(col("dup_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val oldSets = counted(touched)
+    def verify(cand: DataFrame, other: DataFrame, src: String) = cand
+      .join(newSets.select(col("id").as("new_id"), col("shc").as("sc_a"),
+        col("tot").as("t_a")), "new_id")
+      .join(other.select(col("id").as("dup_id"), col("shc").as("sc_b"),
+        col("tot").as("t_b")), "dup_id")
+      .withColumn("common",
+        graft.functions.Hashing.weightedIntersection(col("sc_a"), col("sc_b")))
+      .withColumn("jaccard_w", col("common").cast("double") /
+        (col("t_a") + col("t_b") - col("common")))
+      .filter(col("jaccard_w") >= threshold)
+      .select(col("new_id"), col("dup_id"), col("jaccard_w"),
+        lit(src).as("dup_src"))
+    verify(candOld, oldSets, "old").unionByName(verify(candNew, newSets, "new"))
+  }
+
+  /**
    * Connected components over near-duplicate pairs → cluster assignment
    * `(id, cluster_id)` where cluster_id is the component's minimum id.
    * Keep-one-per-cluster dedup is then `groupBy(cluster_id).min(id)`.

@@ -1078,6 +1078,33 @@ object Quality {
    * check). One partial-agg'd groupBy onto (group, digit) then a 9-cell
    * per-group rollup — nothing downstream scales with the data.
    */
+  /**
+   * LAZY twin of [[expectationsReport]] for composition inside
+   * pipelines: the same `(check_name, n_violations, n_rows)` rows as a
+   * plan, not an action — check names come from a literal local frame
+   * (so zero-violation checks still report 0), counts from one
+   * partial-agg'd pass, n_rows from a 1-row broadcast the plan already
+   * pays for. Use this wherever a report frame is returned to a caller
+   * who decides when (or whether) to run it; the eager variant scans at
+   * call time, which a lazy pipeline must not.
+   */
+  def expectationsReportPlan(df: DataFrame,
+                             checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "expectationsReportPlan needs at least one check")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = checks.map(_._1).toDF("check_name")
+    val viol = array(checks.map { case (name, c) =>
+      when(coalesce(c, lit(true)), lit(null)).otherwise(lit(name))
+    }: _*)
+    val counts = df.select(explode(filter(viol, _.isNotNull)).as("check_name"))
+      .groupBy("check_name").agg(count(lit(1)).as("_nv"))
+    names.join(counts, Seq("check_name"), "left")
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_rows"))))
+      .select(col("check_name"),
+        coalesce(col("_nv"), lit(0L)).as("n_violations"), col("n_rows"))
+  }
+
   def benford(df: DataFrame, groupCols: Seq[String],
               valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "benford needs group keys (lit-tag one)")

@@ -43,4 +43,43 @@ object RawToStaging {
       cfg.speedCol, cfg.speedThreshold)
     (staged, quarantine)
   }
+
+  /** Declarative data-quality screens appended to the staging pipeline:
+   * named CHECK-constraint expectations route rows (DLT-style), the
+   * optional Benford and k-anonymity screens report on the CLEAN side.
+   * `benfordOn` names a positive value column; `kAnonymityOn` gives the
+   * quasi-identifier columns and k. */
+  case class DqConfig(
+      expectations: Seq[(String, Column)],
+      benfordOn: Option[String] = None,
+      kAnonymityOn: Option[(Seq[String], Int)] = None)
+
+  /** [[run]] with the quality family composed in — the reference's
+   * clean/quarantine split (pipelines/raw_to_staging.py:60-133)
+   * EXTENDED with declarative expectations and audit screens:
+   * (clean, validityQuarantine, dqQuarantine, reports). Rows failing
+   * the validity predicate land in validityQuarantine exactly as in
+   * [[run]]; rows passing validity but violating an expectation land in
+   * dqQuarantine with a `_violations` name array. Reports are LAZY
+   * frames (the caller actions them): "expectations" — per-check
+   * violation counts over the staged frame; "benford" — first-digit
+   * chi-square screen; "k_anonymity" — re-identification risk profile.
+   * Everything stays declarative: no driver action happens here. */
+  def runWithDq(raw: DataFrame, cfg: Config, dq: DqConfig)
+      : (DataFrame, DataFrame, DataFrame, Map[String, DataFrame]) = {
+    require(dq.expectations.nonEmpty, "runWithDq needs at least one expectation")
+    val (staged, quarantine) = run(raw, cfg)
+    val (clean, dqQuarantine) =
+      graft.operators.Quality.expectationsSplit(staged, dq.expectations)
+    val reports = Map(
+      "expectations" ->
+        graft.operators.Quality.expectationsReportPlan(staged, dq.expectations)) ++
+      dq.benfordOn.map(vc => "benford" ->
+        graft.operators.Quality.benford(
+          staged.withColumn("_corpus", org.apache.spark.sql.functions.lit("staged")),
+          Seq("_corpus"), vc)) ++
+      dq.kAnonymityOn.map { case (qi, k) => "k_anonymity" ->
+        graft.operators.Quality.kAnonymity(staged, qi, k) }
+    (clean, quarantine, dqQuarantine, reports)
+  }
 }

@@ -54,6 +54,26 @@ object NearDupStream {
       }
       .start()
 
+  /** The tf-WEIGHTED twin of [[start]]: every stage swaps its ICWS
+   * counterpart in ([[Dedup.wminhashIndex]] /
+   * [[Dedup.dedupAgainstIndexWeighted]] — collision probability exactly
+   * the weighted Jaccard, candidates verified with the exact Σmin/Σmax
+   * merge), so a feed of repetitive variants ("spam" vs "spam ×6")
+   * discriminates where the set version cannot. Same sequential-greedy
+   * resolution, same committed-batch replay contract, same layout —
+   * state under a separate root. */
+  def startWeighted(docs: DataFrame, root: String, checkpointDir: String,
+                    idCol: String, textCol: String,
+                    n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+                    threshold: Double = 0.7, maxIter: Int = 10): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, idCol, textCol,
+          n, numPerms, bands, threshold, maxIter, weighted = true)
+      }
+      .start()
+
   /** Every kept document so far (committed batches only). */
   def keptCorpus(spark: SparkSession, root: String): DataFrame = {
     val dirs = nonEmptyDataDirs(spark, root, "kept")
@@ -66,7 +86,8 @@ object NearDupStream {
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    idCol: String, textCol: String,
                    n: Int, numPerms: Int, bands: Int,
-                   threshold: Double, maxIter: Int): Unit = {
+                   threshold: Double, maxIter: Int,
+                   weighted: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val rootP = new org.apache.hadoop.fs.Path(root)
@@ -79,16 +100,22 @@ object NearDupStream {
 
     val indexDirs = nonEmptyDataDirs(spark, root, "index")
     val keptDirs = nonEmptyDataDirs(spark, root, "kept")
+    def buildIndex(df: DataFrame) =
+      if (weighted) Dedup.wminhashIndex(df, idCol, textCol, n, numPerms, bands)
+      else Dedup.minhashIndex(df, idCol, textCol, n, numPerms, bands)
     val index =
-      if (indexDirs.isEmpty)
-        Dedup.minhashIndex(batch.limit(0), idCol, textCol, n, numPerms, bands)
+      if (indexDirs.isEmpty) buildIndex(batch.limit(0))
       else spark.read.parquet(indexDirs: _*)
     val corpus = if (keptDirs.isEmpty) batch.limit(0)
       else spark.read.parquet(keptDirs: _*)
 
     val pairs = graft.CacheScope.persist(
-      Dedup.dedupAgainstIndex(batch, index, corpus, idCol, textCol,
-        n, numPerms, bands, threshold))
+      if (weighted)
+        Dedup.dedupAgainstIndexWeighted(batch, index, corpus, idCol, textCol,
+          n, numPerms, bands, threshold)
+      else
+        Dedup.dedupAgainstIndex(batch, index, corpus, idCol, textCol,
+          n, numPerms, bands, threshold))
     val archDropped = pairs.filter(col("dup_src") === "old")
       .select(col("new_id")).distinct()
     // intra-batch pairs among archive survivors only: a doc dropped by
@@ -112,7 +139,7 @@ object NearDupStream {
     val kept = batch.join(dropAll, Seq(idCol), "left_anti")
 
     kept.write.parquet(new org.apache.hadoop.fs.Path(bdir, "kept").toString)
-    Dedup.minhashIndex(kept, idCol, textCol, n, numPerms, bands)
+    buildIndex(kept)
       .write.parquet(new org.apache.hadoop.fs.Path(bdir, "index").toString)
     f.create(marker).close() // marker LAST: the batch's atomic commit
     pairs.unpersist(false)

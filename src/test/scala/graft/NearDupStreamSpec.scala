@@ -114,4 +114,95 @@ class NearDupStreamSpec extends SparkSpecBase {
       "doc_id", "text", 3, 128, 32, 0.7, 10)
     assert(state() === before, "replayed committed batch rewrote state")
   }
+
+  test("WEIGHTED stream kept-set equals the weighted greedy fold and discriminates 6x repetition; replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("wroot")
+
+    // the discrimination fixture the SET version cannot make: id 50 is
+    // base 0's token sequence repeated 6x — shingle SETS nearly equal
+    // (set-Jaccard ≈ 0.86 over the wrap grams), tf-weighted Jaccard
+    // ≈ 18/120 → the weighted service must KEEP it as its own doc
+    val rep6 = Seq.fill(6)(baseText(0)).mkString(" ")
+    val b0: Seq[(Long, String)] =
+      (0L to 3L).map(k => (k, baseText(k.toInt))) :+ (50L, rep6)
+    // batch 1: archive dup (base 1, one edit — high J_w), another rep6
+    // copy (must drop against kept 50), and a fresh base
+    val b1: Seq[(Long, String)] = Seq(
+      (60L, variant(1, Map(19 -> "y1"))),
+      (61L, Seq.fill(6)(baseText(0)).mkString(" ")),
+      (62L, baseText(4)))
+    val batches = Seq(b0, b1)
+
+    // --- truth: driver-side sequential greedy over the WEIGHTED kernels ---
+    val allDocs = batches.flatten
+    val sig = allDocs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.Hashing.hashedShingleCounts(col("text"), 3).as("shc"))
+      .withColumn("bands",
+        graft.functions.Hashing.icwsBands(col("shc"), 128, 32))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (id, shc, bn) =>
+        // interleaved (hash, tf) pairs → map
+        val m = shc.grouped(2).map(p => p(0) -> p(1)).toMap
+        id -> (m, bn)
+      }.toMap
+    def nearW(a: Long, b: Long): Boolean = {
+      val (ma, ba) = sig(a); val (mb, bb) = sig(b)
+      val (ta, tb) = (ma.values.sum, mb.values.sum)
+      ta > 0 && tb > 0 && ba.indices.exists(i => ba(i) == bb(i)) && {
+        val smin = ma.keysIterator
+          .map(k => math.min(ma(k), mb.getOrElse(k, 0L))).sum
+        smin.toDouble / (ta + tb - smin) >= 0.7
+      }
+    }
+    val keptTruth = scala.collection.mutable.ArrayBuffer[Long]()
+    batches.foreach(_.sortBy(_._1).foreach { case (id, _) =>
+      if (!keptTruth.exists(k => nearW(k, id))) keptTruth += id
+    })
+    assert(keptTruth.contains(50L),
+      "fixture lost the repetition case — J_w must keep the 6x doc")
+    assert(!keptTruth.contains(61L), "the rep6 copy must drop against 50")
+    // and the SET near function from the other test would have dropped 50:
+    val setSig = allDocs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.Hashing.hashedShingles(col("text"), 3).as("shh"))
+      .withColumn("bands",
+        graft.functions.Hashing.minhashBands(col("shh"), 128, 32))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (id, sh, bn) => id -> (sh.toSet, bn) }.toMap
+    val (s0, bn0) = setSig(0L); val (s50, bn50) = setSig(50L)
+    val common = (s0 intersect s50).size
+    assert(bn0.indices.exists(i => bn0(i) == bn50(i)) &&
+      common.toDouble / (s0.size + s50.size - common) >= 0.7,
+      "fixture drifted: the set measure no longer confuses 0 with 50")
+
+    // --- stream ---
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupStream.startWeighted(input.toDS().toDF("doc_id", "text"),
+      root, tmp("wckpt"), "doc_id", "text")
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val keptGot = NearDupStream.keptCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptGot === keptTruth.toSet,
+      s"stream-only: ${keptGot -- keptTruth}; truth-only: ${keptTruth.toSet -- keptGot}")
+
+    // --- replay: committed batch re-delivery is a verbatim no-op ---
+    def state(): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(x: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        f.listStatus(x).toSeq.flatMap(s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq((s.getPath.toString, s.getModificationTime)))
+      walk(p).toSet
+    }
+    val before = state()
+    NearDupStream.processBatch(b1.toDF("doc_id", "text"), 1L, root,
+      "doc_id", "text", 3, 128, 32, 0.7, 10, weighted = true)
+    assert(state() === before, "replayed committed weighted batch rewrote state")
+  }
 }

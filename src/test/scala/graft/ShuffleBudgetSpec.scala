@@ -216,6 +216,13 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // per-group pair join + 3 keyed aggs
     "q_modularity" -> (32L << 10),    // 5.6 kB: canonical edge distinct +
                                       // degree/intra rollups, node-sized
+    // round 14
+    "q_leiden" -> (1L << 20),         // two trimmed move phases + two CC
+                                      // refinements + refined aggregation —
+                                      // every frame node- or edge-sized on
+                                      // the 97-node fixture
+    "q_single_link" -> (512L << 10),  // Borůvka component rounds + one CC
+                                      // cut + size rollup, node/edge-sized
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
