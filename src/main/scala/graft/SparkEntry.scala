@@ -999,6 +999,13 @@ object SparkEntry {
       Similarity.distanceProfile(Tables.embeddings(s, dir), "vec_id",
         "embedding", sampleN = 100, bins = 20)),
 
+    // --- DBSCAN* density clustering (mutual-reachability MST cut at
+    // eps): core/noise split + component clusters over the md5-lowest
+    // 200 embeddings; exact left-fold d² arithmetic both engines ---
+    "q_dbscan" -> ((s, dir) =>
+      Similarity.dbscanStar(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 4, eps2 = 1.39, sampleN = 200)),
+
     // --- audio modality: PCM16 decode -> 64-sample frames -> integer
     // energy/peak/silence (VAD front end); fixture samples are pure
     // functions of doc_id so the oracle certifies the decode path ---
@@ -3968,6 +3975,44 @@ object SparkEntry {
         |SELECT bin, COUNT(*) AS n_pairs, MIN(cos) AS min_cos,
         |       MAX(cos) AS max_cos, -1.0 + bin * (2.0 / 20) AS lo
         |FROM h GROUP BY 1""".stripMargin,
+
+    // DBSCAN* replay: same md5 sample, same strict-left-fold d², the
+    // k-th-(d²,id) core rank, then clusters = recursive min-label CC
+    // over {core pairs, d² ≤ eps²} — which IS the query's mreach-MST
+    // cut (w = max(d², core²_a, core²_b) ≤ eps² ⟺ all three ≤ eps²)
+    "q_dbscan" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id AS id, v FROM v
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 200),
+        |sq AS (SELECT id, v, ${dotSql("v", "v")} AS sq FROM s),
+        |p AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |         a.sq + b.sq - 2.0 * ${dotSql("a.v", "b.v")} AS d2
+        |  FROM sq a JOIN sq b ON a.id <> b.id
+        |), core AS (
+        |  SELECT ia AS id, d2 AS core2 FROM (
+        |    SELECT ia, ib, d2, row_number() OVER (PARTITION BY ia
+        |      ORDER BY d2, ib) AS rn FROM p) WHERE rn = 4
+        |), cp AS (
+        |  SELECT id FROM core WHERE core2 <= 1.39
+        |), ke AS (
+        |  SELECT p.ia AS u, p.ib AS dv FROM p
+        |  JOIN cp a ON p.ia = a.id JOIN cp b ON p.ib = b.id
+        |  WHERE p.d2 <= 1.39
+        |), reach(src, dst) AS (
+        |  SELECT u, dv FROM ke
+        |  UNION
+        |  SELECT r.src, e.dv FROM reach r JOIN ke e ON r.dst = e.u
+        |), cl AS (
+        |  SELECT src AS id, least(src, MIN(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT CAST(s.id AS BIGINT) AS id,
+        |       CASE WHEN cp.id IS NOT NULL
+        |            THEN CAST(COALESCE(cl.cluster, s.id) AS BIGINT) END AS cluster,
+        |       (cp.id IS NOT NULL) AS is_core
+        |FROM s LEFT JOIN cp ON cp.id = s.id
+        |       LEFT JOIN cl ON cl.id = s.id""".stripMargin,
 
     "q_audio_energy" ->
       s"""WITH $AudioFrameCte

@@ -2020,6 +2020,82 @@ object Similarity {
    * double dots in array order (bit-reproducible cross-engine), so the
    * bin edges are exact — no tolerance anywhere.
    */
+  /**
+   * DBSCAN* density clustering over an embedding sample (Campello,
+   * Moulavi & Sander 2013 — the HDBSCAN family's flat cut, and exactly
+   * the mutual-reachability MST cut at eps): a point is CORE when its
+   * k-th-nearest-neighbor distance is ≤ eps; clusters are the connected
+   * components of core points within eps of each other; non-core points
+   * are NOISE (DBSCAN*'s clean semantics — no border-point ambiguity).
+   * The density-aware twin of [[semanticDedup]]'s fixed-radius cells:
+   * variable-density embedding spaces (one tight dup cluster + one
+   * diffuse topic cloud) get clusters where a single global radius
+   * either merges or shatters.
+   *
+   * Implementation IS the equivalence the papers state: mutual-
+   * reachability weight w(a,b) = max(d²(a,b), core²(a), core²(b)) over
+   * the complete sample graph → [[graft.operators.Analytics
+   * .minimumSpanningForest]] → [[graft.operators.Analytics
+   * .singleLinkCut]] at eps² — cutting the mreach MST at eps yields the
+   * DBSCAN* partition (w ≤ eps² ⟺ both endpoints core AND d ≤ eps), and
+   * the SAME forest re-cuts at an eps ladder for the HDBSCAN-style
+   * hierarchy without recomputing distances. All arithmetic is exact
+   * cross-engine: squared L2 via the strict-left-fold dot kernel
+   * (d² = |a|² + |b|² − 2a·b — one defined accumulation order), the
+   * k-NN rank breaks ties (d², id), max/compare of exact doubles.
+   *
+   * The pairwise stage is quadratic BY CONTRACT on the md5-lowest
+   * `sampleN` ids (the [[distanceProfile]] fixed-sample discipline —
+   * constant work at every tier); the 100 TB path swaps the complete
+   * pair graph for IVF-cell or LSH-bucket candidate pairs (rows
+   * 53/178) — candidates beyond eps never form edges, so only the
+   * within-radius pair set must survive the pruning.
+   *
+   * Returns one row per sampled id: (id, cluster, is_core) with
+   * cluster = component-min core id, NULL for noise.
+   */
+  def dbscanStar(em: DataFrame, idCol: String, vecCol: String,
+                 k: Int, eps2: Double, sampleN: Int = 200): DataFrame = {
+    require(k >= 1 && eps2 > 0 && sampleN >= 2,
+      "dbscanStar needs k >= 1, eps2 > 0, sampleN >= 2")
+    val sample = graft.CacheScope.persist(em
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .withColumn("sq", dot(col("v"), col("v"))))
+    val a = sample.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("sq").as("sq_a"))
+    val b = sample.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("sq").as("sq_b"))
+    val pairs = graft.CacheScope.persist(
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("d2", col("sq_a") + col("sq_b") -
+          lit(2.0) * dot(col("v_a"), col("v_b")))
+        .select("id_a", "id_b", "d2"))
+    // core² = the k-th smallest (d², id) neighbor distance
+    val core = graft.CacheScope.persist(pairs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("d2"), col("id_b"))))
+      .filter(col("_rn") === k)
+      .select(col("id_a").as("id"), col("d2").as("core2")))
+    val mre = pairs.filter(col("id_a") < col("id_b"))
+      .join(core.select(col("id").as("id_a"), col("core2").as("_ca")), "id_a")
+      .join(core.select(col("id").as("id_b"), col("core2").as("_cb")), "id_b")
+      .select(col("id_a").as("u"), col("id_b").as("v"),
+        greatest(col("d2"), col("_ca"), col("_cb")).as("w"))
+    val msf = graft.operators.Analytics.minimumSpanningForest(
+      mre, "u", "v", "w")
+    val cut = graft.operators.Analytics.singleLinkCut(msf, "u", "v", "w", eps2)
+    sample.select(col("id"))
+      .join(core.select(col("id"),
+        (col("core2") <= lit(eps2)).as("_core")), Seq("id"), "left")
+      .join(cut.select(col("node").as("id"), col("cluster")), Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("_core"), lit(false)), col("cluster")).as("cluster"),
+        coalesce(col("_core"), lit(false)).as("is_core"))
+  }
+
   def distanceProfile(em: DataFrame, idCol: String, vecCol: String,
                       sampleN: Int = 100, bins: Int = 20): DataFrame = {
     require(sampleN >= 2 && bins >= 1, "distanceProfile needs sampleN>=2, bins>=1")

@@ -166,6 +166,49 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  // --- DBSCAN* ---------------------------------------------------------------
+
+  test("dbscanStar matches the driver-side DBSCAN* definition on a planted variable-density fixture") {
+    import graft.operators.Similarity
+    // two tight planted clusters + far-flung noise, all deterministic
+    val pts: Seq[(Long, Array[Double])] =
+      (0 until 12).map(i => (i.toLong, Array(i * 0.01, 0.0))) ++
+      (0 until 12).map(i => (100L + i, Array(10.0 + i * 0.01, 5.0))) ++
+      (0 until 6).map(i => (900L + i, Array(100.0 + 7 * i, -50.0 - 13 * i)))
+    val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val k = 4
+    val eps2 = 1.0
+    val got = Similarity.dbscanStar(df, "vec_id", "embedding",
+        k = k, eps2 = eps2, sampleN = 1000)
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // driver-side DBSCAN*: core = k-th-NN d2 <= eps2; clusters =
+    // components of {core pairs with d2 <= eps2}; non-core = noise
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = pts.toMap
+    val coreIds = pts.collect { case (id, v)
+      if pts.filter(_._1 != id).map(p => d2(v, p._2)).sorted.apply(k - 1) <= eps2
+      => id }.toSet
+    val corePairs = for {
+      (a, va) <- pts; (b, vb) <- pts
+      if a < b && coreIds(a) && coreIds(b) && d2(va, vb) <= eps2
+    } yield (a, b)
+    val want = components(corePairs, coreIds)
+
+    pts.foreach { case (id, _) =>
+      val (cl, isCore) = got(id)
+      assert(isCore === coreIds(id), s"core flag wrong for $id")
+      if (coreIds(id)) assert(cl === Some(want(id)), s"cluster wrong for $id")
+      else assert(cl.isEmpty, s"noise $id must have NULL cluster")
+    }
+    // the planted structure: exactly the two clusters, noise = the 6 outliers
+    val clusters = got.collect { case (_, (Some(c), _)) => c }.toSet
+    assert(clusters === Set(0L, 100L), s"got clusters $clusters")
+    assert(got.count(_._2._1.isEmpty) === 6)
+  }
+
   // --- DQ-composed staging pipeline -------------------------------------------
 
   test("RawToStaging.runWithDq: poisoned rows route to both quarantines and the DQ reports see them") {

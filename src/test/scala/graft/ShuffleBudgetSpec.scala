@@ -223,6 +223,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
                                       // the 97-node fixture
     "q_single_link" -> (512L << 10),  // Borůvka component rounds + one CC
                                       // cut + size rollup, node/edge-sized
+    "q_dbscan" -> (2L << 20),         // fixed 200-sample broadcast pair
+                                      // frame + MSF rounds + CC cut —
+                                      // constant at every tier by contract
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
