@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the full suite (45 suites, ~700 tests, one shared session) accumulates
+// cache/codegen state past the 8g run-scope default — a late suite then
+// OOMs on an allocation its standalone run never approaches. Appended
+// last so it wins over the inherited -Xmx.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "16g")}"

@@ -1006,6 +1006,14 @@ object SparkEntry {
       Similarity.dbscanStar(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 4, eps2 = 1.39, sampleN = 200)),
 
+    // --- k-means|| init (Bahmani '12) over the FULL embeddings corpus:
+    // md5-determinized oversampling rounds in exact-integer form, then
+    // the deterministic greedy weighted recluster — every draw and every
+    // tie replayable in DuckDB with zero tolerance ---
+    "q_kmeanspp" -> ((s, dir) =>
+      Similarity.kmeansParallelInit(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 4, oversample = 4, rounds = 3)),
+
     // --- audio modality: PCM16 decode -> 64-sample frames -> integer
     // energy/peak/silence (VAD front end); fixture samples are pure
     // functions of doc_id so the oracle certifies the decode path ---
@@ -3976,6 +3984,14 @@ object SparkEntry {
         |       MAX(cos) AS max_cos, -1.0 + bin * (2.0 / 20) AS lo
         |FROM h GROUP BY 1""".stripMargin,
 
+    // k-means|| replay: every round's draws in the SAME exact-integer
+    // inequality ((2b+1)·φq < 2ℓk·buckets·q over the QUANTIZED distance
+    // sum — a float φ would flip boundary draws at its last ulp), seed =
+    // md5-lowest id, weights by (d²,id)-argmin vote, final picks by the
+    // deterministic greedy weighted recluster (argmax w·d², ties id,
+    // stop at value ≤ 0 — each fN self-extinguishes once any level does)
+    "q_kmeanspp" -> kmeansppSql(k = 4, lk = 16, rounds = 3),
+
     // DBSCAN* replay: same md5 sample, same strict-left-fold d², the
     // k-th-(d²,id) core rank, then clusters = recursive min-label CC
     // over {core pairs, d² ≤ eps²} — which IS the query's mreach-MST
@@ -6682,6 +6698,74 @@ object SparkEntry {
        |FROM memb m LEFT JOIN (
        |  SELECT src AS node, least(src, MIN(dst)) AS cluster_id
        |  FROM freach GROUP BY src) fc ON fc.node = m.node""".stripMargin
+  }
+
+  /** q_kmeanspp oracle: the k-means|| rounds + greedy weighted recluster
+   * unrolled as chained CTEs — candidate sets are data-dependent, so the
+   * replay JOINS the accumulating candidate CTEs instead of literals;
+   * all distances are the strict-left-fold d² = v² − 2a·b + c² in the
+   * exact order the Spark expressions evaluate. */
+  private def kmeansppSql(k: Int, lk: Int, rounds: Int): String = {
+    def d2(v: String, v2: String, c: String, c2: String) =
+      s"$v2 - 2.0 * ${dotSql(v, c)} + $c2"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""qr$r AS MATERIALIZED (
+         |  SELECT b.id, GREATEST(CAST(floor(
+         |    MIN(${d2("b.vv", "b.v2", "c.vv", "c.c2")}) * 1048576.0 + 0.5)
+         |    AS BIGINT), 0) AS q
+         |  FROM b, $prev c GROUP BY b.id
+         |), ph$r AS MATERIALIZED (SELECT SUM(q) AS phi FROM qr$r),
+         |d$r AS MATERIALIZED (
+         |  SELECT b.id, b.vv, b.v2 AS c2 FROM qr$r q
+         |  JOIN b ON b.id = q.id CROSS JOIN ph$r
+         |  WHERE (2 * (CAST(concat('0x',
+         |          substr(md5(CAST(q.id AS VARCHAR) || ':' || $r), 1, 8))
+         |          AS BIGINT) % 10000) + 1) * ph$r.phi
+         |        < ${2L * lk * 10000} * q.q
+         |), c$r AS MATERIALIZED (
+         |  SELECT id, vv, c2 FROM $prev
+         |  UNION ALL
+         |  SELECT id, vv, c2 FROM d$r)""".stripMargin
+    }.mkString(",\n")
+    val pickCtes = (2 to k).map { n =>
+      val prevPicks = (1 until n).map(i => s"SELECT vv, c2 FROM f$i")
+        .mkString(" UNION ALL ")
+      val prevIds = (1 until n).map(i => s"SELECT id FROM f$i")
+        .mkString(" UNION ALL ")
+      s"""f$n AS MATERIALIZED (
+         |  SELECT cw.id, cw.vv, cw.c2, cw.wt FROM cw JOIN (
+         |    SELECT id FROM (
+         |      SELECT c.id, c.wt * MIN(${d2("c.vv", "c.c2", "p.vv", "p.c2")}) AS val
+         |      FROM cw c, ($prevPicks) p
+         |      WHERE c.id NOT IN ($prevIds)
+         |      GROUP BY c.id, c.wt)
+         |    WHERE val > 0 ORDER BY val DESC, id LIMIT 1) s ON s.id = cw.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionTail = (2 to k).map(n =>
+      s"UNION ALL SELECT $n, CAST(id AS BIGINT), wt FROM f$n").mkString("\n")
+    s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+       |            embedding::DOUBLE[] AS vv FROM embeddings),
+       |b AS MATERIALIZED (SELECT id, vv, ${dotSql("vv", "vv")} AS v2 FROM v),
+       |c0 AS MATERIALIZED (
+       |  SELECT id, vv, v2 AS c2 FROM b
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+       |$roundCtes,
+       |wv AS MATERIALIZED (
+       |  SELECT cid, COUNT(*) AS wt FROM (
+       |    SELECT b.id, c.id AS cid,
+       |           row_number() OVER (PARTITION BY b.id
+       |             ORDER BY ${d2("b.vv", "b.v2", "c.vv", "c.c2")}, c.id) AS rn
+       |    FROM b, c$rounds c) WHERE rn = 1 GROUP BY cid),
+       |cw AS MATERIALIZED (
+       |  SELECT c.id, c.vv, c.c2, wv.wt
+       |  FROM c$rounds c JOIN wv ON wv.cid = c.id),
+       |f1 AS MATERIALIZED (SELECT id, vv, c2, wt FROM cw
+       |                    ORDER BY wt DESC, id LIMIT 1),
+       |$pickCtes
+       |SELECT 1 AS rank, CAST(id AS BIGINT) AS center_id, wt AS weight FROM f1
+       |$unionTail""".stripMargin
   }
 
   private def pagerankSql(iters: Int, damping: Double): String = {

@@ -2021,6 +2021,121 @@ object Similarity {
    * bin edges are exact — no tolerance anywhere.
    */
   /**
+   * K-MEANS‖ INITIALIZATION (Bahmani et al. VLDB'12, "Scalable
+   * k-means++") — the distributed init that replaces [[kmeans]]'s
+   * md5-pick: k-means++ needs k sequential passes (each draw depends on
+   * all previous), k-means‖ OVERSAMPLES ~ℓ·k candidates per round for
+   * O(rounds) passes, then reclusters the tiny weighted candidate set.
+   * Every stochastic choice is md5-DETERMINIZED (the engine-portable
+   * sampling contract):
+   *
+   *  - round r draws x when u(x,r) < ℓk·d²(x,C)/φ with u the
+   *    (bucket+0.5)/buckets md5 uniform of "id:r" — evaluated in EXACT
+   *    INTEGER form (2b+1)·φq < 2ℓk·buckets·q, where q = the QUANTIZED
+   *    distance ⌊min d²·2²⁰+0.5⌋ (a float φ = Σ d² would differ in its
+   *    last ulp across engines and flip boundary draws; the integer Σq
+   *    cannot — the cross-engine-rounding discipline);
+   *  - the seed candidate is the md5-lowest id (the kCenterSelect rule);
+   *  - the final k centers come from the candidate set by DETERMINISTIC
+   *    greedy weighted k-means++: first = max weight, then argmax of
+   *    weight·d²-to-picked (ties → smallest id) — the argmax variant of
+   *    the sampled-∝-w·d² recluster, stopping early when no remaining
+   *    candidate adds coverage (value ≤ 0).
+   *
+   * Scale shape: each round is ONE map-side pass (candidates ride as
+   * literal arrays — the kCenterSelect precedent) + a 1-row integer agg
+   * + a collect of ~ℓk drawn rows (model artifact); the weight pass is
+   * one broadcast cross-join + two partial-agg groupBys; the recluster
+   * is driver-side over ≤ ℓk·rounds+1 candidates. Ids are cast to LONG
+   * (deterministic ordering contract). Returns (rank, center_id,
+   * weight) — feed the ranked ids' vectors to Lloyd as its init.
+   */
+  def kmeansParallelInit(em: DataFrame, idCol: String, vecCol: String,
+                         k: Int, oversample: Int = 4, rounds: Int = 3,
+                         buckets: Int = 10000): DataFrame = {
+    require(k >= 1 && oversample >= 1 && rounds >= 1 && buckets >= 2,
+      "kmeansParallelInit needs k, oversample, rounds >= 1 and buckets >= 2")
+    val spark = em.sparkSession
+    import spark.implicits._
+    val quant = 1L << 20
+    val lk = oversample.toLong * k
+    val base = graft.CacheScope.persist(
+      em.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("v2", dot(col("v"), col("v"))))
+    val seed = base.withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h", "id").limit(1).select("id", "v").collect()
+    if (seed.isEmpty) return Seq.empty[(Int, Long, Long)]
+      .toDF("rank", "center_id", "weight")
+    def vecOf(r: org.apache.spark.sql.Row): Vector[Double] =
+      r.getAs[scala.collection.Seq[Double]]("v").toVector
+    var cands = Vector((seed(0).getLong(0), vecOf(seed(0))))
+    def d2Exprs(cs: Vector[(Long, Vector[Double])]) = cs.map { case (_, c) =>
+      // c² driver-side with the SAME left fold the kernel runs
+      val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      col("v2") - lit(2.0) * dot(col("v"), typedLit(c)) + lit(c2)
+    }
+    for (r <- 1 to rounds) {
+      val q = greatest(
+        floor(d2Exprs(cands).reduce(least(_, _)) * quant + 0.5).cast("long"),
+        lit(0L))
+      val wq = base.withColumn("q", q)
+      val phiQ = wq.agg(sum(col("q"))).head.getLong(0)
+      if (phiQ > 0L) {
+        val b = graft.operators.Sampling.hashBucket(
+          concat(col("id").cast("string"), lit(":"), lit(r)), buckets)
+        val drawn = wq
+          .filter((b * 2L + 1L) * lit(phiQ) <
+            lit(2L * lk * buckets) * col("q"))
+          .select("id", "v").collect()
+          .map(row => (row.getLong(0), vecOf(row)))
+          .sortBy(_._1)
+        cands ++= drawn // disjoint by construction: a candidate has q = 0
+      }
+    }
+    // weights: every point votes for its (d², id)-nearest candidate
+    val candDf = broadcast(
+      cands.map { case (i, c) => (i, c) }.toDF("cid", "cv")
+        .withColumn("c2", dot(col("cv"), col("cv"))))
+    val weights = base.crossJoin(candDf)
+      .select(col("id"),
+        struct((col("v2") - lit(2.0) * dot(col("v"), col("cv")) +
+          col("c2")).as("d2"), col("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("m"))
+      .groupBy(col("m.cid").as("cid")).agg(count(lit(1)).as("wt"))
+      .as[(Long, Long)].collect().toMap
+    // deterministic greedy weighted recluster (driver: ≤ ℓk·rounds+1 rows)
+    val candVec = cands.toMap
+    def cd2(a: Vector[Double], b: Vector[Double]): Double = {
+      val a2 = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      val b2 = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      val ab = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      a2 - 2.0 * ab + b2
+    }
+    val weighted = cands.map(_._1).filter(weights.contains)
+      .map(i => (i, weights(i)))
+    if (weighted.isEmpty) return Seq.empty[(Int, Long, Long)]
+      .toDF("rank", "center_id", "weight")
+    var picks = Vector(weighted.maxBy { case (i, w) => (w, -i) })
+    var done = false
+    while (picks.size < k && !done) {
+      val remaining = weighted.filterNot(c => picks.exists(_._1 == c._1))
+      val scored = remaining.map { case (i, w) =>
+        val mind2 = picks.map(p => cd2(candVec(i), candVec(p._1))).min
+        (i, w, w * mind2)
+      }
+      val best = scored.sortBy { case (i, _, v) => (-v, i) }.headOption
+      best match {
+        case Some((i, w, v)) if v > 0.0 => picks :+= ((i, w))
+        case _ => done = true
+      }
+    }
+    picks.zipWithIndex
+      .map { case ((i, w), idx) => (idx + 1, i, w) }
+      .toDF("rank", "center_id", "weight")
+  }
+
+  /**
    * DBSCAN* density clustering over an embedding sample (Campello,
    * Moulavi & Sander 2013 — the HDBSCAN family's flat cut, and exactly
    * the mutual-reachability MST cut at eps): a point is CORE when its

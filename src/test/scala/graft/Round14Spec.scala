@@ -209,6 +209,44 @@ class Round14Spec extends SparkSpecBase {
     assert(got.count(_._2._1.isEmpty) === 6)
   }
 
+  // --- k-means|| init ----------------------------------------------------------
+
+  test("kmeansParallelInit covers planted clusters, weights partition the corpus, deterministic") {
+    import graft.operators.Similarity
+    // three tight planted clusters, 40 points each, far apart — a
+    // correct init MUST land one center in each (an md5-pick of 3
+    // random points misses a cluster ~4 times in 9)
+    val pts: Seq[(Long, Seq[Double])] =
+      (0 until 40).map(i => (i.toLong, Seq(i * 0.01, 0.0))) ++
+      (0 until 40).map(i => (200L + i, Seq(50.0 + i * 0.01, 30.0))) ++
+      (0 until 40).map(i => (400L + i, Seq(-40.0 + i * 0.01, -60.0)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansParallelInit(df, "vec_id", "embedding",
+        k = 3, oversample = 4, rounds = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === 3, got.mkString(","))
+    // one pick per planted cluster
+    def clusterOf(id: Long): Long = id / 200
+    assert(got.map(r => clusterOf(r._2)).toSet === Set(0L, 1L, 2L),
+      s"picks ${got.mkString(",")} miss a planted cluster")
+    // rank-1 is the heaviest candidate; every weight is positive
+    assert(got.head._3 === got.map(_._3).max)
+    assert(got.forall(_._3 > 0))
+    // deterministic end to end
+    val again = Similarity.kmeansParallelInit(df, "vec_id", "embedding",
+        k = 3, oversample = 4, rounds = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+    // degenerate: k larger than the distinct-point spread still returns
+    // every coverage-adding pick exactly once (the value<=0 stop)
+    val tiny = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)),
+      (3L, Seq(9.0, 9.0))).toDF("vec_id", "embedding")
+    val picks = Similarity.kmeansParallelInit(tiny, "vec_id", "embedding",
+        k = 3, oversample = 2, rounds = 2)
+      .as[(Int, Long, Long)].collect()
+    assert(picks.length <= 2, s"duplicate-point picks: ${picks.mkString(",")}")
+  }
+
   // --- DQ-composed staging pipeline -------------------------------------------
 
   test("RawToStaging.runWithDq: poisoned rows route to both quarantines and the DQ reports see them") {

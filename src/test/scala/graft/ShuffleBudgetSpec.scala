@@ -226,6 +226,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_dbscan" -> (2L << 20),         // fixed 200-sample broadcast pair
                                       // frame + MSF rounds + CC cut —
                                       // constant at every tier by contract
+    "q_kmeanspp" -> (256L << 10),     // map-side literal-candidate rounds;
+                                      // only the integer q agg and the
+                                      // (id, vote) weight pass shuffle
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
