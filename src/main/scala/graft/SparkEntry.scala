@@ -589,6 +589,19 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
     }),
 
+    // --- incremental WEIGHTED near-dup: the same delta-vs-archive split
+    // probed through the ICWS band index, candidates verified with the
+    // exact Σmin/Σmax weighted Jaccard (the q_dedup_delta shape with the
+    // tf-weighted kernels — repetitive variants now discriminate) ---
+    "q_dedup_wdelta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val archive = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.dedupAgainstIndexWeighted(fresh,
+        Dedup.wminhashIndex(archive, "doc_id", "text"), archive,
+        "doc_id", "text", threshold = 0.7)
+    }),
+
     // measured gate: blocked simhash join vs brute-force bit_count(xor)
     // all-pairs over the same signatures — diff counts must be zero.
     // The brute side is quadratic by design, so past 20k docs it runs
@@ -1005,6 +1018,32 @@ object SparkEntry {
     "q_dbscan" -> ((s, dir) =>
       Similarity.dbscanStar(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 4, eps2 = 1.39, sampleN = 200)),
+
+    // --- dendrogram ladder: ONE Borůvka forest, three single-link cuts
+    // (the singleLinkCut reuse claim made a query): per threshold the
+    // cluster/singleton counts — clusters monotonically merge as t grows;
+    // the oracle re-clusters the thresholded ORIGINAL graph per rung ---
+    "q_dendrogram" -> ((s, dir) => {
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val und = edges.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v")).distinct()
+      val wed = und.withColumn("w", pmod(col("u") * 7 + col("v") * 13, lit(20)))
+      val msf = Analytics.minimumSpanningForest(wed, "u", "v", "w")
+      Seq(3, 7, 11).map { t =>
+        Analytics.singleLinkCut(msf, "u", "v", "w", t.toDouble)
+          .agg(countDistinct(col("cluster")).as("n_clusters"),
+            count(lit(1)).as("n_nodes"),
+            sum(when(col("merge_dist").isNull, 1L).otherwise(0L))
+              .as("n_singletons"))
+          .select(lit(t).as("threshold"), col("n_clusters"),
+            col("n_nodes"), col("n_singletons"))
+      }.reduce(_ unionByName _)
+    }),
 
     // --- k-means|| init (Bahmani '12) over the FULL embeddings corpus:
     // md5-determinized oversampling rounds in exact-integer form, then
@@ -2930,6 +2969,37 @@ object SparkEntry {
         |FROM p WHERE common::DOUBLE / (tot_a + tot_b - common) >= 0.7"""
         .stripMargin,
 
+    // incremental WEIGHTED dedup ≡ the exact weighted-Jaccard join
+    // restricted to pairs with a new (doc_id % 10 = 0) left side —
+    // the q_dedup_delta tail over the q_dedup_wminhash tf machinery
+    "q_dedup_wdelta" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3
+        |), tf AS (
+        |  SELECT id, g, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT id, SUM(c) AS tot FROM tf GROUP BY 1
+        |), co AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, SUM(LEAST(a.c, b.c)) AS common
+        |  FROM tf a JOIN tf b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT id_a, id_b, common, sa.tot AS tot_a, sb.tot AS tot_b
+        |  FROM co JOIN sz sa ON sa.id = co.id_a JOIN sz sb ON sb.id = co.id_b
+        |), d AS (
+        |  SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+        |         CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS dup_id,
+        |         common::DOUBLE / (tot_a + tot_b - common) AS jaccard_w
+        |  FROM p WHERE id_a % 10 = 0 OR id_b % 10 = 0
+        |)
+        |SELECT new_id, dup_id, jaccard_w,
+        |       CASE WHEN dup_id % 10 = 0 THEN 'new' ELSE 'old' END AS dup_src
+        |FROM d WHERE jaccard_w >= 0.7""".stripMargin,
+
     // incremental dedup ≡ the exact Jaccard join restricted to pairs with
     // a new (doc_id % 10 = 0) left side; new-new pairs emitted once
     "q_dedup_delta" ->
@@ -3983,6 +4053,58 @@ object SparkEntry {
         |SELECT bin, COUNT(*) AS n_pairs, MIN(cos) AS min_cos,
         |       MAX(cos) AS max_cos, -1.0 + bin * (2.0 / 20) AS lo
         |FROM h GROUP BY 1""".stripMargin,
+
+    // dendrogram ladder: one reach CTE per rung over the t-thresholded
+    // ORIGINAL graph (the MST/single-link equivalence per threshold);
+    // singletons = nodes in size-1 clusters ≡ null-merge_dist nodes
+    "q_dendrogram" ->
+      """WITH RECURSIVE ed0 AS (
+        |  SELECT user_id % 97 AS a, (user_id * 31 + 7) % 97 AS b FROM events
+        |  UNION ALL
+        |  SELECT user_id % 97, (user_id * 57 + 13) % 97 FROM events
+        |), g AS (
+        |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM ed0 WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL
+        |), we AS (
+        |  SELECT u, v, (u * 7 + v * 13) % 20 AS w FROM g
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM we UNION ALL SELECT v FROM we)
+        |), e3 AS (SELECT u AS src, v AS dst FROM we WHERE w <= 3
+        |          UNION SELECT v, u FROM we WHERE w <= 3
+        |), r3(src, dst) AS (
+        |  SELECT src, dst FROM e3
+        |  UNION SELECT r.src, e.dst FROM r3 r JOIN e3 e ON r.dst = e.src
+        |), e7 AS (SELECT u AS src, v AS dst FROM we WHERE w <= 7
+        |          UNION SELECT v, u FROM we WHERE w <= 7
+        |), r7(src, dst) AS (
+        |  SELECT src, dst FROM e7
+        |  UNION SELECT r.src, e.dst FROM r7 r JOIN e7 e ON r.dst = e.src
+        |), e11 AS (SELECT u AS src, v AS dst FROM we WHERE w <= 11
+        |           UNION SELECT v, u FROM we WHERE w <= 11
+        |), r11(src, dst) AS (
+        |  SELECT src, dst FROM e11
+        |  UNION SELECT r.src, e.dst FROM r11 r JOIN e11 e ON r.dst = e.src
+        |), lad(threshold, node, cluster) AS (
+        |  SELECT 3, n.node, COALESCE(c.cl, n.node) FROM nodes n
+        |  LEFT JOIN (SELECT src, least(src, MIN(dst)) AS cl
+        |             FROM r3 GROUP BY src) c ON c.src = n.node
+        |  UNION ALL
+        |  SELECT 7, n.node, COALESCE(c.cl, n.node) FROM nodes n
+        |  LEFT JOIN (SELECT src, least(src, MIN(dst)) AS cl
+        |             FROM r7 GROUP BY src) c ON c.src = n.node
+        |  UNION ALL
+        |  SELECT 11, n.node, COALESCE(c.cl, n.node) FROM nodes n
+        |  LEFT JOIN (SELECT src, least(src, MIN(dst)) AS cl
+        |             FROM r11 GROUP BY src) c ON c.src = n.node
+        |), sz AS (
+        |  SELECT threshold, cluster, COUNT(*) AS n FROM lad GROUP BY 1, 2
+        |)
+        |SELECT threshold, COUNT(*) AS n_clusters,
+        |       CAST(SUM(n) AS BIGINT) AS n_nodes,
+        |       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_singletons
+        |FROM sz GROUP BY 1""".stripMargin,
 
     // k-means|| replay: every round's draws in the SAME exact-integer
     // inequality ((2b+1)·φq < 2ℓk·buckets·q over the QUANTIZED distance

@@ -229,6 +229,10 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_kmeanspp" -> (256L << 10),     // map-side literal-candidate rounds;
                                       // only the integer q agg and the
                                       // (id, vote) weight pass shuffle
+    "q_dedup_wdelta" -> (2L << 20),   // the q_dedup_wminhash band/bucket
+                                      // budget: delta banding + index probe
+                                      // + exact-verify joins
+    "q_dendrogram" -> (1L << 20),     // one forest + three node-sized cuts
   )
 
   private val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
