@@ -119,6 +119,27 @@ object SparkEntry {
     SharedStage.get(dir, "dup_clusters:documents:n=3:t=0.7")(
       Dedup.clusterPairs(jaccardPairs(s, dir), "id_a", "id_b"))
 
+  /** Minimum spanning forest of the weighted mod-97 fixture graph,
+   * materialized ONCE per input dir: the forest is the compute-once
+   * read-many artifact of the single-linkage family (its entire point —
+   * q_single_link cuts it at one threshold, q_dendrogram at a ladder;
+   * at 100 TB you run Borůvka once and every dendrogram question is an
+   * O(V) cut). */
+  private def fixtureMsf(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, "msf:events_mod97:w=u7v13mod20")({
+      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
+        col("user_id"))
+      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
+        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
+      val und = edges.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v")).distinct()
+      val wed = und.withColumn("w",
+        pmod(col("u") * 7 + col("v") * 13, lit(20)))
+      Analytics.minimumSpanningForest(wed, "u", "v", "w")
+    })
+
   // --- entity resolution over customer: weights/threshold shared between
   // the Spark queries and their oracle SQL. The total weight is the
   // EXACT Scala double (0.5+0.2+0.3 is 0.9999999999999999, not 1.0 —
@@ -1024,16 +1045,7 @@ object SparkEntry {
     // cluster/singleton counts — clusters monotonically merge as t grows;
     // the oracle re-clusters the thresholded ORIGINAL graph per rung ---
     "q_dendrogram" -> ((s, dir) => {
-      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
-        col("user_id"))
-      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
-        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
-      val und = edges.select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .filter(col("u").isNotNull && col("v").isNotNull &&
-          col("u") =!= col("v")).distinct()
-      val wed = und.withColumn("w", pmod(col("u") * 7 + col("v") * 13, lit(20)))
-      val msf = Analytics.minimumSpanningForest(wed, "u", "v", "w")
+      val msf = fixtureMsf(s, dir)
       Seq(3, 7, 11).map { t =>
         Analytics.singleLinkCut(msf, "u", "v", "w", t.toDouble)
           .agg(countDistinct(col("cluster")).as("n_clusters"),
@@ -1154,17 +1166,8 @@ object SparkEntry {
     // thresholds the ORIGINAL graph and takes connected components,
     // the query thresholds the Borůvka FOREST; identical clusters ---
     "q_single_link" -> ((s, dir) => {
-      val u = ev(s, dir).select(pmod(col("user_id"), lit(97)).as("a"),
-        col("user_id"))
-      val edges = u.select(col("a"), pmod(col("user_id") * 31 + 7, lit(97)).as("b"))
-        .union(u.select(col("a"), pmod(col("user_id") * 57 + 13, lit(97)).as("b")))
-      val und = edges.select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .filter(col("u").isNotNull && col("v").isNotNull &&
-          col("u") =!= col("v")).distinct()
-      val wed = und.withColumn("w", pmod(col("u") * 7 + col("v") * 13, lit(20)))
-      val msf = Analytics.minimumSpanningForest(wed, "u", "v", "w")
-      val cut = Analytics.singleLinkCut(msf, "u", "v", "w", threshold = 7.0)
+      val cut = Analytics.singleLinkCut(fixtureMsf(s, dir), "u", "v", "w",
+        threshold = 7.0)
       cut.select(col("node"), col("cluster"))
         .join(cut.groupBy("cluster").agg(count(lit(1)).as("n_nodes")),
           Seq("cluster"))

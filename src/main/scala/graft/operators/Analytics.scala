@@ -1848,7 +1848,10 @@ object Analytics {
           .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
           .distinct() // both endpoints' components may pick the same edge
         val pickedRound = graft.CacheScope.persist(minE)
-        picked = graft.CacheScope.lineageCut(
+        // LAZY cut: nothing reads the accumulator mid-loop, so the
+        // plan-tree truncation is all that matters — the eager
+        // materialization job per round was pure fixed cost
+        picked = graft.CacheScope.lineageCutLazy(
           picked.union(pickedRound), checkpointDir)
         // merge: CC over the picked edges' component pairs (a forest on
         // the component graph — tiny), then relabel every node
@@ -1857,7 +1860,9 @@ object Analytics {
         val merged = graft.operators.Dedup.clusterPairs(
           compPairs, "cu", "cv", checkpointDir = checkpointDir)
           .select(col("id").as("comp"), col("cluster_id"))
-        labels = graft.CacheScope.lineageCut(
+        // lazy for the same reason: the next round's cross.isEmpty is
+        // the first (and only) reader
+        labels = graft.CacheScope.lineageCutLazy(
           labels.join(merged, Seq("comp"), "left")
             .select(col("node"),
               coalesce(col("cluster_id"), col("comp")).as("comp")),

@@ -2147,14 +2147,17 @@ object Similarity {
    * diffuse topic cloud) get clusters where a single global radius
    * either merges or shatters.
    *
-   * Implementation IS the equivalence the papers state: mutual-
-   * reachability weight w(a,b) = max(d²(a,b), core²(a), core²(b)) over
-   * the complete sample graph → [[graft.operators.Analytics
-   * .minimumSpanningForest]] → [[graft.operators.Analytics
-   * .singleLinkCut]] at eps² — cutting the mreach MST at eps yields the
-   * DBSCAN* partition (w ≤ eps² ⟺ both endpoints core AND d ≤ eps), and
-   * the SAME forest re-cuts at an eps ladder for the HDBSCAN-style
-   * hierarchy without recomputing distances. All arithmetic is exact
+   * The papers' equivalence — DBSCAN* = cutting the mutual-reachability
+   * MST at eps, because w(a,b) = max(d², core²_a, core²_b) ≤ eps² ⟺
+   * both endpoints core AND d ≤ eps — lets the FLAT cut skip the forest
+   * entirely: clusters are ONE [[graft.operators.Dedup.clusterPairs]]
+   * pass over {core pairs with d² ≤ eps²} (a Borůvka loop here would
+   * pay O(log n) rounds of nested CC for a result one CC pass gives —
+   * measured 207 s → ~5 s at the bench fixture). The HIERARCHY path —
+   * an eps LADDER from one forest — is the [[mutualReachabilityEdges]]
+   * → [[graft.operators.Analytics.minimumSpanningForest]] →
+   * [[graft.operators.Analytics.singleLinkCut]] composition, and the
+   * spec asserts the two routes agree. All arithmetic is exact
    * cross-engine: squared L2 via the strict-left-fold dot kernel
    * (d² = |a|² + |b|² − 2a·b — one defined accumulation order), the
    * k-NN rank breaks ties (d², id), max/compare of exact doubles.
@@ -2194,21 +2197,63 @@ object Similarity {
         Window.partitionBy("id_a").orderBy(col("d2"), col("id_b"))))
       .filter(col("_rn") === k)
       .select(col("id_a").as("id"), col("d2").as("core2")))
-    val mre = pairs.filter(col("id_a") < col("id_b"))
+    val corePts = core.filter(col("core2") <= lit(eps2))
+    val kept = pairs.filter(col("id_a") < col("id_b"))
+      .filter(col("d2") <= lit(eps2))
+      .join(corePts.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(corePts.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+    val cc = graft.operators.Dedup.clusterPairs(kept, "id_a", "id_b")
+    sample.select(col("id"))
+      .join(core.select(col("id"),
+        (col("core2") <= lit(eps2)).as("_core")), Seq("id"), "left")
+      .join(cc.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("_core"), lit(false)),
+          coalesce(col("cluster_id"), col("id"))).as("cluster"),
+        coalesce(col("_core"), lit(false)).as("is_core"))
+  }
+
+  /**
+   * Mutual-reachability edge list over the same md5-capped sample —
+   * the HIERARCHY half of [[dbscanStar]]: w(a,b) = max(d²(a,b),
+   * core²_k(a), core²_k(b)). Feed it to [[graft.operators.Analytics
+   * .minimumSpanningForest]] once and read the whole HDBSCAN-style
+   * dendrogram with [[graft.operators.Analytics.singleLinkCut]] at an
+   * eps² ladder — each rung's clusters (restricted to core points,
+   * i.e. nodes with merge paths ≤ eps²) equal [[dbscanStar]] at that
+   * eps, which the spec asserts.
+   */
+  def mutualReachabilityEdges(em: DataFrame, idCol: String, vecCol: String,
+                              k: Int, sampleN: Int = 200): DataFrame = {
+    require(k >= 1 && sampleN >= 2,
+      "mutualReachabilityEdges needs k >= 1, sampleN >= 2")
+    val sample = graft.CacheScope.persist(em
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .withColumn("sq", dot(col("v"), col("v"))))
+    val a = sample.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("sq").as("sq_a"))
+    val b = sample.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("sq").as("sq_b"))
+    val pairs = graft.CacheScope.persist(
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("d2", col("sq_a") + col("sq_b") -
+          lit(2.0) * dot(col("v_a"), col("v_b")))
+        .select("id_a", "id_b", "d2"))
+    val core = pairs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("d2"), col("id_b"))))
+      .filter(col("_rn") === k)
+      .select(col("id_a").as("id"), col("d2").as("core2"))
+    pairs.filter(col("id_a") < col("id_b"))
       .join(core.select(col("id").as("id_a"), col("core2").as("_ca")), "id_a")
       .join(core.select(col("id").as("id_b"), col("core2").as("_cb")), "id_b")
       .select(col("id_a").as("u"), col("id_b").as("v"),
         greatest(col("d2"), col("_ca"), col("_cb")).as("w"))
-    val msf = graft.operators.Analytics.minimumSpanningForest(
-      mre, "u", "v", "w")
-    val cut = graft.operators.Analytics.singleLinkCut(msf, "u", "v", "w", eps2)
-    sample.select(col("id"))
-      .join(core.select(col("id"),
-        (col("core2") <= lit(eps2)).as("_core")), Seq("id"), "left")
-      .join(cut.select(col("node").as("id"), col("cluster")), Seq("id"), "left")
-      .select(col("id"),
-        when(coalesce(col("_core"), lit(false)), col("cluster")).as("cluster"),
-        coalesce(col("_core"), lit(false)).as("is_core"))
   }
 
   def distanceProfile(em: DataFrame, idCol: String, vecCol: String,

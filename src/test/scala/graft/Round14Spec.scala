@@ -207,6 +207,23 @@ class Round14Spec extends SparkSpecBase {
     val clusters = got.collect { case (_, (Some(c), _)) => c }.toSet
     assert(clusters === Set(0L, 100L), s"got clusters $clusters")
     assert(got.count(_._2._1.isEmpty) === 6)
+
+    // the HIERARCHY route agrees with the flat cut (the papers'
+    // equivalence): cutting the mutual-reachability MST at eps² gives
+    // the same clusters on core points (noise = mreach singletons)
+    val mre = Similarity.mutualReachabilityEdges(df, "vec_id", "embedding",
+      k = k, sampleN = 1000)
+    val msf = Analytics.minimumSpanningForest(mre, "u", "v", "w")
+    val ladder = Analytics.singleLinkCut(msf, "u", "v", "w", eps2)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._2).toMap
+    coreIds.foreach { id =>
+      assert(ladder(id) === got(id)._1.get,
+        s"MST-cut route disagrees with the flat cut at $id")
+    }
+    pts.collect { case (id, _) if !coreIds(id) => id }.foreach { id =>
+      assert(ladder(id) === id, s"noise $id must be an mreach singleton")
+    }
   }
 
   // --- k-means|| init ----------------------------------------------------------
