@@ -491,7 +491,7 @@ object Analytics {
         // orientations → /2) plus members' carried self-loops
         val selfEdges = tagged.filter(col("_ru") === col("_rv"))
           .groupBy(col("_ru").as("node"))
-          .agg((sum("w") / 2).cast("long").as("_se"))
+          .agg(expr("sum(w) div 2L").as("_se"))
         val selfNext = selfW match {
           case None => selfEdges.select(col("node"), col("_se").as("sw"))
           case Some(sw0) =>

@@ -2080,7 +2080,19 @@ object Similarity {
         floor(d2Exprs(cands).reduce(least(_, _)) * quant + 0.5).cast("long"),
         lit(0L))
       val wq = base.withColumn("q", q)
-      val phiQ = wq.agg(sum(col("q"))).head.getLong(0)
+      val aggRow = wq.agg(sum(col("q")), max(col("q"))).head
+      val phiQ = aggRow.getLong(0)
+      val maxQ = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
+      // Draw inequality (2b+1)·φq < 2ℓk·B·q runs in non-ANSI LongType:
+      // a silent 2^63 wrap would flip draws and diverge from the
+      // engine-replayed oracle (the same wrap class louvainMoves gates
+      // in-plan). Both factors are already on the driver — refuse loud.
+      require(phiQ <= Long.MaxValue / (2L * buckets - 1L),
+        s"kmeansParallelInit: (2b+1)*phiQ overflows BIGINT (phiQ=$phiQ, " +
+          s"buckets=$buckets) — shrink the quantization or bucket count")
+      require(maxQ <= Long.MaxValue / (2L * lk * buckets),
+        s"kmeansParallelInit: 2*l*k*buckets*q overflows BIGINT " +
+          s"(maxQ=$maxQ, lk=$lk, buckets=$buckets)")
       if (phiQ > 0L) {
         val b = graft.operators.Sampling.hashBucket(
           concat(col("id").cast("string"), lit(":"), lit(r)), buckets)
@@ -2176,8 +2188,12 @@ object Similarity {
                  k: Int, eps2: Double, sampleN: Int = 200): DataFrame = {
     require(k >= 1 && eps2 > 0 && sampleN >= 2,
       "dbscanStar needs k >= 1, eps2 > 0, sampleN >= 2")
+    // id cast to LONG like mutualReachabilityEdges/kmeansParallelInit:
+    // the two hierarchy routes must md5-order the SAME string rendering
+    // (and emit the same id type) or they could pick different samples.
     val sample = graft.CacheScope.persist(em
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(sampleN)
       .withColumn("sq", dot(col("v"), col("v"))))

@@ -1692,21 +1692,47 @@ object Text {
    * ROUNDED (1e-3) BEFORE the ntile ordering so both engines order the
    * exact same keys — the raw double differs in the last ulps across
    * engines and an ordering that reads it would make the boundary doc
-   * engine-dependent; ties inside a rounded score break by id. The
-   * ntile window partitions by language: per-partition state is one
-   * language's corpus slice — the pct_rank/percentileRank discipline,
-   * scale-bounded by the largest single language, with the groupBy
-   * rollup keeping the output mixture-planner-sized.
+   * engine-dependent; ties inside a rounded score break by id.
+   *
+   * Scale shape: language cardinality is FIXED, so
+   * `ntile().over(Window.partitionBy(lang))` would funnel each
+   * language's ENTIRE corpus slice through one task — per-partition
+   * work densifies linearly with corpus size on a constant task count
+   * (the `WindowExec: No Partition Defined`-class trap, measured ~5.1×
+   * warm cpu for 2.5× data before this rewrite). Instead: ONE
+   * distributed total sort over (lang, _lp desc, id) assigns a GLOBAL
+   * rank via [[Analytics.globalRowNumber]]; a partial-agg'd per-lang
+   * (offset = min rank − 1, n = count) frame — language-cardinality
+   * rows — broadcasts back, and the exact NTile split formula maps the
+   * local rank r = rank − offset to its bucket: with q = n div k and
+   * rem = n mod k, the first rem buckets take q+1 rows each (SQL NTILE's
+   * exact rule), so bucket = ⌈r/(q+1)⌉ while r ≤ rem·(q+1), else
+   * rem + ⌈(r − rem·(q+1))/q⌉. All-BIGINT arithmetic — ranks, and
+   * therefore buckets, are identical to the window form by construction
+   * (the order is total: id breaks ties), so the NTILE oracle replays
+   * unchanged; only the plan differs — every stage is now
+   * corpus-parallel regardless of how few languages exist.
    */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, "perplexityBuckets needs nBuckets >= 2")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("_lp").desc, col("id"))
-    docs.select(col(idCol).as("id"), col(langCol).as("lang"))
+    val scored = docs.select(col(idCol).as("id"), col(langCol).as("lang"))
       .join(unigramLogProb(docs, idCol, textCol), "id")
       .withColumn("_lp", floor(col("logprob") * 1000 + 0.5) / 1000)
-      .withColumn("bucket", ntile(nBuckets).over(w))
+    val ranked = Analytics.globalRowNumber(
+      scored, Seq(col("lang"), col("_lp").desc, col("id")), "_gr")
+    val perLang = ranked.groupBy("lang")
+      .agg((min(col("_gr")) - 1L).as("_off"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(perLang), "lang")
+      .withColumn("_r", col("_gr") - col("_off"))
+      .withColumn("_q", expr(s"_n div ${nBuckets}L"))
+      .withColumn("_rem", col("_n") % lit(nBuckets.toLong))
+      .withColumn("_head", col("_rem") * (col("_q") + 1L))
+      .withColumn("bucket",
+        when(col("_r") <= col("_head"),
+          expr("(_r - 1L) div (_q + 1L) + 1L"))
+          .otherwise(expr("_rem + (_r - _head - 1L) div _q + 1L"))
+          .cast("int"))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min(col("_lp")).as("min_lp"),

@@ -224,7 +224,9 @@ class ShuffleBudgetSpec extends SparkSpecBase {
     "q_single_link" -> (512L << 10),  // Borůvka component rounds + one CC
                                       // cut + size rollup, node/edge-sized
     "q_dbscan" -> (2L << 20),         // fixed 200-sample broadcast pair
-                                      // frame + MSF rounds + CC cut —
+                                      // frame + ONE direct clusterPairs CC
+                                      // over {core pairs ≤ eps²} (flat cut
+                                      // ≡ MST cut — no forest built) —
                                       // constant at every tier by contract
     "q_kmeanspp" -> (256L << 10),     // map-side literal-candidate rounds;
                                       // only the integer q agg and the
