@@ -1040,22 +1040,20 @@ object SparkEntry {
       Similarity.dbscanStar(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 4, eps2 = 1.39, sampleN = 200)),
 
-    // --- dendrogram ladder: ONE Borůvka forest, three single-link cuts
-    // (the singleLinkCut reuse claim made a query): per threshold the
-    // cluster/singleton counts — clusters monotonically merge as t grows;
-    // the oracle re-clusters the thresholded ORIGINAL graph per rung ---
-    "q_dendrogram" -> ((s, dir) => {
-      val msf = fixtureMsf(s, dir)
-      Seq(3, 7, 11).map { t =>
-        Analytics.singleLinkCut(msf, "u", "v", "w", t.toDouble)
-          .agg(countDistinct(col("cluster")).as("n_clusters"),
-            count(lit(1)).as("n_nodes"),
-            sum(when(col("merge_dist").isNull, 1L).otherwise(0L))
-              .as("n_singletons"))
-          .select(lit(t).as("threshold"), col("n_clusters"),
-            col("n_nodes"), col("n_singletons"))
-      }.reduce(_ unionByName _)
-    }),
+    // --- dendrogram ladder: ONE Borůvka forest, ALL three rungs cut in
+    // ONE batched CC over rung-tagged composite node ids (the
+    // singleLinkCutLadder batching — 3×O(rounds) scheduling collapsed
+    // to 1×): per threshold the cluster/singleton counts — clusters
+    // monotonically merge as t grows; the oracle re-clusters the
+    // thresholded ORIGINAL graph per rung ---
+    "q_dendrogram" -> ((s, dir) =>
+      Analytics.singleLinkCutLadder(fixtureMsf(s, dir), "u", "v", "w",
+          Seq(3.0, 7.0, 11.0))
+        .groupBy(col("threshold").cast("int").as("threshold"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"),
+          count(lit(1)).as("n_nodes"),
+          sum(when(col("merge_dist").isNull, 1L).otherwise(0L))
+            .as("n_singletons"))),
 
     // --- k-means|| init (Bahmani '12) over the FULL embeddings corpus:
     // md5-determinized oversampling rounds in exact-integer form, then

@@ -1928,6 +1928,76 @@ object Analytics {
   }
 
   /**
+   * Whole-LADDER single-link cut — every threshold in ONE connected-
+   * components pass. Calling [[singleLinkCut]] per rung is correct but
+   * pays rungs × O(CC rounds) of per-round JOB LATENCY (the "nested
+   * iterative operators pay rounds × rounds × latency" rule from
+   * SCALE.md — 7.9 s wall on a 97-node fixture, all scheduling): the
+   * cut's data volume is forest-sized, so the fix is to BATCH, not to
+   * trim rounds. Each rung r gets its own composite node space
+   * `r·nodeSpan + node`; a forest edge is replicated into every rung
+   * whose threshold admits it (edges × rungs rows — still forest-sized,
+   * rungs is a ladder constant); one [[graft.operators.Dedup
+   * .clusterPairs]] labels ALL rungs together, and per-rung results
+   * decode as `composite − r·nodeSpan`. Component-min over composites
+   * within a rung = rung offset + component-min node, so decoded labels
+   * are IDENTICAL to the per-rung cut's. Node ids must be integral,
+   * non-negative and < nodeSpan — gated in-plan (raise_error on the
+   * replicated edge/node frames, which are forest-sized, so the check
+   * is free relative to the CC it protects).
+   *
+   * Emits one row per (threshold, FOREST node): (threshold, node,
+   * cluster, merge_dist) — [[singleLinkCut]]'s contract with the rung
+   * tag prepended; clusters merge monotonically as the ladder rises.
+   */
+  def singleLinkCutLadder(msf: DataFrame, uCol: String, vCol: String,
+                          wCol: String, thresholds: Seq[Double],
+                          nodeSpan: Long = 1L << 40,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(thresholds.nonEmpty, "singleLinkCutLadder needs thresholds")
+    require(thresholds.size.toLong <= Long.MaxValue / nodeSpan,
+      "rung count * nodeSpan must fit in BIGINT")
+    val spark = msf.sparkSession
+    import spark.implicits._
+    val e = graft.CacheScope.persist(msf
+      .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull))
+    val rungs = broadcast(thresholds.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("_rung", "threshold"))
+    def guard(c: Column): Column =
+      when(c < 0L || c >= nodeSpan, raise_error(concat(
+        lit(s"singleLinkCutLadder: node id "), c.cast("string"),
+        lit(s" outside [0, $nodeSpan) — raise nodeSpan"))))
+        .otherwise(c)
+    def composite(c: Column): Column = col("_rung") * nodeSpan + guard(c)
+    val keptAll = graft.CacheScope.persist(
+      e.crossJoin(rungs).filter(col("w") <= col("threshold"))
+        .select(composite(col("u")).as("cu"), composite(col("v")).as("cv"),
+          col("w")))
+    val cc = graft.operators.Dedup.clusterPairs(keptAll, "cu", "cv",
+      checkpointDir = checkpointDir)
+    val height = keptAll
+      .join(cc.select(col("id").as("cu"), col("cluster_id")), "cu")
+      .groupBy("cluster_id").agg(max("w").as("merge_dist"))
+    val nodes = e.select(col("u").as("node")).union(e.select(col("v")))
+      .distinct()
+    nodes.crossJoin(rungs)
+      .select(col("_rung"), col("threshold"), col("node"),
+        composite(col("node")).as("cn"))
+      .join(cc.select(col("id").as("cn"), col("cluster_id")),
+        Seq("cn"), "left")
+      .select(col("threshold"), col("node"),
+        (coalesce(col("cluster_id"), col("cn")) - col("_rung") * nodeSpan)
+          .as("cluster"),
+        coalesce(col("cluster_id"), col("cn")).as("_ck"))
+      .join(height.withColumnRenamed("cluster_id", "_ck"), Seq("_ck"), "left")
+      .select(col("threshold"), col("node"), col("cluster"),
+        col("merge_dist"))
+  }
+
+  /**
    * Theil–Sen robust slope per group — the median of all pairwise
    * slopes (y_j−y_i)/(x_j−x_i), the trend estimator with a 29.3%
    * breakdown point where [[linearFit]]'s OLS slope is dragged
