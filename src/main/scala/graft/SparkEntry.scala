@@ -181,6 +181,22 @@ object SparkEntry {
         exactCols = Seq("c_mktsegment" -> ErWSeg),
         numericCols = Seq(("c_acctbal", ErWBal, ErBalScale))))
 
+  /** Scored SNM-side ER match pairs — the sorted-neighborhood twin of
+   * [[erMatchPairs]], shared the same way: the fixture is deterministic
+   * per dir (same records, same window, same weights/threshold), so a
+   * second SharedStage key is sound, and without it q_er_agreement
+   * rebuilt the entire snmCandidates→scorePairs→matches pipeline on
+   * every run while the blocking side read from cache. */
+  private def erSnmMatchPairs(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, s"er_matches_snm:customer:w=5:t=$ErThreshold")(
+      EntityResolution.matches(Tables.customer(s, dir),
+        EntityResolution.snmCandidates(Tables.customer(s, dir), "c_custkey",
+          Seq("c_name", "c_custkey"), window = 5),
+        "c_custkey", ErThreshold,
+        stringCols = Seq("c_name" -> ErWName),
+        exactCols = Seq("c_mktsegment" -> ErWSeg),
+        numericCols = Seq(("c_acctbal", ErWBal, ErBalScale))))
+
   /** DuckDB twin of [[erCandidates]]: blocked pairs `p` with both sides'
    * scored fields attached (the oracle of the candidate join itself). */
   private val ErCandCtes =
@@ -1309,17 +1325,10 @@ object SparkEntry {
     // at O(n) cost via the contingency identity ---
     "q_er_agreement" -> ((s, dir) => {
       val recs = Tables.customer(s, dir)
-      val snmMatches = EntityResolution.matches(recs,
-        EntityResolution.snmCandidates(recs, "c_custkey",
-          Seq("c_name", "c_custkey"), window = 5),
-        "c_custkey", ErThreshold,
-        stringCols = Seq("c_name" -> ErWName),
-        exactCols = Seq("c_mktsegment" -> ErWSeg),
-        numericCols = Seq(("c_acctbal", ErWBal, ErBalScale)))
       val blockEnt = EntityResolution.entities(recs,
         erMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey")
       val snmEnt = EntityResolution.entities(recs,
-        snmMatches.select("id_a", "id_b"), "c_custkey")
+        erSnmMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey")
       EntityResolution.clusterAgreement(blockEnt, snmEnt, "c_custkey")
         .select(col("n_ids"), col("shared_pairs"), col("a_pairs"),
           col("b_pairs"), r3(col("precision")).as("precision"),

@@ -199,11 +199,23 @@ object Analytics {
             (coalesce(col("in_mass"), lit(0.0)) + col("d_mass") * col("t")))
             .as("pr"))
     }
-    // zero-row gate branch: the filter predicate evaluates n_seeds on
-    // the aggregate's one row (raising on 0 live seeds) and then keeps
-    // nothing — output rows are unchanged, but an empty graph now hits
-    // the refusal instead of returning an empty frame
-    ranks.unionByName(nS.filter(col("n_seeds") < 0.0)
+    // zero-row gate branch: an empty GRAPH is the one case the in-plan
+    // nS gate can't reach (AQE empty-relation propagation collapses
+    // tele's crossJoin before the nS broadcast builds). Whenever nodes
+    // is NON-empty the broadcast does build and nS itself raises on 0
+    // live seeds — so this branch only needs the empty-graph case, and
+    // the cheapest unprunable 1-row probe is a count over the already-
+    // persisted node frame (no seed semi-join re-evaluated per action,
+    // which is what the first cut of this gate paid +46% cpu for). The
+    // filter evaluates the count on the aggregate's single row — an agg
+    // without groupBy yields exactly one row even over an empty graph —
+    // raises on 0, then keeps nothing: output rows are unchanged.
+    val emptyGate = nodes.agg(count(lit(1)).as("_nn"))
+      .select(when(col("_nn") === 0L, raise_error(lit(
+        "personalizedPagerank: no seed appears in the graph")))
+        .otherwise(col("_nn")).as("_nn"))
+      .filter(col("_nn") < 0L)
+    ranks.unionByName(emptyGate
       .select(lit(null).cast(tele.schema("node").dataType).as("node"),
         lit(0.0).as("pr")))
   }
@@ -335,7 +347,7 @@ object Analytics {
         .repartition(col("u")))
     val self2 = tagged.filter(col("_cu") === col("_cv"))
       .groupBy(col("_cu").as("node"))
-      .agg((sum("w") / 2).cast("long").as("sw"))
+      .agg(expr("sum(w) div 2L").as("sw"))
     // phase-2 node ids ARE phase-1 community labels: project back
     val c2 = louvainMoves(sym2, Some(self2), moveRounds, checkpointDir)
       .select(col("node").as("_c1"), col("comm").as("_cfinal"))
@@ -456,8 +468,13 @@ object Analytics {
       // and refinement maps several times each, and the NESTED
       // composition (moves inside aggregation inside moves) otherwise
       // multiplies the logical tree past what plan stringification can
-      // hold — the same 3^iters fan-out the move rounds already cut
-      part = graft.CacheScope.lineageCut(
+      // hold — the same 3^iters fan-out the move rounds already cut.
+      // LAZY cuts (the louvainMoves treatment): the level count is
+      // FIXED and no per-level state is observed on the driver, so the
+      // plan truncates identically while the six per-level frames
+      // materialize with the next action (clusterPairs' sum test or the
+      // caller's) instead of one eager job each — pure scheduling saved
+      part = graft.CacheScope.lineageCutLazy(
         louvainMoves(sym, selfW, moveRounds, checkpointDir, init),
         checkpointDir)
       if (level < maxLevels) {
@@ -471,7 +488,7 @@ object Analytics {
           .select("u", "v")
         val cc = graft.operators.Dedup.clusterPairs(intra, "u", "v",
           checkpointDir = checkpointDir)
-        val refined = graft.CacheScope.lineageCut(
+        val refined = graft.CacheScope.lineageCutLazy(
           part.join(cc.select(col("id").as("node"), col("cluster_id")),
               Seq("node"), "left")
             .select(col("node"), col("comm"),
@@ -481,7 +498,7 @@ object Analytics {
         val ru = refined.select(col("node").as("u"), col("ref").as("_ru"))
         val rv = refined.select(col("node").as("v"), col("ref").as("_rv"))
         val tagged = sym.join(ru, "u").join(rv, "v")
-        val symNext = graft.CacheScope.lineageCut(
+        val symNext = graft.CacheScope.lineageCutLazy(
           tagged.filter(col("_ru") =!= col("_rv"))
             .groupBy(col("_ru").as("u"), col("_rv").as("v"))
             .agg(sum("w").as("w"))
@@ -505,12 +522,12 @@ object Analytics {
         // next level resumes from the PARENT partition: every refined
         // community keeps its move community (distinct is exact — all
         // members of a refined community share one comm by construction)
-        init = Some(graft.CacheScope.lineageCut(
+        init = Some(graft.CacheScope.lineageCutLazy(
           refined.select(col("ref").as("node"), col("comm")).distinct(),
           checkpointDir))
         sym = symNext
-        selfW = Some(graft.CacheScope.lineageCut(selfNext, checkpointDir))
-        mapping = graft.CacheScope.lineageCut(
+        selfW = Some(graft.CacheScope.lineageCutLazy(selfNext, checkpointDir))
+        mapping = graft.CacheScope.lineageCutLazy(
           mapping.join(refined.select(col("node"), col("ref")), Seq("node"))
             .select(col("orig"), col("ref").as("node")),
           checkpointDir)
