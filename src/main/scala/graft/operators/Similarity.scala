@@ -2272,6 +2272,171 @@ object Similarity {
         greatest(col("d2"), col("_ca"), col("_cb")).as("w"))
   }
 
+  /**
+   * HDBSCAN cluster extraction by EXCESS-OF-MASS stability selection
+   * (Campello, Moulavi & Sander 2013 §4 — the algorithm HDBSCAN ships
+   * as its default flat output): where [[dbscanStar]] cuts the
+   * mutual-reachability hierarchy at ONE eps — which on variable-density
+   * data either merges the tight cluster into the diffuse cloud or
+   * shatters the cloud into noise — this walks the WHOLE dendrogram and
+   * keeps, per branch, the most persistent cluster:
+   *
+   *  1. condense the single-linkage merge tree with `minClusterSize`:
+   *     a split whose smaller side has < minClusterSize points is not a
+   *     split — those points FALL OUT of the cluster at λ = 1/w and the
+   *     cluster continues; only a split with BOTH sides ≥ minClusterSize
+   *     creates child clusters;
+   *  2. stability S(C) = Σ_p (λ_exit(p) − λ_birth(C)) over the points
+   *     that pass through C (Campello's excess of mass, λ = 1/ε with
+   *     ε = the mutual-reachability d² merge weight — a monotone
+   *     reparametrization, so the selected antichain is the metric's);
+   *  3. select bottom-up: a cluster is kept iff S(C) exceeds the sum of
+   *     its kept descendants (which it then replaces) — the
+   *     max-total-stability NON-OVERLAPPING ANTICHAIN of the condensed
+   *     tree. Per-tree roots (the "all points" cluster) are never
+   *     selected — the library's allow_single_cluster=False.
+   *
+   * Scale shape: the distributed work is exactly the hierarchy family's
+   * — [[mutualReachabilityEdges]] over the md5-capped sample +
+   * [[graft.operators.Analytics.minimumSpanningForest]]; the collected
+   * forest (≤ sampleN−1 edges) is a MODEL ARTIFACT by the same contract
+   * as [[kmeansParallelInit]]'s driver recluster, and condensation +
+   * selection are one O(sample · depth) pass over it. At 100 TB the
+   * sample cap is the contract; the candidate-pair pruning note on
+   * [[dbscanStar]] applies to the pair stage unchanged.
+   *
+   * Determinism: forest edges process in ascending (w, u, v) — equal-
+   * weight merges order by endpoint ids, so the merge tree (and
+   * therefore the condensed tree) is a pure function of the edge list;
+   * zero-weight merges (identical vectors inside the k-NN floor) clamp
+   * ε to 1e-12 so λ stays finite and comparisons stay total. The whole
+   * result is replay-deterministic; no oracle query ships because the
+   * rung set of the condensed tree is the CONTINUOUS set of forest
+   * weights — the q_dendrogram recursive-CTE replay needs a FIXED
+   * ladder, and quantizing the metric to get one would change the
+   * algorithm. The spec certifies against an independent driver-side
+   * reference on a planted variable-density fixture instead.
+   *
+   * Returns one row per sampled id: (id, cluster, stability) — cluster
+   * = min member id of the selected cluster, NULL for noise;
+   * stability = the selected cluster's S(C), NULL for noise.
+   */
+  def hdbscanClusters(em: DataFrame, idCol: String, vecCol: String,
+                      k: Int, minClusterSize: Int,
+                      sampleN: Int = 200): DataFrame = {
+    require(k >= 1 && minClusterSize >= 2 && sampleN >= 2,
+      "hdbscanClusters needs k >= 1, minClusterSize >= 2, sampleN >= 2")
+    val spark = em.sparkSession
+    import spark.implicits._
+    val m = minClusterSize
+    val forest = graft.operators.Analytics.minimumSpanningForest(
+        mutualReachabilityEdges(em, idCol, vecCol, k, sampleN), "u", "v", "w")
+      .as[(Long, Long, Double)].collect().sortBy(e => (e._3, e._1, e._2))
+    // the SAME md5-order sample recipe as mutualReachabilityEdges — the
+    // id list is needed to emit noise rows for edgeless points
+    val ids = em.select(col(idCol).cast("long").as("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN).as[Long].collect()
+
+    // ---- driver-side (model-artifact scale, ≤ sampleN nodes) ----
+    val n = ids.length
+    val idxOf = ids.zipWithIndex.toMap
+    // merge tree: slots 0..n-1 are point leaves; internal nodes append
+    val left = scala.collection.mutable.ArrayBuffer.fill(n)(-1)
+    val right = scala.collection.mutable.ArrayBuffer.fill(n)(-1)
+    val height = scala.collection.mutable.ArrayBuffer.fill(n)(0.0)
+    val size = scala.collection.mutable.ArrayBuffer.fill(n)(1)
+    val ufParent = scala.collection.mutable.Map[Int, Int]()
+    def find(x: Int): Int = {
+      val p = ufParent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); ufParent(x) = r; r }
+    }
+    forest.foreach { case (u, v, w) =>
+      val (cu, cv) = (find(idxOf(u)), find(idxOf(v)))
+      if (cu != cv) {
+        val t = left.size
+        left += cu; right += cv; height += w; size += (size(cu) + size(cv))
+        ufParent(cu) = t; ufParent(cv) = t
+      }
+    }
+    val roots = (0 until left.size).filter(t => find(t) == t && t >= n)
+    def leavesOf(t: Int): Seq[Int] =
+      if (t < n) Seq(t) else leavesOf(left(t)) ++ leavesOf(right(t))
+    def lambdaOf(t: Int): Double = 1.0 / math.max(height(t), 1e-12)
+
+    // condensed tree
+    val cParent = scala.collection.mutable.ArrayBuffer[Int]()
+    val cBirth = scala.collection.mutable.ArrayBuffer[Double]()
+    val cStability = scala.collection.mutable.ArrayBuffer[Double]()
+    val cChildren = scala.collection.mutable.ArrayBuffer[List[Int]]()
+    val exitCluster = Array.fill(n)(-1)
+    def newCluster(par: Int, birth: Double): Int = {
+      cParent += par; cBirth += birth; cStability += 0.0
+      cChildren += Nil
+      if (par >= 0) cChildren(par) = cParent.size - 1 :: cChildren(par)
+      cParent.size - 1
+    }
+    def condense(t: Int, cId: Int): Unit = {
+      val lam = lambdaOf(t)
+      val (l, r) = (left(t), right(t))
+      if (size(l) >= m && size(r) >= m) {
+        // true split: the remaining mass exits cId, children are born
+        cStability(cId) += size(t) * (lam - cBirth(cId))
+        condense(l, newCluster(cId, lam))
+        condense(r, newCluster(cId, lam))
+      } else {
+        Seq(l, r).filter(size(_) < m).foreach { ch =>
+          val lv = leavesOf(ch)
+          cStability(cId) += lv.size * (lam - cBirth(cId))
+          lv.foreach(p => exitCluster(p) = cId)
+        }
+        Seq(l, r).filter(size(_) >= m).foreach(ch => condense(ch, cId))
+      }
+    }
+    val rootClusters = roots.map { t =>
+      val c = newCluster(-1, 0.0)
+      if (size(t) >= m) condense(t, c)
+      else { val lv = leavesOf(t); lv.foreach(p => exitCluster(p) = c) }
+      c
+    }.toSet
+    // excess-of-mass selection: bottom-up (children have larger indexes
+    // — creation is pre-order), parent replaces its subtree's selection
+    // when its own mass exceeds the subtree's total
+    val nc = cParent.size
+    val selected = Array.fill(nc)(false)
+    val hat = Array.fill(nc)(0.0)
+    def deselect(c: Int): Unit = {
+      selected(c) = false; cChildren(c).foreach(deselect)
+    }
+    for (c <- (nc - 1) to 0 by -1) {
+      val isRoot = rootClusters(c)
+      val sumCh = cChildren(c).map(hat).sum
+      if (cChildren(c).isEmpty) {
+        selected(c) = !isRoot
+        hat(c) = cStability(c)
+      } else if (!isRoot && cStability(c) > sumCh) {
+        cChildren(c).foreach(deselect)
+        selected(c) = true
+        hat(c) = cStability(c)
+      } else hat(c) = sumCh
+    }
+    // labels: a point belongs to the unique selected cluster on its
+    // exit chain (selection is an antichain); none → noise
+    val rawLabel = (0 until n).map { p =>
+      var c = exitCluster(p)
+      while (c >= 0 && !selected(c)) c = cParent(c)
+      c
+    }
+    val minIdOf = rawLabel.zipWithIndex.collect { case (c, p) if c >= 0 =>
+      (c, ids(p)) }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val rows = (0 until n).map { p =>
+      val c = rawLabel(p)
+      if (c >= 0) (ids(p), Some(minIdOf(c)), Some(cStability(c)))
+      else (ids(p), None: Option[Long], None: Option[Double])
+    }
+    rows.toDF("id", "cluster", "stability")
+  }
+
   def distanceProfile(em: DataFrame, idCol: String, vecCol: String,
                       sampleN: Int = 100, bins: Int = 20): DataFrame = {
     require(sampleN >= 2 && bins >= 1, "distanceProfile needs sampleN>=2, bins>=1")
