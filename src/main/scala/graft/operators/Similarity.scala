@@ -415,11 +415,51 @@ object Similarity {
     require(k >= 1 && iters >= 0, "kmeansCentroids needs k >= 1, iters >= 0")
     val base = graft.CacheScope.persist(
       em.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
-    var cent = base
+    val init = base
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h").limit(k)
       .withColumn("cell", (hRank - 1).cast("int"))
       .select(col("cell"), col("v").as("c"))
+    lloydLoop(base, init, iters, checkpointDir)
+  }
+
+  /**
+   * The k-means|| → Lloyd COMPOSITION [[kmeansParallelInit]]'s scaladoc
+   * promises ("feed the ranked ids' vectors to Lloyd as its init") —
+   * the [[ivfTopKFitted]] precedent one stage earlier: the ranked init
+   * picks replace [[kmeansCentroids]]' md5-ordered guess, then the
+   * SAME Lloyd loop refines. Bahmani '12's point is exactly this
+   * composition: the oversampled, d²-weighted, recluster-reduced init
+   * starts Lloyd near the optimum, so equal rounds end at equal-or-
+   * lower inertia than a hash pick (measured in the spec on planted
+   * blobs a hash pick misses ~4 times in 9). Cells are the init ranks
+   * (rank−1, so cell 0 = the heaviest pick); output schema and every
+   * determinism/scale property are [[kmeansCentroids]]'s.
+   */
+  def kmeansCentroidsFitted(em: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int,
+                            oversample: Int = 4, initRounds: Int = 3,
+                            buckets: Int = 10000,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && iters >= 0,
+      "kmeansCentroidsFitted needs k >= 1, iters >= 0")
+    val base = graft.CacheScope.persist(
+      em.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
+    val picks = kmeansParallelInit(em, idCol, vecCol, k,
+      oversample = oversample, rounds = initRounds, buckets = buckets)
+    val init = picks
+      .join(base.select(col("id").cast("long").as("center_id"), col("v")),
+        Seq("center_id"))
+      .select((col("rank") - 1).cast("int").as("cell"), col("v").as("c"))
+    lloydLoop(base, init, iters, checkpointDir)
+  }
+
+  /** Shared Lloyd refinement: `init` is (cell int, c array<double>);
+   * the loop is verbatim [[kmeansCentroids]]' (broadcast argmin assign,
+   * partial-agg'd per-dim mean, per-round lineage cut). */
+  private def lloydLoop(base: DataFrame, init: DataFrame, iters: Int,
+                        checkpointDir: Option[String]): DataFrame = {
+    var cent = init
     for (_ <- 1 to iters) {
       // argmin ‖v−c‖² ≡ argmin (c·c − 2·v·c): the ‖v‖² term is constant
       // per row, and this form runs on the CODEGEN DotProduct kernel —

@@ -577,4 +577,59 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Multimodal.speechSegments(
       Multimodal.audioFrames(Multimodal.packPcm(noIds, "doc_id"))).count() === 0)
   }
+
+  test("round-14/15 density + graph family on degenerate input") {
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val twoVecs = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(9.0, 9.0)))
+      .toDF("vec_id", "embedding")
+    // dbscanStar with k > sample size: no point has a k-th neighbor →
+    // nobody is core, everything is labeled noise, never a crash
+    val ds = Similarity.dbscanStar(twoVecs, "vec_id", "embedding",
+        k = 5, eps2 = 1.0, sampleN = 10)
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(ds.length === 2 && ds.forall(r => r._2.isEmpty && !r._3))
+    // kmeansParallelInit: empty corpus → empty picks; k > distinct
+    // points → the zero-coverage early stop returns ≤ distinct picks
+    // (the Round14 duplicate-point case, locked here for empties)
+    assert(Similarity.kmeansParallelInit(noVecs, "vec_id", "embedding",
+      k = 3).count() === 0)
+    val sameVecs = Seq((1L, Seq(2.0, 2.0)), (2L, Seq(2.0, 2.0)),
+      (3L, Seq(2.0, 2.0))).toDF("vec_id", "embedding")
+    val dup = Similarity.kmeansParallelInit(sameVecs, "vec_id", "embedding",
+      k = 3, oversample = 2, rounds = 2).count()
+    assert(dup === 1L, s"all-identical corpus must yield ONE pick, got $dup")
+    // fitted Lloyd composition flows through the same degenerate inputs
+    assert(Similarity.kmeansCentroidsFitted(noVecs, "vec_id", "embedding",
+      k = 2, iters = 1).count() === 0)
+    // singleLinkCut at a threshold below every weight: all singletons,
+    // merge_dist null; the batched ladder agrees on the same rung
+    val msf = Seq((1L, 2L, 5.0), (2L, 3L, 7.0)).toDF("u", "v", "w")
+    val below = Analytics.singleLinkCut(msf, "u", "v", "w", 1.0)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(below.length === 3 &&
+      below.forall(r => r._1 === r._2 && r._3.isEmpty))
+    val ladderBelow = Analytics
+      .singleLinkCutLadder(msf, "u", "v", "w", Seq(1.0))
+      .as[(Double, Long, Long, Option[Double])].collect()
+    assert(ladderBelow.length === 3 &&
+      ladderBelow.forall(r => r._2 === r._3 && r._4.isEmpty))
+    // leiden on an edgeless graph: empty membership, never a crash
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Analytics.leidenCommunities(noEdges, "a", "b",
+      moveRounds = 2, maxLevels = 2).count() === 0)
+    // hdbscan: empty corpus, singleton, and all-identical (root-only
+    // condensed tree → all noise) stay well-defined
+    assert(Similarity.hdbscanClusters(noVecs, "vec_id", "embedding",
+      k = 2, minClusterSize = 2).count() === 0)
+    val one = Similarity.hdbscanClusters(
+        Seq((7L, Seq(1.0, 1.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, minClusterSize = 2)
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(one.length === 1 && one.head._2.isEmpty)
+    val ident = Similarity.hdbscanClusters(sameVecs, "vec_id", "embedding",
+        k = 2, minClusterSize = 2)
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(ident.length === 3 && ident.forall(_._2.isEmpty),
+      "all-identical corpus condenses to the root only → all noise")
+  }
 }

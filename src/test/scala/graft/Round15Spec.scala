@@ -194,6 +194,47 @@ class Round15Spec extends SparkSpecBase {
     assert(got.forall(_._2.isEmpty), s"single-blob run must be all noise")
   }
 
+  // --- k-means|| → Lloyd composition ------------------------------------------
+
+  test("kmeansCentroidsFitted: covers every planted blob and ends at inertia <= the md5-pick init's at equal rounds") {
+    // Round14's planted blobs: an md5-pick of 3 misses a blob ~4 in 9 —
+    // the fitted init must not
+    val pts: Seq[(Long, Seq[Double])] =
+      (0 until 40).map(i => (i.toLong, Seq(i * 0.01, 0.0))) ++
+      (0 until 40).map(i => (200L + i, Seq(50.0 + i * 0.01, 30.0))) ++
+      (0 until 40).map(i => (400L + i, Seq(-40.0 + i * 0.01, -60.0)))
+    val df = pts.toDF("vec_id", "embedding")
+    def inertia(cent: Array[(Int, Int, Double)]): Double = {
+      val byCell = cent.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.sortBy(_._2).map(_._3) }
+      pts.map { case (_, v) =>
+        byCell.values.map(c =>
+          v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum
+    }
+    val iters = 3
+    val fitted = Similarity.kmeansCentroidsFitted(df, "vec_id", "embedding",
+      k = 3, iters = iters).as[(Int, Int, Double)].collect()
+    val hashed = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, iters = iters).as[(Int, Int, Double)].collect()
+    val (fi, hi) = (inertia(fitted), inertia(hashed))
+    assert(fi <= hi + 1e-9, s"fitted inertia $fi exceeds md5-init $hi")
+    // one fitted centroid lands in EACH planted blob
+    val centers = fitted.groupBy(_._1).map { case (_, xs) =>
+      xs.sortBy(_._2).map(_._3).toSeq }
+    val blobs = Seq(Seq(0.2, 0.0), Seq(50.2, 30.0), Seq(-39.8, -60.0))
+    blobs.foreach { b =>
+      assert(centers.exists(c =>
+        c.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum < 4.0),
+        s"no fitted centroid near blob $b: $centers")
+    }
+    // deterministic
+    val again = Similarity.kmeansCentroidsFitted(df, "vec_id", "embedding",
+      k = 3, iters = iters).as[(Int, Int, Double)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ===
+      fitted.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("singleLinkCutLadder: in-plan refusal on node ids outside [0, nodeSpan)") {
     val edf = Seq((1L, 5L, 1.0), (5L, 9L, 2.0)).toDF("u", "v", "w")
     val ex = intercept[Exception] {
