@@ -118,10 +118,13 @@ object Bench {
     // later reps and later family members ride the cache — so without
     // this row a regression in ANY shared build would move NO reported
     // number (median-of-3 discards the single cold rep). Driving
-    // q_dedup_cluster cold materializes the dedup stages and q_bm25 the
-    // retrieval index; their own medians below then read the warm cache,
-    // which is exactly the pipeline cost model.
-    val buildQs = Seq("q_dedup_cluster", "q_bm25", "q_trgm_search")
+    // q_dedup_cluster cold materializes the dedup stages, q_bm25 the
+    // retrieval index, and q_er_agreement the four ER stages (both match
+    // frames + both entity CC labelings — it transitively touches every
+    // one); their own medians below then read the warm cache, which is
+    // exactly the pipeline cost model.
+    val buildQs = Seq("q_dedup_cluster", "q_bm25", "q_trgm_search",
+        "q_er_agreement")
       .filter(q => only.isEmpty || only(q))
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp, buildCpu) = drained {

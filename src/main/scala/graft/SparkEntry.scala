@@ -197,6 +197,23 @@ object SparkEntry {
         exactCols = Seq("c_mktsegment" -> ErWSeg),
         numericCols = Seq(("c_acctbal", ErWBal, ErBalScale))))
 
+  /** Transitive ER entity labelings, one per candidate strategy — the
+   * EXPENSIVE half of the ER read path (each is a clusterPairs CC loop:
+   * rounds × job latency, the cost no plan tweak removes), shared on the
+   * same determinism argument as the match frames. Three consumers read
+   * them — q_er_entities' collapse profile and q_er_agreement's two
+   * sides — so without the stage q_er_agreement re-paid BOTH loops on
+   * every run (measured ~8.5 s warm at sf0.1, two loops of it). */
+  private def erBlockEntities(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, s"er_entities:customer:t=$ErThreshold")(
+      EntityResolution.entities(Tables.customer(s, dir),
+        erMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey"))
+
+  private def erSnmEntities(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, s"er_entities_snm:customer:w=5:t=$ErThreshold")(
+      EntityResolution.entities(Tables.customer(s, dir),
+        erSnmMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey"))
+
   /** DuckDB twin of [[erCandidates]]: blocked pairs `p` with both sides'
    * scored fields attached (the oracle of the candidate join itself). */
   private val ErCandCtes =
@@ -1316,24 +1333,18 @@ object SparkEntry {
     // --- entity resolution: transitive entity-size profile (matches →
     // connected components → collapse report) ---
     "q_er_entities" -> ((s, dir) =>
-      EntityResolution.entityProfile(Tables.customer(s, dir),
-        erMatchPairs(s, dir), "c_custkey")),
+      EntityResolution.entityProfileOf(erBlockEntities(s, dir))),
 
     // --- entity resolution: pairwise agreement between the two candidate
     // strategies (blocking vs sorted-neighborhood), scored with the same
     // rule — the eval-harness shape (prediction vs gold runs identically)
     // at O(n) cost via the contingency identity ---
-    "q_er_agreement" -> ((s, dir) => {
-      val recs = Tables.customer(s, dir)
-      val blockEnt = EntityResolution.entities(recs,
-        erMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey")
-      val snmEnt = EntityResolution.entities(recs,
-        erSnmMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey")
-      EntityResolution.clusterAgreement(blockEnt, snmEnt, "c_custkey")
+    "q_er_agreement" -> ((s, dir) =>
+      EntityResolution.clusterAgreement(
+          erBlockEntities(s, dir), erSnmEntities(s, dir), "c_custkey")
         .select(col("n_ids"), col("shared_pairs"), col("a_pairs"),
           col("b_pairs"), r3(col("precision")).as("precision"),
-          r3(col("recall")).as("recall"), r3(col("f1")).as("f1"))
-    }),
+          r3(col("recall")).as("recall"), r3(col("f1")).as("f1"))),
 
     // --- leave-one-out target encoding of event_type against value ---
     "q_target_encode" -> ((s, dir) =>

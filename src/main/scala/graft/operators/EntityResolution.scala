@@ -240,7 +240,13 @@ object EntityResolution {
    * Two partial-agg'd shuffles over id-sized rows. */
   def entityProfile(records: DataFrame, matchPairs: DataFrame,
                     idCol: String, maxIter: Int = 50): DataFrame =
-    entities(records, matchPairs, idCol, maxIter)
+    entityProfileOf(entities(records, matchPairs, idCol, maxIter))
+
+  /** The profile rollup alone, for callers that already hold (and maybe
+   * share) an [[entities]] labeling — two partial-agg'd shuffles over
+   * id-sized rows, no CC loop re-paid. */
+  def entityProfileOf(entities: DataFrame): DataFrame =
+    entities
       .groupBy("entity_id").agg(count(lit(1)).as("entity_size"))
       .groupBy("entity_size").agg(
         count(lit(1)).as("n_entities"),
