@@ -464,14 +464,33 @@ object Text {
    * cardinality); the corpus total rides along as a broadcast
    * single-row frame.
    */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("token"))
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     carryCols: Seq[String] = Seq.empty): DataFrame = {
+    // carryCols ride the per-doc aggregation key: id is unique per doc,
+    // so adding doc-functional columns (e.g. lang) changes no group and
+    // costs only their bytes in the one partial-agg'd exchange — where a
+    // caller that joined them back on id would pay TWO more full-
+    // cardinality exchanges of incompressible distinct ids (measured
+    // 68 MB vs the kernel's own 1.7 MB at the 50× tier before
+    // perplexityBuckets switched to this passthrough)
+    val toks = docs.select(col(idCol).as("id") +:
+      carryCols.map(col) :+ explode(tokens(col(textCol))).as("token"): _*)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = counts.select(sum("cnt").as("total"))
-    toks.join(counts, "token")
+    // the vocab side is EXPLICITLY broadcast, like `total`: after its
+    // partial-agg it is Heaps'-law bounded (vocab ~ √corpus — megabytes
+    // where the corpus is terabytes), but Catalyst's size ESTIMATE for
+    // the aggregate inherits the exploded child's and can cross the
+    // auto-broadcast threshold, planning a sort-merge join whose
+    // probe-side exchange materializes the ENTIRE exploded token stream
+    // before AQE's broadcast conversion can save it (measured 650 MB
+    // raw / 78 MB written for a 1,526-token vocab at the 50× tier —
+    // the whole shuffle superlinearity of the old q_ppl_buckets table
+    // row). A corpus with adversarial token cardinality should prune
+    // its vocab upstream rather than un-broadcast this join.
+    toks.join(broadcast(counts), "token")
       .crossJoin(broadcast(total))
-      .groupBy("id")
+      .groupBy("id", carryCols: _*)
       .agg(avg(log(col("cnt").cast("double") / col("total"))).as("logprob"))
   }
 
@@ -1716,9 +1735,18 @@ object Text {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, "perplexityBuckets needs nBuckets >= 2")
-    val scored = docs.select(col(idCol).as("id"), col(langCol).as("lang"))
-      .join(unigramLogProb(docs, idCol, textCol), "id")
-      .withColumn("_lp", floor(col("logprob") * 1000 + 0.5) / 1000)
+    // slim to exactly the sort payload before the total sort: lang rides
+    // the kernel's aggregation key (id-functional — no join back on id,
+    // which would pay two more full-cardinality exchanges of
+    // incompressible distinct ids), and the raw logprob double never
+    // appears downstream (ordering and the rollup both read the rounded
+    // _lp) — every byte here is carried through the range-partitioned
+    // exchange at full corpus cardinality
+    val scored = unigramLogProb(
+        docs.select(col(idCol), col(langCol).as("lang"), col(textCol)),
+        idCol, textCol, carryCols = Seq("lang"))
+      .select(col("id"), col("lang"),
+        (floor(col("logprob") * 1000 + 0.5) / 1000).as("_lp"))
     val ranked = Analytics.globalRowNumber(
       scored, Seq(col("lang"), col("_lp").desc, col("id")), "_gr")
     val perLang = ranked.groupBy("lang")
