@@ -479,14 +479,20 @@ class PlanSpec extends SparkSpecBase {
     //     enforces it with the ksTest approx-distinct gate),
     //     q_negsample (the cumulative-slot window runs over the
     //     VOCABULARY table — vocab-sized by construction, it then
-    //     broadcasts into the range join).
+    //     broadcasts into the range join),
+    //     q_epoch_order / q_er_snm / q_ppl_buckets / q_vocab (the
+    //     globalRowNumber offset frame: the cumulative window runs over
+    //     ONE count row PER SHUFFLE PARTITION of the range-sorted input
+    //     — bounded by cluster width, never data — then broadcasts back;
+    //     the data-sized path is the range-partitioned sort itself).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val boundedByConstruction =
       Set("q_budget_select", "q_ks_test", "q_rolling_distinct", "q_maxsim",
-        "q_spearman", "q_mannwhitney", "q_negsample")
+        "q_spearman", "q_mannwhitney", "q_negsample",
+        "q_epoch_order", "q_er_snm", "q_ppl_buckets", "q_vocab")
     def expand(p: SparkPlan): Seq[SparkPlan] =
       (p match { case a: AdaptiveSparkPlanExec => expand(a.executedPlan); case x => Seq(x) }) ++
         p.children.flatMap(expand) ++ p.subqueries.flatMap(expand)
