@@ -119,12 +119,15 @@ object Bench {
     // this row a regression in ANY shared build would move NO reported
     // number (median-of-3 discards the single cold rep). Driving
     // q_dedup_cluster cold materializes the dedup stages, q_bm25 the
-    // retrieval index, and q_er_agreement the four ER stages (both match
+    // retrieval index, q_er_agreement the four ER stages (both match
     // frames + both entity CC labelings — it transitively touches every
-    // one); their own medians below then read the warm cache, which is
+    // one), q_ft_classify the NB classifier's trained-and-scored corpus
+    // frame (5 consumers), and q_ann_ivfpq the IVFADC index (coarse
+    // cells + codebooks + code table, also scored by q_knn_label_ann);
+    // their own medians below then read the warm cache, which is
     // exactly the pipeline cost model.
     val buildQs = Seq("q_dedup_cluster", "q_bm25", "q_trgm_search",
-        "q_er_agreement")
+        "q_er_agreement", "q_ft_classify", "q_ann_ivfpq")
       .filter(q => only.isEmpty || only(q))
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp, buildCpu) = drained {

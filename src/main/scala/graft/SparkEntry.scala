@@ -214,6 +214,47 @@ object SparkEntry {
       EntityResolution.entities(Tables.customer(s, dir),
         erSnmMatchPairs(s, dir).select("id_a", "id_b"), "c_custkey"))
 
+  /** Corpus-wide NB classifier scores with labels attached — the frame
+   * the whole q_ft_* read family consumes (classify / eval / auc /
+   * calibration / ece). One trained model + ONE scored corpus serve all
+   * five: before this stage each query re-ran BOTH full
+   * tokenize+hash+explode passes (train) and the map-only score fold —
+   * five trainings of the IDENTICAL model per workload (same corpus,
+   * same positive rule, same buckets — deterministic per dir, the
+   * [[erMatchPairs]] sharing argument verbatim). At 100 TB this IS the
+   * pipeline shape: the nightly model trains once, inference
+   * materializes once, and every eval/calibration/report reads the
+   * scored table. `is_pos`/`source` ride along (id-unique 1:1 join,
+   * row-count unchanged) so consumers also skip their per-query label
+   * joins. q_curate_scored deliberately NOT on this stage: it trains on
+   * the SEED slice (a different model by construction). */
+  private def ftScored(s: SparkSession, dir: String): DataFrame =
+    SharedStage.get(dir, "ft_scored:documents:pos=lang_en:b=1024")({
+      val docs = Tables.documents(s, dir)
+      val model = Text.linearClassifierTrain(docs, "text",
+        col("lang") === "en", buckets = 1024)
+      Text.linearClassifierScore(docs, model, "doc_id", "text", buckets = 1024)
+        .join(docs.select(col("doc_id").as("id"), col("source"),
+          (col("lang") === "en").as("is_pos")), Seq("id"))
+    })
+
+  /** The workload's IVFADC index over the embeddings corpus — ONE build
+   * (coarse cells + residual codebooks + code table, each a SharedStage
+   * entry keyed by the full parameter tuple) serving both consumers:
+   * q_ann_ivfpq's recall gate and q_knn_label_ann's vote tail use
+   * IDENTICAL index parameters by design, yet each used to re-train the
+   * codebooks (2 Lloyd iterations × 8 subspaces, ~14 s cpu each at
+   * sf0.1) inside its own query. The deployment this models trains the
+   * index nightly and serves every retrieval batch from the frozen
+   * artifact — the [[Similarity.pqIndexBuild]] contract, now applied to
+   * the IVF-PQ shape. Scoring is [[Similarity.ivfPqScore]], expression-
+   * identical to the fused ivfPqTopK, so both oracles replay unchanged. */
+  private def ivfPqSharedIdx(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+    Similarity.ivfPqIndexBuild(Tables.embeddings(s, dir), "vec_id",
+      "embedding", dim = 64, nCells = 16, m = 8, ks = 64, iters = 2,
+      share = (part, f) =>
+        SharedStage.get(dir, s"ivfpq:embeddings:d64:c16:m8:ks64:it2:$part")(f()))
+
   /** DuckDB twin of [[erCandidates]]: blocked pairs `p` with both sides'
    * scored fields attached (the oracle of the candidate join itself). */
   private val ErCandCtes =
@@ -970,14 +1011,10 @@ object SparkEntry {
     // in one aggregation pass (target: english docs), then map-only
     // inference — broadcast weight array + per-doc feature fold. The
     // quality-scoring family's trained-model path ---
-    "q_ft_classify" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = Text.linearClassifierTrain(docs, "text",
-        col("lang") === "en", buckets = 1024)
-      Text.linearClassifierScore(docs, model, "doc_id", "text", buckets = 1024)
+    "q_ft_classify" -> ((s, dir) =>
+      ftScored(s, dir)
         .select(col("id").as("doc_id"), r3(col("score")).as("score"),
-          col("pred_pos"))
-    }),
+          col("pred_pos"))),
 
     // --- URL canonicalization: the crawl-dedup scrub (fragment /
     // tracking-param / default-port / trailing-slash rewrites shared
@@ -1113,13 +1150,7 @@ object SparkEntry {
     // --- expected calibration error of the classifier's sigmoid
     // probabilities: the trust measure behind any p-threshold gate ---
     "q_ft_ece" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = Text.linearClassifierTrain(docs, "text",
-        col("lang") === "en", buckets = 1024)
-      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
-          buckets = 1024)
-        .join(docs.select(col("doc_id").as("id"),
-          (col("lang") === "en").as("is_pos")), Seq("id"))
+      val scored = ftScored(s, dir)
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("score"))))
       Analytics.expectedCalibrationError(scored, "p", "is_pos", nBins = 10)
         .select(r3(col("ece")).as("ece"), col("n_bins_used"), col("n"))
@@ -1226,15 +1257,9 @@ object SparkEntry {
     // --- classifier eval rollup: confusion-matrix counts of the NB
     // model against the training labels (train + score + rollup in one
     // plan; at scale the label join targets an eval-set-sized frame) ---
-    "q_ft_eval" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = Text.linearClassifierTrain(docs, "text",
-        col("lang") === "en", buckets = 1024)
-      Text.linearClassifierScore(docs, model, "doc_id", "text", buckets = 1024)
-        .join(docs.select(col("doc_id").as("id"),
-          (col("lang") === "en").as("is_pos")), Seq("id"))
-        .groupBy("is_pos", "pred_pos").agg(count(lit(1)).as("n"))
-    }),
+    "q_ft_eval" -> ((s, dir) =>
+      ftScored(s, dir)
+        .groupBy("is_pos", "pred_pos").agg(count(lit(1)).as("n"))),
 
     // --- retrieval eval: BM25 top-10 against near-dup-cluster ground
     // truth (each cluster's MIN doc queries for its peers) — recall@10
@@ -1260,14 +1285,9 @@ object SparkEntry {
     // --- classifier ranking quality per source: rank-sum (Mann–Whitney)
     // AUC over the parity-rounded scores — ties exact via average ranks ---
     "q_ft_auc" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = Text.linearClassifierTrain(docs, "text",
-        col("lang") === "en", buckets = 1024)
-      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
-          buckets = 1024)
-        .select(col("id").as("doc_id"), r3(col("score")).as("score_r"))
-        .join(docs.select(col("doc_id"), col("source"),
-          (col("lang") === "en").as("is_pos")), Seq("doc_id"))
+      val scored = ftScored(s, dir)
+        .select(col("id").as("doc_id"), r3(col("score")).as("score_r"),
+          col("source"), col("is_pos"))
       Analytics.groupedAuc(scored, "score_r", "is_pos", Seq("source"))
         .select(col("source"), col("n_pos"), col("n_neg"),
           r3(col("auc")).as("auc"))
@@ -1276,13 +1296,7 @@ object SparkEntry {
     // --- classifier calibration: 10 equal-width bins over the score
     // range; per-bin positive rate vs mean score (reliability table) ---
     "q_ft_calibration" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = Text.linearClassifierTrain(docs, "text",
-        col("lang") === "en", buckets = 1024)
-      val scored = Text.linearClassifierScore(docs, model, "doc_id", "text",
-          buckets = 1024)
-        .join(docs.select(col("doc_id").as("id"),
-          (col("lang") === "en").as("is_pos")), Seq("id"))
+      val scored = ftScored(s, dir)
       Analytics.calibrationBins(scored, "score", "is_pos", nBins = 10)
         .select(col("bin"), col("n"), col("n_pos"),
           r3(col("pos_rate")).as("pos_rate"),
@@ -1830,8 +1844,8 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
       val q = em.filter(col("vec_id") < 10)
-      val ivfpq = Similarity.ivfPqTopK(em, q, "vec_id", "embedding", k = 5,
-        dim = 64, nCells = 16, nProbe = 4, m = 8, ks = 64, iters = 2)
+      val ivfpq = Similarity.ivfPqScore(ivfPqSharedIdx(s, dir), q,
+        "vec_id", "embedding", k = 5, nProbe = 4)
       val brute = Similarity.bruteForceTopK(em, q, "vec_id", "embedding", k = 5)
       Similarity.recallAtK(ivfpq, brute, q.select(col("vec_id").as("query_id")), 5)
         .select(col("query_id"), col("n_retrieved"), col("n_true"),
@@ -1867,7 +1881,7 @@ object SparkEntry {
       val em = Tables.embeddings(s, dir)
       Similarity.knnLabelAnn(em, em.filter(col("vec_id") < 20), "vec_id",
         "embedding", "label", k = 10, dim = 64, nCells = 16, nProbe = 4,
-        m = 8, ks = 64, iters = 2)
+        m = 8, ks = 64, iters = 2, index = Some(ivfPqSharedIdx(s, dir)))
     }),
 
     // --- contrastive triplets: positive + hard negatives per anchor ---

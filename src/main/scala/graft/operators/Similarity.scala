@@ -868,15 +868,22 @@ object Similarity {
                   vecCol: String, labelCol: String, k: Int, dim: Int,
                   nCells: Int = 16, nProbe: Int = 4, m: Int = 4,
                   ks: Int = 8, iters: Int = 2,
-                  maxQueries: Long = 100000L): DataFrame = {
+                  maxQueries: Long = 100000L,
+                  index: Option[IvfPqIndex] = None): DataFrame = {
     require(k >= 1, "knnLabelAnn needs k >= 1")
     val nQ = queries.count()
     require(nQ <= maxQueries,
       s"knnLabelAnn: $nQ queries > maxQueries=$maxQueries — the query " +
         "side BROADCASTS into the probe and LUT joins; batch the queries " +
         "(or raise the ceiling deliberately with executor memory to back it)")
-    val topk = ivfPqTopK(labeled, queries, idCol, vecCol, k = k, dim = dim,
-        nCells = nCells, nProbe = nProbe, m = m, ks = ks, iters = iters)
+    // `index`: a pre-built [[IvfPqIndex]] over `labeled` with these same
+    // parameters (the caller's contract) — the retrieval stage then skips
+    // its own training entirely; None rebuilds inline (pre-split behavior)
+    require(index.forall(ix => ix.dim == dim && ix.m == m),
+      "knnLabelAnn: supplied index dim/m disagree with the call's")
+    val idx = index.getOrElse(ivfPqIndexBuild(labeled, idCol, vecCol,
+      dim = dim, nCells = nCells, m = m, ks = ks, iters = iters))
+    val topk = ivfPqScore(idx, queries, idCol, vecCol, k = k, nProbe = nProbe)
       .select("query_id", "cand_id")
     labelVote(labeled, idCol, labelCol, topk)
   }
@@ -1398,10 +1405,44 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 4, ks: Int = 8, iters: Int = 2,
                 checkpointDir: Option[String] = None,
-                coarseCentroids: Option[DataFrame] = None): DataFrame = {
+                coarseCentroids: Option[DataFrame] = None): DataFrame =
+    ivfPqScore(
+      ivfPqIndexBuild(candidates, idCol, vecCol, dim, nCells, m, ks, iters,
+        checkpointDir, coarseCentroids),
+      queries, idCol, vecCol, k, nProbe)
+
+  /** A trained IVFADC index — the three frames every query batch needs:
+   * the coarse cells (probe side), the shared residual codebooks (LUT
+   * side) and the per-candidate code table (ADC join side). The
+   * [[PqIndex]] shape with the coarse inverted file attached; built by
+   * [[ivfPqIndexBuild]], scored by [[ivfPqScore]]. */
+  final case class IvfPqIndex(cent: DataFrame, pqcent: DataFrame,
+                              codes: DataFrame, dim: Int, m: Int)
+
+  /**
+   * Index half of [[ivfPqTopK]] — everything that is QUERY-INDEPENDENT
+   * (coarse cells, candidate cell assignment, residual codebooks, code
+   * table), split out so several query paths can score one build (the
+   * [[pqIndexBuild]]/[[pqScore]] separation applied to IVFADC; a real
+   * deployment trains nightly and serves every batch from the frozen
+   * index). `share` is an optional memoization hook: called with a
+   * stable sub-key ("cent"/"pqcent"/"codes") and a thunk, it may return
+   * a cached frame instead of invoking the thunk — [[graft.SparkEntry]]
+   * routes it to [[graft.SharedStage]] so q_ann_ivfpq and
+   * q_knn_label_ann (identical index parameters by design) train ONCE
+   * per input dir instead of once per query. Default: no sharing,
+   * plans and results identical to the pre-split ivfPqTopK.
+   */
+  def ivfPqIndexBuild(candidates: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nCells: Int = 16,
+                      m: Int = 4, ks: Int = 8, iters: Int = 2,
+                      checkpointDir: Option[String] = None,
+                      coarseCentroids: Option[DataFrame] = None,
+                      share: (String, () => DataFrame) => DataFrame =
+                        (_, f) => f()): IvfPqIndex = {
     require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m $m")
-    require(nCells >= 1 && nProbe >= 1 && ks >= 1 && iters >= 0,
-      "ivfPqTopK needs nCells/nProbe/ks >= 1, iters >= 0")
+    require(nCells >= 1 && ks >= 1 && iters >= 0,
+      "ivfPqTopK needs nCells/ks >= 1, iters >= 0")
     val dsub = dim / m
     val base = candidates.select(col(idCol).as("cand_id"),
         checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_c"))
@@ -1412,8 +1453,8 @@ object Similarity {
     // cells align with real clusters, so the same nProbe buys strictly
     // better recall on clustered corpora (Round8Spec measures it, the
     // same composition as ivfTopKFitted). Feeds THREE joins → persist.
-    val cent = graft.CacheScope.persist(coarseCentroids
-      .map(fittedCells).getOrElse(hashPickedCells(base, nCells)))
+    val cent = graft.CacheScope.persist(share("cent", () => coarseCentroids
+      .map(fittedCells).getOrElse(hashPickedCells(base, nCells))))
     // nearest cell per candidate (argmax cosine, ties to smallest cell);
     // partial agg collapses the ×nCells expansion before the shuffle
     val assigned = base.crossJoin(broadcast(cent))
@@ -1433,19 +1474,36 @@ object Similarity {
         slice(col("r"), col("sub") * dsub + 1, lit(dsub)).as("vs")))
     // ONE shared residual codebook set across cells (standard IVFADC);
     // trained in pqTrain's joint subspace passes
-    val pqcent = graft.CacheScope.persist(pqTrain(sv, ks, iters, checkpointDir))
+    val pqcent = graft.CacheScope.persist(
+      share("pqcent", () => pqTrain(sv, ks, iters, checkpointDir)))
     // encode: m residual codes + coarse cell + exact norm per candidate
-    val codes = sv.join(broadcast(pqcent), "sub")
+    val codes = share("codes", () => sv.join(broadcast(pqcent), "sub")
       .withColumn("d", col("c2") - lit(2.0) * dot(col("vs"), col("c")))
       .groupBy("id", "sub")
       .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("code"),
         first(col("ivf_cell")).as("ivf_cell"), first(col("nrm")).as("nrm_c"))
       .select(col("id").as("cand_id"), col("sub"), col("code"),
-        col("ivf_cell"), col("nrm_c"))
+        col("ivf_cell"), col("nrm_c")))
+    IvfPqIndex(cent, pqcent, codes, dim, m)
+  }
+
+  /** Query half of [[ivfPqTopK]]: probe `nProbe` coarse cells, build the
+   * per-query m·ks subspace LUT, ADC-score the probed cells' codes —
+   * expression-for-expression the pre-split query path, so scoring any
+   * query frame against a built index is bit-identical to the fused
+   * call. */
+  def ivfPqScore(index: IvfPqIndex, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && k >= 1, "ivfPqScore needs nProbe/k >= 1")
+    val dsub = index.dim / index.m
+    val cent = index.cent
+    val pqcent = index.pqcent
+    val codes = index.codes
     // queries probe their nProbe closest cells, carrying the coarse dot
     // q·c (the first ADC term)
     val probed = queries.select(col(idCol).as("query_id"),
-        checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_q"))
+        checkedDim(col(vecCol).cast("array<double>"), index.dim, "ivfpq").as("v_q"))
       .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
       .crossJoin(broadcast(cent))
       .withColumn("qc", dot(col("v_q"), col("c_vec")))
@@ -1457,7 +1515,7 @@ object Similarity {
         col("v_q"), col("nrm_q"))
     // per-query LUT of subspace dots q_s · c(sub, code) — m·ks entries
     val lut = probed.select("query_id", "v_q").distinct()
-      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", explode(sequence(lit(0), lit(index.m - 1))))
       .select(col("query_id"), col("sub"),
         slice(col("v_q"), col("sub") * dsub + 1, lit(dsub)).as("qs"))
       .join(broadcast(pqcent), "sub")
