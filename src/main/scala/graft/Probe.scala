@@ -32,8 +32,20 @@ object Probe {
     val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
     val spillAcc = new java.util.concurrent.atomic.AtomicLong
     val cpuAcc = new java.util.concurrent.atomic.AtomicLong
+    // job/stage/task counts alongside the byte metrics: a query whose
+    // wall exceeds its cpu at every core count is STAGE-LATENCY bound
+    // (iterative fixtures run hundreds of tiny stages), and the counts
+    // say whether an optimization actually removed scheduling work
+    val jobAcc = new java.util.concurrent.atomic.AtomicLong
+    val stageAcc = new java.util.concurrent.atomic.AtomicLong
+    val taskAcc = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobAcc.incrementAndGet()
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageAcc.incrementAndGet()
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskAcc.incrementAndGet()
         val m = te.taskMetrics
         if (m != null) {
           shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -45,13 +57,16 @@ object Probe {
     def measured(label: String)(body: => Long): Unit = {
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
       val (s0, p0, c0) = (shuffleAcc.get, spillAcc.get, cpuAcc.get)
+      val (j0, g0, k0) = (jobAcc.get, stageAcc.get, taskAcc.get)
       val t0 = System.nanoTime()
       val n = body
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s wall, " +
         f"${(cpuAcc.get - c0) / 1e9}%.2f s cpu, " +
         f"${(shuffleAcc.get - s0) / 1e6}%.3f MB shuffle, " +
-        f"${(spillAcc.get - p0) / 1e6}%.3f MB spill, $n rows")
+        f"${(spillAcc.get - p0) / 1e6}%.3f MB spill, $n rows, " +
+        s"${jobAcc.get - j0} jobs, ${stageAcc.get - g0} stages, " +
+        s"${taskAcc.get - k0} tasks")
     }
     // mirror Bench's _shared_stage_build so per-rep numbers below are the
     // same amortized steady-state costs the bench reports

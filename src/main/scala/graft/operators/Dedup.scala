@@ -230,7 +230,12 @@ object Dedup {
                  maxBucketSize: Long = 10000L): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     // only the hashed sets are carried: signature + banding happen inside
-    // one codegen kernel, and verification intersects the hash arrays
+    // one codegen kernel, and verification intersects the hash arrays.
+    // NO spread/banded-persist here, unlike the ICWS twin below: the
+    // integer-mixing kernel is ~1 op per (perm, element) — cheap enough
+    // (~0.7 s cpu at sf0.1) that the repartition + cache-build + changed
+    // join shape cost MORE than the recomputation they save (measured:
+    // the treated variant ran 0.83→1.85 s wall, 0.7→11 s cpu)
     val sets = graft.CacheScope.persist(
       hashedShingleSets(docs, idCol, textCol, n)
         .select(col("id"), col("shh"), col("n_sh")))
@@ -295,17 +300,26 @@ object Dedup {
                          threshold: Double = 0.7,
                          maxBucketSize: Long = 10000L): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
+    // spread: a single-row-group input would run the ICWS kernel on ONE
+    // core (see [[graft.Parallelism]] — measured 5.4 s wall on 6.8 s cpu)
     val sets = graft.CacheScope.persist(
-      docs.select(col(idCol).as("id"),
+      graft.Parallelism.spread(docs).select(col(idCol).as("id"),
           graft.functions.Hashing.hashedShingleCounts(col(textCol), n).as("shc"))
         .withColumn("tot", graft.functions.Hashing.weightedTotal(col("shc"))))
 
     // zero-mass docs are excluded from banding (the empty-doc rule of
-    // the set version — they'd all collide in one degenerate bucket)
-    val banded = sets.filter(col("tot") > 0)
+    // the set version — they'd all collide in one degenerate bucket).
+    // persisted: the ICWS draws (numPerms × 5 hashes + 3 logs per
+    // element) are the operator's dominant cpu and banded feeds THREE
+    // consumers (bucket-size profile + both candidate self-join sides) —
+    // uncached the kernel re-ran per consumer (measured 2.07 s wall /
+    // 16.5 s cpu spread-only vs 1.45 s / 9.5 s with the cache; the
+    // set-version twin deliberately SKIPS both treatments — its integer
+    // kernel is too cheap to pay the cache+repartition overhead)
+    val banded = graft.CacheScope.persist(sets.filter(col("tot") > 0)
       .select(col("id"),
         posexplode(graft.functions.Hashing.icwsBands(col("shc"), numPerms, bands)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh")))
 
     val big = banded.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize).select("band", "bh")
