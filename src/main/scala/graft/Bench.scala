@@ -129,14 +129,28 @@ object Bench {
     val buildQs = Seq("q_dedup_cluster", "q_bm25", "q_trgm_search",
         "q_er_agreement", "q_ft_classify", "q_ann_ivfpq")
       .filter(q => only.isEmpty || only(q))
+    // per-stage build accounting: a swallowed build failure used to
+    // degrade every dependent query's median to a silent full rebuild
+    // with NO recorded signal (the r15 verdict's 32-core dedup-trio
+    // anomaly was unattributable for exactly this reason). Each build
+    // query now gets its own ok/seconds row in the JSON, and a failed
+    // build lands in `failed` so failed_count is nonzero — loud in every
+    // artifact — while the remaining builds still run (one broken family
+    // must not hide the other families' numbers).
+    val buildStages = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
     val buildT0 = System.nanoTime()
     val (_, buildSh, buildSp, buildCpu) = drained {
       CacheScope.scoped {
         for (q <- buildQs) {
-          try SparkEntry.queries(q)(spark, sfDir).count(): Unit
-          catch { case NonFatal(e) =>
-            System.err.println(s"[bench] shared-stage build ($q) failed: ${e.getMessage}")
-          }
+          val t0 = System.nanoTime()
+          val ok =
+            try { SparkEntry.queries(q)(spark, sfDir).count(); true }
+            catch { case NonFatal(e) =>
+              System.err.println(s"[bench] shared-stage build ($q) failed: ${e.getMessage}")
+              failed += s"_build:$q"
+              false
+            }
+          buildStages += ((q, (System.nanoTime() - t0) / 1e9, ok))
         }
       }
     }
@@ -213,11 +227,21 @@ object Bench {
       if (buildQs.nonEmpty)
         (buildEntry._2.toString, buildEntry._3.toString, buildEntry._5.toString)
       else ("null", "null", "null")
+    // per-stage build rows (name → seconds, ok) and the build-inclusive
+    // total: the r15 round moved real cost INTO the excluded build row,
+    // which made round-over-round "total" diffs flattering — bill both
+    // views so no re-billing can hide in the accounting
+    val buildStagesJson = buildStages
+      .map { case (q, s, ok) => s"""${jstr(q)}:{"sec":$s,"ok":$ok}""" }
+      .mkString("{", ",", "}")
+    val totalWithBuild =
+      if (buildQs.nonEmpty) total + buildEntry._2 else total
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"queries":$qs,""" +
         s""""n_queries":${queryResults.size},"n_entries":${results.size},""" +
         s""""build_sec":$buildSec,"build_shuffle_bytes":$buildShB,""" +
-        s""""build_cpu_ms":$buildCpuMs,"cpu_sec":$totalCpuSec,""" +
+        s""""build_cpu_ms":$buildCpuMs,"build_stages":$buildStagesJson,""" +
+        s""""total_with_build":$totalWithBuild,"cpu_sec":$totalCpuSec,""" +
         s""""shuffle_bytes":$shuffles,"spill_bytes":$spills,"cpu_ms":$cpuMs,""" +
         s""""failed":$failedJson,"sf":${jstr(sfDir)}}"""
     // Full per-query detail lands in a file; stdout gets a COMPACT line.
@@ -243,7 +267,11 @@ object Bench {
       "q_lang_id", "q_monthly", "q_sessionize", "q_state_merge",
       "q_dup_spans", "q_semdedup", "q_dsir", "q_cube", "q_interval_overlap",
       "q_scd2", "q_vocab", "q_traj_sample", "q_dedup_jaccard",
-      "q_suffix_spans")
+      "q_suffix_spans",
+      // r16 additions (additions only — the original 27 stay): the r15
+      // round's big movers, so the driver's PERF diff can see them
+      "q_dendrogram", "q_louvain", "q_leiden", "q_ft_eval",
+      "q_er_agreement", "q_dedup_wminhash")
     // explicit ROOT locale: the f"" interpolator formats with the JVM
     // default locale, which under e.g. de_DE emits "1,234" and breaks the
     // JSON parse downstream
@@ -265,6 +293,7 @@ object Bench {
         s""""cpu_sec":${r3(totalCpuSec)},""" +
         s""""sf":${jstr(sfDir)},"n_queries":${queryResults.size},""" +
         s""""n_entries":${results.size},"build_sec":${r3(buildEntry._2)},""" +
+        s""""total_with_build":${r3(totalWithBuild)},""" +
         s""""shuffle_mb":${r3(shuffleMb)},"spill_mb":${r3(spillMb)},""" +
         s""""failed_count":${failed.size},"failed":$failedCompact,""" +
         s""""queries":$headQs,"full":${jstr(outPath)}}"""

@@ -161,11 +161,23 @@ object SharedStage {
   private def dead(df: DataFrame): Boolean =
     df.sparkSession.sparkContext.isStopped
 
+  /** Public snapshot signature of `dir` — for callers that memoize
+   * SEVERAL keys which must come from ONE consistent snapshot (e.g. the
+   * three IVFADC index frames): compute it once and pass it to every
+   * [[getPinned]] so a dir rewrite between calls can never mix frames
+   * from different snapshots into one composite artifact. */
+  def snapshotSig(dir: String): String = signature(dir)
+
   /** Memoized compute-and-persist of `key` for input `dir`, valid only
    * while `dir`'s file snapshot is unchanged and the owning session is
    * alive. */
-  def get(dir: String, key: String)(compute: => DataFrame): DataFrame = {
-    val sig = signature(dir) // outside the lock: see the header contract
+  def get(dir: String, key: String)(compute: => DataFrame): DataFrame =
+    getPinned(dir, key, signature(dir))(compute)
+
+  /** [[get]] with the snapshot signature supplied by the caller (see
+   * [[snapshotSig]]). */
+  def getPinned(dir: String, key: String, sig: String)
+               (compute: => DataFrame): DataFrame = {
     val k = (dir, key)
     synchronized {
       frames.get(k) match {

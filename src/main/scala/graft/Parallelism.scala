@@ -25,6 +25,13 @@ import org.apache.spark.sql.DataFrame
  * Spark sorts before round-robin), so never use it upstream of
  * partition-id-dependent logic (globalRowNumber does its OWN range
  * repartition instead).
+ *
+ * RAW-SCAN INPUTS ONLY: the probe reads `df.rdd.getNumPartitions`,
+ * which compiles the physical plan to an RDD — on a plan containing
+ * exchanges, AQE would MATERIALIZE every upstream query stage at
+ * plan-construction time (executing real jobs before the caller's
+ * action). A bare parquet scan has no exchanges, so the probe is free
+ * there; do not point `spread` at a derived frame.
  */
 object Parallelism {
   def spread(df: DataFrame): DataFrame = {

@@ -40,8 +40,6 @@ object Probe {
     val stageAcc = new java.util.concurrent.atomic.AtomicLong
     val taskAcc = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobAcc.incrementAndGet()
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         stageAcc.incrementAndGet()
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -52,6 +50,20 @@ object Probe {
           spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           cpuAcc.addAndGet(m.executorCpuTime)
         }
+      }
+      // GRAFT_LOOP_DEBUG: per-job wall + root-callsite histogram, the
+      // "where do 150 jobs come from" answer for stage-latency-bound
+      // queries (jobs are the unit the driver pays for, not stages)
+      private val jobT0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobAcc.incrementAndGet()
+        if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+          jobT0.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobT0.remove(j.jobId)
+        if (t0 != 0L && sys.env.contains("GRAFT_LOOP_DEBUG"))
+          System.err.println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e3}%8.0f us")
       }
     })
     def measured(label: String)(body: => Long): Unit = {

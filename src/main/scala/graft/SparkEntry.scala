@@ -249,11 +249,17 @@ object SparkEntry {
    * artifact — the [[Similarity.pqIndexBuild]] contract, now applied to
    * the IVF-PQ shape. Scoring is [[Similarity.ivfPqScore]], expression-
    * identical to the fused ivfPqTopK, so both oracles replay unchanged. */
-  private def ivfPqSharedIdx(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+  private def ivfPqSharedIdx(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    // ONE snapshot signature for all three index frames: three
+    // independent get() calls would each re-sign the dir, and a rewrite
+    // landing between them could combine cached and rebuilt frames from
+    // DIFFERENT snapshots into an internally inconsistent index
+    val sig = SharedStage.snapshotSig(dir)
     Similarity.ivfPqIndexBuild(Tables.embeddings(s, dir), "vec_id",
       "embedding", dim = 64, nCells = 16, m = 8, ks = 64, iters = 2,
-      share = (part, f) =>
-        SharedStage.get(dir, s"ivfpq:embeddings:d64:c16:m8:ks64:it2:$part")(f()))
+      share = (part, f) => SharedStage.getPinned(dir,
+        s"ivfpq:embeddings:d64:c16:m8:ks64:it2:$part", sig)(f()))
+  }
 
   /** DuckDB twin of [[erCandidates]]: blocked pairs `p` with both sides'
    * scored fields attached (the oracle of the candidate join itself). */

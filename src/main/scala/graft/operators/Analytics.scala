@@ -105,7 +105,13 @@ object Analytics {
       // `checkpointDir` picks reliable checkpointing (survives executor
       // loss on a cluster); the local default's blocks live at
       // MEMORY_AND_DISK and are reclaimed by the ContextCleaner.
-      val r = graft.CacheScope.lineageCut(ranks, checkpointDir)
+      // LAZY cut (the louvainMoves treatment): the round count is FIXED
+      // and nothing observes per-round state on the driver, so the plan
+      // truncates identically while the rounds materialize with the
+      // consumer's one action instead of one eager job per round — the
+      // blocks still cache at first compute, so the round's two readers
+      // (contribution join + dangling aggregate) share one evaluation.
+      val r = graft.CacheScope.lineageCutLazy(ranks, checkpointDir)
       val inMass = r.join(eNorm, r("node") === eNorm("src"))
         .groupBy("dst").agg(sum(col("pr") * col("wn")).as("in_mass"))
       val dangMass = r.join(dangling, Seq("node"), "left_semi")
@@ -186,7 +192,9 @@ object Analytics {
         Seq("node"), "left_anti"))
     var ranks = tele.select(col("node"), col("t").as("pr"))
     for (_ <- 1 to iters) {
-      val r = graft.CacheScope.lineageCut(ranks, checkpointDir)
+      // LAZY cut for the same reason as [[pagerank]]'s loop: fixed round
+      // count, no driver observation — one consumer action runs the chain
+      val r = graft.CacheScope.lineageCutLazy(ranks, checkpointDir)
       val inMass = r.join(eNorm, r("node") === eNorm("src"))
         .groupBy("dst").agg(sum(col("pr") * col("wn")).as("in_mass"))
       val dangMass = r.join(dangling, Seq("node"), "left_semi")
@@ -256,7 +264,9 @@ object Analytics {
       sym.select(col("u").as("node")).distinct())
     var labels = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
-      val l = graft.CacheScope.lineageCut(labels, checkpointDir)
+      // LAZY cut: fixed rounds, the label frame's two readers (vote join
+      // + self-vote union) share the blocks cached at first compute
+      val l = graft.CacheScope.lineageCutLazy(labels, checkpointDir)
       val nbrVotes = sym
         .join(l.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("lbl"))
@@ -1258,7 +1268,9 @@ object Analytics {
       val deg = und.select(col("u").as("n")).union(und.select(col("v")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
-      val next = graft.CacheScope.lineageCut(
+      // LAZY cut: the stabilization count below is the round's single
+      // action and materializes the checkpoint blocks itself
+      val next = graft.CacheScope.lineageCutLazy(
         und.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .select("u", "v"),
@@ -2154,7 +2166,9 @@ object Analytics {
       val relaxed = dist
         .join(sym, dist("node") === sym("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = graft.CacheScope.lineageCut(
+      // LAZY cut: the fixpoint probe below reads `next` and materializes
+      // the checkpoint blocks — the eager cut's job was duplicated work
+      val next = graft.CacheScope.lineageCutLazy(
         dist.union(relaxed).groupBy("node").agg(min("dist").as("dist")),
         checkpointDir)
       // exact fixpoint test: a changed row is a NEW node (left-anti on the
@@ -2350,7 +2364,9 @@ object Analytics {
         .agg(min_by(col("dst"),
           md5(concat_ws(":", lit(seed), col("walk_id"), lit(s), col("dst"))))
           .as("cur"))
-      frontier = graft.CacheScope.lineageCut(nxt, checkpointDir)
+      // LAZY cut: fixed walk length, no per-step driver observation —
+      // the consumer's one action runs every step as one job chain
+      frontier = graft.CacheScope.lineageCutLazy(nxt, checkpointDir)
       out = out.union(
         frontier.select(col("walk_id"), lit(s).as("step"),
           col("cur").as("node")))
@@ -2388,20 +2404,24 @@ object Analytics {
           col("src") =!= col("dst"))
         .distinct()
         .repartition(col("src")))
-    var visited = graft.CacheScope.lineageCut(
+    var visited = graft.CacheScope.lineageCutLazy(
       seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("hops", lit(0)), checkpointDir)
     var frontier = visited.select("node")
     var h = 0
     // the per-ring emptiness probe is a driver action over the (node-
-    // sized, persisted) frontier — bounded by maxHops, never the corpus
+    // sized, persisted) frontier — bounded by maxHops, never the corpus.
+    // Both per-ring cuts are LAZY: the probe materializes the new
+    // frontier (and transitively the previous ring's visited blocks), so
+    // each ring pays exactly ONE action instead of three — the plan
+    // trees truncate identically either way
     while (h < maxHops && !frontier.isEmpty) {
       h += 1
       val nxt = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-      frontier = graft.CacheScope.lineageCut(nxt, checkpointDir)
-      visited = graft.CacheScope.lineageCut(
+      frontier = graft.CacheScope.lineageCutLazy(nxt, checkpointDir)
+      visited = graft.CacheScope.lineageCutLazy(
         visited.unionByName(frontier.withColumn("hops", lit(h))),
         checkpointDir)
     }
@@ -2617,18 +2637,19 @@ object Analytics {
           col("src") =!= col("dst"))
         .distinct()
         .repartition(col("src")))
-    var visited = graft.CacheScope.lineageCut(
+    var visited = graft.CacheScope.lineageCutLazy(
       seeds.select(col(originCol).as("origin"), col(nodeCol).as("node"))
         .distinct().withColumn("hops", lit(0)), checkpointDir)
     var frontier = visited.select("origin", "node")
     var h = 0
+    // LAZY per-ring cuts, one action per ring — the bfsHops treatment
     while (h < maxHops && !frontier.isEmpty) {
       h += 1
       val nxt = frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), col("dst").as("node")).distinct()
         .join(visited.select("origin", "node"), Seq("origin", "node"), "left_anti")
-      frontier = graft.CacheScope.lineageCut(nxt, checkpointDir)
-      visited = graft.CacheScope.lineageCut(
+      frontier = graft.CacheScope.lineageCutLazy(nxt, checkpointDir)
+      visited = graft.CacheScope.lineageCutLazy(
         visited.unionByName(frontier.withColumn("hops", lit(h))),
         checkpointDir)
     }

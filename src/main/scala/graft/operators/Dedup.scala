@@ -172,8 +172,13 @@ object Dedup {
       hashedShingleSets(docs, idCol, textCol, n)
         .select(col("id"), col("shh"), col("n_sh")))
     val inv = sets.select(col("id"), col("n_sh"), explode(col("shh")).as("s"))
-    val freq = inv.groupBy("s").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") <= maxShingleFreq)
+    // persisted: TWO consumers (the prefix build and the container-side
+    // index join below) otherwise each pay the full explode+groupBy
+    // frequency pass — the executed plan showed the aggregation
+    // duplicated under two separate broadcasts
+    val freq = graft.CacheScope.persist(
+      inv.groupBy("s").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") <= maxShingleFreq))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("freq").asc, col("s").asc)
     val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1
@@ -565,7 +570,12 @@ object Dedup {
       // persist leaves a 2^rounds logical plan — harmless physically but
       // the final action's plan STRING alone OOMs the driver once the
       // loop runs long (hit at the sf1 tier by long ER match chains; the
-      // pagerank 3^iters rule, same medicine)
+      // pagerank 3^iters rule, same medicine). The cut is LAZY (the
+      // louvainMoves treatment): the convergence aggregate below is this
+      // round's one action and materializes the checkpoint blocks itself,
+      // so the former eager cut's per-round materialization job was pure
+      // duplicated scheduling — with ~8 CC consumers in the workload the
+      // saved jobs are the fixture family's measured wall floor
       val nextRound = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
       // POINTER SHORTCUT (path halving): also adopt the label OF the
       // label — lbl is itself a node id in this table, and min-labels
@@ -580,7 +590,7 @@ object Dedup {
       val shortcut = nextRound.join(parent, Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-      val updated = graft.CacheScope.lineageCut(shortcut, checkpointDir)
+      val updated = graft.CacheScope.lineageCutLazy(shortcut, checkpointDir)
       converged = if (sumSafe) {
         val newSum = labelSum(updated) // also materializes the cache
         val c = (newSum, prevSum) match {
@@ -596,6 +606,9 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+      System.err.println(s"[loop] clusterPairs($aCol,$bCol): $iter rounds, " +
+        s"converged=$converged")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

@@ -477,7 +477,10 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c"))
-      cent = graft.CacheScope.lineageCut(next, checkpointDir)
+      // LAZY cut: fixed iters, no per-round driver state — one consumer
+      // action materializes the whole refinement chain (blocks still
+      // cache at first compute, so the broadcast and next round share)
+      cent = graft.CacheScope.lineageCutLazy(next, checkpointDir)
     }
     cent.select(col("cell"), posexplode(col("c")).as(Seq("dim", "mean")))
       .select(col("cell"), (col("dim") + 1).as("dim"), col("mean"))
@@ -878,9 +881,14 @@ object Similarity {
         "(or raise the ceiling deliberately with executor memory to back it)")
     // `index`: a pre-built [[IvfPqIndex]] over `labeled` with these same
     // parameters (the caller's contract) — the retrieval stage then skips
-    // its own training entirely; None rebuilds inline (pre-split behavior)
-    require(index.forall(ix => ix.dim == dim && ix.m == m),
-      "knnLabelAnn: supplied index dim/m disagree with the call's")
+    // its own training entirely; None rebuilds inline (pre-split behavior).
+    // The FULL parameter tuple is checked, not just the shape fields: an
+    // index trained with different nCells/ks/iters would silently change
+    // retrieval results while appearing to honor the call's arguments.
+    require(index.forall(ix => ix.dim == dim && ix.m == m &&
+        ix.nCells == nCells && ix.ks == ks && ix.iters == iters),
+      "knnLabelAnn: supplied index parameters (dim/m/nCells/ks/iters) " +
+        "disagree with the call's")
     val idx = index.getOrElse(ivfPqIndexBuild(labeled, idCol, vecCol,
       dim = dim, nCells = nCells, m = m, ks = ks, iters = iters))
     val topk = ivfPqScore(idx, queries, idCol, vecCol, k = k, nProbe = nProbe)
@@ -1351,7 +1359,8 @@ object Similarity {
       val next = pqAssign(sv, cent)
         .select(col("sub"), col("cell"), posexplode(col("vs")).as(Seq("dim", "x")))
         .groupBy("sub", "cell", "dim").agg(avg("x").as("mean"))
-      cent = pqCentArrays(graft.CacheScope.lineageCut(next
+      // LAZY cut (fixed iters — the lloydLoop treatment)
+      cent = pqCentArrays(graft.CacheScope.lineageCutLazy(next
         .select(col("sub"), col("cell"), (col("dim") + 1).as("dim"), col("mean")),
         checkpointDir))
     }
@@ -1417,7 +1426,8 @@ object Similarity {
    * [[PqIndex]] shape with the coarse inverted file attached; built by
    * [[ivfPqIndexBuild]], scored by [[ivfPqScore]]. */
   final case class IvfPqIndex(cent: DataFrame, pqcent: DataFrame,
-                              codes: DataFrame, dim: Int, m: Int)
+                              codes: DataFrame, dim: Int, m: Int,
+                              nCells: Int, ks: Int, iters: Int)
 
   /**
    * Index half of [[ivfPqTopK]] — everything that is QUERY-INDEPENDENT
@@ -1442,7 +1452,7 @@ object Similarity {
                         (_, f) => f()): IvfPqIndex = {
     require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m $m")
     require(nCells >= 1 && ks >= 1 && iters >= 0,
-      "ivfPqTopK needs nCells/ks >= 1, iters >= 0")
+      "ivfPqIndexBuild needs nCells/ks >= 1, iters >= 0")
     val dsub = dim / m
     val base = candidates.select(col(idCol).as("cand_id"),
         checkedDim(col(vecCol).cast("array<double>"), dim, "ivfpq").as("v_c"))
@@ -1484,7 +1494,7 @@ object Similarity {
         first(col("ivf_cell")).as("ivf_cell"), first(col("nrm")).as("nrm_c"))
       .select(col("id").as("cand_id"), col("sub"), col("code"),
         col("ivf_cell"), col("nrm_c")))
-    IvfPqIndex(cent, pqcent, codes, dim, m)
+    IvfPqIndex(cent, pqcent, codes, dim, m, nCells, ks, iters)
   }
 
   /** Query half of [[ivfPqTopK]]: probe `nProbe` coarse cells, build the
@@ -2091,7 +2101,8 @@ object Similarity {
         .groupBy("_id")
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
           s => s.getField("_m")).as("_nbr"))
-      cur = graft.CacheScope.lineageCut(
+      // LAZY cut (fixed hops — the lloydLoop treatment)
+      cur = graft.CacheScope.lineageCutLazy(
         cur.join(nbr, Seq("_id"), "left")
           .select(col("_id"),
             when(col("_nbr").isNull, col("_v"))

@@ -973,7 +973,10 @@ object Text {
       // sits in exactly one class, so the class minimum never collides
       if (packable) {
         val reps = p.groupBy("pair").agg(min(gid).as("rank"))
-        r = graft.CacheScope.lineageCut(
+        // LAZY cut: doubling-round count is fixed by minLen, nothing
+        // reads per-round state on the driver — the caller's one action
+        // runs all rounds as one job chain
+        r = graft.CacheScope.lineageCutLazy(
           p.join(reps, Seq("pair"))
             .select(carry.map(col) :+ col("rank").as("ra"): _*),
           checkpointDir)
@@ -981,7 +984,7 @@ object Text {
       } else {
         val reps = p.groupBy("pair")
           .agg(min(struct(col("id"), col("pos"))).as("rank"))
-        r = graft.CacheScope.lineageCut(
+        r = graft.CacheScope.lineageCutLazy(
           p.join(reps, Seq("pair"))
             .select(col("id"), col("len"), col("pos"),
               col("rank.id").as("ra"), col("rank.pos").as("rb")),

@@ -445,7 +445,9 @@ object Trajectory {
         // on (keys, _so); AQE picks broadcast when the frame is small.
         // Each point adopts its half map-side: left of the split keeps
         // (s → p), right takes (p → e), the split point itself is kept.
-        pts = graft.CacheScope.lineageCut(
+        // LAZY cut: next round's splits.isEmpty probe (or the caller's
+        // action) materializes the blocks — one action per round
+        pts = graft.CacheScope.lineageCutLazy(
           pts.join(splits, keyCols :+ "_so", "left")
             .select((df.columns.map(col) ++ Seq(
               when(col("_po").isNotNull && o > col("_po"), col("_po"))

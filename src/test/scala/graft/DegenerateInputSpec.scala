@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * return an empty (or well-defined) result on empty or pathological
   * input instead of crashing — a 100 TB backfill WILL contain an empty
   * partition, an empty day, or an all-empty-text shard somewhere. */
+@SlowTest
 class DegenerateInputSpec extends SparkSpecBase {
   import spark.implicits._
 

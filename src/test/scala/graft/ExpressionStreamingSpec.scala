@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Geohash native expression + structured-streaming operators. */
+@SlowTest
 class ExpressionStreamingSpec extends SparkSpecBase {
   import spark.implicits._
 

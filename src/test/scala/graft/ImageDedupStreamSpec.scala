@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
  * intra-batch chain resolution, commit protocol); the decode→hash
  * kernel carries its own gates in Round12Spec / q_image_neardup.
  */
+@SlowTest
 class ImageDedupStreamSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
  * updates, GROUP MOVES, null transitions both directions), and replay
  * of a committed batch is a verbatim no-op.
  */
+@SlowTest
 class IvmStreamSpec extends SparkSpecBase {
   import spark.implicits._
 

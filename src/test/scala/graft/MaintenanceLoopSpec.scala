@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
  * iteration idle. Rows 66/216/219/203 individually green is not the
  * same claim as the loop a real feed runs; this spec is that claim.
  */
+@SlowTest
 class MaintenanceLoopSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
  * join into a sort-merge join, loses a pushed filter, or adds a second
  * window shuffle fails HERE, not in a cluster bill.
  */
+@SlowTest
 class PlanSpec extends SparkSpecBase {
 
   // plan BUILD runs inside a CacheScope: operators persist fan-out

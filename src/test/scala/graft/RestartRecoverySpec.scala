@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
  * offset log, the operator state store, and the sink all survive a real
  * stop/restart.
  */
+@SlowTest
 class RestartRecoverySpec extends SparkSpecBase {
   import spark.implicits._
 

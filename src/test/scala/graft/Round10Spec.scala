@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Round-10 hardening: packed vs fallback suffix-rank parity, plus the
  * distributed bloom-probe scale contract lives in ZOrderSpec. */
+@SlowTest
 class Round10Spec extends SparkSpecBase {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * linear-classifier family (counts maintenance, NaN guard), URL
   * canonicalization, corpus-frequency boilerplate scrub, seeded
   * epoch-shuffle order, N-way KMV overlap matrix. */
+@SlowTest
 class Round11Spec extends SparkSpecBase {
 
   private def windowExecs(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {

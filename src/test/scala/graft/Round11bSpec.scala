@@ -7,6 +7,7 @@ import graft.operators.{Analytics, EntityResolution, Similarity}
   * planning profile, sorted-neighborhood candidates, Fellegi–Sunter
   * scoring, transitive entities), the two-window mean-shift changepoint
   * screen, and semantic benchmark decontamination. */
+@SlowTest
 class Round11bSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import graft.operators.{Analytics, Quality, Text, Trajectory}
   * Benford screen, k-anonymity profile — plus the Borůvka minimum
   * spanning forest, Douglas–Peucker trajectory simplification, and
   * interpolated Kneser–Ney bigram scoring. */
+@SlowTest
 class Round11cSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -6,6 +6,7 @@ import graft.operators.{Analytics, Multimodal, Similarity, Text}
 /** Round-12 second wave: decayed feature mergeability, BFS hop rings vs a
   * driver reference, CCNet perplexity buckets, the embedding distance
   * profile, and the audio (PCM16) modality. */
+@SlowTest
 class Round12bSpec extends SparkSpecBase {
   import spark.implicits._
 

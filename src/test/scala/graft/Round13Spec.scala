@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
  * and visit-order-independent), and must OPTIMIZE modularity: Q(louvain)
  * beats Q(LPA) on a fixture where label propagation degenerates.
  */
+@SlowTest
 class Round13Spec extends SparkSpecBase {
   import spark.implicits._
 

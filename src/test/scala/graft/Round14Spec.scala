@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
  * THEOREMS the oracles can't state: connectivity guarantees,
  * dendrogram equivalence at every threshold, idempotence.)
  */
+@SlowTest
 class Round14Spec extends SparkSpecBase {
   import spark.implicits._
 

@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
  * eom stability selection vs a driver-side reference, fitted-init
  * inertia dominance, rank ≡ window-ntile.
  */
+@SlowTest
 class Round15Spec extends SparkSpecBase {
   import spark.implicits._
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 /** Round-4 additions: real image codec path, measured ANN/simhash/
   * fingerprint gates, and the advisor-flagged robustness fixes
   * (string-id cluster convergence, unblocked-cosine guard). */
+@SlowTest
 class Round4Spec extends SparkSpecBase {
   import spark.implicits._
 

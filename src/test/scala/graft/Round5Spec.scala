@@ -8,6 +8,7 @@ import java.nio.file.Files
 /** Round-5 hardening: advisor-flagged semantics fixes (null-rank
   * keep-best, StateSink agg-list contract), the simhash certificate
   * size ceiling, and the StateStore schema-drift contract. */
+@SlowTest
 class Round5Spec extends SparkSpecBase {
   import spark.implicits._
 

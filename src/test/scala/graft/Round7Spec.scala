@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
  * the StateStore drift-guard bypass via untouched buckets, and the
  * NaN-variance hole in anomalyFlags.
  */
+@SlowTest
 class Round7Spec extends SparkSpecBase {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
  * structured corpora, the ANN-prefiltered triplet miner's agreement with
  * the exhaustive one, and the anchors-broadcast contract enforcement.
  */
+@SlowTest
 class Round8Spec extends SparkSpecBase {
   import spark.implicits._
 

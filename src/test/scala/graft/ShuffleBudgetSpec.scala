@@ -10,6 +10,7 @@ package graft
  * wobble (bytes at a fixed SF are near-deterministic modulo
  * compression), far below an order-of-magnitude plan regression.
  */
+@SlowTest
 class ShuffleBudgetSpec extends SparkSpecBase {
 
   // measured at sf0.001 (local bench, round 7); budget = measured × ~4-6

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
  * batch side. These convert "the streaming op runs" specs into "the
  * streaming op computes the same answer as the batch op" proofs.
  */
+@SlowTest
 class StreamParitySpec extends SparkSpecBase {
   import spark.implicits._
 

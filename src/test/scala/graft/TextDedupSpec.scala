@@ -4,6 +4,7 @@ import graft.operators._
 import org.apache.spark.sql.functions._
 
 /** Text analysis, dedup family, similarity, multimodal plumbing. */
+@SlowTest
 class TextDedupSpec extends SparkSpecBase {
   import spark.implicits._
 
