@@ -26,13 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g default (still overridable via SPARK_DRIVER_MEM): the full
-  // 247-query bench keeps ~10 shared-stage frames pinned while queries
-  // execute at 32 threads; at 8g the unified pool is 4.6 GiB and a
-  // loaded machine showed cache-residency collapses (r15's 32-core
-  // dedup-trio anomaly: warm 0.1 s queries measured 13.8 s). The bench
-  // contract (env-driven cpus/sf, one JSON line) is unchanged.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 8g default. A 12g default was tried (motivated by r15's driver-side
+  // cache-residency anomaly at 32 cores) and REVERTED: the full bench
+  // under 12g inflated wall broadly on flat task-cpu (q_vocab 0.43→1.12 s
+  // at 598 ms cpu both ways — GC-pause shaped), while the same run under
+  // 8g did not. SPARK_DRIVER_MEM stays the knob for a genuinely
+  // memory-pressured host.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // the full suite (45 suites, ~700 tests, one shared session) accumulates
 // cache/codegen state past the 8g run-scope default — a late suite then

@@ -570,12 +570,13 @@ object Dedup {
       // persist leaves a 2^rounds logical plan — harmless physically but
       // the final action's plan STRING alone OOMs the driver once the
       // loop runs long (hit at the sf1 tier by long ER match chains; the
-      // pagerank 3^iters rule, same medicine). The cut is LAZY (the
-      // louvainMoves treatment): the convergence aggregate below is this
-      // round's one action and materializes the checkpoint blocks itself,
-      // so the former eager cut's per-round materialization job was pure
-      // duplicated scheduling — with ~8 CC consumers in the workload the
-      // saved jobs are the fixture family's measured wall floor
+      // pagerank 3^iters rule, same medicine). The cut stays EAGER here
+      // deliberately: the lazy variant (convergence aggregate materializes
+      // the blocks) was measured WORSE across this loop's consumers in
+      // full-bench context (q_dendrogram 5.5→6.4-9.0 s, q_image_neardup
+      // 1.2→2.2, q_er_entities 0.4→1.0 at 32 cores) — the aggregate job
+      // re-enters the round plan's AQE stages instead of reading cached
+      // blocks, unlike the fixed-round loops where lazy cuts won.
       val nextRound = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
       // POINTER SHORTCUT (path halving): also adopt the label OF the
       // label — lbl is itself a node id in this table, and min-labels
@@ -590,7 +591,7 @@ object Dedup {
       val shortcut = nextRound.join(parent, Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-      val updated = graft.CacheScope.lineageCutLazy(shortcut, checkpointDir)
+      val updated = graft.CacheScope.lineageCut(shortcut, checkpointDir)
       converged = if (sumSafe) {
         val newSum = labelSum(updated) // also materializes the cache
         val c = (newSum, prevSum) match {
